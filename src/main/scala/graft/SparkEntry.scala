@@ -1,13 +1,190 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftDB
+import graft.model.Point
+import graft.query._
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle) per operator
+  * from SURVEY.md §2. The events table is mapped to Points by
+  * [[Tables.eventsAsPoints]]; `ts_us` (epoch microseconds, exact
+  * bigint) is the cross-engine time representation, and every query is
+  * deterministically ordered on both sides.
+  */
 object SparkEntry {
+
+  private def pts(s: SparkSession, dir: String): DataFrame = Tables.eventsAsPoints(s, dir)
+  private def rdb(s: SparkSession, dir: String): GraftDB = GraftDB.fromDataFrame(pts(s, dir))
+
+  /** Points → flat (event_id, ts_us, measurement, value) for comparison. */
+  private def flat(points: DataFrame): DataFrame = points.select(
+    col(Point.SeqCol).as("event_id"),
+    unix_micros(col(Point.TimeCol)).as("ts_us"),
+    col(Point.MeasurementCol).as("measurement"),
+    element_at(col(Point.FieldsCol), "value").as("value"))
+
+  private def ids(points: DataFrame): DataFrame =
+    points.select(col(Point.SeqCol).as("event_id")).orderBy("event_id")
+
+  private val T1 = Instant.parse("2024-01-05T00:00:00Z")
+  private val T2 = Instant.parse("2024-01-15T00:00:00Z")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_search_time_tag")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core ops (SURVEY §2.1) over events-as-points ----
+    "q01_all" -> ((s, dir) =>
+      flat(rdb(s, dir).allDF(sorted = true)).orderBy("ts_us", "event_id")),
+
+    "q02_count_all" -> ((s, dir) => {
+      import s.implicits._
+      Seq(rdb(s, dir).length).toDF("n")
+    }),
+
+    "q03_search_time_tag" -> ((s, dir) =>
+      flat(rdb(s, dir).searchDF(
+        (TimeQuery() >= T1) & (TimeQuery() < T2) & (TagQuery("user") === "7")))
+        .orderBy("ts_us", "event_id")),
+
+    "q04_get_first" -> ((s, dir) =>
+      flat(rdb(s, dir).searchDF(
+        (MeasurementQuery() === "purchase") & (FieldQuery("value") >= 100.0),
+        sorted = false).limit(1))
+        .select("event_id", "value")),
+
+    "q05_contains" -> ((s, dir) => {
+      import s.implicits._
+      Seq(rdb(s, dir).contains(
+        (MeasurementQuery() === "error") & (FieldQuery("value") > 190.0))).toDF("found")
+    }),
+
+    "q06_count_matches" -> ((s, dir) => {
+      import s.implicits._
+      Seq(rdb(s, dir).count(FieldQuery("value") >= 50.0)).toDF("n")
+    }),
+
+    "q07_select" -> ((s, dir) =>
+      rdb(s, dir).selectDF(Seq("time", "tags.user", "fields.value"),
+          MeasurementQuery() === "click")
+        .select(
+          unix_micros(col("time")).as("ts_us"),
+          col("`tags.user`").as("usr"),
+          col("`fields.value`").as("value"))
+        .orderBy("ts_us", "usr", "value")),
+
+    "q08_measurements" -> ((s, dir) => rdb(s, dir).measurementsDF),
+
+    "q09_field_keys" -> ((s, dir) => rdb(s, dir).fieldKeysDF()),
+
+    "q10_field_values" -> ((s, dir) => rdb(s, dir).fieldValuesDF("value")),
+
+    "q11_tag_values" -> ((s, dir) => rdb(s, dir).tagValuesDF(Seq("user"))),
+
+    "q12_timestamps" -> ((s, dir) =>
+      rdb(s, dir).timestampsDF().select(unix_micros(col("time")).as("ts_us"))),
+
+    "q13_measurement_view" -> ((s, dir) =>
+      flat(rdb(s, dir).measurement("view").searchDF(FieldQuery("value") > 150.0))
+        .orderBy("ts_us", "event_id")),
+
+    "q14_update" -> ((s, dir) => {
+      val db = rdb(s, dir)
+      val c = QueryCompiler.compile((TagQuery("user") === "3") & (MeasurementQuery() === "click"))
+      db.updatedDF(db.df, c, None, None, Map.empty, Map("k" -> 0.0), Nil, Nil)
+        .select(col(Point.SeqCol).as("event_id"),
+          element_at(col(Point.FieldsCol), "k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    "q15_remove" -> ((s, dir) => {
+      val db = rdb(s, dir)
+      db.remove(FieldQuery("value") < 10.0)
+      ids(db.df)
+    }),
+
+    "q16_drop_measurement" -> ((s, dir) => {
+      val db = rdb(s, dir)
+      db.dropMeasurement("error")
+      ids(db.df)
+    }),
+
+    // ---- predicate-DSL semantics (SURVEY §2.2) ----
+    "q17_not_missing_key" -> ((s, dir) =>
+      ids(rdb(s, dir).searchDF(~(TagQuery("bucket") === "high")))),
+
+    "q18_ne_missing_key" -> ((s, dir) =>
+      ids(rdb(s, dir).searchDF(TagQuery("bucket") =!= "low"))),
+
+    "q19_exists" -> ((s, dir) =>
+      ids(rdb(s, dir).searchDF(TagQuery("bucket").exists()))),
+
+    "q20_regex_match" -> ((s, dir) =>
+      ids(rdb(s, dir).searchDF(MeasurementQuery().matches("cl.*")))),
+
+    "q21_regex_search" -> ((s, dir) =>
+      ids(rdb(s, dir).searchDF(TagQuery("user").search("1"))))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_all" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type AS measurement, value
+        |FROM events ORDER BY ts_us, event_id""".stripMargin,
+    "q02_count_all" -> "SELECT count(*) AS n FROM events",
+    "q03_search_time_tag" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type AS measurement, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND user_id = 7
+        |ORDER BY ts_us, event_id""".stripMargin,
+    "q04_get_first" ->
+      """SELECT event_id, value FROM events
+        |WHERE event_type = 'purchase' AND value >= 100
+        |ORDER BY event_id LIMIT 1""".stripMargin,
+    "q05_contains" ->
+      "SELECT count(*) > 0 AS found FROM events WHERE event_type = 'error' AND value > 190",
+    "q06_count_matches" -> "SELECT count(*) AS n FROM events WHERE value >= 50",
+    "q07_select" ->
+      """SELECT epoch_us(ts) AS ts_us, CAST(user_id AS VARCHAR) AS usr, value
+        |FROM events WHERE event_type = 'click' ORDER BY ts_us, usr, value""".stripMargin,
+    "q08_measurements" ->
+      "SELECT DISTINCT event_type AS measurement FROM events ORDER BY measurement",
+    "q09_field_keys" ->
+      """SELECT 'k' AS field_key UNION ALL SELECT 'user_id' UNION ALL SELECT 'value'
+        |ORDER BY field_key""".stripMargin,
+    "q10_field_values" -> "SELECT value FROM events ORDER BY event_id",
+    "q11_tag_values" ->
+      """SELECT DISTINCT 'user' AS tag_key, CAST(user_id AS VARCHAR) AS tag_value
+        |FROM events ORDER BY tag_key, tag_value""".stripMargin,
+    "q12_timestamps" -> "SELECT epoch_us(ts) AS ts_us FROM events ORDER BY event_id",
+    "q13_measurement_view" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type AS measurement, value
+        |FROM events WHERE event_type = 'view' AND value > 150
+        |ORDER BY ts_us, event_id""".stripMargin,
+    "q14_update" ->
+      """SELECT event_id,
+        |  CASE WHEN user_id = 3 AND event_type = 'click' THEN 0.0
+        |       ELSE CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_remove" ->
+      "SELECT event_id FROM events WHERE NOT (value < 10) ORDER BY event_id",
+    "q16_drop_measurement" ->
+      "SELECT event_id FROM events WHERE event_type <> 'error' ORDER BY event_id",
+    "q17_not_missing_key" ->
+      "SELECT event_id FROM events WHERE value < 100 ORDER BY event_id",
+    "q18_ne_missing_key" ->
+      "SELECT event_id FROM events WHERE value >= 100 ORDER BY event_id",
+    "q19_exists" ->
+      "SELECT event_id FROM events WHERE value >= 100 ORDER BY event_id",
+    "q20_regex_match" ->
+      "SELECT event_id FROM events WHERE event_type LIKE 'cl%' ORDER BY event_id",
+    "q21_regex_search" ->
+      "SELECT event_id FROM events WHERE CAST(user_id AS VARCHAR) LIKE '%1%' ORDER BY event_id"
+  )
 }

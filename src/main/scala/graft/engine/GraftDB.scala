@@ -1,0 +1,296 @@
+package graft.engine
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Point
+import graft.query.{Noop, Q, QueryCompiler}
+
+/** The engine facade — every core operator of the reference database
+  * (SURVEY.md §2.1 ops 1-24; reference: tinyflux/database.py) expressed
+  * as declarative DataFrame transforms so Catalyst plans them.
+  *
+  * DataFrame-first: each op has a `...DF` form returning an unexecuted
+  * DataFrame (composable, scale-safe) plus, where the reference returns
+  * materialized values, a convenience form that collects. On a cluster
+  * the DF forms are the API; collects are driver-side conveniences for
+  * small results/metadata only.
+  */
+final class GraftDB(val storage: Storage) {
+  val spark: SparkSession = storage.spark
+  import spark.implicits._
+
+  // Map-literal merges in update() rely on last-wins dedup.
+  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+  def df: DataFrame = storage.load()
+
+  private def cond(q: Q): Column = QueryCompiler.compile(q)
+
+  private def toPoint(r: Row): Point = Point(
+    time = r.getAs[java.sql.Timestamp](Point.TimeCol).toInstant,
+    measurement = r.getAs[String](Point.MeasurementCol),
+    tags = Option(r.getAs[Map[String, String]](Point.TagsCol)).getOrElse(Map.empty),
+    fields = Option(r.getAs[Map[String, java.lang.Double]](Point.FieldsCol)).getOrElse(Map.empty),
+    _seq = r.getAs[Long](Point.SeqCol)
+  )
+
+  // ---- read ops (ops 1-8) ------------------------------------------------
+
+  /** op 1 `all` (database.py:173-188): full scan, time-sorted by default,
+    * insertion order with sorted=false.
+    */
+  def allDF(sorted: Boolean = true): DataFrame =
+    if (sorted) df.orderBy(Point.TimeCol, Point.SeqCol) else df.orderBy(Point.SeqCol)
+
+  def all(sorted: Boolean = true): Seq[Point] = allDF(sorted).collect().toSeq.map(toPoint)
+
+  /** op 2 `__iter__` (database.py:143-146): lazy scan. */
+  def iterator: Iterator[Point] = {
+    import scala.jdk.CollectionConverters._
+    df.orderBy(Point.SeqCol).toLocalIterator().asScala.map(toPoint)
+  }
+
+  /** op 3 `__len__` (database.py:148-155). */
+  def length: Long = df.count()
+
+  /** op 4 `search` (database.py:740-828). */
+  def searchDF(q: Q, sorted: Boolean = true): DataFrame = {
+    val filtered = df.filter(cond(q))
+    if (sorted) filtered.orderBy(Point.TimeCol, Point.SeqCol) else filtered.orderBy(Point.SeqCol)
+  }
+
+  def search(q: Q, sorted: Boolean = true): Seq[Point] =
+    searchDF(q, sorted).collect().toSeq.map(toPoint)
+
+  /** op 5 `get` (database.py:315-386): FIRST match in insertion order —
+    * `_seq` ascending, limit 1 (Spark plans a stop-early TakeOrdered).
+    */
+  def get(q: Q): Option[Point] =
+    df.filter(cond(q)).orderBy(Point.SeqCol).limit(1).collect().headOption.map(toPoint)
+
+  /** op 6 `contains` (database.py:209-251): early-exit existence test. */
+  def contains(q: Q): Boolean = !df.filter(cond(q)).isEmpty
+
+  /** op 7 `count` (database.py:253-291). */
+  def count(q: Q): Long = df.filter(cond(q)).count()
+
+  /** op 8 `select` (database.py:830-974): project dotted keys
+    * `time` / `measurement` / `tags.X` / `fields.Y`; a missing key
+    * yields null — `element_at` gives exactly that.
+    */
+  def selectDF(keys: Seq[String], q: Q = Noop): DataFrame = {
+    val cols = keys.map {
+      case "time"        => col(Point.TimeCol).as("time")
+      case "measurement" => col(Point.MeasurementCol).as("measurement")
+      case k if k.startsWith("tags.") =>
+        element_at(col(Point.TagsCol), k.stripPrefix("tags.")).as(k)
+      case k if k.startsWith("fields.") =>
+        element_at(col(Point.FieldsCol), k.stripPrefix("fields.")).as(k)
+      case k => throw new IllegalArgumentException(
+        s"invalid select key '$k' (want time|measurement|tags.X|fields.Y)")
+    }
+    df.filter(cond(q)).orderBy(Point.SeqCol).select(cols: _*)
+  }
+
+  // ---- write ops (ops 9-15) ----------------------------------------------
+
+  /** ops 9-10 `insert` / `insert_multiple` (database.py:600-656):
+    * UTC-normalized, batched append. Time defaults to now() if the
+    * caller built the Point with a null time.
+    */
+  def insert(p: Point, measurement: Option[String] = None): Unit =
+    insertMultiple(Seq(p), measurement)
+
+  def insertMultiple(ps: Seq[Point], measurement: Option[String] = None): Unit = {
+    val now = Instant.now()
+    val normalized = ps.map { p0 =>
+      val p1 = if (p0.time == null) p0.copy(time = now) else p0
+      Point.validate(measurement.fold(p1)(m => p1.copy(measurement = m)))
+    }
+    insertDF(spark.createDataset(normalized).toDF()
+      .select(Point.columns.filterNot(_ == Point.SeqCol).map(col): _*))
+  }
+
+  /** Bulk ingest of an already-distributed batch (canonical schema sans
+    * `_seq`) — the cluster-scale insert path.
+    */
+  def insertDF(batch: DataFrame): Unit = storage.append(batch)
+
+  /** op 11/12 `update` / `update_all` (database.py:976-1062): rewrite
+    * matching rows under `when(cond, ...)`; tags/fields are merged
+    * (dict.update semantics), `unset*` keys dropped. Copy-on-write
+    * commit, the analogue of the temp-swap (§3.3). Returns #matched.
+    */
+  def update(
+      q: Q,
+      time: Option[Instant] = None,
+      measurement: Option[String] = None,
+      tags: Map[String, String] = Map.empty,
+      fields: Map[String, Double] = Map.empty,
+      unsetTags: Seq[String] = Nil,
+      unsetFields: Seq[String] = Nil
+  ): Long = {
+    val c = cond(q)
+    val matched = df.filter(c).count()
+    if (matched > 0) storage.overwrite(updatedDF(df, c, time, measurement, tags, fields, unsetTags, unsetFields))
+    matched
+  }
+
+  def updateAll(
+      time: Option[Instant] = None,
+      measurement: Option[String] = None,
+      tags: Map[String, String] = Map.empty,
+      fields: Map[String, Double] = Map.empty,
+      unsetTags: Seq[String] = Nil,
+      unsetFields: Seq[String] = Nil
+  ): Long = update(Noop, time, measurement, tags, fields, unsetTags, unsetFields)
+
+  /** Pure (non-persisting) form of the update transform — also the unit
+    * the oracle checks.
+    */
+  def updatedDF(
+      base: DataFrame,
+      c: Column,
+      time: Option[Instant],
+      measurement: Option[String],
+      tags: Map[String, String],
+      fields: Map[String, Double],
+      unsetTags: Seq[String],
+      unsetFields: Seq[String]
+  ): DataFrame = {
+    def mergeMap(mapCol: String, updates: Map[String, Any], unset: Seq[String]): Column = {
+      val dropped = (updates.keySet ++ unset).toSeq
+      val kept =
+        if (dropped.isEmpty) col(mapCol)
+        else map_filter(col(mapCol), (k, _) => !k.isin(dropped: _*))
+      if (updates.isEmpty) kept
+      else map_concat(kept,
+        map(updates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+    }
+    var out = base
+    time.foreach { t =>
+      out = out.withColumn(Point.TimeCol,
+        when(c, lit(java.sql.Timestamp.from(t))).otherwise(col(Point.TimeCol)))
+    }
+    measurement.foreach { m =>
+      out = out.withColumn(Point.MeasurementCol,
+        when(c, lit(m)).otherwise(col(Point.MeasurementCol)))
+    }
+    if (tags.nonEmpty || unsetTags.nonEmpty)
+      out = out.withColumn(Point.TagsCol,
+        when(c, mergeMap(Point.TagsCol, tags, unsetTags)).otherwise(col(Point.TagsCol)))
+    if (fields.nonEmpty || unsetFields.nonEmpty)
+      out = out.withColumn(Point.FieldsCol,
+        when(c, mergeMap(Point.FieldsCol, fields, unsetFields)).otherwise(col(Point.FieldsCol)))
+    out
+  }
+
+  /** op 13 `remove` (database.py:707-725): anti-filter rewrite. */
+  def remove(q: Q): Long = {
+    val c = cond(q)
+    val removed = df.filter(c).count()
+    if (removed > 0) storage.overwrite(df.filter(!c))
+    removed
+  }
+
+  /** op 14 `remove_all` (database.py:727-738). */
+  def removeAll(): Unit = storage.overwrite(df.limit(0))
+
+  /** op 15 `drop_measurement` (database.py:293-313). */
+  def dropMeasurement(name: String): Long = {
+    val c = col(Point.MeasurementCol) === name
+    val removed = df.filter(c).count()
+    if (removed > 0) storage.overwrite(df.filter(!c))
+    removed
+  }
+
+  // ---- metadata ops (ops 16-21) -------------------------------------------
+
+  private def scoped(measurement: Option[String]): DataFrame =
+    measurement.fold(df)(m => df.filter(col(Point.MeasurementCol) === m))
+
+  /** op 16 `get_measurements` (database.py:459-477). */
+  def measurementsDF: DataFrame =
+    df.select(Point.MeasurementCol).distinct().orderBy(Point.MeasurementCol)
+
+  def getMeasurements: Seq[String] = measurementsDF.as[String].collect().toSeq
+
+  /** op 17 `get_field_keys` (database.py:388-419). */
+  def fieldKeysDF(measurement: Option[String] = None): DataFrame =
+    scoped(measurement).select(explode(map_keys(col(Point.FieldsCol))).as("field_key"))
+      .distinct().orderBy("field_key")
+
+  def getFieldKeys(measurement: Option[String] = None): Seq[String] =
+    fieldKeysDF(measurement).as[String].collect().toSeq
+
+  /** op 18 `get_tag_keys` (database.py:479-510). */
+  def tagKeysDF(measurement: Option[String] = None): DataFrame =
+    scoped(measurement).select(explode(map_keys(col(Point.TagsCol))).as("tag_key"))
+      .distinct().orderBy("tag_key")
+
+  def getTagKeys(measurement: Option[String] = None): Seq[String] =
+    tagKeysDF(measurement).as[String].collect().toSeq
+
+  /** op 19 `get_field_values` (database.py:421-457): values of one field
+    * key in INSERTION order; rows lacking the key are skipped (not null).
+    */
+  def fieldValuesDF(fieldKey: String, measurement: Option[String] = None): DataFrame =
+    scoped(measurement)
+      .filter(map_contains_key(col(Point.FieldsCol), fieldKey))
+      .orderBy(Point.SeqCol)
+      .select(element_at(col(Point.FieldsCol), fieldKey).as(fieldKey))
+
+  def getFieldValues(fieldKey: String, measurement: Option[String] = None): Seq[java.lang.Double] =
+    fieldValuesDF(fieldKey, measurement).collect().toSeq.map(r =>
+      if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0)))
+
+  /** op 20 `get_tag_values` (database.py:512-558): distinct values per
+    * requested key (all keys when none requested), nulls first.
+    */
+  def tagValuesDF(tagKeys: Seq[String] = Nil, measurement: Option[String] = None): DataFrame = {
+    val exploded = scoped(measurement)
+      .select(explode(col(Point.TagsCol)).as(Seq("tag_key", "tag_value")))
+    val filtered = if (tagKeys.isEmpty) exploded else exploded.filter(col("tag_key").isin(tagKeys: _*))
+    filtered.distinct().orderBy(col("tag_key"), col("tag_value").asc_nulls_first)
+  }
+
+  def getTagValues(tagKeys: Seq[String] = Nil, measurement: Option[String] = None): Map[String, Seq[String]] = {
+    val base = tagValuesDF(tagKeys, measurement).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    // requested-but-absent keys present with empty value lists, as in the reference
+    tagKeys.foldLeft(base)((acc, k) => if (acc.contains(k)) acc else acc + (k -> Seq.empty))
+  }
+
+  /** op 21 `get_timestamps` (database.py:560-598): insertion order. */
+  def timestampsDF(measurement: Option[String] = None): DataFrame =
+    scoped(measurement).orderBy(Point.SeqCol).select(Point.TimeCol)
+
+  def getTimestamps(measurement: Option[String] = None): Seq[Instant] =
+    timestampsDF(measurement).collect().toSeq.map(_.getAs[java.sql.Timestamp](0).toInstant)
+
+  /** op 22 `measurement` (database.py:658-685): named table view. */
+  def measurement(name: String): Measurement = new Measurement(this, name)
+
+  /** op 23 `reindex` (database.py:687-705): the engine has no mutable
+    * index — Parquet stats and partition pruning are rebuilt with every
+    * write. Kept as an explicit cache hint for the memory-style backend.
+    */
+  def reindex(): Unit = { df.cache(); df.count(); () }
+}
+
+object GraftDB {
+  /** In-memory database (reference MemoryStorage). */
+  def inMemory(spark: SparkSession): GraftDB = new GraftDB(new MemoryStorage(spark))
+
+  /** In-memory database seeded from an existing canonical-schema DF. */
+  def fromDataFrame(df: DataFrame): GraftDB =
+    new GraftDB(new MemoryStorage(df.sparkSession, Some(df)))
+
+  /** Parquet-backed persistent database (reference CSVStorage). */
+  def atPath(spark: SparkSession, root: String, partitioned: Boolean = true): GraftDB =
+    new GraftDB(new ParquetStorage(spark, root, partitioned))
+}

@@ -1,0 +1,54 @@
+package graft.engine
+
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.Point
+import graft.query.{MeasurementQuery, Noop, Q}
+
+/** A named-table view over the parent database — every operation is the
+  * parent's with an implicit `measurement == name` conjunct, exactly the
+  * reference's Measurement delegation (tinyflux/measurement.py:37-395).
+  * "Analogous to a table in a traditional RDBMS" (measurement.py:3-5);
+  * physically it is a partition-pruned scan, not a copy.
+  */
+final class Measurement(db: GraftDB, val name: String) {
+  private def conj(q: Q): Q = q match {
+    case Noop => MeasurementQuery() === name
+    case other => (MeasurementQuery() === name) & other
+  }
+
+  def allDF(sorted: Boolean = true): DataFrame = db.searchDF(conj(Noop), sorted)
+  def all(sorted: Boolean = true): Seq[Point] = db.search(conj(Noop), sorted)
+  def length: Long = db.count(conj(Noop))
+
+  def searchDF(q: Q, sorted: Boolean = true): DataFrame = db.searchDF(conj(q), sorted)
+  def search(q: Q, sorted: Boolean = true): Seq[Point] = db.search(conj(q), sorted)
+  def get(q: Q): Option[Point] = db.get(conj(q))
+  def contains(q: Q): Boolean = db.contains(conj(q))
+  def count(q: Q): Long = db.count(conj(q))
+  def selectDF(keys: Seq[String], q: Q = Noop): DataFrame = db.selectDF(keys, conj(q))
+
+  def insert(p: Point): Unit = db.insert(p, Some(name))
+  def insertMultiple(ps: Seq[Point]): Unit = db.insertMultiple(ps, Some(name))
+
+  def update(
+      q: Q,
+      time: Option[Instant] = None,
+      measurement: Option[String] = None,
+      tags: Map[String, String] = Map.empty,
+      fields: Map[String, Double] = Map.empty,
+      unsetTags: Seq[String] = Nil,
+      unsetFields: Seq[String] = Nil
+  ): Long = db.update(conj(q), time, measurement, tags, fields, unsetTags, unsetFields)
+
+  def remove(q: Q): Long = db.remove(conj(q))
+  def removeAll(): Long = db.dropMeasurement(name)
+
+  def getFieldKeys: Seq[String] = db.getFieldKeys(Some(name))
+  def getTagKeys: Seq[String] = db.getTagKeys(Some(name))
+  def getFieldValues(fieldKey: String): Seq[java.lang.Double] = db.getFieldValues(fieldKey, Some(name))
+  def getTagValues(tagKeys: Seq[String] = Nil): Map[String, Seq[String]] = db.getTagValues(tagKeys, Some(name))
+  def getTimestamps: Seq[Instant] = db.getTimestamps(Some(name))
+}

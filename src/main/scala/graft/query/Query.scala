@@ -1,0 +1,136 @@
+package graft.query
+
+import java.time.Instant
+
+/** The query DSL — a declarative AST mirroring the reference's four
+  * query families (`TimeQuery`, `MeasurementQuery`, `TagQuery`,
+  * `FieldQuery`; reference: tinyflux/queries.py:761-874) and its
+  * combinators (`& | ~`, queries.py:128-171).
+  *
+  * The AST is deliberately tiny and data-only: all execution semantics
+  * live in [[QueryCompiler]], which lowers a [[Q]] to a single Catalyst
+  * `Column` so the whole predicate participates in pushdown, pruning and
+  * whole-stage codegen (SURVEY.md §4 — the reference's hand-rolled index
+  * becomes Catalyst's job).
+  *
+  * Semantics preserved from the reference (queries.py:243-250, 471-482):
+  *   - missing tag/field key  → predicate is False (not null);
+  *   - comparison with a null value → False, EXCEPT `!=` which is True
+  *     for a present-but-null value (Python `None != x` is True);
+  *   - `~q` negates the above (so `~(tag == v)` is True for points
+  *     lacking the tag);
+  *   - `exists()` is key-presence, not non-nullness (point.py:49-50);
+  *   - `matches` anchors at the start only (Python `re.match`);
+  *     `search` is substring (queries.py:680-722).
+  */
+sealed trait Q extends Serializable {
+  def &(that: Q): Q = And(this, that)
+  def |(that: Q): Q = Or(this, that)
+  def unary_~ : Q = Not(this)
+}
+
+final case class And(l: Q, r: Q) extends Q
+final case class Or(l: Q, r: Q) extends Q
+final case class Not(q: Q) extends Q
+
+/** Constant-true predicate (reference: queries.py:724-736). */
+case object Noop extends Q
+
+sealed trait CmpOp
+object CmpOp {
+  case object Eq extends CmpOp
+  case object Ne extends CmpOp
+  case object Lt extends CmpOp
+  case object Le extends CmpOp
+  case object Gt extends CmpOp
+  case object Ge extends CmpOp
+}
+
+// ---- leaves -------------------------------------------------------------
+
+final case class TimeCmp(op: CmpOp, rhs: Instant) extends Q
+final case class MeasurementCmp(op: CmpOp, rhs: String) extends Q
+final case class MeasurementRegex(rx: String, anchored: Boolean) extends Q
+
+final case class TagCmp(key: String, op: CmpOp, rhs: String) extends Q
+final case class TagExists(key: String) extends Q
+final case class TagRegex(key: String, rx: String, anchored: Boolean) extends Q
+
+/** Arbitrary user predicate on the resolved tag value (reference
+  * `.test(func)`, queries.py:648-674). Runs as a UDF — outside codegen —
+  * so prefer the declarative leaves when possible.
+  */
+final case class TagTest(key: String, f: String => Boolean) extends Q
+
+final case class FieldCmp(key: String, op: CmpOp, rhs: Double) extends Q
+final case class FieldExists(key: String) extends Q
+final case class FieldTest(key: String, f: java.lang.Double => Boolean) extends Q
+
+/** Reference `.map(func)` then compare (queries.py:738-758): transform
+  * the resolved field value before the comparison.
+  */
+final case class FieldMapCmp(key: String, f: Double => Double, op: CmpOp, rhs: Double) extends Q
+
+// ---- builders (ergonomic front-end mirroring the reference API) ---------
+
+/** `TimeQuery() >= t` etc. Scala cannot overload `==`/`!=`, so the
+  * Spark-style `===`/`=!=` stand in for the reference's `==`/`!=`.
+  */
+final class TimeQuery {
+  def ===(t: Instant): Q = TimeCmp(CmpOp.Eq, t)
+  def =!=(t: Instant): Q = TimeCmp(CmpOp.Ne, t)
+  def <(t: Instant): Q = TimeCmp(CmpOp.Lt, t)
+  def <=(t: Instant): Q = TimeCmp(CmpOp.Le, t)
+  def >(t: Instant): Q = TimeCmp(CmpOp.Gt, t)
+  def >=(t: Instant): Q = TimeCmp(CmpOp.Ge, t)
+}
+object TimeQuery { def apply(): TimeQuery = new TimeQuery }
+
+final class MeasurementQuery {
+  def ===(m: String): Q = MeasurementCmp(CmpOp.Eq, m)
+  def =!=(m: String): Q = MeasurementCmp(CmpOp.Ne, m)
+  def <(m: String): Q = MeasurementCmp(CmpOp.Lt, m)
+  def <=(m: String): Q = MeasurementCmp(CmpOp.Le, m)
+  def >(m: String): Q = MeasurementCmp(CmpOp.Gt, m)
+  def >=(m: String): Q = MeasurementCmp(CmpOp.Ge, m)
+  def matches(rx: String): Q = MeasurementRegex(rx, anchored = true)
+  def search(rx: String): Q = MeasurementRegex(rx, anchored = false)
+}
+object MeasurementQuery { def apply(): MeasurementQuery = new MeasurementQuery }
+
+/** `TagQuery("city") === "LA"` ≙ reference `TagQuery().city == "LA"`. */
+final class TagQuery(key: String) {
+  def ===(v: String): Q = TagCmp(key, CmpOp.Eq, v)
+  def =!=(v: String): Q = TagCmp(key, CmpOp.Ne, v)
+  def <(v: String): Q = TagCmp(key, CmpOp.Lt, v)
+  def <=(v: String): Q = TagCmp(key, CmpOp.Le, v)
+  def >(v: String): Q = TagCmp(key, CmpOp.Gt, v)
+  def >=(v: String): Q = TagCmp(key, CmpOp.Ge, v)
+  def exists(): Q = TagExists(key)
+  def matches(rx: String): Q = TagRegex(key, rx, anchored = true)
+  def search(rx: String): Q = TagRegex(key, rx, anchored = false)
+  def test(f: String => Boolean): Q = TagTest(key, f)
+}
+object TagQuery { def apply(key: String): TagQuery = new TagQuery(key) }
+
+final class FieldQuery(key: String) {
+  def ===(v: Double): Q = FieldCmp(key, CmpOp.Eq, v)
+  def =!=(v: Double): Q = FieldCmp(key, CmpOp.Ne, v)
+  def <(v: Double): Q = FieldCmp(key, CmpOp.Lt, v)
+  def <=(v: Double): Q = FieldCmp(key, CmpOp.Le, v)
+  def >(v: Double): Q = FieldCmp(key, CmpOp.Gt, v)
+  def >=(v: Double): Q = FieldCmp(key, CmpOp.Ge, v)
+  def exists(): Q = FieldExists(key)
+  def test(f: java.lang.Double => Boolean): Q = FieldTest(key, f)
+  def map(f: Double => Double): MappedFieldQuery = new MappedFieldQuery(key, f)
+}
+object FieldQuery { def apply(key: String): FieldQuery = new FieldQuery(key) }
+
+final class MappedFieldQuery(key: String, f: Double => Double) {
+  def ===(v: Double): Q = FieldMapCmp(key, f, CmpOp.Eq, v)
+  def =!=(v: Double): Q = FieldMapCmp(key, f, CmpOp.Ne, v)
+  def <(v: Double): Q = FieldMapCmp(key, f, CmpOp.Lt, v)
+  def <=(v: Double): Q = FieldMapCmp(key, f, CmpOp.Le, v)
+  def >(v: Double): Q = FieldMapCmp(key, f, CmpOp.Gt, v)
+  def >=(v: Double): Q = FieldMapCmp(key, f, CmpOp.Ge, v)
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Point
+
+/** Loaders for the driver testdata (`TESTDATA.md`) plus the canonical
+  * events→Point mapping used by the oracle queries.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's Parquet
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the
+    * column as a raw nanosecond long (`nanosAsLong`) and derive a
+    * microsecond TimestampType — the same truncation DuckDB 1.x applies
+    * when it reads the file, so both sides of the oracle see identical
+    * values. `ts_us` (epoch microseconds, exact bigint) is the
+    * cross-engine comparison currency.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("time", timestamp_micros(col("ts_us")))
+  }
+
+  /** Events as canonical Points:
+    *   - time         = ts truncated to micros
+    *   - measurement  = event_type
+    *   - _seq         = event_id (the generator's insertion order)
+    *   - tags         = user (user_id as string),
+    *                    bucket = "high" ONLY when value >= 100 (a
+    *                    deliberately sometimes-missing key so the
+    *                    missing-key→False / ~q→True semantics are
+    *                    exercised against real data)
+    *   - fields       = value, user_id, k (parsed from the props JSON)
+    */
+  def eventsAsPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    e.select(
+      col("time"),
+      col("event_type").as(Point.MeasurementCol),
+      when(col("value") >= 100,
+        map(
+          lit("user"), col("user_id").cast("string"),
+          lit("bucket"), lit("high")))
+        .otherwise(map(lit("user"), col("user_id").cast("string")))
+        .as(Point.TagsCol),
+      map(
+        lit("value"), col("value"),
+        lit("user_id"), col("user_id").cast("double"),
+        lit("k"), get_json_object(col("props"), "$.k").cast("double")
+      ).as(Point.FieldsCol),
+      col("event_id").as(Point.SeqCol)
+    )
+  }
+}
