@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import graft.engine.GraftDB
+import graft.model.Point
+import graft.query._
+
+/** End-to-end DB-op coverage mirroring the reference's test_tinyflux.py
+  * (memory backend) and test_storages.py (persistent backend).
+  */
+class GraftDBSpec extends SparkSpec {
+
+  private def t(s: String): Instant = Instant.parse(s)
+
+  private def freshDb(): GraftDB = {
+    val d = GraftDB.inMemory(spark)
+    d.insertMultiple(Seq(
+      Point(t("2024-01-03T00:00:00Z"), "therm", Map("room" -> "bed"), Map("temp" -> 70.0)),
+      Point(t("2024-01-01T00:00:00Z"), "therm", Map("room" -> "kitchen"), Map("temp" -> 68.0)),
+      Point(t("2024-01-02T00:00:00Z"), "cpu", Map("host" -> "a"), Map("load" -> 0.5))
+    ))
+    d
+  }
+
+  describe("insert / scan") {
+    it("assigns insertion-order _seq and len counts all") {
+      val db = freshDb()
+      assert(db.length == 3)
+      assert(db.all(sorted = false).map(_.measurement) == Seq("therm", "therm", "cpu"))
+    }
+    it("all(sorted=true) is time order; sorted=false insertion order") {
+      val db = freshDb()
+      assert(db.all().map(_.time) == Seq(
+        t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"), t("2024-01-03T00:00:00Z")))
+      assert(db.all(sorted = false).head.time == t("2024-01-03T00:00:00Z"))
+    }
+    it("single insert appends after existing seqs") {
+      val db = freshDb()
+      db.insert(Point(t("2024-01-04T00:00:00Z"), "cpu", fields = Map("load" -> 0.9)))
+      assert(db.length == 4)
+      assert(db.get(FieldQuery("load") === 0.9).isDefined)
+      val seqs = db.all(sorted = false).map(_._seq)
+      assert(seqs == seqs.sorted && seqs.distinct.size == 4)
+    }
+  }
+
+  describe("get / contains / count / select") {
+    it("get returns FIRST match in insertion order") {
+      val db = freshDb()
+      val p = db.get(MeasurementQuery() === "therm")
+      assert(p.exists(_.tags("room") == "bed")) // inserted first
+    }
+    it("contains early-exit and count") {
+      val db = freshDb()
+      assert(db.contains(FieldQuery("temp") > 69.0))
+      assert(!db.contains(FieldQuery("temp") > 99.0))
+      assert(db.count(MeasurementQuery() === "therm") == 2)
+    }
+    it("select projects dotted keys, missing → null") {
+      val db = freshDb()
+      val rows = db.selectDF(Seq("measurement", "tags.room", "fields.load")).collect()
+      assert(rows.length == 3)
+      assert(rows(0).getString(0) == "therm" && rows(0).getString(1) == "bed" && rows(0).isNullAt(2))
+      assert(rows(2).getString(0) == "cpu" && rows(2).isNullAt(1) && rows(2).getDouble(2) == 0.5)
+    }
+  }
+
+  describe("update") {
+    it("merges tags/fields on matches only, returns match count") {
+      val db = freshDb()
+      val n = db.update(MeasurementQuery() === "therm",
+        tags = Map("unit" -> "F"), fields = Map("temp" -> 0.0))
+      assert(n == 2)
+      val therms = db.search(MeasurementQuery() === "therm")
+      assert(therms.forall(p => p.tags("unit") == "F" && p.fields("temp") == 0.0))
+      val cpu = db.get(MeasurementQuery() === "cpu").get
+      assert(!cpu.tags.contains("unit") && cpu.fields("load") == 0.5)
+    }
+    it("unset removes keys; update time/measurement rewrites attributes") {
+      val db = freshDb()
+      db.update(TagQuery("room") === "bed", unsetTags = Seq("room"),
+        time = Some(t("2020-01-01T00:00:00Z")), measurement = Some("archived"))
+      val p = db.get(MeasurementQuery() === "archived").get
+      assert(!p.tags.contains("room") && p.time == t("2020-01-01T00:00:00Z"))
+      assert(db.count(MeasurementQuery() === "therm") == 1)
+    }
+    it("updateAll hits everything") {
+      val db = freshDb()
+      assert(db.updateAll(tags = Map("seen" -> "y")) == 3)
+      assert(db.count(TagQuery("seen") === "y") == 3)
+    }
+  }
+
+  describe("remove / drop") {
+    it("remove anti-filters and reports count") {
+      val db = freshDb()
+      assert(db.remove(FieldQuery("temp") < 69.0) == 1)
+      assert(db.length == 2)
+      assert(db.remove(FieldQuery("temp") < 69.0) == 0)
+    }
+    it("removeAll truncates; dropMeasurement drops one table") {
+      val db = freshDb()
+      assert(db.dropMeasurement("therm") == 2)
+      assert(db.getMeasurements == Seq("cpu"))
+      db.removeAll()
+      assert(db.length == 0)
+    }
+  }
+
+  describe("metadata getters") {
+    it("measurements / field keys / tag keys sorted distinct") {
+      val db = freshDb()
+      assert(db.getMeasurements == Seq("cpu", "therm"))
+      assert(db.getFieldKeys() == Seq("load", "temp"))
+      assert(db.getTagKeys() == Seq("host", "room"))
+      assert(db.getFieldKeys(Some("cpu")) == Seq("load"))
+    }
+    it("field values in insertion order, absent-key rows skipped") {
+      val db = freshDb()
+      assert(db.getFieldValues("temp").map(_.doubleValue) == Seq(70.0, 68.0))
+    }
+    it("tag values per key, nulls first") {
+      val db = freshDb()
+      db.insert(Point(t("2024-01-05T00:00:00Z"), "therm", Map("room" -> null)))
+      val vals = db.getTagValues(Seq("room"))
+      assert(vals("room") == Seq(null, "bed", "kitchen"))
+      assert(db.getTagValues(Seq("missing"))("missing").isEmpty)
+    }
+    it("timestamps in insertion order") {
+      val db = freshDb()
+      assert(db.getTimestamps().map(_.toString.take(10)) ==
+        Seq("2024-01-03", "2024-01-01", "2024-01-02"))
+    }
+  }
+
+  describe("measurement view") {
+    it("scopes every op to the named measurement") {
+      val db = freshDb()
+      val m = db.measurement("therm")
+      assert(m.length == 2)
+      m.insert(Point(t("2024-01-06T00:00:00Z"), fields = Map("temp" -> 72.0)))
+      assert(m.length == 3 && db.length == 4)
+      assert(m.get(FieldQuery("temp") === 72.0).exists(_.measurement == "therm"))
+      assert(m.count(FieldQuery("temp") >= 68.0) == 3)
+      assert(m.removeAll() == 3)
+      assert(db.length == 1)
+    }
+  }
+
+  describe("parquet storage") {
+    it("round-trips through a partitioned parquet layout with atomic overwrite") {
+      val root = Files.createTempDirectory("graftpq").toString
+      val db = GraftDB.atPath(spark, root)
+      db.insertMultiple(Seq(
+        Point(t("2024-01-01T10:00:00Z"), "a", Map("k" -> "v"), Map("x" -> 1.0)),
+        Point(t("2024-01-02T10:00:00Z"), "b", fields = Map("x" -> 2.0))))
+      assert(db.length == 2)
+      db.insert(Point(t("2024-01-03T10:00:00Z"), "a", fields = Map("x" -> 3.0)))
+      assert(db.length == 3)
+      // reopen fresh handle on same path
+      val db2 = GraftDB.atPath(spark, root)
+      assert(db2.count(MeasurementQuery() === "a") == 2)
+      // copy-on-write update then remove survive reopen
+      db2.update(FieldQuery("x") === 1.0, fields = Map("x" -> 10.0))
+      assert(GraftDB.atPath(spark, root).get(FieldQuery("x") === 10.0).isDefined)
+      db2.remove(MeasurementQuery() === "b")
+      assert(GraftDB.atPath(spark, root).length == 2)
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.time.Instant
+
+import graft.engine.GraftDB
+import graft.model.Point
+import graft.query._
+
+/** Predicate-DSL semantics vs the reference's edge cases
+  * (tinyflux tests/test_queries.py; FIXTURES.md §5).
+  */
+class QueryCompilerSpec extends SparkSpec {
+
+  private def t(s: String): Instant = Instant.parse(s)
+
+  private lazy val db: GraftDB = {
+    val d = GraftDB.inMemory(spark)
+    d.insertMultiple(Seq(
+      // p0: full point
+      Point(t("2024-01-01T00:00:00Z"), "m1",
+        Map("city" -> "LA", "zone" -> "a"), Map("temp" -> 70.0, "aqi" -> 112.0)),
+      // p1: tag present with NULL value; field present with NULL value
+      Point(t("2024-01-02T00:00:00Z"), "m1",
+        Map("city" -> null), Map("temp" -> null)),
+      // p2: missing keys entirely, other measurement
+      Point(t("2024-01-03T00:00:00Z"), "m2",
+        Map("zone" -> "b"), Map("aqi" -> 40.0))
+    ))
+    d
+  }
+
+  private def ids(q: Q): Set[Long] = db.search(q).map(_._seq).toSet
+
+  describe("comparison semantics") {
+    it("eq on tag") { assert(ids(TagQuery("city") === "LA") == Set(0)) }
+    it("eq on missing key is False") { assert(ids(TagQuery("nope") === "x") == Set.empty[Long]) }
+    it("eq on null value is False") { assert(!ids(TagQuery("city") === "LA").contains(1)) }
+
+    it("ne: missing key is False, present-null is True (Python None != x)") {
+      // p0 city=LA → False; p1 city=null → True; p2 no city key → False
+      assert(ids(TagQuery("city") =!= "LA") == Set(1))
+      assert(ids(TagQuery("city") =!= "SF") == Set(0, 1))
+    }
+
+    it("field ne mirrors tag ne") {
+      assert(ids(FieldQuery("temp") =!= 70.0) == Set(1))
+    }
+
+    it("ordered comparisons propagate null/missing to False") {
+      assert(ids(FieldQuery("temp") >= 50.0) == Set(0))
+      assert(ids(FieldQuery("aqi") < 100.0) == Set(2))
+      // lexicographic on tags
+      assert(ids(TagQuery("zone") > "a") == Set(2))
+    }
+
+    it("time comparisons") {
+      assert(ids(TimeQuery() >= t("2024-01-02T00:00:00Z")) == Set(1, 2))
+      assert(ids((TimeQuery() > t("2024-01-01T00:00:00Z")) & (TimeQuery() < t("2024-01-03T00:00:00Z"))) == Set(1))
+      assert(ids(TimeQuery() === t("2024-01-01T00:00:00Z")) == Set(0))
+    }
+  }
+
+  describe("NOT composes over missing-key→False") {
+    it("~(tag == v) is True for points lacking the key") {
+      assert(ids(~(TagQuery("city") === "LA")) == Set(1, 2))
+    }
+    it("~exists") {
+      assert(ids(~TagQuery("city").exists()) == Set(2))
+    }
+    it("double negation is identity") {
+      assert(ids(~(~(TagQuery("city") === "LA"))) == ids(TagQuery("city") === "LA"))
+    }
+  }
+
+  describe("exists is key-presence, not non-nullness") {
+    it("tag present with null value exists") {
+      assert(ids(TagQuery("city").exists()) == Set(0, 1))
+    }
+    it("field present with null value exists") {
+      assert(ids(FieldQuery("temp").exists()) == Set(0, 1))
+    }
+  }
+
+  describe("regex") {
+    it("matches anchors at start only (re.match)") {
+      assert(ids(TagQuery("city").matches("L")) == Set(0))   // prefix ok
+      assert(ids(TagQuery("city").matches("A")) == Set.empty[Long]) // not at start
+      assert(ids(MeasurementQuery().matches("m")) == Set(0, 1, 2))
+    }
+    it("search is substring (re.search)") {
+      assert(ids(TagQuery("city").search("A")) == Set(0))
+      assert(ids(MeasurementQuery().search("2")) == Set(2))
+    }
+  }
+
+  describe("test/map escape hatches") {
+    it("field test function") {
+      assert(ids(FieldQuery("aqi").test(v => v != null && v > 100)) == Set(0))
+    }
+    it("test exception → False (reference try/except)") {
+      assert(ids(FieldQuery("temp").test(v => v.doubleValue() > 0)) == Set(0)) // NPE on p1 → false
+    }
+    it("map then compare") {
+      assert(ids(FieldQuery("temp").map(_ * 2) === 140.0) == Set(0))
+    }
+  }
+
+  describe("compound queries") {
+    it("and / or / noop") {
+      assert(ids((TagQuery("zone") === "a") | (TagQuery("zone") === "b")) == Set(0, 2))
+      assert(ids((MeasurementQuery() === "m1") & FieldQuery("aqi").exists()) == Set(0))
+      assert(ids(Noop) == Set(0L, 1L, 2L))
+    }
+    it("De Morgan holds under coalesced semantics") {
+      val a = TagQuery("city") === "LA"
+      val b = FieldQuery("aqi") > 100.0
+      assert(ids(~(a & b)) == ids(~a | ~b))
+      assert(ids(~(a | b)) == ids(~a & ~b))
+    }
+  }
+}
