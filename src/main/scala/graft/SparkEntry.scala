@@ -38,7 +38,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q03_search_time_tag")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    graft.entries.RelationalQueries.queries ++ graft.entries.CorpusQueries.queries
+
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core ops (SURVEY §2.1) over events-as-points ----
     "q01_all" -> ((s, dir) =>
       flat(rdb(s, dir).allDF(sorted = true)).orderBy("ts_us", "event_id")),
@@ -186,5 +189,5 @@ object SparkEntry {
       "SELECT event_id FROM events WHERE event_type LIKE 'cl%' ORDER BY event_id",
     "q21_regex_search" ->
       "SELECT event_id FROM events WHERE CAST(user_id AS VARCHAR) LIKE '%1%' ORDER BY event_id"
-  )
+  ) ++ graft.entries.RelationalQueries.oracleSql ++ graft.entries.CorpusQueries.oracleSql
 }

@@ -1,0 +1,57 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *     baseline. The query set is broadcast (it is small by
+  *     construction); the corpus is scanned once, top-k per query via
+  *     window. Linear in corpus size, embarrassingly parallel.
+  *   - [[lshTopK]]: random-hyperplane LSH bucketing — the 100 TB path.
+  *     Probe the query's bucket (and optionally multi-probe neighbor
+  *     buckets via several seeds); only same-bucket candidates are
+  *     scored. Recall is tunable with bits/seeds; the scan becomes a
+  *     bucket-equi-join instead of a full cross product.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query row.
+    * Output: (query id `qid`, corpus id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates limited to query-bucket
+    * collisions across `seeds.size` independent hyperplane sets.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      bits: Int = 12, seeds: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    def bucketed(df: DataFrame, v: String) = df.select(
+      col("*"),
+      explode(array(seeds.map(s =>
+        concat_ws("#", lit(s), to_json(randomHyperplaneSignature(col(v), bits, s)))): _*)).as("bucket"))
+    val cands = bucketed(c0, "cv").as("c")
+      .join(broadcast(bucketed(q0, "qv").as("q")), col("c.bucket") === col("q.bucket"))
+      .select(col("q.qid").as("qid"), col("c.id").as("id"), col("c.cv").as("cv"), col("q.qv").as("qv"))
+      .dropDuplicates("qid", "id")
+      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

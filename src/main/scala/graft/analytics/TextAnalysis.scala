@@ -1,0 +1,90 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * Everything is built from codegen'd `functions._` (split/filter/
+  * transform/aggregate) — no UDFs — so the same plan runs on a cluster
+  * without python/JVM serialization walls.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-piece regex matching —
+    * letter runs, digit runs, and individual punctuation — the classic
+    * pre-tokenizer shape (GPT-2-style) without a learned vocab.
+    * (Alternation kept lookaround-free so it runs on RE2 engines too.)
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** Quality features: token count, mean token length, stopword ratio,
+    * punctuation ratio, and a composite score in [0,1] (simple
+    * interpretable heuristic: long-enough docs with natural stopword
+    * density and low punctuation noise score high).
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val stop = size(filter(toks, t => t.isin(Stopwords.en: _*)))
+    val punct = length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", ""))
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      (length(col(textCol)).cast("double") / greatest(nTok, lit(1)).cast("double")).as("chars_per_token"),
+      (stop.cast("double") / greatest(nTok, lit(1)).cast("double")).as("stopword_ratio"),
+      (punct.cast("double") / greatest(length(col(textCol)), lit(1)).cast("double")).as("punct_ratio"))
+  }
+
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityFeatures(df, idCol, textCol).withColumn("quality",
+      least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 0.4 +
+        least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.2)
+
+  /** Language ID via stopword-hit voting: score(text, lang) = number of
+    * tokens in lang's stopword list; argmax wins, 'und' when no list
+    * scores > 0. An n-gram-frequency heuristic in the same spirit as
+    * public langid tools, expressible as pure column ops.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = Stopwords.all.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, ties broken by lang desc —
+    // deterministic; require score > 0 else 'und'
+    val best = array_max(array(scored: _*))
+    df.select(col(idCol),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("lang_pred"),
+      best.getField("score").as("lang_score"))
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * whitespace tokens, h' = (h*31 + xxhash64(token) mod p) mod p with
+    * p = 1e9+7, computed with `aggregate` (sequential fold, fully
+    * deterministic). Magnitudes stay < 2^35 so the arithmetic is safe
+    * under Spark 4's default ANSI overflow checking.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L)))
+}
+
+/** Minimal public stopword lists (top function words) per language —
+  * enough signal for corpus-level language voting.
+  */
+object Stopwords {
+  val en: Seq[String] = Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by", "this")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "zu", "den", "nicht", "von", "sie", "ist", "mit", "sich", "auf", "für", "ein", "im")
+  val fr: Seq[String] = Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "en", "est", "que", "qui", "dans", "pour", "pas")
+  val es: Seq[String] = Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "su", "no")
+  val zh: Seq[String] = Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个", "上", "们", "来", "到", "时", "大")
+  val all: Map[String, Seq[String]] = Map("en" -> en, "de" -> de, "fr" -> fr, "es" -> es, "zh" -> zh)
+}

@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Point
+
+/** Time-series aggregation over canonical Point DataFrames — the
+  * grouped/windowed analytics the reference delegates to client-side
+  * pandas (SURVEY.md §2.5), provided here as engine operators.
+  */
+object TimeSeries {
+
+  /** Tumbling-window aggregate of one field, optionally keyed by a tag.
+    * Uses Spark's `window()` so the same expression works in batch and
+    * Structured Streaming (with a watermark upstream).
+    */
+  def tumblingAgg(points: DataFrame, every: String, fieldKey: String,
+      tagKey: Option[String] = None,
+      aggs: Seq[Column => Column] = Seq(c => avg(c))): DataFrame = {
+    val v = element_at(col(Point.FieldsCol), fieldKey)
+    val keys = Seq(window(col(Point.TimeCol), every).as("win"), col(Point.MeasurementCol)) ++
+      tagKey.map(k => element_at(col(Point.TagsCol), k).as(k))
+    points
+      .groupBy(keys: _*)
+      .agg(aggs.head(v).as("agg0"), aggs.tail.zipWithIndex.map { case (a, i) => a(v).as(s"agg${i + 1}") }: _*)
+      .withColumn("window_start", col("win.start")).drop("win")
+  }
+
+  /** Moving aggregate over the last `nRows` points per (measurement,
+    * tag) series, ordered by time then insertion seq.
+    */
+  def movingAgg(points: DataFrame, fieldKey: String, tagKey: String, nRows: Int,
+      agg: Column => Column = c => avg(c)): DataFrame = {
+    val w = Window
+      .partitionBy(col(Point.MeasurementCol), element_at(col(Point.TagsCol), tagKey))
+      .orderBy(col(Point.TimeCol), col(Point.SeqCol))
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    points.withColumn("moving", agg(element_at(col(Point.FieldsCol), fieldKey)).over(w))
+  }
+
+  /** Downsample: last point per tumbling window per series — the
+    * classic TSDB retention/rollup primitive. max_by keeps it a single
+    * hash aggregate (no sort, no window).
+    */
+  def downsampleLast(points: DataFrame, every: String, fieldKey: String): DataFrame =
+    points
+      .groupBy(window(col(Point.TimeCol), every).as("win"), col(Point.MeasurementCol))
+      .agg(max_by(element_at(col(Point.FieldsCol), fieldKey),
+        struct(col(Point.TimeCol), col(Point.SeqCol))).as("last_value"))
+      .withColumn("window_start", col("win.start")).drop("win")
+}

@@ -1,0 +1,141 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline operators (dedup, text analysis, similarity
+  * search) over `documents` and `embeddings`.
+  *
+  * Oracle notes: jaccard/ratio comparisons divide exact integers — both
+  * engines produce bit-identical doubles. Cosine thresholds (0.45) and
+  * ANN cut-offs were empirically gap-checked at sf0.01 AND sf0.1
+  * (nearest pair ≥1e-4 away) so cross-engine float noise (~1e-13)
+  * cannot flip membership. MinHash/SimHash/fingerprint use engine
+  * hashing (xxhash64) that DuckDB cannot replicate → declared without
+  * oracle SQL (driver rows-only check) and verified in ScalaTest
+  * against exact ground truth instead.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "embeddings")
+
+  private val enStop = graft.analytics.Stopwords.en.map(w => s"'$w'").mkString(", ")
+  private def stopList(lang: String) =
+    graft.analytics.Stopwords.all(lang).map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_dedup_exact" -> ((s, dir) =>
+      Dedup.exactSurvivorIds(docs(s, dir), Seq("text"), "doc_id").orderBy("doc_id")),
+
+    "q51_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 1, threshold = 0.9)
+        .select("i", "j").orderBy("i", "j")),
+
+    "q52_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")),
+
+    "q53_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("doc_id")),
+
+    "q54_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+        .withColumn("lang_score", col("lang_score").cast("long"))
+        .orderBy("doc_id")),
+
+    // xxhash64-based ops: rows-only oracle (engine-specific hashing),
+    // correctness pinned by ScalaTest against exact ground truth.
+    "q55_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    "q56_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
+        .select("i", "j", "hamming").orderBy("i", "j")),
+
+    "q57_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        .select("i", "j").orderBy("i", "j")),
+
+    "q58_embedding_near_dup" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .select("i", "j").orderBy("i", "j")),
+
+    "q59_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        corpus = emb(s, dir),
+        queries = emb(s, dir).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
+        .select("qid", "id").orderBy("qid", "id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "q51_ngram_jaccard" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |         FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1)
+        |SELECT i, j FROM pair
+        |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+        |WHERE CAST(inter AS DOUBLE) / (si.n + sj.n - inter) >= 0.9
+        |ORDER BY i, j""".stripMargin,
+    "q52_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS nch,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents)
+         |SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+         |  CAST(nch AS DOUBLE) / greatest(length(toks), 1) AS chars_per_token,
+         |  CAST(length(list_filter(toks, x -> x IN ($enStop))) AS DOUBLE) / greatest(length(toks), 1) AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(nch, 1) AS punct_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q54_lang_id" -> {
+      val unions = graft.analytics.Stopwords.all.toSeq.sortBy(_._1).map { case (lang, _) =>
+        s"SELECT doc_id, '$lang' AS lang, length(list_filter(t, x -> x IN (${stopList(lang)}))) AS score FROM toks"
+      }.mkString("\nUNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents),
+         |scores AS ($unions),
+         |best AS (SELECT doc_id, lang, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores)
+         |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+         |  CAST(score AS BIGINT) AS lang_score
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    "q58_embedding_near_dup" ->
+      """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |d AS (SELECT a.vec_id AS i, b.vec_id AS j, sum(a.x*b.x) AS dp
+        |      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT d.i, d.j FROM d
+        |JOIN n na ON na.vec_id = d.i JOIN n nb ON nb.vec_id = d.j
+        |WHERE dp / (na.nrm * nb.nrm) >= 0.45
+        |ORDER BY i, j""".stripMargin,
+    "q59_ann_topk" ->
+      """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |s AS (SELECT qv.vec_id AS qid, cv.vec_id AS id, sum(qv.x*cv.x) AS dp
+        |      FROM v qv JOIN v cv ON qv.i = cv.i WHERE qv.vec_id < 3 GROUP BY 1, 2),
+        |r AS (SELECT qid, id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY dp / (nq.nrm * nc.nrm) DESC, id) AS rn
+        |      FROM s JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = id)
+        |SELECT qid, id FROM r WHERE rn <= 10 ORDER BY qid, id""".stripMargin
+  )
+}

@@ -1,0 +1,253 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.AsOf
+import graft.sources.Tables
+
+/** Beyond-reference relational + time-series operators (SURVEY.md §2.5)
+  * over the TPC-H-ish tables and events.
+  *
+  * Float-parity discipline: every SUM is computed over DECIMAL (exact,
+  * order-independent) and cast to DOUBLE at the end on BOTH engines;
+  * raw doubles are only passed through or combined with single
+  * deterministic arithmetic ops. Every integral output is cast to
+  * BIGINT. Every query is totally ordered.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // grouped aggregation, partial-agg friendly (TPC-H Q1 shape)
+    "q30_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,6)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // broadcast hash join: fact ⋈ small dim
+    "q31_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // multi-way join: one fact shuffle, dims broadcast
+    "q32_join_multiway" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ranking window function
+    "q33_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // top-k (plans as TakeOrderedAndProject — no full sort at scale)
+    "q34_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)),
+
+    // set op: EXCEPT
+    "q35_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey").as("custkey")).distinct()
+        .except(o.filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("custkey")).distinct())
+        .orderBy("custkey")
+    }),
+
+    // set op: INTERSECT
+    "q36_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+        .intersect(o.select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    // anti join (customers with no orders)
+    "q37_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // ROLLUP subtotals
+    "q38_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // CUBE
+    "q39_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // tumbling time window over the event stream (batch form of the
+    // streaming window() aggregation)
+    "q40_window_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("time"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_micros(col("win.start")).as("day_us"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("day_us", "event_type")),
+
+    // as-of join: each purchase ← user's most recent signup at-or-before
+    "q41_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("ts_us").as("signup_us"))
+      AsOf.asOfJoinPrev(purchases, signups,
+          keys = Seq("user_id"), tsCol = "ts_us", seqCol = "event_id",
+          leftCols = Nil, rightPayload = Seq("signup_us"))
+        .select("event_id", "signup_us").orderBy("event_id")
+    }),
+
+    // analytic window: lag delta per user series
+    "q42_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_id"), (col("value") - lag("value", 1).over(w)).as("dv"))
+        .orderBy("event_id")
+    }),
+
+    // moving frame aggregate (exact via decimal)
+    "q43_moving_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("mv"))
+        .orderBy("event_id")
+    }),
+
+    // scalar function surface
+    "q44_scalar_fns" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        substring(col("o_orderstatus"), 1, 1).as("st"),
+        length(col("o_orderpriority")).cast("long").as("prilen"))
+        .orderBy("o_orderkey"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q31_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q32_join_multiway" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q33_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) s
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q34_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q35_except" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        |ORDER BY custkey""".stripMargin,
+    "q36_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "q37_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q39_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q40_window_tumbling" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    "q41_asof_join" ->
+      """SELECT e.event_id,
+        |  (SELECT max(epoch_us(e2.ts)) FROM events e2
+        |   WHERE e2.user_id = e.user_id AND e2.event_type = 'signup'
+        |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))) AS signup_us
+        |FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
+    "q42_lag_delta" ->
+      """SELECT event_id,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dv
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q43_moving_sum" ->
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q44_scalar_fns" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS pri,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  substr(o_orderstatus, 1, 1) AS st,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prilen
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

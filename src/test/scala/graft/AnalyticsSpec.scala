@@ -1,0 +1,118 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{AsOf, Similarity, TextAnalysis, TimeSeries}
+import graft.engine.GraftDB
+import graft.model.Point
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("as-of join") {
+    lazy val left = Seq( // (key, ts, seq)
+      ("a", 100L, 10L), ("a", 200L, 11L), ("a", 50L, 12L), ("b", 100L, 13L)
+    ).toDF("k", "ts", "seq")
+    lazy val right = Seq( // (key, ts, seq, payload)
+      ("a", 100L, 1L, "r1"), ("a", 150L, 2L, "r2"), ("c", 10L, 3L, "r3")
+    ).toDF("k", "ts", "seq", "payload")
+
+    it("attaches most recent right row at-or-before, null when none") {
+      val out = AsOf.asOfJoinPrev(left, right, Seq("k"), "ts", "seq", Nil, Seq("payload"))
+        .select("k", "ts", "seq", "payload").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(out == Set(
+        ("a", 100L, 10L, "r1"), // tie: right at same ts matched (<=)
+        ("a", 200L, 11L, "r2"),
+        ("a", 50L, 12L, null),  // nothing before
+        ("b", 100L, 13L, null)  // key with no right rows
+      ))
+    }
+  }
+
+  describe("brute-force + LSH top-k") {
+    lazy val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    lazy val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "embedding")
+
+    it("brute force ranks by cosine") {
+      val r = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", "qid", 3)
+        .orderBy("rank").select("id").as[Long].collect().toSeq
+      assert(r == Seq(0L, 1L, 3L))
+    }
+    it("lsh top-k recalls the exact top-1") {
+      val r = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", "qid", 3,
+        bits = 2, seeds = Seq(1, 2, 3, 4)).select("id").as[Long].collect().toSet
+      assert(r.contains(0L))
+    }
+  }
+
+  describe("text analysis") {
+    it("token and subword counts") {
+      val df = Seq((1L, "hello world, it's 2024!")).toDF("id", "text")
+      val r = df.select(
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.subwordCount(col("text"))).head()
+      assert(r.getInt(0) == 4)
+      // hello | world | , | it | ' | s | 2024 | !
+      assert(r.getInt(1) == 8)
+    }
+    it("fingerprint is order-sensitive and deterministic") {
+      val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "text")
+      val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fps(1L) == fps(3L))
+      assert(fps(1L) != fps(2L))
+    }
+    it("language id votes by stopwords") {
+      val df = Seq(
+        (1L, "the cat is on the mat with a hat"),
+        (2L, "el gato es un animal y la casa es grande"),
+        (3L, "qwerty zxcvb")).toDF("id", "text")
+      val langs = TextAnalysis.languageId(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(langs(1L) == "en")
+      assert(langs(2L) == "es")
+      assert(langs(3L) == "und")
+    }
+    it("quality features on crafted text") {
+      val df = Seq((1L, "the of and xx")).toDF("id", "text")
+      val r = TextAnalysis.qualityFeatures(df, "id", "text").head()
+      assert(r.getInt(1) == 4)                     // n_tokens
+      assert(math.abs(r.getDouble(3) - 0.75) < 1e-12) // stopword_ratio 3/4
+    }
+  }
+
+  describe("time series aggregation") {
+    def t(s: String): Instant = Instant.parse(s)
+    lazy val db = {
+      val d = GraftDB.inMemory(spark)
+      d.insertMultiple(Seq(
+        Point(t("2024-01-01T00:01:00Z"), "m", Map("s" -> "x"), Map("v" -> 1.0)),
+        Point(t("2024-01-01T00:02:00Z"), "m", Map("s" -> "x"), Map("v" -> 3.0)),
+        Point(t("2024-01-01T00:07:00Z"), "m", Map("s" -> "x"), Map("v" -> 5.0)),
+        Point(t("2024-01-01T00:08:00Z"), "m", Map("s" -> "y"), Map("v" -> 7.0))))
+      d
+    }
+
+    it("tumbling window aggregate") {
+      val r = TimeSeries.tumblingAgg(db.df, "5 minutes", "v")
+        .orderBy("window_start").select("agg0").as[Double].collect().toSeq
+      assert(r == Seq(2.0, 6.0)) // avg(1,3) then avg(5,7)
+    }
+    it("moving aggregate per tagged series") {
+      val r = TimeSeries.movingAgg(db.df, "v", "s", nRows = 2)
+        .orderBy(Point.SeqCol).select("moving").as[Double].collect().toSeq
+      assert(r == Seq(1.0, 2.0, 4.0, 7.0))
+    }
+    it("downsample last per window") {
+      val r = TimeSeries.downsampleLast(db.df, "5 minutes", "v")
+        .orderBy("window_start").select("last_value").as[Double].collect().toSeq
+      assert(r == Seq(3.0, 7.0))
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Dedup
+
+/** Ground-truth checks for the dedup family — especially the
+  * hash-based operators (MinHash LSH, SimHash) that the SQL oracle
+  * cannot replicate.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // 1-word edit
+  private val nearDup2 = base.replace("quick", "fast").replace("door", "gate")
+  private val unrelated =
+    "spark executes distributed dataframe plans with catalyst optimizing predicate pushdown and column pruning everywhere"
+  private val unrelated2 =
+    "minhash signatures approximate jaccard similarity between shingled token sets using seeded hash permutations"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, nearDup2), (3L, unrelated), (4L, unrelated2), (5L, base)
+  ).toDF("doc_id", "text")
+
+  describe("exact dedup") {
+    it("keeps one survivor per identical text") {
+      val ids = Dedup.exactSurvivorIds(docs, Seq("text"), "doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // 5 is a dup of 0
+    }
+    it("exact() keeps full rows") {
+      assert(Dedup.exact(docs, Seq("text"), "doc_id").count() == 5)
+    }
+  }
+
+  describe("n-gram jaccard") {
+    it("exact pairwise jaccard finds the planted near-dups and nothing else") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 5L))) // identical
+      assert(pairs.contains((0L, 1L))) // 1-word edit
+      assert(!pairs.exists { case (i, j) => Set(i, j).intersect(Set(3L, 4L)).nonEmpty && Set(i, j).intersect(Set(0L, 1L, 2L, 5L)).nonEmpty })
+    }
+  }
+
+  describe("minhash LSH") {
+    it("recalls high-jaccard pairs found by the exact operator") {
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(exact.nonEmpty)
+      assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+    }
+    it("estimated jaccard for identical docs is 1.0") {
+      val est = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+        .filter(col("i") === 0 && col("j") === 5)
+        .select("est_jaccard").as[Double].head()
+      assert(est == 1.0)
+    }
+  }
+
+  describe("simhash") {
+    it("identical docs have identical fingerprints; unrelated docs are distant") {
+      val fp = Dedup.simHash(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fp(0L) == fp(5L))
+      val ham = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
+      assert(ham > 10, s"unrelated docs too close: hamming=$ham")
+    }
+    it("pair generation finds the identical pair at hamming 0") {
+      val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 5L)))
+    }
+  }
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // cos ≈ 0.995 with 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  describe("embedding cosine near-dup") {
+    it("brute-force pairs above threshold") {
+      val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.9)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((0L, 1L)))
+    }
+    it("LSH-bucketed variant keeps the same near-dup pair") {
+      val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+        threshold = 0.9, lshBits = 4)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((0L, 1L))) // near-identical vectors share all sign buckets
+    }
+  }
+}
