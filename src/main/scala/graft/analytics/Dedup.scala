@@ -166,7 +166,10 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
     val paired =
       if (lshBits <= 0) {
-        base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+        // Non-equi self join plans as a nested-loop join; spread the
+        // stream side across all cores so the O(n²) scoring parallelizes.
+        val spread = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread.as("a").join(base.as("b"), col("a.id") < col("b.id"))
       } else {
         val bucketed = base.withColumn("bucket",
           to_json(randomHyperplaneSignature(col("v"), lshBits, seed)))

@@ -45,7 +45,16 @@ final class GraftDB(val storage: Storage) {
   def allDF(sorted: Boolean = true): DataFrame =
     if (sorted) df.orderBy(Point.TimeCol, Point.SeqCol) else df.orderBy(Point.SeqCol)
 
-  def all(sorted: Boolean = true): Seq[Point] = allDF(sorted).collect().toSeq.map(toPoint)
+  def all(sorted: Boolean = true): Seq[Point] = sortCollected(df.collect().map(toPoint), sorted)
+
+  /** Collect-form results sort on the driver: the result already fits
+    * driver memory by contract, so a cluster-wide range-partitioned
+    * sort (shuffle) for presentation order would be pure overhead. The
+    * DF forms keep declarative orderBy for composition.
+    */
+  private def sortCollected(pts: Array[Point], sorted: Boolean): Seq[Point] =
+    (if (sorted) pts.sortBy(p => (p.time.getEpochSecond, p.time.getNano.toLong, p._seq))
+     else pts.sortBy(_._seq)).toSeq
 
   /** op 2 `__iter__` (database.py:143-146): lazy scan. */
   def iterator: Iterator[Point] = {
@@ -63,7 +72,7 @@ final class GraftDB(val storage: Storage) {
   }
 
   def search(q: Q, sorted: Boolean = true): Seq[Point] =
-    searchDF(q, sorted).collect().toSeq.map(toPoint)
+    sortCollected(df.filter(cond(q)).collect().map(toPoint), sorted)
 
   /** op 5 `get` (database.py:315-386): FIRST match in insertion order —
     * `_seq` ascending, limit 1 (Spark plans a stop-early TakeOrdered).

@@ -88,6 +88,14 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
 
   private def exists: Boolean = fs.exists(new Path(dataPath))
 
+  // `_seq` high-water mark, scanned once per handle then maintained
+  // incrementally so appends don't re-aggregate the whole table.
+  private var seqHighWater: Long = Long.MinValue
+  private def maxSeqCached(): Long = {
+    if (seqHighWater == Long.MinValue) seqHighWater = currentMaxSeq()
+    seqHighWater
+  }
+
   override def load(): DataFrame =
     if (!exists) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
@@ -102,7 +110,11 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   }
 
   override def append(batch: DataFrame): Unit = synchronized {
-    write(withSeq(batch, currentMaxSeq()), dataPath, SaveMode.Append)
+    val base = maxSeqCached()
+    val withIds = withSeq(batch, base).cache()
+    write(withIds, dataPath, SaveMode.Append)
+    seqHighWater = withIds.agg(max(Point.SeqCol)).head.getLong(0)
+    withIds.unpersist()
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
@@ -112,5 +124,6 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val dst = new Path(dataPath)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(new Path(staging), dst)
+    seqHighWater = Long.MinValue // rewrite may have changed the set
   }
 }
