@@ -11,11 +11,23 @@ import graft.model.Point
 /** Storage backend contract (reference: the `Storage` ABC,
   * tinyflux/storages.py:56-167). The engine is append-optimized;
   * mutation is copy-on-write: build the full new state, then commit it
-  * atomically — the exact analogue of the reference's temp-file swap
-  * (storages.py:383-400).
+  * atomically — the analogue of the reference's temp-file swap
+  * (storages.py:383-400), hardened with a backup-rename protocol so a
+  * crash mid-swap never loses the primary.
   *
   * All backends speak the canonical Point schema ([[Point.schema]])
   * including the `_seq` insertion-order column.
+  *
+  * `_seq` assignment is generation-based and job-free: each append gets
+  * a fresh generation `g` and rows carry
+  * `seq = (g << 45) + monotonically_increasing_id()`. The mono id is
+  * `(partitionId << 33) | rowOffset`, so ordering by `_seq` preserves
+  * (batch, partition, row) order — insertion order — without any shuffle
+  * AND without scanning the table for a max. One `max(_seq)` scan per
+  * storage handle (lazy, first append) seeds the generation counter.
+  * Bounds: ≤ 4096 partitions per appended batch, ≤ 2^18 appends above
+  * the seeded high water — far beyond any realistic ingest (batches of
+  * any size are fine; it is the *batch count* that is bounded).
   */
 trait Storage {
   def spark: SparkSession
@@ -31,13 +43,21 @@ trait Storage {
   /** Replace the full state (canonical schema WITH `_seq`). */
   def overwrite(full: DataFrame): Unit
 
-  /** Assign `_seq` above the current maximum without a global sort:
-    * `monotonically_increasing_id` is (partitionId << 33 | row-offset),
-    * so ordering by it preserves input order across partitions with no
-    * shuffle — the scale-safe way to carry insertion order.
-    */
-  protected def withSeq(batch: DataFrame, base: Long): DataFrame =
-    batch.withColumn(Point.SeqCol, lit(base + 1) + monotonically_increasing_id())
+  // Generation counter; -1 = not yet derived from storage.
+  private var gen: Long = -1L
+
+  protected def nextGen(): Long = {
+    if (gen < 0) gen = (math.max(currentMaxSeq(), 0L) >>> Storage.GenShift) + 1
+    else gen += 1
+    gen
+  }
+
+  /** Invalidate the generation counter (state rewritten underneath). */
+  protected def resetGen(): Unit = gen = -1L
+
+  protected def withSeq(batch: DataFrame): DataFrame =
+    batch.withColumn(Point.SeqCol,
+      lit(nextGen() << Storage.GenShift) + monotonically_increasing_id())
 
   protected def currentMaxSeq(): Long = {
     val df = load()
@@ -46,62 +66,115 @@ trait Storage {
   }
 }
 
+object Storage {
+  /** Bits reserved below the generation prefix of `_seq`. */
+  val GenShift: Int = 45
+}
+
 /** In-memory backend (reference: MemoryStorage, storages.py:436-558).
-  * State is a cached DataFrame; `localCheckpoint` truncates lineage so
-  * long insert sequences don't grow the plan unboundedly.
+  * State is a DataFrame; appends are LAZY plan unions (no job per
+  * append — the reference's list-append analogue), with a
+  * lineage-truncating `localCheckpoint` every
+  * [[MemoryStorage.CheckpointEvery]] appends so long insert sequences
+  * don't grow the plan unboundedly.
   */
 final class MemoryStorage(val spark: SparkSession, initial: Option[DataFrame] = None) extends Storage {
   private var state: DataFrame =
     initial.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema))
+  private var appendsSinceCheckpoint = 0
 
   override def load(): DataFrame = state
 
   override def append(batch: DataFrame): Unit = synchronized {
-    val next = state.unionByName(withSeq(batch, currentMaxSeq()))
-    state = next.localCheckpoint(eager = true)
+    state = state.unionByName(withSeq(batch))
+    appendsSinceCheckpoint += 1
+    if (appendsSinceCheckpoint >= MemoryStorage.CheckpointEvery) {
+      state = state.localCheckpoint(eager = false)
+      appendsSinceCheckpoint = 0
+    }
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
+    // Eager: `full` may read from the current state, which is about to
+    // be replaced — materialize before the reassignment.
     state = full.select(Point.columns.map(col): _*).localCheckpoint(eager = true)
+    appendsSinceCheckpoint = 0
+    resetGen()
   }
+}
+
+object MemoryStorage {
+  val CheckpointEvery = 16
 }
 
 /** Parquet-backed persistent storage (replaces the reference's
   * CSVStorage, storages.py:170-433, with a columnar, partitioned,
   * stats-bearing layout).
   *
-  * Layout: `root/data/measurement=<m>/p_date=<yyyy-MM-dd>/` parquet files,
-  * files time-sorted within partitions so Parquet row-group min/max
-  * stats answer time-range predicates — the scalable replacement for
-  * the reference's sorted-timestamp index (index.py:719-821).
+  * Two-tier LSM-ish layout:
+  *   - `root/data/measurement=<m>/p_date=<yyyy-MM-dd>/` — the compacted
+  *     main store: partition-pruned on measurement + date, files
+  *     time-sorted within partitions so Parquet row-group min/max stats
+  *     answer time-range predicates (the scalable replacement for the
+  *     reference's sorted-timestamp index, index.py:719-821).
+  *   - `root/delta/` — flat append-only parquet. Appends land here with
+  *     no dynamic-partition fan-out (a small batch writes 1 file, not
+  *     measurements×dates files), still time-sorted for row-group
+  *     stats. [[compact]] folds delta into the partitioned store.
   *
-  * Commit protocol for mutation: write the new state to a staging dir,
-  * then swap directories — same contract as the reference's
-  * `_swap_temp_with_primary` (storages.py:383-400).
+  * Commit protocol for mutation (reference `_swap_temp_with_primary`,
+  * storages.py:383-400, hardened): write staging → rename primary+delta
+  * to backups → rename staging into place → drop backups. A crash at
+  * any step leaves either the old state recoverable (backups present)
+  * or the new state committed; [[recover]] runs at handle open.
   */
 final class ParquetStorage(val spark: SparkSession, root: String, partitioned: Boolean = true)
     extends Storage {
 
   private val dataPath = s"$root/data"
+  private val deltaPath = s"$root/delta"
+  private val backupDataPath = s"$root/.backup-data"
+  private val backupDeltaPath = s"$root/.backup-delta"
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists: Boolean = fs.exists(new Path(dataPath))
+  recover()
 
-  // `_seq` high-water mark, scanned once per handle then maintained
-  // incrementally so appends don't re-aggregate the whole table.
-  private var seqHighWater: Long = Long.MinValue
-  private def maxSeqCached(): Long = {
-    if (seqHighWater == Long.MinValue) seqHighWater = currentMaxSeq()
-    seqHighWater
+  private def exists(p: String): Boolean = fs.exists(new Path(p))
+
+  /** Crash recovery: if the primary is missing but backups exist, the
+    * previous overwrite died mid-swap — restore the backups. If the
+    * primary exists, any backups/staging are stale leftovers — drop them.
+    */
+  private def recover(): Unit = {
+    if (!exists(dataPath) && exists(backupDataPath)) {
+      fs.rename(new Path(backupDataPath), new Path(dataPath))
+      if (!exists(deltaPath) && exists(backupDeltaPath))
+        fs.rename(new Path(backupDeltaPath), new Path(deltaPath))
+    }
+    Seq(backupDataPath, backupDeltaPath).foreach(p => if (exists(p)) fs.delete(new Path(p), true))
+    if (exists(root)) {
+      val staging = fs.listStatus(new Path(root))
+        .filter(_.getPath.getName.startsWith(".staging-"))
+      staging.foreach(s => fs.delete(s.getPath, true))
+    }
   }
 
-  override def load(): DataFrame =
-    if (!exists) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
-    else spark.read.parquet(dataPath).select(Point.columns.map(col): _*)
+  private def read(path: String): Option[DataFrame] =
+    if (exists(path)) Some(spark.read.parquet(path).select(Point.columns.map(col): _*))
+    else None
 
-  private def write(df: DataFrame, path: String, mode: SaveMode): Unit = {
+  override def load(): DataFrame =
+    (read(dataPath), read(deltaPath)) match {
+      case (Some(d), Some(x)) => d.unionByName(x)
+      case (Some(d), None)    => d
+      case (None, Some(x))    => x
+      case (None, None)       => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+    }
+
+  /** Write in the partitioned main-store layout. */
+  private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
     val w = df
       .withColumn("p_date", to_date(col(Point.TimeCol)))
       .sortWithinPartitions(Point.TimeCol)
@@ -110,20 +183,27 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   }
 
   override def append(batch: DataFrame): Unit = synchronized {
-    val base = maxSeqCached()
-    val withIds = withSeq(batch, base).cache()
-    write(withIds, dataPath, SaveMode.Append)
-    seqHighWater = withIds.agg(max(Point.SeqCol)).head.getLong(0)
-    withIds.unpersist()
+    withSeq(batch)
+      .sortWithinPartitions(Point.TimeCol)
+      .write.mode(SaveMode.Append).parquet(deltaPath)
+  }
+
+  /** Fold the delta tier into the partitioned main store. Run after
+    * bulk ingest (or on a schedule) so reads regain full partition
+    * pruning; appends stay cheap regardless.
+    */
+  def compact(): Unit = synchronized {
+    if (exists(deltaPath)) overwrite(load())
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     // Materialize BEFORE touching the primary: `full` may read from it.
-    write(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite)
-    val dst = new Path(dataPath)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new Path(staging), dst)
-    seqHighWater = Long.MinValue // rewrite may have changed the set
+    writePartitioned(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite)
+    if (exists(dataPath)) fs.rename(new Path(dataPath), new Path(backupDataPath))
+    if (exists(deltaPath)) fs.rename(new Path(deltaPath), new Path(backupDeltaPath))
+    fs.rename(new Path(staging), new Path(dataPath))
+    Seq(backupDataPath, backupDeltaPath).foreach(p => if (exists(p)) fs.delete(new Path(p), true))
+    resetGen()
   }
 }

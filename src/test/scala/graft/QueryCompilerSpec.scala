@@ -29,7 +29,12 @@ class QueryCompilerSpec extends SparkSpec {
     d
   }
 
-  private def ids(q: Q): Set[Long] = db.search(q).map(_._seq).toSet
+  // `_seq` values are an implementation detail (generation-prefixed);
+  // tests identify points by insertion RANK, which `_seq` ordering defines.
+  private lazy val rank: Map[Long, Long] =
+    db.all(sorted = false).map(_._seq).sorted.zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toMap
+  private def ids(q: Q): Set[Long] = db.search(q).map(p => rank(p._seq)).toSet
 
   describe("comparison semantics") {
     it("eq on tag") { assert(ids(TagQuery("city") === "LA") == Set(0)) }
