@@ -51,15 +51,21 @@ object AsOf {
       .orderBy(col(tsCol).asc, col(seqCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // Carry ONE struct of the whole right payload (non-null exactly on
+    // right rows) with a single last(ignoreNulls): all payload columns
+    // come from the SAME as-of row. Carrying each column independently
+    // would back-fill a legitimately-null payload column from an older
+    // right row, mixing columns of different rows.
+    val payloadStruct = when(col("__side") === 0,
+      struct(rightPayload.map(c => col(s"__r_$c").as(c)): _*))
+    val carried = l.unionByName(r)
+      .withColumn("__c", last(payloadStruct, ignoreNulls = true).over(w))
 
     carried
       .filter(col("__side") === 1)
       .select(
         (keys :+ tsCol :+ seqCol).map(col) ++
           leftCols.map(col) ++
-          rightPayload.map(c => col(s"__c_$c").as(c)): _*)
+          rightPayload.map(c => col("__c").getField(c).as(c)): _*)
   }
 }

@@ -10,15 +10,18 @@ import graft.functions.VectorFunctions._
   * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
   * All operators are pure DataFrame transforms with bounded shuffles —
-  * the candidate-generation joins are always bucket-equi-joins (LSH
-  * band keys, shared tokens), never cross joins, so they scale with
-  * corpus size, not its square.
+  * candidate generation is always a bucket-equi-join (LSH band keys,
+  * shared tokens, projection-grid cells), never a cross join, so cost
+  * scales with corpus size and true pair density, not the corpus square.
+  *
+  * Hashing is md5-derived (not engine-private xxhash64) so every
+  * operator is exactly reproducible in any engine with md5 — the DuckDB
+  * oracle recomputes signatures bit-for-bit.
   */
 object Dedup {
 
   /** Exact dedup: one survivor (minimum `orderCol`) per identical
-    * `keyCols` value. Hash-groupBy; at 100 TB prefer a sha2 digest of
-    * wide text as the group key so the shuffle carries 32 bytes/row.
+    * `keyCols` value.
     */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
@@ -26,23 +29,28 @@ object Dedup {
   }
 
   /** Same via groupBy (no window) — cheaper when only ids are needed:
-    * map-side partial min, one shuffle, no per-group sort.
+    * map-side partial min, one shuffle, no per-group sort. The group key
+    * is a sha2 digest of each key column, so the shuffle carries 32
+    * bytes per key instead of whole documents.
     */
   def exactSurvivorIds(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
-    df.groupBy(keyCols.map(col): _*).agg(min(idCol).as(idCol)).select(idCol)
+    df.groupBy(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
+      .agg(min(idCol).as(idCol)).select(idCol)
 
   // ---- tokenization helpers ----
 
-  /** Word n-gram shingles as a distinct array. */
+  /** Word n-gram shingles as a distinct array. Empty tokens are dropped
+    * before shingling; documents with fewer than `n` words yield an
+    * EMPTY array (standard n-gram semantics — no short spurious shingle).
+    */
   def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, "\\s+")
+    val words = filter(split(text, "\\s+"), w => w =!= "")
     if (n == 1) array_distinct(words)
-    else array_distinct(
-      filter(
-        transform(
-          sequence(lit(0), greatest(size(words) - n, lit(0))),
-          i => concat_ws(" ", slice(words, i + 1, lit(n)))),
-        s => s =!= ""))
+    else
+      when(size(words) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", slice(words, i + 1, lit(n))))))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
@@ -67,26 +75,38 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
-  /** MinHash signatures: `numHashes` permutations approximated by
-    * seeded xxhash64 of each shingle; signature[h] = min over shingles.
-    * One explode + one groupBy — linear in total shingle count.
+  /** Per-shingle base hashes for the Kirsch–Mitzenmacher family:
+    * h1, h2 are independent 60-bit integers from two salted md5 digests;
+    * hash_i(tok) = h1 + i·(h2 mod 2^47) gives `numHashes` permutations
+    * from just TWO digests per shingle (bounded < 2^61, overflow-safe),
+    * and is exactly reproducible in any md5-capable engine.
+    */
+  private def kmHashes(tok: Column): (Column, Column) = (
+    conv(substring(md5(concat(lit("A:"), tok)), 1, 15), 16, 10).cast("long"),
+    conv(substring(md5(concat(lit("B:"), tok)), 1, 15), 16, 10).cast("long") % lit(140737488355328L))
+
+  /** MinHash signatures: signature[i] = min over shingles of hash_i. One
+    * explode + one groupBy — linear in total shingle count, and only two
+    * md5 digests per shingle regardless of `numHashes`.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleN)).as("tok"))
-    val mins = (0 until numHashes).map(h => min(xxhash64(lit(h), col("tok"))).as(s"h$h"))
-    toks.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(h => col(s"h$h")): _*).as("sig"))
+    val (h1, h2) = kmHashes(col("tok"))
+    val hashed = toks.select(col("id"), h1.as("h1"), h2.as("h2"))
+    val mins = (0 until numHashes).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash LSH candidate pairs: split the signature into `bands`
-    * bands, bucket by (band index, band hash), emit pairs sharing a
-    * bucket, then estimate jaccard as matching-signature fraction and
-    * filter. Probability a pair with true jaccard s survives:
-    * 1 − (1 − s^r)^b with r = numHashes/bands rows per band.
+    * bands, bucket by (band index, joined band values), emit pairs
+    * sharing a bucket, then estimate jaccard as matching-signature
+    * fraction and filter. Probability a pair with true jaccard s
+    * survives: 1 − (1 − s^r)^b with r = numHashes/bands rows per band.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
@@ -94,7 +114,7 @@ object Dedup {
 
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b, to_json(slice(col("sig"), b * r + 1, lit(r)))))))
+          b => array_join(slice(col("sig"), b * r + 1, lit(r)).cast("array<string>"), ","))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     val cand = banded.as("a").join(banded.as("b"),
@@ -112,71 +132,107 @@ object Dedup {
       .select("i", "j", "est_jaccard")
   }
 
-  /** 64-bit SimHash fingerprint per doc: each token votes ±1 on each
-    * bit of its xxhash64; fingerprint bit = sign of the vote sum.
-    * Pure expressions (shiftright/bitwise-and), fully codegen'd.
+  /** 64-bit SimHash fingerprint per doc: each distinct token votes ±1 on
+    * each bit of its md5-derived hash; fingerprint bit b = sign of the
+    * vote sum. Bit b is bit (3 − b%4) of hex nibble b/4 of md5(token) —
+    * a pure nibble/shift expression replicated verbatim by the oracle.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), 1)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
+      .withColumn("h", md5(col("tok")))
+    def nib(i: Int): Column = conv(substring(col("h"), i + 1, 1), 16, 10).cast("int")
+    def bit(b: Int): Column = shiftright(nib(b / 4), 3 - b % 4).bitwiseAND(1)
+    val bitVotes = (0 until 64).map(b => sum(when(bit(b) === 1, 1).otherwise(-1)).as(s"b$b"))
     toks.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("id"),
         (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming,
-    * candidate-generated by the 4×16-bit band trick (pairs within
-    * Hamming k<=3 of a 64-bit hash share at least one of 4 16-bit
-    * bands by pigeonhole).
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Candidate generation uses (maxHamming + 1) contiguous bit-bands: by
+    * pigeonhole, two hashes differing in <= maxHamming bits must agree
+    * on at least one band, so banding recall is 1 BY CONSTRUCTION for
+    * the declared radius — the band count is derived from the radius,
+    * never fixed. (maxHamming = 3 → the classic 4×16-bit scheme.)
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(df, idCol, textCol).cache()
-    val banded = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val popcount8 = (c: Column) => {
-      // Hamming weight of a 64-bit value via 8 byte-wise bit_count-free sums
-      (0 until 64).map(b => shiftright(c, b).bitwiseAND(1L)).reduce(_ + _)
+    require(maxHamming >= 0 && maxHamming <= 63, "maxHamming in [0, 63]")
+    val bands = maxHamming + 1
+    val widths = Array.tabulate(bands)(b => 64 / bands + (if (b < 64 % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until bands).map { b =>
+      val mask = if (widths(b) >= 64) lit(-1L) else lit((1L << widths(b)) - 1)
+      shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(mask)
     }
+    val popcount = (c: Column) =>
+      (0 until 64).map(b => shiftrightunsigned(c, b).bitwiseAND(1L)).reduce(_ + _)
+
+    val sh = simHash(df, idCol, textCol).cache()
+    val banded = sh.select(col("id"), col("simhash"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.simhash").as("hi"), col("b.simhash").as("hj"))
       .dropDuplicates("i", "j")
-      .withColumn("hamming", popcount8(col("hi").bitwiseXOR(col("hj"))))
+      .withColumn("hamming", popcount(col("hi").bitwiseXOR(col("hj"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
   }
 
-  /** Embedding-cosine near-dup pairs above `threshold`.
-    * `lshBits = 0` → exact inverted self-join on nothing (all pairs via
-    * broadcast-range blocking is NOT attempted: small inputs only);
-    * `lshBits > 0` → random-hyperplane bucketing first, so only
-    * same-bucket pairs are compared (the 100 TB path; recall grows with
-    * repeated seeds at the caller's choice).
+  /** Embedding-cosine near-dup pairs above `threshold` — EXACT result,
+    * scale-safe candidate generation.
+    *
+    * After L2 normalization, cos(a,b) >= t implies ||a−b|| <= eps =
+    * sqrt(2−2t), hence |a·p − b·p| <= eps along ANY fixed direction p
+    * (Cauchy–Schwarz). Bucketing each vector by floor(coord/eps) on
+    * `gridDims` fixed axes and probing the 3^gridDims neighborhood is
+    * therefore recall-1 BY CONSTRUCTION — a deterministic guarantee
+    * sign-LSH cannot give — while converting the O(n²) nested-loop
+    * self-join into a shuffle equi-join on cell keys. At tight
+    * thresholds cells are small and pruning is strong; at loose
+    * thresholds (eps comparable to the sphere diameter) it degrades
+    * toward all-pairs — which is the true output size anyway.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, lshBits: Int = 0, seed: Int = 42): DataFrame = {
+      threshold: Double, gridDims: Int = 2): DataFrame = {
+    require(threshold <= 1.0, "cosine threshold must be <= 1")
+    require(gridDims >= 1 && gridDims <= 4, "gridDims in [1, 4]")
+    val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
     val base = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
-    val paired =
-      if (lshBits <= 0) {
-        // Non-equi self join plans as a nested-loop join; spread the
-        // stream side across all cores so the O(n²) scoring parallelizes.
-        val spread = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        spread.as("a").join(base.as("b"), col("a.id") < col("b.id"))
-      } else {
-        val bucketed = base.withColumn("bucket",
-          to_json(randomHyperplaneSignature(col("v"), lshBits, seed)))
-        bucketed.as("a").join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      }
-    paired
+    def cellOf(d: Int, off: Int): Column =
+      (floor(element_at(col("v"), d + 1) / lit(eps)).cast("long") + lit(off)).cast("string")
+    val home = base.withColumn("cellKey",
+      concat_ws(",", (0 until gridDims).map(cellOf(_, 0)): _*))
+    val shifts: Seq[Seq[Int]] = (0 until gridDims).foldLeft(Seq(Seq.empty[Int])) {
+      (acc, _) => acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _))
+    }
+    val probe = base.withColumn("cellKey", explode(array(shifts.map(sh =>
+      concat_ws(",", sh.zipWithIndex.map { case (off, d) => cellOf(d, off) }: _*)): _*)))
+    probe.as("a").join(home.as("b"),
+        col("a.cellKey") === col("b.cellKey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.v").as("vi"), col("b.v").as("vj"))
+      .dropDuplicates("i", "j")
+      .select(col("i"), col("j"), dot(col("vi"), col("vj")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Approximate variant: random-hyperplane sign-LSH bucketing. Recall
+    * < 1 (pairs split by any hyperplane are lost) — use for tight
+    * thresholds at extreme scale where even eps-grid cells overflow;
+    * raise recall by unioning over several seeds.
+    */
+  def approxCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, lshBits: Int = 8, seed: Int = 42): DataFrame = {
+    val base = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
+    val bucketed = base.withColumn("bucket",
+      to_json(randomHyperplaneSignature(col("v"), lshBits, seed)))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         dot(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -75,6 +75,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L)))
+
+  /** Winnowing fingerprint set (Schleimer–Wilkerson–Aiken): md5 each
+    * sliding k-word gram, take the minimum hash of every window of `w`
+    * consecutive gram hashes, output the distinct selected hashes — one
+    * row per (doc, fingerprint). Local edits only perturb nearby
+    * windows, so near-dup docs share most fingerprints. Min/ordering is
+    * on fixed-width hex strings — engine-portable, so an md5-capable
+    * SQL oracle reproduces the set exactly. Docs shorter than k words
+    * fall back to a single whole-text gram.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 3): DataFrame = {
+    val words = tokens(col(textCol))
+    val grams = when(size(words) < k, array(md5(concat_ws(" ", words))))
+      .otherwise(transform(sequence(lit(0), size(words) - k),
+        i => md5(concat_ws(" ", slice(words, i + 1, lit(k))))))
+    val wins = when(size(grams) < w, array(array_min(grams)))
+      .otherwise(transform(sequence(lit(0), size(grams) - w),
+        j => array_min(slice(grams, j + 1, lit(w)))))
+    df.select(col(idCol), explode(array_sort(array_distinct(wins))).as("fp"))
+  }
 }
 
 /** Minimal public stopword lists (top function words) per language —

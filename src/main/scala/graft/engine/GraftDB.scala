@@ -129,9 +129,11 @@ final class GraftDB(val storage: Storage) {
   def insertDF(batch: DataFrame): Unit = storage.append(batch)
 
   /** op 11/12 `update` / `update_all` (database.py:976-1062): rewrite
-    * matching rows under `when(cond, ...)`; tags/fields are merged
-    * (dict.update semantics), `unset*` keys dropped. Copy-on-write
-    * commit, the analogue of the temp-swap (§3.3). Returns #matched.
+    * matching rows; tags/fields are merged (dict.update semantics),
+    * `unset*` keys dropped. Copy-on-write commit, the analogue of the
+    * temp-swap (§3.3). Returns the number of points actually CHANGED —
+    * reference semantics (database.py:1148-1223 tracks a before-image
+    * per point) — not merely matched.
     */
   def update(
       q: Q,
@@ -141,11 +143,29 @@ final class GraftDB(val storage: Storage) {
       fields: Map[String, Double] = Map.empty,
       unsetTags: Seq[String] = Nil,
       unsetFields: Seq[String] = Nil
+  ): Long = updateWith(q,
+    time = time.map(t => (_: Column) => lit(java.sql.Timestamp.from(t))),
+    measurement = measurement.map(m => (_: Column) => lit(m)),
+    tags = GraftDB.mergeMapFn(tags, unsetTags),
+    fields = GraftDB.mergeMapFn(fields, unsetFields))
+
+  /** Callable-update form (reference `update(fields=lambda …)`,
+    * database.py:1064-1225): each transform maps the OLD attribute
+    * column to its new value as a Column expression — declarative, so it
+    * stays inside codegen, unlike the reference's opaque lambdas.
+    */
+  def updateWith(
+      q: Q,
+      time: Option[Column => Column] = None,
+      measurement: Option[Column => Column] = None,
+      tags: Option[Column => Column] = None,
+      fields: Option[Column => Column] = None
   ): Long = {
     val c = cond(q)
-    val matched = df.filter(c).count()
-    if (matched > 0) storage.overwrite(updatedDF(df, c, time, measurement, tags, fields, unsetTags, unsetFields))
-    matched
+    val (updated, changedCond) = GraftDB.updatePlan(df, c, time, measurement, tags, fields)
+    val changed = df.filter(coalesce(c, lit(false)) && changedCond).count()
+    if (changed > 0) storage.overwrite(updated)
+    changed
   }
 
   def updateAll(
@@ -157,8 +177,8 @@ final class GraftDB(val storage: Storage) {
       unsetFields: Seq[String] = Nil
   ): Long = update(Noop, time, measurement, tags, fields, unsetTags, unsetFields)
 
-  /** Pure (non-persisting) form of the update transform — also the unit
-    * the oracle checks.
+  /** Pure (non-persisting) form of the literal update transform — also
+    * the unit the oracle checks.
     */
   def updatedDF(
       base: DataFrame,
@@ -169,33 +189,11 @@ final class GraftDB(val storage: Storage) {
       fields: Map[String, Double],
       unsetTags: Seq[String],
       unsetFields: Seq[String]
-  ): DataFrame = {
-    def mergeMap(mapCol: String, updates: Map[String, Any], unset: Seq[String]): Column = {
-      val dropped = (updates.keySet ++ unset).toSeq
-      val kept =
-        if (dropped.isEmpty) col(mapCol)
-        else map_filter(col(mapCol), (k, _) => !k.isin(dropped: _*))
-      if (updates.isEmpty) kept
-      else map_concat(kept,
-        map(updates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
-    }
-    var out = base
-    time.foreach { t =>
-      out = out.withColumn(Point.TimeCol,
-        when(c, lit(java.sql.Timestamp.from(t))).otherwise(col(Point.TimeCol)))
-    }
-    measurement.foreach { m =>
-      out = out.withColumn(Point.MeasurementCol,
-        when(c, lit(m)).otherwise(col(Point.MeasurementCol)))
-    }
-    if (tags.nonEmpty || unsetTags.nonEmpty)
-      out = out.withColumn(Point.TagsCol,
-        when(c, mergeMap(Point.TagsCol, tags, unsetTags)).otherwise(col(Point.TagsCol)))
-    if (fields.nonEmpty || unsetFields.nonEmpty)
-      out = out.withColumn(Point.FieldsCol,
-        when(c, mergeMap(Point.FieldsCol, fields, unsetFields)).otherwise(col(Point.FieldsCol)))
-    out
-  }
+  ): DataFrame = GraftDB.updatePlan(base, c,
+    time.map(t => (_: Column) => lit(java.sql.Timestamp.from(t))),
+    measurement.map(m => (_: Column) => lit(m)),
+    GraftDB.mergeMapFn(tags, unsetTags),
+    GraftDB.mergeMapFn(fields, unsetFields))._1
 
   /** op 13 `remove` (database.py:707-725): anti-filter rewrite. */
   def remove(q: Q): Long = {
@@ -292,6 +290,57 @@ final class GraftDB(val storage: Storage) {
 }
 
 object GraftDB {
+
+  /** dict.update + unset semantics on a map column as a transform. */
+  private[engine] def mergeMapFn(updates: Map[String, _], unset: Seq[String]): Option[Column => Column] =
+    if (updates.isEmpty && unset.isEmpty) None
+    else Some { mapCol =>
+      val dropped = (updates.keySet ++ unset).toSeq
+      val kept = map_filter(mapCol, (k, _) => !k.isin(dropped: _*))
+      if (updates.isEmpty) kept
+      else map_concat(kept,
+        map(updates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+    }
+
+  /** Build (updated projection, changed-row predicate), both evaluated
+    * against the PRE-update row in one `select`. The match predicate is
+    * computed once and every new value derives from the old columns —
+    * sequential `withColumn` would re-resolve the predicate against
+    * already-updated attributes (an update setting `time` guarded by a
+    * time query would then mis-evaluate its tag/field clauses; the
+    * reference evaluates the query once per point and applies all
+    * updates atomically, database.py:1148-1223).
+    */
+  private[engine] def updatePlan(
+      base: DataFrame,
+      c: Column,
+      time: Option[Column => Column],
+      measurement: Option[Column => Column],
+      tags: Option[Column => Column],
+      fields: Option[Column => Column]
+  ): (DataFrame, Column) = {
+    val m = coalesce(c, lit(false))
+    def upd(name: String, fn: Option[Column => Column]): Column =
+      fn.fold(col(name))(f => when(m, f(col(name))).otherwise(col(name)))
+    val news: Map[String, Column] = Map(
+      Point.TimeCol -> upd(Point.TimeCol, time),
+      Point.MeasurementCol -> upd(Point.MeasurementCol, measurement),
+      Point.TagsCol -> upd(Point.TagsCol, tags),
+      Point.FieldsCol -> upd(Point.FieldsCol, fields))
+    // MapType has no direct equality in Spark; compare canonical sorted
+    // entry arrays (null-safe) to detect actual change.
+    def mapDiff(name: String): Column =
+      !(array_sort(map_entries(col(name))) <=> array_sort(map_entries(news(name))))
+    val diffs = Seq(
+      time.map(_ => !(col(Point.TimeCol) <=> news(Point.TimeCol))),
+      measurement.map(_ => !(col(Point.MeasurementCol) <=> news(Point.MeasurementCol))),
+      tags.map(_ => mapDiff(Point.TagsCol)),
+      fields.map(_ => mapDiff(Point.FieldsCol))).flatten
+    val changed = diffs.reduceOption(_ || _).getOrElse(lit(false))
+    val updated = base.select(Point.columns.map(n => news.getOrElse(n, col(n)).as(n)): _*)
+    (updated, changed)
+  }
+
   /** In-memory database (reference MemoryStorage). */
   def inMemory(spark: SparkSession): GraftDB = new GraftDB(new MemoryStorage(spark))
 

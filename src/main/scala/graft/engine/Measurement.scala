@@ -2,7 +2,7 @@ package graft.engine
 
 import java.time.Instant
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.model.Point
 import graft.query.{MeasurementQuery, Noop, Q}
@@ -42,6 +42,14 @@ final class Measurement(db: GraftDB, val name: String) {
       unsetTags: Seq[String] = Nil,
       unsetFields: Seq[String] = Nil
   ): Long = db.update(conj(q), time, measurement, tags, fields, unsetTags, unsetFields)
+
+  def updateWith(
+      q: Q,
+      time: Option[Column => Column] = None,
+      measurement: Option[Column => Column] = None,
+      tags: Option[Column => Column] = None,
+      fields: Option[Column => Column] = None
+  ): Long = db.updateWith(conj(q), time, measurement, tags, fields)
 
   def remove(q: Q): Long = db.remove(conj(q))
   def removeAll(): Long = db.dropMeasurement(name)

@@ -76,6 +76,31 @@ class DedupSpec extends SparkSpec {
         .select("i", "j").as[(Long, Long)].collect().toSet
       assert(pairs.contains((0L, 5L)))
     }
+    it("banding recall is 1 for the declared radius, including pairs beyond hamming 3") {
+      // Regression: the old fixed 4x16-bit banding silently dropped
+      // pairs at hamming 4..maxHamming that differed in all 4 bands.
+      // Bands are now derived from the radius, so recall must be exact.
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      val vocab = Array.tabulate(60)(i => s"w$i")
+      val simDocs = Seq.tabulate(40) { i =>
+        // overlapping windows into the vocab -> a spread of hamming distances
+        val words = (0 until 30).map(k => vocab((i + k * (1 + i % 3)) % vocab.length))
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val fp = Dedup.simHash(simDocs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val h = 10
+      val expect = (for {
+        i <- fp.keys; j <- fp.keys if i < j
+        d = java.lang.Long.bitCount(fp(i) ^ fp(j)) if d <= h
+      } yield (i, j)).toSet
+      assert(expect.exists { case (i, j) => java.lang.Long.bitCount(fp(i) ^ fp(j)) > 3 },
+        "test is vacuous: no planted pair beyond hamming 3")
+      val got = Dedup.simHashPairs(simDocs, "doc_id", "text", maxHamming = h)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"missed ${expect.diff(got)}, extra ${got.diff(expect)}")
+    }
   }
 
   private lazy val vecs = {
@@ -89,16 +114,36 @@ class DedupSpec extends SparkSpec {
   }
 
   describe("embedding cosine near-dup") {
-    it("brute-force pairs above threshold") {
+    it("eps-grid pairs above threshold (exact, recall 1)") {
       val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.9)
         .select("i", "j").as[(Long, Long)].collect().toSet
       assert(pairs == Set((0L, 1L)))
     }
-    it("LSH-bucketed variant keeps the same near-dup pair") {
-      val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+    it("approximate sign-LSH variant keeps the same near-dup pair") {
+      val pairs = Dedup.approxCosinePairsLsh(vecs, "vec_id", "embedding",
         threshold = 0.9, lshBits = 4)
         .select("i", "j").as[(Long, Long)].collect().toSet
       assert(pairs == Set((0L, 1L))) // near-identical vectors share all sign buckets
+    }
+    it("eps-grid recall matches brute force on random vectors") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val many = Seq.tabulate(120)(i =>
+        (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      val grid = Dedup.embeddingCosinePairs(many, "vec_id", "embedding", threshold = 0.7)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      // brute-force oracle computed driver-side
+      val rows = many.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        d / (na * nb)
+      }
+      val brute = (for {
+        (i, va) <- rows; (j, vb) <- rows if i < j && cos(va, vb) >= 0.7
+      } yield (i, j)).toSet
+      assert(grid == brute, s"grid missed ${brute.diff(grid)}, extra ${grid.diff(brute)}")
     }
   }
 }

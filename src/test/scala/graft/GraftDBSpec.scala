@@ -68,7 +68,7 @@ class GraftDBSpec extends SparkSpec {
   }
 
   describe("update") {
-    it("merges tags/fields on matches only, returns match count") {
+    it("merges tags/fields on matches only, returns changed count") {
       val db = freshDb()
       val n = db.update(MeasurementQuery() === "therm",
         tags = Map("unit" -> "F"), fields = Map("temp" -> 0.0))
@@ -90,6 +90,33 @@ class GraftDBSpec extends SparkSpec {
       val db = freshDb()
       assert(db.updateAll(tags = Map("seen" -> "y")) == 3)
       assert(db.count(TagQuery("seen") === "y") == 3)
+    }
+    it("counts only points that actually changed (reference semantics)") {
+      val db = freshDb()
+      // therm temps are 70.0 and 68.0 — setting temp=70 changes only one
+      assert(db.update(MeasurementQuery() === "therm", fields = Map("temp" -> 70.0)) == 1)
+      // repeating it is a no-op
+      assert(db.update(MeasurementQuery() === "therm", fields = Map("temp" -> 70.0)) == 0)
+    }
+    it("update guarded by a time query applies ALL parts when rewriting time") {
+      // Regression: with sequential withColumn the predicate re-resolved
+      // against the already-updated time column, silently skipping the
+      // tag update for rows whose NEW time no longer matched.
+      val db = freshDb()
+      val n = db.update(TimeQuery() >= t("2024-01-02T00:00:00Z"),
+        time = Some(t("2020-01-01T00:00:00Z")), tags = Map("late" -> "y"))
+      assert(n == 2)
+      val moved = db.search(TagQuery("late") === "y")
+      assert(moved.size == 2 && moved.forall(_.time == t("2020-01-01T00:00:00Z")))
+    }
+    it("callable update transforms values as Column expressions") {
+      import org.apache.spark.sql.functions._
+      val db = freshDb()
+      val n = db.updateWith(MeasurementQuery() === "therm",
+        fields = Some(f => transform_values(f,
+          (k, v) => when(k === "temp", v * 2).otherwise(v))))
+      assert(n == 2)
+      assert(db.getFieldValues("temp").map(_.doubleValue).sorted == Seq(136.0, 140.0))
     }
   }
 
