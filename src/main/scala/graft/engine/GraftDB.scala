@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Point
-import graft.query.{Noop, Q, QueryCompiler}
+import graft.query.{IndexedLayout, Noop, Q, QueryCompiler}
 
 /** The engine facade — every core operator of the reference database
   * (SURVEY.md §2.1 ops 1-24; reference: tinyflux/database.py) expressed
@@ -27,7 +27,32 @@ final class GraftDB(val storage: Storage) {
 
   def df: DataFrame = storage.load()
 
-  private def cond(q: Q): Column = QueryCompiler.compile(q)
+  // reindex() state: a cached view with hot map keys columnarized, and
+  // the layout telling the compiler which flat columns to read.
+  private var indexedState: Option[(DataFrame, IndexedLayout)] = None
+
+  private def invalidateIndex(): Unit = {
+    indexedState.foreach(_._1.unpersist(false))
+    indexedState = None
+  }
+
+  /** Frame the read paths scan: the indexed cached view when present. */
+  private def qframe: DataFrame = indexedState.fold(df)(_._1)
+
+  private def cond(q: Q): Column =
+    QueryCompiler.compile(q, indexedState.fold(IndexedLayout.empty)(_._2))
+
+  // Mutation paths rewrite the RAW frame (no index columns), so their
+  // predicate must be compiled without the indexed layout.
+  private def rawCond(q: Q): Column = QueryCompiler.compile(q)
+
+  /** Filtered scan in canonical Point schema — the shared core of
+    * search/get/count/contains. Runs against the indexed view when one
+    * exists; the final select prunes the index columns away so map
+    * decode happens only for matched rows.
+    */
+  private[graft] def filterPlan(q: Q): DataFrame =
+    qframe.filter(cond(q)).select(Point.columns.map(col): _*)
 
   private def toPoint(r: Row): Point = Point(
     time = r.getAs[java.sql.Timestamp](Point.TimeCol).toInstant,
@@ -67,24 +92,24 @@ final class GraftDB(val storage: Storage) {
 
   /** op 4 `search` (database.py:740-828). */
   def searchDF(q: Q, sorted: Boolean = true): DataFrame = {
-    val filtered = df.filter(cond(q))
+    val filtered = filterPlan(q)
     if (sorted) filtered.orderBy(Point.TimeCol, Point.SeqCol) else filtered.orderBy(Point.SeqCol)
   }
 
   def search(q: Q, sorted: Boolean = true): Seq[Point] =
-    sortCollected(df.filter(cond(q)).collect().map(toPoint), sorted)
+    sortCollected(filterPlan(q).collect().map(toPoint), sorted)
 
   /** op 5 `get` (database.py:315-386): FIRST match in insertion order —
     * `_seq` ascending, limit 1 (Spark plans a stop-early TakeOrdered).
     */
   def get(q: Q): Option[Point] =
-    df.filter(cond(q)).orderBy(Point.SeqCol).limit(1).collect().headOption.map(toPoint)
+    filterPlan(q).orderBy(Point.SeqCol).limit(1).collect().headOption.map(toPoint)
 
   /** op 6 `contains` (database.py:209-251): early-exit existence test. */
-  def contains(q: Q): Boolean = !df.filter(cond(q)).isEmpty
+  def contains(q: Q): Boolean = !filterPlan(q).isEmpty
 
   /** op 7 `count` (database.py:253-291). */
-  def count(q: Q): Long = df.filter(cond(q)).count()
+  def count(q: Q): Long = filterPlan(q).count()
 
   /** op 8 `select` (database.py:830-974): project dotted keys
     * `time` / `measurement` / `tags.X` / `fields.Y`; a missing key
@@ -101,7 +126,7 @@ final class GraftDB(val storage: Storage) {
       case k => throw new IllegalArgumentException(
         s"invalid select key '$k' (want time|measurement|tags.X|fields.Y)")
     }
-    df.filter(cond(q)).orderBy(Point.SeqCol).select(cols: _*)
+    filterPlan(q).orderBy(Point.SeqCol).select(cols: _*)
   }
 
   // ---- write ops (ops 9-15) ----------------------------------------------
@@ -126,7 +151,7 @@ final class GraftDB(val storage: Storage) {
   /** Bulk ingest of an already-distributed batch (canonical schema sans
     * `_seq`) — the cluster-scale insert path.
     */
-  def insertDF(batch: DataFrame): Unit = storage.append(batch)
+  def insertDF(batch: DataFrame): Unit = { invalidateIndex(); storage.append(batch) }
 
   /** op 11/12 `update` / `update_all` (database.py:976-1062): rewrite
     * matching rows; tags/fields are merged (dict.update semantics),
@@ -161,10 +186,10 @@ final class GraftDB(val storage: Storage) {
       tags: Option[Column => Column] = None,
       fields: Option[Column => Column] = None
   ): Long = {
-    val c = cond(q)
+    val c = rawCond(q)
     val (updated, changedCond) = GraftDB.updatePlan(df, c, time, measurement, tags, fields)
     val changed = df.filter(coalesce(c, lit(false)) && changedCond).count()
-    if (changed > 0) storage.overwrite(updated)
+    if (changed > 0) { invalidateIndex(); storage.overwrite(updated) }
     changed
   }
 
@@ -197,20 +222,20 @@ final class GraftDB(val storage: Storage) {
 
   /** op 13 `remove` (database.py:707-725): anti-filter rewrite. */
   def remove(q: Q): Long = {
-    val c = cond(q)
+    val c = rawCond(q)
     val removed = df.filter(c).count()
-    if (removed > 0) storage.overwrite(df.filter(!c))
+    if (removed > 0) { invalidateIndex(); storage.overwrite(df.filter(!c)) }
     removed
   }
 
   /** op 14 `remove_all` (database.py:727-738). */
-  def removeAll(): Unit = storage.overwrite(df.limit(0))
+  def removeAll(): Unit = { invalidateIndex(); storage.overwrite(df.limit(0)) }
 
   /** op 15 `drop_measurement` (database.py:293-313). */
   def dropMeasurement(name: String): Long = {
     val c = col(Point.MeasurementCol) === name
     val removed = df.filter(c).count()
-    if (removed > 0) storage.overwrite(df.filter(!c))
+    if (removed > 0) { invalidateIndex(); storage.overwrite(df.filter(!c)) }
     removed
   }
 
@@ -282,11 +307,43 @@ final class GraftDB(val storage: Storage) {
   /** op 22 `measurement` (database.py:658-685): named table view. */
   def measurement(name: String): Measurement = new Measurement(this, name)
 
-  /** op 23 `reindex` (database.py:687-705): the engine has no mutable
-    * index — Parquet stats and partition pruning are rebuilt with every
-    * write. Kept as an explicit cache hint for the memory-style backend.
+  /** op 23 `reindex` (database.py:687-705): build the engine's index —
+    * a cached view with every tag/field key columnarized into flat
+    * value/presence columns (slot-numbered to dodge key-name escaping).
+    * Predicates then scan pruned atomic columns with cached-batch
+    * min/max stats instead of decoding MapType per row — the columnar
+    * analogue of the reference's inverted index. Parquet-tier pruning
+    * (partitioning + row-group stats) is unaffected and needs no index;
+    * this accelerates the hot cached working set. Any write invalidates
+    * it, mirroring the reference's index invalidation
+    * (database.py:1280-1289).
     */
-  def reindex(): Unit = { df.cache(); df.count(); () }
+  def reindex(): Unit = {
+    invalidateIndex()
+    val tagKeys = getTagKeys()
+    val fieldKeys = getFieldKeys()
+    val cols = Point.columns.map(col) ++
+      tagKeys.zipWithIndex.flatMap { case (k, i) => Seq(
+        element_at(col(Point.TagsCol), k).as(s"__tv_$i"),
+        map_contains_key(col(Point.TagsCol), k).as(s"__tp_$i")) } ++
+      fieldKeys.zipWithIndex.flatMap { case (k, i) => Seq(
+        element_at(col(Point.FieldsCol), k).as(s"__fv_$i"),
+        map_contains_key(col(Point.FieldsCol), k).as(s"__fp_$i")) }
+    // Time-sorted layout: cached-batch min/max stats on `time` then
+    // prune range queries to the few batches that overlap — the columnar
+    // analogue of the reference's sorted-timestamp index binary search
+    // (index.py:719-821; its reindex also re-sorts the full store).
+    // Partition count follows the source so per-task scheduling overhead
+    // doesn't grow with shuffle.partitions on sub-second point queries.
+    val nParts = math.max(1, df.rdd.getNumPartitions)
+    val idf = df.select(cols: _*)
+      .repartitionByRange(nParts, col(Point.TimeCol))
+      .sortWithinPartitions(Point.TimeCol)
+      .cache()
+    idf.count()
+    indexedState = Some((idf,
+      IndexedLayout(tagKeys.zipWithIndex.toMap, fieldKeys.zipWithIndex.toMap)))
+  }
 }
 
 object GraftDB {

@@ -60,10 +60,17 @@ trait Storage {
       lit(nextGen() << Storage.GenShift) + monotonically_increasing_id())
 
   protected def currentMaxSeq(): Long = {
+    if (knownEmpty) return -1L
     val df = load()
     if (df.isEmpty) -1L
     else df.agg(max(Point.SeqCol)).head.getLong(0)
   }
+
+  /** Backends that can tell "no data has ever been written" without
+    * running a Spark job override this so the first append on a fresh
+    * store skips the max(_seq) seeding scan entirely.
+    */
+  protected def knownEmpty: Boolean = false
 }
 
 object Storage {
@@ -72,34 +79,48 @@ object Storage {
 }
 
 /** In-memory backend (reference: MemoryStorage, storages.py:436-558).
-  * State is a DataFrame; appends are LAZY plan unions (no job per
-  * append — the reference's list-append analogue), with a
-  * lineage-truncating `localCheckpoint` every
-  * [[MemoryStorage.CheckpointEvery]] appends so long insert sequences
-  * don't grow the plan unboundedly.
+  * `append` is a true O(1) buffer push — the exact analogue of the
+  * reference's list append: the seq-stamped batch plan goes into a
+  * pending list and the union plan is only assembled at the next
+  * `load()`. Every [[MemoryStorage.CheckpointEvery]] folded batches the
+  * state takes a lineage-truncating `localCheckpoint` so long insert
+  * sequences don't grow the plan unboundedly.
   */
 final class MemoryStorage(val spark: SparkSession, initial: Option[DataFrame] = None) extends Storage {
   private var state: DataFrame =
     initial.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema))
-  private var appendsSinceCheckpoint = 0
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private var foldsSinceCheckpoint = 0
+  private var neverWritten = initial.isEmpty
 
-  override def load(): DataFrame = state
+  override protected def knownEmpty: Boolean = neverWritten
+
+  override def load(): DataFrame = synchronized {
+    if (pending.nonEmpty) {
+      state = pending.foldLeft(state)(_ unionByName _)
+      foldsSinceCheckpoint += pending.size
+      pending.clear()
+      if (foldsSinceCheckpoint >= MemoryStorage.CheckpointEvery) {
+        state = state.localCheckpoint(eager = false)
+        foldsSinceCheckpoint = 0
+      }
+    }
+    state
+  }
 
   override def append(batch: DataFrame): Unit = synchronized {
-    state = state.unionByName(withSeq(batch))
-    appendsSinceCheckpoint += 1
-    if (appendsSinceCheckpoint >= MemoryStorage.CheckpointEvery) {
-      state = state.localCheckpoint(eager = false)
-      appendsSinceCheckpoint = 0
-    }
+    pending += withSeq(batch)
+    neverWritten = false
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
     // Eager: `full` may read from the current state, which is about to
     // be replaced — materialize before the reassignment.
     state = full.select(Point.columns.map(col): _*).localCheckpoint(eager = true)
-    appendsSinceCheckpoint = 0
+    pending.clear()
+    neverWritten = false
+    foldsSinceCheckpoint = 0
     resetGen()
   }
 }
@@ -141,6 +162,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   recover()
 
   private def exists(p: String): Boolean = fs.exists(new Path(p))
+
+  // A fresh directory needs no max(_seq) seeding scan.
+  override protected def knownEmpty: Boolean = !exists(dataPath) && !exists(deltaPath)
 
   /** Crash recovery: if the primary is missing but backups exist, the
     * previous overwrite died mid-swap — restore the backups. If the
@@ -185,7 +209,11 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   override def append(batch: DataFrame): Unit = synchronized {
     withSeq(batch)
       .sortWithinPartitions(Point.TimeCol)
-      .write.mode(SaveMode.Append).parquet(deltaPath)
+      // Delta tier optimizes append latency: snappy encodes ~3× faster
+      // than Spark 4's zstd default; compaction rewrites with the
+      // read-optimized default codec.
+      .write.option("compression", "snappy")
+      .mode(SaveMode.Append).parquet(deltaPath)
   }
 
   /** Fold the delta tier into the partitioned main store. Run after

@@ -61,9 +61,12 @@ object CorpusQueries {
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
         .select("i", "j", "hamming").orderBy("i", "j")),
 
+    // r=3 rows × 21 bands: candidate recall at j=0.5 is 1-(1-0.5^3)^21
+    // = 0.94 (vs 0.87 for the old 128-hash/32-band point) at half the
+    // signature cost.
     "q57_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.5)
         .select("i", "j").orderBy("i", "j")),
 
     "q58_embedding_near_dup" -> ((s, dir) =>

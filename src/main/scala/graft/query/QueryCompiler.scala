@@ -26,16 +26,30 @@ import graft.model.Point
 object QueryCompiler {
 
   /** Compile to a non-null boolean Column (never null for any row). */
-  def compile(q: Q): Column = q match {
+  def compile(q: Q): Column = compile(q, IndexedLayout.empty)
+
+  /** Layout-aware compile: leaves over keys that [[IndexedLayout]] has
+    * columnarized read the flat value/presence columns instead of map
+    * lookups — same semantics, but the scan touches only the pruned
+    * atomic columns (the cached-plan analogue of the reference's
+    * inverted index, index.py:506-580).
+    */
+  def compile(q: Q, layout: IndexedLayout): Column = q match {
     case Noop      => lit(true)
-    case And(l, r) => compile(l) && compile(r)
-    case Or(l, r)  => compile(l) || compile(r)
-    case Not(i)    => !compile(i)
-    case leaf      => coalesce(leafCol(leaf), lit(false))
+    case And(l, r) => compile(l, layout) && compile(r, layout)
+    case Or(l, r)  => compile(l, layout) || compile(r, layout)
+    case Not(i)    => !compile(i, layout)
+    case leaf      => coalesce(leafCol(leaf, layout), lit(false))
   }
 
-  private def tagVal(key: String): Column = element_at(col(Point.TagsCol), key)
-  private def fieldVal(key: String): Column = element_at(col(Point.FieldsCol), key)
+  private def tagVal(key: String)(implicit layout: IndexedLayout): Column =
+    layout.tagValue(key).getOrElse(element_at(col(Point.TagsCol), key))
+  private def fieldVal(key: String)(implicit layout: IndexedLayout): Column =
+    layout.fieldValue(key).getOrElse(element_at(col(Point.FieldsCol), key))
+  private def tagHas(key: String)(implicit layout: IndexedLayout): Column =
+    layout.tagPresent(key).getOrElse(map_contains_key(col(Point.TagsCol), key))
+  private def fieldHas(key: String)(implicit layout: IndexedLayout): Column =
+    layout.fieldPresent(key).getOrElse(map_contains_key(col(Point.FieldsCol), key))
 
   private def cmp(c: Column, op: CmpOp, rhs: Column): Column = op match {
     case CmpOp.Eq => c === rhs
@@ -51,8 +65,8 @@ object QueryCompiler {
     * `!(v <=> rhs)` is exactly that: null-safe-equal is false for null
     * vs literal, negated → true.
     */
-  private def neOnMap(mapCol: Column, key: String, value: Column, rhs: Column): Column =
-    map_contains_key(mapCol, key) && !(value <=> rhs)
+  private def neOnMap(present: Column, value: Column, rhs: Column): Column =
+    present && !(value <=> rhs)
 
   /** Python-`re.match` anchors at the start only; `re.search` is
     * substring. Java `rlike` is substring, so `matches` compiles to a
@@ -61,54 +75,72 @@ object QueryCompiler {
   private def regex(c: Column, rx: String, anchored: Boolean): Column =
     if (anchored) c.rlike("^(?:" + rx + ")") else c.rlike(rx)
 
-  private def leafCol(q: Q): Column = q match {
-    case TimeCmp(op, rhs) =>
-      cmp(col(Point.TimeCol), op, lit(Timestamp.from(rhs)))
+  private def leafCol(q: Q, l: IndexedLayout): Column = {
+    implicit val layout: IndexedLayout = l
+    q match {
+      case TimeCmp(op, rhs) =>
+        cmp(col(Point.TimeCol), op, lit(Timestamp.from(rhs)))
 
-    case MeasurementCmp(op, rhs) =>
-      cmp(col(Point.MeasurementCol), op, lit(rhs))
+      case MeasurementCmp(op, rhs) =>
+        cmp(col(Point.MeasurementCol), op, lit(rhs))
 
-    case MeasurementRegex(rx, anchored) =>
-      regex(col(Point.MeasurementCol), rx, anchored)
+      case MeasurementRegex(rx, anchored) =>
+        regex(col(Point.MeasurementCol), rx, anchored)
 
-    case TagCmp(key, CmpOp.Ne, rhs) =>
-      neOnMap(col(Point.TagsCol), key, tagVal(key), lit(rhs))
+      case TagCmp(key, CmpOp.Ne, rhs) =>
+        neOnMap(tagHas(key), tagVal(key), lit(rhs))
 
-    case TagCmp(key, op, rhs) =>
-      cmp(tagVal(key), op, lit(rhs))
+      case TagCmp(key, op, rhs) =>
+        cmp(tagVal(key), op, lit(rhs))
 
-    case TagExists(key) =>
-      // key-presence, NOT non-nullness: a tag may be present with a
-      // null value (point.py:49-50).
-      map_contains_key(col(Point.TagsCol), key)
+      case TagExists(key) =>
+        // key-presence, NOT non-nullness: a tag may be present with a
+        // null value (point.py:49-50).
+        tagHas(key)
 
-    case TagRegex(key, rx, anchored) =>
-      regex(tagVal(key), rx, anchored)
+      case TagRegex(key, rx, anchored) =>
+        regex(tagVal(key), rx, anchored)
 
-    case TagTest(key, f) =>
-      val u = udf((v: String) => try f(v) catch { case _: Exception => false })
-      map_contains_key(col(Point.TagsCol), key) && u(tagVal(key))
+      case TagTest(key, f) =>
+        val u = udf((v: String) => try f(v) catch { case _: Exception => false })
+        tagHas(key) && u(tagVal(key))
 
-    case FieldCmp(key, CmpOp.Ne, rhs) =>
-      neOnMap(col(Point.FieldsCol), key, fieldVal(key), lit(rhs))
+      case FieldCmp(key, CmpOp.Ne, rhs) =>
+        neOnMap(fieldHas(key), fieldVal(key), lit(rhs))
 
-    case FieldCmp(key, op, rhs) =>
-      cmp(fieldVal(key), op, lit(rhs))
+      case FieldCmp(key, op, rhs) =>
+        cmp(fieldVal(key), op, lit(rhs))
 
-    case FieldExists(key) =>
-      map_contains_key(col(Point.FieldsCol), key)
+      case FieldExists(key) =>
+        fieldHas(key)
 
-    case FieldTest(key, f) =>
-      // exception inside the user predicate → False, matching the
-      // reference's try/except evaluation (queries.py:243-250).
-      val u = udf((v: java.lang.Double) => try f(v) catch { case _: Exception => false })
-      map_contains_key(col(Point.FieldsCol), key) && u(fieldVal(key))
+      case FieldTest(key, f) =>
+        // exception inside the user predicate → False, matching the
+        // reference's try/except evaluation (queries.py:243-250).
+        val u = udf((v: java.lang.Double) => try f(v) catch { case _: Exception => false })
+        fieldHas(key) && u(fieldVal(key))
 
-    case FieldMapCmp(key, f, op, rhs) =>
-      val u = udf((v: Double) => f(v))
-      cmp(u(fieldVal(key)), op, lit(rhs))
+      case FieldMapCmp(key, f, op, rhs) =>
+        val u = udf((v: Double) => f(v))
+        cmp(u(fieldVal(key)), op, lit(rhs))
 
-    case Noop | And(_, _) | Or(_, _) | Not(_) =>
-      throw new IllegalStateException(s"not a leaf: $q")
+      case Noop | And(_, _) | Or(_, _) | Not(_) =>
+        throw new IllegalStateException(s"not a leaf: $q")
+    }
   }
+}
+
+/** Which tag/field keys have been columnarized by `GraftDB.reindex()`
+  * into flat value/presence columns (slot-numbered to dodge key-name
+  * escaping), and the column-name scheme for them.
+  */
+final case class IndexedLayout(tagSlots: Map[String, Int], fieldSlots: Map[String, Int]) {
+  def tagValue(key: String): Option[Column] = tagSlots.get(key).map(i => col(s"__tv_$i"))
+  def tagPresent(key: String): Option[Column] = tagSlots.get(key).map(i => col(s"__tp_$i"))
+  def fieldValue(key: String): Option[Column] = fieldSlots.get(key).map(i => col(s"__fv_$i"))
+  def fieldPresent(key: String): Option[Column] = fieldSlots.get(key).map(i => col(s"__fp_$i"))
+}
+
+object IndexedLayout {
+  val empty: IndexedLayout = IndexedLayout(Map.empty, Map.empty)
 }

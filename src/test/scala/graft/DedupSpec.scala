@@ -114,8 +114,13 @@ class DedupSpec extends SparkSpec {
   }
 
   describe("embedding cosine near-dup") {
-    it("eps-grid pairs above threshold (exact, recall 1)") {
+    it("dense-kernel pairs above threshold (exact)") {
       val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.9)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((0L, 1L)))
+    }
+    it("eps-grid pairs above threshold (exact, recall 1)") {
+      val pairs = Dedup.epsGridCosinePairs(vecs, "vec_id", "embedding", threshold = 0.9)
         .select("i", "j").as[(Long, Long)].collect().toSet
       assert(pairs == Set((0L, 1L)))
     }
@@ -130,7 +135,7 @@ class DedupSpec extends SparkSpec {
       val rnd = new scala.util.Random(7)
       val many = Seq.tabulate(120)(i =>
         (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
-      val grid = Dedup.embeddingCosinePairs(many, "vec_id", "embedding", threshold = 0.7)
+      val grid = Dedup.epsGridCosinePairs(many, "vec_id", "embedding", threshold = 0.7)
         .select("i", "j").as[(Long, Long)].collect().toSet
       // brute-force oracle computed driver-side
       val rows = many.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -144,6 +149,9 @@ class DedupSpec extends SparkSpec {
         (i, va) <- rows; (j, vb) <- rows if i < j && cos(va, vb) >= 0.7
       } yield (i, j)).toSet
       assert(grid == brute, s"grid missed ${brute.diff(grid)}, extra ${grid.diff(brute)}")
+      val kernel = Dedup.embeddingCosinePairs(many, "vec_id", "embedding", threshold = 0.7)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(kernel == brute, s"kernel missed ${brute.diff(kernel)}, extra ${kernel.diff(brute)}")
     }
   }
 }

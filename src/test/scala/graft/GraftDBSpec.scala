@@ -67,6 +67,41 @@ class GraftDBSpec extends SparkSpec {
     }
   }
 
+  describe("reindex (columnarized query view)") {
+    it("preserves full query semantics through the indexed layout") {
+      val db = freshDb()
+      db.insert(Point(t("2024-01-05T00:00:00Z"), "therm",
+        Map("room" -> null), Map("temp" -> null))) // present-but-null values
+      def snapshot() = Seq(
+        db.search(TagQuery("room") === "bed").map(_._seq),
+        db.search(TagQuery("room") =!= "bed").map(_._seq),   // present-null => true
+        db.search(~(TagQuery("room") === "bed")).map(_._seq), // missing-key => true
+        db.search(TagQuery("room").exists()).map(_._seq),
+        db.search(FieldQuery("temp").exists()).map(_._seq),
+        db.search(FieldQuery("temp") >= 69.0).map(_._seq),
+        db.search((FieldQuery("temp") >= 60.0) & (TagQuery("room") === "kitchen")).map(_._seq),
+        db.search(TagQuery("room").matches("b.")).map(_._seq),
+        Seq(db.count(MeasurementQuery() === "therm")),
+        db.get(TagQuery("host") === "a").map(_._seq).toSeq)
+      val before = snapshot()
+      db.reindex()
+      assert(snapshot() == before)
+    }
+    it("is invalidated by writes (results stay correct after update/insert)") {
+      val db = freshDb()
+      db.reindex()
+      assert(db.count(TagQuery("room") === "attic") == 0)
+      db.insert(Point(t("2024-01-06T00:00:00Z"), "therm",
+        Map("room" -> "attic"), Map("temp" -> 50.0)))
+      assert(db.count(TagQuery("room") === "attic") == 1)
+      db.reindex()
+      assert(db.update(TagQuery("room") === "attic", fields = Map("temp" -> 55.0)) == 1)
+      assert(db.count(FieldQuery("temp") === 55.0) == 1)
+      assert(db.remove(TagQuery("room") === "attic") == 1)
+      assert(db.count(TagQuery("room") === "attic") == 0)
+    }
+  }
+
   describe("update") {
     it("merges tags/fields on matches only, returns changed count") {
       val db = freshDb()
