@@ -13,10 +13,10 @@ import graft.sources.Tables
   * engines produce bit-identical doubles. Cosine thresholds (0.45) and
   * ANN cut-offs were empirically gap-checked at sf0.01 AND sf0.1
   * (nearest pair ≥1e-4 away) so cross-engine float noise (~1e-13)
-  * cannot flip membership. MinHash/SimHash/fingerprint use engine
-  * hashing (xxhash64) that DuckDB cannot replicate → declared without
-  * oracle SQL (driver rows-only check) and verified in ScalaTest
-  * against exact ground truth instead.
+  * cannot flip membership. MinHash/SimHash/winnowing hash with
+  * md5-derived integers, so the DuckDB oracle recomputes signatures
+  * bit-for-bit — including the LSH banding, so candidate-generation
+  * recall is part of what the oracle checks.
   */
 object CorpusQueries {
 
@@ -51,14 +51,15 @@ object CorpusQueries {
         .withColumn("lang_score", col("lang_score").cast("long"))
         .orderBy("doc_id")),
 
-    // xxhash64-based ops: rows-only oracle (engine-specific hashing),
-    // correctness pinned by ScalaTest against exact ground truth.
     "q55_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
+        .orderBy("doc_id", "fp")),
 
+    // maxHamming=3 -> the classic 4-band scheme with recall 1 by
+    // construction; the oracle computes ALL pairs at hamming <= 3, so a
+    // banding recall hole would surface as a hash mismatch.
     "q56_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .select("i", "j", "hamming").orderBy("i", "j")),
 
     // r=3 rows × 21 bands: candidate recall at j=0.5 is 1-(1-0.5^3)^21
@@ -119,6 +120,40 @@ object CorpusQueries {
          |  CAST(score AS BIGINT) AS lang_score
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+    "q55_fingerprint" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]
+        |  ELSE list_transform(range(0, length(w) - 3), i -> md5(array_to_string(w[i+1:i+4], ' '))) END AS grams FROM t),
+        |wins AS (SELECT doc_id, CASE WHEN length(grams) < 3 THEN [list_min(grams)]
+        |  ELSE list_transform(range(0, length(grams) - 2), j -> list_min(grams[j+1:j+3])) END AS sel FROM g)
+        |SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp FROM wins
+        |ORDER BY doc_id, fp""".stripMargin,
+    "q56_simhash_pairs" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok FROM documents),
+        |hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |  sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, b//4 + 1, 1)) - 1) >> (3 - b%4)) & 1 = 1
+        |      THEN 1 ELSE -1 END) > 0 AS s
+        |  FROM hx, (SELECT unnest(range(0, 64)) AS b) bb GROUP BY doc_id, b),
+        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, hamming FROM pair WHERE hamming <= 3 ORDER BY i, j""".stripMargin,
+    "q57_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(w) < 3 THEN []
+        |  ELSE list_transform(range(0, length(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')) END) AS tok FROM t),
+        |hs AS (SELECT doc_id,
+        |  CAST('0x' || substring(md5('A:' || tok), 1, 15) AS BIGINT) AS h1,
+        |  CAST('0x' || substring(md5('B:' || tok), 1, 15) AS BIGINT) % 140737488355328 AS h2 FROM sh),
+        |sig AS (SELECT doc_id, i, min(h1 + i * h2) AS v
+        |  FROM hs, (SELECT unnest(range(0, 63)) AS i) ii GROUP BY doc_id, i),
+        |pos AS (SELECT a.doc_id AS i, a.i // 3 AS band, b.doc_id AS j, (a.v = b.v) AS eq
+        |  FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id),
+        |byband AS (SELECT i, j, band, bool_and(eq) AS bandhit,
+        |  sum(CASE WHEN eq THEN 1 ELSE 0 END) AS neq FROM pos GROUP BY 1, 2, 3),
+        |agg AS (SELECT i, j, bool_or(bandhit) AS cand, sum(neq) / 63.0 AS est FROM byband GROUP BY 1, 2)
+        |SELECT i, j FROM agg WHERE cand AND est >= 0.5 ORDER BY i, j""".stripMargin,
     "q58_embedding_near_dup" ->
       """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
