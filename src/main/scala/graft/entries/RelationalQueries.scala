@@ -124,6 +124,25 @@ object RelationalQueries {
         .select(unix_micros(col("win.start")).as("day_us"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("day_us", "event_type")),
 
+    // q40 executed through the STREAMING engine: file stream source →
+    // micro-batch planner → windowed agg → memory sink (Complete mode
+    // so every window emits on the finite stream). Same oracle as q40.
+    "q45_stream_tumbling" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val agg = StreamingIngest.tumblingAgg(
+        StreamingIngest.eventsStream(s, dir), "time",
+        windowLen = "1 day", lateness = "1 hour",
+        groupCols = Seq("event_type"),
+        aggs = Seq(
+          "count(1)" -> "n",
+          "cast(sum(cast(value as decimal(18,2))) as double)" -> "sum_value"))
+      StreamingIngest.runToTable(agg, "q45_sink", OutputMode.Complete())
+        .select(unix_micros(col("win.start")).as("day_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("day_us", "event_type")
+    }),
+
     // as-of join: each purchase ← user's most recent signup at-or-before
     "q41_asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -224,6 +243,10 @@ object RelationalQueries {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q40_window_tumbling" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    "q45_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.engine.GraftDB
+import graft.model.Point
+import graft.query._
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming ingest + watermark semantics: MemoryStream →
+  * checkpointed foreachBatch append into GraftDB, out-of-order
+  * acceptance, late-data drop under a watermark, and dedup within the
+  * watermark horizon.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // (time, measurement, room, temp) -> canonical Point columns (no _seq)
+  private def canonical(rows: org.apache.spark.sql.DataFrame) =
+    rows.select(
+      col("time"),
+      col("m").as(Point.MeasurementCol),
+      map(lit("room"), col("room")).as(Point.TagsCol),
+      map(lit("temp"), col("temp")).as(Point.FieldsCol))
+
+  describe("streaming ingest into GraftDB") {
+    it("appends micro-batches via foreachBatch, accepting out-of-order times") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val db = GraftDB.inMemory(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graftckpt").toString
+      val q = StreamingIngest.start(
+        canonical(mem.toDF().toDF("time", "m", "room", "temp")), db, ckpt,
+        lateness = "1 hour")
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 70.0),
+          (ts("2024-01-01 11:00:00"), "therm", "bed", 71.0))
+        q.processAllAvailable()
+        // out-of-order batch: earlier event time after later ones
+        mem.addData((ts("2024-01-01 09:00:00"), "therm", "kitchen", 68.0))
+        q.processAllAvailable()
+        assert(db.length == 3)
+        // accepted and queryable; time order independent of arrival order
+        assert(db.all().map(_.time.toString).head == "2024-01-01T09:00:00Z")
+        // insertion (arrival) order preserved by _seq generations
+        assert(db.all(sorted = false).map(_.tags("room")) == Seq("bed", "bed", "kitchen"))
+        assert(db.count(FieldQuery("temp") >= 70.0) == 2)
+      } finally q.stop()
+    }
+
+    it("dedupKeys drops duplicate arrivals within the watermark") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val db = GraftDB.inMemory(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graftckpt").toString
+      val q = StreamingIngest.start(
+        canonical(mem.toDF().toDF("time", "m", "room", "temp")), db, ckpt,
+        lateness = "1 hour", dedupKeys = Seq(Point.TimeCol, Point.MeasurementCol))
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 70.0),
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 70.0)) // in-batch dup
+        q.processAllAvailable()
+        mem.addData((ts("2024-01-01 10:00:00"), "therm", "bed", 70.0)) // redelivery
+        q.processAllAvailable()
+        assert(db.length == 1)
+      } finally q.stop()
+    }
+  }
+
+  describe("watermarked tumbling aggregation (append mode)") {
+    it("emits a window when the watermark passes it and drops later-than-horizon events") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val agg = StreamingIngest.tumblingAgg(
+        mem.toDF().toDF("time", "m", "room", "temp"),
+        "time", windowLen = "1 hour", lateness = "30 minutes",
+        groupCols = Seq("m"), aggs = Seq("count(1)" -> "n", "sum(temp)" -> "sum_temp"))
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("wm_sink").start()
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:10:00"), "therm", "bed", 70.0),
+          (ts("2024-01-01 10:20:00"), "therm", "bed", 72.0))
+        q.processAllAvailable()
+        // watermark = max(10:20) - 30m = 09:50 -> 10:00 window still open
+        assert(spark.table("wm_sink").count() == 0)
+        // advance event time past 11:30 -> watermark 11:05 closes the 10:00 window
+        mem.addData((ts("2024-01-01 11:35:00"), "therm", "bed", 69.0))
+        q.processAllAvailable()
+        val closed = spark.table("wm_sink")
+          .select(col("win.start").cast("string"), col("n"), col("sum_temp"))
+          .as[(String, Long, Double)].collect().map { case (k, n, s) => (k, (n, s)) }.toMap
+        assert(closed == Map("2024-01-01 10:00:00" -> ((2L, 142.0))))
+        // a LATE event for the closed window (behind the watermark) is dropped
+        mem.addData((ts("2024-01-01 10:25:00"), "therm", "bed", 100.0))
+        q.processAllAvailable()
+        mem.addData((ts("2024-01-01 13:00:00"), "therm", "bed", 65.0)) // close 11:00 window
+        q.processAllAvailable()
+        val after = spark.table("wm_sink")
+          .select(col("win.start").cast("string"), col("n"), col("sum_temp"))
+          .as[(String, Long, Double)].collect().map { case (k, n, s) => (k, (n, s)) }.toMap
+        // 10:00 window unchanged (late event dropped); 11:00 window emitted with only 11:35
+        assert(after("2024-01-01 10:00:00") == ((2L, 142.0)))
+        assert(after("2024-01-01 11:00:00") == ((1L, 69.0)))
+      } finally q.stop()
+    }
+  }
+}
