@@ -405,6 +405,12 @@ object GraftDB {
   def fromDataFrame(df: DataFrame): GraftDB =
     new GraftDB(new MemoryStorage(df.sparkSession, Some(df)))
 
+  /** Database on a reference-format CSV file (drop-in migration: open
+    * an existing tinyflux data file directly).
+    */
+  def atCsv(spark: SparkSession, path: String, compactPrefixes: Boolean = false): GraftDB =
+    new GraftDB(new CsvStorage(spark, path, compactPrefixes))
+
   /** Parquet-backed persistent database (reference CSVStorage). */
   def atPath(spark: SparkSession, root: String, partitioned: Boolean = true): GraftDB =
     new GraftDB(new ParquetStorage(spark, root, partitioned))

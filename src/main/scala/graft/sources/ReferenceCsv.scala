@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.model.Point
+
+/** Bidirectional serde for the reference's on-disk CSV row format
+  * (point.py:307-367 serialize, point.py:236-305 deserialize;
+  * storages.py:170-433), so existing reference data files load into
+  * this engine and exported data loads back into the reference.
+  *
+  * Row shape: `iso-naive-utc-time, measurement, (tagKey, tagVal)*,
+  * (fieldKey, fieldVal)*` where
+  *   - tag keys carry prefix `_tag_` (default) or `t_` (compact), field
+  *     keys `_field_` / `f_` (point.py:104-107); classification follows
+  *     the reference's exact rule — second char 't' → default tag
+  *     prefix, leading 't' → compact tag, second char 'f' → default
+  *     field, else compact field (point.py:257-278);
+  *   - `_none` encodes None for time/measurement/values (point.py:99);
+  *   - field values are written `str(float(v))` and read back as int
+  *     (digit-only), float, or None (point.py:279-300);
+  *   - times are naive-UTC `datetime.isoformat()` — microseconds
+  *     printed only when non-zero (point.py:320-325).
+  *
+  * Parsing is pure Catalyst: Spark's CSV reader handles quoting, then
+  * higher-order functions assemble the kv pairs into the tag/field
+  * maps — no UDFs, fully codegen'd, scales to any number of files.
+  */
+object ReferenceCsv {
+
+  private val NoneStr = "_none"
+
+  /** Max kv columns read per row (2 keys+values per tag/field). Rows in
+    * reference files are as wide as their widest point; raise if yours
+    * exceeds 64 tags+fields.
+    */
+  val DefaultMaxPairs = 64
+
+  /** Read reference-format CSV file(s) into the canonical Point schema.
+    * `_seq` is assigned in file order (the reference's insertion order).
+    */
+  def read(spark: SparkSession, path: String, maxPairs: Int = DefaultMaxPairs): DataFrame = {
+    val width = 2 + 2 * maxPairs
+    val schema = StructType((0 until width).map(i => StructField(s"c$i", StringType)))
+    val raw = spark.read
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      // python's csv module escapes quotes by doubling them
+      .option("escape", "\"")
+      // empty cells are real values (empty tag strings); only columns
+      // ABSENT from a row (schema padding) may be null
+      .option("nullValue", "")
+      .schema(schema)
+      .csv(path)
+
+    // kv cells as one array; schema-padding nulls and genuine empty
+    // cells both normalize to "" — pairs are then kept by non-empty KEY
+    // (keys are always prefixed, so "" is never a real key), which
+    // preserves genuinely-empty VALUES
+    val cells = array((2 until width).map(i => coalesce(col(s"c$i"), lit(""))): _*)
+    val pairs = filter(
+      transform(sequence(lit(0), lit(maxPairs - 1)),
+        i => struct(element_at(cells, i * 2 + 1).as("k"), element_at(cells, i * 2 + 2).as("v"))),
+      p => p.getField("k") =!= "")
+
+    def second(c: Column): Column = substring(c, 2, 1)
+    // reference order: second char 't' → default tag prefix; else
+    // leading 't' → compact tag; else it's a field (point.py:257-264)
+    val isTag = (e: Column) => second(e.getField("k")) === "t" ||
+      substring(e.getField("k"), 1, 1) === "t"
+
+    val tagEntries = transform(filter(pairs, isTag), e => {
+      val k = e.getField("k")
+      val v = e.getField("v")
+      struct(
+        when(second(k) === "t", substring(k, 6, Int.MaxValue))   // "_tag_"
+          .otherwise(substring(k, 3, Int.MaxValue)).as("k"),      // "t_"
+        when(v === NoneStr, lit(null).cast("string")).otherwise(v).as("v"))
+    })
+    val fieldEntries = transform(filter(pairs, e => !isTag(e)), e => {
+      val k = e.getField("k")
+      val v = e.getField("v")
+      struct(
+        when(second(k) === "f", substring(k, 8, Int.MaxValue))   // "_field_"
+          .otherwise(substring(k, 3, Int.MaxValue)).as("k"),      // "f_"
+        // int-or-float both land in double; unparseable → null, like
+        // the reference's try/except (point.py:293-297). Guarded cast:
+        // ANSI mode would otherwise throw on malformed input.
+        when(v.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"), v.cast("double"))
+          .otherwise(lit(null).cast("double")).as("v"))
+    })
+
+    raw.select(
+      to_timestamp(col("c0")).as(Point.TimeCol),
+      when(col("c1") === NoneStr, lit(null).cast("string"))
+        .otherwise(col("c1")).as(Point.MeasurementCol),
+      map_from_entries(tagEntries).as(Point.TagsCol),
+      map_from_entries(fieldEntries).as(Point.FieldsCol),
+      monotonically_increasing_id().as(Point.SeqCol))
+  }
+
+  /** Canonical-schema DataFrame → reference-format CSV lines (one
+    * string column `line`), QUOTE_MINIMAL-escaped like python's csv
+    * module. Write with `.write.text(dir)` for the distributed path, or
+    * [[writeFile]] for a single reference-readable file.
+    *
+    * Float values are encoded with Java's shortest-round-trip `Double`
+    * repr; python reads either notation back to the identical double.
+    */
+  def toLines(points: DataFrame, compactPrefixes: Boolean = false): DataFrame = {
+    val tagPrefix = if (compactPrefixes) "t_" else "_tag_"
+    val fieldPrefix = if (compactPrefixes) "f_" else "_field_"
+
+    // python csv QUOTE_MINIMAL: quote only when the cell contains
+    // delimiter/quote/newline; embedded quotes are doubled.
+    def q(c: Column): Column =
+      when(c.rlike("[\",\r\n]"),
+        concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+        .otherwise(c)
+
+    // naive-UTC isoformat, micros only when non-zero
+    val micros = expr(s"unix_micros(${Point.TimeCol}) % 1000000")
+    val timeStr = when(col(Point.TimeCol).isNull, lit(NoneStr))
+      .otherwise(when(micros === 0, date_format(col(Point.TimeCol), "yyyy-MM-dd'T'HH:mm:ss"))
+        .otherwise(date_format(col(Point.TimeCol), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+
+    val measurementStr = coalesce(col(Point.MeasurementCol), lit(NoneStr))
+
+    def kvCells(mapCol: String, prefix: String, fmt: Column => Column): Column =
+      flatten(transform(map_entries(col(mapCol)), e => array(
+        q(concat(lit(prefix), e.getField("key"))),
+        q(coalesce(fmt(e.getField("value")), lit(NoneStr))))))
+
+    val cells = concat(
+      array(q(timeStr), q(measurementStr)),
+      kvCells(Point.TagsCol, tagPrefix, v => v),
+      kvCells(Point.FieldsCol, fieldPrefix, v => v.cast("string")))
+
+    points.orderBy(Point.SeqCol)
+      .select(array_join(cells, ",").as("line"))
+  }
+
+  /** Stream the lines into ONE local CSV file (the reference's storage
+    * unit) in insertion order — driver-side but memory-bounded
+    * (toLocalIterator), intended for export/migration of result sets
+    * that a single reference instance can hold anyway.
+    */
+  def writeFile(points: DataFrame, path: String, compactPrefixes: Boolean = false): Unit =
+    streamTo(points, path, append = false, compactPrefixes)
+
+  /** Append rows (in batch order) to an existing reference CSV file. */
+  def appendFile(points: DataFrame, path: String, compactPrefixes: Boolean = false): Unit =
+    streamTo(points, path, append = true, compactPrefixes)
+
+  private def streamTo(points: DataFrame, path: String, append: Boolean,
+      compactPrefixes: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    val withSeq =
+      if (points.columns.contains(Point.SeqCol)) points
+      else points.withColumn(Point.SeqCol, monotonically_increasing_id())
+    val p = java.nio.file.Paths.get(path)
+    val opts: Array[java.nio.file.OpenOption] =
+      if (append) Array(java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      else Array(java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    val out = java.nio.file.Files.newBufferedWriter(p, opts: _*)
+    try toLines(withSeq, compactPrefixes).toLocalIterator().asScala
+      .foreach { r => out.write(r.getString(0)); out.write("\r\n") }
+    finally out.close()
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.ReferenceCsv
+
+/** Reference-CSV serde fidelity, mirroring the serializer cases in the
+  * reference's tests/test_point.py (zero values, None values, empty
+  * strings, compact prefixes) plus CSV quoting.
+  */
+class ReferenceCsvSpec extends SparkSpec {
+
+  private def writeTemp(lines: Seq[String]): String = {
+    val f = Files.createTempFile("refcsv", ".csv")
+    Files.write(f, String.join("\r\n", lines: _*).getBytes("UTF-8"))
+    f.toString
+  }
+
+  private def collectPoints(path: String) = {
+    ReferenceCsv.read(spark, path)
+      .orderBy("_seq")
+      .collect()
+      .map { r =>
+        (Option(r.getAs[java.sql.Timestamp]("time")).map(_.toInstant.toString).orNull,
+          r.getAs[String]("measurement"),
+          Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty),
+          Option(r.getAs[Map[String, java.lang.Double]]("fields")).getOrElse(Map.empty))
+      }
+  }
+
+  describe("reading reference-format rows") {
+    it("parses default prefixes, _none sentinels, ints, floats and empty strings") {
+      val p = writeTemp(Seq(
+        // zero-valued field, int-encoded field, None field, empty tag value
+        "2024-01-01T00:00:00,therm,_tag_room,bed,_tag_label,,_field_temp,0.0,_field_n,5,_field_gone,_none",
+        // measurement _none, tag value _none, float with micros time
+        "2024-01-02T03:04:05.123456,_none,_tag_room,_none,_field_temp,70.5"))
+      val pts = collectPoints(p)
+      assert(pts.length == 2)
+      assert(pts(0) == (("2024-01-01T00:00:00Z", "therm",
+        Map("room" -> "bed", "label" -> ""),
+        Map("temp" -> java.lang.Double.valueOf(0.0),
+          "n" -> java.lang.Double.valueOf(5.0), "gone" -> null))))
+      assert(pts(1)._1 == "2024-01-02T03:04:05.123456Z")
+      assert(pts(1)._2 == null)
+      assert(pts(1)._3 == Map("room" -> null))
+      assert(pts(1)._4 == Map("temp" -> java.lang.Double.valueOf(70.5)))
+    }
+    it("parses compact prefixes (t_/f_)") {
+      val p = writeTemp(Seq("2024-01-01T00:00:00,m,t_a,x,f_b,1.5"))
+      val pts = collectPoints(p)
+      assert(pts(0)._3 == Map("a" -> "x"))
+      assert(pts(0)._4 == Map("b" -> java.lang.Double.valueOf(1.5)))
+    }
+    it("handles quoted cells containing commas and quotes") {
+      val p = writeTemp(Seq(
+        """2024-01-01T00:00:00,"m,with comma",_tag_note,"say ""hi"", ok",_field_v,1.0"""))
+      val pts = collectPoints(p)
+      assert(pts(0)._2 == "m,with comma")
+      assert(pts(0)._3 == Map("note" -> "say \"hi\", ok"))
+    }
+  }
+
+  describe("reference-written file") {
+    it("parses rows exactly as the reference serializer emits them") {
+      // byte-for-byte what point.py:_serialize_to_list + csv.writer
+      // produce for zero/None/empty/comma/exponent/compact cases
+      val p = writeTemp(Seq(
+        "2024-01-01T00:00:00,therm,_tag_room,bed,_tag_label,,_field_temp,0.0,_field_n,5.0,_field_gone,_none",
+        "2024-01-02T03:04:05.123456,\"m,comma\",_tag_note,\"say \"\"hi\"\", ok\",_tag_room,_none,_field_temp,70.5",
+        "2024-01-03T00:00:00,x,_field_neg,-3.25,_field_exp,1e-07",
+        "2024-01-01T00:00:00,therm,t_room,bed,t_label,,f_temp,0.0,f_n,5.0,f_gone,_none"))
+      val pts = collectPoints(p)
+      assert(pts.length == 4)
+      assert(pts(0)._4 == Map("temp" -> java.lang.Double.valueOf(0.0),
+        "n" -> java.lang.Double.valueOf(5.0), "gone" -> null))
+      assert(pts(1)._2 == "m,comma")
+      assert(pts(1)._3 == Map("note" -> "say \"hi\", ok", "room" -> null))
+      assert(pts(2)._4 == Map("neg" -> java.lang.Double.valueOf(-3.25),
+        "exp" -> java.lang.Double.valueOf(1e-7)))
+      assert(pts(3) == pts(0)) // compact prefixes decode identically
+    }
+  }
+
+  describe("round trip") {
+    it("write -> read preserves every point, including edge values") {
+      val src = writeTemp(Seq(
+        "2024-01-01T00:00:00,therm,_tag_room,bed,_tag_label,,_field_temp,0.0,_field_gone,_none",
+        "2024-01-02T03:04:05.123456,_none,_tag_room,_none,_field_temp,70.5",
+        "2024-01-03T00:00:00,\"m,x\",_tag_note,\"say \"\"hi\"\"\",_field_v,-3.25"))
+      val df = ReferenceCsv.read(spark, src)
+      val out = Files.createTempFile("refcsv-out", ".csv").toString
+      ReferenceCsv.writeFile(df, out)
+      val again = collectPoints(out)
+      assert(again.toSeq == collectPoints(src).toSeq)
+    }
+    it("GraftDB runs directly on a reference CSV file: insert, query, update, reopen") {
+      import java.time.Instant
+      import graft.engine.GraftDB
+      import graft.model.Point
+      import graft.query._
+      val f = Files.createTempFile("refdb", ".csv")
+      Files.delete(f)
+      val db = GraftDB.atCsv(spark, f.toString)
+      db.insertMultiple(Seq(
+        Point(Instant.parse("2024-01-01T00:00:00Z"), "therm", Map("room" -> "bed"), Map("temp" -> 70.0)),
+        Point(Instant.parse("2024-01-02T00:00:00Z"), "therm", Map("room" -> "kit"), Map("temp" -> 68.0))))
+      db.insert(Point(Instant.parse("2024-01-03T00:00:00Z"), "cpu", Map("host" -> "a"), Map("load" -> 0.5)))
+      assert(db.length == 3)
+      assert(db.count(MeasurementQuery() === "therm") == 2)
+      assert(db.update(TagQuery("room") === "bed", fields = Map("temp" -> 71.0)) == 1)
+      // reopen from the file: same contents (format survived the swap)
+      val db2 = GraftDB.atCsv(spark, f.toString)
+      assert(db2.length == 3)
+      assert(db2.get(TagQuery("room") === "bed").get.fields("temp") == 71.0)
+      assert(db2.remove(MeasurementQuery() === "cpu") == 1)
+      assert(GraftDB.atCsv(spark, f.toString).length == 2)
+    }
+
+    it("compact-prefix export reads back identically") {
+      val src = writeTemp(Seq("2024-01-01T00:00:00,m,_tag_a,x,_field_b,1.5"))
+      val df = ReferenceCsv.read(spark, src)
+      val out = Files.createTempFile("refcsv-out", ".csv").toString
+      ReferenceCsv.writeFile(df, out, compactPrefixes = true)
+      val line = new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8").trim
+      assert(line == "2024-01-01T00:00:00,m,t_a,x,f_b,1.5")
+    }
+  }
+}
