@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, text analysis, similarity
@@ -73,6 +74,39 @@ object CorpusQueries {
     "q58_embedding_near_dup" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.45)
         .select("i", "j").orderBy("i", "j")),
+
+    // ---- multimodal binary columns (payloads synthesized from the
+    // documents table: utf-8 bytes, with magic-byte prefixes in q61) ----
+
+    // content-addressed exact dedup over a binary column: group by
+    // sha-256 digest (64 bytes on the shuffle, never the payload)
+    "q60_binary_dedup" -> ((s, dir) => {
+      val assets = docs(s, dir).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      assets
+        .groupBy(Multimodal.contentHash(col("payload")).as("sha_hex"))
+        .agg(min("doc_id").as("doc_id"),
+          min(length(col("payload"))).cast("long").as("n_bytes"))
+        .select("doc_id", "sha_hex", "n_bytes")
+        .orderBy("doc_id")
+    }),
+
+    // magic-byte MIME sniff + size quality gate over binary assets
+    "q61_mime_quality" -> ((s, dir) => {
+      val jpeg = lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte))
+      val png = lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte))
+      val assets = docs(s, dir).select(col("doc_id"),
+        concat(when(col("doc_id") % 2 === 0, jpeg).otherwise(png),
+          encode(col("text"), "UTF-8")).as("payload"))
+      val withMeta = assets.withColumn("meta",
+        Multimodal.metaOf(col("payload"), lit("documents")))
+      withMeta
+        .filter(Multimodal.qualityFilter(col("meta"), minBytes = 120, maxBytes = 100000))
+        .groupBy(col("meta.mime").as("mime"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("meta.n_bytes")).as("total_bytes"))
+        .orderBy("mime")
+    }),
 
     "q59_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -164,6 +198,18 @@ object CorpusQueries {
         |JOIN n na ON na.vec_id = d.i JOIN n nb ON nb.vec_id = d.j
         |WHERE dp / (na.nrm * nb.nrm) >= 0.45
         |ORDER BY i, j""".stripMargin,
+    "q60_binary_dedup" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS sha_hex,
+        |  CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q61_mime_quality" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS mime,
+        |  octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS n_bytes
+        |FROM documents)
+        |SELECT mime, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM a WHERE n_bytes BETWEEN 120 AND 100000
+        |GROUP BY mime ORDER BY mime""".stripMargin,
     "q59_ann_topk" ->
       """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
