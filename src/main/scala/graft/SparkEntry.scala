@@ -132,7 +132,14 @@ object SparkEntry {
       ids(rdb(s, dir).searchDF(MeasurementQuery().matches("cl.*")))),
 
     "q21_regex_search" -> ((s, dir) =>
-      ids(rdb(s, dir).searchDF(TagQuery("user").search("1"))))
+      ids(rdb(s, dir).searchDF(TagQuery("user").search("1")))),
+
+    "q22_regex_flags" -> ((s, dir) =>
+      ids(rdb(s, dir).searchDF(MeasurementQuery().search("CL", flags = "i")))),
+
+    "q23_time_map" -> ((s, dir) =>
+      ids(rdb(s, dir).searchDF(TimeQuery().map(
+        _.atZone(java.time.ZoneOffset.UTC).getHour.toDouble) === 3.0)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -188,6 +195,10 @@ object SparkEntry {
     "q20_regex_match" ->
       "SELECT event_id FROM events WHERE event_type LIKE 'cl%' ORDER BY event_id",
     "q21_regex_search" ->
-      "SELECT event_id FROM events WHERE CAST(user_id AS VARCHAR) LIKE '%1%' ORDER BY event_id"
+      "SELECT event_id FROM events WHERE CAST(user_id AS VARCHAR) LIKE '%1%' ORDER BY event_id",
+    "q22_regex_flags" ->
+      "SELECT event_id FROM events WHERE regexp_matches(event_type, '(?i)CL') ORDER BY event_id",
+    "q23_time_map" ->
+      "SELECT event_id FROM events WHERE EXTRACT(hour FROM ts) = 3 ORDER BY event_id"
   ) ++ graft.entries.RelationalQueries.oracleSql ++ graft.entries.CorpusQueries.oracleSql
 }

@@ -50,11 +50,32 @@ object CmpOp {
 
 final case class TimeCmp(op: CmpOp, rhs: Instant) extends Q
 final case class MeasurementCmp(op: CmpOp, rhs: String) extends Q
-final case class MeasurementRegex(rx: String, anchored: Boolean) extends Q
+final case class MeasurementRegex(rx: String, anchored: Boolean, flags: String = "") extends Q
 
 final case class TagCmp(key: String, op: CmpOp, rhs: String) extends Q
 final case class TagExists(key: String) extends Q
-final case class TagRegex(key: String, rx: String, anchored: Boolean) extends Q
+final case class TagRegex(key: String, rx: String, anchored: Boolean, flags: String = "") extends Q
+
+/** `test`/`map` on the Time family (reference queries.py:648-674,
+  * 738-758 offers them on all four query types). UDF-based — outside
+  * codegen — so prefer the declarative comparisons when possible.
+  */
+final case class TimeTest(f: Instant => Boolean) extends Q
+final case class TimeMapCmp(f: Instant => Double, op: CmpOp, rhs: Double) extends Q
+
+final case class MeasurementTest(f: String => Boolean) extends Q
+final case class MeasurementMapCmp(f: String => String, op: CmpOp, rhs: String) extends Q
+
+/** `map(func)` then compare on a tag value. */
+final case class TagMapCmp(key: String, f: String => String, op: CmpOp, rhs: String) extends Q
+
+/** A multi-step key path on flat tag/field maps. The reference permits
+  * constructing `TagQuery().a.b`, but on any schema-valid data (tags are
+  * str→str, fields str→float, point.py:360-418) the second step raises
+  * inside its try/except and the predicate is False for every point —
+  * this leaf reproduces exactly that (queries.py:243-250, 484-504).
+  */
+case object DeadPath extends Q
 
 /** Arbitrary user predicate on the resolved tag value (reference
   * `.test(func)`, queries.py:648-674). Runs as a UDF — outside codegen —
@@ -83,8 +104,22 @@ final class TimeQuery {
   def <=(t: Instant): Q = TimeCmp(CmpOp.Le, t)
   def >(t: Instant): Q = TimeCmp(CmpOp.Gt, t)
   def >=(t: Instant): Q = TimeCmp(CmpOp.Ge, t)
+  def test(f: Instant => Boolean): Q = TimeTest(f)
+  /** `TimeQuery().map(_.atZone(UTC).getHour.toDouble) === 3` — the
+    * reference's `map(lambda t: t.hour) == 3` shape (queries.py:738-758).
+    */
+  def map(f: Instant => Double): MappedTimeQuery = new MappedTimeQuery(f)
 }
 object TimeQuery { def apply(): TimeQuery = new TimeQuery }
+
+final class MappedTimeQuery(f: Instant => Double) {
+  def ===(v: Double): Q = TimeMapCmp(f, CmpOp.Eq, v)
+  def =!=(v: Double): Q = TimeMapCmp(f, CmpOp.Ne, v)
+  def <(v: Double): Q = TimeMapCmp(f, CmpOp.Lt, v)
+  def <=(v: Double): Q = TimeMapCmp(f, CmpOp.Le, v)
+  def >(v: Double): Q = TimeMapCmp(f, CmpOp.Gt, v)
+  def >=(v: Double): Q = TimeMapCmp(f, CmpOp.Ge, v)
+}
 
 final class MeasurementQuery {
   def ===(m: String): Q = MeasurementCmp(CmpOp.Eq, m)
@@ -93,10 +128,24 @@ final class MeasurementQuery {
   def <=(m: String): Q = MeasurementCmp(CmpOp.Le, m)
   def >(m: String): Q = MeasurementCmp(CmpOp.Gt, m)
   def >=(m: String): Q = MeasurementCmp(CmpOp.Ge, m)
-  def matches(rx: String): Q = MeasurementRegex(rx, anchored = true)
-  def search(rx: String): Q = MeasurementRegex(rx, anchored = false)
+  /** `flags` are inline-regex letters (`"i"`, `"is"`, …), mirroring the
+    * reference's `re`-module flags argument (queries.py:680-722).
+    */
+  def matches(rx: String, flags: String = ""): Q = MeasurementRegex(rx, anchored = true, flags)
+  def search(rx: String, flags: String = ""): Q = MeasurementRegex(rx, anchored = false, flags)
+  def test(f: String => Boolean): Q = MeasurementTest(f)
+  def map(f: String => String): MappedMeasurementQuery = new MappedMeasurementQuery(f)
 }
 object MeasurementQuery { def apply(): MeasurementQuery = new MeasurementQuery }
+
+final class MappedMeasurementQuery(f: String => String) {
+  def ===(v: String): Q = MeasurementMapCmp(f, CmpOp.Eq, v)
+  def =!=(v: String): Q = MeasurementMapCmp(f, CmpOp.Ne, v)
+  def <(v: String): Q = MeasurementMapCmp(f, CmpOp.Lt, v)
+  def <=(v: String): Q = MeasurementMapCmp(f, CmpOp.Le, v)
+  def >(v: String): Q = MeasurementMapCmp(f, CmpOp.Gt, v)
+  def >=(v: String): Q = MeasurementMapCmp(f, CmpOp.Ge, v)
+}
 
 /** `TagQuery("city") === "LA"` ≙ reference `TagQuery().city == "LA"`. */
 final class TagQuery(key: String) {
@@ -107,11 +156,39 @@ final class TagQuery(key: String) {
   def >(v: String): Q = TagCmp(key, CmpOp.Gt, v)
   def >=(v: String): Q = TagCmp(key, CmpOp.Ge, v)
   def exists(): Q = TagExists(key)
-  def matches(rx: String): Q = TagRegex(key, rx, anchored = true)
-  def search(rx: String): Q = TagRegex(key, rx, anchored = false)
+  def matches(rx: String, flags: String = ""): Q = TagRegex(key, rx, anchored = true, flags)
+  def search(rx: String, flags: String = ""): Q = TagRegex(key, rx, anchored = false, flags)
   def test(f: String => Boolean): Q = TagTest(key, f)
+  def map(f: String => String): MappedTagQuery = new MappedTagQuery(key, f)
+  /** Multi-step path — constant-False on schema-valid flat tags, as in
+    * the reference (see [[DeadPath]]).
+    */
+  def sub(subKey: String): DeadPathQuery = new DeadPathQuery
 }
 object TagQuery { def apply(key: String): TagQuery = new TagQuery(key) }
+
+final class MappedTagQuery(key: String, f: String => String) {
+  def ===(v: String): Q = TagMapCmp(key, f, CmpOp.Eq, v)
+  def =!=(v: String): Q = TagMapCmp(key, f, CmpOp.Ne, v)
+  def <(v: String): Q = TagMapCmp(key, f, CmpOp.Lt, v)
+  def <=(v: String): Q = TagMapCmp(key, f, CmpOp.Le, v)
+  def >(v: String): Q = TagMapCmp(key, f, CmpOp.Gt, v)
+  def >=(v: String): Q = TagMapCmp(key, f, CmpOp.Ge, v)
+}
+
+/** Every comparison on a dead (multi-step) path is False — the
+  * reference's try/except evaluation over a failed path resolution.
+  */
+final class DeadPathQuery {
+  def ===(v: Any): Q = DeadPath
+  def =!=(v: Any): Q = DeadPath
+  def <(v: Any): Q = DeadPath
+  def <=(v: Any): Q = DeadPath
+  def >(v: Any): Q = DeadPath
+  def >=(v: Any): Q = DeadPath
+  def exists(): Q = DeadPath
+  def test(f: Any => Boolean): Q = DeadPath
+}
 
 final class FieldQuery(key: String) {
   def ===(v: Double): Q = FieldCmp(key, CmpOp.Eq, v)
@@ -123,6 +200,8 @@ final class FieldQuery(key: String) {
   def exists(): Q = FieldExists(key)
   def test(f: java.lang.Double => Boolean): Q = FieldTest(key, f)
   def map(f: Double => Double): MappedFieldQuery = new MappedFieldQuery(key, f)
+  /** Multi-step path — constant-False on schema-valid flat fields. */
+  def sub(subKey: String): DeadPathQuery = new DeadPathQuery
 }
 object FieldQuery { def apply(key: String): FieldQuery = new FieldQuery(key) }
 

@@ -70,10 +70,15 @@ object QueryCompiler {
 
   /** Python-`re.match` anchors at the start only; `re.search` is
     * substring. Java `rlike` is substring, so `matches` compiles to a
-    * start-anchored non-capturing group (queries.py:692).
+    * start-anchored non-capturing group (queries.py:692). `flags` become
+    * an inline group prefix (`(?i)` etc.) — the reference's `re`-flags
+    * argument (queries.py:680-722).
     */
-  private def regex(c: Column, rx: String, anchored: Boolean): Column =
-    if (anchored) c.rlike("^(?:" + rx + ")") else c.rlike(rx)
+  private def regex(c: Column, rx: String, anchored: Boolean, flags: String = ""): Column = {
+    require(flags.forall("idmsuxU".contains(_)), s"unsupported regex flags '$flags'")
+    val prefix = if (flags.isEmpty) "" else s"(?$flags)"
+    if (anchored) c.rlike(prefix + "^(?:" + rx + ")") else c.rlike(prefix + rx)
+  }
 
   private def leafCol(q: Q, l: IndexedLayout): Column = {
     implicit val layout: IndexedLayout = l
@@ -81,11 +86,33 @@ object QueryCompiler {
       case TimeCmp(op, rhs) =>
         cmp(col(Point.TimeCol), op, lit(Timestamp.from(rhs)))
 
+      case TimeTest(f) =>
+        val u = udf((t: Timestamp) =>
+          try f(t.toInstant) catch { case _: Exception => false })
+        u(col(Point.TimeCol))
+
+      case TimeMapCmp(f, op, rhs) =>
+        // exception in the map path → null → coalesced False, the
+        // reference's try/except path resolution (queries.py:471-504)
+        val u = udf((t: Timestamp) =>
+          try java.lang.Double.valueOf(f(t.toInstant))
+          catch { case _: Exception => null.asInstanceOf[java.lang.Double] })
+        cmp(u(col(Point.TimeCol)), op, lit(rhs))
+
       case MeasurementCmp(op, rhs) =>
         cmp(col(Point.MeasurementCol), op, lit(rhs))
 
-      case MeasurementRegex(rx, anchored) =>
-        regex(col(Point.MeasurementCol), rx, anchored)
+      case MeasurementRegex(rx, anchored, flags) =>
+        regex(col(Point.MeasurementCol), rx, anchored, flags)
+
+      case MeasurementTest(f) =>
+        val u = udf((m: String) => try f(m) catch { case _: Exception => false })
+        u(col(Point.MeasurementCol))
+
+      case MeasurementMapCmp(f, op, rhs) =>
+        val u = udf((m: String) =>
+          try f(m) catch { case _: Exception => null })
+        cmp(u(col(Point.MeasurementCol)), op, lit(rhs))
 
       case TagCmp(key, CmpOp.Ne, rhs) =>
         neOnMap(tagHas(key), tagVal(key), lit(rhs))
@@ -98,12 +125,19 @@ object QueryCompiler {
         // null value (point.py:49-50).
         tagHas(key)
 
-      case TagRegex(key, rx, anchored) =>
-        regex(tagVal(key), rx, anchored)
+      case TagRegex(key, rx, anchored, flags) =>
+        regex(tagVal(key), rx, anchored, flags)
 
       case TagTest(key, f) =>
         val u = udf((v: String) => try f(v) catch { case _: Exception => false })
         tagHas(key) && u(tagVal(key))
+
+      case TagMapCmp(key, f, op, rhs) =>
+        val u = udf((v: String) =>
+          try f(v) catch { case _: Exception => null })
+        cmp(u(tagVal(key)), op, lit(rhs))
+
+      case DeadPath => lit(false)
 
       case FieldCmp(key, CmpOp.Ne, rhs) =>
         neOnMap(fieldHas(key), fieldVal(key), lit(rhs))

@@ -110,6 +110,51 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  describe("test/map on Time and Measurement (reference parity)") {
+    it("TimeQuery().test with a user predicate") {
+      val cut = t("2024-01-01T12:00:00Z") // bound locally: the closure must not capture the suite
+      assert(ids(TimeQuery().test(_.isAfter(cut))) == Set(1, 2))
+    }
+    it("TimeQuery().map projects then compares (day-of-month == 2)") {
+      val dayOfMonth = TimeQuery().map(i =>
+        i.atZone(java.time.ZoneOffset.UTC).getDayOfMonth.toDouble)
+      assert(ids(dayOfMonth === 2.0) == Set(1))
+      assert(ids(dayOfMonth >= 2.0) == Set(1, 2))
+    }
+    it("MeasurementQuery().test and .map") {
+      assert(ids(MeasurementQuery().test(_.endsWith("1"))) == Set(0, 1))
+      assert(ids(MeasurementQuery().map(_.toUpperCase) === "M2") == Set(2))
+    }
+    it("TagQuery.map transforms the value before comparing") {
+      assert(ids(TagQuery("city").map(_.toLowerCase) === "la") == Set(0))
+      // null value: map-UDF yields null -> coalesced False, no crash
+      assert(!ids(TagQuery("city").map(_.toLowerCase) === "x").contains(1))
+    }
+  }
+
+  describe("regex flags") {
+    it("(?i) case-insensitive matches and search") {
+      assert(ids(TagQuery("city").matches("la", flags = "i")) == Set(0))
+      assert(ids(TagQuery("city").matches("la")) == Set.empty[Long])
+      assert(ids(MeasurementQuery().search("M", flags = "i")) == Set(0, 1, 2))
+      assert(ids(MeasurementQuery().search("M")) == Set.empty[Long])
+    }
+    it("rejects unknown flags eagerly") {
+      intercept[IllegalArgumentException] {
+        db.search(TagQuery("city").matches("x", flags = "q"))
+      }
+    }
+  }
+
+  describe("multi-step paths (dead on flat schema, as in the reference)") {
+    it("TagQuery.sub / FieldQuery.sub compare False for every point") {
+      assert(ids(TagQuery("city").sub("deep") === "x") == Set.empty[Long])
+      assert(ids(FieldQuery("temp").sub("deep") > 0.0) == Set.empty[Long])
+      // and ~ still composes to True everywhere
+      assert(ids(~(TagQuery("city").sub("deep") === "x")) == Set(0L, 1L, 2L))
+    }
+  }
+
   describe("compound queries") {
     it("and / or / noop") {
       assert(ids((TagQuery("zone") === "a") | (TagQuery("zone") === "b")) == Set(0, 2))
