@@ -20,6 +20,17 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Hash-heavy per-row stages need every core: a small corpus read
+    * from one parquet file arrives as ONE partition, which would run
+    * the whole md5/shingle pipeline single-threaded. Spread it before
+    * the compute when the source has fewer partitions than cores; at
+    * real scale inputs already have many partitions and this is a no-op.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: one survivor (minimum `orderCol`) per identical
     * `keyCols` value.
     */
@@ -60,7 +71,7 @@ object Dedup {
     * count intersections, compute |A∪B| = |A|+|B|−|A∩B|.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("tok"))
+    val toks = spread(df).select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("tok"))
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
@@ -85,13 +96,16 @@ object Dedup {
     conv(substring(md5(concat(lit("A:"), tok)), 1, 15), 16, 10).cast("long"),
     conv(substring(md5(concat(lit("B:"), tok)), 1, 15), 16, 10).cast("long") % lit(140737488355328L))
 
-  /** MinHash signatures: signature[i] = min over shingles of hash_i. One
-    * explode + one groupBy — linear in total shingle count, and only two
-    * md5 digests per shingle regardless of `numHashes`.
+  /** MinHash signatures: signature[i] = min over shingles of hash_i.
+    * One explode + one groupBy — linear in total shingle count, only two
+    * md5 digests per shingle regardless of `numHashes`, and the 63 min
+    * states update primitive agg buffers (an array-functional
+    * formulation was measured 2× slower from per-shingle array churn).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleN)).as("tok"))
+    val toks = spread(df).select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleN)).as("tok"))
     val (h1, h2) = kmHashes(col("tok"))
     val hashed = toks.select(col("id"), h1.as("h1"), h2.as("h2"))
     val mins = (0 until numHashes).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
@@ -112,7 +126,11 @@ object Dedup {
     require(bands * r == numHashes, "bands must divide numHashes")
     val sig = minHashSignatures(df, idCol, textCol, shingleN, numHashes).cache()
 
-    val banded = sig.select(col("id"), col("sig"),
+    // Banding rows carry only (id, band, bucket) — NOT the signature:
+    // candidate dedup then shuffles bare 16-byte (i,j) pairs instead of
+    // two 500-byte signatures per candidate, and the signatures join
+    // back afterwards from the (much smaller) sig table.
+    val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => array_join(slice(col("sig"), b * r + 1, lit(r)).cast("array<string>"), ","))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -120,11 +138,13 @@ object Dedup {
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.sig").as("sigi"), col("b.sig").as("sigj"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
       .dropDuplicates("i", "j")
 
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sig.select(col("id").as("i"), col("sig").as("sigi")), "i")
+      .join(sig.select(col("id").as("j"), col("sig").as("sigj")), "j")
+      .withColumn("est_jaccard",
         aggregate(zip_with(col("sigi"), col("sigj"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes.toDouble))
@@ -138,7 +158,7 @@ object Dedup {
     * a pure nibble/shift expression replicated verbatim by the oracle.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), 1)).as("tok"))
+    val toks = spread(df).select(col(idCol).as("id"), explode(wordShingles(col(textCol), 1)).as("tok"))
       .withColumn("h", md5(col("tok")))
     def nib(i: Int): Column = conv(substring(col("h"), i + 1, 1), 16, 10).cast("int")
     def bit(b: Int): Column = shiftright(nib(b / 4), 3 - b % 4).bitwiseAND(1)

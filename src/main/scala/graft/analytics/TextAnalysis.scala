@@ -87,6 +87,8 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 3): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     val words = tokens(col(textCol))
     val grams = when(size(words) < k, array(md5(concat_ws(" ", words))))
       .otherwise(transform(sequence(lit(0), size(words) - k),
@@ -94,7 +96,7 @@ object TextAnalysis {
     val wins = when(size(grams) < w, array(array_min(grams)))
       .otherwise(transform(sequence(lit(0), size(grams) - w),
         j => array_min(slice(grams, j + 1, lit(w)))))
-    df.select(col(idCol), explode(array_sort(array_distinct(wins))).as("fp"))
+    src.select(col(idCol), explode(array_sort(array_distinct(wins))).as("fp"))
   }
 }
 

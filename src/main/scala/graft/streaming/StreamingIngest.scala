@@ -86,6 +86,48 @@ object StreamingIngest {
       .agg(first, rest: _*)
   }
 
+  /** Sliding-window variant: overlapping windows of `windowLen` every
+    * `slide`. Same watermark/append semantics as [[tumblingAgg]]; state
+    * per group is (lateness + windowLen) / slide open windows.
+    */
+  def slidingAgg(
+      stream: DataFrame,
+      timeCol: String,
+      windowLen: String,
+      slide: String,
+      lateness: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, String)]
+  ): DataFrame = {
+    val first = expr(aggs.head._1).as(aggs.head._2)
+    val rest = aggs.tail.map { case (e, a) => expr(e).as(a) }
+    stream
+      .withWatermark(timeCol, lateness)
+      .groupBy(window(col(timeCol), windowLen, slide).as("win") +: groupCols.map(col): _*)
+      .agg(first, rest: _*)
+  }
+
+  /** Session windows: events within `gap` of each other merge into one
+    * variable-length session per group (the streaming sessionization
+    * primitive); a session closes — and emits, in append mode — when
+    * the watermark passes its end + gap.
+    */
+  def sessionAgg(
+      stream: DataFrame,
+      timeCol: String,
+      gap: String,
+      lateness: String,
+      groupCols: Seq[String],
+      aggs: Seq[(String, String)]
+  ): DataFrame = {
+    val first = expr(aggs.head._1).as(aggs.head._2)
+    val rest = aggs.tail.map { case (e, a) => expr(e).as(a) }
+    stream
+      .withWatermark(timeCol, lateness)
+      .groupBy(session_window(col(timeCol), gap).as("win") +: groupCols.map(col): _*)
+      .agg(first, rest: _*)
+  }
+
   /** The events table as an unbounded stream (file source) — the same
     * column bridging as [[graft.sources.Tables.events]].
     */

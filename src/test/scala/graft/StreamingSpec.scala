@@ -73,6 +73,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("sliding and session windows") {
+    it("sliding windows overlap; each event lands in windowLen/slide windows") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val agg = StreamingIngest.slidingAgg(
+        mem.toDF().toDF("time", "m", "room", "temp"),
+        "time", windowLen = "1 hour", slide = "30 minutes", lateness = "0 seconds",
+        groupCols = Seq("m"), aggs = Seq("count(1)" -> "n"))
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("slide_sink").start()
+      try {
+        mem.addData((ts("2024-01-01 10:40:00"), "therm", "bed", 70.0))
+        q.processAllAvailable()
+        mem.addData((ts("2024-01-01 13:00:00"), "therm", "bed", 71.0)) // close both windows
+        q.processAllAvailable()
+        val wins = spark.table("slide_sink")
+          .select(col("win.start").cast("string"), col("n"))
+          .as[(String, Long)].collect().toMap
+        // 10:40 lands in [10:00,11:00) and [10:30,11:30)
+        assert(wins.keySet.intersect(Set("2024-01-01 10:00:00", "2024-01-01 10:30:00"))
+          == Set("2024-01-01 10:00:00", "2024-01-01 10:30:00"))
+        assert(wins("2024-01-01 10:00:00") == 1L && wins("2024-01-01 10:30:00") == 1L)
+      } finally q.stop()
+    }
+
+    it("session windows merge events within the gap and close after it") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val agg = StreamingIngest.sessionAgg(
+        mem.toDF().toDF("time", "m", "room", "temp"),
+        "time", gap = "10 minutes", lateness = "0 seconds",
+        groupCols = Seq("room"), aggs = Seq("count(1)" -> "n", "sum(temp)" -> "s"))
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("sess_sink").start()
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 1.0),
+          (ts("2024-01-01 10:05:00"), "therm", "bed", 2.0),  // merges (within 10m)
+          (ts("2024-01-01 10:30:00"), "therm", "bed", 4.0))  // new session
+        q.processAllAvailable()
+        mem.addData((ts("2024-01-01 12:00:00"), "therm", "bed", 8.0)) // advance watermark
+        q.processAllAvailable()
+        val sessions = spark.table("sess_sink")
+          .select(col("win.start").cast("string"), col("n"), col("s"))
+          .as[(String, Long, Double)].collect().map { case (k, n, s) => (k, (n, s)) }.toMap
+        assert(sessions("2024-01-01 10:00:00") == ((2L, 3.0))) // merged pair
+        assert(sessions("2024-01-01 10:30:00") == ((1L, 4.0)))
+      } finally q.stop()
+    }
+  }
+
   describe("watermarked tumbling aggregation (append mode)") {
     it("emits a window when the watermark passes it and drops later-than-horizon events") {
       val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
