@@ -54,4 +54,50 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer paritions the
+    * corpus into `nCells` cells once; each query probes only its
+    * `nProbe` nearest cells, so the scored candidate set shrinks by
+    * ~nCells/nProbe. The classic recall/cost dial for billion-vector
+    * corpora: raise nProbe toward nCells for recall 1 (at nProbe ==
+    * nCells this is exactly [[bruteForceTopK]]).
+    *
+    * The cell assignment is reusable across query batches — at scale,
+    * persist `assign(corpus)` bucketed by `cell` and amortize the
+    * quantizer over the corpus lifetime.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      nCells: Int = 64, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val c0 = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+
+    val featurized = c0.withColumn("features", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(featurized)
+    val assigned = km.transform(featurized)
+      .select(col("id"), col("cv"), col("prediction").as("cell"))
+
+    // queries × centroids is tiny: rank cells per query, keep nProbe
+    import spark.implicits._
+    val centersDf = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "center")
+    val wCells = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q0.crossJoin(broadcast(centersDf))
+      // squared euclidean to the centroid up to the constant ||q||²:
+      // ||c||² − 2 q·c (centroids are NOT unit-norm, so plain −q·c
+      // would rank cells by a different metric than the assignment)
+      .withColumn("cdist", dot(col("center"), col("center")) - lit(2.0) * dot(col("qv"), col("center")))
+      .withColumn("crank", row_number().over(wCells))
+      .filter(col("crank") <= nProbe)
+      .select("qid", "qv", "cell")
+
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    assigned.join(broadcast(probes), "cell")
+      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

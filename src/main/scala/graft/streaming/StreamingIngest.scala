@@ -29,6 +29,10 @@ import graft.model.Point
   * engine's) scalable replacement for the reference's unbounded
   * out-of-order tolerance, which a 100 TB stream cannot afford.
   */
+/** Running state of one series: point count + latest-by-event-time value. */
+final case class SeriesStats(key: String, count: Long,
+    lastTime: java.sql.Timestamp, lastValue: Double)
+
 object StreamingIngest {
 
   /** Start checkpointed ingest of `stream` (canonical Point schema
@@ -126,6 +130,40 @@ object StreamingIngest {
       .withWatermark(timeCol, lateness)
       .groupBy(session_window(col(timeCol), gap).as("win") +: groupCols.map(col): _*)
       .agg(first, rest: _*)
+  }
+
+  /** Continuously-maintained per-series stats via custom state
+    * (`mapGroupsWithState`): for each key, the running point count and
+    * the LATEST (by event time) value — the streaming materialization
+    * of "current value of every series", which the reference can only
+    * answer with a full scan. Run in Update output mode; state is one
+    * small record per live series.
+    */
+  def seriesStats(
+      stream: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String
+  ): org.apache.spark.sql.Dataset[SeriesStats] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string"), col(timeCol), col(valueCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SeriesStats, SeriesStats](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(SeriesStats(key, 0L, null, Double.NaN))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            val (_, t, v) = r
+            if (acc.lastTime == null || !t.before(acc.lastTime))
+              SeriesStats(key, acc.count + 1, t, v)
+            else acc.copy(count = acc.count + 1) // late row: count it, keep newer value
+          }
+          state.update(next)
+          next
+      }
   }
 
   /** The events table as an unbounded stream (file source) — the same

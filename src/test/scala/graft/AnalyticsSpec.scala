@@ -49,6 +49,26 @@ class AnalyticsSpec extends SparkSpec {
         bits = 2, seeds = Seq(1, 2, 3, 4)).select("id").as[Long].collect().toSet
       assert(r.contains(0L))
     }
+    it("IVF top-k equals brute force at nProbe == nCells, and probes find clustered neighbors") {
+      val rnd = new scala.util.Random(5)
+      def around(cx: Double, cy: Double, id: Long) =
+        (id, Array((cx + rnd.nextGaussian() * 0.05).toFloat, (cy + rnd.nextGaussian() * 0.05).toFloat))
+      // three tight clusters on the unit circle
+      val big = (
+        (0L until 20L).map(i => around(1.0, 0.0, i)) ++
+        (20L until 40L).map(i => around(0.0, 1.0, i)) ++
+        (40L until 60L).map(i => around(-1.0, 0.0, i))).toDF("vec_id", "embedding")
+      val qs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("qid", "embedding")
+      val brute = Similarity.bruteForceTopK(big, qs, "vec_id", "embedding", "qid", 5)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      val full = Similarity.ivfTopK(big, qs, "vec_id", "embedding", "qid", 5,
+        nCells = 3, nProbe = 3).select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(full == brute)
+      val probed = Similarity.ivfTopK(big, qs, "vec_id", "embedding", "qid", 5,
+        nCells = 3, nProbe = 1).select("qid", "id").as[(Long, Long)].collect().toSet
+      // with one probe each query still finds its own tight cluster
+      assert(probed == brute)
+    }
   }
 
   describe("text analysis") {

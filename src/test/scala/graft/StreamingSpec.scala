@@ -122,6 +122,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("custom state (mapGroupsWithState)") {
+    it("maintains running count and latest-by-event-time value across batches") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val stats = StreamingIngest.seriesStats(
+        mem.toDF().toDF("time", "m", "room", "temp"), "room", "time", "temp")
+      val q = stats.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("stats_sink").start()
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 70.0),
+          (ts("2024-01-01 11:00:00"), "therm", "bed", 71.0),
+          (ts("2024-01-01 10:30:00"), "therm", "kit", 65.0))
+        q.processAllAvailable()
+        // second batch: late row for bed (older than 11:00) + kit update —
+        // state persists across batches
+        mem.addData(
+          (ts("2024-01-01 09:00:00"), "therm", "bed", 1.0),   // late: counted, value kept
+          (ts("2024-01-01 12:00:00"), "therm", "kit", 66.0))
+        q.processAllAvailable()
+        val last = spark.table("stats_sink")
+          .groupBy("key").agg(max_by(struct(col("count"), col("lastValue")), col("count")).as("s"))
+          .select(col("key"), col("s.count"), col("s.lastValue"))
+          .as[(String, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+        assert(last("bed") == ((3L, 71.0))) // late 09:00 row counted but not latest
+        assert(last("kit") == ((2L, 66.0)))
+      } finally q.stop()
+    }
+  }
+
   describe("watermarked tumbling aggregation (append mode)") {
     it("emits a window when the watermark passes it and drops later-than-horizon events") {
       val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
