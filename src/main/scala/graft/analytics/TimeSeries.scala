@@ -50,4 +50,35 @@ object TimeSeries {
       .agg(max_by(element_at(col(Point.FieldsCol), fieldKey),
         struct(col(Point.TimeCol), col(Point.SeqCol))).as("last_value"))
       .withColumn("window_start", col("win.start")).drop("win")
+
+  /** Gap-fill + forward-fill: resample each key's series onto a regular
+    * `stepSeconds` grid between its own min and max bucket, carrying the
+    * last observed value across empty buckets.
+    *
+    * Plan shape (scale audit): one aggregate to bucket the raw rows
+    * (map-side partial), one per-key grid generated with
+    * `sequence()`+explode (rows ∝ output grid, not input), one shuffle
+    * to join observations onto the grid, and one in-partition window
+    * for the forward fill — no driver-side loops, every stage keyed by
+    * the series key so 100k series parallelize across the cluster.
+    */
+  def gapFillForward(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    val step = lit(stepSeconds)
+    val bucket = (unix_timestamp(col(timeCol)) / step).cast("long") * step
+    // last observation per (key, bucket)
+    val obs = df
+      .groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(max_by(col(valueCol), col(timeCol)).as("v"))
+    // per-key regular grid spanning that key's observed range
+    val grid = obs.groupBy("key")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"), step)).as("bucket"))
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("key"), timestamp_seconds(col("bucket")).as("bucket_time"),
+        col("v").as("observed"), col("filled"))
+  }
 }

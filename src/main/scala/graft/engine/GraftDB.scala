@@ -222,7 +222,10 @@ final class GraftDB(val storage: Storage) {
 
   /** op 13 `remove` (database.py:707-725): anti-filter rewrite. */
   def remove(q: Q): Long = {
-    val c = rawCond(q)
+    // keep-set negation must coerce null→false first: a bare !c is null
+    // (row silently dropped = data loss) for rows where the predicate
+    // null-evaluates, e.g. a missing map key
+    val c = coalesce(rawCond(q), lit(false))
     val removed = df.filter(c).count()
     if (removed > 0) { invalidateIndex(); storage.overwrite(df.filter(!c)) }
     removed
@@ -233,7 +236,7 @@ final class GraftDB(val storage: Storage) {
 
   /** op 15 `drop_measurement` (database.py:293-313). */
   def dropMeasurement(name: String): Long = {
-    val c = col(Point.MeasurementCol) === name
+    val c = coalesce(col(Point.MeasurementCol) === name, lit(false))
     val removed = df.filter(c).count()
     if (removed > 0) { invalidateIndex(); storage.overwrite(df.filter(!c)) }
     removed

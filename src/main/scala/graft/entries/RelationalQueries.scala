@@ -143,6 +143,17 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // gap-fill + forward-fill: per-event-type daily series on a regular
+    // grid, carrying the last observed value across empty days
+    "q46_gap_fill" -> ((s, dir) => {
+      graft.analytics.TimeSeries.gapFillForward(
+        Tables.events(s, dir), "event_type", "time", "value", 86400L)
+        .select(col("key"),
+          (unix_timestamp(col("bucket_time")) * 1000000L).as("bucket_us"),
+          col("observed"), col("filled"))
+        .orderBy("key", "bucket_us")
+    }),
+
     // as-of join: each purchase ← user's most recent signup at-or-before
     "q41_asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -250,6 +261,19 @@ object RelationalQueries {
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    "q46_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT event_type AS key, (CAST(epoch(ts) AS BIGINT) // 86400) * 86400 AS bucket,
+        |         arg_max(value, ts) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT key, unnest(range(lo, hi + 86400, 86400)) AS bucket FROM rng),
+        |j AS (SELECT g.key, g.bucket, o.v FROM grid g LEFT JOIN obs o USING (key, bucket)),
+        |f AS (SELECT key, bucket, v AS observed,
+        |      last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM j)
+        |SELECT key, bucket * 1000000 AS bucket_us, observed, filled
+        |FROM f ORDER BY key, bucket_us""".stripMargin,
     "q41_asof_join" ->
       """SELECT e.event_id,
         |  (SELECT max(epoch_us(e2.ts)) FROM events e2

@@ -19,9 +19,18 @@ import graft.model.Point
   * missing keys / failed comparisons to False and composes `~` over
   * that (queries.py:243-250, 471-482), whereas Spark uses three-valued
   * logic where null-out comparisons disappear under a filter AND flip
-  * to null (not true) under NOT. Every leaf is therefore coalesced to a
-  * non-null boolean before any composition, making `!` a faithful
-  * complement.
+  * to null (not true) under NOT.
+  *
+  * Placement of the null→False coercion matters for SCALE: under AND/OR
+  * at a top-level Filter, null already behaves exactly like False (only
+  * true rows survive; null&&x / null||false stay non-true), and a bare
+  * `time >= lit` comparison translates to a Parquet `PushedFilters`
+  * entry — but `coalesce(cmp, false)` does NOT (the source API has no
+  * such filter), which would silently disable row-group pruning on
+  * every predicate. So leaves compile BARE, and the single place where
+  * null and False genuinely differ — under `~` — wraps its operand in
+  * `coalesce(…, false)` before negating, making `!` a faithful
+  * complement of the evaluated-to-False semantics.
   */
 object QueryCompiler {
 
@@ -38,8 +47,8 @@ object QueryCompiler {
     case Noop      => lit(true)
     case And(l, r) => compile(l, layout) && compile(r, layout)
     case Or(l, r)  => compile(l, layout) || compile(r, layout)
-    case Not(i)    => !compile(i, layout)
-    case leaf      => coalesce(leafCol(leaf, layout), lit(false))
+    case Not(i)    => !coalesce(compile(i, layout), lit(false))
+    case leaf      => leafCol(leaf, layout)
   }
 
   private def tagVal(key: String)(implicit layout: IndexedLayout): Column =
