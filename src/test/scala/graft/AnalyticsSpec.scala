@@ -71,6 +71,50 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("salted skew join") {
+    it("produces exactly the unsalted inner-join result") {
+      import graft.analytics.Skew
+      val left = Seq.tabulate(200)(i => (if (i < 150) "hot" else s"k$i", i))
+        .toDF("k", "v") // 75% of rows share one key
+      val right = Seq(("hot", 1.0), ("k160", 2.0), ("k199", 3.0), ("absent", 4.0))
+        .toDF("k", "w")
+      val expect = left.join(right, Seq("k")).select("k", "v", "w")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+      val got = Skew.saltedJoin(left, right, Seq("k"), saltBuckets = 8)
+        .select("k", "v", "w")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(got == expect && expect.size == 152)
+    }
+    it("skew profile reports the straggler factor") {
+      import graft.analytics.Skew
+      val left = Seq.tabulate(100)(i => (if (i < 91) "hot" else s"k$i", i)).toDF("k", "v")
+      val row = Skew.keySkewProfile(left, Seq("k")).head()
+      assert(row.getLong(0) == 91L)
+      assert(row.getDouble(2) > 5.0)
+    }
+  }
+
+  describe("gap fill + forward fill") {
+    it("fills missing buckets per key and carries the last value") {
+      import graft.analytics.TimeSeries
+      val df = Seq(
+        ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 1.0),
+        ("a", java.sql.Timestamp.valueOf("2024-01-01 00:03:10"), 4.0),
+        ("b", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 9.0)
+      ).toDF("k", "t", "v")
+      val out = TimeSeries.gapFillForward(df, "k", "t", "v", 60L)
+        .select(col("key"), col("bucket_time").cast("string"), col("observed"), col("filled"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3)))
+      val a = out.filter(_._1 == "a").sortBy(_._2)
+      assert(a.map(_._2).toSeq == Seq("2024-01-01 00:00:00", "2024-01-01 00:01:00",
+        "2024-01-01 00:02:00", "2024-01-01 00:03:00"))
+      assert(a.map(_._3).toSeq == Seq(Some(1.0), None, None, Some(4.0)))
+      assert(a.map(_._4).toSeq == Seq(1.0, 1.0, 1.0, 4.0)) // gaps carry 1.0 forward
+      assert(out.count(_._1 == "b") == 1)
+    }
+  }
+
   describe("text analysis") {
     it("token and subword counts") {
       val df = Seq((1L, "hello world, it's 2024!")).toDF("id", "text")
