@@ -23,6 +23,9 @@ final class Measurement(db: GraftDB, val name: String) {
   def all(sorted: Boolean = true): Seq[Point] = db.search(conj(Noop), sorted)
   def length: Long = db.count(conj(Noop))
 
+  /** `__iter__` (measurement.py:78-83): lazy scan of this measurement. */
+  def iterator: Iterator[Point] = all(sorted = false).iterator
+
   def searchDF(q: Q, sorted: Boolean = true): DataFrame = db.searchDF(conj(q), sorted)
   def search(q: Q, sorted: Boolean = true): Seq[Point] = db.search(conj(q), sorted)
   def get(q: Q): Option[Point] = db.get(conj(q))
@@ -50,6 +53,16 @@ final class Measurement(db: GraftDB, val name: String) {
       tags: Option[Column => Column] = None,
       fields: Option[Column => Column] = None
   ): Long = db.updateWith(conj(q), time, measurement, tags, fields)
+
+  /** `update_all` (measurement.py:363-395): every point of this view. */
+  def updateAll(
+      time: Option[Instant] = None,
+      measurement: Option[String] = None,
+      tags: Map[String, String] = Map.empty,
+      fields: Map[String, Double] = Map.empty,
+      unsetTags: Seq[String] = Nil,
+      unsetFields: Seq[String] = Nil
+  ): Long = update(Noop, time, measurement, tags, fields, unsetTags, unsetFields)
 
   def remove(q: Q): Long = db.remove(conj(q))
   def removeAll(): Long = db.dropMeasurement(name)

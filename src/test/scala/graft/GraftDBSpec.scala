@@ -67,6 +67,53 @@ class GraftDBSpec extends SparkSpec {
     }
   }
 
+  describe("edge cases (reference test_tinyflux.py parity)") {
+    it("ops on an empty database") {
+      val db = GraftDB.inMemory(spark)
+      assert(db.length == 0)
+      assert(db.all().isEmpty)
+      assert(db.get(Noop).isEmpty)
+      assert(!db.contains(FieldQuery("x").exists()))
+      assert(db.count(Noop) == 0)
+      assert(db.update(Noop, fields = Map("x" -> 1.0)) == 0)
+      assert(db.remove(Noop) == 0)
+      assert(db.getMeasurements.isEmpty && db.getTagKeys().isEmpty)
+    }
+    it("remove_all truncates; inserts still work after") {
+      val db = freshDb()
+      db.removeAll()
+      assert(db.length == 0)
+      db.insert(Point(t("2024-02-01T00:00:00Z"), "m", Map(), Map("v" -> 1.0)))
+      assert(db.length == 1)
+    }
+    it("update matching nothing returns 0 and changes nothing") {
+      val db = freshDb()
+      val before = db.all()
+      assert(db.update(TagQuery("room") === "attic", fields = Map("temp" -> 1.0)) == 0)
+      assert(db.all() == before)
+    }
+    it("measurement view: iterator, updateAll, metadata scoping") {
+      val db = freshDb()
+      val m = db.measurement("therm")
+      assert(m.iterator.size == 2)
+      assert(m.updateAll(tags = Map("unit" -> "F")) == 2)
+      assert(db.count(TagQuery("unit") === "F") == 2) // cpu untouched
+      assert(m.getFieldKeys == Seq("temp"))
+      assert(db.measurement("cpu").getTagKeys == Seq("host"))
+      // view of a measurement with no points behaves as empty
+      val ghost = db.measurement("nope")
+      assert(ghost.length == 0 && ghost.all().isEmpty)
+    }
+    it("insert validates: null measurement rejected, null time defaults to now") {
+      val db = GraftDB.inMemory(spark)
+      intercept[IllegalArgumentException] {
+        db.insert(Point(t("2024-01-01T00:00:00Z"), null, Map(), Map("v" -> 1.0)))
+      }
+      db.insert(Point(null, "m", Map(), Map("v" -> 1.0)))
+      assert(db.get(Noop).get.time != null)
+    }
+  }
+
   describe("reindex (columnarized query view)") {
     it("preserves full query semantics through the indexed layout") {
       val db = freshDb()
