@@ -130,7 +130,10 @@ object Bench {
     // timed pass measures data-scale work, not one-time JVM compilation
     // — measured ~5s of fixed codegen cost on the 63-column minhash agg
     // alone, which a long-lived cluster pays once, not per query.
-    val warmDir = "/root/testdata/sf0.001"
+    // sf0.01 (not 0.001): big enough that AQE picks the same join
+    // strategies as the timed scale, so the compiled codegen classes
+    // actually match.
+    val warmDir = "/root/testdata/sf0.01"
     analytics.foreach(n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Exception => () })

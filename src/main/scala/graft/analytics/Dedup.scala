@@ -229,9 +229,14 @@ object Dedup {
     val bc = spark.sparkContext.broadcast(
       (collected.map(_._1), collected.map(_._2.toArray)))
     // Contiguous stripes: low-i stripes carry the most work and are
-    // scheduled first (natural longest-task-first); 8 slices per core
-    // evens out the tail.
-    val slices = math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 8))
+    // scheduled first (natural longest-task-first). Slice count follows
+    // the WORK (≈ n²/2 dot products, ~1M per task) capped at 8/core —
+    // a small corpus must not shatter into hundreds of near-empty tasks
+    // whose scheduling overhead dwarfs the math.
+    val totalPairs = n.toLong * (n - 1) / 2
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism * 8L,
+      math.min(n.toLong, totalPairs / 1000000L + 1)).toInt)
     spark.range(0, n.toLong, 1, slices).as[Long].mapPartitions { iter =>
       val (ids, mat) = bc.value
       val total = ids.length
