@@ -3,15 +3,31 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` columns, built from Spark's
-  * codegen'd higher-order functions (`zip_with`, `aggregate`) — no UDFs
-  * in the hot path, so whole-stage codegen stays intact and the same
-  * expressions run unchanged on a 1000-executor cluster.
+/** Vector math over `array<float|double>` columns. The dot-product hot
+  * path is a native Catalyst expression ([[DotProduct]], full
+  * whole-stage codegen); everything else composes Spark's higher-order
+  * functions — no UDFs anywhere, so the same expressions run unchanged
+  * on a 1000-executor cluster.
   */
 object VectorFunctions {
+  // classic-mode bridge between public Column and catalyst Expression
+  private val EU = org.apache.spark.sql.graftbridge.Bridge
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column = EU.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression = EU.expression(c)
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision (native codegen'd expression;
+    * summation order identical to the HOF formulation).
+    */
   def dot(a: Column, b: Column): Column =
+    toCol(DotProduct(
+      toExpr(a.cast("array<double>")),
+      toExpr(b.cast("array<double>"))))
+
+  /** Higher-order-function formulation of [[dot]] — kept as the
+    * cross-check for DotProductSpec and as the fallback shape for
+    * engines without the extension.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
