@@ -143,6 +143,18 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // exact percentiles per group (continuous interpolation — same
+    // definition as DuckDB quantile_cont; rounded 6dp on both sides to
+    // absorb float noise in the interpolation arithmetic)
+    "q47_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")),
+
     // gap-fill + forward-fill: per-event-type daily series on a regular
     // grid, carrying the last observed value across empty days
     "q46_gap_fill" -> ((s, dir) => {
@@ -261,6 +273,12 @@ object RelationalQueries {
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    "q47_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_gap_fill" ->
       """WITH obs AS (
         |  SELECT event_type AS key, (CAST(epoch(ts) AS BIGINT) // 86400) * 86400 AS bucket,
