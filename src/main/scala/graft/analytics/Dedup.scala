@@ -141,9 +141,13 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .dropDuplicates("i", "j")
 
+    // sig is one row per doc — orders of magnitude smaller than the
+    // candidate set; explicit broadcast hints skip AQE's runtime
+    // re-planning barrier. (At >100M docs replace with a shuffle join:
+    // drop the hints, nothing else changes.)
     cand
-      .join(sig.select(col("id").as("i"), col("sig").as("sigi")), "i")
-      .join(sig.select(col("id").as("j"), col("sig").as("sigj")), "j")
+      .join(broadcast(sig.select(col("id").as("i"), col("sig").as("sigi"))), "i")
+      .join(broadcast(sig.select(col("id").as("j"), col("sig").as("sigj"))), "j")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sigi"), col("sigj"),
           (x, y) => when(x === y, 1).otherwise(0)),
