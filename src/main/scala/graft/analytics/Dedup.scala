@@ -69,9 +69,23 @@ object Dedup {
     * Inverted-index pattern: explode distinct shingles, self-join on
     * the shingle (only docs SHARING a token ever meet — no cross join),
     * count intersections, compute |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * `maxDocFreq`: the posting list of a token appearing in d docs
+    * contributes d² candidate pairs — one corpus-wide stopword makes
+    * the join quadratic. Setting a cutoff drops tokens whose document
+    * frequency exceeds it (sizes are computed AFTER the drop, so the
+    * result is the exact Jaccard over the pruned vocabulary — the
+    * standard trade for corpus-scale near-dup mining). None = exact
+    * over the full vocabulary.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
-    val toks = spread(df).select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("tok"))
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val raw = spread(df).select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("tok"))
+    val toks = maxDocFreq.fold(raw) { m =>
+      val hot = raw.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") > m).select("tok")
+      raw.join(broadcast(hot), Seq("tok"), "left_anti")
+    }
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))

@@ -23,9 +23,15 @@ import graft.sources.ReferenceCsv
   * tier.
   */
 final class CsvStorage(val spark: SparkSession, path: String,
-    compactPrefixes: Boolean = false) extends Storage {
+    compactPrefixes: Boolean = false, readOnly: Boolean = false) extends Storage {
 
   private def p = Paths.get(path)
+
+  // op 54 precondition guards (storages.py:233-261): a read-only handle
+  // refuses every mutation before touching the file.
+  private def guardWrite(): Unit =
+    if (readOnly) throw new UnsupportedOperationException(
+      s"storage at $path was opened read-only")
 
   override protected def knownEmpty: Boolean = !Files.exists(p) || Files.size(p) == 0
 
@@ -35,10 +41,12 @@ final class CsvStorage(val spark: SparkSession, path: String,
     else ReferenceCsv.read(spark, path)
 
   override def append(batch: DataFrame): Unit = synchronized {
+    guardWrite()
     ReferenceCsv.appendFile(batch, path, compactPrefixes)
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
+    guardWrite()
     val tmp = Paths.get(path + ".graft-tmp")
     // materialize to the temp file BEFORE touching the primary (the
     // plan may read from it), then swap atomically

@@ -411,8 +411,9 @@ object GraftDB {
   /** Database on a reference-format CSV file (drop-in migration: open
     * an existing tinyflux data file directly).
     */
-  def atCsv(spark: SparkSession, path: String, compactPrefixes: Boolean = false): GraftDB =
-    new GraftDB(new CsvStorage(spark, path, compactPrefixes))
+  def atCsv(spark: SparkSession, path: String, compactPrefixes: Boolean = false,
+      readOnly: Boolean = false): GraftDB =
+    new GraftDB(new CsvStorage(spark, path, compactPrefixes, readOnly))
 
   /** Parquet-backed persistent database (reference CSVStorage). */
   def atPath(spark: SparkSession, root: String, partitioned: Boolean = true): GraftDB =

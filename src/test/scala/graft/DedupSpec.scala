@@ -45,6 +45,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("document-frequency cutoff") {
+    it("drops corpus-wide tokens so posting lists stay bounded; near-dups survive") {
+      // plant a stopword in EVERY doc: without a cutoff it alone links
+      // all 6 docs pairwise
+      val noisy = docs.withColumn("text", concat(col("text"), lit(" corpusstopword")))
+      val unfiltered = Dedup.ngramJaccardPairs(noisy, "doc_id", "text", n = 1, threshold = 0.01)
+      assert(unfiltered.count() == 15) // all C(6,2) pairs meet via the stopword
+      val cut = Dedup.ngramJaccardPairs(noisy, "doc_id", "text", n = 1, threshold = 0.5,
+        maxDocFreq = Some(5))
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(cut.contains((0L, 5L)) && cut.contains((0L, 1L))) // real near-dups kept
+      assert(!cut.exists { case (i, j) => Set(i, j) == Set(3L, 4L) }) // unrelated not linked
+    }
+  }
+
   describe("minhash LSH") {
     it("recalls high-jaccard pairs found by the exact operator") {
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)

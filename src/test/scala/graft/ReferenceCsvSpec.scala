@@ -117,6 +117,19 @@ class ReferenceCsvSpec extends SparkSpec {
       assert(GraftDB.atCsv(spark, f.toString).length == 2)
     }
 
+    it("read-only handles refuse mutation before touching the file (op 54)") {
+      import graft.engine.GraftDB
+      import graft.query._
+      val p = writeTemp(Seq("2024-01-01T00:00:00,m,_tag_a,x,_field_b,1.5"))
+      val db = GraftDB.atCsv(spark, p, readOnly = true)
+      assert(db.length == 1) // reads fine
+      intercept[UnsupportedOperationException] {
+        db.insert(graft.model.Point(java.time.Instant.now(), "m", Map(), Map("b" -> 2.0)))
+      }
+      intercept[UnsupportedOperationException] { db.removeAll() }
+      assert(GraftDB.atCsv(spark, p).length == 1) // file untouched
+    }
+
     it("compact-prefix export reads back identically") {
       val src = writeTemp(Seq("2024-01-01T00:00:00,m,_tag_a,x,_field_b,1.5"))
       val df = ReferenceCsv.read(spark, src)
