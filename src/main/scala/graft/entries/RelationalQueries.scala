@@ -143,6 +143,21 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // keyless interval join via time-bucketized equi-join (the
+    // nested-loop-free range join): events against derived 8-hour
+    // maintenance windows, one per observed day
+    "q48_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val wins = e.select(date_trunc("day", col("time")).as("wstart")).distinct()
+        .withColumn("wend", col("wstart") + expr("INTERVAL 8 HOURS"))
+      graft.analytics.Interval.joinByBucket(e, "time", wins, "wstart", "wend",
+          bucketSeconds = 6 * 3600)
+        .groupBy(unix_micros(col("wstart")).as("wstart_us"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("wstart_us")
+    }),
+
     // exact percentiles per group (continuous interpolation — same
     // definition as DuckDB quantile_cont; rounded 6dp on both sides to
     // absorb float noise in the interpolation arithmetic)
@@ -273,6 +288,13 @@ object RelationalQueries {
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    "q48_interval_join" ->
+      """WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS wstart FROM events),
+        |j AS (SELECT epoch_us(w.wstart) AS wstart_us, e.value
+        |      FROM events e JOIN w ON e.ts >= w.wstart AND e.ts <= w.wstart + INTERVAL 8 HOUR)
+        |SELECT wstart_us, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

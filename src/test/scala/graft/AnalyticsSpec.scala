@@ -71,6 +71,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("bucketized interval join") {
+    it("matches a direct range-predicate join, boundaries inclusive") {
+      import graft.analytics.Interval
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val events = Seq(
+        (1L, ts("2024-01-01 00:00:00")), // == start boundary
+        (2L, ts("2024-01-01 03:30:00")),
+        (3L, ts("2024-01-01 08:00:00")), // == end boundary
+        (4L, ts("2024-01-01 09:00:00")), // outside
+        (5L, ts("2024-01-02 01:00:00"))  // second window
+      ).toDF("eid", "t")
+      val wins = Seq(
+        (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 08:00:00")),
+        (20L, ts("2024-01-02 00:00:00"), ts("2024-01-02 08:00:00")),
+        (30L, ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00")) // overlapping window
+      ).toDF("wid", "ws", "we")
+      val got = Interval.joinByBucket(events, "t", wins, "ws", "we", bucketSeconds = 3600)
+        .select("eid", "wid").as[(Long, Long)].collect().toSet
+      val expect = events.join(wins, col("t") >= col("ws") && col("t") <= col("we"))
+        .select("eid", "wid").as[(Long, Long)].collect().toSet
+      assert(got == expect)
+      assert(got == Set((1L, 10L), (2L, 10L), (2L, 30L), (3L, 10L), (5L, 20L)))
+    }
+  }
+
   describe("salted skew join") {
     it("produces exactly the unsalted inner-join result") {
       import graft.analytics.Skew
