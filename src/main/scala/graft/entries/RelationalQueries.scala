@@ -143,6 +143,14 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // distinct aggregation (expand-based two-phase distinct agg)
+    "q49_distinct_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
     // keyless interval join via time-bucketized equi-join (the
     // nested-loop-free range join): events against derived 8-hour
     // maintenance windows, one per observed day
@@ -288,6 +296,9 @@ object RelationalQueries {
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin,
+    "q49_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q48_interval_join" ->
       """WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS wstart FROM events),
         |j AS (SELECT epoch_us(w.wstart) AS wstart_us, e.value
