@@ -59,6 +59,23 @@ class StorageSpec extends SparkSpec {
       assert(db.length == 4)
       assert(Files.exists(java.nio.file.Paths.get(dir, "delta")))
     }
+    it("recovers from a crash mid-swap (primary renamed to backup, staging orphaned)") {
+      val (db, dir) = seeded()
+      db.storage.asInstanceOf[ParquetStorage].compact()
+      val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
+      // simulate the crash window inside overwrite(): primary moved to
+      // backup, replacement never renamed into place
+      val data = java.nio.file.Paths.get(dir, "data")
+      val backup = java.nio.file.Paths.get(dir, ".backup-data")
+      java.nio.file.Files.move(data, backup)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, ".staging-dead"))
+      // reopening runs recover(): backup restored, staging dropped
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
+      assert(!java.nio.file.Files.exists(backup))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".staging-dead")))
+    }
+
     it("reopening the directory sees the same data (insertion order kept)") {
       val (db, dir) = seeded()
       db.storage.asInstanceOf[ParquetStorage].compact()

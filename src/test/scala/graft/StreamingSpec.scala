@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
 
+    it("checkpoint resume: a restarted query continues from committed offsets, no reprocessing") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val db = GraftDB.inMemory(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graftckpt").toString
+      val stream = canonical(mem.toDF().toDF("time", "m", "room", "temp"))
+      val q1 = StreamingIngest.start(stream, db, ckpt)
+      try {
+        mem.addData((ts("2024-01-01 10:00:00"), "therm", "bed", 70.0))
+        q1.processAllAvailable()
+        assert(db.length == 1)
+      } finally q1.stop()
+      // restart against the SAME checkpoint: batch 0 must not re-run
+      val q2 = StreamingIngest.start(stream, db, ckpt)
+      try {
+        mem.addData((ts("2024-01-01 11:00:00"), "therm", "bed", 71.0))
+        q2.processAllAvailable()
+        assert(db.length == 2) // 1 old + 1 new, old batch NOT reprocessed
+        assert(db.getFieldValues("temp").map(_.doubleValue).sorted == Seq(70.0, 71.0))
+      } finally q2.stop()
+    }
+
     it("dedupKeys drops duplicate arrivals within the watermark") {
       val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
       val db = GraftDB.inMemory(spark)
