@@ -26,7 +26,7 @@ object Dedup {
     * the compute when the source has fewer partitions than cores; at
     * real scale inputs already have many partitions and this is a no-op.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[analytics] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
@@ -241,29 +241,46 @@ object Dedup {
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val collected = df.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("v"))
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val n = collected.length
-    val bc = spark.sparkContext.broadcast(
-      (collected.map(_._1), collected.map(_._2.toArray)))
-    // Contiguous stripes: low-i stripes carry the most work and are
-    // scheduled first (natural longest-task-first). Slice count follows
-    // the WORK (≈ n²/2 dot products, ~1M per task) capped at 8/core —
-    // a small corpus must not shatter into hundreds of near-empty tasks
-    // whose scheduling overhead dwarfs the math.
+    val base = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
+    // id ordering (for i < j pair identity) follows the id's own type —
+    // string ids are first-class, anything numeric rides the long path
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val collected = base.as[(String, Seq[Double])].collect().sortBy(_._1)
+        denseKernel[String](spark, collected.map(_._1), collected.map(_._2.toArray), threshold)
+      case _ =>
+        val collected = base.select(col("id").cast("long"), col("v"))
+          .as[(Long, Seq[Double])].collect().sortBy(_._1)
+        denseKernel[Long](spark, collected.map(_._1), collected.map(_._2.toArray), threshold)
+    }
+  }
+
+  /** The stripe-parallel dense scoring loop shared by both id types.
+    * Contiguous stripes: low-i stripes carry the most work and are
+    * scheduled first (natural longest-task-first). Slice count follows
+    * the WORK (≈ n²/2 dot products, ~1M per task) capped at 8/core —
+    * a small corpus must not shatter into hundreds of near-empty tasks
+    * whose scheduling overhead dwarfs the math.
+    */
+  private def denseKernel[T](spark: org.apache.spark.sql.SparkSession,
+      idArr: Array[T], mat: Array[Array[Double]], threshold: Double)(
+      implicit enc: org.apache.spark.sql.Encoder[(T, T, Double)]): DataFrame = {
+    import spark.implicits._
+    val n = idArr.length
+    val bc = spark.sparkContext.broadcast((idArr, mat))
     val totalPairs = n.toLong * (n - 1) / 2
     val slices = math.max(1, math.min(
       spark.sparkContext.defaultParallelism * 8L,
       math.min(n.toLong, totalPairs / 1000000L + 1)).toInt)
     spark.range(0, n.toLong, 1, slices).as[Long].mapPartitions { iter =>
-      val (ids, mat) = bc.value
+      val (ids, m) = bc.value
       val total = ids.length
       iter.flatMap { ii =>
         val i = ii.toInt
-        val vi = mat(i)
+        val vi = m(i)
         val d = vi.length
         (i + 1 until total).iterator.flatMap { j =>
-          val vj = mat(j)
+          val vj = m(j)
           var s = 0.0
           var k = 0
           while (k < d) { s += vi(k) * vj(k); k += 1 }

@@ -87,8 +87,7 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 3): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val src = Dedup.spread(df)
     val words = tokens(col(textCol))
     val grams = when(size(words) < k, array(md5(concat_ws(" ", words))))
       .otherwise(transform(sequence(lit(0), size(words) - k),

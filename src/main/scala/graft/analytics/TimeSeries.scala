@@ -65,11 +65,13 @@ object TimeSeries {
   def gapFillForward(df: DataFrame, keyCol: String, timeCol: String,
       valueCol: String, stepSeconds: Long): DataFrame = {
     val step = lit(stepSeconds)
-    val bucket = (unix_timestamp(col(timeCol)) / step).cast("long") * step
-    // last observation per (key, bucket)
+    // floor division (cast truncates toward zero — wrong for pre-1970 epochs)
+    val bucket = floor(unix_timestamp(col(timeCol)) / step).cast("long") * step
+    // last observation per (key, bucket); ties on the timestamp break
+    // deterministically by value so the result is run-stable
     val obs = df
       .groupBy(col(keyCol).as("key"), bucket.as("bucket"))
-      .agg(max_by(col(valueCol), col(timeCol)).as("v"))
+      .agg(max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("v"))
     // per-key regular grid spanning that key's observed range
     val grid = obs.groupBy("key")
       .agg(min("bucket").as("lo"), max("bucket").as("hi"))

@@ -82,9 +82,11 @@ final class GraftDB(val storage: Storage) {
      else pts.sortBy(_._seq)).toSeq
 
   /** op 2 `__iter__` (database.py:143-146): lazy scan. */
-  def iterator: Iterator[Point] = {
+  def iterator: Iterator[Point] = iteratorFor(Noop)
+
+  private[engine] def iteratorFor(q: Q): Iterator[Point] = {
     import scala.jdk.CollectionConverters._
-    df.orderBy(Point.SeqCol).toLocalIterator().asScala.map(toPoint)
+    filterPlan(q).orderBy(Point.SeqCol).toLocalIterator().asScala.map(toPoint)
   }
 
   /** op 3 `__len__` (database.py:148-155). */
@@ -306,6 +308,19 @@ final class GraftDB(val storage: Storage) {
 
   def getTimestamps(measurement: Option[String] = None): Seq[Instant] =
     timestampsDF(measurement).collect().toSeq.map(_.getAs[java.sql.Timestamp](0).toInstant)
+
+  /** Fold the parquet delta tier into the partitioned main store (see
+    * [[ParquetStorage.compact]]); invalidates any built index FIRST —
+    * compaction deletes the files a cached view's snapshot lists.
+    * No-op on non-parquet backends.
+    */
+  def compact(): Unit = {
+    invalidateIndex()
+    storage match {
+      case p: ParquetStorage => p.compact()
+      case _                 => ()
+    }
+  }
 
   /** op 22 `measurement` (database.py:658-685): named table view. */
   def measurement(name: String): Measurement = new Measurement(this, name)

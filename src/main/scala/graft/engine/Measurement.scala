@@ -23,8 +23,10 @@ final class Measurement(db: GraftDB, val name: String) {
   def all(sorted: Boolean = true): Seq[Point] = db.search(conj(Noop), sorted)
   def length: Long = db.count(conj(Noop))
 
-  /** `__iter__` (measurement.py:78-83): lazy scan of this measurement. */
-  def iterator: Iterator[Point] = all(sorted = false).iterator
+  /** `__iter__` (measurement.py:78-83): lazy scan of this measurement
+    * (toLocalIterator — one partition in driver memory at a time).
+    */
+  def iterator: Iterator[Point] = db.iteratorFor(conj(Noop))
 
   def searchDF(q: Q, sorted: Boolean = true): DataFrame = db.searchDF(conj(q), sorted)
   def search(q: Q, sorted: Boolean = true): Seq[Point] = db.search(conj(q), sorted)

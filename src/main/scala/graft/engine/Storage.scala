@@ -170,13 +170,23 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * previous overwrite died mid-swap — restore the backups. If the
     * primary exists, any backups/staging are stale leftovers — drop them.
     */
+  // HDFS-style FileSystem signals most failures by RETURNING FALSE, not
+  // throwing; an unchecked rename followed by backup deletion could
+  // destroy the only surviving copy. Every step is therefore verified.
+  private def renameOrThrow(src: String, dst: String): Unit =
+    if (!fs.rename(new Path(src), new Path(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  private def deleteOrThrow(p: String): Unit =
+    if (exists(p) && !fs.delete(new Path(p), true))
+      throw new java.io.IOException(s"delete failed: $p")
+
   private def recover(): Unit = {
     if (!exists(dataPath) && exists(backupDataPath)) {
-      fs.rename(new Path(backupDataPath), new Path(dataPath))
+      renameOrThrow(backupDataPath, dataPath)
       if (!exists(deltaPath) && exists(backupDeltaPath))
-        fs.rename(new Path(backupDeltaPath), new Path(deltaPath))
+        renameOrThrow(backupDeltaPath, deltaPath)
     }
-    Seq(backupDataPath, backupDeltaPath).foreach(p => if (exists(p)) fs.delete(new Path(p), true))
+    Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
     if (exists(root)) {
       val staging = fs.listStatus(new Path(root))
         .filter(_.getPath.getName.startsWith(".staging-"))
@@ -228,10 +238,11 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     // Materialize BEFORE touching the primary: `full` may read from it.
     writePartitioned(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite)
-    if (exists(dataPath)) fs.rename(new Path(dataPath), new Path(backupDataPath))
-    if (exists(deltaPath)) fs.rename(new Path(deltaPath), new Path(backupDeltaPath))
-    fs.rename(new Path(staging), new Path(dataPath))
-    Seq(backupDataPath, backupDeltaPath).foreach(p => if (exists(p)) fs.delete(new Path(p), true))
+    if (exists(dataPath)) renameOrThrow(dataPath, backupDataPath)
+    if (exists(deltaPath)) renameOrThrow(deltaPath, backupDeltaPath)
+    renameOrThrow(staging, dataPath)
+    // only after the new primary is verifiably in place:
+    Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
     resetGen()
   }
 }

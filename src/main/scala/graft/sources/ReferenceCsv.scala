@@ -49,6 +49,10 @@ object ReferenceCsv {
       .option("mode", "PERMISSIVE")
       // python's csv module escapes quotes by doubling them
       .option("escape", "\"")
+      // quoted cells may contain raw newlines (QUOTE_MINIMAL writes
+      // them verbatim); without multiLine the reader would split the
+      // record at the newline. Compat tier: single-threaded per file.
+      .option("multiLine", "true")
       // empty cells are real values (empty tag strings); only columns
       // ABSENT from a row (schema padding) may be null
       .option("nullValue", "")
@@ -93,7 +97,10 @@ object ReferenceCsv {
     })
 
     raw.select(
-      to_timestamp(col("c0")).as(Point.TimeCol),
+      // '_none' encodes a None time (point.py:320-325); try_to_timestamp
+      // also nulls malformed cells instead of throwing under ANSI mode
+      when(col("c0") === NoneStr, lit(null).cast("timestamp"))
+        .otherwise(try_to_timestamp(col("c0"))).as(Point.TimeCol),
       when(col("c1") === NoneStr, lit(null).cast("string"))
         .otherwise(col("c1")).as(Point.MeasurementCol),
       map_from_entries(tagEntries).as(Point.TagsCol),

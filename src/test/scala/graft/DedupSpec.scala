@@ -139,6 +139,16 @@ class DedupSpec extends SparkSpec {
         .select("i", "j").as[(Long, Long)].collect().toSet
       assert(pairs == Set((0L, 1L)))
     }
+    it("string ids are first-class in the dense kernel") {
+      val sv = Seq(
+        ("doc-a", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        ("doc-b", Array(0.99f, 0.1f, 0.0f, 0.0f)),
+        ("doc-c", Array(0.0f, 1.0f, 0.0f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val pairs = Dedup.embeddingCosinePairs(sv, "vec_id", "embedding", threshold = 0.9)
+        .select("i", "j").as[(String, String)].collect().toSet
+      assert(pairs == Set(("doc-a", "doc-b")))
+    }
     it("approximate sign-LSH variant keeps the same near-dup pair") {
       val pairs = Dedup.approxCosinePairsLsh(vecs, "vec_id", "embedding",
         threshold = 0.9, lshBits = 4)

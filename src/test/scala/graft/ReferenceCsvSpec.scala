@@ -46,6 +46,16 @@ class ReferenceCsvSpec extends SparkSpec {
       assert(pts(1)._3 == Map("room" -> null))
       assert(pts(1)._4 == Map("temp" -> java.lang.Double.valueOf(70.5)))
     }
+    it("'_none' and malformed times parse to null instead of failing the load") {
+      val p = writeTemp(Seq(
+        "_none,m,_field_v,1.0",
+        "not-a-time,m,_field_v,2.0",
+        "2024-01-01T00:00:00,m,_field_v,3.0"))
+      val pts = collectPoints(p)
+      assert(pts.length == 3)
+      assert(pts(0)._1 == null && pts(1)._1 == null && pts(2)._1 != null)
+      assert(pts.map(_._4("v").doubleValue).toSeq == Seq(1.0, 2.0, 3.0))
+    }
     it("parses compact prefixes (t_/f_)") {
       val p = writeTemp(Seq("2024-01-01T00:00:00,m,t_a,x,f_b,1.5"))
       val pts = collectPoints(p)
