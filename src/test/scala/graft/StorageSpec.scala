@@ -34,7 +34,7 @@ class StorageSpec extends SparkSpec {
     }
     it("compacted store scans prune on the measurement partition column") {
       val (db, _) = seeded()
-      db.storage.asInstanceOf[ParquetStorage].compact()
+      db.compact()
       val plan = db.searchDF(MeasurementQuery() === "cpu")
         .queryExecution.executedPlan.toString
       // partition filter, not a data filter: measurement is a dir column
@@ -50,7 +50,7 @@ class StorageSpec extends SparkSpec {
       assert(Files.exists(java.nio.file.Paths.get(dir, "delta")))
       assert(!Files.exists(java.nio.file.Paths.get(dir, "data")))
       val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
-      db.storage.asInstanceOf[ParquetStorage].compact()
+      db.compact()
       assert(Files.exists(java.nio.file.Paths.get(dir, "data")))
       assert(!Files.exists(java.nio.file.Paths.get(dir, "delta")))
       assert(db.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
@@ -61,7 +61,7 @@ class StorageSpec extends SparkSpec {
     }
     it("recovers from a crash mid-swap (primary renamed to backup, staging orphaned)") {
       val (db, dir) = seeded()
-      db.storage.asInstanceOf[ParquetStorage].compact()
+      db.compact()
       val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
       // simulate the crash window inside overwrite(): primary moved to
       // backup, replacement never renamed into place
@@ -78,7 +78,7 @@ class StorageSpec extends SparkSpec {
 
     it("reopening the directory sees the same data (insertion order kept)") {
       val (db, dir) = seeded()
-      db.storage.asInstanceOf[ParquetStorage].compact()
+      db.compact()
       db.insert(Point(t("2024-01-05T01:00:00Z"), "cpu", Map("host" -> "c"), Map("load" -> 1.5)))
       val again = GraftDB.atPath(spark, dir)
       assert(again.length == 4)
