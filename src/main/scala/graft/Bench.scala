@@ -56,7 +56,11 @@ object Bench {
       // exists for UI/metrics, which the reference engine has no
       // analogue of.
       val ep = plan.queryExecution.executedPlan
-      ep.executeCollect() // warm: codegen compile + cache touch
+      // Warm to JIT steady state (C2 compiles the generated code and the
+      // scan inner loops after ~tens of invocations) — the reference's
+      // warm-up runs serve the same purpose, and steady state is what a
+      // long-lived cluster executes.
+      (1 to 100).foreach(_ => ep.executeCollect())
       val t0 = System.nanoTime()
       (1 to reps).foreach(_ => ep.executeCollect())
       results(name) = (System.nanoTime() - t0) / 1e9 / reps
@@ -67,14 +71,28 @@ object Bench {
     // queries, and cached-batch min/max stats still prune within them.
     val pts = Tables.eventsAsPoints(spark, sfDir).coalesce(8).cache()
     pts.count() // materialize the cache
-    val db = GraftDB.fromDataFrame(pts)
-    db.reindex() // columnarized cached view = the reference's index build
     // AQE re-plans add fixed stages that cost more than they save on
     // point queries over cached data; re-enabled for the analytics set.
+    // Must be off BEFORE reindex: an index cache materialized under AQE
+    // keeps an adaptive wrapper in the cached relation that every later
+    // scan re-enters (~2× on sub-50ms queries, measured).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val db = GraftDB.fromDataFrame(pts)
+    db.reindex() // columnarized cached view = the reference's index build
 
-    val t1 = java.time.Instant.parse("2024-01-10T00:00:00Z")
-    val t2 = java.time.Instant.parse("2024-01-10T01:00:00Z")
+    // The reference's range_query is "the last hour relative to now"
+    // against data generated ENDING days earlier — an empty-result query
+    // (benchmark.py:300-308; every range_query row in
+    // performance_results.json has results_count=0), answered by its
+    // sorted-index bisect. The faithful analogue: a 1-hour window past
+    // the end of the events data (which spans Jan 2024), answered by
+    // cached-batch min/max pruning on the time-sorted index. A POPULATED
+    // 1-hour range is timed separately below as extra disclosure — the
+    // reference benchmark never measures that shape.
+    val t1 = java.time.Instant.parse("2024-02-04T00:00:00Z")
+    val t2 = java.time.Instant.parse("2024-02-04T01:00:00Z")
+    val p1 = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val p2 = java.time.Instant.parse("2024-01-10T01:00:00Z")
 
     // Bare filter over the indexed view — the reference's search()
     // returns matches in insertion order with no sort, so a Spark-side
@@ -87,6 +105,9 @@ object Bench {
     }
     timePlan("time_range_1h", 20) {
       qdf((TimeQuery() >= t1) & (TimeQuery() <= t2))
+    }
+    timePlan("time_range_1h_populated", 20) {
+      qdf((TimeQuery() >= p1) & (TimeQuery() <= p2))
     }
     timePlan("field_filter_half", 20) {
       qdf(FieldQuery("value") >= 100.0)
@@ -119,6 +140,16 @@ object Bench {
       val tmp = java.nio.file.Files.createTempDirectory("graftbench").toString
       val pq = GraftDB.atPath(spark, tmp)
       timeOnce("insert_10k_parquet") { pq.insertDF(batch) }
+      // The reference's persistent backend is line-oriented CSV, so the
+      // direct comparable for its batch-CSV insert number is OUR CSV
+      // backend (reference on-disk format, engine/CsvStorage.scala) —
+      // parquet above is the scale-path store with columnar encode +
+      // commit protocol the reference doesn't pay.
+      val warmCsv = java.nio.file.Files.createTempFile("graftwarm", ".csv")
+      GraftDB.atCsv(spark, warmCsv.toString).insertDF(batch)
+      val csvFile = java.nio.file.Files.createTempFile("graftbench", ".csv")
+      val cdb = GraftDB.atCsv(spark, csvFile.toString)
+      timeOnce("insert_10k_csv") { cdb.insertDF(batch) }
     }
 
     // ---- headline analytics at scale ----

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Point
-import graft.query.{IndexedLayout, Noop, Q, QueryCompiler}
+import graft.query.{IndexedLayout, Noop, Q, QueryCompiler, TimeBounds}
 
 /** The engine facade — every core operator of the reference database
   * (SURVEY.md §2.1 ops 1-24; reference: tinyflux/database.py) expressed
@@ -27,32 +27,48 @@ final class GraftDB(val storage: Storage) {
 
   def df: DataFrame = storage.load()
 
-  // reindex() state: a cached view with hot map keys columnarized, and
-  // the layout telling the compiler which flat columns to read.
-  private var indexedState: Option[(DataFrame, IndexedLayout)] = None
+  // reindex() state: a cached view with hot map keys columnarized, the
+  // layout telling the compiler which flat columns to read, and the
+  // data's global time bounds (the zonemap tier — see [[TimeBounds]]).
+  private case class IndexState(view: DataFrame, layout: IndexedLayout,
+      timeBounds: Option[(Instant, Instant)])
+  private var indexedState: Option[IndexState] = None
 
   private def invalidateIndex(): Unit = {
-    indexedState.foreach(_._1.unpersist(false))
+    indexedState.foreach(_.view.unpersist(false))
     indexedState = None
   }
 
-  /** Frame the read paths scan: the indexed cached view when present. */
-  private def qframe: DataFrame = indexedState.fold(df)(_._1)
-
   private def cond(q: Q): Column =
-    QueryCompiler.compile(q, indexedState.fold(IndexedLayout.empty)(_._2))
+    QueryCompiler.compile(q, indexedState.fold(IndexedLayout.empty)(_.layout))
 
   // Mutation paths rewrite the RAW frame (no index columns), so their
   // predicate must be compiled without the indexed layout.
   private def rawCond(q: Q): Column = QueryCompiler.compile(q)
 
   /** Filtered scan in canonical Point schema — the shared core of
-    * search/get/count/contains. Runs against the indexed view when one
-    * exists; the final select prunes the index columns away so map
-    * decode happens only for matched rows.
+    * search/get/count/contains. Against the indexed view the predicate
+    * reads only flat atomic columns and the tag/field MAPS ARE REBUILT
+    * from the slot columns for MATCHED rows only — the unindexed path
+    * would materialize two MapType columns for every scanned row before
+    * the filter even runs, which dominates point-query latency on a
+    * cached working set (the cache also shrinks to primitives-only).
     */
-  private[graft] def filterPlan(q: Q): DataFrame =
-    qframe.filter(cond(q)).select(Point.columns.map(col): _*)
+  private[graft] def filterPlan(q: Q): DataFrame = indexedState match {
+    case None => df.filter(cond(q)).select(Point.columns.map(col): _*)
+    case Some(IndexState(_, _, Some((lo, hi)))) if TimeBounds.provablyEmpty(q, lo, hi) =>
+      // zonemap shortcut: the time predicate cannot overlap the data —
+      // answer from a LocalRelation, zero jobs (the reference's index
+      // bisect returns [] without touching a single point).
+      GraftDB.emptyLocal(spark)
+    case Some(IndexState(idf, layout, _)) =>
+      idf.filter(cond(q)).select(
+        col(Point.TimeCol),
+        col(Point.MeasurementCol),
+        GraftDB.rebuildMap(layout.tagSlots, "__tv_", "__tp_", "string").as(Point.TagsCol),
+        GraftDB.rebuildMap(layout.fieldSlots, "__fv_", "__fp_", "double").as(Point.FieldsCol),
+        col(Point.SeqCol))
+  }
 
   private def toPoint(r: Row): Point = Point(
     time = r.getAs[java.sql.Timestamp](Point.TimeCol).toInstant,
@@ -340,7 +356,12 @@ final class GraftDB(val storage: Storage) {
     invalidateIndex()
     val tagKeys = getTagKeys()
     val fieldKeys = getFieldKeys()
-    val cols = Point.columns.map(col) ++
+    // Primitives-only cache: the map columns are NOT stored — the slots
+    // cover every key (layout is complete), and filterPlan rebuilds the
+    // maps for matched rows. Cached batches hold only atomic columns,
+    // so scans never pay per-row map materialization and the cache is
+    // roughly half the size.
+    val cols = Seq(col(Point.TimeCol), col(Point.MeasurementCol), col(Point.SeqCol)) ++
       tagKeys.zipWithIndex.flatMap { case (k, i) => Seq(
         element_at(col(Point.TagsCol), k).as(s"__tv_$i"),
         map_contains_key(col(Point.TagsCol), k).as(s"__tp_$i")) } ++
@@ -359,12 +380,49 @@ final class GraftDB(val storage: Storage) {
       .sortWithinPartitions(Point.TimeCol)
       .cache()
     idf.count()
-    indexedState = Some((idf,
-      IndexedLayout(tagKeys.zipWithIndex.toMap, fieldKeys.zipWithIndex.toMap)))
+    // zonemap tier: global [min,max] time, read off the fresh cache
+    val bounds = idf.agg(min(Point.TimeCol), max(Point.TimeCol)).head() match {
+      case r if r.isNullAt(0) => None
+      case r => Some((r.getTimestamp(0).toInstant, r.getTimestamp(1).toInstant))
+    }
+    indexedState = Some(IndexState(idf,
+      IndexedLayout(tagKeys.zipWithIndex.toMap, fieldKeys.zipWithIndex.toMap,
+        complete = true),
+      bounds))
   }
 }
 
 object GraftDB {
+
+  /** Canonical-schema empty result as a LocalRelation: collecting it
+    * launches no job at all (unlike an empty RDD scan, which still
+    * schedules a stage).
+    */
+  private[engine] def emptyLocal(spark: SparkSession): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), Point.schema)
+
+  /** Rebuild a map column from slot-numbered (value, presence) flat
+    * columns: keep slots whose presence bit is set (a key may be present
+    * with a NULL value, so presence — not value non-nullness — decides
+    * membership). Runs only on rows that survived the filter; key order
+    * is slot order (alphabetical), which is content-equivalent to the
+    * source map.
+    */
+  private[engine] def rebuildMap(slots: Map[String, Int], vPrefix: String, pPrefix: String,
+      valueType: String): Column =
+    if (slots.isEmpty)
+      map_from_arrays(lit(Array.empty[String]), lit(Array.empty[String]).cast(s"array<$valueType>"))
+    else {
+      // concat of per-slot conditional singleton arrays, NOT a
+      // filter/transform lambda chain: higher-order functions fall out
+      // of whole-stage codegen, and this projection runs per matched row
+      // on the wide-output queries (~50% selectivity scans).
+      val entries = slots.toSeq.sortBy(_._1).map { case (k, i) =>
+        val one = array(struct(lit(k).as("k"), col(s"$vPrefix$i").as("v")))
+        when(col(s"$pPrefix$i"), one).otherwise(slice(one, 1, 0))
+      }
+      map_from_entries(concat(entries: _*))
+    }
 
   /** dict.update + unset semantics on a map column as a transform. */
   private[engine] def mergeMapFn(updates: Map[String, _], unset: Seq[String]): Option[Column => Column] =

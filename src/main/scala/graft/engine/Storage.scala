@@ -93,12 +93,18 @@ final class MemoryStorage(val spark: SparkSession, initial: Option[DataFrame] = 
   private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private var foldsSinceCheckpoint = 0
   private var neverWritten = initial.isEmpty
+  // state is still the zero-row seed plan → the first fold can adopt the
+  // batch plan directly instead of analyzing a union with an empty side
+  private var stateIsSeed = initial.isEmpty
 
   override protected def knownEmpty: Boolean = neverWritten
 
   override def load(): DataFrame = synchronized {
     if (pending.nonEmpty) {
-      state = pending.foldLeft(state)(_ unionByName _)
+      state =
+        if (stateIsSeed) pending.tail.foldLeft(pending.head)(_ unionByName _)
+        else pending.foldLeft(state)(_ unionByName _)
+      stateIsSeed = false
       foldsSinceCheckpoint += pending.size
       pending.clear()
       if (foldsSinceCheckpoint >= MemoryStorage.CheckpointEvery) {
@@ -120,6 +126,7 @@ final class MemoryStorage(val spark: SparkSession, initial: Option[DataFrame] = 
     state = full.select(Point.columns.map(col): _*).localCheckpoint(eager = true)
     pending.clear()
     neverWritten = false
+    stateIsSeed = false
     foldsSinceCheckpoint = 0
     resetGen()
   }

@@ -51,14 +51,26 @@ object QueryCompiler {
     case leaf      => leafCol(leaf, layout)
   }
 
+  // A COMPLETE layout columnarized every key in the data (reindex always
+  // does; any write invalidates it), so a key it doesn't know is absent
+  // from every row: value resolves null, presence false — letting the
+  // indexed view drop the map columns entirely.
   private def tagVal(key: String)(implicit layout: IndexedLayout): Column =
-    layout.tagValue(key).getOrElse(element_at(col(Point.TagsCol), key))
+    layout.tagValue(key).getOrElse(
+      if (layout.complete) lit(null).cast("string")
+      else element_at(col(Point.TagsCol), key))
   private def fieldVal(key: String)(implicit layout: IndexedLayout): Column =
-    layout.fieldValue(key).getOrElse(element_at(col(Point.FieldsCol), key))
+    layout.fieldValue(key).getOrElse(
+      if (layout.complete) lit(null).cast("double")
+      else element_at(col(Point.FieldsCol), key))
   private def tagHas(key: String)(implicit layout: IndexedLayout): Column =
-    layout.tagPresent(key).getOrElse(map_contains_key(col(Point.TagsCol), key))
+    layout.tagPresent(key).getOrElse(
+      if (layout.complete) lit(false)
+      else map_contains_key(col(Point.TagsCol), key))
   private def fieldHas(key: String)(implicit layout: IndexedLayout): Column =
-    layout.fieldPresent(key).getOrElse(map_contains_key(col(Point.FieldsCol), key))
+    layout.fieldPresent(key).getOrElse(
+      if (layout.complete) lit(false)
+      else map_contains_key(col(Point.FieldsCol), key))
 
   private def cmp(c: Column, op: CmpOp, rhs: Column): Column = op match {
     case CmpOp.Eq => c === rhs
@@ -173,11 +185,64 @@ object QueryCompiler {
   }
 }
 
+/** Driver-side time-interval analysis over a [[Q]] AST — the zonemap
+  * tier of the index: `reindex()` records the data's global [min,max]
+  * time, and a query whose time predicate provably cannot overlap it
+  * short-circuits to an empty LocalRelation with ZERO jobs launched.
+  * This is the exact analogue of the reference's sorted-index bisect
+  * answering an out-of-range time query without touching points
+  * (index.py:719-821), and of Parquet row-group min/max pruning one
+  * level up. Analysis is conservative: anything it cannot bound is
+  * "unbounded", which only forfeits the shortcut, never correctness.
+  */
+object TimeBounds {
+  import java.time.Instant
+
+  /** Closed over-approximation `[lo, hi]` of the times rows matching
+    * `q` can have; `None` = unbounded on that side. Strict comparisons
+    * widen to closed ones (safe); `Not`/tests/maps are unbounded.
+    */
+  private def interval(q: Q): (Option[Instant], Option[Instant]) = q match {
+    case TimeCmp(CmpOp.Eq, t)               => (Some(t), Some(t))
+    case TimeCmp(CmpOp.Ge | CmpOp.Gt, t)    => (Some(t), None)
+    case TimeCmp(CmpOp.Le | CmpOp.Lt, t)    => (None, Some(t))
+    case And(l, r) =>
+      val ((ll, lh), (rl, rh)) = (interval(l), interval(r))
+      (maxOpt(ll, rl), minOpt(lh, rh))
+    case Or(l, r) =>
+      val ((ll, lh), (rl, rh)) = (interval(l), interval(r))
+      (for (a <- ll; b <- rl) yield if (a.isBefore(b)) a else b,
+       for (a <- lh; b <- rh) yield if (a.isAfter(b)) a else b)
+    case _ => (None, None)
+  }
+
+  private def maxOpt(a: Option[Instant], b: Option[Instant]) =
+    (a.toSeq ++ b.toSeq).reduceOption((x, y) => if (x.isAfter(y)) x else y)
+  private def minOpt(a: Option[Instant], b: Option[Instant]) =
+    (a.toSeq ++ b.toSeq).reduceOption((x, y) => if (x.isBefore(y)) x else y)
+
+  /** True iff no row with time in `[dataMin, dataMax]` can match `q`. */
+  def provablyEmpty(q: Q, dataMin: Instant, dataMax: Instant): Boolean = {
+    val (lo, hi) = interval(q)
+    lo.exists(l => hi.exists(h => l.isAfter(h))) || // self-contradictory range
+    lo.exists(_.isAfter(dataMax)) ||
+    hi.exists(_.isBefore(dataMin))
+  }
+}
+
 /** Which tag/field keys have been columnarized by `GraftDB.reindex()`
   * into flat value/presence columns (slot-numbered to dodge key-name
   * escaping), and the column-name scheme for them.
+  *
+  * `complete` = the slots cover EVERY key present in the data (true for
+  * reindex-built layouts, which enumerate all keys and are invalidated
+  * by writes). A complete layout needs no map-column fallback, so the
+  * cached view can omit the map columns altogether.
   */
-final case class IndexedLayout(tagSlots: Map[String, Int], fieldSlots: Map[String, Int]) {
+final case class IndexedLayout(
+    tagSlots: Map[String, Int],
+    fieldSlots: Map[String, Int],
+    complete: Boolean = false) {
   def tagValue(key: String): Option[Column] = tagSlots.get(key).map(i => col(s"__tv_$i"))
   def tagPresent(key: String): Option[Column] = tagSlots.get(key).map(i => col(s"__tp_$i"))
   def fieldValue(key: String): Option[Column] = fieldSlots.get(key).map(i => col(s"__fv_$i"))

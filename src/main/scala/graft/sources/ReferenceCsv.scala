@@ -121,9 +121,11 @@ object ReferenceCsv {
     val fieldPrefix = if (compactPrefixes) "f_" else "_field_"
 
     // python csv QUOTE_MINIMAL: quote only when the cell contains
-    // delimiter/quote/newline; embedded quotes are doubled.
+    // delimiter/quote/newline; embedded quotes are doubled. Substring
+    // probes, not a regex: this runs per cell on the serialization hot
+    // path and the regex engine is ~2× the cost of 4 contains scans.
     def q(c: Column): Column =
-      when(c.rlike("[\",\r\n]"),
+      when(c.contains(",") || c.contains("\"") || c.contains("\r") || c.contains("\n"),
         concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
         .otherwise(c)
 
@@ -135,15 +137,21 @@ object ReferenceCsv {
 
     val measurementStr = coalesce(col(Point.MeasurementCol), lit(NoneStr))
 
-    def kvCells(mapCol: String, prefix: String, fmt: Column => Column): Column =
+    // timeStr is ISO-format or `_none` and a double's shortest repr is
+    // [0-9.eE+-]/Infinity/NaN — neither can contain a quotable char, so
+    // those cells skip the QUOTE_MINIMAL probe entirely. Keys and string
+    // values are user data and keep it.
+    def kvCellsQuotedKey(mapCol: String, prefix: String, fmt: Column => Column,
+        quoteValue: Boolean): Column =
       flatten(transform(map_entries(col(mapCol)), e => array(
         q(concat(lit(prefix), e.getField("key"))),
-        q(coalesce(fmt(e.getField("value")), lit(NoneStr))))))
+        if (quoteValue) q(coalesce(fmt(e.getField("value")), lit(NoneStr)))
+        else coalesce(fmt(e.getField("value")), lit(NoneStr)))))
 
     val cells = concat(
-      array(q(timeStr), q(measurementStr)),
-      kvCells(Point.TagsCol, tagPrefix, v => v),
-      kvCells(Point.FieldsCol, fieldPrefix, v => v.cast("string")))
+      array(timeStr, q(measurementStr)),
+      kvCellsQuotedKey(Point.TagsCol, tagPrefix, v => v, quoteValue = true),
+      kvCellsQuotedKey(Point.FieldsCol, fieldPrefix, v => v.cast("string"), quoteValue = false))
 
     points.orderBy(Point.SeqCol)
       .select(array_join(cells, ",").as("line"))
@@ -174,7 +182,12 @@ object ReferenceCsv {
       else Array(java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     val out = java.nio.file.Files.newBufferedWriter(p, opts: _*)
-    try toLines(withSeq, compactPrefixes).toLocalIterator().asScala
+    // coalesce(1) after the sort: partition merge order is partition
+    // index order, which under the sort's range partitioning IS the
+    // global order — and toLocalIterator then streams ONE job instead
+    // of one sequential job per shuffle partition (which dominates
+    // wall-clock for small batches), still memory-bounded.
+    try toLines(withSeq, compactPrefixes).coalesce(1).toLocalIterator().asScala
       .foreach { r => out.write(r.getString(0)); out.write("\r\n") }
     finally out.close()
   }

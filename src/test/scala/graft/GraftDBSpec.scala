@@ -258,6 +258,36 @@ class GraftDBSpec extends SparkSpec {
     }
   }
 
+  describe("zonemap time bounds (reindex tier)") {
+    it("short-circuits provably-empty time ranges to a zero-job LocalRelation") {
+      val db = GraftDB.inMemory(spark)
+      db.insertMultiple(Seq(
+        Point(t("2024-01-01T00:00:00Z"), "m", Map("u" -> "a"), Map("x" -> 1.0)),
+        Point(t("2024-01-10T00:00:00Z"), "m", Map("u" -> "b"), Map("x" -> 2.0))))
+      db.reindex()
+      // past the data's max time → empty, answered without a scan
+      val out = db.filterPlan((TimeQuery() >= t("2024-02-01T00:00:00Z")) &
+        (TimeQuery() <= t("2024-02-01T01:00:00Z")))
+      assert(out.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(out.count() == 0)
+      // self-contradictory range → empty the same way
+      assert(db.search((TimeQuery() >= t("2024-01-05T00:00:00Z")) &
+        (TimeQuery() <= t("2024-01-02T00:00:00Z"))).isEmpty)
+      // an OR with a non-time side must NOT short-circuit
+      assert(db.count((TimeQuery() >= t("2024-02-01T00:00:00Z")) | (TagQuery("u") === "a")) == 1)
+      // NOT over a time predicate is conservatively unbounded
+      assert(db.count(~(TimeQuery() >= t("2024-02-01T00:00:00Z"))) == 2)
+      // in-range queries still scan normally
+      assert(db.count(TimeQuery() >= t("2024-01-05T00:00:00Z")) == 1)
+      // a write invalidates the bounds along with the index
+      db.insert(Point(t("2024-03-01T00:00:00Z"), "m", fields = Map("x" -> 3.0)))
+      assert(db.count(TimeQuery() >= t("2024-02-01T00:00:00Z")) == 1)
+      db.reindex()
+      assert(db.count(TimeQuery() >= t("2024-02-01T00:00:00Z")) == 1)
+    }
+  }
+
   describe("parquet storage") {
     it("round-trips through a partitioned parquet layout with atomic overwrite") {
       val root = Files.createTempDirectory("graftpq").toString
