@@ -1,0 +1,91 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after dedup:
+  * deterministic sampling, per-source quota capping, and sessionization.
+  *
+  * All are single-shuffle declarative transforms. Sampling is HASH
+  * based, not `rand()`: the same row lands in the same split on every
+  * run, on any cluster size, with no seed-plumbing — the standard way
+  * production pipelines make train/eval splits reproducible (and the
+  * only way an external engine can replay the split bit-for-bit).
+  * Hashing is md5-derived like the rest of the library, so the DuckDB
+  * oracle verifies membership exactly.
+  */
+object Curation {
+
+  /** Uniform bucket in [0, buckets) from the md5 of `salt:id` — a pure
+    * projection (no shuffle, no state). Different salts give independent
+    * splits; the first 8 hex chars (32 bits) keep the value exact in a
+    * signed 64-bit int in every engine.
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep ~pct% of rows, deterministically. Filter is a scan-level
+    * predicate: at 100 TB this is a full scan, nothing more.
+    */
+  def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String = "sample"): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct in [0, 100]")
+    df.filter(hashBucket(col(idCol), salt, 100) < pct)
+  }
+
+  /** Disjoint train/validation/test split by hash bucket — one scan,
+    * three filters, no shuffle, stable across runs.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int, validPct: Int,
+      salt: String = "split"): (DataFrame, DataFrame, DataFrame) = {
+    require(trainPct + validPct <= 100, "train + valid must be <= 100")
+    val b = hashBucket(col(idCol), salt, 100)
+    (df.filter(b < trainPct),
+     df.filter(b >= trainPct && b < trainPct + validPct),
+     df.filter(b >= trainPct + validPct))
+  }
+
+  /** Per-stratum quota: keep the top `k` rows of each stratum by
+    * `orderCols` (e.g. cap each domain/source at k docs, best-quality
+    * first — the standard guard against one crawl domain dominating a
+    * corpus). One hash-partition shuffle on the stratum + in-partition
+    * sort; rank-k early-stops per group. A pathologically hot stratum
+    * (one domain = half the corpus) is the documented skew case — cap
+    * it upstream with [[hashSample]] or salt via [[Skew]].
+    */
+  def stratumCap(df: DataFrame, stratumCols: Seq[String], k: Int,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Gap-based sessionization: rows of one `keyCol` whose successive
+    * `tsCol` (epoch micros) differ by more than `gapUs` start a new
+    * session; `session_seq` numbers sessions per key from 1. Window
+    * tie-break on `tieCol` keeps lag() deterministic under equal
+    * timestamps. Single shuffle on the key; session assignment and the
+    * cumulative-sum numbering happen inside one partition-local sort —
+    * the classic "gaps and islands" plan, skew-tolerant for any key
+    * whose per-key history fits a partition.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val brk = when(prev.isNull || col(tsCol) - prev > gapUs, 1).otherwise(0)
+    df.withColumn("session_seq",
+      sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Session-level rollup: one row per (key, session) with event count
+    * and [start, end] micros.
+    */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapUs: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, tieCol, gapUs)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_us"),
+        max(col(tsCol)).as("end_us"))
+}

@@ -327,6 +327,56 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair set — the
+    * step that turns pairwise LSH output into dedup GROUPS (pairs alone
+    * under-merge: A~B and B~C must collapse to one cluster even when
+    * A~C was never emitted).
+    *
+    * Iterative min-label propagation: every node starts labeled with
+    * its own id; each round every node takes the min of its own label
+    * and its neighbors' labels; fixpoint = each component labeled by
+    * its minimum member id. One equi-join + one groupBy-min per round,
+    * rounds bounded by the component diameter — near-dup graphs are
+    * dense clusters with tiny diameters, so this converges in a few
+    * rounds (the alternating large-star/small-star scheme halves round
+    * count for adversarial chain graphs; same join shape). Lineage is
+    * truncated every round (localCheckpoint), so plans stay flat no
+    * matter how many rounds run.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, iCol: String, jCol: String, maxRounds: Int = 50): DataFrame = {
+    val bidir = edges.select(col(iCol).as("a"), col(jCol).as("b"))
+      .union(edges.select(col(jCol).as("a"), col(iCol).as("b")))
+      .distinct().cache()
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val msgs = bidir.join(labels.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      round += 1
+    }
+    bidir.unpersist()
+    labels
+  }
+
+  /** One survivor per component: rank members by `orderCols` (e.g.
+    * quality descending, id ascending) and keep rank 1 — the final
+    * near-dup dedup step (cluster, then keep the best exemplar).
+    */
+  def survivorsByComponent(members: DataFrame, componentCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(componentCol).orderBy(orderCols: _*)
+    members.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Approximate variant: random-hyperplane sign-LSH bucketing. Recall
     * < 1 (pairs split by any hyperplane are lost) — use for tight
     * thresholds at extreme scale where even eps-grid cells overflow;

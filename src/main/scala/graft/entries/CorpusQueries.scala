@@ -3,7 +3,7 @@ package graft.entries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.analytics.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -114,10 +114,114 @@ object CorpusQueries {
         queries = emb(s, dir).filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding")),
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
-        .select("qid", "id").orderBy("qid", "id"))
+        .select("qid", "id").orderBy("qid", "id")),
+
+    // ---- curation: sampling, quotas, clustering, sessionization ----
+
+    // deterministic 10% sample — hash membership, replayable anywhere
+    "q62_hash_sample" -> ((s, dir) =>
+      Curation.hashSample(docs(s, dir), "doc_id", pct = 10)
+        .select("doc_id").orderBy("doc_id")),
+
+    // cap every source at its 10 longest docs (domain-balance pass)
+    "q63_source_quota" -> ((s, dir) =>
+      Curation.stratumCap(docs(s, dir), Seq("source"), k = 10,
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
+    // near-dup GROUPS: connected components over the q57 LSH pair set
+    // (min member id labels the component; singletons label themselves)
+    "q64_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.5)
+      Dedup.connectedComponents(d.select("doc_id"), "doc_id", pairs, "i", "j")
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "component").orderBy("doc_id")
+    }),
+
+    // ...then keep one exemplar per cluster: longest doc, id tie-break
+    "q66_dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.5)
+      val comps = Dedup.connectedComponents(d.select("doc_id"), "doc_id", pairs, "i", "j")
+        .withColumnRenamed("id", "doc_id")
+      Dedup.survivorsByComponent(
+        d.join(comps, "doc_id").select("doc_id", "component", "n_chars"),
+        "component", Seq(col("n_chars").desc, col("doc_id")))
+        .select("component", "doc_id", "n_chars").orderBy("component")
+    }),
+
+    // gap-based sessions over the events stream (30-minute inactivity)
+    "q65_sessionize" -> ((s, dir) =>
+      Curation.sessionStats(Tables.events(s, dir), "user_id", "ts_us", "event_id",
+        gapUs = 1800000000L)
+        .orderBy("user_id", "session_seq"))
   )
 
+  /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
+    * clustering oracles (q64/q66) build their edge set from exactly
+    * these CTEs, so banding recall stays part of what they check too.
+    */
+  private val MinhashPairCtes: String =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(w) < 3 THEN []
+      |  ELSE list_transform(range(0, length(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')) END) AS tok FROM t),
+      |hs AS (SELECT doc_id,
+      |  CAST('0x' || substring(md5('A:' || tok), 1, 15) AS BIGINT) AS h1,
+      |  CAST('0x' || substring(md5('B:' || tok), 1, 15) AS BIGINT) % 140737488355328 AS h2 FROM sh),
+      |sig AS (SELECT doc_id, i, min(h1 + i * h2) AS v
+      |  FROM hs, (SELECT unnest(range(0, 63)) AS i) ii GROUP BY doc_id, i),
+      |pos AS (SELECT a.doc_id AS i, a.i // 3 AS band, b.doc_id AS j, (a.v = b.v) AS eq
+      |  FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id),
+      |byband AS (SELECT i, j, band, bool_and(eq) AS bandhit,
+      |  sum(CASE WHEN eq THEN 1 ELSE 0 END) AS neq FROM pos GROUP BY 1, 2, 3),
+      |agg AS (SELECT i, j, bool_or(bandhit) AS cand, sum(neq) / 63.0 AS est FROM byband GROUP BY 1, 2)""".stripMargin
+
+  /** Edge set + transitive closure + min-reachable-id labeling, shared
+    * by q64 (clusters) and q66 (survivors). DuckDB's recursive UNION
+    * dedups rows, so the closure terminates.
+    */
+  private val ComponentCtes: String =
+    s"""$MinhashPairCtes,
+       |e AS (SELECT i, j FROM agg WHERE cand AND est >= 0.5),
+       |bidir AS (SELECT i AS a, j AS b FROM e UNION SELECT j AS a, i AS b FROM e),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, d.b FROM reach r JOIN bidir d ON r.b = d.a),
+       |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q62_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "q63_source_quota" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q64_dedup_clusters" ->
+      s"WITH RECURSIVE $ComponentCtes\nSELECT doc_id, component FROM comp ORDER BY doc_id",
+    "q66_dedup_survivors" ->
+      s"""WITH RECURSIVE $ComponentCtes,
+         |ranked AS (SELECT c.component, d.doc_id, d.n_chars,
+         |  row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT component, doc_id, n_chars FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
+    "q65_sessionize" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM b)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
     "q50_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q51_ngram_jaccard" ->
@@ -174,20 +278,7 @@ object CorpusQueries {
         |  FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT i, j, hamming FROM pair WHERE hamming <= 3 ORDER BY i, j""".stripMargin,
     "q57_minhash_pairs" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(w) < 3 THEN []
-        |  ELSE list_transform(range(0, length(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')) END) AS tok FROM t),
-        |hs AS (SELECT doc_id,
-        |  CAST('0x' || substring(md5('A:' || tok), 1, 15) AS BIGINT) AS h1,
-        |  CAST('0x' || substring(md5('B:' || tok), 1, 15) AS BIGINT) % 140737488355328 AS h2 FROM sh),
-        |sig AS (SELECT doc_id, i, min(h1 + i * h2) AS v
-        |  FROM hs, (SELECT unnest(range(0, 63)) AS i) ii GROUP BY doc_id, i),
-        |pos AS (SELECT a.doc_id AS i, a.i // 3 AS band, b.doc_id AS j, (a.v = b.v) AS eq
-        |  FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id),
-        |byband AS (SELECT i, j, band, bool_and(eq) AS bandhit,
-        |  sum(CASE WHEN eq THEN 1 ELSE 0 END) AS neq FROM pos GROUP BY 1, 2, 3),
-        |agg AS (SELECT i, j, bool_or(bandhit) AS cand, sum(neq) / 63.0 AS est FROM byband GROUP BY 1, 2)
-        |SELECT i, j FROM agg WHERE cand AND est >= 0.5 ORDER BY i, j""".stripMargin,
+      s"WITH $MinhashPairCtes\nSELECT i, j FROM agg WHERE cand AND est >= 0.5 ORDER BY i, j",
     "q58_embedding_near_dup" ->
       """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Curation, Dedup}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("deterministic hash sampling") {
+    lazy val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+
+    it("is stable across runs and cluster layouts") {
+      val a = Curation.hashSample(docs, "id", 10).select("id").as[Long].collect().sorted
+      val b = Curation.hashSample(docs.repartition(7), "id", 10)
+        .select("id").as[Long].collect().sorted
+      assert(a.sameElements(b))
+      assert(a.nonEmpty && a.length < 250) // ~10% of 1000, generous bound
+    }
+
+    it("splits are disjoint, exhaustive, and roughly proportioned") {
+      val (tr, va, te) = Curation.hashSplit(docs, "id", 80, 10)
+      val (nTr, nVa, nTe) = (tr.count(), va.count(), te.count())
+      assert(nTr + nVa + nTe == 1000)
+      assert(nTr > 700 && nVa > 50 && nTe > 50)
+      // different salts give independent assignments
+      val sample = Curation.hashSample(docs, "id", 10).select("id").as[Long].collect().toSet
+      val trainIds = tr.select("id").as[Long].collect().toSet
+      assert(sample.exists(trainIds.contains) && sample.exists(id => !trainIds.contains(id)))
+    }
+  }
+
+  describe("per-stratum quota") {
+    it("keeps exactly k per stratum in the declared order") {
+      val df = Seq(
+        ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 20L), ("s1", 4L, 30L),
+        ("s2", 5L, 5L)
+      ).toDF("src", "id", "len")
+      val out = Curation.stratumCap(df, Seq("src"), 2, Seq(col("len").desc, col("id")))
+        .select("id").as[Long].collect().toSet
+      // s1: len-30 rows win, id 2 before id 4; s2: lone row survives
+      assert(out == Set(2L, 4L, 5L))
+    }
+  }
+
+  describe("sessionization") {
+    it("breaks sessions on gaps > threshold with deterministic ties") {
+      val gap = 1800L * 1000000L
+      val e = Seq( // (user, ts_us, event_id)
+        (1L, 0L, 1L), (1L, gap, 2L),          // within: gap == threshold
+        (1L, 2 * gap + 1, 3L),                // new session: gap+1 beyond
+        (1L, 2 * gap + 1, 4L),                // tie stays in same session
+        (2L, 5L, 5L)
+      ).toDF("user_id", "ts_us", "event_id")
+      val out = Curation.sessionStats(e, "user_id", "ts_us", "event_id", gap)
+        .select("user_id", "session_seq", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(out == Set(
+        (1L, 1L, 2L, 0L, gap),
+        (1L, 2L, 2L, 2 * gap + 1, 2 * gap + 1),
+        (2L, 1L, 1L, 5L, 5L)))
+    }
+  }
+
+  describe("connected components + survivors") {
+    it("merges transitive near-dup pairs and labels singletons") {
+      val nodes = (1L to 7L).toDF("id")
+      // two chains (1-2-3, 5-6) and singletons 4, 7; edge direction mixed
+      val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+      val comps = Dedup.connectedComponents(nodes, "id", edges, "i", "j")
+        .as[(Long, Long)].collect().toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    }
+
+    it("converges on a long chain (diameter > 1 round)") {
+      val n = 40L
+      val nodes = (1L to n).toDF("id")
+      val edges = (1L until n).map(i => (i, i + 1)).toDF("i", "j")
+      val comps = Dedup.connectedComponents(nodes, "id", edges, "i", "j")
+        .as[(Long, Long)].collect()
+      assert(comps.length == n && comps.forall(_._2 == 1L))
+    }
+
+    it("keeps the best exemplar per component") {
+      val members = Seq( // (id, component, quality)
+        (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), (4L, 4L, 1L)
+      ).toDF("doc_id", "component", "q")
+      val out = Dedup.survivorsByComponent(members, "component",
+        Seq(col("q").desc, col("doc_id"))).select("doc_id").as[Long].collect().toSet
+      assert(out == Set(2L, 4L)) // q tie broken by lower id
+    }
+  }
+}
