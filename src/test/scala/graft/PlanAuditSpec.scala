@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Curation, Dedup}
+
+/** Executable plan audits: the scale claims in SURVEY/BENCH_NOTES as
+  * assertions over the physical plan, so a regression that silently
+  * de-optimizes a declared query (lost pushdown, broadcast demoted to
+  * sort-merge, an extra shuffle) fails the build instead of only
+  * showing up at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(p).length
+
+  describe("scan-level operators") {
+    it("pushes filters into the parquet scan and shuffles nothing") {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter(col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+      val p = plan(li)
+      assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,"), p)
+      assert(exchanges(p) == 0, p)
+      // column pruning: the scan reads only the 2 referenced columns
+      assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"), p)
+    }
+
+    it("keeps hash sampling a pure scan predicate (no shuffle, no job state)") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val p = plan(Curation.hashSample(docs, "doc_id", 10))
+      assert(exchanges(p) == 0, p)
+    }
+  }
+
+  describe("join strategy") {
+    it("broadcasts every dimension of the multiway join (one fact shuffle at most)") {
+      val p = plan(SparkEntry.queries("q32_join_multiway")(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  describe("single-shuffle shapes") {
+    it("window rank shuffles exactly once (hash by the partition key)") {
+      val p = plan(SparkEntry.queries("q33_window_rank")(spark, sf))
+      // one hash shuffle for the window; the rangepartitioning exchange
+      // is the declared query's presentation ORDER BY (oracle
+      // determinism), not part of the operator
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+      // rank-k early-stops inside each group before the full sort
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+
+    it("exact-dedup survivor ids is one partial-agg shuffle carrying digests") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val p = plan(Dedup.exactSurvivorIds(docs, Seq("text"), "doc_id"))
+      assert(exchanges(p) == 1, p)
+      // partial aggregation happens map-side before the exchange
+      assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+      // the shuffle key is the sha2 digest, not the document text
+      assert(p.contains("sha2"), p)
+    }
+
+    it("sessionization is one key shuffle (gaps-and-islands in-partition)") {
+      val e = Tables.events(spark, sf)
+      val p = plan(Curation.sessionStats(e, "user_id", "ts_us", "event_id", 1800000000L))
+      assert(exchanges(p) <= 2, p) // key shuffle + final agg reuse; never per-step
+      assert(p.contains("Window"), p)
+    }
+  }
+
+  private def Tables = graft.sources.Tables
+}
