@@ -34,6 +34,20 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-group embedding centroids (element-wise mean) — the building
+    * block of IVF coarse quantizers, class prototypes, and cluster
+    * summaries. Explode to (group, dim, x) then one groupBy(group, dim)
+    * mean: a single shuffle whose width is groups × dims regardless of
+    * corpus size, with map-side partial sums doing the heavy lifting —
+    * the scalable shape for vector aggregation (a collect-and-average
+    * would bottleneck on the driver).
+    * Output: (group, i = 0-based dimension, c = mean component).
+    */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("group"), posexplode(col(vecCol)))
+      .select(col("group"), col("pos").as("i"), col("col").cast("double").as("x"))
+      .groupBy("group", "i").agg(avg("x").as("c"))
+
   /** LSH-bucketed ANN top-k: candidates limited to query-bucket
     * collisions across `seeds.size` independent hyperplane sets.
     */

@@ -97,6 +97,22 @@ object TextAnalysis {
         j => array_min(slice(grams, j + 1, lit(w)))))
     src.select(col(idCol), explode(array_sort(array_distinct(wins))).as("fp"))
   }
+
+  /** Corpus vocabulary: per-token document frequency (docs containing
+    * it) and collection frequency (total occurrences), top `k` by df —
+    * the table BPE/vocab training, stopword discovery, and the
+    * n-gram-Jaccard document-frequency cutoff all read. Explode + one
+    * groupBy; `countDistinct` plans the standard two-phase distinct
+    * aggregate, so the shuffle carries (tok, doc) pairs once, not
+    * full texts.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    Dedup.spread(df)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct("id").as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
 }
 
 /** Minimal public stopword lists (top function words) per language —

@@ -157,7 +157,20 @@ object CorpusQueries {
     "q65_sessionize" -> ((s, dir) =>
       Curation.sessionStats(Tables.events(s, dir), "user_id", "ts_us", "event_id",
         gapUs = 1800000000L)
-        .orderBy("user_id", "session_seq"))
+        .orderBy("user_id", "session_seq")),
+
+    // per-label embedding centroids (IVF/prototype building block);
+    // rounded to 6 decimals so partial-sum order cannot show through
+    // (validated exact vs the oracle at sf0.01 AND sf0.1)
+    "q67_centroids" -> ((s, dir) =>
+      Similarity.centroids(emb(s, dir), "label", "embedding")
+        .select(col("group").cast("long").as("label"), col("i").cast("long").as("i"),
+          round(col("c"), 6).as("c"))
+        .orderBy("label", "i")),
+
+    // corpus vocabulary: document + collection frequency, top-100 by df
+    "q68_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", k = 100))
   )
 
   /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
@@ -210,6 +223,16 @@ object CorpusQueries {
          |  row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id) AS rn
          |  FROM documents d JOIN comp c ON c.doc_id = d.doc_id)
          |SELECT component, doc_id, n_chars FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
+    "q67_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS i, round(avg(x), 6) AS c
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |      CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) t
+        |GROUP BY label, i ORDER BY label, i""".stripMargin,
+    "q68_vocabulary" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents)
+        |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS cf
+        |FROM tk GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin,
     "q65_sessionize" ->
       """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |b AS (SELECT user_id, event_id, ts_us,

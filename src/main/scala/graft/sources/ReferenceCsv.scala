@@ -52,6 +52,10 @@ object ReferenceCsv {
       // quoted cells may contain raw newlines (QUOTE_MINIMAL writes
       // them verbatim); without multiLine the reader would split the
       // record at the newline. Compat tier: single-threaded per file.
+      // Known fidelity limit: the parser normalizes line separators
+      // INSIDE quoted cells to "\n" — a value containing "\r\n" reads
+      // back with "\n" (python's csv preserves it verbatim). "\n"
+      // itself round-trips exactly.
       .option("multiLine", "true")
       // empty cells are real values (empty tag strings); only columns
       // ABSENT from a row (schema padding) may be null

@@ -132,6 +132,36 @@ object StreamingIngest {
       .agg(first, rest: _*)
   }
 
+  /** Watermarked stream-stream inner join: rows of `left` and `right`
+    * sharing `keyCols` match when the right event time falls within
+    * [left − lowerBound, left + upperBound]. Both sides carry
+    * watermarks, so the join state for expired time ranges is evicted —
+    * bounded memory no matter how long the streams run (an unbounded
+    * stream-stream join would hold both inputs forever). This is the
+    * streaming form of the batch interval join (`analytics/Interval`),
+    * e.g. joining a clicks stream to an impressions stream within a
+    * ±attribution window.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      lowerBound: String,
+      upperBound: String,
+      lateness: String
+  ): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, lateness)
+    val r = right.withWatermark(rightTimeCol, lateness)
+    val keyCond = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond =
+      r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $lowerBound") &&
+      r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $upperBound")
+    // keep one copy of each key column (inner join: they are equal)
+    keyCols.foldLeft(l.join(r, keyCond && timeCond))((df, k) => df.drop(r(k)))
+  }
+
   /** Continuously-maintained per-series stats via custom state
     * (`mapGroupsWithState`): for each key, the running point count and
     * the LATEST (by event time) value — the streaming materialization

@@ -62,6 +62,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("centroids and vocabulary") {
+    it("computes element-wise per-group embedding means") {
+      val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
+        .toDF("label", "embedding")
+      val out = graft.analytics.Similarity.centroids(df, "label", "embedding")
+        .as[(Int, Int, Double)].collect().toSet
+      assert(out == Set((0, 0, 2.0), (0, 1, 4.0), (1, 0, 2.0), (1, 1, 2.0)))
+    }
+
+    it("ranks vocabulary by document frequency with deterministic cutoff") {
+      val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b a")).toDF("doc_id", "text")
+      val out = graft.analytics.TextAnalysis.vocabulary(df, "doc_id", "text", k = 2)
+        .as[(String, Long, Long)].collect()
+      assert(out.toSeq == Seq(("a", 3L, 4L), ("b", 2L, 2L)))
+    }
+  }
+
   describe("connected components + survivors") {
     it("merges transitive near-dup pairs and labels singletons") {
       val nodes = (1L to 7L).toDF("id")

@@ -1,7 +1,9 @@
 package graft
 
 import java.nio.file.Files
+import java.time.Instant
 
+import graft.model.Point
 import graft.sources.ReferenceCsv
 
 /** Reference-CSV serde fidelity, mirroring the serializer cases in the
@@ -138,6 +140,54 @@ class ReferenceCsvSpec extends SparkSpec {
       }
       intercept[UnsupportedOperationException] { db.removeAll() }
       assert(GraftDB.atCsv(spark, p).length == 1) // file untouched
+    }
+
+    it("round-trips 200 seeded-random points with adversarial strings and values") {
+      val rnd = new scala.util.Random(20260812L)
+      // NOTE: no "\r\n" case — Spark's CSV parser (univocity) normalizes
+      // line separators INSIDE quoted cells to "\n" on read, a known
+      // fidelity limit documented on ReferenceCsv.read; bare "\n" is
+      // preserved and covered here.
+      val trickyStrings = Seq(
+        "plain", "has,comma", "has\"quote", "wrapped \"both\", really",
+        "line\nbreak", "", " leading space", "trailing ",
+        "ünïcödé ✓", "_none_not_sentinel", "tab\there", "a,b\",\"c")
+      def str() = trickyStrings(rnd.nextInt(trickyStrings.length)) + rnd.nextInt(100)
+      def tagVal(): String = if (rnd.nextInt(8) == 0) null else str()
+      def fieldVal(): java.lang.Double = rnd.nextInt(6) match {
+        case 0 => null
+        case 1 => Double.box(rnd.nextInt(1000).toDouble)  // int-like
+        case 2 => Double.box(-rnd.nextDouble() * 1e-7)    // exponent repr
+        case 3 => Double.box(rnd.nextDouble() * 1e15)
+        case _ => Double.box(rnd.nextDouble() * 200 - 100)
+      }
+      val pts = (0 until 200).map { i =>
+        val micros = if (rnd.nextBoolean()) 0 else rnd.nextInt(1000000)
+        Point(
+          time = Instant.ofEpochSecond(1700000000L + rnd.nextInt(10000000), micros * 1000L),
+          measurement = if (rnd.nextInt(10) == 0) Point.DefaultMeasurement else str(),
+          tags = (0 until rnd.nextInt(4)).map(k => s"t$k${str()}" -> tagVal()).toMap,
+          fields = (0 until rnd.nextInt(4)).map(k => s"f$k" -> fieldVal()).toMap,
+          _seq = i.toLong)
+      }
+      val path = Files.createTempFile("graftprop", ".csv").toString
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(
+        pts.map(p => org.apache.spark.sql.Row(
+          java.sql.Timestamp.from(p.time), p.measurement, p.tags, p.fields, p._seq))),
+        Point.schema)
+      ReferenceCsv.writeFile(df, path)
+      val back = ReferenceCsv.read(spark, path).collect().sortBy(_.getAs[Long](Point.SeqCol))
+        .map(r => (r.getAs[java.sql.Timestamp](Point.TimeCol).toInstant,
+          r.getAs[String](Point.MeasurementCol),
+          Option(r.getAs[Map[String, String]](Point.TagsCol)).getOrElse(Map.empty),
+          Option(r.getAs[Map[String, java.lang.Double]](Point.FieldsCol)).getOrElse(Map.empty)))
+      assert(back.length == pts.length)
+      pts.zip(back).foreach { case (p, (t, m, tg, fl)) =>
+        assert(t == p.time, s"time for seq ${p._seq}")
+        assert(m == p.measurement, s"measurement for seq ${p._seq}")
+        assert(tg == p.tags, s"tags for seq ${p._seq}")
+        assert(fl == p.fields, s"fields for seq ${p._seq}")
+      }
     }
 
     it("compact-prefix export reads back identically") {

@@ -209,4 +209,32 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  describe("watermarked stream-stream join") {
+    it("matches rows within the time bound per key; state is watermark-bounded") {
+      val clicks = MemoryStream[(Timestamp, String)](spark)
+      val imps = MemoryStream[(Timestamp, String)](spark)
+      val joined = StreamingIngest.streamStreamJoin(
+        clicks.toDF().toDF("ctime", "user"),
+        imps.toDF().toDF("itime", "user"),
+        keyCols = Seq("user"),
+        leftTimeCol = "ctime", rightTimeCol = "itime",
+        lowerBound = "10 minutes", upperBound = "10 minutes",
+        lateness = "1 minute")
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ssj_sink").start()
+      try {
+        clicks.addData((ts("2024-01-01 10:05:00"), "u1"), (ts("2024-01-01 10:05:00"), "u2"))
+        imps.addData(
+          (ts("2024-01-01 10:00:00"), "u1"),  // within 10m of u1 click
+          (ts("2024-01-01 09:00:00"), "u1"),  // outside the bound
+          (ts("2024-01-01 10:00:00"), "u3"))  // no matching key
+        q.processAllAvailable()
+        val got = spark.table("ssj_sink")
+          .select(col("user"), col("ctime").cast("string"), col("itime").cast("string"))
+          .as[(String, String, String)].collect().toSet
+        assert(got == Set(("u1", "2024-01-01 10:05:00", "2024-01-01 10:00:00")))
+      } finally q.stop()
+    }
+  }
 }
