@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Curation, Dedup}
+import graft.sources.Tables
+
+/** Empirical scale check (not part of the driver contract): runs the
+  * heavy corpus operators at 1× and 10× the bench corpus by replicating
+  * the documents/events tables with shifted ids, and prints per-scale
+  * wall times. Linear (or better) growth here is the evidence behind
+  * the "scales with corpus size, not its square" claims in
+  * BENCH_NOTES.md — candidate generation is banded equi-joins, so 10×
+  * rows must cost ~10×, not 100×.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (result rows: $n)")
+    }
+
+    val docs1 = Tables.table(spark, sfDir, "documents")
+    val nDocs = docs1.count()
+    // 10× corpus: replicate with id offsets AND a per-copy text salt so
+    // copies are not trivial exact duplicates of each other
+    val docs10 = (0 until 10).map(c =>
+      docs1.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copy$c")).as("text"),
+        col("lang"), col("source"), col("n_chars"))).reduce(_ unionByName _)
+      .repartition(64).cache()
+    val nDocs10 = docs10.count()
+    println(s"SCALE corpus: ${nDocs} -> ${nDocs10} docs")
+
+    for ((label, d, dfCut) <- Seq(("1x", docs1, 1000), ("10x", docs10, 10000))) {
+      time(s"minhash_lsh_pairs_$label") {
+        Dedup.minHashLshPairs(d, "doc_id", "text", 3, 63, 21, 0.5).count()
+      }
+      time(s"dedup_clusters_$label") {
+        val pairs = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 63, 21, 0.5)
+        Dedup.connectedComponents(d.select("doc_id"), "doc_id", pairs, "i", "j").count()
+      }
+      // document-frequency cutoff scales WITH the corpus so the pruned
+      // vocabulary (and thus the semantics) stays comparable across
+      // scales
+      time(s"ngram_jaccard_$label") {
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.9, maxDocFreq = Some(dfCut)).count()
+      }
+      time(s"exact_dedup_$label") {
+        Dedup.exactSurvivorIds(d, Seq("text"), "doc_id").count()
+      }
+    }
+
+    val ev1 = Tables.events(spark, sfDir)
+    val ev10 = (0 until 10).map(c =>
+      ev1.select((col("user_id") + lit(c * 1000L)).as("user_id"),
+        col("ts_us"), col("event_id"))).reduce(_ unionByName _)
+      .repartition(64).cache()
+    ev10.count()
+    for ((label, e) <- Seq("1x" -> ev1.select("user_id", "ts_us", "event_id"), "10x" -> ev10)) {
+      time(s"sessionize_$label") {
+        Curation.sessionStats(e, "user_id", "ts_us", "event_id", 1800000000L).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -60,6 +60,15 @@ object Curation {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic stratified sample: `k` rows per stratum, chosen by
+    * md5-hash order — the reproducible replacement for per-stratum
+    * reservoir sampling (same rows every run, any cluster layout).
+    */
+  def stratifiedSample(df: DataFrame, stratumCols: Seq[String], k: Int,
+      idCol: String, salt: String = "strat"): DataFrame =
+    stratumCap(df, stratumCols, k,
+      Seq(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), col(idCol)))
+
   /** Gap-based sessionization: rows of one `keyCol` whose successive
     * `tsCol` (epoch micros) differ by more than `gapUs` start a new
     * session; `session_seq` numbers sessions per key from 1. Window

@@ -62,6 +62,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("stratified sampling") {
+    it("takes k per stratum, stable across partitionings") {
+      val df = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+      val a = Curation.stratifiedSample(df, Seq("src"), 5, "id")
+        .select("id").as[Long].collect().sorted
+      val b = Curation.stratifiedSample(df.repartition(11), Seq("src"), 5, "id")
+        .select("id").as[Long].collect().sorted
+      assert(a.length == 15 && a.sameElements(b))
+    }
+  }
+
   describe("centroids and vocabulary") {
     it("computes element-wise per-group embedding means") {
       val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(2.0f, 2.0f)))
