@@ -195,8 +195,16 @@ object Bench {
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Exception => () })
 
-    analytics.foreach(name =>
-      timeOnce(name) { SparkEntry.queries(name)(spark, sfDir).count(): Unit })
+    // The reference benchmark warms every query 3× before its single
+    // timed run (benchmark.py:321-324). Mirror that: two full warm
+    // executions AT THE TIMED SCALE (nothing is cached across calls —
+    // each run recomputes from parquet; the warm-up is for the JIT and
+    // shuffle machinery, measured 3.5 s → 1.1 s on identical reruns),
+    // then time the steady-state third run.
+    analytics.foreach { name =>
+      (1 to 2).foreach(_ => SparkEntry.queries(name)(spark, sfDir).count())
+      timeOnce(name) { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.6f" }.mkString("{", ",", "}")
     val total = results.values.sum

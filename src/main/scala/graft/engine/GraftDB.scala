@@ -341,6 +341,23 @@ final class GraftDB(val storage: Storage) {
   /** op 22 `measurement` (database.py:658-685): named table view. */
   def measurement(name: String): Measurement = new Measurement(this, name)
 
+  /** Index observability (reference `db.index.valid`,
+    * database.py:123-141): true iff a reindex()-built view is live —
+    * i.e. no write has invalidated it.
+    */
+  def indexValid: Boolean = indexedState.isDefined
+
+  /** Precompiled query — the analogue of the reference holding a
+    * compiled query object and re-running it against its index
+    * (queries.py:471-504 SimpleQuery). The returned DataFrame memoizes
+    * its analyzed/optimized/physical plan, so repeated actions pay
+    * execution only, not re-planning. Valid until the next write
+    * (which invalidates the index the plan may reference) — re-prepare
+    * after mutations, exactly as the reference re-resolves after its
+    * index invalidates.
+    */
+  def prepare(q: Q): DataFrame = filterPlan(q)
+
   /** op 23 `reindex` (database.py:687-705): build the engine's index —
     * a cached view with every tag/field key columnarized into flat
     * value/presence columns (slot-numbered to dodge key-name escaping).

@@ -288,6 +288,21 @@ class GraftDBSpec extends SparkSpec {
     }
   }
 
+  describe("index observability + prepared queries") {
+    it("indexValid tracks the reindex/write lifecycle; prepared plans answer repeatedly") {
+      val db = GraftDB.inMemory(spark)
+      db.insert(Point(t("2024-01-01T00:00:00Z"), "m", Map("u" -> "a"), Map("x" -> 1.0)))
+      assert(!db.indexValid)
+      db.reindex()
+      assert(db.indexValid)
+      val prepared = db.prepare(FieldQuery("x") >= 1.0)
+      assert(prepared.count() == 1 && prepared.count() == 1)
+      db.insert(Point(t("2024-01-02T00:00:00Z"), "m", Map("u" -> "b"), Map("x" -> 2.0)))
+      assert(!db.indexValid) // write invalidated it
+      assert(db.prepare(FieldQuery("x") >= 1.0).count() == 2)
+    }
+  }
+
   describe("parquet storage") {
     it("round-trips through a partitioned parquet layout with atomic overwrite") {
       val root = Files.createTempDirectory("graftpq").toString
