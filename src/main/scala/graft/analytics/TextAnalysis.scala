@@ -98,6 +98,32 @@ object TextAnalysis {
     src.select(col(idCol), explode(array_sort(array_distinct(wins))).as("fp"))
   }
 
+  /** Gopher-style repetition signal: the fraction of word n-grams that
+    * are duplicates of an earlier n-gram in the same doc (0 = no
+    * repetition, →1 = the doc loops). Boilerplate, keyword stuffing and
+    * degenerate generations score high and get filtered before
+    * training. Pure per-row expression — scan-parallel, no shuffle.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val words = tokens(text)
+    val grams =
+      if (n == 1) words
+      else when(size(words) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Canonical text normalization for dedup/matching: lowercase, strip
+    * everything but `[a-z0-9 \s]`, collapse whitespace runs, trim. The
+    * usual pre-pass before exact/fuzzy dedup so case and punctuation
+    * differences do not defeat content hashing.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   /** Corpus vocabulary: per-token document frequency (docs containing
     * it) and collection frequency (total occurrences), top `k` by df —
     * the table BPE/vocab training, stopword discovery, and the

@@ -170,7 +170,21 @@ object CorpusQueries {
 
     // corpus vocabulary: document + collection frequency, top-100 by df
     "q68_vocabulary" -> ((s, dir) =>
-      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", k = 100))
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", k = 100)),
+
+    // Gopher-style 3-gram repetition ratio (exact integer division —
+    // bit-identical doubles in both engines)
+    "q69_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), n = 3).as("dup3_ratio"))
+        .orderBy("doc_id")),
+
+    // canonical normalization, checked via md5 so any cross-engine
+    // regex-semantics drift surfaces as a hash mismatch
+    "q70_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_md5"))
+        .orderBy("doc_id"))
   )
 
   /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
@@ -233,6 +247,18 @@ object CorpusQueries {
         |           FROM documents)
         |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS cf
         |FROM tk GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin,
+    "q69_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN length(w) < 3 THEN []
+        |  ELSE list_transform(range(0, length(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')) END AS grams FROM t)
+        |SELECT doc_id, CASE WHEN length(grams) > 0
+        |  THEN 1.0 - CAST(length(list_distinct(grams)) AS DOUBLE) / length(grams)
+        |  ELSE 0.0 END AS dup3_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q70_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q65_sessionize" ->
       """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |b AS (SELECT user_id, event_id, ts_us,
