@@ -1,0 +1,92 @@
+package graft.examples
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.TimeSeries
+import graft.engine.GraftDB
+import graft.model.Point
+import graft.query._
+import graft.sources.{ReferenceCsv, Tables}
+import graft.streaming.StreamingIngest
+
+/** The reference's four example programs re-expressed on this engine —
+  * the migration story end-to-end (reference: `examples/`):
+  *
+  *   1. `1_initializing_and_loading_new_db.ipynb` — build a database
+  *      from external tabular data, two measurements, bulk + single
+  *      inserts.
+  *   2. `2_analytics_workflow.ipynb` — time-window queries, metadata
+  *      introspection, then aggregation/moving averages. The reference
+  *      collects points and does the math in pandas; here the same
+  *      analysis stays IN the engine as DataFrame transforms.
+  *   3. `3_iot_datastore_with_mqtt.py` — a continuously-fed datastore.
+  *      The MQTT callback loop becomes Structured Streaming ingest with
+  *      checkpointing (any stream source; the example uses a file/
+  *      memory stream).
+  *   4. `4_backing_up_tinyflux_at_the_edge.py` — periodic incremental
+  *      backup of "points since the last backup" to an external store,
+  *      via a time query + reference-CSV export.
+  *
+  * Each `run` returns the result the reference example prints, so
+  * `ExamplesSpec` smoke-checks all four.
+  */
+object Examples {
+
+  /** Example 1: load external tabular data as Points (events table
+    * standing in for the AQI CSV), two measurements, bulk + single
+    * insert, persistent parquet store.
+    */
+  def loading(spark: SparkSession, sfDir: String, dbDir: String): GraftDB = {
+    val db = GraftDB.atPath(spark, dbDir)
+    // bulk measurement: map source rows to canonical Points (the
+    // notebook's row->Point loop, as one declarative projection)
+    val aqi = Tables.events(spark, sfDir).limit(500).select(
+      col("time"),
+      lit("aqi").as(Point.MeasurementCol),
+      map(lit("site"), col("user_id").cast("string")).as(Point.TagsCol),
+      map(lit("aqi"), col("value")).as(Point.FieldsCol))
+    db.insertDF(aqi)
+    // second measurement via the single-insert path (the geojson loop)
+    db.insert(Point(Instant.parse("2019-01-01T08:00:00Z"), "locations",
+      Map("site" -> "1"), Map("latitude" -> 37.77, "longitude" -> -122.42)))
+    db
+  }
+
+  /** Example 2: the analytics workflow — metadata introspection, a
+    * windowed compound query, and a per-site daily rollup + moving
+    * average computed in-engine (the reference exports to pandas).
+    */
+  def analytics(db: GraftDB): (Seq[String], Long, DataFrame, DataFrame) = {
+    val measurements = db.getMeasurements
+    val t0 = Instant.parse("2024-01-05T00:00:00Z")
+    val t1 = Instant.parse("2024-01-20T00:00:00Z")
+    val windowed = (TimeQuery() >= t0) & (TimeQuery() < t1) & (FieldQuery("aqi") >= 100.0)
+    val unhealthyDays = db.count(windowed)
+    // daily mean per site, and a 7-point moving average — the
+    // notebook's get_moving_average, distributed
+    val perSite = db.measurement("aqi").searchDF(Noop)
+    val daily = TimeSeries.tumblingAgg(perSite, "1 day", "aqi", tagKey = Some("site"))
+    val smoothed = TimeSeries.movingAgg(perSite, "aqi", tagKey = "site", nRows = 7)
+    (measurements, unhealthyDays, daily, smoothed)
+  }
+
+  /** Example 3: continuous ingest — the MQTT on_message callback is a
+    * streaming source feeding checkpointed micro-batch appends.
+    */
+  def iotIngest(spark: SparkSession, stream: DataFrame, db: GraftDB, ckptDir: String) =
+    StreamingIngest.start(stream, db, ckptDir, lateness = "10 minutes")
+
+  /** Example 4: incremental backup — everything newer than the last
+    * backup watermark exported in the reference's own file format (the
+    * role influx plays in the original example).
+    */
+  def incrementalBackup(db: GraftDB, lastBackup: Instant, outFile: String): Long = {
+    val fresh = db.searchDF(TimeQuery() > lastBackup)
+    val n = fresh.count()
+    if (n > 0) ReferenceCsv.writeFile(fresh, outFile)
+    n
+  }
+}
