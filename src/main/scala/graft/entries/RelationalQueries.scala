@@ -228,7 +228,30 @@ object RelationalQueries {
         year(col("o_orderdate")).cast("long").as("yr"),
         substring(col("o_orderstatus"), 1, 1).as("st"),
         length(col("o_orderpriority")).cast("long").as("prilen"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // retention downsample: last point per day per series (max_by —
+    // single hash aggregate, no sort/window)
+    "q71_downsample" -> ((s, dir) =>
+      graft.analytics.TimeSeries.downsampleLast(
+        Tables.eventsAsPoints(s, dir), "1 day", "value")
+        .select(col("measurement"),
+          unix_micros(col("window_start")).as("win_us"), col("last_value"))
+        .orderBy("measurement", "win_us")),
+
+    // salting must be semantics-preserving: the salted fact-dim join
+    // aggregates to exactly what the plain join produces
+    "q72_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.analytics.Skew.saltedJoin(li, ords, Seq("orderkey"), saltBuckets = 8)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("pri")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -346,6 +369,18 @@ object RelationalQueries {
         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  substr(o_orderstatus, 1, 1) AS st,
         |  CAST(length(o_orderpriority) AS BIGINT) AS prilen
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q71_downsample" ->
+      """WITH e AS (SELECT event_type AS measurement, epoch_us(ts) AS ts_us, value, event_id FROM events),
+        |w AS (SELECT measurement, (ts_us // 86400000000) * 86400000000 AS win_us, ts_us, value, event_id FROM e),
+        |r AS (SELECT measurement, win_us, value,
+        |  row_number() OVER (PARTITION BY measurement, win_us ORDER BY ts_us DESC, event_id DESC) AS rn FROM w)
+        |SELECT measurement, win_us, value AS last_value FROM r WHERE rn = 1
+        |ORDER BY measurement, win_us""".stripMargin,
+    "q72_salted_join" ->
+      """SELECT o.o_orderpriority AS pri, count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY pri""".stripMargin
   )
 }
