@@ -143,6 +143,18 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // native session_window ≡ gaps-and-islands: the same 30-minute-gap
+    // sessions q65 derives with lag+cumsum SQL, computed by Spark's
+    // session-merging aggregate (the construct the STREAMING session
+    // tier uses — StreamingSpec covers that engine path); the oracle
+    // cross-checks all three formulations against each other
+    "q73_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("time"), "30 minutes").as("win"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"))
+        .orderBy("user_id", "start_us")),
+
     // distinct aggregation (expand-based two-phase distinct agg)
     "q49_distinct_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -322,6 +334,17 @@ object RelationalQueries {
     "q49_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q73_session_window" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM b)
+        |SELECT user_id, count(*) AS n_events, min(ts_us) AS start_us
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, start_us""".stripMargin,
     "q48_interval_join" ->
       """WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS wstart FROM events),
         |j AS (SELECT epoch_us(w.wstart) AS wstart_us, e.value
