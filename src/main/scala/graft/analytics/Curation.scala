@@ -97,4 +97,21 @@ object Curation {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("start_us"),
         max(col(tsCol)).as("end_us"))
+
+  /** Sequence packing (training-batch prep): within each shard, lay the
+    * docs end-to-end in `orderCol` order and cut the stream into chunks
+    * of `budget` weight (tokens); a doc's `chunk_id` is the chunk its
+    * START lands in — the standard concat-then-chunk packing, where a
+    * doc may straddle a boundary and chunks are dense (no padding-only
+    * bins). Shard-parallel by construction: packing is per partition
+    * key (source, shard hash, …), which is how distributed pipelines
+    * pack — one global stream would serialize on a single task.
+    */
+  def packChunks(df: DataFrame, shardCols: Seq[String], orderCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("chunk_id",
+      floor((sum(col(weightCol)).over(w) - col(weightCol)) / lit(budget)))
+  }
 }

@@ -184,7 +184,16 @@ object CorpusQueries {
     "q70_normalize" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         md5(TextAnalysis.normalize(col("text"))).as("norm_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // per-source sequence packing into 2000-token chunks (training
+    // batch prep: concat-then-chunk, shard-parallel)
+    "q74_pack_chunks" -> ((s, dir) => {
+      val withTokens = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packChunks(withTokens, Seq("source"), "doc_id", "n_tokens", budget = 2000L)
+        .select("doc_id", "source", "chunk_id").orderBy("doc_id")
+    })
   )
 
   /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
@@ -247,6 +256,14 @@ object CorpusQueries {
         |           FROM documents)
         |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS cf
         |FROM tk GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin,
+    "q74_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) AS chunk_id
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q69_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 3 THEN []

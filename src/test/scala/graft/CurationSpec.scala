@@ -90,6 +90,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("sequence packing") {
+    it("chunks each shard's token stream at the budget; docs straddle boundaries") {
+      val df = Seq( // (source, doc_id, n_tokens)
+        ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 900L), ("a", 4L, 100L),
+        ("b", 5L, 5000L), ("b", 6L, 1L)
+      ).toDF("source", "doc_id", "n_tokens")
+      val out = Curation.packChunks(df, Seq("source"), "doc_id", "n_tokens", 2000L)
+        .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+      // a: starts at 0, 900, 1800, 2700 -> chunks 0,0,0,1
+      // b: oversized doc starts chunk 0; next doc starts at 5000 -> chunk 2
+      assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 2L))
+    }
+  }
+
+  describe("edge cases") {
+    it("empty inputs flow through sessionize, components, and sampling") {
+      val noEvents = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")
+      assert(Curation.sessionStats(noEvents, "user_id", "ts_us", "event_id", 1L).count() == 0)
+      val noNodes = Seq.empty[Long].toDF("id")
+      val noEdges = Seq.empty[(Long, Long)].toDF("i", "j")
+      assert(Dedup.connectedComponents(noNodes, "id", noEdges, "i", "j").count() == 0)
+      val docs = (0L until 50L).map(i => (i, "x")).toDF("id", "text")
+      assert(Curation.hashSample(docs, "id", 0).count() == 0)
+      assert(Curation.hashSample(docs, "id", 100).count() == 50)
+    }
+  }
+
   describe("connected components + survivors") {
     it("merges transitive near-dup pairs and labels singletons") {
       val nodes = (1L to 7L).toDF("id")
