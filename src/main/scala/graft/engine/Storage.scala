@@ -63,7 +63,7 @@ trait Storage {
     if (knownEmpty) return -1L
     val df = load()
     if (df.isEmpty) -1L
-    else df.agg(max(Point.SeqCol)).head.getLong(0)
+    else df.agg(max(Point.SeqCol)).head().getLong(0)
   }
 
   /** Backends that can tell "no data has ever been written" without
