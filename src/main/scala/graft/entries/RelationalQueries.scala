@@ -99,6 +99,42 @@ object RelationalQueries {
         .select("c_custkey").orderBy("c_custkey")
     }),
 
+    // EXISTS / semi-join: customers with at least one urgent order
+    "q75_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // ranking-function family beyond row_number: ntile quartiles,
+    // dense_rank, percent_rank over one ordered window. A GLOBAL
+    // ranking inherently serializes into one task — correctness
+    // surface here; at scale rank within partitions or use range
+    // partitioning + offset correction.
+    "q76_ranking" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"))
+        .orderBy("o_orderkey")
+    }),
+
+    // pivot: per-priority order counts as columns (CASE-WHEN aggregate)
+    "q77_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
+        .orderBy("status")),
+
     // ROLLUP subtotals
     "q38_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -310,6 +346,26 @@ object RelationalQueries {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders
         |ORDER BY custkey""".stripMargin,
+    "q75_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q76_ranking" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  percent_rank() OVER w AS prank
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q77_pivot" ->
+      """SELECT o_orderstatus AS status,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "q37_anti_join" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
