@@ -355,6 +355,10 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val msgs = bidir.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("component"))
+      // Each round's localCheckpoint blocks are released by the
+      // ContextCleaner once the previous round's DataFrame becomes
+      // unreachable (the rebind below) — live copies stay bounded at
+      // ~2 regardless of round count.
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
@@ -364,18 +368,24 @@ object Dedup {
       round += 1
     }
     bidir.unpersist()
+    // A silent early exit would return UNDER-MERGED labels (one real
+    // cluster split in several) — fail loudly instead; raise maxRounds
+    // (or pre-contract chains with large-star/small-star) if a graph
+    // legitimately has a diameter this large.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        s"($changed labels still changing); component diameter exceeds the bound")
     labels
   }
 
   /** One survivor per component: rank members by `orderCols` (e.g.
     * quality descending, id ascending) and keep rank 1 — the final
-    * near-dup dedup step (cluster, then keep the best exemplar).
+    * near-dup dedup step (cluster, then keep the best exemplar). A
+    * stratum cap of 1 with the component as the stratum.
     */
   def survivorsByComponent(members: DataFrame, componentCol: String,
-      orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(componentCol).orderBy(orderCols: _*)
-    members.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+      orderCols: Seq[Column]): DataFrame =
+    Curation.stratumCap(members, Seq(componentCol), 1, orderCols)
 
   /** Approximate variant: random-hyperplane sign-LSH bucketing. Recall
     * < 1 (pairs split by any hyperplane are lost) — use for tight

@@ -117,12 +117,18 @@ object TextAnalysis {
   }
 
   /** Canonical text normalization for dedup/matching: lowercase, strip
-    * everything but `[a-z0-9 \s]`, collapse whitespace runs, trim. The
-    * usual pre-pass before exact/fuzzy dedup so case and punctuation
-    * differences do not defeat content hashing.
+    * everything but alphanumerics and whitespace, collapse whitespace
+    * runs, trim. The usual pre-pass before exact/fuzzy dedup so case
+    * and punctuation differences do not defeat content hashing.
+    *
+    * Whitespace is the EXPLICIT class `[ \t\n\r]`, not `\s`: Java's
+    * `\s` includes vertical tab (\x0B) while RE2's does not, so a `\s`
+    * formulation silently diverges between engines on such input —
+    * the explicit class behaves identically everywhere (\x0B and \f
+    * count as punctuation and are stripped on both).
     */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r]", ""), "[ \\t\\n\\r]+", " "))
 
   /** Corpus vocabulary: per-token document frequency (docs containing
     * it) and collection frequency (total occurrences), top `k` by df —

@@ -101,6 +101,12 @@ final class MemoryStorage(val spark: SparkSession, initial: Option[DataFrame] = 
 
   override def load(): DataFrame = synchronized {
     if (pending.nonEmpty) {
+      // The seed fast path adopts the batch plan directly, skipping the
+      // union with the canonical empty seed — so it must re-assert the
+      // schema contract the union used to enforce.
+      if (stateIsSeed)
+        require(pending.head.columns.sameElements(Point.columns),
+          s"append batch columns ${pending.head.columns.mkString(",")} != canonical ${Point.columns.mkString(",")}")
       state =
         if (stateIsSeed) pending.tail.foldLeft(pending.head)(_ unionByName _)
         else pending.foldLeft(state)(_ unionByName _)

@@ -274,7 +274,7 @@ object CorpusQueries {
         |FROM g ORDER BY doc_id""".stripMargin,
     "q70_normalize" ->
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_md5
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', '', 'g'), '[ \t\n\r]+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q65_sessionize" ->
       """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

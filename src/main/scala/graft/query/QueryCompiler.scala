@@ -202,10 +202,17 @@ object TimeBounds {
     * `q` can have; `None` = unbounded on that side. Strict comparisons
     * widen to closed ones (safe); `Not`/tests/maps are unbounded.
     */
+  // The compiled predicate compares against lit(Timestamp) at
+  // MICROSECOND precision (TimestampType truncates), so the analysis
+  // must truncate the same way — comparing raw nanosecond Instants
+  // could prune a query whose floored literal still matches rows.
+  private def us(t: Instant): Instant =
+    t.truncatedTo(java.time.temporal.ChronoUnit.MICROS)
+
   private def interval(q: Q): (Option[Instant], Option[Instant]) = q match {
-    case TimeCmp(CmpOp.Eq, t)               => (Some(t), Some(t))
-    case TimeCmp(CmpOp.Ge | CmpOp.Gt, t)    => (Some(t), None)
-    case TimeCmp(CmpOp.Le | CmpOp.Lt, t)    => (None, Some(t))
+    case TimeCmp(CmpOp.Eq, t)               => (Some(us(t)), Some(us(t)))
+    case TimeCmp(CmpOp.Ge | CmpOp.Gt, t)    => (Some(us(t)), None)
+    case TimeCmp(CmpOp.Le | CmpOp.Lt, t)    => (None, Some(us(t)))
     case And(l, r) =>
       val ((ll, lh), (rl, rh)) = (interval(l), interval(r))
       (maxOpt(ll, rl), minOpt(lh, rh))

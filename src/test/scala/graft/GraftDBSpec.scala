@@ -285,6 +285,10 @@ class GraftDBSpec extends SparkSpec {
       assert(db.count(TimeQuery() >= t("2024-02-01T00:00:00Z")) == 1)
       db.reindex()
       assert(db.count(TimeQuery() >= t("2024-02-01T00:00:00Z")) == 1)
+      // sub-microsecond nanos: the compiled literal floors to micros,
+      // so the zonemap must floor too — a raw-Instant comparison would
+      // over-prune this query, which still matches the max-time row
+      assert(db.count(TimeQuery() >= t("2024-03-01T00:00:00Z").plusNanos(500)) == 1)
     }
   }
 
