@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.GraftDB
+import graft.query._
+import graft.sources.Tables
+
+/** Writes `EXPLAIN.md`: the formatted physical plans of the headline
+  * queries, captured from a real session — the artifact behind the
+  * plan-shape claims in SURVEY/BENCH_NOTES (PlanAuditSpec asserts the
+  * same properties mechanically; this file makes them readable).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false") // stable plan text
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new StringBuilder
+    out ++= s"# EXPLAIN — formatted physical plans (round 3, $sfDir)\n\n"
+    out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
+      "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
+
+    def section(title: String, note: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      out ++= s"\n## $title\n\n$note\n\n```\n"
+      out ++= df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      out ++= "```\n"
+    }
+
+    section("pushdown: scan-level filter on parquet",
+      "The predicate and projection reach the scan: `PushedFilters` + 2-column `ReadSchema`, no Exchange.") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(org.apache.spark.sql.functions.col("l_quantity") < 5)
+        .select("l_orderkey", "l_quantity")
+    }
+
+    section("q32 multiway join",
+      "Every dimension broadcast (no SortMergeJoin); the single fact shuffle feeds the aggregate.") {
+      SparkEntry.queries("q32_join_multiway")(spark, sfDir)
+    }
+
+    section("q33 window rank",
+      "One hash-partition Exchange for the window; WindowGroupLimit early-stops rank-k per group; the range Exchange at the top is the presentation ORDER BY.") {
+      SparkEntry.queries("q33_window_rank")(spark, sfDir)
+    }
+
+    section("indexed point lookup (reindex tier)",
+      "Scan of the primitives-only InMemoryRelation; the filter reads one flat slot column; maps rebuilt (concat of conditional entries, codegen-friendly) only for matched rows.") {
+      val pts = Tables.eventsAsPoints(spark, sfDir).coalesce(4).cache()
+      pts.count()
+      val db = GraftDB.fromDataFrame(pts)
+      db.reindex()
+      db.filterPlan(TagQuery("user") === "7")
+    }
+
+    section("zonemap shortcut (provably-empty time range)",
+      "The whole plan is a LocalRelation — zero jobs, the driver-side analogue of the reference's index bisect returning [].") {
+      val pts = Tables.eventsAsPoints(spark, sfDir).coalesce(4).cache()
+      val db = GraftDB.fromDataFrame(pts)
+      db.reindex()
+      db.filterPlan(TimeQuery() >= java.time.Instant.parse("2030-01-01T00:00:00Z"))
+    }
+
+    section("q50 exact-dedup survivor ids",
+      "groupBy on the sha2 digest: map-side partial min, ONE Exchange carrying 32-byte keys, never documents.") {
+      SparkEntry.queries("q50_dedup_exact")(spark, sfDir)
+    }
+
+    java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote EXPLAIN.md (${out.length} chars)")
+    spark.stop()
+  }
+}
