@@ -63,8 +63,11 @@ object ScaleProbe {
     }
 
     val ev1 = Tables.events(spark, sfDir)
+    // offset derived from the real key range so replicated copies can
+    // never collide and merge distinct users' event streams
+    val userOff = ev1.agg(max(col("user_id"))).head.getLong(0) + 1L
     val ev10 = (0 until 10).map(c =>
-      ev1.select((col("user_id") + lit(c * 1000L)).as("user_id"),
+      ev1.select((col("user_id") + lit(c * userOff)).as("user_id"),
         col("ts_us"), col("event_id"))).reduce(_ unionByName _)
       .repartition(64).cache()
     ev10.count()

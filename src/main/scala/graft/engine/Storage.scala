@@ -104,9 +104,20 @@ final class MemoryStorage(val spark: SparkSession, initial: Option[DataFrame] = 
       // The seed fast path adopts the batch plan directly, skipping the
       // union with the canonical empty seed — so it must re-assert the
       // schema contract the union used to enforce.
-      if (stateIsSeed)
-        require(pending.head.columns.sameElements(Point.columns),
-          s"append batch columns ${pending.head.columns.mkString(",")} != canonical ${Point.columns.mkString(",")}")
+      if (stateIsSeed) {
+        val head = pending.head
+        require(head.columns.sameElements(Point.columns),
+          s"append batch columns ${head.columns.mkString(",")} != canonical ${Point.columns.mkString(",")}")
+        // The union with the canonical seed used to coerce types too
+        // (e.g. map<string,float> fields widened to double); without it
+        // an off-type first batch would be adopted verbatim and surface
+        // later as a ClassCastException. Cast only when types drift.
+        val typesMatch = head.schema.fields.zip(Point.schema.fields)
+          .forall { case (a, b) => a.dataType == b.dataType }
+        pending(0) =
+          if (typesMatch) head
+          else head.select(Point.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
       state =
         if (stateIsSeed) pending.tail.foldLeft(pending.head)(_ unionByName _)
         else pending.foldLeft(state)(_ unionByName _)

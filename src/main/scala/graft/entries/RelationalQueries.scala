@@ -179,11 +179,13 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
-    // native session_window ≡ gaps-and-islands: the same 30-minute-gap
-    // sessions q65 derives with lag+cumsum SQL, computed by Spark's
-    // session-merging aggregate (the construct the STREAMING session
-    // tier uses — StreamingSpec covers that engine path); the oracle
-    // cross-checks all three formulations against each other
+    // native session_window ≡ gaps-and-islands INCLUDING the boundary
+    // case: Spark merges a new event into the open session when its
+    // start <= current session end, so two events exactly `gap` apart
+    // DO merge — the same inclusive rule as the lag+cumsum break
+    // (diff > gap) used by this oracle and by q65/Curation.sessionize.
+    // SessionBoundarySpec pins the diff == gap case empirically for
+    // both formulations.
     "q73_session_window" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(session_window(col("time"), "30 minutes").as("win"), col("user_id"))
