@@ -23,12 +23,17 @@ object Dedup {
   /** Hash-heavy per-row stages need every core: a small corpus read
     * from one parquet file arrives as ONE partition, which would run
     * the whole md5/shingle pipeline single-threaded. Spread it before
-    * the compute when the source has fewer partitions than cores; at
-    * real scale inputs already have many partitions and this is a no-op.
+    * the compute when the source is too small to split into >= cores
+    * partitions; at real scale inputs already split and this is a no-op.
+    * The probe is pure Catalyst statistics (plan-size estimate vs
+    * `files.maxPartitionBytes`) — no RDD conversion, no job.
     */
   private[analytics] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(splitBytes) * p) df.repartition(p) else df
   }
 
   /** Exact dedup: one survivor (minimum `orderCol`) per identical
@@ -227,18 +232,27 @@ object Dedup {
     * GEMM), not a relational join: at loose thresholds NO recall-1
     * candidate filter can prune high-dimensional data (coordinate
     * spread ~1/sqrt(d) is far below eps = sqrt(2-2t)), so expressing it
-    * as a join only adds shuffle and row overhead — measured 3.5× slower
-    * than brute force. This is the one place the library drops to
-    * mapPartitions: normalize in SQL, broadcast the (id-sorted) dense
-    * matrix, and let each task score a contiguous stripe of rows against
-    * all later rows in a tight primitive loop. Scales to corpora whose
-    * matrix fits a broadcast (~1M × 128 dims = 1 GB); beyond that, chunk
-    * the stripe side over multiple broadcasts, or switch to
-    * [[approxCosinePairsLsh]] / [[epsGridCosinePairs]] when the
-    * threshold is tight enough to prune.
+    * as a ROW-level join only adds shuffle and per-row overhead —
+    * measured 3.5× slower than a dense loop. Instead this runs the
+    * classic BLOCKED all-pairs scheme, fully distributed with no driver
+    * materialization and no whole-matrix broadcast:
+    *
+    *  1. normalize in SQL, hash each row into one of B id-blocks;
+    *  2. replicate each row to the B tiles (p,q), p <= q, it
+    *     participates in (left role for its own row-of-tiles, right
+    *     role for its column) — one shuffle, replication factor B;
+    *  3. each tile task runs the tight primitive dot-product loop over
+    *     its two blocks (the diagonal tile scores within-block i < j).
+    *
+    * Every pair of rows meets in EXACTLY one tile, so the result is
+    * exact. Memory per task is two blocks (~2·`rowsPerBlock`·d·8 B,
+    * default ~16 MB at d=128); total shuffle is B·matrix — the
+    * unavoidable O(n·sqrt(work)) communication of exact all-pairs.
+    * Beyond ~10M rows prefer [[epsGridCosinePairs]] /
+    * [[approxCosinePairsLsh]] when the threshold allows pruning.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, rowsPerBlock: Int = 8192): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("v"))
@@ -246,48 +260,66 @@ object Dedup {
     // string ids are first-class, anything numeric rides the long path
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        val collected = base.as[(String, Seq[Double])].collect().sortBy(_._1)
-        denseKernel[String](spark, collected.map(_._1), collected.map(_._2.toArray), threshold)
+        blockedDenseKernel[String](base, threshold, rowsPerBlock)
       case _ =>
-        val collected = base.select(col("id").cast("long"), col("v"))
-          .as[(Long, Seq[Double])].collect().sortBy(_._1)
-        denseKernel[Long](spark, collected.map(_._1), collected.map(_._2.toArray), threshold)
+        blockedDenseKernel[Long](
+          base.withColumn("id", col("id").cast("long")), threshold, rowsPerBlock)
     }
   }
 
-  /** The stripe-parallel dense scoring loop shared by both id types.
-    * Contiguous stripes: low-i stripes carry the most work and are
-    * scheduled first (natural longest-task-first). Slice count follows
-    * the WORK (≈ n²/2 dot products, ~1M per task) capped at 8/core —
-    * a small corpus must not shatter into hundreds of near-empty tasks
-    * whose scheduling overhead dwarfs the math.
+  /** The tile-parallel dense scoring kernel shared by both id types.
+    * Block count B follows the DATA (≈ n / rowsPerBlock) with a floor
+    * of sqrt(2·cores) so small corpora still fan out to ≥ cores tiles;
+    * tiles = B(B+1)/2. The count() that sizes the grid is one cheap
+    * column-pruned scan of (id) — metadata-only on parquet.
     */
-  private def denseKernel[T](spark: org.apache.spark.sql.SparkSession,
-      idArr: Array[T], mat: Array[Array[Double]], threshold: Double)(
-      implicit enc: org.apache.spark.sql.Encoder[(T, T, Double)]): DataFrame = {
-    import spark.implicits._
-    val n = idArr.length
-    val bc = spark.sparkContext.broadcast((idArr, mat))
-    val totalPairs = n.toLong * (n - 1) / 2
-    val slices = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism * 8L,
-      math.min(n.toLong, totalPairs / 1000000L + 1)).toInt)
-    spark.range(0, n.toLong, 1, slices).as[Long].mapPartitions { iter =>
-      val (ids, m) = bc.value
-      val total = ids.length
-      iter.flatMap { ii =>
-        val i = ii.toInt
-        val vi = m(i)
-        val d = vi.length
-        (i + 1 until total).iterator.flatMap { j =>
-          val vj = m(j)
+  private def blockedDenseKernel[T: Ordering](base: DataFrame, threshold: Double,
+      rowsPerBlock: Int)(
+      implicit rowEnc: org.apache.spark.sql.Encoder[(Int, Int, Boolean, T, Seq[Double])],
+      keyEnc: org.apache.spark.sql.Encoder[(Int, Int)],
+      outEnc: org.apache.spark.sql.Encoder[(T, T, Double)]): DataFrame = {
+    val n = base.select("id").count()
+    val minBlocks = math.ceil(math.sqrt(
+      2.0 * base.sparkSession.sparkContext.defaultParallelism)).toInt
+    val nBlocks = math.max(1, math.min(2048,
+      math.max((n + rowsPerBlock - 1) / rowsPerBlock, math.min(n, minBlocks.toLong)))).toInt
+    val withBlk = base.withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
+    // Role expansion: a row in block b is the LEFT side of tiles (b, q)
+    // for q in [b, B) and the RIGHT side of tiles (p, b) for p in [0, b).
+    val left = withBlk.select(col("blk").as("p"),
+      explode(sequence(col("blk"), lit(nBlocks - 1))).as("q"),
+      lit(true).as("isLeft"), col("id"), col("v"))
+    val right = withBlk.filter(col("blk") > 0).select(
+      explode(sequence(lit(0), col("blk") - 1)).as("p"), col("blk").as("q"),
+      lit(false).as("isLeft"), col("id"), col("v"))
+    val ord = implicitly[Ordering[T]]
+    left.unionByName(right).as[(Int, Int, Boolean, T, Seq[Double])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Boolean, T, Seq[Double])]) =>
+        val (p, q) = key
+        val ls = scala.collection.mutable.ArrayBuffer.empty[(T, Array[Double])]
+        val rs = scala.collection.mutable.ArrayBuffer.empty[(T, Array[Double])]
+        rows.foreach { case (_, _, isLeft, id, v) =>
+          (if (isLeft) ls else rs) += ((id, v.toArray))
+        }
+        def score(a: (T, Array[Double]), b: (T, Array[Double])): Option[(T, T, Double)] = {
+          val (vi, vj) = (a._2, b._2)
           var s = 0.0
           var k = 0
-          while (k < d) { s += vi(k) * vj(k); k += 1 }
-          if (s >= threshold) Iterator.single((ids(i), ids(j), s)) else Iterator.empty
+          while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
+          if (s >= threshold) {
+            if (ord.lt(a._1, b._1)) Some((a._1, b._1, s)) else Some((b._1, a._1, s))
+          } else None
         }
-      }
-    }.toDF("i", "j", "cosine")
+        if (p == q) {
+          // diagonal tile: within-block pairs, each once
+          val arr = ls.sortBy(_._1)(ord).toArray
+          arr.indices.iterator.flatMap(i =>
+            (i + 1 until arr.length).iterator.flatMap(j => score(arr(i), arr(j))))
+        } else {
+          ls.iterator.flatMap(a => rs.iterator.flatMap(b => score(a, b)))
+        }
+      }.toDF("i", "j", "cosine")
   }
 
   /** Eps-grid blocked variant — recall 1 BY CONSTRUCTION, effective only

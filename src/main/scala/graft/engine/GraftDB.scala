@@ -389,9 +389,15 @@ final class GraftDB(val storage: Storage) {
     // prune range queries to the few batches that overlap — the columnar
     // analogue of the reference's sorted-timestamp index binary search
     // (index.py:719-821; its reindex also re-sorts the full store).
-    // Partition count follows the source so per-task scheduling overhead
-    // doesn't grow with shuffle.partitions on sub-second point queries.
-    val nParts = math.max(1, df.rdd.getNumPartitions)
+    // Partition count follows the DATA SIZE (Catalyst stats estimate /
+    // files.maxPartitionBytes — no RDD conversion, no job) so per-task
+    // scheduling overhead doesn't grow with shuffle.partitions on
+    // sub-second point queries, and cached batches stay ~split-sized
+    // at scale.
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nParts = math.max(1L, math.min(Int.MaxValue.toLong,
+      ((estBytes + splitBytes - 1) / splitBytes).toLong)).toInt
     val idf = df.select(cols: _*)
       .repartitionByRange(nParts, col(Point.TimeCol))
       .sortWithinPartitions(Point.TimeCol)

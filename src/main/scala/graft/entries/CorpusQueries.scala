@@ -32,8 +32,13 @@ object CorpusQueries {
     "q50_dedup_exact" -> ((s, dir) =>
       Dedup.exactSurvivorIds(docs(s, dir), Seq("text"), "doc_id").orderBy("doc_id")),
 
+    // maxDocFreq=50 engages the posting-list guard: a corpus-wide
+    // stopword's d² candidate blowup is cut off, sizes are computed
+    // AFTER the drop, and the oracle mirrors the same pruned vocabulary
+    // — so the guard itself is under the correctness gate.
     "q51_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 1, threshold = 0.9)
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 1, threshold = 0.9,
+        maxDocFreq = Some(50))
         .select("i", "j").orderBy("i", "j")),
 
     "q52_token_count" -> ((s, dir) =>
@@ -292,9 +297,11 @@ object CorpusQueries {
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q51_ngram_jaccard" ->
       """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |kept AS (SELECT * FROM dw WHERE w IN
+        |         (SELECT w FROM dw GROUP BY w HAVING count(*) <= 50)),
         |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-        |         FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1)
+        |         FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1)
         |SELECT i, j FROM pair
         |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
         |WHERE CAST(inter AS DOUBLE) / (si.n + sj.n - inter) >= 0.9

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analytics.AsOf
+import graft.analytics.{AsOf, Ranking}
 import graft.sources.Tables
 
 /** Beyond-reference relational + time-series operators (SURVEY.md §2.5)
@@ -119,6 +119,25 @@ object RelationalQueries {
           ntile(4).over(w).cast("long").as("quartile"),
           dense_rank().over(w).cast("long").as("drank"),
           percent_rank().over(w).as("prank"))
+        .orderBy("o_orderkey")
+    }),
+
+    // the SAME global ranking, scale-safe: partition-local numbering
+    // after a range repartition + broadcast offset correction (see
+    // Ranking.scaladoc) — rank work runs in EVERY partition instead of
+    // one. The ordering is total (o_orderkey breaks ties), so
+    // dense_rank == row_number and ntile/percent_rank are pure
+    // expressions over (row_number, total). Shares q76's oracle shape,
+    // proving the distributed form reproduces the global window exactly.
+    "q78_ranking_scalable" -> ((s, dir) => {
+      val ranked = Ranking.withGlobalRowNumber(t(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), "rn",
+        totalCol = Some("n_total"))
+      ranked.select(col("o_orderkey"),
+          Ranking.ntileFromRowNumber(col("rn"), col("n_total"), 4)
+            .cast("long").as("quartile"),
+          col("rn").as("drank"),
+          Ranking.percentRankFromRank(col("rn"), col("n_total")).as("prank"))
         .orderBy("o_orderkey")
     }),
 
@@ -354,6 +373,13 @@ object RelationalQueries {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q76_ranking" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  percent_rank() OVER w AS prank
+        |FROM orders WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q78_ranking_scalable" ->
       """SELECT o_orderkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         |  CAST(dense_rank() OVER w AS BIGINT) AS drank,

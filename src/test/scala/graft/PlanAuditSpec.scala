@@ -74,5 +74,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  describe("distributed-by-construction operators") {
+    it("embedding near-dup kernel is source-connected (no driver collect feeding it)") {
+      // Regression guard for the old collect()+broadcast path: that plan
+      // started from a driver-built Range/LocalTableScan, disconnected
+      // from the source. The blocked tile kernel's plan must scan the
+      // parquet source directly.
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val p = plan(Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45))
+      assert(p.toLowerCase.contains("scan parquet"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+    }
+
+    it("scalable global ranking keeps the big-table window out of a single partition") {
+      import graft.analytics.Ranking
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      val ranked = Ranking.withGlobalRowNumber(orders,
+        Seq(col("o_totalprice").desc, col("o_orderkey")), "rn", totalCol = Some("tot"))
+      val p = plan(ranked)
+      // exactly one SinglePartition exchange is legal: the numPartitions-row
+      // offsets cumsum. The orders-table path must stay range-partitioned.
+      assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+      assert(p.contains("Exchange rangepartitioning"), p)
+      // and the single-partition branch sits above an aggregate (tiny side)
+      val idx = p.indexOf("Exchange SinglePartition")
+      assert(idx >= 0 && p.substring(idx).contains("HashAggregate"), p)
+    }
+  }
+
   private def Tables = graft.sources.Tables
 }
