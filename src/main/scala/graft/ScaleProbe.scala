@@ -63,9 +63,12 @@ object ScaleProbe {
     }
 
     val ev1 = Tables.events(spark, sfDir)
-    // offset derived from the real key range so replicated copies can
-    // never collide and merge distinct users' event streams
-    val userOff = ev1.agg(max(col("user_id"))).head.getLong(0) + 1L
+    // offset derived from the real key SPAN (not just max): with a
+    // negative id range, max+1 alone can land a replica inside the
+    // original range and merge distinct users' event streams
+    val idRange = ev1.agg(min(col("user_id")), max(col("user_id"))).head
+    require(!idRange.isNullAt(0), s"events table at $sfDir is empty — nothing to probe")
+    val userOff = idRange.getLong(1) - math.min(idRange.getLong(0), 0L) + 1L
     val ev10 = (0 until 10).map(c =>
       ev1.select((col("user_id") + lit(c * userOff)).as("user_id"),
         col("ts_us"), col("event_id"))).reduce(_ unionByName _)

@@ -40,9 +40,15 @@ final class CsvStorage(val spark: SparkSession, path: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
     else ReferenceCsv.read(spark, path)
 
-  override def append(batch: DataFrame): Unit = synchronized {
+  override def append(batch: DataFrame): Unit = append(batch, None)
+
+  /** Per-call prefix override (reference database.py:617,654): a file
+    * may legally mix `_tag_`/`t_` row styles — the reader classifies
+    * per key (point.py:257-278) — so per-append compaction is safe.
+    */
+  override def append(batch: DataFrame, perCall: Option[Boolean]): Unit = synchronized {
     guardWrite()
-    ReferenceCsv.appendFile(batch, path, compactPrefixes)
+    ReferenceCsv.appendFile(batch, path, perCall.getOrElse(compactPrefixes))
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {

@@ -150,26 +150,37 @@ final class GraftDB(val storage: Storage) {
   // ---- write ops (ops 9-15) ----------------------------------------------
 
   /** ops 9-10 `insert` / `insert_multiple` (database.py:600-656):
-    * UTC-normalized, batched append. Time defaults to now() if the
-    * caller built the Point with a null time.
+    * UTC-normalized, batched append; returns the number of points
+    * inserted (reference database.py:621,656 — `insert` → 1,
+    * `insert_multiple` → the batch size). `compactKeyPrefixes` is the
+    * reference's per-insert serialization flag (database.py:617,654) —
+    * honored by the CSV backend, ignored where prefixes don't exist.
     */
-  def insert(p: Point, measurement: Option[String] = None): Unit =
-    insertMultiple(Seq(p), measurement)
+  def insert(p: Point, measurement: Option[String] = None,
+      compactKeyPrefixes: Option[Boolean] = None): Int =
+    insertMultiple(Seq(p), measurement, compactKeyPrefixes)
 
-  def insertMultiple(ps: Seq[Point], measurement: Option[String] = None): Unit = {
+  def insertMultiple(ps: Seq[Point], measurement: Option[String] = None,
+      compactKeyPrefixes: Option[Boolean] = None): Int = {
     val now = Instant.now()
     val normalized = ps.map { p0 =>
       val p1 = if (p0.time == null) p0.copy(time = now) else p0
       Point.validate(measurement.fold(p1)(m => p1.copy(measurement = m)))
     }
     insertDF(spark.createDataset(normalized).toDF()
-      .select(Point.columns.filterNot(_ == Point.SeqCol).map(col): _*))
+      .select(Point.columns.filterNot(_ == Point.SeqCol).map(col): _*),
+      compactKeyPrefixes)
+    normalized.size
   }
 
   /** Bulk ingest of an already-distributed batch (canonical schema sans
-    * `_seq`) — the cluster-scale insert path.
+    * `_seq`) — the cluster-scale insert path. No count is returned: the
+    * batch's size is unknown without an extra job, and the caller holds
+    * the DataFrame to count if it cares.
     */
-  def insertDF(batch: DataFrame): Unit = { invalidateIndex(); storage.append(batch) }
+  def insertDF(batch: DataFrame, compactKeyPrefixes: Option[Boolean] = None): Unit = {
+    invalidateIndex(); storage.append(batch, compactKeyPrefixes)
+  }
 
   /** op 11/12 `update` / `update_all` (database.py:976-1062): rewrite
     * matching rows; tags/fields are merged (dict.update semantics),

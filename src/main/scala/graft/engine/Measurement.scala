@@ -35,8 +35,13 @@ final class Measurement(db: GraftDB, val name: String) {
   def count(q: Q): Long = db.count(conj(q))
   def selectDF(keys: Seq[String], q: Q = Noop): DataFrame = db.selectDF(keys, conj(q))
 
-  def insert(p: Point): Unit = db.insert(p, Some(name))
-  def insertMultiple(ps: Seq[Point]): Unit = db.insertMultiple(ps, Some(name))
+  /** `insert`/`insert_multiple` (measurement.py:192-258): forced to this
+    * measurement name; returns the inserted count like the parent.
+    */
+  def insert(p: Point, compactKeyPrefixes: Option[Boolean] = None): Int =
+    db.insert(p, Some(name), compactKeyPrefixes)
+  def insertMultiple(ps: Seq[Point], compactKeyPrefixes: Option[Boolean] = None): Int =
+    db.insertMultiple(ps, Some(name), compactKeyPrefixes)
 
   def update(
       q: Q,

@@ -40,6 +40,13 @@ trait Storage {
     */
   def append(batch: DataFrame): Unit
 
+  /** Append with a per-call serialization override — the reference's
+    * per-insert `compact_key_prefixes` (database.py:617,654). `None`
+    * keeps the backend's configured default; backends with no key-prefix
+    * notion (memory, parquet) ignore the flag.
+    */
+  def append(batch: DataFrame, compactPrefixes: Option[Boolean]): Unit = append(batch)
+
   /** Replace the full state (canonical schema WITH `_seq`). */
   def overwrite(full: DataFrame): Unit
 

@@ -80,6 +80,20 @@ object CorpusQueries {
       Dedup.embeddingCosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.45)
         .select("i", "j").orderBy("i", "j")),
 
+    // The eps-grid path under the oracle, in its effective regime: a
+    // LOW-dimensional input (2-d projection of the embeddings) with a
+    // TIGHT threshold — eps = sqrt(2−2·0.999) ≈ 0.045 against unit-
+    // circle coordinates gives ~45 cells/dim of real pruning, where the
+    // 128-d/0.45 case (q58) would put every vector in one cell. Recall
+    // is 1 by construction (Cauchy–Schwarz, see epsGridCosinePairs);
+    // the threshold is gap-checked (nearest pair 1.3e-7 away at sf0.01)
+    // and both engines compute the same 2-term double arithmetic.
+    "q79_eps_grid_near_dup" -> ((s, dir) =>
+      Dedup.epsGridCosinePairs(
+        emb(s, dir).select(col("vec_id"), slice(col("embedding"), 1, 2).as("embedding")),
+        "vec_id", "embedding", threshold = 0.999, gridDims = 2)
+        .select("i", "j").orderBy("i", "j")),
+
     // ---- multimodal binary columns (payloads synthesized from the
     // documents table: utf-8 bytes, with magic-byte prefixes in q61) ----
 
@@ -362,6 +376,13 @@ object CorpusQueries {
         |JOIN n na ON na.vec_id = d.i JOIN n nb ON nb.vec_id = d.j
         |WHERE dp / (na.nrm * nb.nrm) >= 0.45
         |ORDER BY i, j""".stripMargin,
+    "q79_eps_grid_near_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |                  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |n AS (SELECT vec_id, x/sqrt(x*x+y*y) AS nx, y/sqrt(x*x+y*y) AS ny FROM e),
+        |c AS (SELECT a.vec_id AS i, b.vec_id AS j, a.nx*b.nx + a.ny*b.ny AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT i, j FROM c WHERE cos >= 0.999 ORDER BY i, j""".stripMargin,
     "q60_binary_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS sha_hex,
         |  CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes

@@ -119,6 +119,12 @@ final class MappedTimeQuery(f: Instant => Double) {
   def <=(v: Double): Q = TimeMapCmp(f, CmpOp.Le, v)
   def >(v: Double): Q = TimeMapCmp(f, CmpOp.Gt, v)
   def >=(v: Double): Q = TimeMapCmp(f, CmpOp.Ge, v)
+  /** Callable path steps chain (reference queries.py:484-504 allows any
+    * number of callables before the comparison) — composition, no new
+    * AST node.
+    */
+  def map(g: Double => Double): MappedTimeQuery = new MappedTimeQuery(t => g(f(t)))
+  def test(t: Double => Boolean): Q = TimeTest(i => t(f(i)))
 }
 
 final class MeasurementQuery {
@@ -145,6 +151,9 @@ final class MappedMeasurementQuery(f: String => String) {
   def <=(v: String): Q = MeasurementMapCmp(f, CmpOp.Le, v)
   def >(v: String): Q = MeasurementMapCmp(f, CmpOp.Gt, v)
   def >=(v: String): Q = MeasurementMapCmp(f, CmpOp.Ge, v)
+  /** Chained callable path step (queries.py:484-504). */
+  def map(g: String => String): MappedMeasurementQuery = new MappedMeasurementQuery(m => g(f(m)))
+  def test(t: String => Boolean): Q = MeasurementTest(m => t(f(m)))
 }
 
 /** `TagQuery("city") === "LA"` ≙ reference `TagQuery().city == "LA"`. */
@@ -174,6 +183,13 @@ final class MappedTagQuery(key: String, f: String => String) {
   def <=(v: String): Q = TagMapCmp(key, f, CmpOp.Le, v)
   def >(v: String): Q = TagMapCmp(key, f, CmpOp.Gt, v)
   def >=(v: String): Q = TagMapCmp(key, f, CmpOp.Ge, v)
+  /** Chained callable path step (queries.py:484-504): a second `map`
+    * composes; `test` after `map` evaluates the user predicate on the
+    * mapped value — an exception anywhere in the chain → False, the
+    * reference's try/except path resolution.
+    */
+  def map(g: String => String): MappedTagQuery = new MappedTagQuery(key, v => g(f(v)))
+  def test(t: String => Boolean): Q = TagTest(key, v => t(f(v)))
 }
 
 /** Every comparison on a dead (multi-step) path is False — the
@@ -212,4 +228,10 @@ final class MappedFieldQuery(key: String, f: Double => Double) {
   def <=(v: Double): Q = FieldMapCmp(key, f, CmpOp.Le, v)
   def >(v: Double): Q = FieldMapCmp(key, f, CmpOp.Gt, v)
   def >=(v: Double): Q = FieldMapCmp(key, f, CmpOp.Ge, v)
+  /** Chained callable path step (queries.py:484-504). The null guard
+    * mirrors the reference: mapping a present-but-None field value
+    * raises inside its try/except → False.
+    */
+  def map(g: Double => Double): MappedFieldQuery = new MappedFieldQuery(key, v => g(f(v)))
+  def test(t: Double => Boolean): Q = FieldTest(key, v => v != null && t(f(v)))
 }

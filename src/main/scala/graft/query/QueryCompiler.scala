@@ -176,7 +176,12 @@ object QueryCompiler {
         fieldHas(key) && u(fieldVal(key))
 
       case FieldMapCmp(key, f, op, rhs) =>
-        val u = udf((v: Double) => f(v))
+        // exception in the (possibly chained) map → null → False under
+        // the filter, like the other map families; a bare f(v) would
+        // instead fail the whole task
+        val u = udf((v: Double) =>
+          try java.lang.Double.valueOf(f(v))
+          catch { case _: Exception => null.asInstanceOf[java.lang.Double] })
         cmp(u(fieldVal(key)), op, lit(rhs))
 
       case Noop | And(_, _) | Or(_, _) | Not(_) =>

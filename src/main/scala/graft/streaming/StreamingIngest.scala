@@ -163,36 +163,62 @@ object StreamingIngest {
   }
 
   /** Continuously-maintained per-series stats via custom state
-    * (`mapGroupsWithState`): for each key, the running point count and
-    * the LATEST (by event time) value — the streaming materialization
-    * of "current value of every series", which the reference can only
-    * answer with a full scan. Run in Update output mode; state is one
-    * small record per live series.
+    * (`flatMapGroupsWithState`): for each key, the running point count
+    * and the LATEST (by event time) value — the streaming
+    * materialization of "current value of every series", which the
+    * reference can only answer with a full scan. Run in Update output
+    * mode; state is one small record per live series.
+    *
+    * `stateTtl` bounds state for unbounded key spaces: a series that
+    * stays silent for `stateTtl` past its last event (by watermark — so
+    * `stream` gets a `lateness` watermark when a TTL is set) has its
+    * state evicted. Without a TTL, dead series accumulate state forever
+    * — fine for a fixed sensor fleet, not for 100 TB of churning keys.
     */
   def seriesStats(
       stream: DataFrame,
       keyCol: String,
       timeCol: String,
-      valueCol: String
+      valueCol: String,
+      stateTtl: Option[String] = None,
+      lateness: String = "10 minutes"
   ): org.apache.spark.sql.Dataset[SeriesStats] = {
-    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
-    stream
+    val src = stateTtl.fold(stream)(_ => stream.withWatermark(timeCol, lateness))
+    val timeoutConf =
+      stateTtl.fold(GroupStateTimeout.NoTimeout)(_ => GroupStateTimeout.EventTimeTimeout)
+    src
       .select(col(keyCol).cast("string"), col(timeCol), col(valueCol).cast("double"))
       .as[(String, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[SeriesStats, SeriesStats](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SeriesStats, SeriesStats](OutputMode.Update, timeoutConf) {
         (key, rows, state) =>
-          val prev = state.getOption.getOrElse(SeriesStats(key, 0L, null, Double.NaN))
-          val next = rows.foldLeft(prev) { (acc, r) =>
-            val (_, t, v) = r
-            if (acc.lastTime == null || !t.before(acc.lastTime))
-              SeriesStats(key, acc.count + 1, t, v)
-            else acc.copy(count = acc.count + 1) // late row: count it, keep newer value
+          if (state.hasTimedOut) {
+            // watermark passed lastTime + ttl with no new events: the
+            // series is dead — drop its state, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(SeriesStats(key, 0L, null, Double.NaN))
+            val next = rows.foldLeft(prev) { (acc, r) =>
+              val (_, t, v) = r
+              if (acc.lastTime == null || !t.before(acc.lastTime))
+                SeriesStats(key, acc.count + 1, t, v)
+              else acc.copy(count = acc.count + 1) // late row: count it, keep newer value
+            }
+            state.update(next)
+            // timeout base must exceed the current watermark (Spark
+            // rejects a timestamp at-or-below it); a series whose last
+            // event already trails the watermark still gets a full TTL
+            // from NOW, not instant eviction
+            stateTtl.foreach { ttl =>
+              val base = math.max(next.lastTime.getTime, state.getCurrentWatermarkMs() + 1L)
+              state.setTimeoutTimestamp(base, ttl)
+            }
+            Iterator.single(next)
           }
-          state.update(next)
-          next
       }
   }
 

@@ -104,6 +104,31 @@ class GraftDBSpec extends SparkSpec {
       val ghost = db.measurement("nope")
       assert(ghost.length == 0 && ghost.all().isEmpty)
     }
+    it("insert returns 1 and insert_multiple the batch size (database.py:621,656)") {
+      val db = GraftDB.inMemory(spark)
+      assert(db.insert(Point(t("2024-01-01T00:00:00Z"), "m", fields = Map("v" -> 1.0))) == 1)
+      assert(db.insertMultiple(Seq(
+        Point(t("2024-01-02T00:00:00Z"), "m", fields = Map("v" -> 2.0)),
+        Point(t("2024-01-03T00:00:00Z"), "m", fields = Map("v" -> 3.0)))) == 2)
+      assert(db.insertMultiple(Nil) == 0)
+      assert(db.measurement("m2")
+        .insert(Point(t("2024-01-04T00:00:00Z"), fields = Map("v" -> 4.0))) == 1)
+      assert(db.length == 4)
+    }
+    it("per-call compact_key_prefixes overrides the storage default (database.py:617,654)") {
+      val f = Files.createTempFile("graftcsv", ".csv")
+      val db = GraftDB.atCsv(spark, f.toString)
+      db.insert(Point(t("2024-01-01T00:00:00Z"), "m", Map("room" -> "bed"), Map("temp" -> 1.0)))
+      db.insert(Point(t("2024-01-02T00:00:00Z"), "m", Map("room" -> "kit"), Map("temp" -> 2.0)),
+        compactKeyPrefixes = Some(true))
+      val lines = java.nio.file.Files.readAllLines(f)
+      assert(lines.get(0).contains("_tag_room") && lines.get(0).contains("_field_temp"))
+      assert(lines.get(1).contains("t_room") && lines.get(1).contains("f_temp"))
+      // the mixed-prefix file reads back uniformly — the reader
+      // classifies per key (point.py:257-278)
+      assert(db.count(TagQuery("room").exists()) == 2)
+      assert(db.getFieldValues("temp").map(_.doubleValue) == Seq(1.0, 2.0))
+    }
     it("insert validates: null measurement rejected, null time defaults to now") {
       val db = GraftDB.inMemory(spark)
       intercept[IllegalArgumentException] {

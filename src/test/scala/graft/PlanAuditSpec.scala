@@ -86,6 +86,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), p)
     }
 
+    it("eps-grid near-dup candidates come from a cell equi-join, never a cross join") {
+      val p = plan(SparkEntry.queries("q79_eps_grid_near_dup")(spark, sf))
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // the join keys on the cell id (an equi-join Catalyst can shuffle)
+      assert(p.contains("cellKey"), p)
+    }
+
     it("scalable global ranking keeps the big-table window out of a single partition") {
       import graft.analytics.Ranking
       val orders = spark.read.parquet(s"$sf/orders.parquet")

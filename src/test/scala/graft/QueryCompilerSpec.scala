@@ -132,6 +132,30 @@ class QueryCompilerSpec extends SparkSpec {
     }
   }
 
+  describe("callable path chains (map-in-path, queries.py:484-504)") {
+    it("chained maps compose before the comparison") {
+      assert(ids(FieldQuery("temp").map(_ * 2).map(_ - 40.0) === 100.0) == Set(0))
+      assert(ids(TagQuery("city").map(_.toLowerCase).map(_.reverse) === "al") == Set(0))
+      assert(ids(MeasurementQuery().map(_.toUpperCase).map(_.stripPrefix("M")) === "2") == Set(2))
+      val dayOfMonth = TimeQuery().map(i =>
+        i.atZone(java.time.ZoneOffset.UTC).getDayOfMonth.toDouble)
+      assert(ids(dayOfMonth.map(_ * 10) === 20.0) == Set(1))
+    }
+    it("test after map evaluates on the mapped value; null/missing → False") {
+      assert(ids(FieldQuery("temp").map(_ / 10).test(_ > 6.9)) == Set(0)) // p1 null, p2 missing → False
+      assert(ids(TagQuery("city").map(_.toLowerCase).test(_.startsWith("l"))) == Set(0))
+      assert(ids(MeasurementQuery().map(_.toUpperCase).test(_ == "M1")) == Set(0, 1))
+    }
+    it("exception anywhere in the chain → False, not a task failure") {
+      assert(ids(TagQuery("city")
+        .map(v => if (v == "LA") throw new RuntimeException("boom") else v) === "x")
+        == Set.empty[Long])
+      assert(ids(FieldQuery("temp")
+        .map(v => if (v > 0) throw new RuntimeException("boom") else v) === 0.0)
+        == Set.empty[Long])
+    }
+  }
+
   describe("regex flags") {
     it("(?i) case-insensitive matches and search") {
       assert(ids(TagQuery("city").matches("la", flags = "i")) == Set(0))

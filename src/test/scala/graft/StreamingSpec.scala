@@ -170,6 +170,36 @@ class StreamingSpec extends SparkSpec {
         assert(last("kit") == ((2L, 66.0)))
       } finally q.stop()
     }
+
+    it("evicts state for series silent past the TTL (EventTimeTimeout)") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val stats = StreamingIngest.seriesStats(
+        mem.toDF().toDF("time", "m", "room", "temp"), "room", "time", "temp",
+        stateTtl = Some("1 hour"), lateness = "0 seconds")
+      val q = stats.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("ttl_sink").start()
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 70.0),
+          (ts("2024-01-01 10:00:00"), "therm", "kit", 60.0))
+        q.processAllAvailable()
+        // advance the watermark to 13:00 via kit alone — far past bed's
+        // 11:00 timeout, so bed's state record is evicted
+        mem.addData((ts("2024-01-01 13:00:00"), "therm", "kit", 61.0))
+        q.processAllAvailable()
+        // bed returns AFTER eviction: its count restarts at 1 — a live
+        // (un-evicted) state would have continued to 2
+        mem.addData((ts("2024-01-01 13:30:00"), "therm", "bed", 75.0))
+        q.processAllAvailable()
+        val bedCounts = spark.table("ttl_sink").filter(col("key") === "bed")
+          .select("count").as[Long].collect().toSeq
+        assert(bedCounts.sorted == Seq(1L, 1L))
+        // kit stayed within its TTL the whole time: state persisted
+        val kitMax = spark.table("ttl_sink").filter(col("key") === "kit")
+          .agg(max("count")).as[Long].head()
+        assert(kitMax == 2L)
+      } finally q.stop()
+    }
   }
 
   describe("watermarked tumbling aggregation (append mode)") {
