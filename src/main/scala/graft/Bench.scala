@@ -177,6 +177,12 @@ object Bench {
     }
 
     // ---- headline analytics at scale ----
+    // Drop the point/insert tiers' caches first (events table + two
+    // index views ≈ the whole storage-memory budget): the analytics
+    // queries reuse none of them, and leftover blocks only add
+    // eviction churn and GC pressure to the timed runs.
+    spark.catalog.clearCache()
+
     val analytics = Seq(
       "q30_agg_pricing", "q32_join_multiway", "q33_window_rank", "q34_topk",
       "q40_window_tumbling", "q41_asof_join",
