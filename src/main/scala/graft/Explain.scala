@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 3, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 5, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -72,6 +72,27 @@ object Explain {
     section("q50 exact-dedup survivor ids",
       "groupBy on the sha2 digest: map-side partial min, ONE Exchange carrying 32-byte keys, never documents.") {
       SparkEntry.queries("q50_dedup_exact")(spark, sfDir)
+    }
+
+    section("q58 embedding near-dup (blocked tile kernel)",
+      "Source-connected all the way down (no driver collect): rows replicate to their " +
+        "B tiles in one hash Exchange on (p,q); each tile's MapGroups runs the " +
+        "primitive dot-product loop; every pair meets in exactly one tile.") {
+      SparkEntry.queries("q58_embedding_near_dup")(spark, sfDir)
+    }
+
+    section("q78 scalable global ranking",
+      "Range repartition + partition-local numbering; the only SinglePartition " +
+        "Exchange sits above the per-partition COUNT aggregate (numPartitions rows), " +
+        "never above the data. The big table is never in one task.") {
+      SparkEntry.queries("q78_ranking_scalable")(spark, sfDir)
+    }
+
+    section("q79 eps-grid cosine near-dup",
+      "Candidates from a cellKey equi-join (shuffle hash / sort-merge-able), no " +
+        "CartesianProduct or BroadcastNestedLoopJoin anywhere: the 3^d neighbor probe " +
+        "is an explode, pair identity dedups before the dot-product filter.") {
+      SparkEntry.queries("q79_eps_grid_near_dup")(spark, sfDir)
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
