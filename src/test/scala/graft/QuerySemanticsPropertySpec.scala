@@ -57,9 +57,15 @@ class QuerySemanticsPropertySpec extends SparkSpec {
     case DeadPath   => false
 
     case TimeCmp(op, rhs) => cmpOp(op, p.time, rhs)(Ordering.by(_.toEpochMilli))
+    case TimeTest(f) => try f(p.time) catch { case _: Exception => false }
+    case TimeMapCmp(f, op, rhs) =>
+      try cmpOp(op, f(p.time), rhs) catch { case _: Exception => false }
 
     case MeasurementCmp(op, rhs) => cmpOp(op, p.measurement, rhs)
     case MeasurementRegex(rx, anchored, flags) => regexRef(p.measurement, rx, anchored, flags)
+    case MeasurementTest(f) => try f(p.measurement) catch { case _: Exception => false }
+    case MeasurementMapCmp(f, op, rhs) =>
+      try cmpOp(op, f(p.measurement), rhs) catch { case _: Exception => false }
 
     // tag/field leaves: missing key → False; present-null: == False,
     // != True, ordered/regex/test raise → False (python None semantics)
@@ -118,6 +124,30 @@ class QuerySemanticsPropertySpec extends SparkSpec {
   private val genTime = Gen.oneOf(
     t("2024-01-01T00:00:00Z"), t("2024-01-03T00:00:00Z"), t("2024-01-06T00:00:00Z"))
 
+  // map/test function pools — shared verbatim by the interpreter (via
+  // the AST) and the compiled UDF, so only EVALUATION RULES can differ.
+  // Chained .map().map() composes into the same leaf the builders
+  // produce, so composed entries cover the callable-path-chain surface.
+  // substring(0,2) throws on length-1 strings, _.reverse NPEs on null:
+  // both exercise the exception→False rule. 1.0/v at v=0 is +Infinity
+  // (not NaN — IEEE-identical ordering in both engines).
+  private val tagFns: Seq[String => String] = Seq(
+    (s: String) => s.toUpperCase,
+    (s: String) => s.reverse,
+    (s: String) => s.substring(0, 2),
+    ((s: String) => s.toUpperCase) andThen ((s: String) => s.reverse))
+  private val fieldFns: Seq[Double => Double] = Seq(
+    (v: Double) => v * 2,
+    (v: Double) => v - 1.0,
+    (v: Double) => 1.0 / v,
+    ((v: Double) => v * 2) andThen ((v: Double) => v - 1.0))
+  private val timeFns: Seq[Instant => Double] = Seq(
+    (i: Instant) => i.atZone(java.time.ZoneOffset.UTC).getDayOfMonth.toDouble,
+    (i: Instant) => i.getEpochSecond.toDouble % 7)
+  private val measFns: Seq[String => String] = Seq(
+    (s: String) => s.toUpperCase,
+    (s: String) => s.substring(1))
+
   private val genLeaf: Gen[Q] = Gen.oneOf(
     for { op <- genOp; rhs <- genTime } yield TimeCmp(op, rhs),
     for { op <- genOp; m <- Gen.oneOf("m1", "m2", "mX") } yield MeasurementCmp(op, m),
@@ -129,6 +159,21 @@ class QuerySemanticsPropertySpec extends SparkSpec {
           fl <- Gen.oneOf("", "i") } yield TagRegex(k, rx, a, fl),
     for { k <- genFieldKey; op <- genOp; v <- genFieldVal } yield FieldCmp(k, op, v),
     genFieldKey.map(FieldExists),
+    // test/map escape hatches, all four families
+    for { k <- genTagKey; f <- Gen.oneOf(tagFns); op <- genOp; v <- Gen.oneOf("X", "YX", "xx") }
+      yield TagMapCmp(k, f, op, v),
+    for { k <- genTagKey; f <- Gen.oneOf(tagFns) }
+      yield TagTest(k, (v: String) => f(v).nonEmpty),
+    for { k <- genFieldKey; f <- Gen.oneOf(fieldFns); op <- genOp; v <- genFieldVal }
+      yield FieldMapCmp(k, f, op, v),
+    for { k <- genFieldKey; c <- genFieldVal }
+      yield FieldTest(k, (v: java.lang.Double) => v.doubleValue >= c),
+    for { f <- Gen.oneOf(timeFns); op <- genOp; v <- Gen.oneOf(1.0, 3.0, 5.0) }
+      yield TimeMapCmp(f, op, v),
+    for { c <- genTime } yield TimeTest((i: Instant) => i.isAfter(c)),
+    for { f <- Gen.oneOf(measFns); op <- genOp; v <- Gen.oneOf("M1", "2", "mX") }
+      yield MeasurementMapCmp(f, op, v),
+    Gen.const(MeasurementTest((s: String) => s.endsWith("1"))),
     Gen.const(Noop))
 
   private def genQ(depth: Int): Gen[Q] =
