@@ -198,6 +198,31 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // watermarked stream-stream interval join through the REAL
+    // micro-batch engine (two file-stream sources → symmetric join
+    // state → append sink): purchases matched to same-user views
+    // within ±1 hour. The finite AvailableNow run arrives as one batch
+    // (watermark 0, nothing late), so the result equals the batch
+    // interval join the oracle computes — what the query pins is that
+    // the streaming JOIN OPERATOR (state store, two watermarks, range
+    // condition) reproduces batch semantics exactly.
+    "q80_stream_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val ev = StreamingIngest.eventsStream(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("time").as("ptime"), col("event_id").as("pid"))
+      val views = StreamingIngest.eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("time").as("vtime"), col("event_id").as("vid"))
+      val joined = StreamingIngest.streamStreamJoin(
+        purchases, views, keyCols = Seq("user_id"),
+        leftTimeCol = "ptime", rightTimeCol = "vtime",
+        lowerBound = "1 hour", upperBound = "1 hour", lateness = "1 hour")
+      StreamingIngest.runToTable(joined, "q80_sink", OutputMode.Append())
+        .select("pid", "vid").orderBy("pid", "vid")
+    }),
+
     // native session_window ≡ gaps-and-islands INCLUDING the boundary
     // case: Spark merges a new event into the open session when its
     // start <= current session end, so two events exactly `gap` apart
@@ -418,6 +443,12 @@ object RelationalQueries {
     "q49_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q80_stream_stream_join" ->
+      """SELECT p.event_id AS pid, v.event_id AS vid
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY pid, vid""".stripMargin,
     "q73_session_window" ->
       """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |b AS (SELECT user_id, event_id, ts_us,
