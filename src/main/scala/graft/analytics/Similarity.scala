@@ -69,6 +69,55 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF with a CALLER-SUPPLIED coarse quantizer — `centroids` in the
+    * [[centroids]] output shape (cell/group, i, c). Same probe logic as
+    * [[ivfTopK]] but fully deterministic given fixed centroids, which
+    * makes the whole IVF pipeline replayable in any engine (the q81
+    * oracle recomputes it bit-for-bit from label centroids). This is
+    * also the production shape: at scale the quantizer is trained once
+    * (or derived from labels/partitions) and reused across query
+    * batches, with the corpus persisted bucketed by `cell`.
+    *
+    * Cell assignment is a broadcast of the tiny centroid table + a
+    * map-side-partial `min(struct(dist, cell))` — the shuffle carries
+    * ONE row per corpus vector, never the corpus × cells expansion a
+    * window formulation would move.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int, nProbe: Int): DataFrame = {
+    val centers = centroids
+      .groupBy(col(centroids.columns.head).as("cell"))
+      .agg(collect_list(struct(col("i"), col("c"))).as("entries"))
+      .select(col("cell"),
+        transform(array_sort(col("entries")), e => e.getField("c")).as("center"))
+    val c0 = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    // ||c||² − 2 v·c ranks cells by squared euclidean up to the
+    // constant ||v||² (same metric as ivfTopK; see note there)
+    def cdist(v: String) =
+      dot(col("center"), col("center")) - lit(2.0) * dot(col(v), col("center"))
+
+    val assigned = c0.crossJoin(broadcast(centers))
+      .withColumn("cdist", cdist("cv"))
+      .groupBy("id")
+      // struct min orders (cdist, cell) lexicographically — the
+      // deterministic tie-break the oracle mirrors with ORDER BY
+      .agg(min(struct(col("cdist"), col("cell"))).getField("cell").as("cell"),
+        first(col("cv")).as("cv"))
+
+    val wCells = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q0.crossJoin(broadcast(centers))
+      .withColumn("cdist", cdist("qv"))
+      .withColumn("crank", row_number().over(wCells))
+      .filter(col("crank") <= nProbe)
+      .select("qid", "qv", "cell")
+
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    assigned.join(broadcast(probes), "cell")
+      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer paritions the
     * corpus into `nCells` cells once; each query probes only its
     * `nProbe` nearest cells, so the scored candidate set shrinks by

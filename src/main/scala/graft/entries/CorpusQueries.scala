@@ -135,6 +135,28 @@ object CorpusQueries {
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
         .select("qid", "id").orderBy("qid", "id")),
 
+    // IVF ANN with a deterministic coarse quantizer — the per-label
+    // centroids (q67's computation over the NORMALIZED vectors, rounded
+    // 6dp so cross-engine partial-sum order cannot show through). The
+    // oracle replays the ENTIRE IVF pipeline: assignment argmin with
+    // (dist, cell) tie-break, nProbe=2 probe ranking, candidate
+    // scoring, top-k — so IVF's approximation behavior itself is under
+    // the correctness gate, not just its output shape. This is the
+    // 100-TB tier of q59 (probes 2 of 5 cells instead of scanning all).
+    "q81_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.centroids(
+        e.select(col("label"), graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+        "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      Similarity.ivfTopKWithCentroids(
+        corpus = e,
+        queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        centroids = cents,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10, nProbe = 2)
+        .select("qid", "id").orderBy("qid", "id")
+    }),
+
     // ---- curation: sampling, quotas, clustering, sessionization ----
 
     // deterministic 10% sample — hash membership, replayable anywhere
@@ -383,6 +405,31 @@ object CorpusQueries {
         |c AS (SELECT a.vec_id AS i, b.vec_id AS j, a.nx*b.nx + a.ny*b.ny AS cos
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT i, j FROM c WHERE cos >= 0.999 ORDER BY i, j""".stripMargin,
+    "q81_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |u AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+        |      FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM u GROUP BY 1, 2),
+        |cc AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
+        |dp AS (SELECT u.vec_id, cent.cell, sum(u.x * cent.c) AS dp
+        |       FROM u JOIN cent ON u.i = cent.i GROUP BY 1, 2),
+        |dd AS (SELECT dp.vec_id, dp.cell, cc.cc - 2*dp.dp AS cdist FROM dp JOIN cc USING (cell)),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM dd WHERE vec_id < 3) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS id FROM probe p JOIN assign a USING (cell)),
+        |score AS (SELECT c.qid, c.id, sum(qu.x * cu.x) AS cos
+        |          FROM cand c JOIN u qu ON qu.vec_id = c.qid
+        |          JOIN u cu ON cu.vec_id = c.id AND cu.i = qu.i
+        |          GROUP BY 1, 2)
+        |SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
+        |  FROM score) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
     "q60_binary_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS sha_hex,
         |  CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
