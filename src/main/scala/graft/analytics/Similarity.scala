@@ -50,16 +50,21 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: candidates limited to query-bucket
     * collisions across `seeds.size` independent hyperplane sets.
+    * `signature` picks the hyperplane family — xxhash64-derived by
+    * default, [[graft.functions.VectorFunctions.md5HyperplaneSignature]]
+    * when the bucketing must replay in an md5-only engine (q82).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
-      bits: Int = 12, seeds: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+      bits: Int = 12, seeds: Seq[Int] = Seq(1, 2, 3),
+      signature: (org.apache.spark.sql.Column, Int, Int) => org.apache.spark.sql.Column =
+        randomHyperplaneSignature): DataFrame = {
     val c0 = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
     def bucketed(df: DataFrame, v: String) = df.select(
       col("*"),
       explode(array(seeds.map(s =>
-        concat_ws("#", lit(s), to_json(randomHyperplaneSignature(col(v), bits, s)))): _*)).as("bucket"))
+        concat_ws("#", lit(s), to_json(signature(col(v), bits, s)))): _*)).as("bucket"))
     val cands = bucketed(c0, "cv").as("c")
       .join(broadcast(bucketed(q0, "qv").as("q")), col("c.bucket") === col("q.bucket"))
       .select(col("q.qid").as("qid"), col("c.id").as("id"), col("c.cv").as("cv"), col("q.qv").as("qv"))

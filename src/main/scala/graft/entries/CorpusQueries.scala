@@ -135,6 +135,23 @@ object CorpusQueries {
         idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
         .select("qid", "id").orderBy("qid", "id")),
 
+    // Sign-LSH ANN under the oracle: md5-derived hyperplanes (the
+    // Dedup-family portability convention) let DuckDB recompute the
+    // 8-bit signatures bit-for-bit, so the LSH bucketing — including
+    // its recall behavior at these settings — is what the hash gate
+    // checks. Sign margins measured ≥ 3.4e-6 at both SFs, seven orders
+    // above cross-engine float noise; candidate sets here are smaller
+    // than k, so there is no rank-boundary float risk at all.
+    "q82_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(
+        corpus = emb(s, dir),
+        queries = emb(s, dir).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10,
+        bits = 8, seeds = Seq(1),
+        signature = graft.functions.VectorFunctions.md5HyperplaneSignature)
+        .select("qid", "id").orderBy("qid", "id")),
+
     // IVF ANN with a deterministic coarse quantizer — the per-label
     // centroids (q67's computation over the NORMALIZED vectors, rounded
     // 6dp so cross-engine partial-sum order cannot show through). The
@@ -405,6 +422,26 @@ object CorpusQueries {
         |c AS (SELECT a.vec_id AS i, b.vec_id AS j, a.nx*b.nx + a.ny*b.ny AS cos
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT i, j FROM c WHERE cos >= 0.999 ORDER BY i, j""".stripMargin,
+    "q82_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |u AS (SELECT v.vec_id, v.i, v.x / nrm.nrm AS x FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |b AS (SELECT unnest(range(0, 8)) AS b),
+        |proj AS (SELECT u.vec_id, b.b, sum(u.x *
+        |    (CAST('0x' || substring(md5(1 || ':' || b.b || ':' || u.i), 1, 8) AS BIGINT)
+        |     % 1000003 / 500001.5 - 1.0)) AS p
+        |  FROM u, b GROUP BY 1, 2),
+        |sig AS (SELECT vec_id, string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+        |        FROM proj GROUP BY 1),
+        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS id
+        |         FROM sig q JOIN sig c ON q.bucket = c.bucket WHERE q.vec_id < 3),
+        |score AS (SELECT cand.qid, cand.id, sum(qu.x * cu.x) AS cos
+        |          FROM cand JOIN u qu ON qu.vec_id = cand.qid
+        |          JOIN u cu ON cu.vec_id = cand.id AND cu.i = qu.i GROUP BY 1, 2)
+        |SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
+        |  FROM score) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
     "q81_ann_ivf" ->
       """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -72,4 +72,29 @@ object VectorFunctions {
     }
     array(projections: _*)
   }
+
+  /** [[randomHyperplaneSignature]] with md5-derived weights instead of
+    * xxhash64 — bit-for-bit reproducible in any engine with md5 (the
+    * Dedup-family convention), so LSH bucketing itself can sit under a
+    * cross-engine oracle. Weight(seed, bit, dim) hashes the string
+    * "seed:bit:dim" → first 8 hex chars → [-1, 1).
+    */
+  def md5HyperplaneSignature(vec: Column, bits: Int, seed: Int): Column = {
+    val projections = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, i) => {
+            val h = conv(substring(md5(concat_ws(":",
+                lit(seed.toString), lit(b.toString), i.cast("string"))), 1, 8), 16, 10)
+              .cast("long") % lit(1000003L)
+            x.cast("double") * (h.cast("double") / lit(500001.5) - lit(1.0))
+          }),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0))
+    }
+    array(projections: _*)
+  }
 }
