@@ -69,6 +69,46 @@ class AnalyticsSpec extends SparkSpec {
       // with one probe each query still finds its own tight cluster
       assert(probed == brute)
     }
+    it("fixed-centroid IVF equals brute force at nProbe == nCells (q81 shape)") {
+      val rnd = new scala.util.Random(7)
+      def around(cx: Double, cy: Double, id: Long, label: Long) =
+        (id, label, Array((cx + rnd.nextGaussian() * 0.05).toFloat,
+          (cy + rnd.nextGaussian() * 0.05).toFloat))
+      val big = (
+        (0L until 20L).map(i => around(1.0, 0.0, i, 0L)) ++
+        (20L until 40L).map(i => around(0.0, 1.0, i, 1L)) ++
+        (40L until 60L).map(i => around(-1.0, 0.0, i, 2L))).toDF("vec_id", "label", "embedding")
+      val qs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("qid", "embedding")
+      val cents = Similarity.centroids(
+        big.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv")
+      val brute = Similarity.bruteForceTopK(big, qs, "vec_id", "embedding", "qid", 5)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      val full = Similarity.ivfTopKWithCentroids(big, qs, cents,
+        "vec_id", "embedding", "qid", k = 5, nProbe = 3)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(full == brute)
+      // one probe per query: the label centroids ARE the clusters, so
+      // each query's own cell already holds its true top-5
+      val probed = Similarity.ivfTopKWithCentroids(big, qs, cents,
+        "vec_id", "embedding", "qid", k = 5, nProbe = 1)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(probed == brute)
+    }
+    it("md5-derived hyperplane signatures are deterministic 0/1 bits and recall the top-1") {
+      import graft.functions.VectorFunctions.md5HyperplaneSignature
+      val sigs = corpus.select($"vec_id",
+        md5HyperplaneSignature($"embedding", 8, 1).as("sig"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(sigs.values.forall(s => s.size == 8 && s.forall(b => b == 0 || b == 1)))
+      // near-identical vectors share a bucket; opposite vectors do not
+      assert(sigs(0L) == sigs(1L))
+      assert(sigs(0L) != sigs(4L))
+      val r = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", "qid", 3,
+        bits = 2, seeds = Seq(1, 2, 3, 4),
+        signature = md5HyperplaneSignature).select("id").as[Long].collect().toSet
+      assert(r.contains(0L))
+    }
   }
 
   describe("bucketized interval join") {
