@@ -139,7 +139,21 @@ object SparkEntry {
 
     "q23_time_map" -> ((s, dir) =>
       ids(rdb(s, dir).searchDF(TimeQuery().map(
-        _.atZone(java.time.ZoneOffset.UTC).getHour.toDouble) === 3.0)))
+        _.atZone(java.time.ZoneOffset.UTC).getHour.toDouble) === 3.0))),
+
+    // q03 through a BUILT INDEX (op 23): reindex columnarizes every
+    // tag/field key into the primitives-only cached view and the
+    // compiler retargets leaves at flat slot columns, maps rebuilt for
+    // matched rows only — same oracle as q03, so the indexed read path
+    // (slot compilation, presence bits, map rebuild) sits under the
+    // cross-engine hash gate, not just ScalaTest.
+    "q83_search_indexed" -> ((s, dir) => {
+      val db = rdb(s, dir)
+      db.reindex()
+      flat(db.searchDF(
+        (TimeQuery() >= T1) & (TimeQuery() < T2) & (TagQuery("user") === "7")))
+        .orderBy("ts_us", "event_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -199,6 +213,12 @@ object SparkEntry {
     "q22_regex_flags" ->
       "SELECT event_id FROM events WHERE regexp_matches(event_type, '(?i)CL') ORDER BY event_id",
     "q23_time_map" ->
-      "SELECT event_id FROM events WHERE EXTRACT(hour FROM ts) = 3 ORDER BY event_id"
+      "SELECT event_id FROM events WHERE EXTRACT(hour FROM ts) = 3 ORDER BY event_id",
+    "q83_search_indexed" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type AS measurement, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND user_id = 7
+        |ORDER BY ts_us, event_id""".stripMargin
   ) ++ graft.entries.RelationalQueries.oracleSql ++ graft.entries.CorpusQueries.oracleSql
 }
