@@ -32,14 +32,22 @@ object ReferenceCsv {
 
   private val NoneStr = "_none"
 
-  /** Max kv columns read per row (2 keys+values per tag/field). Rows in
-    * reference files are as wide as their widest point; raise if yours
-    * exceeds 64 tags+fields.
+  /** Initial kv-column guess per row (2 keys+values per tag/field).
+    * [[read]] widens automatically when a file's rows exceed it.
     */
   val DefaultMaxPairs = 64
 
   /** Read reference-format CSV file(s) into the canonical Point schema.
     * `_seq` is assigned in file order (the reference's insertion order).
+    *
+    * Width safety: the reader parses with a fixed-width schema, and a
+    * row WIDER than the schema would be silently truncated — data loss
+    * on migration. So if any row fills the schema's final cell (which
+    * an exactly-`maxPairs`-wide point also does, indistinguishably
+    * from truncation), the width guess doubles and the read retries;
+    * the probe is one cheap scan of the last column, and the recursion
+    * terminates at the file's true width. Compat tier: per-file cost,
+    * not a cluster path.
     */
   def read(spark: SparkSession, path: String, maxPairs: Int = DefaultMaxPairs): DataFrame = {
     val width = 2 + 2 * maxPairs
@@ -62,6 +70,11 @@ object ReferenceCsv {
       .option("nullValue", "")
       .schema(schema)
       .csv(path)
+
+    // a filled final cell means the width guess may have truncated a
+    // wider row — double and retry
+    if (!raw.filter(col(s"c${width - 1}").isNotNull).isEmpty)
+      return read(spark, path, maxPairs * 2)
 
     // kv cells as one array; schema-padding nulls and genuine empty
     // cells both normalize to "" — pairs are then kept by non-empty KEY

@@ -198,5 +198,20 @@ class ReferenceCsvSpec extends SparkSpec {
       val line = new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8").trim
       assert(line == "2024-01-01T00:00:00,m,t_a,x,f_b,1.5")
     }
+
+    it("rows wider than the width guess auto-widen instead of silently truncating") {
+      // 70 fields + 5 tags = 75 pairs > DefaultMaxPairs(64): the first
+      // parse fills its last cell, forcing the doubled retry
+      val tags = (0 until 5).map(i => s"_tag_t$i,v$i").mkString(",")
+      val fields = (0 until 70).map(i => s"_field_f$i,$i.5").mkString(",")
+      val src = writeTemp(Seq(
+        s"2024-01-01T00:00:00,wide,$tags,$fields",
+        "2024-01-02T00:00:00,narrow,_tag_a,x,_field_b,1.0"))
+      val back = ReferenceCsv.read(spark, src).orderBy(Point.SeqCol).collect()
+      val wide = Option(back(0).getAs[Map[String, java.lang.Double]](Point.FieldsCol)).get
+      assert(wide.size == 70 && wide("f69") == 69.5)
+      assert(back(0).getAs[Map[String, String]](Point.TagsCol).size == 5)
+      assert(back(1).getAs[Map[String, java.lang.Double]](Point.FieldsCol) == Map("b" -> 1.0))
+    }
   }
 }
