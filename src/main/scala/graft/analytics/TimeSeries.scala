@@ -12,6 +12,9 @@ import graft.model.Point
   */
 object TimeSeries {
 
+  /** Max elements per generated grid array in [[gapFillForward]]. */
+  val GridChunk: Long = 1024L
+
   /** Tumbling-window aggregate of one field, optionally keyed by a tag.
     * Uses Spark's `window()` so the same expression works in batch and
     * Structured Streaming (with a watermark upstream).
@@ -72,10 +75,21 @@ object TimeSeries {
     val obs = df
       .groupBy(col(keyCol).as("key"), bucket.as("bucket"))
       .agg(max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("v"))
-    // per-key regular grid spanning that key's observed range
+    // Per-key regular grid spanning that key's observed range.
+    // Two-level generation bounds array sizes: a single
+    // sequence(lo, hi, step) materializes the key's ENTIRE grid as one
+    // array in one row (a year at 1 s step = 31M elements — an
+    // executor-killing object, and >2^31 overflows outright). Chunked,
+    // no intermediate array exceeds GridChunk elements while the
+    // exploded row count is identical.
+    val chunk = lit(stepSeconds * TimeSeries.GridChunk)
     val grid = obs.groupBy("key")
       .agg(min("bucket").as("lo"), max("bucket").as("hi"))
-      .select(col("key"), explode(sequence(col("lo"), col("hi"), step)).as("bucket"))
+      .select(col("key"), col("hi"),
+        explode(sequence(col("lo"), col("hi"), chunk)).as("cstart"))
+      .select(col("key"),
+        explode(sequence(col("cstart"),
+          least(col("cstart") + chunk - step, col("hi")), step)).as("bucket"))
     val w = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("key", "bucket"), "left")

@@ -178,6 +178,23 @@ class AnalyticsSpec extends SparkSpec {
       assert(a.map(_._4).toSeq == Seq(1.0, 1.0, 1.0, 4.0)) // gaps carry 1.0 forward
       assert(out.count(_._1 == "b") == 1)
     }
+    it("grids longer than one chunk are complete and seamless at chunk boundaries") {
+      import graft.analytics.TimeSeries
+      // 3000 one-second buckets — crosses two GridChunk(=1024) borders;
+      // observations only at the ends, so every intermediate bucket is
+      // generated (not observed) and carries the first value forward
+      val df = Seq(
+        ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        ("k", java.sql.Timestamp.valueOf("2024-01-01 00:49:59"), 2.0) // +2999 s
+      ).toDF("k", "t", "v")
+      val out = TimeSeries.gapFillForward(df, "k", "t", "v", 1L)
+        .select(col("bucket_time").cast("long"), col("filled")).as[(Long, Double)]
+        .collect().sortBy(_._1)
+      assert(out.length == 3000)
+      // contiguous: no bucket missing or duplicated across chunk joins
+      assert(out.map(_._1).toSeq == (out.head._1 until out.head._1 + 3000L).toSeq)
+      assert(out.init.forall(_._2 == 1.0) && out.last._2 == 2.0)
+    }
   }
 
   describe("text analysis") {
