@@ -31,9 +31,20 @@ object Interval {
     require(bucketSeconds > 0, "bucketSeconds > 0")
     val b = lit(bucketSeconds)
     val lb = left.withColumn("__b", (unix_timestamp(col(tsCol)) / b).cast("long"))
-    val rb = right.withColumn("__b", explode(sequence(
-      (unix_timestamp(col(startCol)) / b).cast("long"),
-      (unix_timestamp(col(endCol)) / b).cast("long"))))
+    // Two-level explode bounds the per-row array: one sequence(lo, hi)
+    // materializes an interval's WHOLE bucket list as a single array
+    // (a year-long interval at 1 s buckets = 31M elements in one row)
+    // before exploding; chunked, no array exceeds 1024 elements while
+    // the exploded rows are identical. Well-chosen bucketSeconds still
+    // means ~1-2 buckets per interval — this only de-fangs the misuse.
+    val lo = (unix_timestamp(col(startCol)) / b).cast("long")
+    val hi = (unix_timestamp(col(endCol)) / b).cast("long")
+    val chunk = lit(1024L)
+    val rb = right
+      .withColumn("__hi", hi)
+      .withColumn("__cs", explode(sequence(lo, col("__hi"), chunk)))
+      .withColumn("__b", explode(sequence(col("__cs"), least(col("__cs") + chunk - 1, col("__hi")))))
+      .drop("__cs", "__hi")
     lb.join(rb, Seq("__b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")

@@ -134,6 +134,23 @@ class AnalyticsSpec extends SparkSpec {
       assert(got == expect)
       assert(got == Set((1L, 10L), (2L, 10L), (2L, 30L), (3L, 10L), (5L, 20L)))
     }
+    it("intervals spanning more than one explode chunk still match exactly") {
+      import graft.analytics.Interval
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // one window covering 3000 one-second buckets (crosses two 1024-
+      // bucket chunk borders); probes at the ends, middle, chunk seams,
+      // and just outside
+      val events = Seq(
+        (1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:17:04")), // = bucket 1024
+        (3L, ts("2024-01-01 00:34:08")), // = bucket 2048
+        (4L, ts("2024-01-01 00:49:59")), (5L, ts("2024-01-01 00:50:00"))  // outside
+      ).toDF("eid", "t")
+      val wins = Seq((10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:49:59")))
+        .toDF("wid", "ws", "we")
+      val got = Interval.joinByBucket(events, "t", wins, "ws", "we", bucketSeconds = 1)
+        .select("eid").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L, 4L))
+    }
   }
 
   describe("salted skew join") {
