@@ -62,6 +62,30 @@ object ScaleProbe {
       }
     }
 
+    // Embedding tiers: the blocked dense kernel is exact all-pairs —
+    // O(n²) scoring work by definition — so the claim to verify is that
+    // wall grows ~quadratically WITHOUT any task blowing memory (tiles
+    // stay ~2 blocks each); the eps-grid tier on the 2-d projection at
+    // a tight threshold is the pruned path and should grow near the
+    // OUTPUT size, not n².
+    val emb1 = Tables.table(spark, sfDir, "embeddings")
+    val nEmb = emb1.count()
+    val emb10 = (0 until 10).map(c =>
+      emb1.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ unionByName _)
+      .repartition(64).cache()
+    println(s"SCALE embeddings: ${nEmb} -> ${emb10.count()} vectors")
+    for ((label, d) <- Seq("1x" -> emb1, "10x" -> emb10)) {
+      time(s"dense_cosine_pairs_$label") {
+        Dedup.embeddingCosinePairs(d, "vec_id", "embedding", threshold = 0.45).count()
+      }
+      time(s"eps_grid_pairs_$label") {
+        Dedup.epsGridCosinePairs(
+          d.select(col("vec_id"), slice(col("embedding"), 1, 2).as("embedding")),
+          "vec_id", "embedding", threshold = 0.999, gridDims = 2).count()
+      }
+    }
+
     val ev1 = Tables.events(spark, sfDir)
     // offset derived from the real key SPAN (not just max): with a
     // negative id range, max+1 alone can land a replica inside the
