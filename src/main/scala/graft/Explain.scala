@@ -95,6 +95,13 @@ object Explain {
       SparkEntry.queries("q79_eps_grid_near_dup")(spark, sfDir)
     }
 
+    section("q81 IVF ANN (fixed-centroid coarse quantizer)",
+      "Cell assignment: centroids broadcast to the corpus, argmin as a map-side " +
+        "partial min(struct(dist, cell)) — the exchange carries ONE row per vector. " +
+        "Probes broadcast back; the only windows run per-query-id for the top-k.") {
+      SparkEntry.queries("q81_ann_ivf")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")

@@ -94,6 +94,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("cellKey"), p)
     }
 
+    it("IVF cell assignment is a broadcast + map-side partial min, never a corpus-wide window") {
+      val p = plan(SparkEntry.queries("q81_ann_ivf")(spark, sf))
+      // the tiny centroid table broadcasts to the corpus (and the probe
+      // set broadcasts back to the assigned corpus)
+      assert(p.contains("BroadcastExchange"), p)
+      // assignment argmin runs as partial aggregation before its
+      // exchange — the shuffle carries one row per vector, not the
+      // corpus × cells expansion a window over the cross join would move
+      assert(p.contains("partial_min") || p.contains("partial_first"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+
     it("scalable global ranking keeps the big-table window out of a single partition") {
       import graft.analytics.Ranking
       val orders = spark.read.parquet(s"$sf/orders.parquet")
