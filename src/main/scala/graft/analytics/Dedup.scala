@@ -143,6 +143,13 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
+    // The signature table is consumed three times (banding + two
+    // joins); cache() computes it once WITH lineage (a localCheckpoint
+    // would be cheaper to clean up but loses fault tolerance — an
+    // executor loss at scale could not recompute the blocks). The entry
+    // lives in the session CacheManager until the caller drops it:
+    // long-lived sessions issuing many dedup calls should
+    // spark.catalog.clearCache() between pipelines (Verify/Bench do).
     val sig = minHashSignatures(df, idCol, textCol, shingleN, numHashes).cache()
 
     // Banding rows carry only (id, band, bucket) — NOT the signature:
@@ -212,7 +219,7 @@ object Dedup {
     val popcount = (c: Column) =>
       (0 until 64).map(b => shiftrightunsigned(c, b).bitwiseAND(1L)).reduce(_ + _)
 
-    val sh = simHash(df, idCol, textCol).cache()
+    val sh = simHash(df, idCol, textCol).cache() // lifecycle: see minHashLshPairs
     val banded = sh.select(col("id"), col("simhash"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.as("a").join(banded.as("b"),

@@ -57,6 +57,14 @@ object CorpusQueries {
         .withColumn("lang_score", col("lang_score").cast("long"))
         .orderBy("doc_id")),
 
+    // the COMPOSITE quality score (q53 gates only the raw features):
+    // fixed-order double arithmetic, identical in both engines; rounded
+    // 6dp so any future reassociation cannot show through
+    "q84_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")),
+
     "q55_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
@@ -384,6 +392,19 @@ object CorpusQueries {
          |  CAST(score AS BIGINT) AS lang_score
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+    "q84_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS nch,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(length(toks) AS DOUBLE) AS n_tokens,
+         |  CAST(length(list_filter(toks, x -> x IN ($enStop))) AS DOUBLE) / greatest(length(toks), 1) AS stop_ratio,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(nch, 1) AS punct_ratio
+         |FROM t)
+         |SELECT doc_id, round(
+         |  least(n_tokens / 64.0, 1.0) * 0.4 +
+         |  least(stop_ratio * 4.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2, 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q55_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]
