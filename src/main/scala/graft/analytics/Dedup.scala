@@ -105,6 +105,35 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Near-dup pairs by WINNOWING-FINGERPRINT overlap — the
+    * plagiarism-detection / code-clone shape: two docs pair when they
+    * share at least `minShared` selected fingerprints
+    * ([[TextAnalysis.winnowFingerprints]] guarantees any sufficiently
+    * long shared run selects at least one common fingerprint, so
+    * near-dup docs overlap heavily while unrelated docs share ~none).
+    *
+    * Candidate generation is the inverted-index equi-join on the
+    * fingerprint — only docs SHARING one ever meet, never all-pairs.
+    * `maxDocFreq` cuts boilerplate fingerprints (headers, licence
+    * blocks) whose d-doc posting lists would contribute d² candidates,
+    * exactly like [[ngramJaccardPairs]]'s guard.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDocFreq: Option[Int] = None): DataFrame = {
+    val raw = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+    val kept = maxDocFreq.fold(raw) { m =>
+      val hot = raw.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > m).select("fp")
+      raw.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Per-shingle base hashes for the Kirsch–Mitzenmacher family:
     * h1, h2 are independent 60-bit integers from two salted md5 digests;
     * hash_i(tok) = h1 + i·(h2 mod 2^47) gives `numHashes` permutations

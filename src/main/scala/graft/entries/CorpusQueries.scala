@@ -69,6 +69,15 @@ object CorpusQueries {
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
 
+    // winnowing-overlap near-dup pairs (the plagiarism-detection shape)
+    // over the q55 fingerprints, doc-frequency guard engaged; the
+    // oracle rebuilds the full winnowing chain + self-join, so both
+    // fingerprint selection and overlap counting are hash-gated
+    "q85_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
+        k = 4, w = 3, minShared = 3, maxDocFreq = Some(50))
+        .select("i", "j", "shared").orderBy("i", "j")),
+
     // maxHamming=3 -> the classic 4-band scheme with recall 1 by
     // construction; the oracle computes ALL pairs at hamming <= 3, so a
     // banding recall hole would surface as a hash mismatch.
@@ -194,6 +203,13 @@ object CorpusQueries {
       Curation.stratumCap(docs(s, dir), Seq("source"), k = 10,
         Seq(col("n_chars").desc, col("doc_id")))
         .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
+    // deterministic stratified sample: 5 docs per source chosen by
+    // md5-hash order — reproducible reservoir replacement; the hex
+    // ordering is engine-portable so membership is hash-gated
+    "q86_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(docs(s, dir), Seq("source"), k = 5, "doc_id")
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // near-dup GROUPS: connected components over the q57 LSH pair set
     // (min member id labels the component; singletons label themselves)
@@ -413,6 +429,24 @@ object CorpusQueries {
         |  ELSE list_transform(range(0, length(grams) - 2), j -> list_min(grams[j+1:j+3])) END AS sel FROM g)
         |SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin,
+    "q85_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]
+        |  ELSE list_transform(range(0, length(w) - 3), i -> md5(array_to_string(w[i+1:i+4], ' '))) END AS grams FROM t),
+        |wins AS (SELECT doc_id, CASE WHEN length(grams) < 3 THEN [list_min(grams)]
+        |  ELSE list_transform(range(0, length(grams) - 2), j -> list_min(grams[j+1:j+3])) END AS sel FROM g),
+        |fp AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM wins),
+        |kept AS (SELECT * FROM fp WHERE fp NOT IN
+        |         (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50)),
+        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        |         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, shared FROM pair WHERE shared >= 3 ORDER BY i, j""".stripMargin,
+    "q86_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "q56_simhash_pairs" ->
       """WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok FROM documents),
         |hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
