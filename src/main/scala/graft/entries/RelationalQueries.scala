@@ -198,6 +198,27 @@ object RelationalQueries {
         .orderBy("day_us", "event_type")
     }),
 
+    // sliding windows through the STREAMING engine (q45's pattern):
+    // 1-day windows every 12 hours, so each event lands in exactly two
+    // overlapping windows — the overlap replication is what
+    // distinguishes this from q45's tumbling shape. Epoch-aligned
+    // window starts are replayed arithmetically by the oracle.
+    "q87_stream_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val agg = StreamingIngest.slidingAgg(
+        StreamingIngest.eventsStream(s, dir), "time",
+        windowLen = "1 day", slide = "12 hours", lateness = "1 hour",
+        groupCols = Seq("event_type"),
+        aggs = Seq(
+          "count(1)" -> "n",
+          "cast(sum(cast(value as decimal(18,2))) as double)" -> "sum_value"))
+      StreamingIngest.runToTable(agg, "q87_sink", OutputMode.Complete())
+        .select(unix_micros(col("win.start")).as("wstart_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("wstart_us", "event_type")
+    }),
+
     // watermarked stream-stream interval join through the REAL
     // micro-batch engine (two file-stream sources → symmetric join
     // state → append sink): purchases matched to same-user views
@@ -443,6 +464,13 @@ object RelationalQueries {
     "q49_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q87_stream_sliding" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) // 1000000 AS sec FROM events),
+        |w AS (SELECT event_type, value,
+        |  unnest([(sec // 43200) * 43200, (sec // 43200) * 43200 - 43200]) AS wstart FROM e)
+        |SELECT wstart * 1000000 AS wstart_us, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
     "q80_stream_stream_join" ->
       """SELECT p.event_id AS pid, v.event_id AS vid
         |FROM events p JOIN events v ON p.user_id = v.user_id
