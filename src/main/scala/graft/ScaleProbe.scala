@@ -61,6 +61,8 @@ object ScaleProbe {
         Dedup.exactSurvivorIds(d, Seq("text"), "doc_id").count()
       }
     }
+    // same hygiene as emb10 below: the text tiers are done with this
+    docs10.unpersist()
 
     // Embedding tiers: the blocked dense kernel is exact all-pairs —
     // O(n²) scoring work by definition — so the claim to verify is that
@@ -85,6 +87,9 @@ object ScaleProbe {
           "vec_id", "embedding", threshold = 0.999, gridDims = 2).count()
       }
     }
+    // drop the replicated embedding blocks before the events tier —
+    // dead cached data only adds eviction/GC pressure to its timings
+    emb10.unpersist()
 
     val ev1 = Tables.events(spark, sfDir)
     // offset derived from the real key SPAN (not just max): with a

@@ -406,8 +406,14 @@ object Dedup {
     * its minimum member id. One equi-join + one groupBy-min per round,
     * rounds bounded by the component diameter — near-dup graphs are
     * dense clusters with tiny diameters, so this converges in a few
-    * rounds (the alternating large-star/small-star scheme halves round
-    * count for adversarial chain graphs; same join shape). Lineage is
+    * rounds. The convergence check rides the SAME aggregate (each id's
+    * own previous label is tagged and compared in the groupBy), so a
+    * round costs one shuffle — not the old extra join+count job. From
+    * round 3 on, a pointer-jump (component := label(component),
+    * Shiloach–Vishkin style) compresses label chains each round, so
+    * adversarial path graphs converge in O(log diameter) rounds — the
+    * same effect the large-star/small-star contraction buys, with one
+    * extra equi-join only on the rounds that need it. Lineage is
     * truncated every round (localCheckpoint), so plans stay flat no
     * matter how many rounds run.
     */
@@ -421,18 +427,36 @@ object Dedup {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
+      // exactly one own=true row per id, so min(when(own,…)) recovers
+      // each id's previous label inside the same aggregate
+      val self = labels.select(col("id"), col("component"), lit(true).as("own"))
       val msgs = bidir.join(labels.withColumnRenamed("id", "a"), "a")
-        .select(col("b").as("id"), col("component"))
+        .select(col("b").as("id"), col("component"), lit(false).as("own"))
       // Each round's localCheckpoint blocks are released by the
       // ContextCleaner once the previous round's DataFrame becomes
       // unreachable (the rebind below) — live copies stay bounded at
       // ~2 regardless of round count.
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("component").as("component"))
+      val next = self.unionByName(msgs)
+        .groupBy("id").agg(
+          min("component").as("component"),
+          min(when(col("own"), col("component"))).as("prev"))
+        .withColumn("moved", col("component") =!= col("prev"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+      // counts over the just-materialized checkpoint blocks: an
+      // in-memory scan, no shuffle, no recomputation
+      changed = next.filter(col("moved")).count()
+      var updated = next.select("id", "component")
+      if (changed > 0 && round >= 2) {
+        // pointer jump: component := label(component). label(x) <= x
+        // (own id participates in every min), so this only tightens;
+        // left join + coalesce tolerates edge endpoints absent from
+        // `nodes`.
+        val ptr = updated.select(col("id").as("pid"), col("component").as("pcomp"))
+        updated = updated.join(ptr, updated("component") === col("pid"), "left")
+          .select(col("id"), coalesce(col("pcomp"), col("component")).as("component"))
+          .localCheckpoint()
+      }
+      labels = updated
       round += 1
     }
     bidir.unpersist()

@@ -41,6 +41,10 @@ object Interval {
     val hi = (unix_timestamp(col(endCol)) / b).cast("long")
     val chunk = lit(1024L)
     val rb = right
+      // end < start can never match any instant; the stepless sequence
+      // used to drop such rows silently (descending range), but the
+      // stepped one throws at runtime — keep the drop-silently contract
+      .filter(hi >= lo)
       .withColumn("__hi", hi)
       .withColumn("__cs", explode(sequence(lo, col("__hi"), chunk)))
       .withColumn("__b", explode(sequence(col("__cs"), least(col("__cs") + chunk - 1, col("__hi")))))

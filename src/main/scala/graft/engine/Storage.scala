@@ -68,9 +68,9 @@ trait Storage {
 
   protected def currentMaxSeq(): Long = {
     if (knownEmpty) return -1L
-    val df = load()
-    if (df.isEmpty) -1L
-    else df.agg(max(Point.SeqCol)).head().getLong(0)
+    // single job: max over an empty store is null, no isEmpty pre-scan
+    val row = load().agg(max(Point.SeqCol)).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
   }
 
   /** Backends that can tell "no data has ever been written" without

@@ -32,6 +32,22 @@ final case class Point(
 object Point {
   val DefaultMeasurement = "_default"
 
+  /** Point carrying a NAIVE wall-clock timestamp — the reference's rule
+    * for zone-less datetimes at insert: interpret them as LOCAL time
+    * and convert to UTC (database.py:1276 — `astimezone(timezone.utc)`
+    * on a naive datetime assumes the system zone; docs/source/time.rst
+    * examples 2-3). A migrating caller holding wall-clock times gets
+    * the same conversion instead of silently storing wall time as UTC.
+    * Pass `zone` explicitly when the observation's locale is not the
+    * JVM's default zone.
+    */
+  def local(time: java.time.LocalDateTime,
+      measurement: String = DefaultMeasurement,
+      tags: Map[String, String] = Map.empty,
+      fields: Map[String, java.lang.Double] = Map.empty,
+      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): Point =
+    Point(time.atZone(zone).toInstant, measurement, tags, fields)
+
   val TimeCol = "time"
   val MeasurementCol = "measurement"
   val TagsCol = "tags"

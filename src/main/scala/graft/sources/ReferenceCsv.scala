@@ -42,16 +42,18 @@ object ReferenceCsv {
     *
     * Width safety: the reader parses with a fixed-width schema, and a
     * row WIDER than the schema would be silently truncated — data loss
-    * on migration. So if any row fills the schema's final cell (which
-    * an exactly-`maxPairs`-wide point also does, indistinguishably
-    * from truncation), the width guess doubles and the read retries;
-    * the probe is one cheap scan of the last column, and the recursion
-    * terminates at the file's true width. Compat tier: per-file cost,
-    * not a cluster path.
+    * on migration. The parser's corrupt-record column carries the raw
+    * record of every length-mismatched row; if any such record's
+    * quote-aware token count exceeds the schema width, the width guess
+    * doubles and the read retries. The recursion terminates at the
+    * file's true width. Compat tier: per-file cost, not a cluster path.
     */
   def read(spark: SparkSession, path: String, maxPairs: Int = DefaultMaxPairs): DataFrame = {
     val width = 2 + 2 * maxPairs
-    val schema = StructType((0 until width).map(i => StructField(s"c$i", StringType)))
+    val corruptCol = "_graft_corrupt"
+    val schema = StructType(
+      (0 until width).map(i => StructField(s"c$i", StringType)) :+
+        StructField(corruptCol, StringType))
     val raw = spark.read
       .option("header", "false")
       .option("mode", "PERMISSIVE")
@@ -65,15 +67,34 @@ object ReferenceCsv {
       // back with "\n" (python's csv preserves it verbatim). "\n"
       // itself round-trips exactly.
       .option("multiLine", "true")
-      // empty cells are real values (empty tag strings); only columns
-      // ABSENT from a row (schema padding) may be null
+      // sentinel nullValue: only \u0001 cells (never produced by the
+      // reference serializer) map to null, so '_none' etc. stay intact.
+      // Note univocity parses an UNQUOTED empty token to null regardless
+      // of nullValue — which is why truncation detection below reads the
+      // raw record, not the parsed cells.
       .option("nullValue", "")
+      // univocity flags every row whose token count differs from the
+      // schema width (the common ragged NARROW rows included) and hands
+      // back the raw record here — the only place a trailing EMPTY
+      // token is still visible.
+      .option("columnNameOfCorruptRecord", corruptCol)
       .schema(schema)
       .csv(path)
 
-    // a filled final cell means the width guess may have truncated a
-    // wider row — double and retry
-    if (!raw.filter(col(s"c${width - 1}").isNotNull).isEmpty)
+    // A row is truncated only when its quote-aware token count exceeds
+    // the schema width. Counting on the raw record (strip quoted cells,
+    // then count structural commas) sees empty trailing tokens that the
+    // parsed columns cannot (unquoted empty parses to null — a final
+    // empty tag VALUE would otherwise slip past and lose its tail).
+    val tokenCount = size(split(
+      regexp_replace(col(corruptCol), "\"(?:[^\"]|\"\")*\"", "q"), ",", -1))
+    // c0 rides along (un-prunably, inside the aggregate) because Spark
+    // refuses scans whose only referenced column is the corrupt-record
+    // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val truncated = raw.agg(
+      sum(when(col(corruptCol).isNotNull && tokenCount > width, 1).otherwise(0)).as("n"),
+      count(col("c0"))).head().getLong(0)
+    if (truncated > 0)
       return read(spark, path, maxPairs * 2)
 
     // kv cells as one array; schema-padding nulls and genuine empty

@@ -151,6 +151,18 @@ class AnalyticsSpec extends SparkSpec {
         .select("eid").as[Long].collect().toSet
       assert(got == Set(1L, 2L, 3L, 4L))
     }
+    it("malformed intervals (end < start) drop silently instead of failing the job") {
+      import graft.analytics.Interval
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val events = Seq((1L, ts("2024-01-01 00:30:00"))).toDF("eid", "t")
+      val wins = Seq(
+        (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")), // well-formed
+        (20L, ts("2024-01-01 02:00:00"), ts("2024-01-01 00:00:00"))  // end < start
+      ).toDF("wid", "ws", "we")
+      val got = Interval.joinByBucket(events, "t", wins, "ws", "we", bucketSeconds = 3600)
+        .select("eid", "wid").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    }
   }
 
   describe("salted skew join") {

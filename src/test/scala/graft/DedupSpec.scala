@@ -179,4 +179,28 @@ class DedupSpec extends SparkSpec {
       assert(kernel == brute, s"kernel missed ${brute.diff(kernel)}, extra ${kernel.diff(brute)}")
     }
   }
+
+  describe("connected components") {
+    it("labels clusters by min member and converges on dense near-dup graphs") {
+      import spark.implicits._
+      val nodes = (0L to 6L).toDF("doc_id")
+      // two clusters {0,1,2,3} (star around 1) and {5,6}; 4 isolated
+      val edges = Seq((1L, 0L), (1L, 2L), (1L, 3L), (5L, 6L)).toDF("i", "j")
+      val got = Dedup.connectedComponents(nodes, "doc_id", edges, "i", "j")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    }
+    it("pointer jumping converges a 200-node chain in O(log diameter) rounds") {
+      import spark.implicits._
+      val n = 200
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("i", "j")
+      // pure min-propagation needs ~n rounds on a path graph; with the
+      // round-3+ pointer jump, label chains halve each round — a
+      // maxRounds this small only passes with the jump in effect
+      val got = Dedup.connectedComponents(nodes, "doc_id", edges, "i", "j", maxRounds = 20)
+        .as[(Long, Long)].collect()
+      assert(got.length == n && got.forall(_._2 == 0L))
+    }
+  }
 }

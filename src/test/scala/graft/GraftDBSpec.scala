@@ -129,6 +129,24 @@ class GraftDBSpec extends SparkSpec {
       assert(db.count(TagQuery("room").exists()) == 2)
       assert(db.getFieldValues("temp").map(_.doubleValue) == Seq(1.0, 2.0))
     }
+    it("naive wall-clock times convert local -> UTC at insert (database.py:1276, time.rst)") {
+      val db = GraftDB.inMemory(spark)
+      val wall = java.time.LocalDateTime.of(2024, 1, 1, 12, 30, 0)
+      // default zone: the reference's astimezone(utc) on a naive
+      // datetime assumes the system zone
+      db.insert(Point.local(wall, "m", fields = Map("v" -> 1.0)))
+      val stored = db.get(FieldQuery("v") === 1.0).get.time
+      assert(stored == wall.atZone(java.time.ZoneId.systemDefault()).toInstant)
+      // explicit observation zone, DST-aware conversion
+      val ny = java.time.ZoneId.of("America/New_York")
+      db.insert(Point.local(wall, "m", fields = Map("v" -> 2.0), zone = ny))
+      assert(db.get(FieldQuery("v") === 2.0).get.time ==
+        java.time.Instant.parse("2024-01-01T17:30:00Z")) // EST = UTC-5
+      val nySummer = java.time.LocalDateTime.of(2024, 7, 1, 12, 30, 0)
+      db.insert(Point.local(nySummer, "m", fields = Map("v" -> 3.0), zone = ny))
+      assert(db.get(FieldQuery("v") === 3.0).get.time ==
+        java.time.Instant.parse("2024-07-01T16:30:00Z")) // EDT = UTC-4
+    }
     it("insert validates: null measurement rejected, null time defaults to now") {
       val db = GraftDB.inMemory(spark)
       intercept[IllegalArgumentException] {

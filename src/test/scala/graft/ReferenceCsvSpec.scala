@@ -213,5 +213,17 @@ class ReferenceCsvSpec extends SparkSpec {
       assert(back(0).getAs[Map[String, String]](Point.TagsCol).size == 5)
       assert(back(1).getAs[Map[String, java.lang.Double]](Point.FieldsCol) == Map("b" -> 1.0))
     }
+
+    it("auto-widen fires when the final schema cell holds an EMPTY tag value") {
+      // The widen probe must distinguish an empty-string cell (present,
+      // row may be truncated) from schema padding (absent, null). A
+      // nullValue="" parse folds both to null and this row's third tag
+      // would be silently lost.
+      val src = writeTemp(Seq(
+        "2024-01-01T00:00:00,m,_tag_a,x,_tag_b,,_tag_c,z"))
+      val back = ReferenceCsv.read(spark, src, maxPairs = 2).collect()
+      val tags = back(0).getAs[Map[String, String]](Point.TagsCol)
+      assert(tags == Map("a" -> "x", "b" -> "", "c" -> "z"))
+    }
   }
 }
