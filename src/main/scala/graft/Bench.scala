@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.engine.GraftDB
+import graft.model.Point
 import graft.query._
 import graft.sources.Tables
+import graft.streaming.StreamingIngest
 
 /** Benchmark main. Mirrors the reference's own benchmark shapes
   * (reference: performance_tests/benchmark.py:303-316 — tag-equality
@@ -176,6 +178,39 @@ object Bench {
       timeOnce("insert_10k_csv") { cdb.insertDF(batch) }
     }
 
+    // ---- streaming-ingest throughput (micro-batch path) ----
+    // The reference's individual-insert tier (BASELINE.md ~326k w/s
+    // into memory, one point per call) has no per-point analogue here
+    // BY DESIGN: the continuous path is Structured Streaming micro-
+    // batches appended into the store (one seq generation + one delta
+    // file per batch). Drain the whole events table through
+    // StreamingIngest.start into ParquetStorage and record drain
+    // SECONDS (rows/s = rows/value; BENCH_NOTES carries the rate).
+    // First chunk is untimed warm-up (stream codegen + sink setup).
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val pointData = pts.as[Point].collect().toSeq
+      val src = MemoryStream[Point](spark)
+      val stream = src.toDS().toDF().drop(Point.SeqCol)
+      val ckpt = java.nio.file.Files.createTempDirectory("graftstreamckpt").toString
+      val dest = java.nio.file.Files.createTempDirectory("graftstreamdb").toString
+      val sdb = GraftDB.atPath(spark, dest)
+      // ~20 micro-batch-sized chunks at any SF (first one is warm-up)
+      val chunks = pointData.grouped(math.max(100, pointData.size / 20)).toSeq
+      val q = StreamingIngest.start(stream, sdb, ckpt)
+      src.addData(chunks.head)
+      q.processAllAvailable()
+      val streamed = pointData.size - chunks.head.size
+      timeOnce("stream_ingest_drain") {
+        chunks.tail.foreach(src.addData(_))
+        q.processAllAvailable()
+      }
+      q.stop()
+      System.err.println(s"[bench] stream_ingest_drain rows=$streamed " +
+        f"rate=${streamed / results("stream_ingest_drain")}%.0f rows/s")
+    }
+
     // ---- headline analytics at scale ----
     // Drop the point/insert tiers' caches first (events table + two
     // index views ≈ the whole storage-memory budget): the analytics
@@ -201,15 +236,26 @@ object Bench {
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Exception => () })
 
-    // The reference benchmark warms every query 3× before its single
-    // timed run (benchmark.py:321-324). Mirror that: two full warm
-    // executions AT THE TIMED SCALE (nothing is cached across calls —
-    // each run recomputes from parquet; the warm-up is for the JIT and
-    // shuffle machinery, measured 3.5 s → 1.1 s on identical reruns),
-    // then time the steady-state third run.
+    // The reference benchmark warms every query 3× before timing
+    // (benchmark.py:321-324). Mirror that: two full warm executions AT
+    // THE TIMED SCALE (nothing is cached across calls — each run
+    // recomputes from parquet; the warm-up is for the JIT and shuffle
+    // machinery, measured 3.5 s → 1.1 s on identical reruns), then
+    // record the MEDIAN of three timed runs. A single timed run is
+    // exposed to transient box load: the round-5 driver run measured
+    // q58 at 7.4 s where five surrounding runs of the same commit
+    // measured 0.6–0.9 s — a median absorbs exactly that spike. The
+    // per-run times go to stderr so any residual discrepancy is
+    // self-explaining.
     analytics.foreach { name =>
       (1 to 2).foreach(_ => SparkEntry.queries(name)(spark, sfDir).count())
-      timeOnce(name) { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      results(name) = runs.sorted.apply(1)
+      System.err.println(f"[bench] $name runs=${runs.map(r => f"$r%.3f").mkString(",")} median=${results(name)}%.3f")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.6f" }.mkString("{", ",", "}")

@@ -309,27 +309,46 @@ object Dedup {
     * tiles = B(B+1)/2. The count() that sizes the grid is one cheap
     * column-pruned scan of (id) — metadata-only on parquet.
     */
-  private def blockedDenseKernel[T: Ordering](base: DataFrame, threshold: Double,
-      rowsPerBlock: Int)(
-      implicit rowEnc: org.apache.spark.sql.Encoder[(Int, Int, Boolean, T, Seq[Double])],
-      keyEnc: org.apache.spark.sql.Encoder[(Int, Int)],
-      outEnc: org.apache.spark.sql.Encoder[(T, T, Double)]): DataFrame = {
-    val n = base.select("id").count()
-    val minBlocks = math.ceil(math.sqrt(
-      2.0 * base.sparkSession.sparkContext.defaultParallelism)).toInt
-    val nBlocks = math.max(1, math.min(2048,
+  /** Block-count rule of the dense kernel, exposed so PlanAuditSpec can
+    * pin it: B follows the data (≈ n / rowsPerBlock) with a
+    * sqrt(2·cores) floor, capped at 2048. A regression here either
+    * explodes per-task memory (B too small → fat tiles) or shuffle
+    * volume (B too large → replication factor B).
+    */
+  private[graft] def denseBlockCount(n: Long, rowsPerBlock: Int, parallelism: Int): Int = {
+    val minBlocks = math.ceil(math.sqrt(2.0 * parallelism)).toInt
+    math.max(1, math.min(2048,
       math.max((n + rowsPerBlock - 1) / rowsPerBlock, math.min(n, minBlocks.toLong)))).toInt
-    val withBlk = base.withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
-    // Role expansion: a row in block b is the LEFT side of tiles (b, q)
-    // for q in [b, B) and the RIGHT side of tiles (p, b) for p in [0, b).
+  }
+
+  /** Role expansion of the dense kernel (tile replication), exposed for
+    * the same audit: a row in block b is the LEFT side of tiles (b, q)
+    * for q in [b, B) and the RIGHT side of tiles (p, b) for p in [0, b)
+    * — every row lands in exactly B tiles, every tile pair (p ≤ q)
+    * exists, so pairs meet exactly once and per-tile row count (≈ 2n/B)
+    * bounds per-task memory.
+    */
+  private[graft] def tileExpansion(withBlk: DataFrame, nBlocks: Int): DataFrame = {
     val left = withBlk.select(col("blk").as("p"),
       explode(sequence(col("blk"), lit(nBlocks - 1))).as("q"),
       lit(true).as("isLeft"), col("id"), col("v"))
     val right = withBlk.filter(col("blk") > 0).select(
       explode(sequence(lit(0), col("blk") - 1)).as("p"), col("blk").as("q"),
       lit(false).as("isLeft"), col("id"), col("v"))
+    left.unionByName(right)
+  }
+
+  private def blockedDenseKernel[T: Ordering](base: DataFrame, threshold: Double,
+      rowsPerBlock: Int)(
+      implicit rowEnc: org.apache.spark.sql.Encoder[(Int, Int, Boolean, T, Seq[Double])],
+      keyEnc: org.apache.spark.sql.Encoder[(Int, Int)],
+      outEnc: org.apache.spark.sql.Encoder[(T, T, Double)]): DataFrame = {
+    val n = base.select("id").count()
+    val nBlocks = denseBlockCount(n, rowsPerBlock,
+      base.sparkSession.sparkContext.defaultParallelism)
+    val withBlk = base.withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
     val ord = implicitly[Ordering[T]]
-    left.unionByName(right).as[(Int, Int, Boolean, T, Seq[Double])]
+    tileExpansion(withBlk, nBlocks).as[(Int, Int, Boolean, T, Seq[Double])]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Boolean, T, Seq[Double])]) =>
         val (p, q) = key

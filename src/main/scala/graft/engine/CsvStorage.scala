@@ -23,22 +23,49 @@ import graft.sources.ReferenceCsv
   * tier.
   */
 final class CsvStorage(val spark: SparkSession, path: String,
-    compactPrefixes: Boolean = false, readOnly: Boolean = false) extends Storage {
+    compactPrefixes: Boolean = false, readOnly: Boolean = false,
+    accessMode: String = "r+") extends Storage {
+
+  /** Effective file mode — python open() semantics, matching the
+    * reference's `access_mode` kwarg (storages.py:196-231):
+    * 'r' read-only; 'r+' read+append+rewrite (the default); 'w'/'w+'
+    * truncate on open; 'a'/'a+' append-only. `readOnly = true` is the
+    * pre-existing shorthand for "r".
+    */
+  val mode: String = if (readOnly) "r" else accessMode
+  require(Set("r", "r+", "w", "w+", "a", "a+").contains(mode),
+    s"invalid access mode '$mode' (want r, r+, w, w+, a or a+)")
 
   private def p = Paths.get(path)
 
-  // op 54 precondition guards (storages.py:233-261): a read-only handle
-  // refuses every mutation before touching the file.
-  private def guardWrite(): Unit =
-    if (readOnly) throw new UnsupportedOperationException(
-      s"storage at $path was opened read-only")
+  // python open() side effects at handle creation (storages.py:218-225):
+  // 'w'/'w+' truncate; any of +/w/a creates a missing file; bare 'r'
+  // on a missing file fails like FileNotFoundError.
+  if (mode.startsWith("w") && Files.exists(p)) Files.write(p, Array.emptyByteArray)
+  else if (mode != "r" && !Files.exists(p)) {
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.createFile(p)
+  } else if (mode == "r" && !Files.exists(p))
+    throw new java.io.FileNotFoundException(s"no such file: $path (mode 'r' does not create)")
+
+  // op 54 precondition guards (storages.py:233-261): a handle refuses
+  // disallowed ops before touching the file.
+  override def canRead: Boolean = Set("r", "r+", "w+", "a+").contains(mode)
+  override def canAppend: Boolean = mode != "r"
+  override def canWrite: Boolean = Set("r+", "w", "w+").contains(mode)
+
+  private def guard(ok: Boolean, what: String): Unit =
+    if (!ok) throw new UnsupportedOperationException(
+      s"""cannot $what the database at $path: access mode is "$mode"""")
 
   override protected def knownEmpty: Boolean = !Files.exists(p) || Files.size(p) == 0
 
-  override def load(): DataFrame =
+  override protected def loadUnguarded(): DataFrame =
     if (knownEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
     else ReferenceCsv.read(spark, path)
+
+  override def load(): DataFrame = { guard(canRead, "read"); loadUnguarded() }
 
   override def append(batch: DataFrame): Unit = append(batch, None)
 
@@ -47,12 +74,12 @@ final class CsvStorage(val spark: SparkSession, path: String,
     * per key (point.py:257-278) — so per-append compaction is safe.
     */
   override def append(batch: DataFrame, perCall: Option[Boolean]): Unit = synchronized {
-    guardWrite()
+    guard(canAppend, "append to")
     ReferenceCsv.appendFile(batch, path, perCall.getOrElse(compactPrefixes))
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
-    guardWrite()
+    guard(canWrite, "rewrite")
     val tmp = Paths.get(path + ".graft-tmp")
     // materialize to the temp file BEFORE touching the primary (the
     // plan may read from it), then swap atomically

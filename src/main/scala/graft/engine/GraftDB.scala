@@ -25,7 +25,27 @@ final class GraftDB(val storage: Storage) {
   // Map-literal merges in update() rely on last-wins dedup.
   spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
-  def df: DataFrame = storage.load()
+  private var isOpen = true
+
+  /** `db.close()` (database.py:190-208): release the index cache, let
+    * the storage clean up, and refuse subsequent ops. Idempotent. Use
+    * [[GraftDB.using]] as the context-manager analogue (`with TinyFlux
+    * (...) as db:`).
+    */
+  def close(): Unit = if (isOpen) {
+    invalidateIndex()
+    storage.close()
+    isOpen = false
+  }
+
+  /** True until [[close]] — reference `TinyFlux._open`. */
+  def open: Boolean = isOpen
+
+  private def guardOpen(): Unit =
+    if (!isOpen) throw new IllegalStateException(
+      "database is closed (reference database.py:190-208)")
+
+  def df: DataFrame = { guardOpen(); storage.load() }
 
   // reindex() state: a cached view with hot map keys columnarized, the
   // layout telling the compiler which flat columns to read, and the
@@ -54,7 +74,7 @@ final class GraftDB(val storage: Storage) {
     * the filter even runs, which dominates point-query latency on a
     * cached working set (the cache also shrinks to primitives-only).
     */
-  private[graft] def filterPlan(q: Q): DataFrame = indexedState match {
+  private[graft] def filterPlan(q: Q): DataFrame = { guardOpen(); indexedState } match {
     case None => df.filter(cond(q)).select(Point.columns.map(col): _*)
     case Some(IndexState(_, _, Some((lo, hi)))) if TimeBounds.provablyEmpty(q, lo, hi) =>
       // zonemap shortcut: the time predicate cannot overlap the data —
@@ -179,7 +199,7 @@ final class GraftDB(val storage: Storage) {
     * the DataFrame to count if it cares.
     */
   def insertDF(batch: DataFrame, compactKeyPrefixes: Option[Boolean] = None): Unit = {
-    invalidateIndex(); storage.append(batch, compactKeyPrefixes)
+    guardOpen(); invalidateIndex(); storage.append(batch, compactKeyPrefixes)
   }
 
   /** op 11/12 `update` / `update_all` (database.py:976-1062): rewrite
@@ -524,11 +544,19 @@ object GraftDB {
     new GraftDB(new MemoryStorage(df.sparkSession, Some(df)))
 
   /** Database on a reference-format CSV file (drop-in migration: open
-    * an existing tinyflux data file directly).
+    * an existing tinyflux data file directly). `accessMode` mirrors the
+    * reference's `access_mode` kwarg (storages.py:196-261): 'r', 'r+'
+    * (default), 'w', 'w+', 'a', 'a+' with python open() semantics.
     */
   def atCsv(spark: SparkSession, path: String, compactPrefixes: Boolean = false,
-      readOnly: Boolean = false): GraftDB =
-    new GraftDB(new CsvStorage(spark, path, compactPrefixes, readOnly))
+      readOnly: Boolean = false, accessMode: String = "r+"): GraftDB =
+    new GraftDB(new CsvStorage(spark, path, compactPrefixes, readOnly, accessMode))
+
+  /** Context-manager analogue of `with TinyFlux(...) as db:`
+    * (database.py:126-146) — close() is guaranteed on exit.
+    */
+  def using[A](db: GraftDB)(f: GraftDB => A): A =
+    try f(db) finally db.close()
 
   /** Parquet-backed persistent database (reference CSVStorage). */
   def atPath(spark: SparkSession, root: String, partitioned: Boolean = true): GraftDB =

@@ -50,6 +50,20 @@ trait Storage {
   /** Replace the full state (canonical schema WITH `_seq`). */
   def overwrite(full: DataFrame): Unit
 
+  /** op 54 access-mode guards (reference Storage ABC defaults,
+    * storages.py:60-84: everything allowed; file-backed stores refuse
+    * per their open mode, storages.py:233-261).
+    */
+  def canRead: Boolean = true
+  def canAppend: Boolean = true
+  def canWrite: Boolean = true
+
+  /** Cleanup hook (reference storages.py:105-123; CSVStorage closes its
+    * file handles, storages.py:312-327). Base no-op: these backends
+    * hold no open handles between operations.
+    */
+  def close(): Unit = ()
+
   // Generation counter; -1 = not yet derived from storage.
   private var gen: Long = -1L
 
@@ -66,10 +80,16 @@ trait Storage {
     batch.withColumn(Point.SeqCol,
       lit(nextGen() << Storage.GenShift) + monotonically_increasing_id())
 
+  /** Internal read for seq-counter seeding — bypasses the access-mode
+    * read guard (an append-only 'a' handle must still seed `_seq` from
+    * the existing file; that scan is not a user read op).
+    */
+  protected def loadUnguarded(): DataFrame = load()
+
   protected def currentMaxSeq(): Long = {
     if (knownEmpty) return -1L
     // single job: max over an empty store is null, no isEmpty pre-scan
-    val row = load().agg(max(Point.SeqCol)).head()
+    val row = loadUnguarded().agg(max(Point.SeqCol)).head()
     if (row.isNullAt(0)) -1L else row.getLong(0)
   }
 

@@ -36,6 +36,35 @@ final case class Not(q: Q) extends Q
 /** Constant-true predicate (reference: queries.py:724-736). */
 case object Noop extends Q
 
+/** Python `re`-module numeric flag constants and their translation to
+  * JVM inline-regex letters, so a migrating `matches(rx, re.I | re.S)`
+  * call keeps working verbatim (reference queries.py:680-722 passes the
+  * int straight to `re.match`/`re.search`).
+  *
+  *   - I(2)→i, M(8)→m, S(16)→s, X(64)→x map one-to-one;
+  *   - U(32)→u: python's default unicode matching ≙ Java UNICODE_CASE;
+  *   - A(256): ASCII-only classes ARE Java's default — translates to
+  *     nothing;
+  *   - L(4): locale-dependent matching has no JVM analogue — rejected
+  *     loudly rather than silently altering semantics (python itself
+  *     restricts it to bytes patterns).
+  */
+object PyRegexFlags {
+  val I = 2; val L = 4; val M = 8; val S = 16; val U = 32; val X = 64; val A = 256
+
+  def toInline(flags: Int): String = {
+    require(flags >= 0 && (flags & ~(I | M | S | U | X | A)) == 0,
+      s"unsupported python regex flag bits in $flags (supported: re.I, re.M, re.S, re.U, re.X, re.A)")
+    val sb = new StringBuilder
+    if ((flags & I) != 0) sb += 'i'
+    if ((flags & M) != 0) sb += 'm'
+    if ((flags & S) != 0) sb += 's'
+    if ((flags & U) != 0) sb += 'u'
+    if ((flags & X) != 0) sb += 'x'
+    sb.result()
+  }
+}
+
 sealed trait CmpOp
 object CmpOp {
   case object Eq extends CmpOp
@@ -139,6 +168,11 @@ final class MeasurementQuery {
     */
   def matches(rx: String, flags: String = ""): Q = MeasurementRegex(rx, anchored = true, flags)
   def search(rx: String, flags: String = ""): Q = MeasurementRegex(rx, anchored = false, flags)
+  /** Python-numeric flag overloads (`re.I | re.S` style) for migration
+    * fidelity — translated to inline letters via [[PyRegexFlags]].
+    */
+  def matches(rx: String, flags: Int): Q = matches(rx, PyRegexFlags.toInline(flags))
+  def search(rx: String, flags: Int): Q = search(rx, PyRegexFlags.toInline(flags))
   def test(f: String => Boolean): Q = MeasurementTest(f)
   def map(f: String => String): MappedMeasurementQuery = new MappedMeasurementQuery(f)
 }
@@ -167,6 +201,11 @@ final class TagQuery(key: String) {
   def exists(): Q = TagExists(key)
   def matches(rx: String, flags: String = ""): Q = TagRegex(key, rx, anchored = true, flags)
   def search(rx: String, flags: String = ""): Q = TagRegex(key, rx, anchored = false, flags)
+  /** Python-numeric flag overloads (`re.I | re.S` style) — see
+    * [[PyRegexFlags]].
+    */
+  def matches(rx: String, flags: Int): Q = matches(rx, PyRegexFlags.toInline(flags))
+  def search(rx: String, flags: Int): Q = search(rx, PyRegexFlags.toInline(flags))
   def test(f: String => Boolean): Q = TagTest(key, f)
   def map(f: String => String): MappedTagQuery = new MappedTagQuery(key, f)
   /** Multi-step path — constant-False on schema-valid flat tags, as in

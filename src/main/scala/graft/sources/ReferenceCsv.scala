@@ -219,7 +219,20 @@ object ReferenceCsv {
         java.nio.file.StandardOpenOption.APPEND)
       else Array(java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    // A file whose last line lacks a terminator (hand-edited, partial
+    // copy) would otherwise have the first appended record glued onto
+    // it — complete the line before appending.
+    val needsSeparator = append && java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.size(p) > 0 && {
+        val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(1)
+          ch.read(buf, java.nio.file.Files.size(p) - 1)
+          buf.flip(); buf.get() != '\n'.toByte
+        } finally ch.close()
+      }
     val out = java.nio.file.Files.newBufferedWriter(p, opts: _*)
+    if (needsSeparator) out.write("\r\n")
     // coalesce(1) after the sort: partition merge order is partition
     // index order, which under the sort's range partitioning IS the
     // global order — and toLocalIterator then streams ONE job instead

@@ -86,6 +86,36 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), p)
     }
 
+    it("tile kernel: B(B+1)/2 tiles, B-fold replication, bounded per-tile rows at 10x") {
+      // The 10x ScaleProbe scale, as actual assertions: a future
+      // B-sizing regression either fattens tiles (per-task memory blows
+      // up) or multiplies shuffle volume — both caught here without
+      // waiting for a 100 TB run.
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val emb10 = (0 until 10).map(c =>
+        emb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val n = emb10.count()
+      val b = Dedup.denseBlockCount(n, rowsPerBlock = 1024,
+        spark.sparkContext.defaultParallelism)
+      // data-driven sizing: replication sqrt(work), never a single block
+      assert(b >= math.ceil(n.toDouble / 1024).toInt && b > 1, s"B=$b for n=$n")
+      val withBlk = emb10
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))
+      val tiles = Dedup.tileExpansion(withBlk, b)
+        .groupBy("p", "q").count().collect()
+      // every (p <= q) tile exists exactly once -> each pair meets once
+      assert(tiles.length == b * (b + 1) / 2, s"tiles=${tiles.length}, B=$b")
+      // total replication is exactly B rows per input row
+      assert(tiles.map(_.getLong(2)).sum == n * b)
+      // per-tile rows bound per-task memory: ~2n/B expected; 4n/B
+      // tolerates hash-block skew. 1024 rows x 64 dims x 8 B ~ 0.5 MB
+      // blocks here; the production default (8192) keeps tiles ~16 MB.
+      val maxTile = tiles.map(_.getLong(2)).max
+      assert(maxTile <= 4L * n / b, s"fattest tile $maxTile rows > 4n/B=${4L * n / b}")
+    }
+
     it("eps-grid near-dup candidates come from a cell equi-join, never a cross join") {
       val p = plan(SparkEntry.queries("q79_eps_grid_near_dup")(spark, sf))
       assert(!p.contains("CartesianProduct"), p)

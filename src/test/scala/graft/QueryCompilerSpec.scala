@@ -168,6 +168,18 @@ class QueryCompilerSpec extends SparkSpec {
         db.search(TagQuery("city").matches("x", flags = "q"))
       }
     }
+    it("python-numeric flags translate (re.I | re.S etc., queries.py:680-722)") {
+      assert(ids(TagQuery("city").matches("la", flags = PyRegexFlags.I)) == Set(0))
+      assert(ids(MeasurementQuery().search("M", flags = PyRegexFlags.I)) == Set(0, 1, 2))
+      // re.A is the JVM default — no-op; combined bits compose
+      assert(ids(TagQuery("city").search("a", flags = PyRegexFlags.I | PyRegexFlags.A
+        | PyRegexFlags.S)) == Set(0))
+      assert(PyRegexFlags.toInline(PyRegexFlags.I | PyRegexFlags.M | PyRegexFlags.S
+        | PyRegexFlags.U | PyRegexFlags.X) == "imsux")
+      // locale flag has no JVM analogue — loud rejection, not silence
+      intercept[IllegalArgumentException] { PyRegexFlags.toInline(PyRegexFlags.L) }
+      intercept[IllegalArgumentException] { PyRegexFlags.toInline(1024) }
+    }
   }
 
   describe("multi-step paths (dead on flat schema, as in the reference)") {

@@ -142,6 +142,69 @@ class ReferenceCsvSpec extends SparkSpec {
       assert(GraftDB.atCsv(spark, p).length == 1) // file untouched
     }
 
+    it("file modes guard per op like python open() (op 54, storages.py:196-261)") {
+      import graft.engine.GraftDB
+      import graft.query._
+      def pt(v: Double) =
+        graft.model.Point(java.time.Instant.parse("2024-01-01T00:00:00Z"), "m",
+          Map(), Map("b" -> v))
+      val p = writeTemp(Seq("2024-01-01T00:00:00,m,_tag_a,x,_field_b,1.5"))
+
+      // 'a': append-only — insert lands after existing rows, reads and
+      // rewrites refuse
+      val a = GraftDB.atCsv(spark, p, accessMode = "a")
+      a.insert(pt(2.0))
+      intercept[UnsupportedOperationException] { a.length }
+      intercept[UnsupportedOperationException] { a.removeAll() }
+
+      // 'a+': read + append, still no rewrite
+      val ap = GraftDB.atCsv(spark, p, accessMode = "a+")
+      assert(ap.length == 2)
+      ap.insert(pt(3.0))
+      assert(ap.getFieldValues("b").map(_.doubleValue) == Seq(1.5, 2.0, 3.0))
+      intercept[UnsupportedOperationException] { ap.update(FieldQuery("b") === 3.0, fields = Map("b" -> 9.0)) }
+
+      // 'w': truncates on open, append + rewrite ok, read refuses
+      val w = GraftDB.atCsv(spark, p, accessMode = "w")
+      w.insert(pt(7.0))
+      intercept[UnsupportedOperationException] { w.length }
+      assert(GraftDB.atCsv(spark, p, accessMode = "r").getFieldValues("b")
+        .map(_.doubleValue) == Seq(7.0)) // the truncation really happened
+
+      // 'w+': full access, truncates on open
+      val wp = GraftDB.atCsv(spark, p, accessMode = "w+")
+      assert(wp.length == 0)
+      wp.insert(pt(8.0))
+      assert(wp.update(FieldQuery("b") === 8.0, fields = Map("b" -> 9.0)) == 1)
+      assert(wp.getFieldValues("b").map(_.doubleValue) == Seq(9.0))
+
+      // invalid mode and 'r' on a missing file fail fast
+      intercept[IllegalArgumentException] { GraftDB.atCsv(spark, p, accessMode = "x") }
+      intercept[java.io.FileNotFoundException] {
+        GraftDB.atCsv(spark, p + ".does-not-exist", accessMode = "r")
+      }
+      // '+'-modes create a missing file like python open()
+      val fresh = p + ".fresh"
+      assert(GraftDB.atCsv(spark, fresh, accessMode = "r+").length == 0)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(fresh)))
+    }
+
+    it("close() refuses further ops; using() closes on exit (database.py:126-208)") {
+      import graft.engine.GraftDB
+      val p = writeTemp(Seq("2024-01-01T00:00:00,m,_tag_a,x,_field_b,1.5"))
+      val db = GraftDB.atCsv(spark, p)
+      assert(db.open && db.length == 1)
+      db.close()
+      db.close() // idempotent
+      assert(!db.open)
+      intercept[IllegalStateException] { db.length }
+      intercept[IllegalStateException] {
+        db.insert(graft.model.Point(java.time.Instant.now(), "m", Map(), Map("b" -> 2.0)))
+      }
+      val n = GraftDB.using(GraftDB.atCsv(spark, p)) { d => d.length }
+      assert(n == 1)
+    }
+
     it("round-trips 200 seeded-random points with adversarial strings and values") {
       val rnd = new scala.util.Random(20260812L)
       // NOTE: no "\r\n" case — Spark's CSV parser (univocity) normalizes
