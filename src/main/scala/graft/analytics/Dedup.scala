@@ -281,8 +281,9 @@ object Dedup {
     *     its two blocks (the diagonal tile scores within-block i < j).
     *
     * Every pair of rows meets in EXACTLY one tile, so the result is
-    * exact. Memory per task is two blocks (~2·`rowsPerBlock`·d·8 B,
-    * default ~16 MB at d=128); total shuffle is B·matrix — the
+    * exact. Memory per task is ONE buffered block (~`rowsPerBlock`·d·
+    * 8 B, default ~8 MB at d=128 — the tile's right rows stream past
+    * it); total shuffle is B·matrix — the
     * unavoidable O(n·sqrt(work)) communication of exact all-pairs.
     * Beyond ~10M rows prefer [[epsGridCosinePairs]] /
     * [[approxCosinePairsLsh]] when the threshold allows pruning.
@@ -338,6 +339,20 @@ object Dedup {
     left.unionByName(right)
   }
 
+  /** Tile scheduling: an explicit `repartition(nTiles, p, q)` +
+    * `sortWithinPartitions` + streaming `mapPartitions`, NOT a typed
+    * groupByKey. Two scale reasons:
+    *
+    *  - AQE coalesces shuffles BY BYTES, but tile work is CPU-quadratic
+    *    in rows, not byte-proportional — at moderate scale it folds all
+    *    tiles into 1-2 tasks (8 MB of shuffle at sf0.1) and serializes
+    *    the whole kernel. A user-numbered repartition is exempt from
+    *    AQE coalescing, so parallelism stays one-task-per-tile.
+    *  - Within a tile, rows arrive sorted lefts-first: only the LEFT
+    *    block is buffered (~rowsPerBlock·d·8 B, default ~4 MB at
+    *    d=64); right rows stream one at a time — half the old two-block
+    *    footprint.
+    */
   private def blockedDenseKernel[T: Ordering](base: DataFrame, threshold: Double,
       rowsPerBlock: Int)(
       implicit rowEnc: org.apache.spark.sql.Encoder[(Int, Int, Boolean, T, Seq[Double])],
@@ -348,15 +363,13 @@ object Dedup {
       base.sparkSession.sparkContext.defaultParallelism)
     val withBlk = base.withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
     val ord = implicitly[Ordering[T]]
-    tileExpansion(withBlk, nBlocks).as[(Int, Int, Boolean, T, Seq[Double])]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Boolean, T, Seq[Double])]) =>
-        val (p, q) = key
-        val ls = scala.collection.mutable.ArrayBuffer.empty[(T, Array[Double])]
-        val rs = scala.collection.mutable.ArrayBuffer.empty[(T, Array[Double])]
-        rows.foreach { case (_, _, isLeft, id, v) =>
-          (if (isLeft) ls else rs) += ((id, v.toArray))
-        }
+    val nTiles = nBlocks * (nBlocks + 1) / 2
+    tileExpansion(withBlk, nBlocks)
+      .repartition(math.min(nTiles, 4096), col("p"), col("q"))
+      .sortWithinPartitions(col("p"), col("q"), col("isLeft").desc)
+      .as[(Int, Int, Boolean, T, Seq[Double])]
+      .mapPartitions { rows =>
+        val buf = rows.buffered
         def score(a: (T, Array[Double]), b: (T, Array[Double])): Option[(T, T, Double)] = {
           val (vi, vj) = (a._2, b._2)
           var s = 0.0
@@ -366,13 +379,37 @@ object Dedup {
             if (ord.lt(a._1, b._1)) Some((a._1, b._1, s)) else Some((b._1, a._1, s))
           } else None
         }
-        if (p == q) {
-          // diagonal tile: within-block pairs, each once
-          val arr = ls.sortBy(_._1)(ord).toArray
-          arr.indices.iterator.flatMap(i =>
-            (i + 1 until arr.length).iterator.flatMap(j => score(arr(i), arr(j))))
-        } else {
-          ls.iterator.flatMap(a => rs.iterator.flatMap(b => score(a, b)))
+        // hash collisions can land several tiles in one partition; the
+        // sort makes each tile a contiguous run, consumed in one pass
+        new Iterator[(T, T, Double)] {
+          private var cur: Iterator[(T, T, Double)] = Iterator.empty
+          private def refill(): Unit = while (!cur.hasNext && buf.hasNext) {
+            val p = buf.head._1
+            val q = buf.head._2
+            val ls = scala.collection.mutable.ArrayBuffer.empty[(T, Array[Double])]
+            while (buf.hasNext && buf.head._1 == p && buf.head._2 == q && buf.head._3) {
+              val r = buf.next(); ls += ((r._4, r._5.toArray))
+            }
+            cur = if (p == q) {
+              // diagonal tile: within-block pairs, each once
+              val arr = ls.toArray
+              arr.indices.iterator.flatMap(i =>
+                (i + 1 until arr.length).iterator.flatMap(j => score(arr(i), arr(j))))
+            } else new Iterator[(T, T, Double)] {
+              // stream this tile's right rows against the buffered lefts
+              private var inner: Iterator[(T, T, Double)] = Iterator.empty
+              private def step(): Unit =
+                while (!inner.hasNext && buf.hasNext && buf.head._1 == p && buf.head._2 == q) {
+                  val r = buf.next()
+                  val b = (r._4, r._5.toArray)
+                  inner = ls.iterator.flatMap(a => score(a, b))
+                }
+              def hasNext: Boolean = { step(); inner.hasNext }
+              def next(): (T, T, Double) = { step(); inner.next() }
+            }
+          }
+          def hasNext: Boolean = { refill(); cur.hasNext }
+          def next(): (T, T, Double) = { refill(); cur.next() }
         }
       }.toDF("i", "j", "cosine")
   }
