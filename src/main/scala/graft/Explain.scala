@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 5, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 6, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -76,9 +76,20 @@ object Explain {
 
     section("q58 embedding near-dup (blocked tile kernel)",
       "Source-connected all the way down (no driver collect): rows replicate to their " +
-        "B tiles in one hash Exchange on (p,q); each tile's MapGroups runs the " +
-        "primitive dot-product loop; every pair meets in exactly one tile.") {
+        "B tiles through ONE user-numbered repartition on (p,q) — exempt from AQE " +
+        "byte-based coalescing, so tile parallelism survives CPU-quadratic work — " +
+        "then a per-partition sort puts each tile's lefts first and the streaming " +
+        "MapPartitions buffers one block while rights flow past. Every pair meets " +
+        "in exactly one tile.") {
       SparkEntry.queries("q58_embedding_near_dup")(spark, sfDir)
+    }
+
+    section("q88 train/eval decontamination",
+      "Inverted-index equi-join: corpus shingle postings (doc-freq-guarded) meet the " +
+        "BROADCAST eval postings on the shingle — a corpus doc only ever meets eval " +
+        "docs it shares an n-gram with; the shuffle carries (id, count) aggregates, " +
+        "never documents.") {
+      SparkEntry.queries("q88_decontamination")(spark, sfDir)
     }
 
     section("q78 scalable global ranking",

@@ -105,6 +105,41 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Train/eval DECONTAMINATION — the cross-corpus n-gram overlap sweep
+    * a training-data pipeline runs before shipping a corpus: an eval/
+    * benchmark document leaking into the training set inflates scores
+    * invisibly. Emits every (corpus doc, eval doc) pair sharing at
+    * least `minShared` distinct word `n`-grams, with the overlap count
+    * — downstream drops or audits the flagged corpus docs.
+    *
+    * Shape: the eval set is SMALL by construction (benchmarks), so its
+    * exploded shingle postings broadcast; candidate generation is the
+    * same inverted-index equi-join as [[ngramJaccardPairs]] — a corpus
+    * doc only ever meets the eval docs it shares a shingle with, never
+    * a cross join, and the shuffle carries (id, shingle) pairs, not
+    * documents. `maxDocFreq` (doc frequency measured on the CORPUS
+    * side) cuts boilerplate n-grams exactly like the within-corpus
+    * guard; the eval side is never pruned — a benchmark's own phrasing
+    * must stay matchable no matter how common it is in the corpus...
+    * except where the corpus-side cut already removed the posting.
+    */
+  def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+      n: Int, minShared: Int, maxDocFreq: Option[Int] = None): DataFrame = {
+    val cToks = spread(corpus).select(col(idCol).as("cid"),
+      explode(wordShingles(col(textCol), n)).as("tok"))
+    val kept = maxDocFreq.fold(cToks) { m =>
+      val hot = cToks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") > m).select("tok")
+      cToks.join(broadcast(hot), Seq("tok"), "left_anti")
+    }
+    val eToks = evalSet.select(col(evalIdCol).as("eid"),
+      explode(wordShingles(col(evalTextCol), n)).as("tok"))
+    kept.join(broadcast(eToks), Seq("tok"))
+      .groupBy("cid", "eid").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Near-dup pairs by WINNOWING-FINGERPRINT overlap — the
     * plagiarism-detection / code-clone shape: two docs pair when they
     * share at least `minShared` selected fingerprints

@@ -41,6 +41,20 @@ object CorpusQueries {
         maxDocFreq = Some(50))
         .select("i", "j").orderBy("i", "j")),
 
+    // train/eval decontamination: every-97th doc plays the benchmark
+    // set; 3-gram postings, corpus-side doc-freq guard engaged, self
+    // matches excluded. The oracle rebuilds the full shingle + posting
+    // + guard + join chain, so the whole sweep is hash-gated.
+    "q88_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      Dedup.contaminationPairs(d, "doc_id", "text", ev, "eval_id", "text",
+        n = 3, minShared = 3, maxDocFreq = Some(50))
+        .filter(col("cid") =!= col("eid"))
+        .select("cid", "eid", "shared").orderBy("cid", "eid")
+    }),
+
     "q52_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -383,6 +397,19 @@ object CorpusQueries {
         |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
         |WHERE CAST(inter AS DOUBLE) / (si.n + sj.n - inter) >= 0.9
         |ORDER BY i, j""".stripMargin,
+    "q88_decontamination" ->
+      """WITH wt AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |            FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok FROM
+        |      (SELECT doc_id, unnest(CASE WHEN length(w) >= 3
+        |         THEN list_transform(generate_series(1, length(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |         ELSE [] END) AS tok FROM wt)),
+        |kept AS (SELECT * FROM g WHERE tok IN (SELECT tok FROM g GROUP BY tok HAVING count(*) <= 50)),
+        |eg AS (SELECT doc_id AS eid, tok FROM g WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id AS cid, e.eid AS eid, count(*) AS shared
+        |FROM kept c JOIN eg e ON c.tok = e.tok AND c.doc_id <> e.eid
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY cid, eid""".stripMargin,
+
     "q52_token_count" ->
       """SELECT doc_id,
         |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,

@@ -180,6 +180,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("decontamination (cross-corpus n-gram overlap)") {
+    it("flags the corpus doc containing a benchmark phrase, not unrelated docs") {
+      import spark.implicits._
+      val corpus = Seq(
+        (0L, base),                                    // contains the eval phrase wholesale
+        (1L, unrelated),
+        (2L, "totally different content about nothing shared with benchmarks at all today")
+      ).toDF("doc_id", "text")
+      val ev = Seq((100L, base)).toDF("eval_id", "text") // the benchmark doc
+      val got = Dedup.contaminationPairs(corpus, "doc_id", "text", ev, "eval_id", "text",
+        n = 3, minShared = 3)
+        .select("cid", "eid").as[(Long, Long)].collect().toSet
+      assert(got == Set((0L, 100L)))
+    }
+    it("corpus-side doc-frequency guard drops boilerplate n-grams") {
+      import spark.implicits._
+      val boiler = "standard license header text"
+      val corpus = Seq.tabulate(10)(i => (i.toLong, s"$boiler unique body $i here now"))
+        .toDF("doc_id", "text")
+      val ev = Seq((100L, boiler)).toDF("eval_id", "text")
+      // the boilerplate 3-grams appear in all 10 docs > maxDocFreq=5 -> no flags
+      val guarded = Dedup.contaminationPairs(corpus, "doc_id", "text", ev, "eval_id", "text",
+        n = 3, minShared = 1, maxDocFreq = Some(5)).count()
+      assert(guarded == 0)
+      // without the guard every doc flags
+      val unguarded = Dedup.contaminationPairs(corpus, "doc_id", "text", ev, "eval_id", "text",
+        n = 3, minShared = 1).count()
+      assert(unguarded == 10)
+    }
+  }
+
   describe("connected components") {
     it("labels clusters by min member and converges on dense near-dup graphs") {
       import spark.implicits._
