@@ -219,6 +219,28 @@ object RelationalQueries {
         .orderBy("wstart_us", "event_type")
     }),
 
+    // SESSION windows through the STREAMING engine: per-user sessions
+    // close after a 1-hour quiet gap; the state store merges windows
+    // dynamically. The oracle replays the same sessions as batch
+    // gaps-and-islands (lag + running break-sum), pinning start = first
+    // event, end = last event + gap, per-session count and value sum.
+    "q89_stream_session" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val agg = StreamingIngest.sessionAgg(
+        StreamingIngest.eventsStream(s, dir), "time",
+        gap = "1 hour", lateness = "1 hour",
+        groupCols = Seq("user_id"),
+        aggs = Seq(
+          "count(1)" -> "n",
+          "cast(sum(cast(value as decimal(18,2))) as double)" -> "sum_value"))
+      StreamingIngest.runToTable(agg, "q89_sink", OutputMode.Complete())
+        .select(unix_micros(col("win.start")).as("wstart_us"),
+          unix_micros(col("win.end")).as("wend_us"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "wstart_us")
+    }),
+
     // watermarked stream-stream interval join through the REAL
     // micro-batch engine (two file-stream sources → symmetric join
     // state → append sink): purchases matched to same-user views
@@ -471,6 +493,17 @@ object RelationalQueries {
         |SELECT wstart * 1000000 AS wstart_us, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
+    "q89_stream_session" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, value, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, value, us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS grp FROM b)
+        |SELECT min(us) AS wstart_us, max(us) + 3600000000 AS wend_us, user_id,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, wstart_us""".stripMargin,
+
     "q80_stream_stream_join" ->
       """SELECT p.event_id AS pid, v.event_id AS vid
         |FROM events p JOIN events v ON p.user_id = v.user_id
