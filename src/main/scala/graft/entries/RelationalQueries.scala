@@ -223,7 +223,11 @@ object RelationalQueries {
     // close after a 1-hour quiet gap; the state store merges windows
     // dynamically. The oracle replays the same sessions as batch
     // gaps-and-islands (lag + running break-sum), pinning start = first
-    // event, end = last event + gap, per-session count and value sum.
+    // event, end = last event + gap, per-session count and value sum —
+    // including the boundary rule: an event at EXACTLY gap distance
+    // still merges (Spark merges adjacent [t, t+gap) windows;
+    // StreamingSpec pins this empirically), so the oracle breaks only
+    // on diff STRICTLY greater than the gap.
     "q89_stream_session" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.OutputMode
       import graft.streaming.StreamingIngest
@@ -496,7 +500,7 @@ object RelationalQueries {
     "q89_stream_session" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
         |b AS (SELECT user_id, value, us,
-        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 3600000000 THEN 1 ELSE 0 END AS brk
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 3600000000 THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |g AS (SELECT user_id, value, us,
         |  sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS grp FROM b)

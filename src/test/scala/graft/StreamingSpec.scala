@@ -141,6 +141,34 @@ class StreamingSpec extends SparkSpec {
         assert(sessions("2024-01-01 10:30:00") == ((1L, 4.0)))
       } finally q.stop()
     }
+
+    it("an event at EXACTLY gap distance still merges (adjacency, q89's oracle rule)") {
+      // Spark merges ADJACENT [t, t+gap) windows, not just overlapping
+      // ones — verified here because the q89 oracle must break only on
+      // diff STRICTLY greater than the gap to agree at the boundary
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val agg = StreamingIngest.sessionAgg(
+        mem.toDF().toDF("time", "m", "room", "temp"),
+        "time", gap = "10 minutes", lateness = "0 seconds",
+        groupCols = Seq("room"), aggs = Seq("count(1)" -> "n"))
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("sess_edge_sink").start()
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 1.0),
+          (ts("2024-01-01 10:10:00"), "therm", "bed", 2.0), // exactly the gap away
+          (ts("2024-01-01 10:20:01"), "therm", "bed", 4.0)) // 1s past it: new session
+        q.processAllAvailable()
+        mem.addData((ts("2024-01-01 12:00:00"), "therm", "bed", 8.0))
+        q.processAllAvailable()
+        val sessions = spark.table("sess_edge_sink")
+          .select(col("win.start").cast("string"), col("n"))
+          .as[(String, Long)].collect().toMap
+        assert(sessions.get("2024-01-01 10:00:00").contains(2L)) // merged at the boundary
+        assert(sessions.get("2024-01-01 10:20:01").contains(1L))
+        assert(!sessions.contains("2024-01-01 10:10:00"))
+      } finally q.stop()
+    }
   }
 
   describe("custom state (mapGroupsWithState)") {
