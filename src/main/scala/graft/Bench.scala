@@ -190,7 +190,11 @@ object Bench {
     {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
-      val pointData = pts.as[Point].collect().toSeq
+      // MemoryStream feeds from the driver, so cap the staged rows: the
+      // metric is a RATE and 100k rows reach steady state; an uncapped
+      // collect would be the one Bench tier whose driver memory scales
+      // with SF.
+      val pointData = pts.limit(100000).as[Point].collect().toSeq
       val src = MemoryStream[Point](spark)
       val stream = src.toDS().toDF().drop(Point.SeqCol)
       val ckpt = java.nio.file.Files.createTempDirectory("graftstreamckpt").toString
@@ -198,17 +202,19 @@ object Bench {
       val sdb = GraftDB.atPath(spark, dest)
       // ~20 micro-batch-sized chunks at any SF (first one is warm-up)
       val chunks = pointData.grouped(math.max(100, pointData.size / 20)).toSeq
-      val q = StreamingIngest.start(stream, sdb, ckpt)
-      src.addData(chunks.head)
-      q.processAllAvailable()
-      val streamed = pointData.size - chunks.head.size
-      timeOnce("stream_ingest_drain") {
-        chunks.tail.foreach(src.addData(_))
+      if (chunks.size > 1) { // need a warm chunk AND timed chunks
+        val q = StreamingIngest.start(stream, sdb, ckpt)
+        src.addData(chunks.head)
         q.processAllAvailable()
+        val streamed = pointData.size - chunks.head.size
+        timeOnce("stream_ingest_drain") {
+          chunks.tail.foreach(src.addData(_))
+          q.processAllAvailable()
+        }
+        q.stop()
+        System.err.println(s"[bench] stream_ingest_drain rows=$streamed " +
+          f"rate=${streamed / results("stream_ingest_drain")}%.0f rows/s")
       }
-      q.stop()
-      System.err.println(s"[bench] stream_ingest_drain rows=$streamed " +
-        f"rate=${streamed / results("stream_ingest_drain")}%.0f rows/s")
     }
 
     // ---- headline analytics at scale ----

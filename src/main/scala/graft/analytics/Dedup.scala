@@ -69,6 +69,20 @@ object Dedup {
             i => concat_ws(" ", slice(words, i + 1, lit(n))))))
   }
 
+  /** Shared doc-frequency guard: drop posting rows whose `tokCol` value
+    * appears in more than `maxDocFreq` docs — a token in d docs feeds
+    * d² candidate pairs to the inverted-index join, so one corpus-wide
+    * stopword/boilerplate token makes it quadratic. The hot-token list
+    * is tiny by construction (only values above the cutoff), hence the
+    * broadcast anti-join.
+    */
+  private def dropHotTokens(postings: DataFrame, tokCol: String, maxDocFreq: Option[Int]): DataFrame =
+    maxDocFreq.fold(postings) { m =>
+      val hot = postings.groupBy(tokCol).agg(count(lit(1)).as("df"))
+        .filter(col("df") > m).select(tokCol)
+      postings.join(broadcast(hot), Seq(tokCol), "left_anti")
+    }
+
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
     *
     * Inverted-index pattern: explode distinct shingles, self-join on
@@ -86,11 +100,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
     val raw = spread(df).select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("tok"))
-    val toks = maxDocFreq.fold(raw) { m =>
-      val hot = raw.groupBy("tok").agg(count(lit(1)).as("df"))
-        .filter(col("df") > m).select("tok")
-      raw.join(broadcast(hot), Seq("tok"), "left_anti")
-    }
+    val toks = dropHotTokens(raw, "tok", maxDocFreq)
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
@@ -128,11 +138,7 @@ object Dedup {
       n: Int, minShared: Int, maxDocFreq: Option[Int] = None): DataFrame = {
     val cToks = spread(corpus).select(col(idCol).as("cid"),
       explode(wordShingles(col(textCol), n)).as("tok"))
-    val kept = maxDocFreq.fold(cToks) { m =>
-      val hot = cToks.groupBy("tok").agg(count(lit(1)).as("df"))
-        .filter(col("df") > m).select("tok")
-      cToks.join(broadcast(hot), Seq("tok"), "left_anti")
-    }
+    val kept = dropHotTokens(cToks, "tok", maxDocFreq)
     val eToks = evalSet.select(col(evalIdCol).as("eid"),
       explode(wordShingles(col(evalTextCol), n)).as("tok"))
     kept.join(broadcast(eToks), Seq("tok"))
@@ -157,11 +163,7 @@ object Dedup {
       k: Int, w: Int, minShared: Int, maxDocFreq: Option[Int] = None): DataFrame = {
     val raw = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp"))
-    val kept = maxDocFreq.fold(raw) { m =>
-      val hot = raw.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") > m).select("fp")
-      raw.join(broadcast(hot), Seq("fp"), "left_anti")
-    }
+    val kept = dropHotTokens(raw, "fp", maxDocFreq)
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))

@@ -362,6 +362,7 @@ final class GraftDB(val storage: Storage) {
     * No-op on non-parquet backends.
     */
   def compact(): Unit = {
+    guardOpen()
     invalidateIndex()
     storage match {
       case p: ParquetStorage => p.compact()

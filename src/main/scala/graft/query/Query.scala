@@ -41,10 +41,14 @@ case object Noop extends Q
   * call keeps working verbatim (reference queries.py:680-722 passes the
   * int straight to `re.match`/`re.search`).
   *
-  *   - I(2)→i, M(8)→m, S(16)→s, X(64)→x map one-to-one;
-  *   - U(32)→u: python's default unicode matching ≙ Java UNICODE_CASE;
+  *   - M(8)→m, S(16)→s, X(64)→x map one-to-one;
+  *   - I(2)→"iu": python 3's re.I case-folds UNICODE ('Ä' matches 'ä');
+  *     Java's bare (?i) folds ASCII only, so UNICODE_CASE rides along;
+  *   - U(32)→"U" (UNICODE_CHARACTER_CLASS, implies u): python 3 str
+  *     patterns have unicode \\w/\\b semantics, which re.U reasserts;
   *   - A(256): ASCII-only classes ARE Java's default — translates to
-  *     nothing;
+  *     nothing; combining it with U is rejected exactly as python's
+  *     `re` rejects A|U as incompatible;
   *   - L(4): locale-dependent matching has no JVM analogue — rejected
   *     loudly rather than silently altering semantics (python itself
   *     restricts it to bytes patterns).
@@ -55,11 +59,13 @@ object PyRegexFlags {
   def toInline(flags: Int): String = {
     require(flags >= 0 && (flags & ~(I | M | S | U | X | A)) == 0,
       s"unsupported python regex flag bits in $flags (supported: re.I, re.M, re.S, re.U, re.X, re.A)")
+    require((flags & A) == 0 || (flags & U) == 0,
+      "re.A and re.U are incompatible (python raises ValueError)")
     val sb = new StringBuilder
-    if ((flags & I) != 0) sb += 'i'
+    if ((flags & I) != 0) sb ++= "iu"
     if ((flags & M) != 0) sb += 'm'
     if ((flags & S) != 0) sb += 's'
-    if ((flags & U) != 0) sb += 'u'
+    if ((flags & U) != 0) sb += 'U'
     if ((flags & X) != 0) sb += 'x'
     sb.result()
   }

@@ -72,7 +72,7 @@ object ReferenceCsv {
       // Note univocity parses an UNQUOTED empty token to null regardless
       // of nullValue — which is why truncation detection below reads the
       // raw record, not the parsed cells.
-      .option("nullValue", "")
+      .option("nullValue", "\u0001")
       // univocity flags every row whose token count differs from the
       // schema width (the common ragged NARROW rows included) and hands
       // back the raw record here — the only place a trailing EMPTY
@@ -91,10 +91,12 @@ object ReferenceCsv {
     // c0 rides along (un-prunably, inside the aggregate) because Spark
     // refuses scans whose only referenced column is the corrupt-record
     // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
-    val truncated = raw.agg(
+    // sum() is null over zero rows (a file of blank lines parses to an
+    // empty frame while Files.size > 0) — coalesce, don't NPE
+    val probeRow = raw.agg(
       sum(when(col(corruptCol).isNotNull && tokenCount > width, 1).otherwise(0)).as("n"),
-      count(col("c0"))).head().getLong(0)
-    if (truncated > 0)
+      count(col("c0"))).head()
+    if (!probeRow.isNullAt(0) && probeRow.getLong(0) > 0)
       return read(spark, path, maxPairs * 2)
 
     // kv cells as one array; schema-padding nulls and genuine empty

@@ -175,10 +175,17 @@ class QueryCompilerSpec extends SparkSpec {
       assert(ids(TagQuery("city").search("a", flags = PyRegexFlags.I | PyRegexFlags.A
         | PyRegexFlags.S)) == Set(0))
       assert(PyRegexFlags.toInline(PyRegexFlags.I | PyRegexFlags.M | PyRegexFlags.S
-        | PyRegexFlags.U | PyRegexFlags.X) == "imsux")
+        | PyRegexFlags.U | PyRegexFlags.X) == "iumsUx")
+      // python 3 fidelity: re.I folds unicode case; re.U restores
+      // unicode \w/\b classes (Java (?U) implies (?u))
+      assert(ids(TagQuery("city").matches("lA", flags = PyRegexFlags.I)) == Set(0))
       // locale flag has no JVM analogue — loud rejection, not silence
       intercept[IllegalArgumentException] { PyRegexFlags.toInline(PyRegexFlags.L) }
       intercept[IllegalArgumentException] { PyRegexFlags.toInline(1024) }
+      // A and U are incompatible, as in python's re
+      intercept[IllegalArgumentException] {
+        PyRegexFlags.toInline(PyRegexFlags.A | PyRegexFlags.U)
+      }
     }
   }
 

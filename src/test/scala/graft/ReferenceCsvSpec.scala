@@ -201,6 +201,7 @@ class ReferenceCsvSpec extends SparkSpec {
       intercept[IllegalStateException] {
         db.insert(graft.model.Point(java.time.Instant.now(), "m", Map(), Map("b" -> 2.0)))
       }
+      intercept[IllegalStateException] { db.compact() }
       val n = GraftDB.using(GraftDB.atCsv(spark, p)) { d => d.length }
       assert(n == 1)
     }
@@ -275,6 +276,13 @@ class ReferenceCsvSpec extends SparkSpec {
       assert(wide.size == 70 && wide("f69") == 69.5)
       assert(back(0).getAs[Map[String, String]](Point.TagsCol).size == 5)
       assert(back(1).getAs[Map[String, java.lang.Double]](Point.FieldsCol) == Map("b" -> 1.0))
+    }
+
+    it("a file of only blank lines reads as empty (probe must not NPE on zero rows)") {
+      // Files.size > 0 so knownEmpty is false, but the CSV parser skips
+      // blank lines -> zero rows; sum() over zero rows is null
+      val src = writeTemp(Seq("", "", ""))
+      assert(ReferenceCsv.read(spark, src).count() == 0)
     }
 
     it("auto-widen fires when the final schema cell holds an EMPTY tag value") {
