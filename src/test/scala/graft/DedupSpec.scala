@@ -232,8 +232,10 @@ class DedupSpec extends SparkSpec {
       }
       val nodes = (0L to 5L).toDF("doc_id")
       val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L)).toDF("i", "j")
-      // warm once so one-time planning/codegen stages don't count
+      // warm once so one-time planning/codegen stages don't count; let
+      // the async listener bus drain before attaching ours
       Dedup.connectedComponents(nodes, "doc_id", edges, "i", "j").count()
+      Thread.sleep(1000)
       spark.sparkContext.addSparkListener(listener)
       try {
         Dedup.connectedComponents(nodes, "doc_id", edges, "i", "j").count()
