@@ -533,7 +533,12 @@ object Dedup {
         .groupBy("id").agg(
           min("component").as("component"),
           min(when(col("own"), col("component"))).as("prev"))
-        .withColumn("moved", col("component") =!= col("prev"))
+        // an id first introduced by msgs alone (edge endpoint absent
+        // from `nodes`) has prev = null — that IS a change, so null
+        // counts as moved; otherwise a round whose only movement is a
+        // new id would read as converged and return under-merged labels
+        .withColumn("moved",
+          coalesce(col("component") =!= col("prev"), lit(true)))
         .localCheckpoint()
       // counts over the just-materialized checkpoint blocks: an
       // in-memory scan, no shuffle, no recomputation

@@ -43,7 +43,8 @@ case object Noop extends Q
   *
   *   - M(8)→m, S(16)→s, X(64)→x map one-to-one;
   *   - I(2)→"iu": python 3's re.I case-folds UNICODE ('Ä' matches 'ä');
-  *     Java's bare (?i) folds ASCII only, so UNICODE_CASE rides along;
+  *     Java's bare (?i) folds ASCII only, so UNICODE_CASE rides along —
+  *     EXCEPT under I|A, where python folds ASCII only → bare "i";
   *   - U(32)→"U" (UNICODE_CHARACTER_CLASS, implies u): python 3 str
   *     patterns have unicode \\w/\\b semantics, which re.U reasserts;
   *   - A(256): ASCII-only classes ARE Java's default — translates to
@@ -62,7 +63,10 @@ object PyRegexFlags {
     require((flags & A) == 0 || (flags & U) == 0,
       "re.A and re.U are incompatible (python raises ValueError)")
     val sb = new StringBuilder
-    if ((flags & I) != 0) sb ++= "iu"
+    // re.I alone folds UNICODE in python 3, but re.I|re.A restricts the
+    // fold to ASCII — which is Java's bare (?i) — so only ride
+    // UNICODE_CASE along when the A bit is absent.
+    if ((flags & I) != 0) sb ++= (if ((flags & A) != 0) "i" else "iu")
     if ((flags & M) != 0) sb += 'm'
     if ((flags & S) != 0) sb += 's'
     if ((flags & U) != 0) sb += 'U'

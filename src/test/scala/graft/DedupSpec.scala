@@ -221,34 +221,91 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
     }
-    it("the convergence check is shuffle-free (stage budget per round)") {
+    it("ids introduced by edges alone count as moved (no premature convergence)") {
       import spark.implicits._
-      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onStageSubmitted(
-            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
-          stages.incrementAndGet(); ()
+      // 5 is absent from `nodes` and bridges 0 and 2. In round 0 the
+      // ONLY movement is 5's first appearance (prev = null); if null
+      // didn't count as moved, the loop would exit with 2 still in its
+      // own component — silently under-merged.
+      val nodes = Seq(0L, 1L, 2L).toDF("doc_id")
+      val edges = Seq((0L, 5L), (5L, 2L)).toDF("i", "j")
+      val got = Dedup.connectedComponents(nodes, "doc_id", edges, "i", "j")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 5L -> 0L))
+    }
+
+    it("the fused convergence check beats a join-form check's stage budget") {
+      import spark.implicits._
+      // private[spark] members compile to public bytecode, so the
+      // listener bus is reachable reflectively: drain it BETWEEN runs
+      // deterministically instead of Thread.sleep guesses.
+      def drainBus(): Unit = {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods.find(m =>
+            m.getName == "waitUntilEmpty" && m.getParameterCount == 0) match {
+          case Some(m) => m.invoke(bus); ()
+          case None =>
+            bus.getClass.getMethods
+              .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+              .get.invoke(bus, java.lang.Long.valueOf(30000L)); ()
         }
+      }
+      def countStages(f: => Unit): Int = {
+        val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageSubmitted(
+              s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+            stages.incrementAndGet(); ()
+          }
+        }
+        drainBus()
+        spark.sparkContext.addSparkListener(listener)
+        try { f; drainBus() }
+        finally spark.sparkContext.removeSparkListener(listener)
+        stages.get()
       }
       val nodes = (0L to 5L).toDF("doc_id")
       val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L)).toDF("i", "j")
-      // warm once so one-time planning/codegen stages don't count; let
-      // the async listener bus drain before attaching ours
+      // The OLD shape the fusion replaced: identical label-propagation
+      // rounds, but convergence is checked by a SEPARATE two-sided
+      // shuffle join + count per round. Re-built here as the
+      // same-session baseline so the assertion is relative (immune to
+      // planner/AQE stage-count drift across Spark versions), not a
+      // hardcoded absolute.
+      def joinFormCC(): Unit = {
+        val bidir = edges.select(col("i").as("a"), col("j").as("b"))
+          .union(edges.select(col("j").as("a"), col("i").as("b"))).distinct().cache()
+        var labels = nodes.select(col("doc_id").as("id"))
+          .withColumn("component", col("id")).localCheckpoint()
+        var changed = 1L
+        var round = 0
+        while (changed > 0 && round < 50) {
+          val msgs = bidir.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(col("b").as("id"), col("component"))
+          val next = labels.select("id", "component").unionByName(msgs)
+            .groupBy("id").agg(min("component").as("component"))
+          // the separate convergence job re-executes the round's whole
+          // aggregate inside the join before the checkpoint job runs it
+          // again — exactly the double work the fused check eliminated
+          changed = next.as("n").join(labels.as("o"), "id")
+            .filter(col("n.component") =!= col("o.component")).count()
+          labels = next.localCheckpoint()
+          round += 1
+        }
+        bidir.unpersist(); ()
+      }
+      // warm both paths once so one-time planning/codegen stages don't
+      // land in either measured run
       Dedup.connectedComponents(nodes, "doc_id", edges, "i", "j").count()
-      Thread.sleep(1000)
-      spark.sparkContext.addSparkListener(listener)
-      try {
+      joinFormCC()
+      val fused = countStages {
         Dedup.connectedComponents(nodes, "doc_id", edges, "i", "j").count()
-        // listener events are asynchronous; give the bus a beat
-        Thread.sleep(2000)
-        // This graph converges in 3 rounds (+1 no-change round). The
-        // fused check reads the round's freshly-checkpointed blocks —
-        // one stage, no shuffle. The old join+count per round planned a
-        // two-sided shuffle join (3+ stages per round); a reversion
-        // blows past this budget (measured: fused form 21 stages on
-        // this graph, join-form ≥ 28).
-        assert(stages.get() <= 24, s"connectedComponents submitted ${stages.get()} stages")
-      } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val joinForm = countStages { joinFormCC() }
+      assert(fused > 0 && fused < joinForm,
+        s"fused convergence check submitted $fused stages vs join-form $joinForm — " +
+          "the per-round count should ride the round's aggregate, not a separate join")
     }
 
     it("pointer jumping converges a 200-node chain in O(log diameter) rounds") {

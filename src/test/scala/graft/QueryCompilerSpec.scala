@@ -187,6 +187,15 @@ class QueryCompilerSpec extends SparkSpec {
         PyRegexFlags.toInline(PyRegexFlags.A | PyRegexFlags.U)
       }
     }
+    it("re.I|re.A folds ASCII only, as python's re.A demands") {
+      assert(PyRegexFlags.toInline(PyRegexFlags.I) == "iu")
+      assert(PyRegexFlags.toInline(PyRegexFlags.I | PyRegexFlags.A) == "i")
+      // bare re.I folds unicode ('ä' matches 'Ä'); re.I|re.A must NOT
+      // (python restricts the fold to ASCII), while ASCII still folds
+      assert("Ä".matches("(?" + PyRegexFlags.toInline(PyRegexFlags.I) + ")ä"))
+      assert(!"Ä".matches("(?" + PyRegexFlags.toInline(PyRegexFlags.I | PyRegexFlags.A) + ")ä"))
+      assert("LA".matches("(?" + PyRegexFlags.toInline(PyRegexFlags.I | PyRegexFlags.A) + ")la"))
+    }
   }
 
   describe("multi-step paths (dead on flat schema, as in the reference)") {
