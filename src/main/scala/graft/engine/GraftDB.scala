@@ -48,14 +48,17 @@ final class GraftDB(val storage: Storage) {
   def df: DataFrame = { guardOpen(); storage.load() }
 
   // reindex() state: a cached view with hot map keys columnarized, the
-  // layout telling the compiler which flat columns to read, and the
-  // data's global time bounds (the zonemap tier — see [[TimeBounds]]).
+  // layout telling the compiler which flat columns to read, the data's
+  // global time bounds (the zonemap tier — see [[TimeBounds]]), and the
+  // cached segments backing the view (the reindex base plus one cached
+  // slice per in-order append folded in by [[tryExtendIndex]]) so
+  // invalidation releases every piece.
   private case class IndexState(view: DataFrame, layout: IndexedLayout,
-      timeBounds: Option[(Instant, Instant)])
+      timeBounds: Option[(Instant, Instant)], cached: List[DataFrame])
   private var indexedState: Option[IndexState] = None
 
   private def invalidateIndex(): Unit = {
-    indexedState.foreach(_.view.unpersist(false))
+    indexedState.foreach(_.cached.foreach(_.unpersist(false)))
     indexedState = None
   }
 
@@ -76,12 +79,12 @@ final class GraftDB(val storage: Storage) {
     */
   private[graft] def filterPlan(q: Q): DataFrame = { guardOpen(); indexedState } match {
     case None => df.filter(cond(q)).select(Point.columns.map(col): _*)
-    case Some(IndexState(_, _, Some((lo, hi)))) if TimeBounds.provablyEmpty(q, lo, hi) =>
+    case Some(IndexState(_, _, Some((lo, hi)), _)) if TimeBounds.provablyEmpty(q, lo, hi) =>
       // zonemap shortcut: the time predicate cannot overlap the data —
       // answer from a LocalRelation, zero jobs (the reference's index
       // bisect returns [] without touching a single point).
       GraftDB.emptyLocal(spark)
-    case Some(IndexState(idf, layout, _)) =>
+    case Some(IndexState(idf, layout, _, _)) =>
       idf.filter(cond(q)).select(
         col(Point.TimeCol),
         col(Point.MeasurementCol),
@@ -199,7 +202,91 @@ final class GraftDB(val storage: Storage) {
     * the DataFrame to count if it cares.
     */
   def insertDF(batch: DataFrame, compactKeyPrefixes: Option[Boolean] = None): Unit = {
-    guardOpen(); invalidateIndex(); storage.append(batch, compactKeyPrefixes)
+    guardOpen()
+    indexedState match {
+      case None => storage.append(batch, compactKeyPrefixes)
+      case Some(st) =>
+        // try to extend the live index in place (reference
+        // index.py:429-456: an in-order append extends the index instead
+        // of invalidating it; database.py:1309-1310)
+        storage.appendDelta(batch, compactKeyPrefixes) match {
+          case Some(delta) => if (!tryExtendIndex(st, delta)) invalidateIndex()
+          case None        => invalidateIndex() // already appended; opaque delta
+        }
+    }
+  }
+
+  /** How many delta segments an index may accumulate before an append
+    * invalidates instead of extending: each extension unions one more
+    * cached slice into the view, and an unbounded chain would grow the
+    * plan (and per-query planning time) with the append count. 16 deep
+    * costs nothing measurable; past it, fall back to the pre-existing
+    * invalidate-on-write contract (the caller reindexes as before).
+    */
+  private val MaxIndexDeltaSegments = 16
+
+  /** Fold an appended delta into the live index when the append is
+    * time-ordered (delta min-time >= indexed max-time): the reference's
+    * in-place index extension (index.py:429-456), re-expressed as a
+    * cached columnar slice unioned under the existing cached view.
+    * New tag/field keys extend the slot layout (old rows get typed-null
+    * values and FALSE presence — null presence would break NOT/exists
+    * semantics); the zonemap keeps its lower bound and adopts the
+    * delta's max. Everything runs over the DELTA only — two jobs (one
+    * stats pass, one cache materialization), never a full-store rescan.
+    * Returns false when the append is out-of-order (or otherwise not
+    * extendable) and the caller must invalidate.
+    */
+  private def tryExtendIndex(st: IndexState, delta: DataFrame): Boolean = {
+    if (st.cached.size > MaxIndexDeltaSegments) return false
+    // one job over the delta: time bounds, row count, and key universe
+    val stats = delta.agg(
+      min(col(Point.TimeCol)), max(col(Point.TimeCol)),
+      org.apache.spark.sql.functions.count(lit(1)),
+      array_distinct(flatten(collect_list(map_keys(col(Point.TagsCol))))),
+      array_distinct(flatten(collect_list(map_keys(col(Point.FieldsCol)))))).head()
+    if (stats.getLong(2) == 0L) return true // empty batch: index untouched
+    if (stats.isNullAt(0)) return false     // null times: not orderable
+    val lo = stats.getTimestamp(0).toInstant
+    val hi = stats.getTimestamp(1).toInstant
+    val inOrder = st.timeBounds.forall { case (_, oldHi) => !lo.isBefore(oldHi) }
+    if (!inOrder) return false
+    val newTagKeys = stats.getSeq[String](3)
+      .filterNot(st.layout.tagSlots.contains).sorted
+    val newFieldKeys = stats.getSeq[String](4)
+      .filterNot(st.layout.fieldSlots.contains).sorted
+    val tagSlots = st.layout.tagSlots ++
+      newTagKeys.zipWithIndex.map { case (k, i) => k -> (st.layout.tagSlots.size + i) }
+    val fieldSlots = st.layout.fieldSlots ++
+      newFieldKeys.zipWithIndex.map { case (k, i) => k -> (st.layout.fieldSlots.size + i) }
+    // existing view rows never carry the new keys: typed-null value,
+    // explicit FALSE presence (unionByName's null-fill would null the
+    // presence bit, and ~exists() over null-presence rows drops rows
+    // that must be kept)
+    val oldExtended = st.view.select(
+      st.view.columns.map(col).toSeq ++
+        newTagKeys.map(k => lit(null).cast("string").as(s"__tv_${tagSlots(k)}")) ++
+        newTagKeys.map(k => lit(false).as(s"__tp_${tagSlots(k)}")) ++
+        newFieldKeys.map(k => lit(null).cast("double").as(s"__fv_${fieldSlots(k)}")) ++
+        newFieldKeys.map(k => lit(false).as(s"__fp_${fieldSlots(k)}")): _*)
+    val deltaCols = Seq(col(Point.TimeCol), col(Point.MeasurementCol), col(Point.SeqCol)) ++
+      tagSlots.toSeq.sortBy(_._2).flatMap { case (k, i) => Seq(
+        element_at(col(Point.TagsCol), k).as(s"__tv_$i"),
+        map_contains_key(col(Point.TagsCol), k).as(s"__tp_$i")) } ++
+      fieldSlots.toSeq.sortBy(_._2).flatMap { case (k, i) => Seq(
+        element_at(col(Point.FieldsCol), k).as(s"__fv_$i"),
+        map_contains_key(col(Point.FieldsCol), k).as(s"__fp_$i")) }
+    // time-sorted within partitions so cached-batch min/max stats prune
+    // inside the delta too; no repartition — an append stays O(batch)
+    val deltaView = delta.select(deltaCols: _*)
+      .sortWithinPartitions(Point.TimeCol).cache()
+    deltaView.count() // materialize NOW, while the batch plan is current
+    indexedState = Some(IndexState(
+      oldExtended.unionByName(deltaView),
+      IndexedLayout(tagSlots, fieldSlots, complete = true),
+      Some((st.timeBounds.fold(lo)(_._1), hi)),
+      st.cached :+ deltaView))
+    true
   }
 
   /** op 11/12 `update` / `update_all` (database.py:976-1062): rewrite
@@ -397,8 +484,10 @@ final class GraftDB(val storage: Storage) {
     * min/max stats instead of decoding MapType per row — the columnar
     * analogue of the reference's inverted index. Parquet-tier pruning
     * (partitioning + row-group stats) is unaffected and needs no index;
-    * this accelerates the hot cached working set. Any write invalidates
-    * it, mirroring the reference's index invalidation
+    * this accelerates the hot cached working set. A TIME-ORDERED append
+    * extends the index in place ([[tryExtendIndex]] — the reference's
+    * in-order index extension, index.py:429-456); any other write
+    * invalidates it, mirroring the reference's index invalidation
     * (database.py:1280-1289).
     */
   def reindex(): Unit = {
@@ -451,7 +540,7 @@ final class GraftDB(val storage: Storage) {
     indexedState = Some(IndexState(idf,
       IndexedLayout(tagKeys.zipWithIndex.toMap, fieldKeys.zipWithIndex.toMap,
         complete = true),
-      bounds))
+      bounds, List(idf)))
   }
 }
 

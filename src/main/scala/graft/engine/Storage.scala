@@ -47,6 +47,21 @@ trait Storage {
     */
   def append(batch: DataFrame, compactPrefixes: Option[Boolean]): Unit = append(batch)
 
+  /** Append AND return the seq-stamped delta plan, when the backend can
+    * reproduce exactly the appended rows without re-reading the store —
+    * the hook the engine's incremental index extension needs (the
+    * reference extends its index in place on in-order appends,
+    * index.py:429-456, database.py:1309-1310). `None` = caller must
+    * treat the append as opaque (CSV assigns `_seq` as the line number
+    * at read time, so its delta is not reproducible from the plan).
+    * The returned plan re-evaluates the batch, so the contract assumes
+    * a deterministic batch — the same assumption Spark's own task
+    * retries already make for the write itself.
+    */
+  def appendDelta(batch: DataFrame, compactPrefixes: Option[Boolean] = None): Option[DataFrame] = {
+    append(batch, compactPrefixes); None
+  }
+
   /** Replace the full state (canonical schema WITH `_seq`). */
   def overwrite(full: DataFrame): Unit
 
@@ -159,10 +174,16 @@ final class MemoryStorage(val spark: SparkSession, initial: Option[DataFrame] = 
     state
   }
 
-  override def append(batch: DataFrame): Unit = synchronized {
-    pending += withSeq(batch)
-    neverWritten = false
-  }
+  override def append(batch: DataFrame): Unit = { appendDelta(batch); () }
+
+  override def appendDelta(batch: DataFrame, compactPrefixes: Option[Boolean]): Option[DataFrame] =
+    synchronized {
+      val stamped = withSeq(batch)
+      pending += stamped
+      neverWritten = false
+      // the exact plan the next load() folds — reproducible by identity
+      Some(stamped)
+    }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
     // Eager: `full` may read from the current state, which is about to
@@ -267,15 +288,22 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     (if (partitioned) w.partitionBy(Point.MeasurementCol, "p_date") else w).parquet(path)
   }
 
-  override def append(batch: DataFrame): Unit = synchronized {
-    withSeq(batch)
-      .sortWithinPartitions(Point.TimeCol)
-      // Delta tier optimizes append latency: snappy encodes ~3× faster
-      // than Spark 4's zstd default; compaction rewrites with the
-      // read-optimized default codec.
-      .write.option("compression", "snappy")
-      .mode(SaveMode.Append).parquet(deltaPath)
-  }
+  override def append(batch: DataFrame): Unit = { appendDelta(batch); () }
+
+  override def appendDelta(batch: DataFrame, compactPrefixes: Option[Boolean]): Option[DataFrame] =
+    synchronized {
+      val stamped = withSeq(batch)
+      stamped
+        .sortWithinPartitions(Point.TimeCol)
+        // Delta tier optimizes append latency: snappy encodes ~3× faster
+        // than Spark 4's zstd default; compaction rewrites with the
+        // read-optimized default codec.
+        .write.option("compression", "snappy")
+        .mode(SaveMode.Append).parquet(deltaPath)
+      // same plan, same source partitioning → monotonically_increasing_id
+      // reproduces the written _seq values on re-evaluation
+      Some(stamped)
+    }
 
   /** Fold the delta tier into the partitioned main store. Run after
     * bulk ingest (or on a schedule) so reads regain full partition

@@ -177,6 +177,63 @@ class GraftDBSpec extends SparkSpec {
       db.reindex()
       assert(snapshot() == before)
     }
+    it("a time-ordered append extends the index in place — delta-only work") {
+      val db = freshDb() // times 2024-01-01..03, keys room/host, temp/load
+      db.reindex()
+      assert(db.indexValid)
+      def countJobs(f: => Unit): Int = {
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        drainListenerBus()
+        spark.sparkContext.addSparkListener(listener)
+        try { f; drainListenerBus() }
+        finally spark.sparkContext.removeSparkListener(listener)
+        jobs.get()
+      }
+      val newPoint = Point(t("2024-01-07T00:00:00Z"), "therm",
+        Map("room" -> "attic", "wing" -> "east"),
+        Map("temp" -> 50.0, "hum" -> 0.3))
+      val extensionJobs = countJobs { db.insert(newPoint) }
+      assert(db.indexValid, "in-order append must extend the index, not invalidate it")
+      // delta-only budget, asserted RELATIVE to a full rebuild of the
+      // same end state in the same session (absolute job counts drift
+      // with AQE): the extension runs one stats pass + one cache
+      // materialization over the 1-row delta; the rebuild re-scans the
+      // whole store for keys, cache and bounds.
+      val db2 = freshDb()
+      db2.insert(newPoint) // un-indexed plain append
+      val rebuildJobs = countJobs { db2.reindex() }
+      assert(extensionJobs < rebuildJobs,
+        s"extension ran $extensionJobs jobs vs full rebuild $rebuildJobs — must touch only the delta")
+      assert(db.length == 4)
+      assert(db.count(TagQuery("room") === "attic") == 1)
+      // brand-new keys get fresh slots and are queryable...
+      assert(db.count(TagQuery("wing") === "east") == 1)
+      assert(db.count(FieldQuery("hum") >= 0.0) == 1)
+      // ...and exists()/NOT hold for OLD rows, which must read the new
+      // slots as presence=FALSE (a null presence bit would drop them)
+      assert(db.count(TagQuery("wing").exists()) == 1)
+      assert(db.count(~TagQuery("wing").exists()) == 3)
+      // the zonemap adopted the delta's max: a range past the OLD max
+      // must find the new row (stale bounds would prune it to empty)
+      assert(db.count(TimeQuery() >= t("2024-01-05T00:00:00Z")) == 1)
+      // old data still fully queryable through the extended view
+      assert(db.count(FieldQuery("temp") >= 60.0) == 2)
+    }
+    it("an out-of-order append declines extension and invalidates") {
+      val db = freshDb()
+      db.reindex()
+      db.insert(Point(t("2023-12-01T00:00:00Z"), "therm",
+        Map("room" -> "attic"), Map("temp" -> 1.0)))
+      assert(!db.indexValid)
+      assert(db.count(TagQuery("room") === "attic") == 1)
+      assert(db.length == 4)
+    }
     it("is invalidated by writes (results stay correct after update/insert)") {
       val db = freshDb()
       db.reindex()
@@ -323,7 +380,7 @@ class GraftDBSpec extends SparkSpec {
       assert(db.count(~(TimeQuery() >= t("2024-02-01T00:00:00Z"))) == 2)
       // in-range queries still scan normally
       assert(db.count(TimeQuery() >= t("2024-01-05T00:00:00Z")) == 1)
-      // a write invalidates the bounds along with the index
+      // an in-order append extends the zonemap bounds in place
       db.insert(Point(t("2024-03-01T00:00:00Z"), "m", fields = Map("x" -> 3.0)))
       assert(db.count(TimeQuery() >= t("2024-02-01T00:00:00Z")) == 1)
       db.reindex()
@@ -345,8 +402,11 @@ class GraftDBSpec extends SparkSpec {
       val prepared = db.prepare(FieldQuery("x") >= 1.0)
       assert(prepared.count() == 1 && prepared.count() == 1)
       db.insert(Point(t("2024-01-02T00:00:00Z"), "m", Map("u" -> "b"), Map("x" -> 2.0)))
-      assert(!db.indexValid) // write invalidated it
+      assert(db.indexValid) // in-order append extended it in place
       assert(db.prepare(FieldQuery("x") >= 1.0).count() == 2)
+      db.insert(Point(t("2023-06-01T00:00:00Z"), "m", Map("u" -> "c"), Map("x" -> 3.0)))
+      assert(!db.indexValid) // out-of-order write invalidated it
+      assert(db.prepare(FieldQuery("x") >= 1.0).count() == 3)
     }
   }
 

@@ -9,6 +9,24 @@ trait SparkSpec extends AnyFunSpec with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Deterministically drain the async listener bus (private[spark]
+    * members compile to public bytecode, so the bus is reachable
+    * reflectively) — job/stage-counting tests attach and detach around
+    * this instead of sleeping.
+    */
+  protected def drainListenerBus(): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    bus.getClass.getMethods.find(m =>
+        m.getName == "waitUntilEmpty" && m.getParameterCount == 0) match {
+      case Some(m) => m.invoke(bus); ()
+      case None =>
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+          .get.invoke(bus, java.lang.Long.valueOf(30000L)); ()
+    }
+  }
 }
 
 object SparkSpec {
