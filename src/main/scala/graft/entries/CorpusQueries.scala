@@ -158,6 +158,22 @@ object CorpusQueries {
         .orderBy("mime")
     }),
 
+    // real image decode (javax.imageio) over deterministic PNG fixtures:
+    // dimensions/raster-type derive from the id, one corrupt payload
+    // exercises the failure flag; the oracle is the fixture ground truth
+    "q90_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0L until 9L).map { id =>
+        val kind = (id % 3) match { case 0 => "rgb"; case 1 => "argb"; case _ => "gray" }
+        val gray = ((id * 17) % 256).toInt
+        (id, Multimodal.encodePng(3 + id.toInt, 5 + 2 * id.toInt, gray * 0x010101, kind))
+      } :+ ((9L, "not an image".getBytes("UTF-8")))
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      Multimodal.decodeImageFeatures(assets, "asset_id", "payload")
+        .select("asset_id", "decode_ok", "width", "height", "channels")
+        .orderBy("asset_id")
+    }),
+
     "q59_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         corpus = emb(s, dir),
@@ -571,6 +587,19 @@ object CorpusQueries {
         |      row_number() OVER (PARTITION BY qid
         |        ORDER BY dp / (nq.nrm * nc.nrm) DESC, id) AS rn
         |      FROM s JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = id)
-        |SELECT qid, id FROM r WHERE rn <= 10 ORDER BY qid, id""".stripMargin
+        |SELECT qid, id FROM r WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
+    // fixture ground truth: id 0..8 → (3+id)×(5+2id), raster kind cycles
+    // rgb(3 bands)/argb(4)/gray(1); id 9 is a corrupt payload
+    "q90_image_decode" ->
+      """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels
+        |FROM (VALUES
+        |  (0, true,  3,  5, 3), (1, true,  4,  7, 4), (2, true,  5,  9, 1),
+        |  (3, true,  6, 11, 3), (4, true,  7, 13, 4), (5, true,  8, 15, 1),
+        |  (6, true,  9, 17, 3), (7, true, 10, 19, 4), (8, true, 11, 21, 1),
+        |  (9, false, NULL, NULL, NULL))
+        |AS t(asset_id, decode_ok, width, height, channels)
+        |ORDER BY asset_id""".stripMargin
   )
 }

@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
   * struct riding alongside; every filter/dedup/fingerprint op is a
   * codegen'd expression over the bytes, and the only stage that needs a
   * real media codec (decode) is an isolated per-partition batch stage
-  * with the codec stubbed (none ships in this environment) behind a
-  * deterministic fake.
+  * backed by the JDK's `javax.imageio` readers (PNG/JPEG/GIF/BMP, zero
+  * added dependencies); exotic formats would swap in a richer codec at
+  * the same seam.
   *
   * Schema pattern:
   * {{{
@@ -70,30 +71,83 @@ object Multimodal {
     */
   def fingerprint64(payload: Column): Column = xxhash64(payload)
 
-  // ---- decode stage (per-partition batch plumbing; codec stubbed) ----
+  // ---- decode stage (per-partition batch plumbing; real JDK codec) ----
 
-  /** Decoded-image features. In production `decodeBatch` calls a real
-    * codec; this environment ships none, so the decode is a STUB with a
-    * deterministic fake derived from the payload bytes — the Spark-side
-    * plumbing (schema, per-partition batching, column pruning before
-    * the expensive stage) is the real, tested artifact.
+  /** Decoded-image features. `decode_ok = false` (payload not a
+    * decodable image) carries nulls for the pixel-derived columns —
+    * downstream quality gates filter on the flag instead of dying on
+    * the first corrupt asset in a 100 TB sweep.
     */
-  final case class ImageFeatures(asset_id: Long, width: Int, height: Int, brightness: Double)
+  final case class ImageFeatures(asset_id: Long, decode_ok: Boolean,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      brightness: Option[Double])
 
-  /** STUB decode of one batch of payloads. Replace the body with a real
-    * codec (e.g. TwelveMonkeys ImageIO) in production; the deterministic
-    * fake maps payload bytes → plausible feature values so downstream
-    * logic and tests exercise real data flow.
+  /** Decode one batch of payloads with the JDK's `javax.imageio` codecs
+    * (PNG/JPEG/GIF/BMP ship with every JRE — no added dependency).
+    * Features: dimensions, raster band count (3 = RGB, 4 = RGBA,
+    * 1 = grayscale), and mean luminance over a bounded ≤64×64 probe
+    * grid — O(1) per asset regardless of resolution, so a 100-megapixel
+    * outlier cannot stall its partition. Undecodable or truncated
+    * payloads yield the failure row, never an exception.
     */
   private def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[ImageFeatures] =
     batch.map { case (id, bytes) =>
-      // ??? <- real codec goes here; deterministic fake below
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 64 + math.abs(h % 1024)
-      val ht = 64 + math.abs((h / 1024) % 1024)
-      val brightness = (math.abs(h % 25600) / 100.0) / 256.0
-      ImageFeatures(id, w, ht, brightness)
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) ImageFeatures(id, decode_ok = false, None, None, None, None)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val bands = img.getRaster.getNumBands
+          val sx = math.max(1, w / 64)
+          val sy = math.max(1, h / 64)
+          var sum = 0.0
+          var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0 / 255.0
+              n += 1
+              x += sx
+            }
+            y += sy
+          }
+          ImageFeatures(id, decode_ok = true, Some(w), Some(h), Some(bands),
+            Some(if (n == 0) 0.0 else sum / n))
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          ImageFeatures(id, decode_ok = false, None, None, None, None)
+      }
     }
+
+  /** Deterministic PNG fixture (driver/test side): a `width`×`height`
+    * solid-color image. `kind` picks the raster type the decoder will
+    * see back: "rgb" → 3 bands, "argb" → 4, "gray" → 1. PNG is
+    * lossless, so an RGB/ARGB fixture round-trips its exact color —
+    * which makes decoded brightness exactly (r+g+b)/3/255.
+    */
+  def encodePng(width: Int, height: Int, rgb: Int, kind: String = "rgb"): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val imageType = kind match {
+      case "rgb"  => BufferedImage.TYPE_INT_RGB
+      case "argb" => BufferedImage.TYPE_INT_ARGB
+      case "gray" => BufferedImage.TYPE_BYTE_GRAY
+      case other  => throw new IllegalArgumentException(s"unknown fixture kind '$other'")
+    }
+    val img = new BufferedImage(width, height, imageType)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, 0xFF000000 | rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Per-partition batched decode: prunes to (id, payload) BEFORE the
     * expensive stage (so Parquet reads only those columns), then runs

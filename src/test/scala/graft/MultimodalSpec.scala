@@ -57,20 +57,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  describe("decode stage (stubbed codec, real plumbing)") {
-    it("produces deterministic typed features for every asset, joinable by id") {
+  describe("decode stage (javax.imageio codec, per-partition batches)") {
+    it("decodes PNG fixtures to exact dimensions, band counts and brightness") {
+      import spark.implicits._
+      val fixtures = Seq(
+        (0L, Multimodal.encodePng(3, 5, 0x804020, "rgb")),
+        (1L, Multimodal.encodePng(40, 7, 0x112233, "argb")),
+        (2L, Multimodal.encodePng(9, 9, 0x606060, "gray")),
+        (3L, "definitely not an image".getBytes("UTF-8")),
+        // a TRUNCATED png header: IOException path, not the null path
+        (4L, Multimodal.encodePng(8, 8, 0x010203, "rgb").take(20)))
+      val df = spark.createDataset(fixtures).toDF("asset_id", "payload").repartition(3)
+      val feats = Multimodal.decodeImageFeatures(df, "asset_id", "payload")
+      assert(feats.columns.toSeq ==
+        Seq("asset_id", "decode_ok", "width", "height", "channels", "brightness"))
+      val rows = feats.collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(0L).getBoolean(1) && rows(0L).getInt(2) == 3 && rows(0L).getInt(3) == 5
+        && rows(0L).getInt(4) == 3)
+      // PNG is lossless: solid RGB round-trips exactly
+      assert(math.abs(rows(0L).getDouble(5) - (0x80 + 0x40 + 0x20) / 3.0 / 255.0) < 1e-12)
+      assert(rows(1L).getBoolean(1) && rows(1L).getInt(2) == 40 && rows(1L).getInt(4) == 4)
+      assert(math.abs(rows(1L).getDouble(5) - (0x11 + 0x22 + 0x33) / 3.0 / 255.0) < 1e-12)
+      assert(rows(2L).getBoolean(1) && rows(2L).getInt(4) == 1)
+      // corrupt payloads flag, carry nulls, and never throw
+      Seq(3L, 4L).foreach { id =>
+        assert(!rows(id).getBoolean(1) && rows(id).isNullAt(2) && rows(id).isNullAt(3)
+          && rows(id).isNullAt(4) && rows(id).isNullAt(5))
+      }
+    }
+    it("keeps the original plumbing contract: typed features joinable by id") {
       val feats = Multimodal.decodeImageFeatures(assets, "asset_id", "payload")
-      assert(feats.columns.toSeq == Seq("asset_id", "width", "height", "brightness"))
       assert(feats.count() == 6)
-      val rows = feats.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
-      // deterministic: identical payloads -> identical features
-      assert(rows(1L) == rows(6L))
-      assert(rows.values.forall { case (w, h, b) => w >= 64 && h >= 64 && b >= 0.0 && b <= 1.0 })
-      // second run identical (stub is a pure function of the bytes)
-      val again = Multimodal.decodeImageFeatures(assets, "asset_id", "payload")
-        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
-      assert(again == rows)
-      // join-back shape: features sit beside metadata
+      // the text payloads in `assets` are not images — all flagged, none fatal
+      assert(feats.filter(col("decode_ok")).count() == 0)
       val joined = assets.withColumn("meta", Multimodal.metaOf(col("payload"), lit("t")))
         .join(feats, "asset_id")
       assert(joined.count() == 6 && joined.columns.contains("width"))
