@@ -90,37 +90,84 @@ object Similarity {
     */
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int, nProbe: Int): DataFrame = {
-    val centers = centroids
-      .groupBy(col(centroids.columns.head).as("cell"))
-      .agg(collect_list(struct(col("i"), col("c"))).as("entries"))
-      .select(col("cell"),
-        transform(array_sort(col("entries")), e => e.getField("c")).as("center"))
-    val c0 = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+    val centers = centersOf(centroids)
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-    // ||c||² − 2 v·c ranks cells by squared euclidean up to the
-    // constant ||v||² (same metric as ivfTopK; see note there)
-    def cdist(v: String) =
-      dot(col("center"), col("center")) - lit(2.0) * dot(col(v), col("center"))
+    val probes = probeCells(q0, centers, nProbe)
+    scoreProbed(assigned, probes, k)
+  }
 
-    val assigned = c0.crossJoin(broadcast(centers))
-      .withColumn("cdist", cdist("cv"))
+  /** (cell, center-vector) table from the [[centroids]] output shape. */
+  private def centersOf(centroids: DataFrame): DataFrame = centroids
+    .groupBy(col(centroids.columns.head).as("cell"))
+    .agg(collect_list(struct(col("i"), col("c"))).as("entries"))
+    .select(col("cell"),
+      transform(array_sort(col("entries")), e => e.getField("c")).as("center"))
+
+  // ||c||² − 2 v·c ranks cells by squared euclidean up to the constant
+  // ||v||² (same metric as ivfTopK; see note there)
+  private def cdistTo(v: String) =
+    dot(col("center"), col("center")) - lit(2.0) * dot(col(v), col("center"))
+
+  /** IVF cell assignment: (id, cv, cell) — broadcast of the tiny
+    * centroid table + map-side-partial `min(struct(dist, cell))`, one
+    * shuffled row per corpus vector.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(centersOf(centroids)))
+      .withColumn("cdist", cdistTo("cv"))
       .groupBy("id")
       // struct min orders (cdist, cell) lexicographically — the
       // deterministic tie-break the oracle mirrors with ORDER BY
       .agg(min(struct(col("cdist"), col("cell"))).getField("cell").as("cell"),
         first(col("cv")).as("cv"))
 
+  /** Per-query probed cells: (qid, qv, cell), nProbe rows per query. */
+  private def probeCells(q0: DataFrame, centers: DataFrame, nProbe: Int): DataFrame = {
     val wCells = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q0.crossJoin(broadcast(centers))
-      .withColumn("cdist", cdist("qv"))
+    q0.crossJoin(broadcast(centers))
+      .withColumn("cdist", cdistTo("qv"))
       .withColumn("crank", row_number().over(wCells))
       .filter(col("crank") <= nProbe)
       .select("qid", "qv", "cell")
+  }
 
+  private def scoreProbed(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     assigned.join(broadcast(probes), "cell")
       .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Materialize the IVF serving layout: `assign(corpus)` written as
+    * parquet PARTITIONED BY `cell` — one directory per inverted list.
+    * This is the amortized production shape: the quantizer runs once
+    * over the corpus lifetime, and every probe afterwards reads only
+    * its probed cells' directories.
+    */
+  def ivfPersist(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, path: String): Unit =
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a persisted IVF index ([[ivfPersist]] layout). The probed
+    * cell set is `queries × nProbe` ids — tiny by the ANN contract — so
+    * it collects into a LITERAL `cell IN (...)` predicate, buying
+    * STATIC partition pruning: the scan lists only the probed
+    * directories (asserted in PlanAuditSpec) with no runtime-DPP
+    * dependence, and unprobed inverted lists cost zero IO.
+    */
+  def ivfTopKPersisted(indexPath: String, queries: DataFrame, centroids: DataFrame,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val centers = centersOf(centroids)
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    val probes = probeCells(q0, centers, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val index = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
+    scoreProbed(index, probes, k)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer paritions the
@@ -131,7 +178,8 @@ object Similarity {
     * nCells this is exactly [[bruteForceTopK]]).
     *
     * The cell assignment is reusable across query batches — at scale,
-    * persist `assign(corpus)` bucketed by `cell` and amortize the
+    * persist it with [[ivfPersist]] (parquet partitioned by `cell`) and
+    * serve probes through [[ivfTopKPersisted]], amortizing the
     * quantizer over the corpus lifetime.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,

@@ -95,6 +95,29 @@ class AnalyticsSpec extends SparkSpec {
         .select("qid", "id").as[(Long, Long)].collect().toSet
       assert(probed == brute)
     }
+    it("persisted IVF index serves identical results through the cell-pruned scan") {
+      val rnd = new scala.util.Random(7)
+      def around(cx: Double, cy: Double, id: Long, label: Long) =
+        (id, label, Array((cx + rnd.nextGaussian() * 0.05).toFloat,
+          (cy + rnd.nextGaussian() * 0.05).toFloat))
+      val big = (
+        (0L until 20L).map(i => around(1.0, 0.0, i, 0L)) ++
+        (20L until 40L).map(i => around(0.0, 1.0, i, 1L)) ++
+        (40L until 60L).map(i => around(-1.0, 0.0, i, 2L))).toDF("vec_id", "label", "embedding")
+      val qs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("qid", "embedding")
+      val cents = Similarity.centroids(
+        big.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv")
+      val dir = java.nio.file.Files.createTempDirectory("graftivf").toString + "/ivf"
+      Similarity.ivfPersist(big, cents, "vec_id", "embedding", dir)
+      val inMemory = Similarity.ivfTopKWithCentroids(big, qs, cents,
+        "vec_id", "embedding", "qid", k = 5, nProbe = 1)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      val served = Similarity.ivfTopKPersisted(dir, qs, cents,
+        "qid", "embedding", k = 5, nProbe = 1)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(served == inMemory && served.nonEmpty)
+    }
     it("md5-derived hyperplane signatures are deterministic 0/1 bits and recall the top-1") {
       import graft.functions.VectorFunctions.md5HyperplaneSignature
       val sigs = corpus.select($"vec_id",

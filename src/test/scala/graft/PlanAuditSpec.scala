@@ -137,6 +137,25 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p)
     }
 
+    it("persisted IVF serving layout statically prunes the scan to the probed cells") {
+      import graft.analytics.Similarity
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = Similarity.centroids(
+        emb.select(pmod(col("vec_id"), lit(8)).as("group"), col("embedding")),
+        "group", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("graftivfaudit").toString + "/ivf"
+      Similarity.ivfPersist(emb, cents, "vec_id", "embedding", dir)
+      val qs = emb.filter(col("vec_id") < 2).select(col("vec_id").as("qid"), col("embedding"))
+      val res = Similarity.ivfTopKPersisted(dir, qs, cents, "qid", "embedding",
+        k = 5, nProbe = 2)
+      val p = plan(res)
+      // the probed-cell literal lands in PartitionFilters — the scan
+      // lists only the probed inverted-list directories; unprobed cells
+      // cost zero IO (static pruning, no runtime-DPP dependence)
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+      assert(res.count() > 0)
+    }
+
     it("scalable global ranking keeps the big-table window out of a single partition") {
       import graft.analytics.Ranking
       val orders = spark.read.parquet(s"$sf/orders.parquet")
