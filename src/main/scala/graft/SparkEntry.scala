@@ -106,6 +106,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // op 11's CALLABLE form (reference update(fields=lambda ...)): the
+    // transform maps the whole fields dict — every key doubles on
+    // matched rows — replayed by the oracle as CASE arithmetic per key
+    "q91_update_callable" -> ((s, dir) => {
+      val db = rdb(s, dir)
+      val c = QueryCompiler.compile(
+        (MeasurementQuery() === "click") & (FieldQuery("value") >= 100.0))
+      db.updatedWithDF(db.df, c,
+        fields = Some(m => transform_values(m, (_, v) => v * 2.0)))
+        .select(col(Point.SeqCol).as("event_id"),
+          element_at(col(Point.FieldsCol), "value").as("value"),
+          element_at(col(Point.FieldsCol), "k").as("k"))
+        .orderBy("event_id")
+    }),
+
     "q15_remove" -> ((s, dir) => {
       val db = rdb(s, dir)
       db.remove(FieldQuery("value") < 10.0)
@@ -194,6 +209,14 @@ object SparkEntry {
     "q14_update" ->
       """SELECT event_id,
         |  CASE WHEN user_id = 3 AND event_type = 'click' THEN 0.0
+        |       ELSE CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q91_update_callable" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' AND value >= 100 THEN value * 2
+        |       ELSE value END AS value,
+        |  CASE WHEN event_type = 'click' AND value >= 100
+        |       THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2
         |       ELSE CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "q15_remove" ->

@@ -356,6 +356,19 @@ final class GraftDB(val storage: Storage) {
     GraftDB.mergeMapFn(tags, unsetTags),
     GraftDB.mergeMapFn(fields, unsetFields))._1
 
+  /** Pure (non-persisting) form of the CALLABLE update transform
+    * (reference `update(fields=lambda …)`) — also the unit the q91
+    * oracle checks with CASE arithmetic.
+    */
+  def updatedWithDF(
+      base: DataFrame,
+      c: Column,
+      time: Option[Column => Column] = None,
+      measurement: Option[Column => Column] = None,
+      tags: Option[Column => Column] = None,
+      fields: Option[Column => Column] = None
+  ): DataFrame = GraftDB.updatePlan(base, c, time, measurement, tags, fields)._1
+
   /** op 13 `remove` (database.py:707-725): anti-filter rewrite. */
   def remove(q: Q): Long = {
     // keep-set negation must coerce null→false first: a bare !c is null
@@ -639,8 +652,11 @@ object GraftDB {
     * (default), 'w', 'w+', 'a', 'a+' with python open() semantics.
     */
   def atCsv(spark: SparkSession, path: String, compactPrefixes: Boolean = false,
-      readOnly: Boolean = false, accessMode: String = "r+"): GraftDB =
-    new GraftDB(new CsvStorage(spark, path, compactPrefixes, readOnly, accessMode))
+      readOnly: Boolean = false, accessMode: String = "r+",
+      flushOnInsert: Boolean = true, encoding: String = "UTF-8",
+      newline: String = ""): GraftDB =
+    new GraftDB(new CsvStorage(spark, path, compactPrefixes, readOnly, accessMode,
+      flushOnInsert, encoding, newline))
 
   /** Context-manager analogue of `with TinyFlux(...) as db:`
     * (database.py:126-146) — close() is guaranteed on exit.
