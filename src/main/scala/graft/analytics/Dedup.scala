@@ -83,6 +83,45 @@ object Dedup {
       postings.join(broadcast(hot), Seq(tokCol), "left_anti")
     }
 
+  /** Source-size bar above which a `maxDocFreq = None` caller pays one
+    * measurement pass before the quadratic-risk join (var so tests can
+    * force the path). Below it the plan stays job-free — a small corpus
+    * cannot blow up enough to matter.
+    */
+  private[graft] var exactPostingWarnBytes: Long = 1L << 30
+
+  /** Largest posting-list document frequency — the d whose d² dominates
+    * an unguarded inverted-index self-join.
+    */
+  private[graft] def maxPostingDocFreq(postings: DataFrame, tokCol: String): Long = {
+    val r = postings.groupBy(tokCol).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Defensive guard for exact (unbounded-vocabulary) posting joins: a
+    * caller who forgets `maxDocFreq` on a big corpus gets a LOUD
+    * warning with the measured hottest-token d and its d² candidate
+    * estimate, instead of silently launching a quadratic join. Costs
+    * one cheap aggregate pass, and only when the source's Catalyst size
+    * estimate crosses [[exactPostingWarnBytes]] — small inputs (tests,
+    * exploration) stay job-free.
+    */
+  private def warnIfUnboundedPostings(source: DataFrame, postings: DataFrame,
+      tokCol: String, op: String): Unit = {
+    val estBytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes >= BigInt(exactPostingWarnBytes)) {
+      val d = maxPostingDocFreq(postings, tokCol)
+      if (d > 10000)
+        org.slf4j.LoggerFactory.getLogger("graft.analytics.Dedup").warn(
+          s"$op: maxDocFreq=None over a ~$estBytes-byte source and the hottest " +
+            s"token appears in $d documents — that one posting list alone feeds " +
+            s"~${d * d} candidate pairs into the join. Set maxDocFreq to bound it " +
+            "(sizes are computed after the drop, so results stay exact over the " +
+            "pruned vocabulary).")
+    }
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
     *
     * Inverted-index pattern: explode distinct shingles, self-join on
@@ -100,6 +139,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
     val raw = spread(df).select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("tok"))
+    if (maxDocFreq.isEmpty) warnIfUnboundedPostings(df, raw, "tok", "ngramJaccardPairs")
     val toks = dropHotTokens(raw, "tok", maxDocFreq)
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = toks.as("a").join(toks.as("b"),
@@ -163,6 +203,7 @@ object Dedup {
       k: Int, w: Int, minShared: Int, maxDocFreq: Option[Int] = None): DataFrame = {
     val raw = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp"))
+    if (maxDocFreq.isEmpty) warnIfUnboundedPostings(df, raw, "fp", "winnowOverlapPairs")
     val kept = dropHotTokens(raw, "fp", maxDocFreq)
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

@@ -211,6 +211,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("unbounded-posting safety net") {
+    it("measures the hottest posting list and survives the warning path unchanged") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "common alpha"), (2L, "common beta"), (3L, "common gamma"),
+        (4L, "common delta"), (5L, "rare epsilon")).toDF("doc_id", "text")
+      // the measurement the guard reports: 'common' posts in 4 docs
+      val postings = docs.select(col("doc_id").as("id"),
+        explode(Dedup.wordShingles(col("text"), 1)).as("tok"))
+      assert(Dedup.maxPostingDocFreq(postings, "tok") == 4L)
+      // force the >=bytes path (var is test-visible) and confirm the
+      // maxDocFreq=None join still returns the same pairs — the guard
+      // warns, never mutates results
+      val before = Dedup.exactPostingWarnBytes
+      try {
+        val expected = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.3)
+          .select("i", "j").as[(Long, Long)].collect().toSet
+        Dedup.exactPostingWarnBytes = 0L
+        val guarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.3)
+          .select("i", "j").as[(Long, Long)].collect().toSet
+        assert(guarded == expected)
+        val w = Dedup.winnowOverlapPairs(docs, "doc_id", "text", k = 3, w = 4, minShared = 1)
+        assert(w.count() >= 0) // winnow path exercises the guard too
+      } finally Dedup.exactPostingWarnBytes = before
+    }
+  }
+
   describe("connected components") {
     it("labels clusters by min member and converges on dense near-dup graphs") {
       import spark.implicits._
