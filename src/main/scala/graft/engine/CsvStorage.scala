@@ -24,7 +24,15 @@ import graft.sources.ReferenceCsv
   */
 final class CsvStorage(val spark: SparkSession, path: String,
     compactPrefixes: Boolean = false, readOnly: Boolean = false,
-    accessMode: String = "r+") extends Storage {
+    accessMode: String = "r+",
+    // reference CSVStorage tuning kwargs (storages.py:184-193):
+    // flush_on_insert (flush + fsync per append batch), encoding
+    // (python None = platform default; here an explicit charset), and
+    // newline (python open() translation mode; "" is the csv-correct
+    // default — see ReferenceCsv.rowTerminator)
+    flushOnInsert: Boolean = true,
+    encoding: String = "UTF-8",
+    newline: String = "") extends Storage {
 
   /** Effective file mode — python open() semantics, matching the
     * reference's `access_mode` kwarg (storages.py:196-231):
@@ -63,7 +71,7 @@ final class CsvStorage(val spark: SparkSession, path: String,
   override protected def loadUnguarded(): DataFrame =
     if (knownEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
-    else ReferenceCsv.read(spark, path)
+    else ReferenceCsv.read(spark, path, encoding = encoding)
 
   override def load(): DataFrame = { guard(canRead, "read"); loadUnguarded() }
 
@@ -75,7 +83,8 @@ final class CsvStorage(val spark: SparkSession, path: String,
     */
   override def append(batch: DataFrame, perCall: Option[Boolean]): Unit = synchronized {
     guard(canAppend, "append to")
-    ReferenceCsv.appendFile(batch, path, perCall.getOrElse(compactPrefixes))
+    ReferenceCsv.appendFile(batch, path, perCall.getOrElse(compactPrefixes),
+      encoding, flushOnInsert, newline)
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
@@ -84,7 +93,7 @@ final class CsvStorage(val spark: SparkSession, path: String,
     // materialize to the temp file BEFORE touching the primary (the
     // plan may read from it), then swap atomically
     ReferenceCsv.writeFile(full.select(Point.columns.map(org.apache.spark.sql.functions.col): _*)
-      .orderBy(Point.SeqCol), tmp.toString, compactPrefixes)
+      .orderBy(Point.SeqCol), tmp.toString, compactPrefixes, encoding, flushOnInsert, newline)
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     resetGen()
   }

@@ -48,7 +48,8 @@ object ReferenceCsv {
     * doubles and the read retries. The recursion terminates at the
     * file's true width. Compat tier: per-file cost, not a cluster path.
     */
-  def read(spark: SparkSession, path: String, maxPairs: Int = DefaultMaxPairs): DataFrame = {
+  def read(spark: SparkSession, path: String, maxPairs: Int = DefaultMaxPairs,
+      encoding: String = "UTF-8"): DataFrame = {
     val width = 2 + 2 * maxPairs
     val corruptCol = "_graft_corrupt"
     val schema = StructType(
@@ -57,6 +58,8 @@ object ReferenceCsv {
     val raw = spark.read
       .option("header", "false")
       .option("mode", "PERMISSIVE")
+      // reference CSVStorage `encoding` kwarg (storages.py:188,224-226)
+      .option("encoding", encoding)
       // python's csv module escapes quotes by doubling them
       .option("escape", "\"")
       // quoted cells may contain raw newlines (QUOTE_MINIMAL writes
@@ -97,7 +100,7 @@ object ReferenceCsv {
       sum(when(col(corruptCol).isNotNull && tokenCount > width, 1).otherwise(0)).as("n"),
       count(col("c0"))).head()
     if (!probeRow.isNullAt(0) && probeRow.getLong(0) > 0)
-      return read(spark, path, maxPairs * 2)
+      return read(spark, path, maxPairs * 2, encoding)
 
     // kv cells as one array; schema-padding nulls and genuine empty
     // cells both normalize to "" — pairs are then kept by non-empty KEY
@@ -202,25 +205,43 @@ object ReferenceCsv {
     * (toLocalIterator), intended for export/migration of result sets
     * that a single reference instance can hold anyway.
     */
-  def writeFile(points: DataFrame, path: String, compactPrefixes: Boolean = false): Unit =
-    streamTo(points, path, append = false, compactPrefixes)
+  def writeFile(points: DataFrame, path: String, compactPrefixes: Boolean = false,
+      encoding: String = "UTF-8", flushOnInsert: Boolean = true,
+      newline: String = ""): Unit =
+    streamTo(points, path, append = false, compactPrefixes, encoding, flushOnInsert, newline)
 
   /** Append rows (in batch order) to an existing reference CSV file. */
-  def appendFile(points: DataFrame, path: String, compactPrefixes: Boolean = false): Unit =
-    streamTo(points, path, append = true, compactPrefixes)
+  def appendFile(points: DataFrame, path: String, compactPrefixes: Boolean = false,
+      encoding: String = "UTF-8", flushOnInsert: Boolean = true,
+      newline: String = ""): Unit =
+    streamTo(points, path, append = true, compactPrefixes, encoding, flushOnInsert, newline)
+
+  /** The reference opens its file with python `open(newline=...)`
+    * (storages.py:191,224-226) and the csv module emits `\r\n` row
+    * terminators; python then TRANSLATES each written `\n` per the
+    * newline mode. Mirror that translation on our terminator:
+    * "" or "\n" → no translation (the sane default, what csv docs
+    * demand); null (python None) → `\n` becomes the platform separator;
+    * "\r"/"\r\n" → `\n` becomes that string (the classic footgun that
+    * yields `\r\r\n` on disk — preserved for fidelity, not recommended).
+    */
+  private def rowTerminator(newline: String): String = newline match {
+    case "" | "\n"         => "\r\n"
+    case null              => "\r" + System.lineSeparator()
+    case "\r" | "\r\n"     => "\r" + newline
+    case other => throw new IllegalArgumentException(
+      s"illegal newline value '$other' (python open() allows None, '', '\\n', '\\r', '\\r\\n')")
+  }
 
   private def streamTo(points: DataFrame, path: String, append: Boolean,
-      compactPrefixes: Boolean): Unit = {
+      compactPrefixes: Boolean, encoding: String, flushOnInsert: Boolean,
+      newline: String): Unit = {
     import scala.jdk.CollectionConverters._
     val withSeq =
       if (points.columns.contains(Point.SeqCol)) points
       else points.withColumn(Point.SeqCol, monotonically_increasing_id())
     val p = java.nio.file.Paths.get(path)
-    val opts: Array[java.nio.file.OpenOption] =
-      if (append) Array(java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      else Array(java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    val terminator = rowTerminator(newline)
     // A file whose last line lacks a terminator (hand-edited, partial
     // copy) would otherwise have the first appended record glued onto
     // it — complete the line before appending.
@@ -233,15 +254,23 @@ object ReferenceCsv {
           buf.flip(); buf.get() != '\n'.toByte
         } finally ch.close()
       }
-    val out = java.nio.file.Files.newBufferedWriter(p, opts: _*)
-    if (needsSeparator) out.write("\r\n")
+    // FileOutputStream (not Files.newBufferedWriter) so the fsync knob
+    // has a file descriptor to sync — the reference's flush_on_insert
+    // does flush + os.fsync per batch (storages.py:302-308)
+    val fos = new java.io.FileOutputStream(path, append)
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fos, java.nio.charset.Charset.forName(encoding)))
+    if (needsSeparator) out.write(terminator)
     // coalesce(1) after the sort: partition merge order is partition
     // index order, which under the sort's range partitioning IS the
     // global order — and toLocalIterator then streams ONE job instead
     // of one sequential job per shuffle partition (which dominates
     // wall-clock for small batches), still memory-bounded.
-    try toLines(withSeq, compactPrefixes).coalesce(1).toLocalIterator().asScala
-      .foreach { r => out.write(r.getString(0)); out.write("\r\n") }
-    finally out.close()
+    try {
+      toLines(withSeq, compactPrefixes).coalesce(1).toLocalIterator().asScala
+        .foreach { r => out.write(r.getString(0)); out.write(terminator) }
+      out.flush()
+      if (flushOnInsert) fos.getFD.sync()
+    } finally out.close()
   }
 }

@@ -129,6 +129,58 @@ class ReferenceCsvSpec extends SparkSpec {
       assert(GraftDB.atCsv(spark, f.toString).length == 2)
     }
 
+    it("round-trips a non-UTF8 encoding end to end (storages.py encoding kwarg)") {
+      import graft.engine.GraftDB
+      import graft.query._
+      val f = Files.createTempFile("refcsvenc", ".csv")
+      Files.delete(f)
+      val db = GraftDB.atCsv(spark, f.toString, encoding = "ISO-8859-1")
+      db.insert(Point(Instant.parse("2024-01-01T00:00:00Z"), "café",
+        Map("ciudad" -> "münchen"), Map("temp" -> 1.5)))
+      // the bytes on disk are latin-1 (é = one byte, not utf-8's two):
+      // decoding as latin-1 recovers the text, decoding as utf-8 mangles
+      val asLatin = new String(Files.readAllBytes(f), "ISO-8859-1")
+      val asUtf = new String(Files.readAllBytes(f), "UTF-8")
+      assert(asLatin.contains("café") && asLatin.contains("münchen"))
+      assert(!asUtf.contains("café"))
+      val again = GraftDB.atCsv(spark, f.toString, encoding = "ISO-8859-1")
+      val p = again.all().head
+      assert(p.measurement == "café" && p.tags("ciudad") == "münchen")
+      // the rewrite path (update → temp-swap) keeps the encoding too
+      assert(again.update(TagQuery("ciudad") === "münchen", fields = Map("temp" -> 2.0)) == 1)
+      assert(GraftDB.atCsv(spark, f.toString, encoding = "ISO-8859-1")
+        .get(TagQuery("ciudad") === "münchen").get.fields("temp") == 2.0)
+    }
+
+    it("flush_on_insert=false persists identically (fsync is the only difference)") {
+      import graft.engine.GraftDB
+      import graft.query._
+      val f = Files.createTempFile("refcsvflush", ".csv")
+      Files.delete(f)
+      val db = GraftDB.atCsv(spark, f.toString, flushOnInsert = false)
+      db.insertMultiple(Seq(
+        Point(Instant.parse("2024-01-01T00:00:00Z"), "m", fields = Map("v" -> 1.0)),
+        Point(Instant.parse("2024-01-02T00:00:00Z"), "m", fields = Map("v" -> 2.0))))
+      assert(GraftDB.atCsv(spark, f.toString).count(FieldQuery("v") >= 1.0) == 2)
+    }
+
+    it("newline translation mirrors python open(): default stays \\r\\n, '\\r\\n' doubles") {
+      val src = writeTemp(Seq("2024-01-01T00:00:00,m,_field_v,1.0"))
+      val df = ReferenceCsv.read(spark, src)
+      val out = Files.createTempFile("refcsvnl", ".csv").toString
+      ReferenceCsv.writeFile(df, out)
+      val bytes = new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+      assert(bytes.endsWith("\r\n") && !bytes.endsWith("\r\r\n"))
+      // the python footgun, preserved for fidelity: open(newline='\r\n')
+      // translates the csv module's \n, leaving \r\r\n on disk
+      ReferenceCsv.writeFile(df, out, newline = "\r\n")
+      assert(new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+        .endsWith("\r\r\n"))
+      intercept[IllegalArgumentException] {
+        ReferenceCsv.writeFile(df, out, newline = "bogus")
+      }
+    }
+
     it("read-only handles refuse mutation before touching the file (op 54)") {
       import graft.engine.GraftDB
       import graft.query._
