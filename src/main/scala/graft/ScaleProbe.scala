@@ -25,10 +25,31 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // stage-budget evidence rides along with the wall time: linear
+    // scaling shows as ~constant stage counts with bigger tasks; a plan
+    // whose STAGES multiply at 10× is re-planning per data volume —
+    // the failure mode wall-clock alone can hide behind parallelism
+    def drainBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .foreach { m => m.invoke(bus); () }
+    }
     def time(name: String)(f: => Long): Unit = {
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          stages.incrementAndGet(); ()
+        }
+      }
+      drainBus()
+      spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (result rows: $n)")
+      val n = try f finally { drainBus(); spark.sparkContext.removeSparkListener(listener) }
+      println(f"SCALE $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"(result rows: $n, stages: ${stages.get()})")
     }
 
     val docs1 = Tables.table(spark, sfDir, "documents")
@@ -59,6 +80,17 @@ object ScaleProbe {
       }
       time(s"exact_dedup_$label") {
         Dedup.exactSurvivorIds(d, Seq("text"), "doc_id").count()
+      }
+      // q88 shape: the eval/benchmark set stays FIXED (base-id docs
+      // only — real benchmarks don't grow with the corpus); the corpus
+      // scales 10×. Expected growth: ~linear in corpus (the inverted-
+      // index join meets each corpus doc only through shared shingles;
+      // output grows with the planted copy count).
+      time(s"decontamination_$label") {
+        val evalSet = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L)
+          .select(col("doc_id").as("eval_id"), col("text"))
+        Dedup.contaminationPairs(d, "doc_id", "text", evalSet, "eval_id", "text",
+          n = 3, minShared = 3, maxDocFreq = Some(dfCut)).count()
       }
     }
     // same hygiene as emb10 below: the text tiers are done with this
@@ -106,6 +138,40 @@ object ScaleProbe {
     for ((label, e) <- Seq("1x" -> ev1.select("user_id", "ts_us", "event_id"), "10x" -> ev10)) {
       time(s"sessionize_$label") {
         Curation.sessionStats(e, "user_id", "ts_us", "event_id", 1800000000L).count()
+      }
+    }
+    ev10.unpersist()
+
+    // q89 shape: SESSION windows through the REAL micro-batch engine
+    // (AvailableNow file stream → session_window state store → memory
+    // sink) at 1× and 10×. The state store is keyed (user, session) —
+    // 10× users means 10× state entries but the same merge work per
+    // event, so the expected growth is ~linear with a constant stage
+    // budget.
+    {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val raw1 = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      for ((label, copies) <- Seq("1x" -> 1, "10x" -> 10)) {
+        val streamDir = java.nio.file.Files.createTempDirectory(s"graftscale$label").toString
+        (0 until copies).map(c =>
+            raw1.withColumn("user_id", col("user_id") + lit(c * userOff)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(streamDir)
+        time(s"stream_session_$label") {
+          val stream = spark.readStream.schema(rawSchema).parquet(streamDir)
+            .withColumn("time", timestamp_micros(expr("ts div 1000")))
+          val agg = StreamingIngest.sessionAgg(stream, "time",
+            gap = "1 hour", lateness = "1 hour",
+            groupCols = Seq("user_id"),
+            aggs = Seq(
+              "count(1)" -> "n",
+              "cast(sum(cast(value as decimal(18,2))) as double)" -> "sum_value"))
+          StreamingIngest.runToTable(agg, s"scale_session_$label",
+            OutputMode.Complete()).count()
+        }
       }
     }
     spark.stop()
