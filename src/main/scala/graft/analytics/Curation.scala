@@ -34,6 +34,30 @@ object Curation {
     df.filter(hashBucket(col(idCol), salt, 100) < pct)
   }
 
+  /** Weighted source-mixture sampling — the corpus-mixing step of a
+    * training-data pipeline: keep each row with the RATE its source was
+    * assigned (weights in [0,1]; unlisted sources keep `defaultWeight`).
+    * Deterministic per (salt, id) via per-mille hash buckets, so the
+    * mixture reproduces exactly across runs and engines; the retention
+    * test is a pure scan predicate — at 100 TB this is a full scan,
+    * nothing more. Pair with [[stratumCap]] when a source needs a hard
+    * row CAP rather than a rate.
+    */
+  def weightedMixture(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "mixture"): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0.0 && w <= 1.0),
+      "mixture weights must be rates in [0, 1]")
+    val bucket = hashBucket(col(idCol), salt, 1000)
+    val rate = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    // round, don't truncate: 0.3*1000 is 299.999… in binary and Spark's
+    // cast truncates while other engines round — rounding both sides
+    // keeps the per-mille threshold integer-exact for any weight
+    df.filter(bucket < round(rate * lit(1000.0)).cast("long"))
+  }
+
   /** Disjoint train/validation/test split by hash bucket — one scan,
     * three filters, no shuffle, stable across runs.
     */

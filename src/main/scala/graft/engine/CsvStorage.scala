@@ -27,12 +27,15 @@ final class CsvStorage(val spark: SparkSession, path: String,
     accessMode: String = "r+",
     // reference CSVStorage tuning kwargs (storages.py:184-193):
     // flush_on_insert (flush + fsync per append batch), encoding
-    // (python None = platform default; here an explicit charset), and
+    // (python None = platform default; here an explicit charset),
     // newline (python open() translation mode; "" is the csv-correct
-    // default — see ReferenceCsv.rowTerminator)
+    // default — see ReferenceCsv.rowTerminator), and create_dirs
+    // (python default False: a creating mode with a missing parent
+    // directory raises, exactly like open())
     flushOnInsert: Boolean = true,
     encoding: String = "UTF-8",
-    newline: String = "") extends Storage {
+    newline: String = "",
+    createDirs: Boolean = false) extends Storage {
 
   /** Effective file mode — python open() semantics, matching the
     * reference's `access_mode` kwarg (storages.py:196-231):
@@ -51,7 +54,13 @@ final class CsvStorage(val spark: SparkSession, path: String,
   // on a missing file fails like FileNotFoundError.
   if (mode.startsWith("w") && Files.exists(p)) Files.write(p, Array.emptyByteArray)
   else if (mode != "r" && !Files.exists(p)) {
-    if (p.getParent != null) Files.createDirectories(p.getParent)
+    if (p.getParent != null && !Files.exists(p.getParent)) {
+      // reference create_file(path, create_dirs) (storages.py:34-52,220):
+      // parents are only created when asked; otherwise fail like open()
+      if (createDirs) Files.createDirectories(p.getParent)
+      else throw new java.io.FileNotFoundException(
+        s"parent directory missing for $path (pass createDirs = true to create it)")
+    }
     Files.createFile(p)
   } else if (mode == "r" && !Files.exists(p))
     throw new java.io.FileNotFoundException(s"no such file: $path (mode 'r' does not create)")

@@ -654,9 +654,9 @@ object GraftDB {
   def atCsv(spark: SparkSession, path: String, compactPrefixes: Boolean = false,
       readOnly: Boolean = false, accessMode: String = "r+",
       flushOnInsert: Boolean = true, encoding: String = "UTF-8",
-      newline: String = ""): GraftDB =
+      newline: String = "", createDirs: Boolean = false): GraftDB =
     new GraftDB(new CsvStorage(spark, path, compactPrefixes, readOnly, accessMode,
-      flushOnInsert, encoding, newline))
+      flushOnInsert, encoding, newline, createDirs))
 
   /** Context-manager analogue of `with TinyFlux(...) as db:`
     * (database.py:126-146) — close() is guaranteed on exit.

@@ -228,6 +228,16 @@ object CorpusQueries {
       Curation.hashSample(docs(s, dir), "doc_id", pct = 10)
         .select("doc_id").orderBy("doc_id")),
 
+    // weighted corpus mixture: per-source keep rates over per-mille md5
+    // buckets (down-weight src0 hard, drop src1 entirely, keep src2 in
+    // full, every other source at the 40% default) — deterministic and
+    // replayed bucket-for-bucket by the oracle
+    "q92_weighted_mixture" -> ((s, dir) =>
+      Curation.weightedMixture(docs(s, dir), "doc_id", "source",
+        weights = Map("src0" -> 0.1, "src1" -> 0.0, "src2" -> 1.0),
+        defaultWeight = 0.4)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // cap every source at its 10 longest docs (domain-balance pass)
     "q63_source_quota" -> ((s, dir) =>
       Curation.stratumCap(docs(s, dir), Seq("source"), k = 10,
@@ -345,6 +355,12 @@ object CorpusQueries {
     "q62_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "q92_weighted_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || substring(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+        |  < CAST(round(1000.0 * (CASE source WHEN 'src0' THEN 0.1 WHEN 'src1' THEN 0.0
+        |                         WHEN 'src2' THEN 1.0 ELSE 0.4 END)) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "q63_source_quota" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

@@ -30,6 +30,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("weighted source mixture") {
+    it("keeps each source at ~its rate, deterministically; 0 drops, 1 keeps all") {
+      val docs = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+      val mixed = Curation.weightedMixture(docs, "id", "src",
+        weights = Map("s0" -> 0.0, "s1" -> 1.0), defaultWeight = 0.3)
+      val bySrc = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+      assert(!bySrc.contains("s0"))               // rate 0: dropped entirely
+      assert(bySrc("s1") == 1000L)                // rate 1: kept in full
+      assert(bySrc("s2") > 200 && bySrc("s2") < 400) // ~30% default
+      // deterministic across layouts (same rows, any partitioning)
+      val again = Curation.weightedMixture(docs.repartition(7), "id", "src",
+        weights = Map("s0" -> 0.0, "s1" -> 1.0), defaultWeight = 0.3)
+        .select("id").as[Long].collect().sorted
+      assert(again.sameElements(mixed.select("id").as[Long].collect().sorted))
+      // a truncation-hazard rate (0.3*1000 = 299.999... in binary)
+      // rounds to the exact per-mille threshold, matching hashSample's
+      // bucket arithmetic at the equivalent percentage
+      val viaSample = Curation.hashSample(
+        docs.withColumnRenamed("id", "doc"), "doc", 30, salt = "mixture").count()
+      val viaMixture = Curation.weightedMixture(docs, "id", "src",
+        weights = Map.empty, defaultWeight = 0.3).count()
+      // hashSample uses 100 buckets vs our 1000 — counts differ slightly,
+      // but the 0.3 threshold must be 300/1000, i.e. no truncation to 299
+      assert(viaMixture >= viaSample - 100 && viaMixture <= viaSample + 100)
+      intercept[IllegalArgumentException] {
+        Curation.weightedMixture(docs, "id", "src", Map("s0" -> 1.5))
+      }
+    }
+  }
+
   describe("per-stratum quota") {
     it("keeps exactly k per stratum in the declared order") {
       val df = Seq(

@@ -164,6 +164,18 @@ class ReferenceCsvSpec extends SparkSpec {
       assert(GraftDB.atCsv(spark, f.toString).count(FieldQuery("v") >= 1.0) == 2)
     }
 
+    it("create_dirs=false fails on a missing parent like python open(); true creates it") {
+      import graft.engine.GraftDB
+      val base = Files.createTempDirectory("refcsvdirs")
+      val nested = base.resolve("a/b/data.csv").toString
+      intercept[java.io.FileNotFoundException] {
+        GraftDB.atCsv(spark, nested)
+      }
+      val db = GraftDB.atCsv(spark, nested, createDirs = true)
+      db.insert(Point(Instant.parse("2024-01-01T00:00:00Z"), "m", fields = Map("v" -> 1.0)))
+      assert(GraftDB.atCsv(spark, nested).length == 1)
+    }
+
     it("newline translation mirrors python open(): default stays \\r\\n, '\\r\\n' doubles") {
       val src = writeTemp(Seq("2024-01-01T00:00:00,m,_field_v,1.0"))
       val df = ReferenceCsv.read(spark, src)
