@@ -122,6 +122,54 @@ object Curation {
         min(col(tsCol)).as("start_us"),
         max(col(tsCol)).as("end_us"))
 
+  /** Greedy token-budget selection: walk the corpus in `order` (e.g.
+    * quality desc) and keep rows while the running `weightCol` total
+    * stays ≤ `budget` — "fill the training budget with the best docs",
+    * the data-selection step between scoring and training.
+    *
+    * A naive global running sum is a bare `Window.orderBy` — an
+    * Exchange SinglePartition that serializes the corpus through one
+    * task. Here the cutoff is found the way [[Ranking]] computes global
+    * ranks: range-partition on `order` (one shuffle), aggregate
+    * per-partition weight totals (numPartitions rows, reusing the same
+    * exchange), prefix-sum those into partition offsets, and decide
+    * WHOLE partitions by metadata — a partition whose offset+total fits
+    * the budget is kept outright, one past the budget is dropped
+    * outright. Only the single partition straddling the boundary pays a
+    * per-row running sum, over its own rows alone. At 100 TB that is:
+    * every partition one broadcast-join filter, plus one partition's
+    * local window.
+    *
+    * `order` must be a total order (tie-break on a unique key) and
+    * `weightCol` non-negative — same contract as any deterministic
+    * greedy selection. Returns the input columns unchanged.
+    */
+  def budgetSelect(df: DataFrame, order: Seq[Column], weightCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+    val byPid = Window.orderBy("__pid")
+    val offsets = ranged
+      .groupBy(spark_partition_id().as("__pid")).agg(sum(col(weightCol)).as("__wtot"))
+      .withColumn("__woff", coalesce(
+        sum("__wtot").over(byPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__woff", "__wtot")
+    val tagged = ranged.withColumn("__pid", spark_partition_id())
+      .join(broadcast(offsets), "__pid")
+    val keepWhole = tagged.filter(col("__woff") + col("__wtot") <= budget)
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val straddleKept = tagged
+      .filter(col("__woff") < budget && col("__woff") + col("__wtot") > budget)
+      .withColumn("__cum", col("__woff") + sum(col(weightCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+    val cols = df.columns.map(col).toSeq
+    keepWhole.select(cols: _*).unionAll(straddleKept.select(cols: _*))
+  }
+
   /** Sequence packing (training-batch prep): within each shard, lay the
     * docs end-to-end in `orderCol` order and cut the stream into chunks
     * of `budget` weight (tokens); a doc's `chunk_id` is the chunk its

@@ -130,6 +130,55 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r]", ""), "[ \\t\\n\\r]+", " "))
 
+  /** BM25 relevance of every document against a FIXED small term set —
+    * the retrieval-scoring step of a data pipeline (mining docs relevant
+    * to a topic, building retrieval eval sets, source-quality probes).
+    *
+    * Okapi BM25 with the Lucene-style non-negative idf:
+    * {{{ score = Σ_t ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+    *             · tf_t·(k1+1) / (tf_t + k1·(1 - b + b·dl/avgdl)) }}}
+    *
+    * Built for exact cross-engine replay: per-term tf is an array-filter
+    * count on the doc's own tokens (no explode/regroup), corpus stats
+    * (N, avgdl, df_t) are ONE aggregate row broadcast back, and the
+    * per-doc score sums the terms in fixed declaration order — every
+    * float op has a deterministic operand order, so an external SQL
+    * engine reproduces it bit-for-bit (modulo 1-ulp `ln`, absorbed by
+    * the caller's round-to-6). All counts stay integer-exact in doubles.
+    *
+    * Scale shape: one corpus scan for the stats row, one for scoring —
+    * no shuffle wider than the single-row aggregate, no join by key.
+    * Docs matching no term are dropped (the integer tf sum, not the
+    * float score, decides — no boundary risk).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.size <= 16, "bm25 is for small fixed term sets; use vocabulary() for corpus-wide stats")
+    val toks = tokens(col(textCol))
+    val tfCols = terms.indices.map(i =>
+      size(filter(toks, t => t === terms(i))).as(s"__tf$i"))
+    val withTf = Dedup.spread(df).select(
+      (col(idCol) +: size(toks).cast("double").as("__dl") +: tfCols): _*)
+    // one-row corpus statistics; every value is an integer or a ratio of
+    // integers, so the aggregate is order-insensitive and exact
+    val statAggs = avg(col("__dl")).as("__avgdl") +:
+      terms.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).cast("double").as(s"__df$i"))
+    val stats = withTf.agg(count(lit(1)).cast("double").as("__n"), statAggs: _*)
+    val matched = terms.indices.map(i => col(s"__tf$i")).reduce(_ + _) > 0
+    // (1-b) and (k1+1) fold to doubles scala-side; the oracle writes the
+    // same literals so both engines evaluate the identical constant
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idf = log((col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)) + lit(1.0))
+      idf * tf * lit(k1 + 1.0) / (tf + norm)
+    }.reduce(_ + _)
+    withTf.filter(matched)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("bm25"))
+  }
+
   /** Corpus vocabulary: per-token document frequency (docs containing
     * it) and collection frequency (total occurrences), top `k` by df —
     * the table BPE/vocab training, stopword discovery, and the

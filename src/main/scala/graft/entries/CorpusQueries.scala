@@ -79,6 +79,31 @@ object CorpusQueries {
         .select(col("doc_id"), round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")),
 
+    // BM25 relevance against a fixed 3-term query: per-term tf via
+    // array-filter counts (no explode), corpus stats one broadcast row,
+    // fixed-order float sum — the oracle replays the identical
+    // arithmetic; membership is decided by the INTEGER tf sum and the
+    // score rounded 6dp, so 1-ulp ln() noise cannot show through
+    "q93_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "merge", "window"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")),
+
+    // greedy token-budget selection: fill a 5000-token training budget
+    // with the best-quality docs (quality rounded 6dp BEFORE ordering so
+    // both engines walk the identical order; ties broken by doc_id; the
+    // running total is integer-exact). Partition-metadata cutoff — only
+    // the straddling range partition pays a per-row running sum.
+    "q94_budget_select" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("quality"), 6).as("quality"))
+      Curation.budgetSelect(scored, Seq(col("quality").desc, col("doc_id")),
+        "n_tokens", budget = 5000L)
+        .orderBy("doc_id")
+    }),
+
     "q55_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
@@ -480,6 +505,39 @@ object CorpusQueries {
          |  least(stop_ratio * 4.0, 1.0) * 0.4 +
          |  (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2, 6) AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q93_bm25" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |f AS (SELECT doc_id, CAST(length(toks) AS DOUBLE) AS dl,
+        |  length(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |  length(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |  length(list_filter(toks, x -> x = 'window')) AS tf2 FROM t),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM f)
+        |SELECT doc_id, round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |FROM f, g WHERE tf0 + tf1 + tf2 > 0 ORDER BY doc_id""".stripMargin,
+    "q94_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS nch,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(length(toks) AS DOUBLE) AS n_tokens,
+         |  CAST(length(list_filter(toks, x -> x IN ($enStop))) AS DOUBLE) / greatest(length(toks), 1) AS stop_ratio,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(nch, 1) AS punct_ratio
+         |FROM t),
+         |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(
+         |  least(n_tokens / 64.0, 1.0) * 0.4 +
+         |  least(stop_ratio * 4.0, 1.0) * 0.4 +
+         |  (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2, 6) AS quality FROM f),
+         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
+         |SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 5000 ORDER BY doc_id""".stripMargin,
     "q55_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]

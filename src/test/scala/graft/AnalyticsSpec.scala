@@ -283,6 +283,35 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getInt(1) == 4)                     // n_tokens
       assert(math.abs(r.getDouble(3) - 0.75) < 1e-12) // stopword_ratio 3/4
     }
+    it("bm25 matches a local reference; zero-match docs are dropped by integer test") {
+      val corpus = Seq(
+        (0L, "spark merge window spark"),
+        (1L, "the quick fox"),
+        (2L, "merge merge merge join"),
+        (3L, "window"),
+        (4L, ""))
+      val terms = Seq("spark", "merge", "window")
+      val got = TextAnalysis.bm25(corpus.toDF("id", "text"), "id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+      val n = toks.size.toDouble
+      val avgdl = toks.map(_._2.length).sum / n
+      val dfc = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+      def score(ws: Array[String]): Double = terms.map { t =>
+        val f = ws.count(_ == t).toDouble
+        val idf = math.log((n - dfc(t) + 0.5) / (dfc(t) + 0.5) + 1.0)
+        idf * f * (1.2 + 1.0) / (f + 1.2 * (0.25 + 0.75 * ws.length / avgdl))
+      }.sum
+      toks.foreach { case (id, ws) =>
+        if (terms.exists(ws.contains)) {
+          assert(math.abs(got(id) - score(ws)) < 1e-9, s"doc $id")
+          assert(got(id) > 0.0)
+        } else assert(!got.contains(id), s"doc $id should be dropped")
+      }
+      // more occurrences of a rarer term must outrank fewer of a common one
+      assert(got(0L) > got(3L)) // doc0 has 2x spark + window vs doc3's lone window
+      intercept[IllegalArgumentException] { TextAnalysis.bm25(corpus.toDF("id", "text"), "id", "text", Nil) }
+    }
   }
 
   describe("time series aggregation") {

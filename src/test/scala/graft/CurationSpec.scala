@@ -134,6 +134,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("greedy token-budget selection") {
+    lazy val docs = (0L until 500L)
+      .map(i => (i, (i * 37 % 90) + 5, ((i * 13) % 100) / 100.0))
+      .toDF("id", "w", "q")
+    lazy val order = Seq(col("q").desc, col("id"))
+
+    it("matches the naive single-window running sum exactly") {
+      val got = Curation.budgetSelect(docs, order, "w", budget = 4000L, numPartitions = 8)
+        .select("id").as[Long].collect().sorted
+      val naive = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ref = docs.withColumn("cum", sum(col("w")).over(naive))
+        .filter(col("cum") <= 4000L).select("id").as[Long].collect().sorted
+      assert(got.sameElements(ref) && got.nonEmpty && got.length < 500)
+    }
+
+    it("is layout-independent and handles the budget extremes") {
+      val a = Curation.budgetSelect(docs, order, "w", 4000L, numPartitions = 8)
+        .select("id").as[Long].collect().sorted
+      val b = Curation.budgetSelect(docs.repartition(11), order, "w", 4000L, numPartitions = 8)
+        .select("id").as[Long].collect().sorted
+      assert(a.sameElements(b))
+      assert(Curation.budgetSelect(docs, order, "w", Long.MaxValue, 8).count() == 500)
+      assert(Curation.budgetSelect(docs, order, "w", 0L, 8).count() == 0)
+    }
+  }
+
   describe("edge cases") {
     it("empty inputs flow through sessionize, components, and sampling") {
       val noEvents = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")

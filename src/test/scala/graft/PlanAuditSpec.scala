@@ -170,6 +170,26 @@ class PlanAuditSpec extends SparkSpec {
       val idx = p.indexOf("Exchange SinglePartition")
       assert(idx >= 0 && p.substring(idx).contains("HashAggregate"), p)
     }
+
+    it("budget selection: corpus stays range-partitioned; only the offsets row-set is single-partition") {
+      import graft.analytics.TextAnalysis
+      val docsT = spark.read.parquet(s"$sf/documents.parquet")
+      val scored = TextAnalysis.qualityScore(docsT, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("quality"), 6).as("q"))
+      val sel = Curation.budgetSelect(scored, Seq(col("q").desc, col("doc_id")),
+        "n_tokens", budget = 5000L)
+      val p = plan(sel)
+      // the only SinglePartition exchanges sit above the per-partition
+      // totals aggregate (numPartitions rows); the document path itself
+      // is range-partitioned and whole partitions are decided by the
+      // broadcast-joined offsets, never a global sort
+      assert(p.contains("Exchange rangepartitioning"), p)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+      "Exchange SinglePartition".r.findAllIn(p).matchData.foreach { m =>
+        assert(p.substring(m.start).contains("HashAggregate"), p)
+      }
+    }
   }
 
   private def Tables = graft.sources.Tables
