@@ -170,6 +170,35 @@ object Curation {
     keepWhole.select(cols: _*).unionAll(straddleKept.select(cols: _*))
   }
 
+  /** Sliding token-window chunking (RAG / context-window prep): cut each
+    * doc's whitespace tokens into windows of `chunkSize` tokens starting
+    * every `stride` tokens (stride < chunkSize ⇒ overlapping windows,
+    * the standard retrieval-chunking shape; stride = chunkSize ⇒
+    * disjoint blocks). One row per (doc, chunk) with the chunk's token
+    * count and content md5 — the join currency for block-level dedup
+    * and embedding pipelines, engine-portable for exact replay.
+    *
+    * Start positions are `0, stride, 2·stride, …` while < the doc's
+    * token count; the final windows truncate at the doc end (no
+    * padding). Empty docs produce no chunks. Pure per-row explode —
+    * scan-parallel, no shuffle; output size is rows × (len/stride).
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "want 1 <= stride <= chunkSize")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val starts = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(toks) - 1, lit(stride)))
+    df.select(col(idCol), toks.as("__toks"), posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkSize), size(col("__toks")) - col("__start")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+  }
+
   /** Sequence packing (training-batch prep): within each shard, lay the
     * docs end-to-end in `orderCol` order and cut the stream into chunks
     * of `budget` weight (tokens); a doc's `chunk_id` is the chunk its

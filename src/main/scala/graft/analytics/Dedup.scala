@@ -53,6 +53,35 @@ object Dedup {
     df.groupBy(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .agg(min(idCol).as(idCol)).select(idCol)
 
+  /** Block-level (span) exact dedup — the fine-grained tier between
+    * whole-document dedup and n-gram near-dup: cut each doc into
+    * consecutive disjoint `blockLen`-token blocks ([[Curation.
+    * slidingChunks]] with stride = size) and keep, per distinct block
+    * TEXT, only its first occurrence in corpus order (min doc id, then
+    * min block position). Returns one row per doc: total blocks and
+    * blocks kept — the "how much of this doc is novel" signal used to
+    * drop boilerplate-heavy docs (RefinedWeb-style line/span dedup).
+    *
+    * Scale shape: block identity travels as its md5 (32 bytes), never
+    * the text; first-occurrence is a map-side-combinable `min(struct)`
+    * groupBy on the digest + a digest equi-join back — two shuffles of
+    * digests, linear in corpus size, no window over the full corpus.
+    */
+  def blockDedupStats(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int): DataFrame = {
+    val blocks = Curation.slidingChunks(spread(df), idCol, textCol,
+      chunkSize = blockLen, stride = blockLen)
+      .select(col(idCol), col("chunk_id"), col("chunk_md5"))
+    val firsts = blocks
+      .groupBy("chunk_md5")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
+    blocks.join(firsts, "chunk_md5")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum((struct(col(idCol), col("chunk_id")) === col("__first")).cast("long"))
+          .as("n_kept"))
+  }
+
   // ---- tokenization helpers ----
 
   /** Word n-gram shingles as a distinct array. Empty tokens are dropped

@@ -179,6 +179,41 @@ object TextAnalysis {
       .select(col(idCol), score.as("bm25"))
   }
 
+  /** PII patterns, chosen to parse identically under Java regex and
+    * RE2-family engines: no lookaround, no backrefs, explicit classes.
+    * `\b` is the ASCII word boundary in both.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII detection + redaction — the scrubbing pass a training-data
+    * pipeline runs before anything ships to a model: count and mask
+    * email addresses, IPv4 addresses, and phone-shaped numbers.
+    *
+    * Counts are independent pattern counts on the RAW text; redaction
+    * applies sequentially (email → IPv4 → phone, most-specific first,
+    * so an address inside an email is consumed by the email mask and
+    * never double-counted in the output). Pure per-row projection — a
+    * full scan and nothing else at any corpus size; no shuffle, no UDF,
+    * stays inside whole-stage codegen.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>")
+    df.select(
+      col(idCol),
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(text, lit(PhonePattern)).cast("long").as("n_phones"),
+      redacted.as("redacted"))
+  }
+
   /** Corpus vocabulary: per-token document frequency (docs containing
     * it) and collection frequency (total occurrences), top `k` by df —
     * the table BPE/vocab training, stopword discovery, and the

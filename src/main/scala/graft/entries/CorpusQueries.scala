@@ -104,6 +104,48 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrub over documents with PII synthesized deterministically
+    // from (doc_id, source) — the raw corpus is PII-free word salad, so
+    // emails/phones/IPs are appended the same way on both engines (the
+    // q61 magic-byte precedent). The oracle replays the regex counts AND
+    // the sequential redaction in RE2, so cross-engine regex-semantics
+    // drift — not just the counts — is what the md5 gate checks.
+    "q96_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val did = col("doc_id").cast("string")
+      val withPii = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), did, lit("@mail-"), col("source"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 100).cast("string"), lit(".0."),
+            (col("doc_id") % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(withPii, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // sliding token-window chunking (RAG prep): 16-token windows every
+    // 8 tokens; final windows truncate at the doc end. Chunk content is
+    // md5-gated, so the window arithmetic and slicing are both checked.
+    "q97_sliding_chunks" -> ((s, dir) =>
+      Curation.slidingChunks(docs(s, dir), "doc_id", "text", chunkSize = 16, stride = 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // block-level span dedup: disjoint 3-token blocks, first occurrence
+    // (min doc, then min position) survives; per-doc novelty stats. The
+    // ~40-word synthetic vocabulary makes 3-token collisions real, so
+    // n_kept < n_blocks for late docs — the survivorship rule is what
+    // the oracle replays.
+    "q98_block_dedup" -> ((s, dir) =>
+      Dedup.blockDedupStats(docs(s, dir), "doc_id", "text", blockLen = 3)
+        .orderBy("doc_id")),
+
     "q55_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
@@ -538,6 +580,36 @@ object CorpusQueries {
          |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
          |SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 5000 ORDER BY doc_id""".stripMargin,
+    "q96_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source || '.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 100 AS VARCHAR) || '.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(length(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q97_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, ((length(w) - 1) // 8) + 1)) AS cid FROM t WHERE length(w) > 0)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(least(16, length(w) - cid * 8) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(w[cid * 8 + 1 : least(cid * 8 + 16, length(w))], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q98_block_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |b AS (SELECT doc_id, w, unnest(range(0, ((length(w) - 1) // 3) + 1)) AS bid FROM t WHERE length(w) > 0),
+        |h AS (SELECT doc_id, bid, md5(array_to_string(w[bid * 3 + 1 : least(bid * 3 + 3, length(w))], ' ')) AS hh FROM b),
+        |r AS (SELECT doc_id, bid, row_number() OVER (PARTITION BY hh ORDER BY doc_id, bid) AS rn FROM h)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q55_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]

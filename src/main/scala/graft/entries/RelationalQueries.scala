@@ -270,6 +270,28 @@ object RelationalQueries {
         .select("pid", "vid").orderBy("pid", "vid")
     }),
 
+    // watermarked STREAMING dedup through the real micro-batch engine:
+    // first-arrival-wins per (user, event_type, day) via
+    // dropDuplicatesWithinWatermark state — the streaming form of exact
+    // dedup. The projection keeps only the key columns, so the emitted
+    // rows are key-determined (it cannot matter WHICH duplicate won) and
+    // the oracle is the batch DISTINCT over the same keys: what the
+    // query pins is that the state-store dedup emits every key exactly
+    // once — no key lost, none doubled. day_us is integer epoch-micros
+    // arithmetic, replayed exactly by the oracle.
+    "q95_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val ev = StreamingIngest.eventsStream(s, dir)
+        .withColumn("day_us", col("ts_us") - col("ts_us") % 86400000000L)
+      val dd = StreamingIngest.streamDedup(ev,
+        keyCols = Seq("user_id", "event_type", "day_us"),
+        timeCol = "time", lateness = "1 hour")
+      StreamingIngest.runToTable(dd, "q95_sink", OutputMode.Append())
+        .select("user_id", "event_type", "day_us")
+        .orderBy("user_id", "event_type", "day_us")
+    }),
+
     // native session_window ≡ gaps-and-islands INCLUDING the boundary
     // case: Spark merges a new event into the open session when its
     // start <= current session end, so two events exactly `gap` apart
@@ -514,6 +536,10 @@ object RelationalQueries {
         |  AND p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY pid, vid""".stripMargin,
+    "q95_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+        |FROM events ORDER BY user_id, event_type, day_us""".stripMargin,
     "q73_session_window" ->
       """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |b AS (SELECT user_id, event_id, ts_us,

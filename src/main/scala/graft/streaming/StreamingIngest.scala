@@ -132,6 +132,31 @@ object StreamingIngest {
       .agg(first, rest: _*)
   }
 
+  /** Watermarked streaming deduplication — the streaming form of exact
+    * dedup (`Dedup.exactSurvivorIds`): the FIRST arrival of each key
+    * combination passes through, later arrivals are dropped. Uses
+    * `dropDuplicatesWithinWatermark`, so per-key state lives only until
+    * the watermark passes `lateness` beyond its first arrival — bounded
+    * state no matter how many distinct keys the stream carries over its
+    * lifetime (a plain `dropDuplicates` would hold every key forever).
+    * The projection keeps only `keyCols` + the event-time column: the
+    * state store then carries keys, not payloads, and every emitted row
+    * is key-determined (duplicates agree on the keys by definition), so
+    * downstream results don't depend on WHICH duplicate won the race.
+    */
+  def streamDedup(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      lateness: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "streamDedup needs at least one key column")
+    stream
+      .withWatermark(timeCol, lateness)
+      .select((keyCols :+ timeCol).distinct.map(col): _*)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Watermarked stream-stream inner join: rows of `left` and `right`
     * sharing `keyCols` match when the right event time falls within
     * [left − lowerBound, left + upperBound]. Both sides carry

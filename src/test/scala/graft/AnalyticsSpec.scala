@@ -314,6 +314,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("pii scrub") {
+    it("counts and masks emails, ipv4s, and phone-shaped numbers") {
+      val df = Seq(
+        (1L, "mail me at a.b+c@sub.example.org or root@h.io thanks"),
+        (2L, "server 192.168.0.1 and 10.0.0.255 reply 555-0199"),
+        (3L, "no pii here at all")).toDF("id", "text")
+      val r = TextAnalysis.piiScrub(df, "id", "text")
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3)), x.getString(4))).toMap
+      assert(r(1L)._1 == ((2L, 0L, 0L)))
+      assert(r(1L)._2 == "mail me at <EMAIL> or <EMAIL> thanks")
+      assert(r(2L)._1 == ((0L, 2L, 1L)))
+      assert(r(2L)._2 == "server <IP> and <IP> reply <PHONE>")
+      assert(r(3L)._1 == ((0L, 0L, 0L)) && r(3L)._2 == "no pii here at all")
+    }
+    it("redaction is sequential most-specific-first: an email eats its inner dots") {
+      // the domain contains a digit run that the bare IP pattern would
+      // never match anyway, but the email must be consumed as ONE token
+      val df = Seq((1L, "x 1.2.3.4@a.bc y")).toDF("id", "text")
+      val row = TextAnalysis.piiScrub(df, "id", "text").head()
+      assert(row.getString(4) == "x <EMAIL> y")
+    }
+  }
+
   describe("time series aggregation") {
     def t(s: String): Instant = Instant.parse(s)
     lazy val db = {

@@ -134,6 +134,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("sliding token-window chunking") {
+    it("emits windows every stride, truncating at the doc end; empty docs emit none") {
+      val df = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "  ")).toDF("id", "text")
+      val out = Curation.slidingChunks(df, "id", "text", chunkSize = 4, stride = 2)
+        .orderBy("id", "chunk_id")
+        .select("id", "chunk_id", "n_tokens").as[(Long, Long, Long)].collect().toSeq
+      // doc1: starts 0,2,4,6 over 7 tokens -> sizes 4,4,3,1; doc2: one window of 2
+      assert(out == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 3L), (1L, 3L, 1L), (2L, 0L, 2L)))
+      // chunk content hash matches the sliced text exactly
+      val first = Curation.slidingChunks(df, "id", "text", 4, 2)
+        .filter(col("id") === 1L && col("chunk_id") === 1L).select("chunk_md5").head().getString(0)
+      val expected = df.sparkSession.range(1).select(md5(lit("c d e f"))).head().getString(0)
+      assert(first == expected)
+    }
+    it("stride = chunkSize gives disjoint blocks covering every token once") {
+      val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+      val out = Curation.slidingChunks(df, "id", "text", chunkSize = 3, stride = 3)
+        .select("n_tokens").as[Long].collect().toSeq
+      assert(out.sorted == Seq(1L, 3L, 3L, 3L) && out.sum == 10L)
+      intercept[IllegalArgumentException] {
+        Curation.slidingChunks(df, "id", "text", chunkSize = 2, stride = 3)
+      }
+    }
+  }
+
   describe("greedy token-budget selection") {
     lazy val docs = (0L until 500L)
       .map(i => (i, (i * 37 % 90) + 5, ((i * 13) % 100) / 100.0))

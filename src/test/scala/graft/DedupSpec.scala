@@ -35,6 +35,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("block-level span dedup") {
+    it("first occurrence (min doc, then min position) survives; later copies don't") {
+      val spans = Seq(
+        (1L, "a b c d e f"),   // blocks (a b c)(d e f): both novel
+        (2L, "a b c x y z"),   // (a b c) already owned by doc 1
+        (3L, "d e f a b c"),   // both blocks seen -> nothing kept
+        (4L, "a b c a b c")    // both copies lose to doc 1's block
+      ).toDF("doc_id", "text")
+      val out = Dedup.blockDedupStats(spans, "doc_id", "text", blockLen = 3)
+        .orderBy("doc_id")
+        .select("doc_id", "n_blocks", "n_kept").as[(Long, Long, Long)].collect().toSeq
+      assert(out == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 2L, 0L)))
+    }
+    it("a short tail block is its own span; in-doc duplicates keep only the first") {
+      val spans = Seq((7L, "p q r p q r p")).toDF("doc_id", "text")
+      // blocks: (p q r)(p q r)(p) — the repeat loses to position 0, the tail is novel
+      val out = Dedup.blockDedupStats(spans, "doc_id", "text", blockLen = 3).head()
+      assert((out.getLong(1), out.getLong(2)) == ((3L, 2L)))
+    }
+  }
+
   describe("n-gram jaccard") {
     it("exact pairwise jaccard finds the planted near-dups and nothing else") {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)

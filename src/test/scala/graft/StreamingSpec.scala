@@ -295,4 +295,30 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  describe("watermarked streaming dedup") {
+    it("first arrival per key passes; later duplicates drop, in-batch and across batches") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val dd = StreamingIngest.streamDedup(
+        mem.toDF().toDF("time", "m", "room", "temp"),
+        keyCols = Seq("m", "room"), timeCol = "time", lateness = "10 minutes")
+      val q = dd.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("dedup_sink").start()
+      try {
+        mem.addData(
+          (ts("2024-01-01 10:00:00"), "therm", "bed", 70.0),
+          (ts("2024-01-01 10:01:00"), "therm", "bed", 71.0),     // in-batch dup
+          (ts("2024-01-01 10:02:00"), "therm", "kitchen", 68.0))
+        q.processAllAvailable()
+        mem.addData((ts("2024-01-01 10:03:00"), "therm", "bed", 72.0)) // cross-batch dup
+        q.processAllAvailable()
+        val rows = spark.table("dedup_sink").select("m", "room")
+          .as[(String, String)].collect().toSeq
+        assert(rows.size == 2)
+        assert(rows.toSet == Set(("therm", "bed"), ("therm", "kitchen")))
+        // the projection inside streamDedup keeps keys + event time only
+        assert(spark.table("dedup_sink").columns.toSet == Set("m", "room", "time"))
+      } finally q.stop()
+    }
+  }
 }
