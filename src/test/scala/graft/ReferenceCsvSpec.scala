@@ -318,6 +318,43 @@ class ReferenceCsvSpec extends SparkSpec {
       }
     }
 
+    it("driver-side small-batch serialization is byte-identical to the distributed formatter") {
+      // enough rows to cross the parallel-chunk boundary (2048/chunk) so
+      // the multi-threaded driver path proves ordering too; built from a
+      // LOCAL collection (LocalRelation, exact size stats) so the size
+      // gate actually routes it down the driver-side path — a parallelize
+      // batch reports unknown stats and takes the distributed writer
+      val rnd = new scala.util.Random(20260813L)
+      val tricky = Seq("plain", "has,comma", "has\"quote", "a\nb", "ünïcödé ✓", "", " sp ")
+      val pts = (0 until 5000).map { i =>
+        Point(
+          time = if (i % 97 == 0) null
+            else Instant.ofEpochSecond(1700000000L + rnd.nextInt(1000000), rnd.nextInt(1000000) * 1000L),
+          measurement = if (i % 11 == 0) Point.DefaultMeasurement else tricky(rnd.nextInt(tricky.length)) + i,
+          tags = (0 until rnd.nextInt(3)).map(k => s"t$k" -> (if (rnd.nextInt(7) == 0) null else tricky(rnd.nextInt(tricky.length)))).toMap,
+          fields = (0 until rnd.nextInt(3)).map(k => s"f$k" -> (rnd.nextInt(5) match {
+            case 0 => null
+            case 1 => Double.box(rnd.nextInt(1000).toDouble)
+            case _ => Double.box(rnd.nextDouble() * 1e6 - 5e5)
+          })).toMap,
+          _seq = i.toLong)
+      }
+      val df = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(pts.map(p => org.apache.spark.sql.Row(
+          Option(p.time).map(java.sql.Timestamp.from).orNull,
+          p.measurement, p.tags, p.fields, p._seq))).asJava,
+        Point.schema)
+      val path = Files.createTempFile("graftlocalcsv", ".csv").toString
+      ReferenceCsv.writeFile(df, path)
+      val fileLines = new String(Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        .split("\r\n", -1).toSeq.dropRight(1) // trailing terminator
+      val expected = ReferenceCsv.toLines(df).collect().map(_.getString(0)).toSeq
+      assert(fileLines.length == expected.length)
+      fileLines.zip(expected).zipWithIndex.foreach { case ((got, want), i) =>
+        assert(got == want, s"line $i diverges between driver-side and distributed formatting")
+      }
+    }
+
     it("compact-prefix export reads back identically") {
       val src = writeTemp(Seq("2024-01-01T00:00:00,m,_tag_a,x,_field_b,1.5"))
       val df = ReferenceCsv.read(spark, src)

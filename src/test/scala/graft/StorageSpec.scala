@@ -85,4 +85,65 @@ class StorageSpec extends SparkSpec {
       assert(again.all(sorted = false).last.tags("host") == "c")
     }
   }
+
+  describe("driver-local WAL append (sub-split batches)") {
+    it("small appends land as ONE local parquet file with no distributed write job") {
+      val dir = Files.createTempDirectory("graftwal").toString
+      val db = GraftDB.atPath(spark, dir)
+      def countJobs(f: => Unit): Int = {
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        drainListenerBus()
+        spark.sparkContext.addSparkListener(listener)
+        try { f; drainListenerBus() }
+        finally spark.sparkContext.removeSparkListener(listener)
+        jobs.get()
+      }
+      val jobs = countJobs {
+        db.insertMultiple(Seq(
+          Point(t("2024-01-02T00:00:00Z"), "m", Map("a" -> "x"), Map("v" -> 1.0)),
+          Point(t("2024-01-01T00:00:00Z"), "m", Map("a" -> "y"), Map("v" -> 2.0)),
+          Point(t("2024-01-03T00:00:00Z"), "m", Map.empty, Map("v" -> 3.0))))
+      }
+      // the local writer's only cluster work is materializing the batch
+      // (executeCollect); a distributed append adds the FileFormatWriter
+      // job on top. Bound, not exact: the collect may or may not launch
+      // a job depending on how the batch plan collapses.
+      assert(jobs <= 1, s"small append ran $jobs jobs — distributed writer engaged?")
+      val local = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray
+        .map(_.toString).filter(_.endsWith("-local.snappy.parquet"))
+      assert(local.length == 1,
+        s"expected exactly one local WAL file, found ${local.toSeq}")
+      // insertion order (by _seq) survives the time-sorted physical
+      // layout, and a reopened handle reads the same rows
+      assert(db.all(sorted = false).map(_.fields("v")) == Seq(1.0, 2.0, 3.0))
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.all(sorted = false).map(_.fields("v")) == Seq(1.0, 2.0, 3.0))
+      assert(again.all().map(_.fields("v")) == Seq(2.0, 1.0, 3.0)) // time order
+    }
+    it("local and distributed delta files coexist under one scan and one compaction") {
+      val dir = Files.createTempDirectory("graftwalmix").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insert(Point(t("2024-01-01T00:00:00Z"), "m", Map("a" -> "x"), Map("v" -> 1.0)))
+      // a LogicalRDD batch reports unknown stats (defaultSizeInBytes) →
+      // the size gate routes it down the DISTRIBUTED writer
+      val rows = spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(java.sql.Timestamp.from(t("2024-01-02T00:00:00Z")),
+          "m", Map("a" -> "y"), Map("v" -> Double.box(2.0)))))
+      db.insertDF(spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(graft.model.Point.schema.filterNot(_.name == Point.SeqCol))))
+      val names = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+      assert(names.exists(_.endsWith("-local.snappy.parquet")), s"no local file in ${names.toSeq}")
+      assert(names.exists(n => n.endsWith(".parquet") && !n.endsWith("-local.snappy.parquet")),
+        s"no distributed file in ${names.toSeq}")
+      assert(db.all().map(_.fields("v")) == Seq(1.0, 2.0))
+      db.compact()
+      assert(db.all().map(_.fields("v")) == Seq(1.0, 2.0))
+    }
+  }
 }
