@@ -663,4 +663,35 @@ object Dedup {
         dot(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus embeddings with the
+    * deterministic IVF coarse quantizer, then WITHIN each cluster drop
+    * every vector that has a strictly-smaller-id neighbor at cosine >=
+    * `threshold`. The survivor rule is the paper's "keep one exemplar
+    * per semantic-duplicate set" made order-free and engine-portable:
+    * a vector survives iff no smaller id in its cell sits above the
+    * threshold (single-link toward the cluster-local minimum id), so
+    * the result is a pure function of the data — no iteration order,
+    * no RNG — and the oracle can replay it as SQL.
+    *
+    * 100 TB shape: assignment is a broadcast of the tiny centroid table
+    * + map-side partial min (one shuffled row per vector); candidate
+    * generation is an equi-join keyed by `cell` — never corpus×corpus.
+    * The within-cell quadratic is bounded by cluster size, which the
+    * quantizer's k controls (cluster ~ n/k); that k-scales-with-corpus
+    * contract is exactly how SemDeDup runs at web scale. Returns the
+    * surviving (id, cell) rows.
+    */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb, centroids, idCol, vecCol)
+    val l = assigned.select(col("cell"), col("id"), col("cv"))
+    val r = assigned.select(col("cell"), col("id").as("id2"), col("cv").as("cv2"))
+    val dominated = l.join(r, "cell")
+      .filter(col("id2") < col("id") && dot(col("cv"), col("cv2")) >= threshold)
+      .select("id").distinct()
+    assigned.select("id", "cell").join(dominated, Seq("id"), "left_anti")
+  }
 }

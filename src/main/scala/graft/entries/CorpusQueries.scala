@@ -146,6 +146,27 @@ object CorpusQueries {
       Dedup.blockDedupStats(docs(s, dir), "doc_id", "text", blockLen = 3)
         .orderBy("doc_id")),
 
+    // SemDeDup: IVF-cluster the embeddings (the q81 deterministic
+    // label-seeded quantizer), then within each cell drop every vector
+    // with a strictly-smaller-id neighbor at cosine >= 0.3 (the
+    // synthetic embeddings are near-orthogonal — within-cell cosines
+    // top out ~0.49 — so the paper's 0.9x regime would be a no-op;
+    // 0.3 exercises real pruning with >=1e-4 margin to any actual
+    // pairwise cosine, so the cross-engine comparison cannot straddle
+    // the threshold); the oracle replays quantization, within-cell
+    // pairing and the survivor rule
+    "q99_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.centroids(
+        e.select(col("label"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+        "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      Dedup.semanticDedup(e, cents, "vec_id", "embedding", threshold = 0.3)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     "q55_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
@@ -610,6 +631,30 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_blocks,
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q99_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |u AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+        |      FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM u GROUP BY 1, 2),
+        |cc AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
+        |dp AS (SELECT u.vec_id, cent.cell, sum(u.x * cent.c) AS dp
+        |       FROM u JOIN cent ON u.i = cent.i GROUP BY 1, 2),
+        |dd AS (SELECT dp.vec_id, dp.cell, cc.cc - 2*dp.dp AS cdist FROM dp JOIN cc USING (cell)),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS id, b.vec_id AS id2
+        |          FROM assign a JOIN assign b USING (cell) WHERE b.vec_id < a.vec_id),
+        |cosims AS (SELECT p.id, p.id2, sum(ua.x * ub.x) AS cos
+        |           FROM pairs p JOIN u ua ON ua.vec_id = p.id
+        |           JOIN u ub ON ub.vec_id = p.id2 AND ub.i = ua.i
+        |           GROUP BY 1, 2),
+        |dominated AS (SELECT DISTINCT id FROM cosims WHERE cos >= 0.3)
+        |SELECT a.vec_id, a.cell FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT id FROM dominated)
+        |ORDER BY a.vec_id""".stripMargin,
     "q55_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]

@@ -170,6 +170,25 @@ class DedupSpec extends SparkSpec {
         .select("i", "j").as[(String, String)].collect().toSet
       assert(pairs == Set(("doc-a", "doc-b")))
     }
+    it("SemDeDup survivors: within-cell smaller-id domination, cross-cell pairs ignored") {
+      // two labeled clusters on the axes; 1 dominates 2 (cos ~0.999),
+      // 4 dominates 5; 3 sits in cluster A at cos(1,3) ~0.7 < 0.9 so it
+      // survives; cross-cell cosines never pair (5 vs 1 shares no cell)
+      val sv = Seq(
+        (1L, Array(1.0f, 0.0f), 0),
+        (2L, Array(0.999f, 0.04f), 0),
+        (3L, Array(0.7f, 0.714f), 0),
+        (4L, Array(0.0f, 1.0f), 1),
+        (5L, Array(0.04f, 0.999f), 1)
+      ).toDF("vec_id", "embedding", "label")
+      val cents = graft.analytics.Similarity.centroids(
+        sv.select(col("label"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+        "label", "nv")
+      val out = Dedup.semanticDedup(sv, cents, "vec_id", "embedding", threshold = 0.9)
+        .select("id").as[Long].collect().toSet
+      assert(out == Set(1L, 3L, 4L))
+    }
     it("approximate sign-LSH variant keeps the same near-dup pair") {
       val pairs = Dedup.approxCosinePairsLsh(vecs, "vec_id", "embedding",
         threshold = 0.9, lshBits = 4)
