@@ -118,6 +118,20 @@ object ScaleProbe {
           d.select(col("vec_id"), slice(col("embedding"), 1, 2).as("embedding")),
           "vec_id", "embedding", threshold = 0.999, gridDims = 2).count()
       }
+      // q99 shape: centroid count FIXED (labels don't multiply with the
+      // replicas), so 10× vectors → 10× per cell → the within-cell
+      // pairing is the quadratic-in-cluster-size term SemDeDup accepts;
+      // at real scale k grows with the corpus to hold cluster size
+      // constant. Expected here: ~100× pair work against 10× rows,
+      // constant stage budget — the point probed is that it distributes
+      // (cell-keyed equi-join, no cartesian), not that it stays linear.
+      time(s"semantic_dedup_$label") {
+        val cents = graft.analytics.Similarity.centroids(
+          d.select(col("label"),
+            graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+          "label", "nv")
+        Dedup.semanticDedup(d, cents, "vec_id", "embedding", threshold = 0.3).count()
+      }
     }
     // drop the replicated embedding blocks before the events tier —
     // dead cached data only adds eviction/GC pressure to its timings

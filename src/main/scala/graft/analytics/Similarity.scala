@@ -48,6 +48,39 @@ object Similarity {
       .select(col("group"), col("pos").as("i"), col("col").cast("double").as("x"))
       .groupBy("group", "i").agg(avg("x").as("c"))
 
+  /** Lloyd refinement: `iters` rounds of assign-to-nearest-centroid +
+    * per-cell mean recompute — distributed k-means with a FIXED,
+    * deterministic seeding (pass [[centroids]] of any grouping column,
+    * or a previous refinement). Means are rounded to `roundTo` decimals
+    * after every round so an independent engine replays the float math
+    * bit-for-bit (the same portability contract as the q81 quantizer);
+    * assignment ties break lexicographically by cell.
+    *
+    * Per round: one broadcast of the k×d centroid table against the
+    * corpus with a map-side partial `min(struct(cdist, cell))` (no
+    * corpus shuffle wider than one row per vector), then one
+    * posexplode + groupBy(cell, dim) mean whose reduce width is k×d
+    * regardless of corpus size — partial sums do the heavy lifting.
+    * Rounds are a driver-side loop over lazy plans: `iters` is small
+    * and fixed (classic Lloyd converges in a handful of rounds; this
+    * is refinement, not from-scratch clustering), and each round's
+    * centroid table is k×d — collect-free, but tiny if materialized.
+    * Output: the refined centroid table, same (group, i, c) shape.
+    */
+  def lloydRefine(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, iters: Int, roundTo: Int = 6): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    var cents = centroids
+    (1 to iters).foreach { _ =>
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      cents = assigned
+        .select(col("cell").as("group"), posexplode(col("cv")))
+        .select(col("group"), col("pos").as("i"), col("col").cast("double").as("x"))
+        .groupBy("group", "i").agg(round(avg("x"), roundTo).as("c"))
+    }
+    cents
+  }
+
   /** LSH-bucketed ANN top-k: candidates limited to query-bucket
     * collisions across `seeds.size` independent hyperplane sets.
     * `signature` picks the hyperplane family — xxhash64-derived by

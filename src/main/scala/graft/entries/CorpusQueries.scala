@@ -167,6 +167,23 @@ object CorpusQueries {
         .orderBy("vec_id")
     }),
 
+    // distributed k-means: two Lloyd refinement rounds from the
+    // label-seeded centroids (normalized space, means rounded to 6 dp
+    // each round for engine portability), then the final cell
+    // assignment under the refined centroids — the oracle replays all
+    // three assignment passes and both mean recomputes
+    "q100_kmeans_refine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val seed = Similarity.centroids(
+        e.select(col("label"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+        "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val refined = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 2)
+      Similarity.ivfAssign(e, refined, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("cell")).orderBy("vec_id")
+    }),
+
     "q55_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
@@ -655,6 +672,39 @@ object CorpusQueries {
         |SELECT a.vec_id, a.cell FROM assign a
         |WHERE a.vec_id NOT IN (SELECT id FROM dominated)
         |ORDER BY a.vec_id""".stripMargin,
+    "q100_kmeans_refine" ->
+      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |u AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+        |      FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |cent0 AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM u GROUP BY 1, 2),
+        |cc0 AS (SELECT cell, sum(c*c) AS cc FROM cent0 GROUP BY 1),
+        |dp0 AS (SELECT u.vec_id, cent0.cell, sum(u.x * cent0.c) AS dp
+        |        FROM u JOIN cent0 ON u.i = cent0.i GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cell FROM (
+        |  SELECT dp0.vec_id, dp0.cell,
+        |    row_number() OVER (PARTITION BY dp0.vec_id ORDER BY cc0.cc - 2*dp0.dp, dp0.cell) AS rn
+        |  FROM dp0 JOIN cc0 USING (cell)) WHERE rn = 1),
+        |cent1 AS (SELECT a0.cell, u.i, round(avg(u.x), 6) AS c
+        |          FROM a0 JOIN u ON u.vec_id = a0.vec_id GROUP BY 1, 2),
+        |cc1 AS (SELECT cell, sum(c*c) AS cc FROM cent1 GROUP BY 1),
+        |dp1 AS (SELECT u.vec_id, cent1.cell, sum(u.x * cent1.c) AS dp
+        |        FROM u JOIN cent1 ON u.i = cent1.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT dp1.vec_id, dp1.cell,
+        |    row_number() OVER (PARTITION BY dp1.vec_id ORDER BY cc1.cc - 2*dp1.dp, dp1.cell) AS rn
+        |  FROM dp1 JOIN cc1 USING (cell)) WHERE rn = 1),
+        |cent2 AS (SELECT a1.cell, u.i, round(avg(u.x), 6) AS c
+        |          FROM a1 JOIN u ON u.vec_id = a1.vec_id GROUP BY 1, 2),
+        |cc2 AS (SELECT cell, sum(c*c) AS cc FROM cent2 GROUP BY 1),
+        |dp2 AS (SELECT u.vec_id, cent2.cell, sum(u.x * cent2.c) AS dp
+        |        FROM u JOIN cent2 ON u.i = cent2.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |  SELECT dp2.vec_id, dp2.cell,
+        |    row_number() OVER (PARTITION BY dp2.vec_id ORDER BY cc2.cc - 2*dp2.dp, dp2.cell) AS rn
+        |  FROM dp2 JOIN cc2 USING (cell)) WHERE rn = 1)
+        |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
     "q55_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]
