@@ -130,7 +130,7 @@ object Storage {
       schema: org.apache.spark.sql.types.StructType, file: String,
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
     import org.apache.parquet.column.ParquetProperties
-    import org.apache.parquet.hadoop.ParquetWriter
+    import org.apache.parquet.hadoop.{ParquetOutputFormat, ParquetWriter}
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
     import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
     val hc = new org.apache.hadoop.conf.Configuration(
@@ -150,14 +150,37 @@ object Storage {
       sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
     hc.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
       sc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    // Writer version and block/page/dictionary layout come from the same
+    // Hadoop-conf keys the distributed ParquetOutputFormat reads, so a
+    // session that tunes parquet.block.size or parquet.writer.version
+    // gets identical file layout from both write paths.
+    val writerVersion = ParquetProperties.WriterVersion.fromString(
+      hc.get(ParquetOutputFormat.WRITER_VERSION,
+        ParquetProperties.DEFAULT_WRITER_VERSION.toString))
+    val blockSize = hc.getInt(ParquetOutputFormat.BLOCK_SIZE,
+      ParquetWriter.DEFAULT_BLOCK_SIZE)
+    val pageSize = hc.getInt(ParquetOutputFormat.PAGE_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE)
+    val dictPageSize = hc.getInt(ParquetOutputFormat.DICTIONARY_PAGE_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE)
+    val dictEnabled = hc.getBoolean(ParquetOutputFormat.ENABLE_DICTIONARY,
+      ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED)
     val writer = new ParquetWriter[org.apache.spark.sql.catalyst.InternalRow](
       new Path(file), new ParquetWriteSupport, CompressionCodecName.SNAPPY,
-      ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
-      ParquetWriter.DEFAULT_PAGE_SIZE,
-      ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED, false,
-      ParquetProperties.WriterVersion.PARQUET_1_0, hc)
-    try rows.foreach(writer.write)
-    finally writer.close()
+      blockSize, pageSize, dictPageSize, dictEnabled, false, writerVersion, hc)
+    // On failure close() still writes a footer over the partial content,
+    // committing a half-append as if it succeeded — close, then delete
+    // the file, then rethrow so the caller sees a clean failure.
+    var ok = false
+    try { rows.foreach(writer.write); ok = true }
+    finally {
+      try writer.close()
+      finally if (!ok) {
+        val p = new Path(file)
+        val pfs = p.getFileSystem(hc)
+        if (pfs.exists(p)) { pfs.delete(p, false); () }
+      }
+    }
   }
 }
 
@@ -406,14 +429,29 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val sorted = stamped.sortBy { case (r, _) =>
       if (r.isNullAt(tIdx)) Long.MinValue else r.getLong(tIdx)
     }
-    val file = s"$deltaPath/part-${java.util.UUID.randomUUID()}-local.snappy.parquet"
-    Storage.writeParquetLocal(spark, fullSchema, file,
-      sorted.iterator.map { case (r, seq) =>
-        new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
-      })
+    // Temp-name + rename commit: a crash or exception mid-write must
+    // never leave a torn parquet file (no footer) visible to readers
+    // scanning deltaPath — Spark's file listing skips dot-prefixed
+    // names, and the atomic rename publishes only complete files (the
+    // same contract the Hadoop committer gives the distributed path).
+    val name = s"part-${java.util.UUID.randomUUID()}-local.snappy.parquet"
+    val tmp = new Path(s"$deltaPath/.$name.inprogress")
+    val file = new Path(s"$deltaPath/$name")
+    try {
+      Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
+        sorted.iterator.map { case (r, seq) =>
+          new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
+        })
+      if (!fs.rename(tmp, file))
+        throw new java.io.IOException(s"rename failed: $tmp -> $file")
+    } catch {
+      case e: Throwable =>
+        if (fs.exists(tmp)) { fs.delete(tmp, false); () }
+        throw e
+    }
     // the delta plan for index extension: the file just written —
     // trivially reproducible, lazily read only if an index is live
-    Some(spark.read.schema(fullSchema).parquet(file))
+    Some(spark.read.schema(fullSchema).parquet(file.toString))
   }
 
   /** Fold the delta tier into the partitioned main store. Run after

@@ -279,6 +279,12 @@ object RelationalQueries {
     // query pins is that the state-store dedup emits every key exactly
     // once — no key lost, none doubled. day_us is integer epoch-micros
     // arithmetic, replayed exactly by the oracle.
+    // Lateness must COVER the key granularity for the DISTINCT
+    // equivalence to survive multi-micro-batch ingestion: keys are DAY
+    // buckets, so a watermark tighter than 24h+slack would evict a
+    // day's key state mid-day and re-emit the same key if the source
+    // ever split across batches (maxFilesPerTrigger, multi-file scale
+    // factors). 25 hours = one day + the events data's max in-day skew.
     "q95_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.OutputMode
       import graft.streaming.StreamingIngest
@@ -286,7 +292,7 @@ object RelationalQueries {
         .withColumn("day_us", col("ts_us") - col("ts_us") % 86400000000L)
       val dd = StreamingIngest.streamDedup(ev,
         keyCols = Seq("user_id", "event_type", "day_us"),
-        timeCol = "time", lateness = "1 hour")
+        timeCol = "time", lateness = "25 hours")
       StreamingIngest.runToTable(dd, "q95_sink", OutputMode.Append())
         .select("user_id", "event_type", "day_us")
         .orderBy("user_id", "event_type", "day_us")

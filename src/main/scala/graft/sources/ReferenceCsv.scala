@@ -362,23 +362,32 @@ object ReferenceCsv {
     }
   }
 
-  // SERIALIZED bound line expressions per (schema, prefixes, timezone):
-  // analysis + binding of the ~100-node formatting tree costs more than
-  // evaluating it over a small batch, and the result is deterministic
-  // per key. Cached as bytes, not as a live tree — see freshProj: every
-  // consumer must deserialize its own private copy, so caching a shared
-  // instance would be an invitation to reintroduce the lambda-state
-  // race. Deserializing the tree costs ~1 ms, far under one analysis.
+  // SERIALIZED bound line expressions per (schema, prefixes, analysis
+  // confs): analysis + binding of the ~100-node formatting tree costs
+  // more than evaluating it over a small batch, and the result is
+  // deterministic per key. Analysis bakes MORE than the timezone into
+  // the tree (ANSI cast mode picks cast node behavior, the legacy
+  // time-parser policy picks formatter classes), so every conf that can
+  // change the analyzed expression is part of the key — a conf flipped
+  // mid-session gets a fresh tree, not a stale cached one. Cached as
+  // bytes, not as a live tree — see freshProj: every consumer must
+  // deserialize its own private copy, so caching a shared instance
+  // would be an invitation to reintroduce the lambda-state race.
+  // Deserializing the tree costs ~1 ms, far under one analysis.
   private val boundLineCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.types.StructType,
-      Boolean, String), Array[Byte]]
+      Boolean, String, Boolean, String), Array[Byte]]
 
   private def boundLineExprBytes(points: DataFrame, compactPrefixes: Boolean): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.BindReferences
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = points.sparkSession
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
-    boundLineCache.getOrElseUpdate((points.schema, compactPrefixes, tz), {
+    val sc = spark.sessionState.conf
+    val tz = sc.sessionLocalTimeZone
+    val ansi = sc.ansiEnabled
+    val timeParser = sc.getConf(
+      org.apache.spark.sql.internal.SQLConf.LEGACY_TIME_PARSER_POLICY).toString
+    boundLineCache.getOrElseUpdate((points.schema, compactPrefixes, tz, ansi, timeParser), {
       // resolve lineCol against an empty relation of the batch schema —
       // analysis fills in timezones etc. exactly as the distributed plan
       val empty = spark.createDataFrame(
