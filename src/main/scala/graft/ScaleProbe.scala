@@ -92,6 +92,29 @@ object ScaleProbe {
         Dedup.contaminationPairs(d, "doc_id", "text", evalSet, "eval_id", "text",
           n = 3, minShared = 3, maxDocFreq = Some(dfCut)).count()
       }
+      // q98 shape: two digest groupBys + a min(struct) first-occurrence
+      // join — expected ~linear (block universe grows with the corpus,
+      // per-block work constant)
+      time(s"block_dedup_$label") {
+        Dedup.blockDedupStats(d, "doc_id", "text", blockLen = 3).count()
+      }
+      // q93 shape: pure per-doc projections + ONE broadcast stats row —
+      // expected ~linear, constant stages
+      time(s"bm25_$label") {
+        graft.analytics.TextAnalysis.bm25(d, "doc_id", "text",
+          terms = Seq("spark", "merge", "window")).count()
+      }
+      // q94 shape: range-partition + partition-metadata cutoff; only the
+      // straddling partition pays a running sum — expected ~linear with
+      // constant stage budget (the budget scales with the corpus so the
+      // selected fraction stays comparable)
+      time(s"budget_select_$label") {
+        val scored = graft.analytics.TextAnalysis.qualityScore(d, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            round(col("quality"), 6).as("q"))
+        Curation.budgetSelect(scored, Seq(col("q").desc, col("doc_id")),
+          "n_tokens", budget = if (label == "1x") 5000L else 50000L).count()
+      }
     }
     // same hygiene as emb10 below: the text tiers are done with this
     docs10.unpersist()
@@ -125,12 +148,20 @@ object ScaleProbe {
       // constant. Expected here: ~100× pair work against 10× rows,
       // constant stage budget — the point probed is that it distributes
       // (cell-keyed equi-join, no cartesian), not that it stays linear.
+      val cents = graft.analytics.Similarity.centroids(
+        d.select(col("label"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+        "label", "nv")
       time(s"semantic_dedup_$label") {
-        val cents = graft.analytics.Similarity.centroids(
-          d.select(col("label"),
-            graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
-          "label", "nv")
         Dedup.semanticDedup(d, cents, "vec_id", "embedding", threshold = 0.3).count()
+      }
+      // the fat-cell guard path: cells above the cap are excluded from
+      // pairing, so the within-cell quadratic is bounded at cap² per
+      // cell no matter how skewed the clustering — at 10× the capped
+      // run must NOT show the uncapped run's cluster-quadratic growth
+      time(s"semantic_dedup_capped_$label") {
+        Dedup.semanticDedup(d, cents, "vec_id", "embedding", threshold = 0.3,
+          maxCellSize = Some(1500)).count()
       }
     }
     // drop the replicated embedding blocks before the events tier —
@@ -176,7 +207,7 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(streamDir)
         time(s"stream_session_$label") {
           val stream = spark.readStream.schema(rawSchema).parquet(streamDir)
-            .withColumn("time", timestamp_micros(expr("ts div 1000")))
+            .withColumn("time", timestamp_micros(Tables.tsMicros(rawSchema)))
           val agg = StreamingIngest.sessionAgg(stream, "time",
             gap = "1 hour", lateness = "1 hour",
             groupCols = Seq("user_id"),

@@ -168,6 +168,23 @@ object SparkEntry {
       flat(db.searchDF(
         (TimeQuery() >= T1) & (TimeQuery() < T2) & (TagQuery("user") === "7")))
         .orderBy("ts_us", "event_id")
+    }),
+
+    // the auto_index read path (decorators.py:50-51) under the oracle:
+    // NO explicit reindex anywhere — the first search builds the index
+    // lazily, the insert invalidates (or extends) it, and the second
+    // search transparently rebuilds before filtering, so its result
+    // must include the inserted point. The inserted `_seq` is the
+    // generation envelope's first slot ((1<<45) + 0 — Storage.withSeq
+    // over a fresh 1-row batch), a constant the oracle replays
+    // literally; q03's result is the other UNION branch.
+    "q101_search_autoindex" -> ((s, dir) => {
+      val db = GraftDB.fromDataFrame(pts(s, dir), autoIndex = true)
+      val q = (TimeQuery() >= T1) & (TimeQuery() < T2) & (TagQuery("user") === "7")
+      db.search(q) // read #1: lazily builds the index
+      db.insert(graft.model.Point(Instant.parse("2024-01-10T12:00:00Z"), "synthetic",
+        Map("user" -> "7"), Map("value" -> 123.45)))
+      flat(db.searchDF(q)).orderBy("ts_us", "event_id")
     })
   )
 
@@ -242,6 +259,17 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |  AND user_id = 7
-        |ORDER BY ts_us, event_id""".stripMargin
+        |ORDER BY ts_us, event_id""".stripMargin,
+    "q101_search_autoindex" ->
+      """SELECT * FROM (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type AS measurement, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |    AND user_id = 7
+        |  UNION ALL
+        |  SELECT CAST(35184372088832 AS BIGINT) AS event_id,
+        |    epoch_us(TIMESTAMP '2024-01-10 12:00:00') AS ts_us,
+        |    'synthetic' AS measurement, CAST(123.45 AS DOUBLE) AS value
+        |) ORDER BY ts_us, event_id""".stripMargin
   ) ++ graft.entries.RelationalQueries.oracleSql ++ graft.entries.CorpusQueries.oracleSql
 }

@@ -683,15 +683,60 @@ object Dedup {
     * quantizer's k controls (cluster ~ n/k); that k-scales-with-corpus
     * contract is exactly how SemDeDup runs at web scale. Returns the
     * surviving (id, cell) rows.
+    *
+    * `maxCellSize` is the fat-cell guard — the cell-space analogue of
+    * the posting-list `maxDocFreq`: a cell holding c vectors feeds c²
+    * pair work into the within-cell join, and the sort-merge join
+    * buffers one cell's full vector set in a single task, so ONE
+    * degenerate cluster (duplicate-saturated corpora collapse into few
+    * cells) turns the whole job quadratic-and-OOM. With a cap, cells
+    * above it are EXCLUDED from pairing (all their members survive —
+    * a recall sacrifice on exactly the cells whose k is mis-sized,
+    * mirroring dropHotTokens' exact-over-pruned-vocabulary contract);
+    * without one, a corpus whose Catalyst size estimate crosses
+    * [[exactPostingWarnBytes]] pays one cheap stats pass and warns
+    * LOUDLY when the largest cell exceeds [[SemanticFatCellWarn]],
+    * instead of silently launching the quadratic join. The real fix at
+    * scale is always a larger k (cluster ~ n/k is the paper's own
+    * contract); the cap is the bound that keeps a mis-sized run alive.
     */
   def semanticDedup(emb: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double,
+      maxCellSize: Option[Int] = None): DataFrame = {
     val assigned = Similarity.ivfAssign(emb, centroids, idCol, vecCol)
-    val l = assigned.select(col("cell"), col("id"), col("cv"))
-    val r = assigned.select(col("cell"), col("id").as("id2"), col("cv").as("cv2"))
+    val paired = maxCellSize match {
+      case Some(m) =>
+        val fat = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+          .filter(col("n") > m).select("cell")
+        // cell count is bounded by k (tiny): broadcast anti-join
+        assigned.join(broadcast(fat), Seq("cell"), "left_anti")
+      case None =>
+        val estBytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (estBytes >= BigInt(exactPostingWarnBytes)) {
+          val r = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+            .agg(max(col("n"))).head()
+          val c = if (r.isNullAt(0)) 0L else r.getLong(0)
+          if (c > SemanticFatCellWarn)
+            org.slf4j.LoggerFactory.getLogger("graft.analytics.Dedup").warn(
+              s"semanticDedup: maxCellSize=None over a ~$estBytes-byte corpus and " +
+                s"the largest IVF cell holds $c vectors — that one cell alone feeds " +
+                s"~${c * c} within-cell pairs (and its full vector set buffers in one " +
+                "join task). Raise the quantizer's k (cluster ~ n/k) or set " +
+                "maxCellSize to bound it.")
+        }
+        assigned
+    }
+    val l = paired.select(col("cell"), col("id"), col("cv"))
+    val r = paired.select(col("cell"), col("id").as("id2"), col("cv").as("cv2"))
     val dominated = l.join(r, "cell")
       .filter(col("id2") < col("id") && dot(col("cv"), col("cv2")) >= threshold)
       .select("id").distinct()
     assigned.select("id", "cell").join(dominated, Seq("id"), "left_anti")
   }
+
+  /** Cell-size bar for the unguarded-semanticDedup warning: 64k vectors
+    * in one cell ≈ 4×10⁹ within-cell pairs — past any sane cluster
+    * sizing, and the point where one task's join buffer stops fitting.
+    */
+  private val SemanticFatCellWarn = 1 << 16
 }

@@ -23,15 +23,32 @@ object Similarity {
 
   /** Exact top-k by cosine for each query row.
     * Output: (query id `qid`, corpus id, cosine, rank).
+    *
+    * Scale shape: the query set is broadcast; the corpus is scanned
+    * once, and the top-k selection is a BOUNDED AGGREGATE
+    * ([[graft.functions.TopKByScore]]), not a window — a
+    * `Window.partitionBy(qid)` would funnel a 100-TB corpus's scores
+    * for each query through ONE task for `row_number`. The aggregate's
+    * map-side partial keeps ≤ k candidates per (query, partition), so
+    * the shuffle carries k·partitions rows per query and the final
+    * merge touches only those. Corpus ids must be integral — the
+    * 8-byte surrogate that belongs on a 100-TB shuffle anyway.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+    val idType = corpus.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
+      s"bruteForceTopK needs an integral id column; '$idCol' is $idType " +
+        "(map other id types to a surrogate long first)")
+    val c = corpus.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topK(k)(col("cosine"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("id"), col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Per-group embedding centroids (element-wise mean) — the building

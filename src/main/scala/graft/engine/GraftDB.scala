@@ -17,8 +17,21 @@ import graft.query.{IndexedLayout, Noop, Q, QueryCompiler, TimeBounds}
   * materialized values, a convenience form that collects. On a cluster
   * the DF forms are the API; collects are driver-side conveniences for
   * small results/metadata only.
+  *
+  * `autoIndex` mirrors the reference's `auto_index` kwarg
+  * (database.py:84-98, decorators.py:50-51): a filtered read that finds
+  * no live index triggers `reindex()` transparently before running, so
+  * an insert→search sequence is index-accelerated with no explicit
+  * reindex call — the reference's default ergonomics. The build is LAZY
+  * (first read, not open — the reference builds at open,
+  * database.py:113-115; deferring to first read is the same observable
+  * read behavior without charging jobs to handles that never read).
+  * Default false: on a shared cluster an implicit full-store index
+  * build inside an arbitrary read is a surprising cost spike, so the
+  * Spark-native default keeps index builds explicit; pass
+  * `autoIndex = true` for drop-in reference parity.
   */
-final class GraftDB(val storage: Storage) {
+final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
   val spark: SparkSession = storage.spark
   import spark.implicits._
 
@@ -49,12 +62,15 @@ final class GraftDB(val storage: Storage) {
 
   // reindex() state: a cached view with hot map keys columnarized, the
   // layout telling the compiler which flat columns to read, the data's
-  // global time bounds (the zonemap tier — see [[TimeBounds]]), and the
+  // global time bounds (the zonemap tier — see [[TimeBounds]]), the
   // cached segments backing the view (the reindex base plus one cached
   // slice per in-order append folded in by [[tryExtendIndex]]) so
-  // invalidation releases every piece.
+  // invalidation releases every piece, and the count of remove-patches
+  // stacked on the view (each remove adds one Filter node — see
+  // [[patchIndexAfterRemove]]) so the plan depth stays bounded.
   private case class IndexState(view: DataFrame, layout: IndexedLayout,
-      timeBounds: Option[(Instant, Instant)], cached: List[DataFrame])
+      timeBounds: Option[(Instant, Instant)], cached: List[DataFrame],
+      patches: Int = 0)
   private var indexedState: Option[IndexState] = None
 
   private def invalidateIndex(): Unit = {
@@ -77,14 +93,20 @@ final class GraftDB(val storage: Storage) {
     * the filter even runs, which dominates point-query latency on a
     * cached working set (the cache also shrinks to primitives-only).
     */
-  private[graft] def filterPlan(q: Q): DataFrame = { guardOpen(); indexedState } match {
+  private[graft] def filterPlan(q: Q): DataFrame = {
+    guardOpen()
+    // auto_index read path (decorators.py:50-51): a filtered read with
+    // no live index rebuilds it first, then runs indexed.
+    if (autoIndex && indexedState.isEmpty) reindex()
+    indexedState
+  } match {
     case None => df.filter(cond(q)).select(Point.columns.map(col): _*)
-    case Some(IndexState(_, _, Some((lo, hi)), _)) if TimeBounds.provablyEmpty(q, lo, hi) =>
+    case Some(IndexState(_, _, Some((lo, hi)), _, _)) if TimeBounds.provablyEmpty(q, lo, hi) =>
       // zonemap shortcut: the time predicate cannot overlap the data —
       // answer from a LocalRelation, zero jobs (the reference's index
       // bisect returns [] without touching a single point).
       GraftDB.emptyLocal(spark)
-    case Some(IndexState(idf, layout, _, _)) =>
+    case Some(IndexState(idf, layout, _, _, _)) =>
       idf.filter(cond(q)).select(
         col(Point.TimeCol),
         col(Point.MeasurementCol),
@@ -213,6 +235,15 @@ final class GraftDB(val storage: Storage) {
           case Some(delta) => if (!tryExtendIndex(st, delta)) invalidateIndex()
           case None        => invalidateIndex() // already appended; opaque delta
         }
+    }
+    // Auto-compaction: sustained micro-batch ingest accretes one delta
+    // file per append forever without it. Deferred while an index is
+    // live (its cached slices pin specific delta files); appends past
+    // MaxIndexDeltaSegments invalidate the index, and compaction then
+    // catches up on the next insert.
+    if (indexedState.isEmpty) storage match {
+      case p: ParquetStorage => p.maybeCompactDelta()
+      case _                 => ()
     }
   }
 
@@ -369,6 +400,38 @@ final class GraftDB(val storage: Storage) {
       fields: Option[Column => Column] = None
   ): DataFrame = GraftDB.updatePlan(base, c, time, measurement, tags, fields)._1
 
+  /** How many remove-patches an index view may stack before a remove
+    * invalidates instead of patching: each patch adds one Filter node
+    * over the cached segments, and an unbounded chain would grow plan
+    * (and per-query planning) depth with the remove count — the same
+    * bound rationale as [[MaxIndexDeltaSegments]].
+    */
+  private val MaxIndexPatches = 16
+
+  /** Subtract a removal from the live index instead of discarding it —
+    * the analogue of the reference PATCHING its postings on remove
+    * (index.py:476-484, 823-895) rather than invalidating. The cached
+    * columnar segments stay cached untouched; the view gains one
+    * anti-filter compiled against the INDEXED layout (the same compiler
+    * contract that makes q03 ≡ q83). Time bounds are kept as-is: a
+    * removal can only shrink the true range, and the zonemap's
+    * emptiness proof is sound for any superset of the actual bounds.
+    *
+    * Caveat (documented, loud-failure): the cached segments snapshot
+    * the pre-remove storage files. On a file-backed store the remove
+    * rewrites those files, so if a cached block is ever LOST and must
+    * recompute (executor loss on a cluster; never in local mode), the
+    * scan fails loudly with the stale file list — the caller reindexes.
+    * It cannot return wrong data.
+    */
+  private def patchIndexAfterRemove(q: Q): Unit = indexedState match {
+    case Some(st) if st.patches < MaxIndexPatches =>
+      val drop = coalesce(QueryCompiler.compile(q, st.layout), lit(false))
+      indexedState = Some(st.copy(view = st.view.filter(!drop), patches = st.patches + 1))
+    case Some(_) => invalidateIndex()
+    case None    => ()
+  }
+
   /** op 13 `remove` (database.py:707-725): anti-filter rewrite. */
   def remove(q: Q): Long = {
     // keep-set negation must coerce null→false first: a bare !c is null
@@ -376,18 +439,24 @@ final class GraftDB(val storage: Storage) {
     // null-evaluates, e.g. a missing map key
     val c = coalesce(rawCond(q), lit(false))
     val removed = df.filter(c).count()
-    if (removed > 0) { invalidateIndex(); storage.overwrite(df.filter(!c)) }
+    if (removed > 0) { patchIndexAfterRemove(q); storage.overwrite(df.filter(!c)) }
     removed
   }
 
   /** op 14 `remove_all` (database.py:727-738). */
   def removeAll(): Unit = { invalidateIndex(); storage.overwrite(df.limit(0)) }
 
-  /** op 15 `drop_measurement` (database.py:293-313). */
+  /** op 15 `drop_measurement` (database.py:293-313): same subtract-
+    * patch treatment as [[remove]] (the measurement leaf compiles to a
+    * flat column on both layouts).
+    */
   def dropMeasurement(name: String): Long = {
     val c = coalesce(col(Point.MeasurementCol) === name, lit(false))
     val removed = df.filter(c).count()
-    if (removed > 0) { invalidateIndex(); storage.overwrite(df.filter(!c)) }
+    if (removed > 0) {
+      patchIndexAfterRemove(graft.query.MeasurementQuery() === name)
+      storage.overwrite(df.filter(!c))
+    }
     removed
   }
 
@@ -640,11 +709,12 @@ object GraftDB {
   }
 
   /** In-memory database (reference MemoryStorage). */
-  def inMemory(spark: SparkSession): GraftDB = new GraftDB(new MemoryStorage(spark))
+  def inMemory(spark: SparkSession, autoIndex: Boolean = false): GraftDB =
+    new GraftDB(new MemoryStorage(spark), autoIndex)
 
   /** In-memory database seeded from an existing canonical-schema DF. */
-  def fromDataFrame(df: DataFrame): GraftDB =
-    new GraftDB(new MemoryStorage(df.sparkSession, Some(df)))
+  def fromDataFrame(df: DataFrame, autoIndex: Boolean = false): GraftDB =
+    new GraftDB(new MemoryStorage(df.sparkSession, Some(df)), autoIndex)
 
   /** Database on a reference-format CSV file (drop-in migration: open
     * an existing tinyflux data file directly). `accessMode` mirrors the
@@ -654,9 +724,10 @@ object GraftDB {
   def atCsv(spark: SparkSession, path: String, compactPrefixes: Boolean = false,
       readOnly: Boolean = false, accessMode: String = "r+",
       flushOnInsert: Boolean = true, encoding: String = "UTF-8",
-      newline: String = "", createDirs: Boolean = false): GraftDB =
+      newline: String = "", createDirs: Boolean = false,
+      autoIndex: Boolean = false): GraftDB =
     new GraftDB(new CsvStorage(spark, path, compactPrefixes, readOnly, accessMode,
-      flushOnInsert, encoding, newline, createDirs))
+      flushOnInsert, encoding, newline, createDirs), autoIndex)
 
   /** Context-manager analogue of `with TinyFlux(...) as db:`
     * (database.py:126-146) — close() is guaranteed on exit.
@@ -665,6 +736,7 @@ object GraftDB {
     try f(db) finally db.close()
 
   /** Parquet-backed persistent database (reference CSVStorage). */
-  def atPath(spark: SparkSession, root: String, partitioned: Boolean = true): GraftDB =
-    new GraftDB(new ParquetStorage(spark, root, partitioned))
+  def atPath(spark: SparkSession, root: String, partitioned: Boolean = true,
+      autoIndex: Boolean = false): GraftDB =
+    new GraftDB(new ParquetStorage(spark, root, partitioned), autoIndex)
 }

@@ -286,7 +286,8 @@ object MemoryStorage {
   * any step leaves either the old state recoverable (backups present)
   * or the new state committed; [[recover]] runs at handle open.
   */
-final class ParquetStorage(val spark: SparkSession, root: String, partitioned: Boolean = true)
+final class ParquetStorage(val spark: SparkSession, root: String, partitioned: Boolean = true,
+    autoCompactFiles: Int = ParquetStorage.DefaultAutoCompactFiles)
     extends Storage {
 
   private val dataPath = s"$root/data"
@@ -322,6 +323,16 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       if (!exists(deltaPath) && exists(backupDeltaPath))
         renameOrThrow(backupDeltaPath, deltaPath)
     }
+    // Delta-compaction crash (see [[compactDelta]]): a `.staging-delta-`
+    // dir is written ONLY by compactDelta, so delta missing + delta
+    // backup present + that marker present can only mean a crash between
+    // its two renames — restore the pre-compaction delta. (An overwrite
+    // crash never leaves this combination: it stages under `.staging-`
+    // without the `-delta-` infix.)
+    val stagingDeltaPresent = exists(root) && fs.listStatus(new Path(root))
+      .exists(_.getPath.getName.startsWith(".staging-delta-"))
+    if (!exists(deltaPath) && exists(backupDeltaPath) && stagingDeltaPresent)
+      renameOrThrow(backupDeltaPath, deltaPath)
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
     if (exists(root)) {
       val staging = fs.listStatus(new Path(root))
@@ -380,6 +391,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           // read-optimized default codec.
           .write.option("compression", "snappy")
           .mode(SaveMode.Append).parquet(deltaPath)
+        noteDeltaFiles(nOut)
         // same plan, same source partitioning → monotonically_increasing_id
         // reproduces the written _seq values on re-evaluation
         Some(stamped)
@@ -449,6 +461,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         if (fs.exists(tmp)) { fs.delete(tmp, false); () }
         throw e
     }
+    noteDeltaFiles(1)
     // the delta plan for index extension: the file just written —
     // trivially reproducible, lazily read only if an index is live
     Some(spark.read.schema(fullSchema).parquet(file.toString))
@@ -460,6 +473,65 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     */
   def compact(): Unit = synchronized {
     if (exists(deltaPath)) overwrite(load())
+    deltaFileEstimate = 0
+  }
+
+  // Delta-tier file count, maintained incrementally (-1 = not yet
+  // listed; seeded lazily with ONE listing, then bumped per append) so
+  // the per-append compaction check costs no filesystem listing.
+  private var deltaFileEstimate: Int = -1
+
+  private def listedDeltaFileCount(): Int =
+    if (!exists(deltaPath)) 0
+    else fs.listStatus(new Path(deltaPath))
+      .count(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+
+  private def noteDeltaFiles(n: Int): Unit = {
+    if (deltaFileEstimate < 0) deltaFileEstimate = listedDeltaFileCount()
+    else deltaFileEstimate += n
+  }
+
+  /** Compact WHEN the delta tier has accreted enough files — the
+    * auto-compaction policy behind sustained micro-batch ingest (one
+    * delta file per batch forever without it). This is a DELTA-ONLY
+    * rewrite ([[compactDelta]]): cost O(delta bytes) per trigger, so
+    * amortized per-append cost stays O(appended bytes) — a full
+    * [[compact]] here would rewrite the whole main store every
+    * `autoCompactFiles` appends, which is a scale-killer at 100 TB.
+    */
+  private[engine] def maybeCompactDelta(): Unit = synchronized {
+    if (deltaFileEstimate < 0) deltaFileEstimate = listedDeltaFileCount()
+    if (deltaFileEstimate >= autoCompactFiles) {
+      compactDelta()
+      deltaFileEstimate = listedDeltaFileCount()
+    }
+  }
+
+  /** Merge the delta tier's many small files into few split-sized ones
+    * IN PLACE (data tier untouched): read delta, write merged files to
+    * a staging dir, then swap via the backup-rename protocol scoped to
+    * the delta dir alone. Crash-safe: the `.staging-delta-` marker
+    * disambiguates this swap's crash states from [[overwrite]]'s in
+    * [[recover]]. `_seq` rides through unchanged, so insertion order
+    * and the generation counter are unaffected.
+    */
+  private[engine] def compactDelta(): Unit = synchronized {
+    if (!exists(deltaPath)) return
+    val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
+    val delta = spark.read.parquet(deltaPath).select(Point.columns.map(col): _*)
+    // merged file count by data volume, same sizing rule as appends
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+    delta.coalesce(nOut)
+      .sortWithinPartitions(Point.TimeCol)
+      .write.option("compression", "snappy")
+      .mode(SaveMode.Overwrite).parquet(staging)
+    renameOrThrow(deltaPath, backupDeltaPath)
+    renameOrThrow(staging, deltaPath)
+    deleteOrThrow(backupDeltaPath)
   }
 
   override def overwrite(full: DataFrame): Unit = synchronized {
@@ -472,5 +544,16 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // only after the new primary is verifiably in place:
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
     resetGen()
+    deltaFileEstimate = 0 // delta folded into the rewritten primary
   }
+}
+
+object ParquetStorage {
+  /** Delta files tolerated before an append triggers [[ParquetStorage
+    * .compactDelta]]: high enough that a bounded ingest burst (the
+    * bench drains ~20 micro-batches) never compacts mid-burst, low
+    * enough that sustained streaming keeps per-read file listings and
+    * footer reads O(32) instead of O(batches-ever).
+    */
+  val DefaultAutoCompactFiles = 32
 }

@@ -13,18 +13,27 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's Parquet
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the
-    * column as a raw nanosecond long (`nanosAsLong`) and derive a
-    * microsecond TimestampType — the same truncation DuckDB 1.x applies
-    * when it reads the file, so both sides of the oracle see identical
-    * values. `ts_us` (epoch microseconds, exact bigint) is the
-    * cross-engine comparison currency.
+  /** Epoch-microsecond bigint from the events `ts` field, robust to the
+    * generator's timestamp encoding (it has shipped BOTH across driver
+    * rounds): TIMESTAMP(NANOS) — unreadable by Spark's parquet reader
+    * except as a raw nanosecond long via `nanosAsLong` — divides to
+    * micros (the same truncation DuckDB applies to nanos); plain
+    * TIMESTAMP[us] (NTZ or LTZ) converts directly — sessions run UTC,
+    * so naive == UTC, the same convention DuckDB's `epoch_us` uses.
+    * `ts_us` (exact bigint) is the cross-engine comparison currency.
     */
+  private[graft] def tsMicros(schema: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = table(spark, sfDir, "events")
+    raw
+      .withColumn("ts_us", tsMicros(raw.schema))
       .withColumn("time", timestamp_micros(col("ts_us")))
   }
 

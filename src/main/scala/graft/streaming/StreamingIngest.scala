@@ -256,7 +256,7 @@ object StreamingIngest {
     // the file source wants a directory: glob the single events file
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", graft.sources.Tables.tsMicros(schema))
       .withColumn("time", timestamp_micros(col("ts_us")))
   }
 

@@ -234,6 +234,43 @@ class GraftDBSpec extends SparkSpec {
       assert(db.count(TagQuery("room") === "attic") == 1)
       assert(db.length == 4)
     }
+    it("autoIndex: a read finding no live index rebuilds it transparently (auto_index parity)") {
+      val db = GraftDB.inMemory(spark, autoIndex = true)
+      db.insertMultiple(Seq(
+        Point(t("2024-01-03T00:00:00Z"), "therm", Map("room" -> "bed"), Map("temp" -> 70.0)),
+        Point(t("2024-01-01T00:00:00Z"), "therm", Map("room" -> "kitchen"), Map("temp" -> 68.0)),
+        Point(t("2024-01-02T00:00:00Z"), "cpu", Map("host" -> "a"), Map("load" -> 0.5))))
+      assert(!db.indexValid)
+      // read op → lazy build (decorators.py:50-51), correct result
+      assert(db.count(TagQuery("room") === "bed") == 1)
+      assert(db.indexValid)
+      // an out-of-order insert invalidates...
+      db.insert(Point(t("2023-12-01T00:00:00Z"), "therm",
+        Map("room" -> "attic"), Map("temp" -> 1.0)))
+      assert(!db.indexValid)
+      // ...and the NEXT read rebuilds before filtering — the inserted
+      // point is found with no explicit reindex anywhere
+      assert(db.count(TagQuery("room") === "attic") == 1)
+      assert(db.indexValid)
+      assert(db.length == 4)
+    }
+    it("remove subtracts from the live index instead of invalidating (reference index patch)") {
+      val db = freshDb()
+      db.reindex()
+      assert(db.remove(TagQuery("room") === "bed") == 1)
+      assert(db.indexValid, "remove must patch the index view, not invalidate it")
+      assert(db.length == 2)
+      assert(db.count(TagQuery("room") === "bed") == 0)
+      assert(db.count(MeasurementQuery() === "therm") == 1)
+      // a null-evaluating predicate (missing key) must neither remove
+      // rows nor corrupt the patched view's null semantics
+      assert(db.remove(FieldQuery("nope") > 0.0) == 0)
+      assert(db.count(~TagQuery("room").exists()) == 1) // cpu row keeps NOT semantics
+      // dropMeasurement patches too
+      assert(db.dropMeasurement("cpu") == 1)
+      assert(db.indexValid)
+      assert(db.search(Noop).map(_.tags("room")) == Seq("kitchen"))
+    }
     it("is invalidated by writes (results stay correct after update/insert)") {
       val db = freshDb()
       db.reindex()

@@ -124,6 +124,20 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("cellKey"), p)
     }
 
+    it("exact ANN top-k is a bounded partial aggregate — no full-corpus per-query window") {
+      // Regression guard for the old Window.partitionBy(qid) form: that
+      // plan funneled every corpus row's score for a query through ONE
+      // task for row_number. The TopKByScore aggregate keeps <= k
+      // candidates per (query, partition) map-side, so the per-qid
+      // shuffle carries k·partitions rows, not the corpus.
+      val p = plan(SparkEntry.queries("q59_ann_topk")(spark, sf))
+      assert(!p.contains("Window"), p)
+      // typed-aggregator top-k plans as object/sort aggregate with a
+      // partial phase before its exchange
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+      assert(p.contains("partial_topkbyscore") || p.contains("partial"), p)
+    }
+
     it("IVF cell assignment is a broadcast + map-side partial min, never a corpus-wide window") {
       val p = plan(SparkEntry.queries("q81_ann_ivf")(spark, sf))
       // the tiny centroid table broadcasts to the corpus (and the probe

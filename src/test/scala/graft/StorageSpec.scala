@@ -76,6 +76,47 @@ class StorageSpec extends SparkSpec {
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".staging-dead")))
     }
 
+    it("auto-compaction bounds the delta tier's file count under sustained appends") {
+      val dir = Files.createTempDirectory("graftautocompact").toString
+      val db = new GraftDB(new ParquetStorage(spark, dir, partitioned = true,
+        autoCompactFiles = 8))
+      (1 to 20).foreach { i =>
+        db.insert(Point(t(f"2024-01-${i}%02dT00:00:00Z"), "m",
+          Map("host" -> s"h${i % 3}"), Map("v" -> i.toDouble)))
+      }
+      val delta = new java.io.File(s"$dir/delta")
+      val files = delta.listFiles.count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      // one delta file per append without the policy would leave 20;
+      // the threshold-8 policy compacted at 8 and 15, so ≤ 8 remain
+      assert(files <= 8, s"delta holds $files files after 20 appends")
+      // nothing lost, insertion order intact through both compactions
+      assert(db.length == 20)
+      val seqs = db.all(sorted = false).map(_._seq)
+      assert(seqs == seqs.sorted && seqs.distinct.size == 20)
+      assert(db.count(FieldQuery("v") === 20.0) == 1)
+    }
+
+    it("recovers the delta tier from a crash mid-delta-compaction") {
+      val dir = Files.createTempDirectory("graftdeltacrash").toString
+      val db = GraftDB.atPath(spark, dir)
+      (1 to 3).foreach { i =>
+        db.insert(Point(t(f"2024-01-0${i}T00:00:00Z"), "m", Map(), Map("v" -> i.toDouble)))
+      }
+      val before = db.all().map(p => (p.time, p.fields))
+      // simulate compactDelta dying between its two renames: delta moved
+      // to backup, staged replacement never renamed into place
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, "delta"),
+        java.nio.file.Paths.get(dir, ".backup-delta"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, ".staging-delta-dead"))
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.all().map(p => (p.time, p.fields)) == before)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".backup-delta")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".staging-delta-dead")))
+    }
+
     it("reopening the directory sees the same data (insertion order kept)") {
       val (db, dir) = seeded()
       db.compact()
