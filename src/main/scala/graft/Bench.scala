@@ -305,7 +305,12 @@ object Bench {
     // file per batch). Drain the whole events table through
     // StreamingIngest.start into ParquetStorage and record drain
     // SECONDS (rows/s = rows/value; BENCH_NOTES carries the rate).
-    // First chunk is untimed warm-up (stream codegen + sink setup).
+    // First chunk is untimed warm-up (stream codegen + sink setup); the
+    // WHOLE drain then runs TWICE against fresh stores and min-merges —
+    // StreamProbe measured the first full drain itself acting as warm-up
+    // for the micro-batch machinery (36.9k → 49.5k rows/s run 1 → 2),
+    // and a rate metric wants the steady state a long-lived ingest runs
+    // at, not the JIT ramp.
     {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
@@ -315,14 +320,14 @@ object Bench {
       // with SF.
       val pointData = Tables.eventsAsPoints(spark, sfDir)
         .limit(100000).as[Point].collect().toSeq
-      val src = MemoryStream[Point](spark)
-      val stream = src.toDS().toDF().drop(Point.SeqCol)
-      val ckpt = java.nio.file.Files.createTempDirectory("graftstreamckpt").toString
-      val dest = java.nio.file.Files.createTempDirectory("graftstreamdb").toString
-      val sdb = GraftDB.atPath(spark, dest)
       // ~20 micro-batch-sized chunks at any SF (first one is warm-up)
       val chunks = pointData.grouped(math.max(100, pointData.size / 20)).toSeq
-      if (chunks.size > 1) { // need a warm chunk AND timed chunks
+      if (chunks.size > 1) (1 to 2).foreach { _ => // need a warm chunk AND timed chunks
+        val src = MemoryStream[Point](spark)
+        val stream = src.toDS().toDF().drop(Point.SeqCol)
+        val ckpt = java.nio.file.Files.createTempDirectory("graftstreamckpt").toString
+        val dest = java.nio.file.Files.createTempDirectory("graftstreamdb").toString
+        val sdb = GraftDB.atPath(spark, dest)
         val q = StreamingIngest.start(stream, sdb, ckpt)
         src.addData(chunks.head)
         q.processAllAvailable()

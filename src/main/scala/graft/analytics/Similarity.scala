@@ -36,20 +36,34 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
-    val idType = corpus.schema(idCol).dataType
-    require(Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
-      s"bruteForceTopK needs an integral id column; '$idCol' is $idType " +
-        "(map other id types to a surrogate long first)")
+    requireIntegralId(corpus, idCol, "bruteForceTopK")
     val c = corpus.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-    c.crossJoin(broadcast(q))
-      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
+    topKPerQuery(c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine")), k)
+  }
+
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
+      s"$op needs an integral id column; '$idCol' is $idType " +
+        "(map other id types to a surrogate long first)")
+  }
+
+  /** Shared per-query top-k reduction over (qid, id, cosine) candidate
+    * rows: the bounded [[graft.functions.TopKByScore]] aggregate (≤ k
+    * kept per (query, partition) map-side, k·partitions rows on the
+    * shuffle) — never a `Window.partitionBy(qid)`, which would funnel
+    * every candidate for a query through one task. Rank semantics are
+    * exactly `row_number() OVER (ORDER BY cosine DESC, id ASC)`.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("qid")
       .agg(graft.functions.TopK.topK(k)(col("cosine"), col("id")).as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("id"), col("col.score").as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
-  }
 
   /** Per-group embedding centroids (element-wise mean) — the building
     * block of IVF coarse quantizers, class prototypes, and cluster
@@ -109,7 +123,8 @@ object Similarity {
       bits: Int = 12, seeds: Seq[Int] = Seq(1, 2, 3),
       signature: (org.apache.spark.sql.Column, Int, Int) => org.apache.spark.sql.Column =
         randomHyperplaneSignature): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
+    requireIntegralId(corpus, idCol, "lshTopK")
+    val c0 = corpus.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("cv"))
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
     def bucketed(df: DataFrame, v: String) = df.select(
       col("*"),
@@ -120,8 +135,10 @@ object Similarity {
       .select(col("q.qid").as("qid"), col("c.id").as("id"), col("c.cv").as("cv"), col("q.qv").as("qv"))
       .dropDuplicates("qid", "id")
       .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // candidates are bucket-bounded, but one hot bucket on a 100-TB
+    // corpus is still unbounded — the same bounded aggregate as the
+    // exact tier keeps the reduction scale-safe
+    topKPerQuery(cands, k)
   }
 
   /** IVF with a CALLER-SUPPLIED coarse quantizer — `centroids` in the
@@ -140,6 +157,7 @@ object Similarity {
     */
   def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int, nProbe: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "ivfTopKWithCentroids")
     val centers = centersOf(centroids)
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
@@ -184,12 +202,12 @@ object Similarity {
       .select("qid", "qv", "cell")
   }
 
-  private def scoreProbed(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    assigned.join(broadcast(probes), "cell")
-      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+  private def scoreProbed(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    // a probed inverted list can hold millions of vectors at corpus
+    // scale — reduce through the bounded aggregate, not a per-qid window
+    topKPerQuery(assigned.join(broadcast(probes), "cell")
+      .select(col("qid"), col("id").cast("long").as("id"),
+        dot(col("cv"), col("qv")).as("cosine")), k)
 
   /** Materialize the IVF serving layout: `assign(corpus)` written as
     * parquet PARTITIONED BY `cell` — one directory per inverted list.
@@ -217,6 +235,7 @@ object Similarity {
     val probes = probeCells(q0, centers, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val index = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
+    requireIntegralId(index, "id", "ivfTopKPersisted")
     scoreProbed(index, probes, k)
   }
 
@@ -237,6 +256,7 @@ object Similarity {
       nCells: Int = 64, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    requireIntegralId(corpus, idCol, "ivfTopK")
     val spark = corpus.sparkSession
 
     val c0 = corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("cv"))
@@ -261,9 +281,8 @@ object Similarity {
       .filter(col("crank") <= nProbe)
       .select("qid", "qv", "cell")
 
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
-    assigned.join(broadcast(probes), "cell")
-      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(assigned.join(broadcast(probes), "cell")
+      .select(col("qid"), col("id").cast("long").as("id"),
+        dot(col("cv"), col("qv")).as("cosine")), k)
   }
 }

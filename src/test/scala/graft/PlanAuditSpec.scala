@@ -136,6 +136,10 @@ class PlanAuditSpec extends SparkSpec {
       // partial phase before its exchange
       assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
       assert(p.contains("partial_topkbyscore") || p.contains("partial"), p)
+      // the LSH tier reduces through the same bounded aggregate (its
+      // only former window was the per-qid candidate ranking)
+      val pLsh = plan(SparkEntry.queries("q82_ann_lsh")(spark, sf))
+      assert(!pLsh.contains("Window"), pLsh)
     }
 
     it("IVF cell assignment is a broadcast + map-side partial min, never a corpus-wide window") {
