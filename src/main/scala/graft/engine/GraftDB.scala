@@ -150,8 +150,13 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     filterPlan(q).orderBy(Point.SeqCol).toLocalIterator().asScala.map(toPoint)
   }
 
-  /** op 3 `__len__` (database.py:148-155). */
-  def length: Long = df.count()
+  /** op 3 `__len__` (database.py:148-155): answered from the live
+    * index view when one exists (the reference's `len(self._index)`
+    * fast path, database.py:151-152) — a count over cached primitive
+    * columns instead of a storage re-scan; the view always reflects
+    * the full state (extensions unioned, removals patched).
+    */
+  def length: Long = { guardOpen(); indexedState.fold(df.count())(_.view.count()) }
 
   /** op 4 `search` (database.py:740-828). */
   def searchDF(q: Q, sorted: Boolean = true): DataFrame = {

@@ -503,10 +503,21 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private[engine] def maybeCompactDelta(): Unit = synchronized {
     if (deltaFileEstimate < 0) deltaFileEstimate = listedDeltaFileCount()
     if (deltaFileEstimate >= autoCompactFiles) {
-      compactDelta()
+      // Choose the compaction tier at trigger time (one size listing
+      // each — paid per compaction, never per append): once the delta
+      // tier rivals the main store, FOLD it in (full compact) — reads
+      // regain partition pruning, and the fold-at-doubling schedule
+      // bounds total rewrite cost at O(N log N) over any ingest
+      // history. Below that, merge delta files in place (O(delta)).
+      if (duBytes(deltaPath) >= duBytes(dataPath)) compact()
+      else compactDelta()
       deltaFileEstimate = listedDeltaFileCount()
     }
   }
+
+  private def duBytes(p: String): Long =
+    if (!exists(p)) 0L
+    else fs.getContentSummary(new Path(p)).getLength
 
   /** Merge the delta tier's many small files into few split-sized ones
     * IN PLACE (data tier untouched): read delta, write merged files to

@@ -85,10 +85,13 @@ class StorageSpec extends SparkSpec {
           Map("host" -> s"h${i % 3}"), Map("v" -> i.toDouble)))
       }
       val delta = new java.io.File(s"$dir/delta")
-      val files = delta.listFiles.count(f =>
-        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      // a full compact (delta rivals the main store) may have removed
+      // the delta dir entirely — that also satisfies the bound
+      val files = if (!delta.exists) 0
+        else delta.listFiles.count(f =>
+          f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       // one delta file per append without the policy would leave 20;
-      // the threshold-8 policy compacted at 8 and 15, so ≤ 8 remain
+      // the threshold-8 policy compacts at every 8th, so ≤ 8 remain
       assert(files <= 8, s"delta holds $files files after 20 appends")
       // nothing lost, insertion order intact through both compactions
       assert(db.length == 20)
