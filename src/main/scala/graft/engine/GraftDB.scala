@@ -340,11 +340,102 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
       fields: Map[String, Double] = Map.empty,
       unsetTags: Seq[String] = Nil,
       unsetFields: Seq[String] = Nil
-  ): Long = updateWith(q,
-    time = time.map(t => (_: Column) => lit(java.sql.Timestamp.from(t))),
-    measurement = measurement.map(m => (_: Column) => lit(m)),
-    tags = GraftDB.mergeMapFn(tags, unsetTags),
-    fields = GraftDB.mergeMapFn(fields, unsetFields))
+  ): Long = {
+    val c = rawCond(q)
+    val (updated, changedCond) = GraftDB.updatePlan(df, c,
+      time.map(t => (_: Column) => lit(java.sql.Timestamp.from(t))),
+      measurement.map(m => (_: Column) => lit(m)),
+      GraftDB.mergeMapFn(tags, unsetTags),
+      GraftDB.mergeMapFn(fields, unsetFields))
+    val changed = df.filter(coalesce(c, lit(false)) && changedCond).count()
+    if (changed > 0) {
+      // literal updates translate to slot columns — patch the live
+      // index in place instead of discarding it (the reference
+      // repositions its entries on update, index.py:504-514, 897-935)
+      patchIndexAfterUpdate(q, time, measurement, tags, fields, unsetTags, unsetFields)
+      storage.overwrite(updated)
+    }
+    changed
+  }
+
+  /** In-place index patch for LITERAL updates: one stacked projection
+    * over the live view rewrites matched rows' flat columns — time and
+    * measurement directly, each updated tag/field as (value, TRUE)
+    * into its slot, each unset key as (typed-null, FALSE). Brand-new
+    * keys extend the slot layout exactly like [[tryExtendIndex]] (old
+    * rows read value-null/presence-FALSE). The zonemap WIDENS to admit
+    * an updated time (a superset of the true bounds stays sound for
+    * the emptiness proof). Callable updates ([[updateWith]]) keep
+    * invalidate — an arbitrary map transform has no slot translation.
+    * Catalyst note: predicates over patched columns become CASE
+    * expressions after pushdown, which cached-batch min/max pruning
+    * simply declines to prune — stale-stat pruning is impossible by
+    * construction.
+    */
+  private def patchIndexAfterUpdate(
+      q: Q, time: Option[Instant], measurement: Option[String],
+      tags: Map[String, String], fields: Map[String, Double],
+      unsetTags: Seq[String], unsetFields: Seq[String]): Unit = indexedState match {
+    case Some(st) if st.patches < MaxIndexPatches =>
+      val newTagKeys = tags.keys.filterNot(st.layout.tagSlots.contains).toSeq.sorted
+      val newFieldKeys = fields.keys.filterNot(st.layout.fieldSlots.contains).toSeq.sorted
+      val tagSlots = st.layout.tagSlots ++
+        newTagKeys.zipWithIndex.map { case (k, i) => k -> (st.layout.tagSlots.size + i) }
+      val fieldSlots = st.layout.fieldSlots ++
+        newFieldKeys.zipWithIndex.map { case (k, i) => k -> (st.layout.fieldSlots.size + i) }
+      // rows that never carried a brand-new key: typed-null, FALSE (a
+      // null presence bit would break NOT/exists — same rule as
+      // tryExtendIndex)
+      val base = st.view.select(
+        st.view.columns.map(col).toSeq ++
+          newTagKeys.map(k => lit(null).cast("string").as(s"__tv_${tagSlots(k)}")) ++
+          newTagKeys.map(k => lit(false).as(s"__tp_${tagSlots(k)}")) ++
+          newFieldKeys.map(k => lit(null).cast("double").as(s"__fv_${fieldSlots(k)}")) ++
+          newFieldKeys.map(k => lit(false).as(s"__fp_${fieldSlots(k)}")): _*)
+      // the match predicate compiles against the PRE-extension layout
+      // (complete, so keys absent from it are genuinely missing)
+      val m = coalesce(QueryCompiler.compile(q, st.layout), lit(false))
+      // update() semantics: updates win over unset for a key in both
+      val clearTags = unsetTags.filterNot(tags.contains).filter(tagSlots.contains)
+      val clearFields = unsetFields.filterNot(fields.contains).filter(fieldSlots.contains)
+      val replacements: Map[String, Column] =
+        time.map(t => Point.TimeCol ->
+          when(m, lit(java.sql.Timestamp.from(t))).otherwise(col(Point.TimeCol))).toMap ++
+        measurement.map(v => Point.MeasurementCol ->
+          when(m, lit(v)).otherwise(col(Point.MeasurementCol))).toMap ++
+        tags.flatMap { case (k, v) =>
+          val i = tagSlots(k)
+          Seq(s"__tv_$i" -> when(m, lit(v)).otherwise(col(s"__tv_$i")),
+            s"__tp_$i" -> when(m, lit(true)).otherwise(col(s"__tp_$i")))
+        } ++
+        clearTags.flatMap { k =>
+          val i = tagSlots(k)
+          Seq(s"__tv_$i" -> when(m, lit(null).cast("string")).otherwise(col(s"__tv_$i")),
+            s"__tp_$i" -> when(m, lit(false)).otherwise(col(s"__tp_$i")))
+        } ++
+        fields.flatMap { case (k, v) =>
+          val i = fieldSlots(k)
+          Seq(s"__fv_$i" -> when(m, lit(v)).otherwise(col(s"__fv_$i")),
+            s"__fp_$i" -> when(m, lit(true)).otherwise(col(s"__fp_$i")))
+        } ++
+        clearFields.flatMap { k =>
+          val i = fieldSlots(k)
+          Seq(s"__fv_$i" -> when(m, lit(null).cast("double")).otherwise(col(s"__fv_$i")),
+            s"__fp_$i" -> when(m, lit(false)).otherwise(col(s"__fp_$i")))
+        }
+      val patched = base.select(base.columns.map(n =>
+        replacements.getOrElse(n, col(n)).as(n)): _*)
+      val bounds = (st.timeBounds, time) match {
+        case (Some((lo, hi)), Some(t)) =>
+          Some((if (t.isBefore(lo)) t else lo, if (t.isAfter(hi)) t else hi))
+        case (b, _) => b
+      }
+      indexedState = Some(st.copy(view = patched,
+        layout = IndexedLayout(tagSlots, fieldSlots, complete = true),
+        timeBounds = bounds, patches = st.patches + 1))
+    case Some(_) => invalidateIndex()
+    case None    => ()
+  }
 
   /** Callable-update form (reference `update(fields=lambda …)`,
     * database.py:1064-1225): each transform maps the OLD attribute

@@ -271,6 +271,35 @@ class GraftDBSpec extends SparkSpec {
       assert(db.indexValid)
       assert(db.search(Noop).map(_.tags("room")) == Seq("kitchen"))
     }
+    it("literal update patches the live index instead of invalidating (reference reposition)") {
+      val db = freshDb()
+      db.reindex()
+      // literal tag+field update on matches; 'unit' is a brand-new key
+      assert(db.update(MeasurementQuery() === "therm",
+        tags = Map("unit" -> "F"), fields = Map("temp" -> 0.0)) == 2)
+      assert(db.indexValid, "literal update must patch the index view, not invalidate it")
+      assert(db.count(FieldQuery("temp") === 0.0) == 2)
+      assert(db.count(TagQuery("unit") === "F") == 2)
+      // the new key got a fresh slot; unmatched rows read presence=FALSE
+      assert(db.count(TagQuery("unit").exists()) == 2)
+      assert(db.count(~TagQuery("unit").exists()) == 1)
+      // unset clears the key on matches only
+      assert(db.update(TagQuery("room") === "bed", unsetFields = Seq("temp")) == 1)
+      assert(db.indexValid)
+      assert(db.count(FieldQuery("temp").exists()) == 1)
+      // time reposition PAST the old zonemap max: stale bounds would
+      // prove the range empty and silently drop the row
+      assert(db.update(TagQuery("room") === "bed",
+        time = Some(t("2024-02-01T00:00:00Z"))) == 1)
+      assert(db.indexValid)
+      assert(db.count(TimeQuery() >= t("2024-01-20T00:00:00Z")) == 1)
+      // callable updates have no slot translation: still invalidate
+      db.updateWith(MeasurementQuery() === "cpu",
+        time = Some(_ => org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.from(t("2024-03-01T00:00:00Z")))))
+      assert(!db.indexValid)
+      assert(db.count(TimeQuery() >= t("2024-02-15T00:00:00Z")) == 1)
+    }
     it("is invalidated by writes (results stay correct after update/insert)") {
       val db = freshDb()
       db.reindex()
