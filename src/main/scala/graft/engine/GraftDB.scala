@@ -321,7 +321,10 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
       oldExtended.unionByName(deltaView),
       IndexedLayout(tagSlots, fieldSlots, complete = true),
       Some((st.timeBounds.fold(lo)(_._1), hi)),
-      st.cached :+ deltaView))
+      st.cached :+ deltaView,
+      // patches stack UNDER the union — carry the count so interleaved
+      // remove/append sequences cannot grow plan depth unboundedly
+      st.patches))
     true
   }
 
