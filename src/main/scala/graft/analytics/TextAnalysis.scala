@@ -229,6 +229,46 @@ object TextAnalysis {
       .agg(countDistinct("id").as("df"), count(lit(1)).as("cf"))
       .orderBy(col("df").desc, col("tok"))
       .limit(k)
+
+  /** Hashed-token LINEAR quality classifier — the fasttext-style model
+    * filter of CCNet/RefinedWeb-class pipelines (a linear model over
+    * hashing-trick token features deciding keep/drop). Model weights
+    * here are a DETERMINISTIC closed-form function of the bucket id
+    * (the stand-in for trained weights, same stub contract as the
+    * multimodal decode: the pipeline plumbing — tokenize → hashing
+    * trick → margin → decision — is real and exactly checkable;
+    * swapping in trained weights means replacing the milli-weight
+    * expression with a broadcast lookup).
+    *
+    * EXACTNESS ACROSS ENGINES: the per-token weight is an INTEGER
+    * milli-weight m(b) = (b·2654435761) mod 1997 − 998 ∈ [−998, 998]
+    * over md5-derived buckets, so the document margin Σ m(b(tok)) is a
+    * bigint sum — associative, order-free, bit-identical anywhere —
+    * and the keep decision (margin ≥ 0) can never straddle a float
+    * boundary. Only the REPORTED score divides (by 998·n_tokens) and
+    * is rounded 6dp on both sides.
+    *
+    * 100 TB shape: a pure per-row projection (tokenize + hash +
+    * integer fold) — no shuffle, no state, full scan parallelism; the
+    * "model" is a closed-form expression, so nothing broadcasts.
+    */
+  def hashedLinearQuality(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024, salt: String = "qc"): DataFrame = {
+    require(buckets >= 1, "buckets >= 1")
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)
+    def bucketOf(t: Column): Column =
+      conv(substring(md5(concat(lit(s"$salt:"), t)), 1, 8), 16, 10)
+        .cast("long") % buckets
+    def milli(t: Column): Column = (bucketOf(t) * lit(2654435761L)) % 1997L - 998L
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, milli _), lit(0L), (acc, x) => acc + x).as("margin"))
+      .select(col(idCol), col("n_tokens"), col("margin"),
+        when(col("n_tokens") > 0,
+          round(col("margin").cast("double") / (lit(998.0) * col("n_tokens")), 6))
+          .otherwise(lit(0.0)).as("score"),
+        (col("n_tokens") > 0 && col("margin") >= 0).as("keep"))
+  }
 }
 
 /** Minimal public stopword lists (top function words) per language —

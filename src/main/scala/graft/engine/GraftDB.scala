@@ -673,8 +673,17 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     */
   def reindex(): Unit = {
     invalidateIndex()
-    val tagKeys = getTagKeys()
-    val fieldKeys = getFieldKeys()
+    // ONE key-discovery job for both universes (was two explode+distinct
+    // jobs): kind-tagged keys explode together, one distinct shuffle —
+    // the scalable shape (per-row arrays never accumulate in one
+    // buffer, unlike a collect_list agg), half the build's job count.
+    val keyRows = df.select(explode(concat(
+        transform(map_keys(col(Point.TagsCol)), k => struct(lit("t").as("kind"), k.as("k"))),
+        transform(map_keys(col(Point.FieldsCol)), k => struct(lit("f").as("kind"), k.as("k")))))
+        .as("e"))
+      .select(col("e.kind"), col("e.k")).distinct().collect()
+    val tagKeys = keyRows.filter(_.getString(0) == "t").map(_.getString(1)).sorted.toSeq
+    val fieldKeys = keyRows.filter(_.getString(0) == "f").map(_.getString(1)).sorted.toSeq
     // Primitives-only cache: the map columns are NOT stored — the slots
     // cover every key (layout is complete), and filterPlan rebuilds the
     // maps for matched rows. Cached batches hold only atomic columns,

@@ -184,6 +184,15 @@ object CorpusQueries {
         .select(col("id").as("vec_id"), col("cell")).orderBy("vec_id")
     }),
 
+    // fasttext-style hashed-linear quality classifier: md5 hashing
+    // trick into 1024 buckets, deterministic integer milli-weights, so
+    // the margin is a bigint sum (order-free, engine-exact) and the
+    // keep decision can never straddle a float boundary — the oracle
+    // replays tokenize → bucket → weight → margin → decision in full
+    "q102_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearQuality(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q55_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
@@ -705,6 +714,26 @@ object CorpusQueries {
         |    row_number() OVER (PARTITION BY dp2.vec_id ORDER BY cc2.cc - 2*dp2.dp, dp2.cell) AS rn
         |  FROM dp2 JOIN cc2 USING (cell)) WHERE rn = 1)
         |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
+    "q102_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('qc:' || tok), 1, 8) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, sum((b * 2654435761) % 1997 - 998) AS margin, count(*) AS n
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS margin,
+        |  CASE WHEN COALESCE(s.n, 0) > 0
+        |       THEN round(CAST(s.margin AS DOUBLE) / (998.0 * s.n), 6) ELSE 0.0 END AS score,
+        |  COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0 AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q55_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]
