@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 6, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 8, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -109,8 +109,26 @@ object Explain {
     section("q81 IVF ANN (fixed-centroid coarse quantizer)",
       "Cell assignment: centroids broadcast to the corpus, argmin as a map-side " +
         "partial min(struct(dist, cell)) — the exchange carries ONE row per vector. " +
-        "Probes broadcast back; the only windows run per-query-id for the top-k.") {
+        "Probes broadcast back; the candidate top-k reduces through the bounded " +
+        "TopKByScore aggregate (the only remaining window ranks probe CELLS per " +
+        "query — a queries×centroids row set).") {
       SparkEntry.queries("q81_ann_ivf")(spark, sfDir)
+    }
+
+    section("q59 exact ANN top-k (bounded aggregate, round 8)",
+      "No Window anywhere: the per-query top-k is the TopKByScore partial " +
+        "aggregate — ≤ k candidates survive per (query, input partition) map-side, " +
+        "so the per-qid exchange carries k·partitions rows, never the scored corpus. " +
+        "The old row_number() formulation serialized each query's full corpus " +
+        "scores through one task.") {
+      SparkEntry.queries("q59_ann_topk")(spark, sfDir)
+    }
+
+    section("q102 hashed-linear quality classifier (round 8)",
+      "Pure per-row projection — tokenize, md5 hashing trick, integer milli-weight " +
+        "fold — no Exchange at all before the presentation ORDER BY: the classifier " +
+        "runs at full scan parallelism with nothing broadcast and no state.") {
+      SparkEntry.queries("q102_quality_classifier")(spark, sfDir)
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
