@@ -408,6 +408,25 @@ object RelationalQueries {
           unix_micros(col("window_start")).as("win_us"), col("last_value"))
         .orderBy("measurement", "win_us")),
 
+    // co-located BUCKETED join: both sides written bucketed+sorted on
+    // the join key (the once-per-lifetime layout cost), then joined
+    // with NO exchange below the join (PlanAudit pins that) — same
+    // result as q31's broadcast form, proven by sharing its oracle
+    "q103_bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graftbucketq").toString
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        "g103_orders", s"$base/orders", "custkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        "g103_customer", s"$base/customer", "custkey", 8)
+      graft.sources.Bucketing.cogroupedJoin(s, "g103_orders", "g103_customer", "custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // salting must be semantics-preserving: the salted fact-dim join
     // aggregates to exactly what the plain join produces
     "q72_salted_join" -> ((s, dir) => {
@@ -612,6 +631,11 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY measurement, win_us ORDER BY ts_us DESC, event_id DESC) AS rn FROM w)
         |SELECT measurement, win_us, value AS last_value FROM r WHERE rn = 1
         |ORDER BY measurement, win_us""".stripMargin,
+    "q103_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q72_salted_join" ->
       """SELECT o.o_orderpriority AS pri, count(*) AS n,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -43,6 +43,28 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), p)
       assert(!p.contains("SortMergeJoin"), p)
     }
+
+    it("co-bucketed tables sort-merge join with ZERO exchange") {
+      import graft.sources.Bucketing
+      val base = java.nio.file.Files.createTempDirectory("graftbucketaudit").toString
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$sf/orders.parquet")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        "audit_orders_b", s"$base/orders", "custkey", 4)
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$sf/customer.parquet")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        "audit_customer_b", s"$base/customer", "custkey", 4)
+      val j = Bucketing.cogroupedJoin(spark, "audit_orders_b", "audit_customer_b", "custkey")
+      val p = plan(j)
+      // the scans' bucket layout satisfies the join's required
+      // HashPartitioning on BOTH sides: a shuffle here means the
+      // bucket spec was lost (catalog bypass, mismatched count)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(exchanges(p) == 0, p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      assert(j.count() > 0)
+    }
   }
 
   describe("single-shuffle shapes") {
