@@ -151,6 +151,56 @@ object Dedup {
     }
   }
 
+  /** BLOOM-FILTER decontamination — the zero-join tier of the q88
+    * sweep for 100-TB corpora: the eval/benchmark shingle set compiles
+    * into a compact bit array CARRIED IN THE PLAN (16 KB at the 2^17
+    * default — benchmarks are small by construction), and the corpus
+    * side is a PURE SCAN: each document's distinct shingles test `k`
+    * md5-derived bit positions — no shuffle, no join, no state ever
+    * touches the corpus. The same shape as Spark's own runtime bloom
+    * pushdown, made deterministic: positions are md5-derived, so the
+    * filter — INCLUDING its false positives — is a pure function of
+    * (evalSet, bits, k) that any engine replays bit-for-bit (the
+    * oracle reproduces membership as position-subset testing, which is
+    * definitionally identical to the bit test: bit p is set iff some
+    * eval shingle maps to p). Returns (id, n_hits ≥ minHit); eval docs
+    * flag themselves by construction — route flagged docs through the
+    * exact inverted-index join ([[contaminationPairs]]) for
+    * attribution and self-filtering, the classic two-phase
+    * sketch-then-verify pipeline.
+    */
+  def bloomDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String,
+      n: Int, minHit: Int, bits: Int = 1 << 17, k: Int = 3): DataFrame = {
+    require(bits > 0 && (bits & (bits - 1)) == 0 && bits % 64 == 0,
+      "bits must be a power of two >= 64")
+    require(k >= 1 && k <= 8, "k in [1, 8]")
+    def posOf(h: Int, s: Column): Column =
+      conv(substring(md5(concat(lit(s"bloom$h:"), s)), 1, 8), 16, 10)
+        .cast("long") % bits
+    // eval side: distinct shingles → k positions each → driver bitset
+    // (benchmarks are small — the same broadcast-side contract as the
+    // exact join's eval postings)
+    val epos = evalSet
+      .select(explode(array_distinct(wordShingles(col(evalTextCol), n))).as("s"))
+      .select(explode(array((1 to k).map(h => posOf(h, col("s"))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](bits / 64)
+    epos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    val bitset = lit(words)
+    def bitTest(p: Column): Column =
+      call_function("shiftright",
+        element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    def hit(s: Column): Column =
+      (1 to k).map(h => bitTest(posOf(h, s))).reduce(_ && _)
+    corpus
+      .select(col(idCol).as("id"),
+        size(filter(array_distinct(wordShingles(col(textCol), n)), hit _))
+          .cast("long").as("n_hits"))
+      .filter(col("n_hits") >= minHit)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
     *
     * Inverted-index pattern: explode distinct shingles, self-join on

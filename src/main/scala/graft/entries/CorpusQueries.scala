@@ -55,6 +55,22 @@ object CorpusQueries {
         .select("cid", "eid", "shared").orderBy("cid", "eid")
     }),
 
+    // the ZERO-JOIN bloom tier of decontamination: eval shingles fold
+    // into a 16 KB bit array carried in the plan; the corpus side is a
+    // pure scan testing 3 md5-derived positions per distinct shingle.
+    // Deterministic INCLUDING false positives (bit p set ⟺ some eval
+    // shingle maps to p), so the oracle replays membership exactly as
+    // position-subset tests. Eval docs flag themselves by design —
+    // phase 2 (q88's exact join) attributes and self-filters.
+    "q104_bloom_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = d.filter(col("doc_id") % 97 === 0).select(col("text"))
+      Dedup.bloomDecontaminate(d, "doc_id", "text", ev, "text",
+        n = 3, minHit = 3)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     "q52_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -556,6 +572,27 @@ object CorpusQueries {
         |FROM kept c JOIN eg e ON c.tok = e.tok AND c.doc_id <> e.eid
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY cid, eid""".stripMargin,
 
+    "q104_bloom_decontamination" ->
+      """WITH wt AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |            FROM documents),
+        |g AS (SELECT DISTINCT doc_id, tok FROM
+        |      (SELECT doc_id, unnest(CASE WHEN length(w) >= 3
+        |         THEN list_transform(generate_series(1, length(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])
+        |         ELSE [] END) AS tok FROM wt)),
+        |ep AS (SELECT DISTINCT unnest([
+        |    CAST('0x' || substring(md5('bloom1:' || tok), 1, 8) AS BIGINT) % 131072,
+        |    CAST('0x' || substring(md5('bloom2:' || tok), 1, 8) AS BIGINT) % 131072,
+        |    CAST('0x' || substring(md5('bloom3:' || tok), 1, 8) AS BIGINT) % 131072]) AS pos
+        |  FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, tok FROM g
+        |  WHERE CAST('0x' || substring(md5('bloom1:' || tok), 1, 8) AS BIGINT) % 131072
+        |          IN (SELECT pos FROM ep)
+        |    AND CAST('0x' || substring(md5('bloom2:' || tok), 1, 8) AS BIGINT) % 131072
+        |          IN (SELECT pos FROM ep)
+        |    AND CAST('0x' || substring(md5('bloom3:' || tok), 1, 8) AS BIGINT) % 131072
+        |          IN (SELECT pos FROM ep))
+        |SELECT doc_id, count(*) AS n_hits FROM hits
+        |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
     "q52_token_count" ->
       """SELECT doc_id,
         |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,

@@ -138,6 +138,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(maxTile <= 4L * n / b, s"fattest tile $maxTile rows > 4n/B=${4L * n / b}")
     }
 
+    it("bloom decontamination is a pure corpus scan — no join, no hash exchange") {
+      // the eval bitset folds into the plan at construction; what runs
+      // over the corpus is scan → project/filter → presentation sort
+      val p = plan(SparkEntry.queries("q104_bloom_decontamination")(spark, sf))
+      assert(!p.contains("Join"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    }
+
     it("eps-grid near-dup candidates come from a cell equi-join, never a cross join") {
       val p = plan(SparkEntry.queries("q79_eps_grid_near_dup")(spark, sf))
       assert(!p.contains("CartesianProduct"), p)
