@@ -115,6 +115,20 @@ object ScaleProbe {
         Curation.budgetSelect(scored, Seq(col("q").desc, col("doc_id")),
           "n_tokens", budget = if (label == "1x") 5000L else 50000L).count()
       }
+      // q106 shape: model pass condenses to the charset-bounded trigram
+      // table (map-side combine), scoring is a scan against ONE
+      // broadcast map row — expected ~linear, constant stages, and the
+      // broadcast payload does NOT grow with the corpus (the extra
+      // per-copy salt adds a handful of grams, not 10×)
+      time(s"trigram_lm_$label") {
+        graft.analytics.TextAnalysis.charTrigramLmScore(d, "doc_id", "text").count()
+      }
+      // q107 shape: explode + one partial-agg shuffle whose width is
+      // bounded by distinct pairs (charset², constant across scales) —
+      // the shuffle payload must NOT grow 10×, only the scan does
+      time(s"bpe_pairs_$label") {
+        graft.analytics.TextAnalysis.bpePairCounts(d, "text", k = 50).count()
+      }
     }
     // same hygiene as emb10 below: the text tiers are done with this
     docs10.unpersist()
@@ -183,6 +197,14 @@ object ScaleProbe {
     for ((label, e) <- Seq("1x" -> ev1.select("user_id", "ts_us", "event_id"), "10x" -> ev10)) {
       time(s"sessionize_$label") {
         Curation.sessionStats(e, "user_id", "ts_us", "event_id", 1800000000L).count()
+      }
+      // q105 shape: pure bit-op projection + one partial-agg shuffle
+      // keyed by the (fixed-cardinality) z-prefix bucket — the shuffle
+      // carries ≤ buckets×partitions partial rows at any corpus size
+      time(s"zorder_stats_$label") {
+        graft.analytics.Layout.zorderBucketStats(e,
+          pmod(col("user_id"), lit(1024L)),
+          pmod(expr("ts_us div 3600000000"), lit(1024L)), prefixShift = 14).count()
       }
     }
     ev10.unpersist()

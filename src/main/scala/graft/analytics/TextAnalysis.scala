@@ -269,6 +269,73 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("score"),
         (col("n_tokens") > 0 && col("margin") >= 0).as("keep"))
   }
+
+  /** Character trigrams of a string as an array, in order; docs shorter
+    * than 3 chars contribute the whole text as their single "gram" so
+    * every doc scores.
+    */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
+      .otherwise(array(text))
+
+  /** Character-trigram language-model quality score — the statistical
+    * perplexity-proxy filter of CCNet-class pipelines (a char n-gram LM
+    * scores every doc; improbable-gram docs are gibberish/boilerplate
+    * and get dropped), kept integer-exact for cross-engine replay:
+    * the "model" is the corpus trigram occurrence count, and a doc's
+    * score is the MEAN corpus count over its own trigram occurrences —
+    * a bigint sum divided once at the end, so the score is bit-identical
+    * in any engine (no log-sum float ordering to diverge on). Rare-gram
+    * (low-score) docs are exactly the high-perplexity tail.
+    *
+    * 100 TB shape: the model table is bounded by the CHARSET cubed, not
+    * the corpus (ASCII ⇒ ≲2M distinct trigrams), so it folds into one
+    * broadcastable map row: pass 1 aggregates counts with map-side
+    * combine (the only corpus-wide shuffle carries distinct trigrams
+    * per partition, not occurrences); pass 2 is a pure scan that scores
+    * each doc against the broadcast map with a sequential integer fold.
+    * No per-occurrence join, no regroup by doc.
+    */
+  def charTrigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = Dedup.spread(df)
+    val tris = charTrigrams(col(textCol))
+    // pass 1: the trigram "model" — charset-bounded, folded to ONE map row
+    val model = src.select(explode(tris).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("tri"), col("c")))).as("m"))
+    // pass 2: scan-side scoring against the broadcast map; the fold is
+    // sequential over the doc's grams — pure long arithmetic, exact
+    src.crossJoin(broadcast(model))
+      .select(col(idCol),
+        size(tris).cast("long").as("n_tri"),
+        aggregate(tris, lit(0L), (acc, t) => acc + element_at(col("m"), t)).as("tri_mass"))
+      .select(col(idCol), col("n_tri"), col("tri_mass"),
+        (col("tri_mass").cast("double") / col("n_tri")).as("lm_score"))
+  }
+
+  /** Adjacent-symbol pair frequencies — the counting step of BPE vocab
+    * training (the most frequent pair is the next merge): within every
+    * whitespace token, count all adjacent character pairs corpus-wide,
+    * return the top `k` by count (ties broken by pair, so the cut is a
+    * total order and deterministic in any engine).
+    *
+    * 100 TB shape: flatten + explode + one groupBy whose map-side
+    * partial aggregation condenses each partition to its distinct pairs
+    * (charset-squared-bounded) before the shuffle; the top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, never a global sort.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val pairs = flatten(transform(tokens(col(textCol)), w =>
+      when(length(w) >= 2,
+        transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))))
+    Dedup.spread(df).select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
 }
 
 /** Minimal public stopword lists (top function words) per language —

@@ -209,6 +209,21 @@ object CorpusQueries {
       TextAnalysis.hashedLinearQuality(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet-style char-trigram LM filter, integer-exact: the "model"
+    // is the corpus trigram count table folded into one broadcast map
+    // row; a doc's score is a bigint mass / count — the oracle rebuilds
+    // the model and the per-doc mean, so the whole two-pass LM is
+    // hash-gated (one end division, no float-order divergence)
+    "q106_trigram_lm" -> ((s, dir) =>
+      TextAnalysis.charTrigramLmScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // BPE vocab training, step 1: corpus-wide adjacent character-pair
+    // counts inside whitespace tokens, top-50 by (count desc, pair) —
+    // a total order, so the cut is deterministic in both engines
+    "q107_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", k = 50)),
+
     "q55_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 3)
         .orderBy("doc_id", "fp")),
@@ -771,6 +786,23 @@ object CorpusQueries {
         |  COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0 AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q106_trigram_lm" ->
+      """WITH tri AS (SELECT doc_id, unnest(CASE WHEN length(text) >= 3
+        |    THEN list_transform(generate_series(1, length(text) - 2), i -> substring(text, i, 3))
+        |    ELSE [text] END) AS tri FROM documents),
+        |cnt AS (SELECT tri, count(*) AS c FROM tri GROUP BY 1)
+        |SELECT t.doc_id, count(*) AS n_tri, CAST(sum(c.c) AS BIGINT) AS tri_mass,
+        |  CAST(sum(c.c) AS DOUBLE) / count(*) AS lm_score
+        |FROM tri t JOIN cnt c USING (tri)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q107_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |           FROM documents),
+        |p AS (SELECT unnest(CASE WHEN length(w) >= 2
+        |    THEN list_transform(generate_series(1, length(w) - 1), i -> substring(w, i, 2))
+        |    ELSE [] END) AS pair FROM w)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
     "q55_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN length(w) < 4 THEN [md5(array_to_string(w, ' '))]

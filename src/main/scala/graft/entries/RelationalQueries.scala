@@ -427,6 +427,17 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Z-order layout audit: Morton-interleave (user bucket, hour
+    // bucket), bucket rows by Z-prefix (the file assignment a z-ordered
+    // write would make) and report each bucket's 2-d bounding box —
+    // the oracle replays the bit-twiddling exactly, so the clustering
+    // property the scan prunes on is itself hash-gated
+    "q105_zorder_stats" -> ((s, dir) =>
+      graft.analytics.Layout.zorderBucketStats(Tables.events(s, dir),
+        pmod(col("user_id"), lit(1024L)),
+        pmod(expr("ts_us div 3600000000"), lit(1024L)),
+        prefixShift = 14)),
+
     // salting must be semantics-preserving: the salted fact-dim join
     // aggregates to exactly what the plain join produces
     "q72_salted_join" -> ((s, dir) => {
@@ -640,6 +651,18 @@ object RelationalQueries {
       """SELECT o.o_orderpriority AS pri, count(*) AS n,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1 ORDER BY pri""".stripMargin
+        |GROUP BY 1 ORDER BY pri""".stripMargin,
+    "q105_zorder_stats" ->
+      """WITH e AS (SELECT (user_id % 1024) AS xq,
+        |                  ((epoch_us(ts) // 3600000000) % 1024) AS yq FROM events),
+        |s0 AS (SELECT xq, yq, (xq & 65535) AS a, (yq & 65535) AS b FROM e),
+        |s1 AS (SELECT xq, yq, ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b FROM s0),
+        |s2 AS (SELECT xq, yq, ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b FROM s1),
+        |s3 AS (SELECT xq, yq, ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b FROM s2),
+        |s4 AS (SELECT xq, yq, ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b FROM s3),
+        |z AS (SELECT xq, yq, (a | (b << 1)) AS zval FROM s4)
+        |SELECT (zval >> 14) AS bucket, count(*) AS n_rows,
+        |  min(xq) AS min_x, max(xq) AS max_x, min(yq) AS min_y, max(yq) AS max_y
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

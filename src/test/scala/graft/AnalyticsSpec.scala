@@ -312,6 +312,32 @@ class AnalyticsSpec extends SparkSpec {
       assert(got(0L) > got(3L)) // doc0 has 2x spark + window vs doc3's lone window
       intercept[IllegalArgumentException] { TextAnalysis.bm25(corpus.toDF("id", "text"), "id", "text", Nil) }
     }
+    it("char-trigram LM scores are the exact mean corpus count of a doc's grams") {
+      // corpus grams: abcd -> abc,bcd ; bcda -> bcd,cda ; ab -> whole-text fallback
+      // counts: abc=1, bcd=2, cda=1, ab=1
+      val df = Seq((1L, "abcd"), (2L, "bcda"), (3L, "ab")).toDF("id", "text")
+      val got = TextAnalysis.charTrigramLmScore(df, "id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got(1L) === ((2L, 3L, 1.5)))  // (abc=1) + (bcd=2)
+      assert(got(2L) === ((2L, 3L, 1.5)))  // (bcd=2) + (cda=1)
+      assert(got(3L) === ((1L, 1L, 1.0)))  // short-doc fallback gram
+      // gibberish (rare grams) scores strictly below natural repetition
+      val corpus = (0L until 20L).map(i => (i, "the cat sat on the mat")) :+ (99L, "zqxjkvbw")
+      val scores = TextAnalysis.charTrigramLmScore(corpus.toDF("id", "text"), "id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(scores(99L) < scores(0L) / 5.0)
+    }
+    it("bpe pair counts count adjacent chars within words only, total-ordered cut") {
+      val df = Seq((1L, "aaab aa"), (2L, "ab x")).toDF("id", "text")
+      // pairs: aaab -> aa,aa,ab ; aa -> aa ; ab -> ab ; x -> none
+      val got = TextAnalysis.bpePairCounts(df, "text", k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got === Seq(("aa", 3L), ("ab", 2L)))
+      // ties broken by pair ascending, so a k-cut is deterministic
+      val tied = Seq((1L, "xy ab xy ab")).toDF("id", "text")
+      val top1 = TextAnalysis.bpePairCounts(tied, "text", k = 1).head()
+      assert(top1.getString(0) === "ab" && top1.getLong(1) === 2L)
+    }
   }
 
   describe("pii scrub") {

@@ -88,6 +88,33 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("sha2"), p)
     }
 
+    it("trigram LM scoring never joins per-occurrence — model rides ONE broadcast row") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val p = plan(graft.analytics.TextAnalysis.charTrigramLmScore(docs, "doc_id", "text"))
+      // the scoring pass is corpus-scan x broadcast(1-row map): a keyed
+      // join-back of exploded occurrences would show as SMJ/SHJ here
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+      // the only SinglePartition fold is the charset-bounded model table,
+      // never the documents side: exchanges = model count shuffle +
+      // model single-row fold, nothing on the scoring scan
+      assert(exchanges(p) <= 2, p)
+    }
+
+    it("z-order bucket stats are a pure codegen projection + one partial-agg shuffle") {
+      val e = Tables.events(spark, sf)
+      val p = plan(graft.analytics.Layout.zorderBucketStats(e,
+        pmod(col("user_id"), lit(1024L)),
+        pmod(expr("ts_us div 3600000000"), lit(1024L)), prefixShift = 14))
+      // agg key shuffle + final orderBy range exchange; the morton code
+      // itself is bit ops inside whole-stage codegen — no UDF, no extra pass
+      assert(exchanges(p) <= 2, p)
+      // morton code is pure bit-op Project straight off the scan — no
+      // UDF, no extra pass, nothing between scan and partial agg
+      assert(p.contains("FileScan parquet"), p)
+      assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("mapPartitions"), p)
+    }
+
     it("sessionization is one key shuffle (gaps-and-islands in-partition)") {
       val e = Tables.events(spark, sf)
       val p = plan(Curation.sessionStats(e, "user_id", "ts_us", "event_id", 1800000000L))
