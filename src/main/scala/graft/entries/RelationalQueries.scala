@@ -438,6 +438,35 @@ object RelationalQueries {
         pmod(expr("ts_us div 3600000000"), lit(1024L)),
         prefixShift = 14)),
 
+    // stream-static enrichment: the event STREAM joins a broadcast
+    // nation dim per micro-batch (no stream shuffle, no join state),
+    // then aggregates — oracle is the equivalent batch join, so the
+    // streaming decoration path is hash-gated end to end
+    "q108_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val enriched = StreamingIngest.enrichmentJoin(
+        StreamingIngest.eventsStream(s, dir), dim,
+        pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
+      val agg = enriched.groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      StreamingIngest.runToTable(agg, "q108_sink", OutputMode.Complete())
+        .orderBy("n_name")
+    }),
+
+    // KMV cardinality sketch of distinct (user, day) pairs — one pass,
+    // k·partitions longs on the shuffle, never a corpus-wide DISTINCT;
+    // md5-derived hashes make the k minimums (and so the estimate)
+    // bit-reproducible, so even the APPROXIMATION is oracle-exact
+    "q109_kmv_distinct" -> ((s, dir) =>
+      graft.analytics.Sketch.kmvDistinct(
+        Tables.events(s, dir),
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("ts_us div 86400000000").cast("string")),
+        k = 256)),
+
     // salting must be semantics-preserving: the salted fact-dim join
     // aggregates to exactly what the plain join produces
     "q72_salted_join" -> ((s, dir) => {
@@ -663,6 +692,21 @@ object RelationalQueries {
         |z AS (SELECT xq, yq, (a | (b << 1)) AS zval FROM s4)
         |SELECT (zval >> 14) AS bucket, count(*) AS n_rows,
         |  min(xq) AS min_x, max(xq) AS max_x, min(yq) AS min_y, max(yq) AS max_y
-        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q108_stream_enrich" ->
+      """SELECT n_name, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q109_kmv_distinct" ->
+      """WITH v AS (SELECT DISTINCT CAST('0x' || substring(md5(
+        |    'kmv:' || CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM events),
+        |k AS (SELECT h FROM v ORDER BY h LIMIT 256)
+        |SELECT count(*) AS k_used, max(h) AS kth_hash,
+        |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
+        |FROM k""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -186,6 +186,17 @@ object StreamingIngest {
     // keep one copy of each key column (inner join: they are equal)
     keyCols.foldLeft(l.join(r, keyCond && timeCond))((df, k) => df.drop(r(k)))
   }
+
+  /** Stream-static enrichment join: every micro-batch of the stream
+    * joins a static reference table that is BROADCAST, so the stream
+    * side never shuffles and no join state accrues (unlike
+    * stream-stream joins, the static side is re-resolvable per batch).
+    * The standard way a pipeline decorates an event stream with
+    * dimension data — at 1000 executors the dim rides the broadcast,
+    * the stream stays partition-local end to end.
+    */
+  def enrichmentJoin(stream: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    stream.join(broadcast(dim), cond)
 
   /** Continuously-maintained per-series stats via custom state
     * (`flatMapGroupsWithState`): for each key, the running point count

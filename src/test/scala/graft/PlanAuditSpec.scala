@@ -115,6 +115,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("mapPartitions"), p)
     }
 
+    it("kmv sketch is ONE pass — no corpus DISTINCT shuffle, k-bounded partials only") {
+      val e = Tables.events(spark, sf)
+      val p = plan(graft.analytics.Sketch.kmvDistinct(e,
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("ts_us div 86400000000").cast("string")), k = 256))
+      // a DISTINCT-then-sort formulation would add a hashpartitioning
+      // exchange over the input values; the aggregator ships ≤ k longs
+      // per partition through the single global-agg exchange
+      assert(exchanges(p) == 1, p)
+      assert(p.contains("Exchange SinglePartition"), p)
+      assert(!p.contains("hashpartitioning"), p)
+    }
+
     it("sessionization is one key shuffle (gaps-and-islands in-partition)") {
       val e = Tables.events(spark, sf)
       val p = plan(Curation.sessionStats(e, "user_id", "ts_us", "event_id", 1800000000L))
