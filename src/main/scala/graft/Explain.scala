@@ -131,6 +131,30 @@ object Explain {
       SparkEntry.queries("q102_quality_classifier")(spark, sfDir)
     }
 
+    section("q105 z-order bucket stats (round 8)",
+      "Morton interleave is pure bit-op Project straight off the scan; one " +
+        "partial-agg hash exchange keyed by the fixed-cardinality z-prefix bucket " +
+        "plus the presentation ORDER BY — the layout audit costs one linear pass " +
+        "at any corpus size.") {
+      SparkEntry.queries("q105_zorder_stats")(spark, sfDir)
+    }
+
+    section("q106 char-trigram LM score (round 8)",
+      "Two passes, no per-occurrence join: the left branch folds the " +
+        "charset-bounded trigram count table into ONE map row (the only " +
+        "SinglePartition in the plan), which broadcasts to a pure scoring scan — " +
+        "a keyed join-back of exploded occurrences would show as SMJ here.") {
+      SparkEntry.queries("q106_trigram_lm")(spark, sfDir)
+    }
+
+    section("q109 KMV distinct sketch (round 8)",
+      "ONE pass: the MinKDistinct aggregator keeps ≤ k distinct hashes per " +
+        "partition map-side, so the single Exchange SinglePartition carries " +
+        "k·partitions longs — no hashpartitioning over input values anywhere " +
+        "(a DISTINCT-then-sort formulation would add one).") {
+      SparkEntry.queries("q109_kmv_distinct")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")
