@@ -165,6 +165,89 @@ object Similarity {
     scoreProbed(assigned, probes, k)
   }
 
+  /** Product-quantization codebooks from a label column — the same
+    * deterministic-quantizer contract as [[ivfTopKWithCentroids]]'s
+    * label centroids, per SUBSPACE: split the d-dim normalized vector
+    * into `m` contiguous `subDim`-wide subvectors, and use the
+    * per-label mean of each subvector (rounded, so cross-engine
+    * partial-sum order cannot show through) as that subspace's code
+    * vector. Swapping in k-means-trained codebooks = feeding
+    * [[lloydRefine]]'s output per subspace.
+    * Output: (sub, code, j, c) with j the within-subspace dimension.
+    */
+  def pqCodebooks(corpus: DataFrame, labelCol: String, vecCol: String,
+      m: Int, subDim: Int, roundTo: Int = 6): DataFrame =
+    corpus.select(col(labelCol).as("code"), posexplode(l2Normalize(col(vecCol))))
+      .filter(col("pos") < m * subDim)
+      .select(col("code"), expr(s"pos div $subDim").cast("int").as("sub"),
+        pmod(col("pos"), lit(subDim)).as("j"), col("col").cast("double").as("x"))
+      .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
+
+  /** (sub, code, center, cc) from the [[pqCodebooks]] shape. */
+  private def pqCentersOf(codebooks: DataFrame): DataFrame = codebooks
+    .groupBy("sub", "code")
+    .agg(collect_list(struct(col("j"), col("c"))).as("entries"))
+    .select(col("sub"), col("code"),
+      transform(array_sort(col("entries")), e => e.getField("c")).as("center"))
+    .withColumn("cc", dot(col("center"), col("center")))
+
+  /** Per-(row, subspace, code) squared-distance terms cc − 2·v_s·c
+    * (the ||v_s||² constant is rank-invariant and dropped): the shared
+    * kernel of PQ encoding (argmin over codes) and ADC query tables.
+    * Broadcast codebooks; m rows per input vector, never a corpus-wide
+    * expansion beyond the m×codes term table.
+    */
+  private def pqSubDists(df: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(l2Normalize(col(vecCol)), s * subDim + 1, lit(subDim)))))
+      .select(col("id"), col("pos").cast("int").as("sub"), col("col").as("sv"))
+      .join(broadcast(cb), "sub")
+      .select(col("id"), col("sub"), col("code"),
+        (col("cc") - lit(2.0) * dot(col("sv"), col("center"))).as("sdist"))
+
+  /** PQ corpus codes: (id, sub, code) — per subspace the argmin code
+    * with the same (dist, code) struct-min tie-break as [[ivfAssign]].
+    * At 100 TB this is THE compressed serving representation: m bytes
+    * per vector instead of 4·d, built in one pass with a broadcast
+    * codebook and one m-rows-per-vector partial-agg shuffle.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "pqEncode")
+    pqSubDists(corpus.withColumn("__lid", col(idCol).cast("long")), "__lid", vecCol,
+        pqCentersOf(codebooks), m, subDim)
+      .groupBy("id", "sub")
+      .agg(min(struct(col("sdist"), col("code"))).getField("code").as("code"))
+  }
+
+  /** PQ/ADC approximate top-k — the memory-bound 100-TB tier: corpus
+    * vectors live as m-byte codes, a query scores the WHOLE corpus by
+    * summing m table lookups (asymmetric distance computation) instead
+    * of d multiplies against raw floats. The query's distance table is
+    * (queries × m × codes) — tiny, broadcast; scoring joins codes to
+    * table entries by (sub, code) and reduces through the bounded
+    * top-k aggregate. The per-candidate sum is ROUNDED (6dp) before
+    * ranking so float summation order can never reorder candidates —
+    * which is what lets an external engine replay the approximation
+    * exactly (the q110 oracle recomputes codebooks, codes, tables and
+    * ranks bit-for-bit).
+    * Output: (qid, id, adc, rank) — adc ascending = most similar.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      m: Int, subDim: Int, roundTo: Int = 6): DataFrame = {
+    val cb = pqCentersOf(codebooks)
+    val enc = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
+    val qtable = pqSubDists(queries, qidCol, vecCol, cb, m, subDim)
+      .withColumnRenamed("id", "qid").withColumnRenamed("sdist", "qdist")
+    val scored = enc.join(broadcast(qtable), Seq("sub", "code"))
+      .groupBy("qid", "id").agg(round(sum(col("qdist")), roundTo).as("adc"))
+    topKPerQuery(scored.select(col("qid"), col("id"), (-col("adc")).as("cosine")), k)
+      .select(col("qid"), col("id"), (-col("cosine")).as("adc"), col("rank"))
+  }
+
   /** (cell, center-vector) table from the [[centroids]] output shape. */
   private def centersOf(centroids: DataFrame): DataFrame = centroids
     .groupBy(col(centroids.columns.head).as("cell"))

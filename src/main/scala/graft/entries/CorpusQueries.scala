@@ -366,6 +366,25 @@ object CorpusQueries {
         .select("qid", "id").orderBy("qid", "id")
     }),
 
+    // PQ/ADC ANN — the memory-bound serving tier: corpus vectors
+    // compressed to m=4 subspace codes (label-derived codebooks, the
+    // q81 deterministic-quantizer contract per subspace), queries score
+    // the whole corpus via m table lookups. The 6dp-rounded ADC sum
+    // makes the ranking float-order-proof, so the oracle replays
+    // codebooks → codes → distance tables → top-k bit-for-bit: the
+    // compression's approximation behavior is itself under the gate.
+    "q110_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      Similarity.pqTopK(
+        corpus = e,
+        queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        codebooks = cb,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10,
+        m = 4, subDim = 16)
+        .select("qid", "id").orderBy("qid", "id")
+    }),
+
     // ---- curation: sampling, quotas, clustering, sessionization ----
 
     // deterministic 10% sample — hash membership, replayable anywhere
@@ -879,6 +898,28 @@ object CorpusQueries {
         |SELECT qid, id FROM (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
         |  FROM score) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
+    "q110_ann_pq" ->
+      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |u AS (SELECT v.vec_id, v.label, CAST((v.i - 1) // 16 AS INT) AS sub,
+        |      ((v.i - 1) % 16) AS j, v.x / nrm.nrm AS x
+        |      FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |cent AS (SELECT sub, label AS code, j, round(avg(x), 6) AS c FROM u GROUP BY 1, 2, 3),
+        |cc AS (SELECT sub, code, sum(c*c) AS cc FROM cent GROUP BY 1, 2),
+        |dp AS (SELECT u.vec_id, cent.sub, cent.code, sum(u.x * cent.c) AS dp
+        |       FROM u JOIN cent ON u.sub = cent.sub AND u.j = cent.j GROUP BY 1, 2, 3),
+        |sd AS (SELECT dp.vec_id, dp.sub, dp.code, cc.cc - 2*dp.dp AS sdist
+        |       FROM dp JOIN cc ON cc.sub = dp.sub AND cc.code = dp.code),
+        |enc AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sdist, code) AS rn
+        |  FROM sd) WHERE rn = 1),
+        |adc AS (SELECT q.vec_id AS qid, e.vec_id AS id, round(sum(q.sdist), 6) AS adc
+        |        FROM enc e JOIN sd q ON q.sub = e.sub AND q.code = e.code AND q.vec_id < 3
+        |        GROUP BY 1, 2)
+        |SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+        |  FROM adc) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
     "q81_ann_ivf" ->
       """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -134,6 +134,56 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("product quantization (PQ/ADC)") {
+    val sf = "/root/testdata/sf0.001"
+    it("self-match is ADC-optimal: a query's own codes minimize its table sums") {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      val top = graft.analytics.Similarity.pqTopK(e,
+        e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        cb, "vec_id", "embedding", "qid", k = 1, m = 4, subDim = 16)
+        .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+      // adc(q, q) <= adc(q, v) for every v (q's codes are per-sub argmins
+      // of q's own table), so rank 1 must be the query itself
+      (0L to 2L).foreach(q => assert(top(q) === q, s"query $q"))
+    }
+    it("codes are m per vector, drawn from the label code space") {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      val enc = graft.analytics.Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 4, subDim = 16)
+      val n = e.count()
+      assert(enc.count() === n * 4)
+      assert(enc.groupBy("id").count().filter(col("count") =!= 4).count() === 0L)
+      assert(enc.filter(col("code") < 0 || col("code") > 9).count() === 0L)
+    }
+    it("ADC picks are far more similar than chance despite 16:1 compression") {
+      // exact-recall is the wrong bar for 10-code label codebooks on
+      // near-random synthetic vectors (quantization error dominates —
+      // see the PqProbe recall-vs-m table in BENCH_NOTES); the claim
+      // ADC must honor is that ranking by table sums finds genuinely
+      // similar vectors, not noise
+      import graft.functions.VectorFunctions.{dot, l2Normalize}
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+      val pq = graft.analytics.Similarity.pqTopK(e, q, cb,
+        "vec_id", "embedding", "qid", k = 10, m = 4, subDim = 16)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+      val u = e.select(col("vec_id").cast("long").as("id"), l2Normalize(col("embedding")).as("cv"))
+      val cos = u.crossJoin(u.filter(col("id") < 3)
+          .select(col("id").as("qid"), col("cv").as("qv")))
+        .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val nonSelf = cos.filter { case ((qid, id), _) => qid != id }
+      val pqMean = nonSelf.view.filterKeys(pq.contains).values.sum /
+        nonSelf.keys.count(pq.contains)
+      val chanceMean = nonSelf.values.sum / nonSelf.size
+      // measured: pq ~0.104 vs chance ~0.0025 (40x) — the band is wide
+      // enough that only a broken ranking can cross it
+      assert(pqMean > chanceMean + 0.05, s"pq=$pqMean chance=$chanceMean")
+    }
+  }
+
   describe("bucketized interval join") {
     it("matches a direct range-predicate join, boundaries inclusive") {
       import graft.analytics.Interval

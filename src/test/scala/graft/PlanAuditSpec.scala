@@ -115,6 +115,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("mapPartitions"), p)
     }
 
+    it("PQ/ADC scoring joins codes to a BROADCAST table — no SMJ, no cartesian") {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      val p = plan(graft.analytics.Similarity.pqTopK(e,
+        e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        cb, "vec_id", "embedding", "qid", k = 10, m = 4, subDim = 16))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+      // the reduction is the bounded top-k aggregate, not a per-qid window
+      assert(!p.contains("Window"), p)
+    }
+
     it("kmv sketch is ONE pass — no corpus DISTINCT shuffle, k-bounded partials only") {
       val e = Tables.events(spark, sf)
       val p = plan(graft.analytics.Sketch.kmvDistinct(e,
