@@ -248,6 +248,37 @@ object Similarity {
       .select(col("qid"), col("id"), (-col("cosine")).as("adc"), col("rank"))
   }
 
+  /** IVF + PQ — the canonical web-scale ANN serving architecture (the
+    * FAISS `IVFx,PQy` shape, non-residual variant): the coarse
+    * quantizer prunes the corpus to `nProbe` inverted lists per query,
+    * and within the probed lists candidates are scored from their
+    * m-byte PQ codes via broadcast distance-table lookups — so a query
+    * touches `nProbe/cells` of the corpus AND reads m bytes per
+    * candidate instead of 4·d. Both stages are the already-gated
+    * pieces composed: [[ivfAssign]]'s cell assignment (q81) and
+    * [[pqTopK]]'s ADC scoring (q110), with the same struct-min
+    * tie-breaks and 6dp-rounded sums, so the full composition replays
+    * exactly in the oracle.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int, nProbe: Int,
+      m: Int, subDim: Int, roundTo: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "ivfPqTopK")
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol).select("id", "cell")
+    val enc = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
+    val encCells = enc.join(cells, "id")
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    val probes = probeCells(q0, centersOf(centroids), nProbe).select("qid", "cell")
+    val qtable = pqSubDists(queries, qidCol, vecCol, pqCentersOf(codebooks), m, subDim)
+      .withColumnRenamed("id", "qid").withColumnRenamed("sdist", "qdist")
+    val scored = encCells.join(broadcast(probes), "cell")
+      .join(broadcast(qtable), Seq("qid", "sub", "code"))
+      .groupBy("qid", "id").agg(round(sum(col("qdist")), roundTo).as("adc"))
+    topKPerQuery(scored.select(col("qid"), col("id"), (-col("adc")).as("cosine")), k)
+      .select(col("qid"), col("id"), (-col("cosine")).as("adc"), col("rank"))
+  }
+
   /** (cell, center-vector) table from the [[centroids]] output shape. */
   private def centersOf(centroids: DataFrame): DataFrame = centroids
     .groupBy(col(centroids.columns.head).as("cell"))

@@ -385,6 +385,28 @@ object CorpusQueries {
         .select("qid", "id").orderBy("qid", "id")
     }),
 
+    // IVF+PQ — the canonical serving composition (FAISS IVFx,PQy
+    // shape): label centroids prune to nProbe=2 cells, PQ codes score
+    // within the probed lists. Both stages are the already-gated q81 +
+    // q110 machinery; the oracle replays the full composition, so the
+    // combined approximation (probe recall × quantization error) is
+    // itself under the correctness gate.
+    "q111_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cb = Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      Similarity.ivfPqTopK(
+        corpus = e,
+        queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        centroids = cents, codebooks = cb,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10, nProbe = 2,
+        m = 4, subDim = 16)
+        .select("qid", "id").orderBy("qid", "id")
+    }),
+
     // ---- curation: sampling, quotas, clustering, sessionization ----
 
     // deterministic 10% sample — hash membership, replayable anywhere
@@ -898,6 +920,44 @@ object CorpusQueries {
         |SELECT qid, id FROM (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
         |  FROM score) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
+    "q111_ann_ivfpq" ->
+      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |un AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+        |       FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2),
+        |ccf AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
+        |dpf AS (SELECT un.vec_id, cent.cell, sum(un.x * cent.c) AS dp
+        |        FROM un JOIN cent ON un.i = cent.i GROUP BY 1, 2),
+        |ddf AS (SELECT dpf.vec_id, dpf.cell, ccf.cc - 2*dpf.dp AS cdist
+        |        FROM dpf JOIN ccf USING (cell)),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM ddf) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM ddf WHERE vec_id < 3) WHERE rn <= 2),
+        |us AS (SELECT vec_id, label, CAST((i - 1) // 16 AS INT) AS sub,
+        |       ((i - 1) % 16) AS j, x FROM un),
+        |pcent AS (SELECT sub, label AS code, j, round(avg(x), 6) AS c FROM us GROUP BY 1, 2, 3),
+        |pcc AS (SELECT sub, code, sum(c*c) AS cc FROM pcent GROUP BY 1, 2),
+        |pdp AS (SELECT us.vec_id, pcent.sub, pcent.code, sum(us.x * pcent.c) AS dp
+        |        FROM us JOIN pcent ON us.sub = pcent.sub AND us.j = pcent.j GROUP BY 1, 2, 3),
+        |sd AS (SELECT pdp.vec_id, pdp.sub, pdp.code, pcc.cc - 2*pdp.dp AS sdist
+        |       FROM pdp JOIN pcc ON pcc.sub = pdp.sub AND pcc.code = pdp.code),
+        |enc AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sdist, code) AS rn
+        |  FROM sd) WHERE rn = 1),
+        |adc AS (SELECT p.qid, a.vec_id AS id, round(sum(q.sdist), 6) AS adc
+        |        FROM probe p
+        |        JOIN assign a ON a.cell = p.cell
+        |        JOIN enc e ON e.vec_id = a.vec_id
+        |        JOIN sd q ON q.vec_id = p.qid AND q.sub = e.sub AND q.code = e.code
+        |        GROUP BY 1, 2)
+        |SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+        |  FROM adc) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
     "q110_ann_pq" ->
       """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -127,6 +127,20 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Window"), p)
     }
 
+    it("IVF+PQ: probes and distance tables broadcast; candidates never cartesian") {
+      import graft.functions.VectorFunctions.l2Normalize
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = graft.analytics.Similarity.centroids(
+        e.select(col("label"), l2Normalize(col("embedding")).as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      val p = plan(graft.analytics.Similarity.ivfPqTopK(e,
+        e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        cents, cb, "vec_id", "embedding", "qid", k = 10, nProbe = 2, m = 4, subDim = 16))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+
     it("kmv sketch is ONE pass — no corpus DISTINCT shuffle, k-bounded partials only") {
       val e = Tables.events(spark, sf)
       val p = plan(graft.analytics.Sketch.kmvDistinct(e,
