@@ -155,6 +155,14 @@ object Explain {
       SparkEntry.queries("q109_kmv_distinct")(spark, sfDir)
     }
 
+    section("q111 IVF+PQ serving composition (round 8)",
+      "The FAISS IVFx,PQy shape: centroid probes and PQ distance tables ride " +
+        "broadcasts; the corpus-side work is cell assignment + code argmin " +
+        "(struct-min partial aggregates) and a probed-list candidate join — " +
+        "no SortMergeJoin, no cartesian, top-k through the bounded aggregate.") {
+      SparkEntry.queries("q111_ann_ivfpq")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")

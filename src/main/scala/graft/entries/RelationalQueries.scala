@@ -467,6 +467,31 @@ object RelationalQueries {
           expr("ts_us div 86400000000").cast("string")),
         k = 256)),
 
+    // the KMV sketch as a STREAMING aggregate: the same MinKDistinct
+    // Aggregator runs inside the micro-batch engine (Complete mode), so
+    // the sketch maintains itself incrementally as events arrive —
+    // merge-associativity is what makes that free. Oracle = q109's
+    // batch SQL: the streamed sketch must land bit-identical
+    "q112_stream_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val k = 256
+      val stream = StreamingIngest.eventsStream(s, dir)
+        .select(graft.analytics.Sketch.hash32(
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("ts_us div 86400000000").cast("string"))).as("h"))
+      val kmv = org.apache.spark.sql.functions.udaf(new graft.analytics.MinKDistinct(k))
+      val agg = stream.agg(kmv(col("h")).as("sketch"))
+      StreamingIngest.runToTable(agg, "q112_sink", OutputMode.Complete())
+        .select(size(col("sketch.items")).cast("long").as("k_used"),
+          element_at(col("sketch.items"), -1).as("kth_hash"))
+        .select(col("k_used"), col("kth_hash"),
+          when(col("k_used") < k, col("k_used").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              col("kth_hash").cast("double"))
+            .as("est_distinct"))
+    }),
+
     // salting must be semantics-preserving: the salted fact-dim join
     // aggregates to exactly what the plain join produces
     "q72_salted_join" -> ((s, dir) => {
@@ -699,6 +724,18 @@ object RelationalQueries {
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q109_kmv_distinct" ->
+      """WITH v AS (SELECT DISTINCT CAST('0x' || substring(md5(
+        |    'kmv:' || CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM events),
+        |k AS (SELECT h FROM v ORDER BY h LIMIT 256)
+        |SELECT count(*) AS k_used, max(h) AS kth_hash,
+        |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
+        |FROM k""".stripMargin,
+    // identical to q109's oracle by design: the streamed sketch must
+    // land bit-identical to the batch one
+    "q112_stream_kmv" ->
       """WITH v AS (SELECT DISTINCT CAST('0x' || substring(md5(
         |    'kmv:' || CAST(user_id AS VARCHAR) || ':' ||
         |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 8) AS BIGINT) AS h
