@@ -319,6 +319,27 @@ object CorpusQueries {
         .orderBy("asset_id")
     }),
 
+    // real audio decode (javax.sound WAV/PCM16) over deterministic
+    // fixtures — rate/channels/frames/peak derive from the id, all
+    // features integer so ground truth is exact; one corrupt payload
+    // exercises the failure flag (same contract as q90's images)
+    "q113_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0L until 9L).map { id =>
+        val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+        val channels = 1 + (id % 2).toInt
+        val frames = 100 + 10 * id.toInt
+        val samples = new Array[Short](frames * channels)
+        val peak = ((id + 1) * 1000).toShort
+        samples(id.toInt) = if (id % 2 == 0) peak else (-peak).toShort
+        (id, Multimodal.encodeWavPcm16(rate, channels, samples))
+      } :+ ((9L, "not audio".getBytes("UTF-8")))
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      Multimodal.decodeAudioFeatures(assets, "asset_id", "payload")
+        .select("asset_id", "decode_ok", "sample_rate", "channels", "bits", "n_frames", "peak")
+        .orderBy("asset_id")
+    }),
+
     "q59_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         corpus = emb(s, dir),
@@ -1030,6 +1051,20 @@ object CorpusQueries {
         |SELECT qid, id FROM r WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
     // fixture ground truth: id 0..8 → (3+id)×(5+2id), raster kind cycles
     // rgb(3 bands)/argb(4)/gray(1); id 9 is a corrupt payload
+    "q113_audio_decode" ->
+      """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(channels AS INTEGER) AS channels, CAST(bits AS INTEGER) AS bits,
+        |  CAST(n_frames AS BIGINT) AS n_frames, CAST(peak AS INTEGER) AS peak
+        |FROM (VALUES
+        |  (0, true,  8000, 1, 16, 100, 1000), (1, true, 16000, 2, 16, 110, 2000),
+        |  (2, true, 44100, 1, 16, 120, 3000), (3, true,  8000, 2, 16, 130, 4000),
+        |  (4, true, 16000, 1, 16, 140, 5000), (5, true, 44100, 2, 16, 150, 6000),
+        |  (6, true,  8000, 1, 16, 160, 7000), (7, true, 16000, 2, 16, 170, 8000),
+        |  (8, true, 44100, 1, 16, 180, 9000),
+        |  (9, false, NULL, NULL, NULL, NULL, NULL))
+        |AS t(asset_id, decode_ok, sample_rate, channels, bits, n_frames, peak)
+        |ORDER BY asset_id""".stripMargin,
     "q90_image_decode" ->
       """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
         |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,

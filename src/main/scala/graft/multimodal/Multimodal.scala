@@ -163,4 +163,91 @@ object Multimodal {
       .mapPartitions(decodeBatch)
       .toDF()
   }
+
+  /** Decoded-audio features, same failure contract as [[ImageFeatures]]:
+    * a corrupt payload flips the flag instead of killing the sweep.
+    * All features are INTEGER (rate, channels, bits, frames, peak |PCM|
+    * sample) so fixture ground truth is exact, not float-fuzzy.
+    */
+  final case class AudioFeatures(asset_id: Long, decode_ok: Boolean,
+      sample_rate: Option[Int], channels: Option[Int], bits: Option[Int],
+      n_frames: Option[Long], peak: Option[Int])
+
+  /** Decode one batch with the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * ship with every JRE — no added dependency, same zero-dep policy as
+    * the image path). Peak amplitude scans the PCM16 stream in
+    * fixed-size chunks — O(frames) but constant memory, so an hour-long
+    * outlier cannot blow its partition's heap.
+    */
+  private def decodeAudioBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[AudioFeatures] =
+    batch.map { case (id, bytes) =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          var peak = 0
+          val buf = new Array[Byte](8192)
+          var read = ais.read(buf)
+          var carry = -1 // low byte of a sample split across chunk boundaries
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0 && read > 0) {
+              val s = (buf(0) << 8) | carry
+              peak = math.max(peak, math.abs(s))
+              carry = -1
+              i = 1
+            }
+            while (i + 1 < read) {
+              // PCM16 little-endian: low byte then signed high byte
+              val s = (buf(i + 1) << 8) | (buf(i) & 0xFF)
+              peak = math.max(peak, math.abs(s))
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xFF
+            read = ais.read(buf)
+          }
+          AudioFeatures(id, decode_ok = true, Some(f.getSampleRate.toInt),
+            Some(f.getChannels), Some(f.getSampleSizeInBits), Some(frames), Some(peak))
+        } finally ais.close()
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          AudioFeatures(id, decode_ok = false, None, None, None, None, None)
+      }
+    }
+
+  /** Deterministic WAV fixture (PCM16): `samples` interleaved across
+    * `channels`, written through the JDK's own RIFF writer so the
+    * decoder sees a real container, not a hand-rolled header.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0, "samples must cover whole frames")
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-partition batched audio decode — same stage shape (prune to
+    * (id, payload), codec once per batch) as [[decodeImageFeatures]].
+    */
+  def decodeAudioFeatures(assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(decodeAudioBatch)
+      .toDF()
+  }
 }

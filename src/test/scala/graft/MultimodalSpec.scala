@@ -85,6 +85,31 @@ class MultimodalSpec extends SparkSpec {
           && rows(id).isNullAt(4) && rows(id).isNullAt(5))
       }
     }
+    it("decodes WAV fixtures exactly, peak scan survives chunk boundaries and sign") {
+      import spark.implicits._
+      // 6000 stereo frames = 24000 PCM bytes: the peak sample sits past
+      // the decoder's 8192-byte chunk boundary, and it is NEGATIVE —
+      // both the chunked scan and the abs() path are exercised
+      val big = new Array[Short](12000)
+      big(9001) = -12345
+      val fixtures = Seq(
+        (0L, Multimodal.encodeWavPcm16(8000, 1, Array[Short](0, 7, -3, 0))),
+        (1L, Multimodal.encodeWavPcm16(44100, 2, big)),
+        (2L, "not audio".getBytes("UTF-8")),
+        // truncated RIFF header: the IOException path
+        (3L, Multimodal.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3)).take(10)))
+      val feats = Multimodal.decodeAudioFeatures(
+        spark.createDataset(fixtures).toDF("asset_id", "payload").repartition(2),
+        "asset_id", "payload")
+      val rows = feats.collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(0L).getBoolean(1) && rows(0L).getInt(2) == 8000 && rows(0L).getInt(3) == 1
+        && rows(0L).getInt(4) == 16 && rows(0L).getLong(5) == 4L && rows(0L).getInt(6) == 7)
+      assert(rows(1L).getBoolean(1) && rows(1L).getInt(3) == 2
+        && rows(1L).getLong(5) == 6000L && rows(1L).getInt(6) == 12345)
+      Seq(2L, 3L).foreach { id =>
+        assert(!rows(id).getBoolean(1) && rows(id).isNullAt(2) && rows(id).isNullAt(6))
+      }
+    }
     it("keeps the original plumbing contract: typed features joinable by id") {
       val feats = Multimodal.decodeImageFeatures(assets, "asset_id", "payload")
       assert(feats.count() == 6)
