@@ -177,6 +177,22 @@ object ScaleProbe {
         Dedup.semanticDedup(d, cents, "vec_id", "embedding", threshold = 0.3,
           maxCellSize = Some(1500)).count()
       }
+      // q110/q111 shapes: encode is one broadcast-codebook pass with an
+      // m-rows-per-vector partial agg (expected ~linear, constant
+      // stages); IVF+PQ query cost tracks the probed inverted lists
+      // (10× corpus ⇒ 10× list length ⇒ ~linear), codes only
+      val pqCb = graft.analytics.Similarity.pqCodebooks(d, "label", "embedding",
+        m = 4, subDim = 16)
+      time(s"pq_encode_$label") {
+        graft.analytics.Similarity.pqEncode(d, pqCb, "vec_id", "embedding",
+          m = 4, subDim = 16).count()
+      }
+      time(s"ivfpq_topk_$label") {
+        graft.analytics.Similarity.ivfPqTopK(d,
+          d.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+          cents, pqCb, "vec_id", "embedding", "qid", k = 10, nProbe = 2,
+          m = 4, subDim = 16).count()
+      }
     }
     // drop the replicated embedding blocks before the events tier —
     // dead cached data only adds eviction/GC pressure to its timings
