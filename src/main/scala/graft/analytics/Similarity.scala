@@ -165,6 +165,27 @@ object Similarity {
     scoreProbed(assigned, probes, k)
   }
 
+  /** Hard-negative mining for contrastive training data: per anchor,
+    * the k most-similar corpus vectors with a DIFFERENT label — the
+    * pairs that teach an embedding model the most (InfoNCE/triplet
+    * batches are built from exactly these). Same bounded top-k shape as
+    * [[bruteForceTopK]] with the label guard applied in the scan, so
+    * mismatches are dropped before the shuffle, not after ranking.
+    * Swap the exact scan for [[ivfPqTopK]]-style candidates at corpus
+    * scale; the guard + reduction are unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, qidCol: String, k: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "hardNegatives")
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("clabel"), l2Normalize(col(vecCol)).as("cv"))
+    val q = anchors.select(col(qidCol).as("qid"),
+      col(labelCol).as("qlabel"), l2Normalize(col(vecCol)).as("qv"))
+    topKPerQuery(c.crossJoin(broadcast(q))
+      .filter(col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine")), k)
+  }
+
   /** Product-quantization codebooks from a label column — the same
     * deterministic-quantizer contract as [[ivfTopKWithCentroids]]'s
     * label centroids, per SUBSPACE: split the d-dim normalized vector

@@ -340,6 +340,21 @@ object CorpusQueries {
         .orderBy("asset_id")
     }),
 
+    // hard-negative mining for contrastive training: per anchor the 10
+    // most-similar vectors with a DIFFERENT label — the guard drops
+    // same-label rows in the scan, the reduction is the bounded top-k
+    // aggregate; oracle replays scoring + guard + ranking
+    "q114_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(
+        corpus = e,
+        anchors = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("label"), col("embedding")),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+        qidCol = "qid", k = 10)
+        .select("qid", "id").orderBy("qid", "id")
+    }),
+
     "q59_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         corpus = emb(s, dir),
@@ -1038,6 +1053,20 @@ object CorpusQueries {
         |SELECT mime, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM a WHERE n_bytes BETWEEN 120 AND 100000
         |GROUP BY mime ORDER BY mime""".stripMargin,
+    "q114_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |s AS (SELECT qv.vec_id AS qid, cv.vec_id AS id, sum(qv.x*cv.x) AS dp
+        |      FROM v qv JOIN v cv ON qv.i = cv.i WHERE qv.vec_id < 3 GROUP BY 1, 2),
+        |r AS (SELECT qid, id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY dp / (nq.nrm * nc.nrm) DESC, id) AS rn
+        |      FROM s JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = id
+        |      JOIN lab lq ON lq.vec_id = qid JOIN lab lc ON lc.vec_id = id
+        |      WHERE lq.label <> lc.label)
+        |SELECT qid, id FROM r WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
     "q59_ann_topk" ->
       """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -184,6 +184,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("hard-negative mining") {
+    it("returns only different-label vectors, ranked exactly like a filtered exact scan") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val anchors = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("label"), col("embedding"))
+      val negs = graft.analytics.Similarity.hardNegatives(e, anchors,
+        "vec_id", "embedding", "label", "qid", k = 10).collect()
+      val labels = e.select(col("vec_id").cast("long"), col("label"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      negs.foreach { r =>
+        val (qid, id) = (r.getAs[Long]("qid"), r.getAs[Long]("id"))
+        assert(labels(qid) !== labels(id), s"($qid,$id) shares the anchor label")
+      }
+      // the guard only removes candidates — scores of kept rows match the
+      // unguarded exact ranking restricted to mismatched labels
+      val full = graft.analytics.Similarity.bruteForceTopK(e,
+        anchors.drop("label"), "vec_id", "embedding", "qid", k = e.count().toInt)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id")) -> r.getAs[Double]("cosine")).toMap
+      negs.foreach { r =>
+        assert(full((r.getAs[Long]("qid"), r.getAs[Long]("id"))) === r.getAs[Double]("cosine"))
+      }
+      assert(negs.length === 30)
+    }
+  }
+
   describe("IVF+PQ composition") {
     val sf = "/root/testdata/sf0.001"
     it("returns only candidates from the query's probed cells, ranked like pure PQ") {
