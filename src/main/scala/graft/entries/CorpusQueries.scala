@@ -443,6 +443,28 @@ object CorpusQueries {
         .select("qid", "id").orderBy("qid", "id")
     }),
 
+    // the END-TO-END curation pipeline as ONE gated query — the shape a
+    // reference user actually ships: exact dedup -> language filter ->
+    // model-quality filter -> source mixture -> token-budget selection.
+    // Every stage is individually gated (q50/q54/q102/q92/q94); this
+    // entry gates their COMPOSITION, so stage-ordering or join-key
+    // regressions cannot hide between green per-stage checks.
+    "q115_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val surv = Dedup.exactSurvivorIds(d, Seq("text"), "doc_id")
+      val d1 = d.join(surv, "doc_id")
+      val en = TextAnalysis.languageId(d1, "doc_id", "text")
+        .filter(col("lang_pred") === "en").select("doc_id")
+      val d2 = d1.join(en, "doc_id")
+      val qc = TextAnalysis.hashedLinearQuality(d2, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"), col("n_tokens"), col("score"))
+      val d3 = d2.select("doc_id", "source").join(qc, "doc_id")
+      val mixed = Curation.weightedMixture(d3, "doc_id", "source", Map("src0" -> 0.5))
+      Curation.budgetSelect(mixed.select(col("doc_id"), col("n_tokens"), col("score")),
+        Seq(col("score").desc, col("doc_id")), "n_tokens", budget = 2000L)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- curation: sampling, quotas, clustering, sessionization ----
 
     // deterministic 10% sample — hash membership, replayable anywhere
@@ -1053,6 +1075,36 @@ object CorpusQueries {
         |SELECT mime, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM a WHERE n_bytes BETWEEN 120 AND 100000
         |GROUP BY mime ORDER BY mime""".stripMargin,
+    "q115_curation_pipeline" -> {
+      val unions = graft.analytics.Stopwords.all.toSeq.sortBy(_._1).map { case (lang, _) =>
+        s"SELECT doc_id, '$lang' AS lang, length(list_filter(t, x -> x IN (${stopList(lang)}))) AS score FROM toks"
+      }.mkString("\nUNION ALL ")
+      s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |d1 AS (SELECT d.* FROM documents d JOIN surv USING (doc_id)),
+         |toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM d1),
+         |scores AS ($unions),
+         |best AS (SELECT doc_id, lang, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores),
+         |en AS (SELECT doc_id FROM best WHERE rn = 1 AND score > 0 AND lang = 'en'),
+         |d2 AS (SELECT d1.* FROM d1 JOIN en USING (doc_id)),
+         |qt AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM d2),
+         |m AS (SELECT doc_id,
+         |  CAST('0x' || substring(md5('qc:' || tok), 1, 8) AS BIGINT) % 1024 AS b FROM qt),
+         |s AS (SELECT doc_id, sum((b * 2654435761) % 1997 - 998) AS margin, count(*) AS n
+         |      FROM m GROUP BY doc_id),
+         |qc AS (SELECT d2.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+         |       round(CAST(s.margin AS DOUBLE) / (998.0 * s.n), 6) AS score
+         |       FROM d2 LEFT JOIN s USING (doc_id)
+         |       WHERE COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0),
+         |d3 AS (SELECT d2.doc_id, d2.source, qc.n_tokens, qc.score FROM d2 JOIN qc USING (doc_id)),
+         |mix AS (SELECT * FROM d3 WHERE
+         |  CAST('0x' || substring(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+         |  < CAST(round(1000.0 * (CASE source WHEN 'src0' THEN 0.5 ELSE 1.0 END)) AS BIGINT)),
+         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mix)
+         |SELECT doc_id FROM c WHERE cum <= 2000 ORDER BY doc_id""".stripMargin
+    },
     "q114_hard_negatives" ->
       """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

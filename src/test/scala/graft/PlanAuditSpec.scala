@@ -115,6 +115,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("mapPartitions"), p)
     }
 
+    it("curation pipeline composes as id equi-joins — nothing cartesian, no window over docs") {
+      val p = plan(SparkEntry.queries("q115_curation_pipeline")(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // the only windows allowed are q94's partition-offset machinery
+      // (over the tiny per-partition offsets row-set and the straddling
+      // partition), never a corpus-wide single-partition window
+      assert(!p.contains("Window [") ||
+        p.contains("__pid"), p)
+    }
+
     it("PQ/ADC scoring joins codes to a BROADCAST table — no SMJ, no cartesian") {
       val e = spark.read.parquet(s"$sf/embeddings.parquet")
       val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
