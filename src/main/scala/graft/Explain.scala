@@ -163,6 +163,13 @@ object Explain {
       SparkEntry.queries("q111_ann_ivfpq")(spark, sfDir)
     }
 
+    section("q115 end-to-end curation pipeline (round 8)",
+      "Five stages composed — dedup, language filter, quality filter, mixture, " +
+        "budget cutoff — all id equi-joins and scan predicates; the only window " +
+        "is q94's tiny partition-offset machinery. No cartesian anywhere.") {
+      SparkEntry.queries("q115_curation_pipeline")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")
