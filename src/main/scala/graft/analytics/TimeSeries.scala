@@ -43,6 +43,38 @@ object TimeSeries {
     points.withColumn("moving", agg(element_at(col(Point.FieldsCol), fieldKey)).over(w))
   }
 
+  /** Moving z-score anomaly detection — the classic TSDB alerting
+    * primitive (is this point > `sigma` standard deviations from its
+    * trailing window?), built ENGINE-EXACT: the window sum and
+    * sum-of-squares accumulate as DECIMALS (associative, order-free —
+    * a double accumulation would differ between engines by summation
+    * order), convert to double only at the final closed-form
+    * `(n·Σx² − (Σx)²)/n²` variance — every input to the float math is
+    * an exact integerized decimal, so the z-score is bit-identical in
+    * any engine, and the anomaly set replays exactly.
+    *
+    * Scale shape: one key shuffle (the same gaps-and-islands contract
+    * as sessionize); the frame is row-bounded so state per key is
+    * O(window). Ties inside the frame order break on `tieCol`.
+    */
+  def movingZScore(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+      valueCol: String, nRows: Int, sigma: Double): DataFrame = {
+    require(nRows >= 2, "z-score needs a window of at least 2 rows")
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    val vDec = col(valueCol).cast("decimal(18,2)")
+    val v2Dec = (vDec * vDec).cast("decimal(30,4)")
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sum(vDec).over(w).cast("double")
+    val s2 = sum(v2Dec).over(w).cast("double")
+    val variance = (n * s2 - s1 * s1) / (n * n)
+    val z = (vDec.cast("double") - s1 / n) / sqrt(variance)
+    df.select(col(keyCol), col(orderCol), col(tieCol), vDec.cast("double").as("v"),
+        n.as("wn"), z.as("z"))
+      .filter(col("wn") >= nRows && abs(col("z")) > sigma)
+      .select(col(keyCol), col(orderCol), col(tieCol), col("v"), round(col("z"), 6).as("z"))
+  }
+
   /** Downsample: last point per tumbling window per series — the
     * classic TSDB retention/rollup primitive. max_by keeps it a single
     * hash aggregate (no sort, no window).

@@ -467,6 +467,17 @@ object RelationalQueries {
           expr("ts_us div 86400000000").cast("string")),
         k = 256)),
 
+    // moving z-score anomaly flagging: decimal-exact trailing-window
+    // moments, closed-form variance in double only at the end — the
+    // oracle recomputes every z bit-for-bit, so the flagged anomaly
+    // SET (not just counts) is under the gate
+    "q116_moving_anomaly" -> ((s, dir) =>
+      graft.analytics.TimeSeries.movingZScore(
+        Tables.events(s, dir).select(col("event_type"), col("ts_us"), col("event_id"), col("value")),
+        keyCol = "event_type", orderCol = "ts_us", tieCol = "event_id",
+        valueCol = "value", nRows = 7, sigma = 2.0)
+        .orderBy("event_type", "ts_us", "event_id")),
+
     // the KMV sketch as a STREAMING aggregate: the same MinKDistinct
     // Aggregator runs inside the micro-batch engine (Complete mode), so
     // the sketch maintains itself incrementally as events arrive —
@@ -733,6 +744,20 @@ object RelationalQueries {
         |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
         |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
         |FROM k""".stripMargin,
+    "q116_moving_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |           CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (SELECT event_type, ts_us, event_id, v,
+        |  CAST(count(*) OVER fr AS DOUBLE) AS wn,
+        |  CAST(sum(v) OVER fr AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(v*v AS DECIMAL(30,4))) OVER fr AS DOUBLE) AS s2
+        |  FROM e WINDOW fr AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_type, ts_us, event_id, CAST(v AS DOUBLE) AS v, wn,
+        |  (CAST(v AS DOUBLE) - s1/wn) / sqrt((wn*s2 - s1*s1)/(wn*wn)) AS z FROM w)
+        |SELECT event_type, ts_us, event_id, v, round(z, 6) AS z
+        |FROM z WHERE wn >= 7 AND abs(z) > 2.0
+        |ORDER BY event_type, ts_us, event_id""".stripMargin,
     // identical to q109's oracle by design: the streamed sketch must
     // land bit-identical to the batch one
     "q112_stream_kmv" ->

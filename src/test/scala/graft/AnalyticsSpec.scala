@@ -481,6 +481,32 @@ class AnalyticsSpec extends SparkSpec {
       d
     }
 
+    it("moving z-score flags the planted spike with a hand-checked score") {
+      import spark.implicits._
+      // 9 calm points then a spike; window=7, sigma=2
+      val vals = Seq(10.0, 12.0, 11.0, 10.0, 12.0, 11.0, 10.0, 12.0, 11.0, 50.0)
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+        .toDF("key", "t", "tie", "value")
+      val out = TimeSeries.movingZScore(df, "key", "t", "tie", "value", nRows = 7, sigma = 2.0)
+        .collect()
+      assert(out.length === 1)
+      val r = out.head
+      assert(r.getAs[Long]("t") === 9L && r.getAs[Double]("v") === 50.0)
+      // hand calculation over the trailing 7 (12,11,10,12,11,50 window:
+      // rows 3..9 = 10,12,11,10,12,11,50)
+      val w = vals.slice(3, 10)
+      val n = w.size.toDouble
+      val mean = w.sum / n
+      val variance = (n * w.map(x => x * x).sum - w.sum * w.sum) / (n * n)
+      val z = (50.0 - mean) / math.sqrt(variance)
+      assert(math.abs(r.getAs[Double]("z") - BigDecimal(z).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      // partitioning cannot move the decimal-exact result
+      val re = TimeSeries.movingZScore(df.repartition(7), "key", "t", "tie", "value", 7, 2.0)
+        .collect()
+      assert(re.map(_.toString).sorted.toSeq === out.map(_.toString).sorted.toSeq)
+    }
+
     it("tumbling window aggregate") {
       val r = TimeSeries.tumblingAgg(db.df, "5 minutes", "v")
         .orderBy("window_start").select("agg0").as[Double].collect().toSeq
