@@ -75,6 +75,33 @@ object TimeSeries {
       .select(col(keyCol), col(orderCol), col(tieCol), col("v"), round(col("z"), 6).as("z"))
   }
 
+  /** Truncated exponentially-weighted moving average — the smoothing
+    * primitive behind TSDB dashboards and alert baselines:
+    * {{{ y_i = α · Σ_{j<W} (1−α)^j · x_{i−j} }}}
+    * The W decay powers are SCALA-SIDE literals (serialized as
+    * round-trippable shortest-repr doubles) and the sum is a fixed
+    * left-associated chain, so the expression tree — and therefore the
+    * IEEE result — is identical in any engine; no recursion, no pow()
+    * in the plan (libm pow is not correctly rounded and differs across
+    * engines). Rows with fewer than W antecedents are dropped rather
+    * than renormalized. One key shuffle, O(W) lags per row.
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+      valueCol: String, alpha: Double, terms: Int): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0, 1)")
+    require(terms >= 1, "terms >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol), col(tieCol))
+    val d = 1.0 - alpha
+    val weighted = (0 until terms).map { j =>
+      lit(math.pow(d, j)) * lag(col(valueCol).cast("double"), j).over(w)
+    }.reduce(_ + _)
+    df.select(col(keyCol), col(orderCol), col(tieCol),
+        (lit(alpha) * weighted).as("ewma"),
+        row_number().over(w).as("__rn"))
+      .filter(col("__rn") >= terms)
+      .drop("__rn")
+  }
+
   /** Downsample: last point per tumbling window per series — the
     * classic TSDB retention/rollup primitive. max_by keeps it a single
     * hash aggregate (no sort, no window).

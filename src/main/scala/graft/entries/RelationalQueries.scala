@@ -478,6 +478,16 @@ object RelationalQueries {
         valueCol = "value", nRows = 7, sigma = 2.0)
         .orderBy("event_type", "ts_us", "event_id")),
 
+    // truncated EWMA smoothing: decay powers are Scala-side literals
+    // interpolated into BOTH plans, the sum a fixed left-assoc chain —
+    // identical IEEE trees, so the smoothed series replays bit-for-bit
+    "q117_ewma" -> ((s, dir) =>
+      graft.analytics.TimeSeries.ewma(
+        Tables.events(s, dir).select(col("event_type"), col("ts_us"), col("event_id"), col("value")),
+        keyCol = "event_type", orderCol = "ts_us", tieCol = "event_id",
+        valueCol = "value", alpha = 0.3, terms = 8)
+        .orderBy("event_type", "ts_us", "event_id")),
+
     // the KMV sketch as a STREAMING aggregate: the same MinKDistinct
     // Aggregator runs inside the micro-batch engine (Complete mode), so
     // the sketch maintains itself incrementally as events arrive —
@@ -744,6 +754,20 @@ object RelationalQueries {
         |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
         |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
         |FROM k""".stripMargin,
+    "q117_ewma" -> {
+      // SAME Scala-computed literals as the query: Double.toString is
+      // shortest-round-trip, DuckDB parses it back to the identical bits
+      val termSql = (0 until 8).map(j =>
+        s"${math.pow(0.7, j)} * lag(v, $j) OVER fr").mkString(" + ")
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+         |           CAST(value AS DOUBLE) AS v FROM events),
+         |w AS (SELECT event_type, ts_us, event_id,
+         |  0.3 * ($termSql) AS ewma,
+         |  row_number() OVER fr AS rn
+         |  FROM e WINDOW fr AS (PARTITION BY event_type ORDER BY ts_us, event_id))
+         |SELECT event_type, ts_us, event_id, ewma FROM w WHERE rn >= 8
+         |ORDER BY event_type, ts_us, event_id""".stripMargin
+    },
     "q116_moving_anomaly" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
         |           CAST(value AS DECIMAL(18,2)) AS v FROM events),

@@ -481,6 +481,21 @@ class AnalyticsSpec extends SparkSpec {
       d
     }
 
+    it("ewma matches the closed form and drops under-filled prefixes") {
+      import spark.implicits._
+      val xs = Seq(4.0, 8.0, 2.0, 6.0, 10.0)
+      val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+        .toDF("key", "t", "tie", "value")
+      val got = TimeSeries.ewma(df, "key", "t", "tie", "value", alpha = 0.3, terms = 3)
+        .orderBy("t").collect()
+      assert(got.map(_.getAs[Long]("t")).toSeq === Seq(2L, 3L, 4L)) // first 2 dropped
+      got.foreach { r =>
+        val i = r.getAs[Long]("t").toInt
+        val expect = 0.3 * (xs(i) + 0.7 * xs(i - 1) + math.pow(0.7, 2) * xs(i - 2))
+        assert(r.getAs[Double]("ewma") === expect, s"t=$i")
+      }
+    }
+
     it("moving z-score flags the planted spike with a hand-checked score") {
       import spark.implicits._
       // 9 calm points then a spike; window=7, sigma=2
