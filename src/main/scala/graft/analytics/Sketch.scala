@@ -94,6 +94,57 @@ object Sketch {
     df.select(hash32(value, salt).as("h")).agg(agg(col("h")).as("sketch"))
   }
 
+  /** CountMin frequency sketch: `depth` independent md5-derived hash
+    * rows of `width` counters; every item occurrence increments one
+    * cell per row, and `estimate(x) = min_j cell[j][h_j(x)]` — an
+    * upper bound on the true count that is tight unless x collides in
+    * EVERY row. depth×width cells bound the state (a few KB) no matter
+    * the corpus; the groupBy's map-side combine condenses each
+    * partition to its touched cells, so the shuffle carries ≤
+    * depth·width rows per partition at any scale. Like [[kmvDistinct]]
+    * the whole sketch is a deterministic function of the input
+    * multiset (md5 positions, integer counts) — the oracle replays
+    * cells AND estimates exactly, collision-induced overestimates
+    * included.
+    * Output: (j, p, c) cell rows.
+    */
+  def countMinSketch(df: DataFrame, item: Column, depth: Int, width: Int,
+      salt: String = "cm"): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width >= 1")
+    df.select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        j => cmPos(item, j, width, salt))))
+      .select(col("pos").as("j"), col("col").as("p"))
+      .groupBy("j", "p").agg(count(lit(1)).as("c"))
+  }
+
+  private def cmPos(item: Column, j: Column, width: Int, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), j.cast("string"), lit(":"),
+      item.cast("string"))), 1, 8), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Point estimates for `terms` against a [[countMinSketch]]: min over
+    * the depth rows, absent cells counting 0. The probe table is
+    * depth×|terms| rows — broadcast-tiny.
+    */
+  def countMinEstimate(sketch: DataFrame, terms: Seq[String], depth: Int, width: Int,
+      salt: String = "cm"): DataFrame = {
+    require(terms.nonEmpty, "need at least one probe term")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probe = terms.toDF("term")
+      .select(col("term"), posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        j => cmPos(col("term"), j, width, salt))))
+      .select(col("term"), col("pos").as("j"), col("col").as("p"))
+    broadcast(probe).join(sketch, Seq("j", "p"), "left")
+      .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Lossless union of CountMin sketches built with the same
+    * depth/width/salt: cell-wise sum — the sketch of the concatenated
+    * inputs, exactly (counts are linear).
+    */
+  def mergeCountMin(sketches: DataFrame): DataFrame =
+    sketches.groupBy("j", "p").agg(sum("c").as("c"))
+
   /** Lossless union of per-slice sketches built with the same k/salt:
     * distinct-merge the item arrays and keep the k smallest — the
     * exact sketch of the concatenated inputs.

@@ -465,6 +465,25 @@ object CorpusQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // CountMin frequency estimates vs exact counts: the sketch's cells
+    // AND its (possibly collision-inflated) estimates are md5-exact, so
+    // the oracle gates the approximation itself; 'zzz' probes the
+    // absent-term path (est 0 unless it collides in every row)
+    "q118_countmin" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val terms = Seq("merge", "spark", "window", "zzz")
+      val sketch = graft.analytics.Sketch.countMinSketch(toks, col("tok"),
+        depth = 4, width = 1024)
+      val est = graft.analytics.Sketch.countMinEstimate(sketch, terms,
+        depth = 4, width = 1024)
+      val exact = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("term"), "left")
+        .select(col("term"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+        .orderBy("term")
+    }),
+
     // ---- curation: sampling, quotas, clustering, sessionization ----
 
     // deterministic 10% sample — hash membership, replayable anywhere
@@ -1075,6 +1094,22 @@ object CorpusQueries {
         |SELECT mime, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM a WHERE n_bytes BETWEEN 120 AND 100000
         |GROUP BY mime ORDER BY mime""".stripMargin,
+    "q118_countmin" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |cells AS (SELECT j, CAST('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 1024 AS p,
+        |          count(*) AS c
+        |          FROM tk, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |terms(term) AS (VALUES ('merge'), ('spark'), ('window'), ('zzz')),
+        |probe AS (SELECT term, j,
+        |          CAST('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || ':' || term), 1, 8) AS BIGINT) % 1024 AS p
+        |          FROM terms, generate_series(0, 3) g(j)),
+        |est AS (SELECT term, min(COALESCE(c, 0)) AS est FROM probe
+        |        LEFT JOIN cells USING (j, p) GROUP BY 1),
+        |ex AS (SELECT t.term, count(tk.tok) AS exact FROM terms t
+        |       LEFT JOIN tk ON tk.tok = t.term GROUP BY 1)
+        |SELECT term, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+        |FROM est JOIN ex USING (term) ORDER BY term""".stripMargin,
     "q115_curation_pipeline" -> {
       val unions = graft.analytics.Stopwords.all.toSeq.sortBy(_._1).map { case (lang, _) =>
         s"SELECT doc_id, '$lang' AS lang, length(list_filter(t, x -> x IN (${stopList(lang)}))) AS score FROM toks"

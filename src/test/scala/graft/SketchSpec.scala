@@ -41,6 +41,40 @@ class SketchSpec extends SparkSpec {
       assert(whole === merged)
     }
 
+    it("countmin never underestimates, and collides into overestimates when squeezed") {
+      // 200 distinct tokens into a deliberately tiny 2x8 sketch: every
+      // cell is shared, so estimates must EXCEED exact counts — the
+      // upper-bound property under maximal pressure
+      val toks = (1 to 1000).map(i => s"t${i % 200}").toDF("tok")
+      val sketch = Sketch.countMinSketch(toks, col("tok"), depth = 2, width = 8)
+      val probes = Seq("t0", "t1", "t5", "t199")
+      val est = Sketch.countMinEstimate(sketch, probes, depth = 2, width = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = toks.groupBy("tok").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      probes.foreach { t =>
+        assert(est(t) >= exact(t), s"$t underestimated")
+      }
+      assert(probes.exists(t => est(t) > exact(t)), "a 2x8 sketch of 200 keys must collide")
+      // at a sane size the same estimates are exact for these counts
+      val wide = Sketch.countMinSketch(toks, col("tok"), depth = 4, width = 4096)
+      val est2 = Sketch.countMinEstimate(wide, probes, depth = 4, width = 4096)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      probes.foreach(t => assert(est2(t) === exact(t)))
+    }
+
+    it("countmin merges cell-wise: merged sketch == sketch of the union") {
+      val a = (1 to 300).map(i => s"x${i % 40}").toDF("tok")
+      val b = (1 to 500).map(i => s"x${i % 70}").toDF("tok")
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val whole = cells(Sketch.countMinSketch(a.union(b), col("tok"), 3, 64))
+      val merged = cells(Sketch.mergeCountMin(
+        Sketch.countMinSketch(a, col("tok"), 3, 64)
+          .union(Sketch.countMinSketch(b, col("tok"), 3, 64))))
+      assert(whole === merged)
+    }
+
     it("estimates saturated cardinality within KMV error bounds") {
       // 5000 distinct values, k=256: stderr ~ 1/sqrt(k-1) ~ 6.3%; the
       // md5 hashing makes the single realized estimate deterministic,
