@@ -138,6 +138,32 @@ object Sketch {
       .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** AMS (Alon–Matias–Szegedy) F2 sketch: `depth` independent
+    * md5-derived ±1 hash rows; row j accumulates S_j = Σ sign_j(x)
+    * over all OCCURRENCES, and F2 = Σ_x count(x)² — the SELF-JOIN SIZE
+    * of an equi-join on x — is estimated UNBIASEDLY by the mean of
+    * S_j² (E[S²] = F2; Var shrinks as 2/depth, though heavy-hitter
+    * inputs where F4 ≈ F2² keep relative error material — the
+    * estimator's published behavior). This is the quantity the
+    * posting-list guards exist to bound: one linear pass prices an
+    * inverted-index join's output before running it. Every S_j is an
+    * integer sum (order-free) and the only float op is the final
+    * division by `depth`, so the estimate is a deterministic function
+    * of the input multiset — oracle-replayable like the other
+    * sketches. State: `depth` longs. Output: one row (est_f2 double).
+    */
+  def amsF2(df: DataFrame, item: Column, depth: Int = 48, salt: String = "ams"): DataFrame = {
+    require(depth >= 1, "depth >= 1")
+    val signs = transform(sequence(lit(0), lit(depth - 1)), j =>
+      pmod(conv(substring(md5(concat(lit(salt), j.cast("string"), lit(":"),
+        item.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L)) * 2L - 1L)
+    df.select(posexplode(signs))
+      .select(col("pos").as("j"), col("col").as("s"))
+      .groupBy("j").agg(sum("s").as("sj"))
+      .agg(sum(col("sj") * col("sj")).as("tot"))
+      .select((col("tot").cast("double") / depth).as("est_f2"))
+  }
+
   /** Lossless union of CountMin sketches built with the same
     * depth/width/salt: cell-wise sum — the sketch of the concatenated
     * inputs, exactly (counts are linear).

@@ -484,6 +484,19 @@ object CorpusQueries {
         .orderBy("term")
     }),
 
+    // AMS F2 = self-join size of the token equi-join — the exact
+    // quantity the posting-list guards bound; one linear pass prices
+    // the join before running it. Estimate and exact both integer,
+    // both under the gate.
+    "q119_ams_f2" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val est = graft.analytics.Sketch.amsF2(toks, col("tok"), depth = 48)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_f2"))
+      est.crossJoin(exact)
+    }),
+
     // ---- curation: sampling, quotas, clustering, sessionization ----
 
     // deterministic 10% sample — hash membership, replayable anywhere
@@ -1094,6 +1107,15 @@ object CorpusQueries {
         |SELECT mime, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM a WHERE n_bytes BETWEEN 120 AND 100000
         |GROUP BY mime ORDER BY mime""".stripMargin,
+    "q119_ams_f2" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |rows_ AS (SELECT j, sum((CAST('0x' || substring(md5('ams' || CAST(j AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 2) * 2 - 1) AS sj
+        |          FROM tk, generate_series(0, 47) g(j) GROUP BY 1),
+        |m AS (SELECT CAST(sum(sj * sj) AS DOUBLE) / 48 AS est_f2 FROM rows_),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM
+        |       (SELECT count(*) AS c FROM tk GROUP BY tok))
+        |SELECT est_f2, exact_f2 FROM m, ex""".stripMargin,
     "q118_countmin" ->
       """WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
         |           FROM documents),

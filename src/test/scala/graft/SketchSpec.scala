@@ -75,6 +75,22 @@ class SketchSpec extends SparkSpec {
       assert(whole === merged)
     }
 
+    it("ams f2 estimates self-join size unbiasedly on a spread multiset") {
+      // 500 keys with counts 1..4 (no heavy hitters, so the 2/depth
+      // variance bound is meaningful): exact F2 = sum c^2; md5 makes
+      // the single realized estimate deterministic, so the band holds
+      // run to run
+      val toks = (1 to 500).flatMap(i => Seq.fill(i % 4 + 1)(s"k$i")).toDF("tok")
+      val exact = (1 to 500).map(i => math.pow(i % 4 + 1, 2)).sum
+      val est = Sketch.amsF2(toks, col("tok"), depth = 48)
+        .head().getAs[Double]("est_f2")
+      assert(math.abs(est / exact - 1.0) < 0.4, s"est=$est exact=$exact")
+      // integer row sums are order-free: partitioning cannot move it
+      val est2 = Sketch.amsF2(toks.repartition(11), col("tok"), depth = 48)
+        .head().getAs[Double]("est_f2")
+      assert(est2 === est)
+    }
+
     it("estimates saturated cardinality within KMV error bounds") {
       // 5000 distinct values, k=256: stderr ~ 1/sqrt(k-1) ~ 6.3%; the
       // md5 hashing makes the single realized estimate deterministic,
