@@ -170,6 +170,50 @@ object Curation {
     keepWhole.select(cols: _*).unionAll(straddleKept.select(cols: _*))
   }
 
+  /** Distributed running sum over a TOTAL order — the q94 partition-
+    * offset machinery generalized to materialize the cumulative weight
+    * for EVERY row (budgetSelect can skip whole partitions; samplers
+    * need each row's cum): range-partition on the order, per-partition
+    * window in parallel, per-partition offsets broadcast back. No
+    * single-partition pass over the data at any size.
+    */
+  private def withRunningSum(df: DataFrame, order: Seq[Column], weightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+    val byPid = Window.orderBy("__pid")
+    val offsets = ranged
+      .groupBy(spark_partition_id().as("__pid")).agg(sum(col(weightCol)).as("__wtot"))
+      .withColumn("__woff", coalesce(
+        sum("__wtot").over(byPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__woff")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.withColumn("__pid", spark_partition_id())
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__cum", col("__woff") + sum(col(weightCol)).over(w))
+      .drop("__pid", "__woff")
+  }
+
+  /** Weighted systematic sampling: walk the corpus in a fixed total
+    * order accumulating integer weights, pick every row where the
+    * running sum crosses a multiple of `step` — selection probability
+    * proportional to weight (a doc twice as long is twice as likely to
+    * straddle a boundary), expected picks = Σw / step, and everything
+    * is integer arithmetic over a total order: deterministic,
+    * engine-exact, no float keys, no rejection loop. The
+    * length-proportional sampler a curation pipeline wants when
+    * "sample 1M tokens" matters more than "sample 1M documents".
+    * Weights must be non-negative (zero-weight rows are never picked).
+    */
+  def weightedSystematicSample(df: DataFrame, order: Seq[Column], weightCol: String,
+      step: Long): DataFrame = {
+    require(step >= 1, "step >= 1")
+    withRunningSum(df, order, weightCol)
+      .filter(expr(s"__cum div $step") > expr(s"(__cum - $weightCol) div $step"))
+      .drop("__cum")
+  }
+
   /** Sliding token-window chunking (RAG / context-window prep): cut each
     * doc's whitespace tokens into windows of `chunkSize` tokens starting
     * every `stride` tokens (stride < chunkSize ⇒ overlapping windows,

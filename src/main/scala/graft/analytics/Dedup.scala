@@ -119,13 +119,18 @@ object Dedup {
     */
   private[graft] var exactPostingWarnBytes: Long = 1L << 30
 
-  /** Largest posting-list document frequency — the d whose d² dominates
-    * an unguarded inverted-index self-join.
+  /** One pricing aggregate over the postings: the largest document
+    * frequency d (whose d² dominates an unguarded join) AND the exact
+    * total join size Σ_tok df² — the F2 moment, free here because the
+    * guard already pays the groupBy. (When even that groupBy is too
+    * expensive — pricing a join over a corpus you haven't indexed —
+    * [[Sketch.amsF2]] estimates the same Σ df² in one linear pass with
+    * `depth` longs of state.)
     */
-  private[graft] def maxPostingDocFreq(postings: DataFrame, tokCol: String): Long = {
+  private[graft] def maxPostingDocFreq(postings: DataFrame, tokCol: String): (Long, Long) = {
     val r = postings.groupBy(tokCol).agg(count(lit(1)).as("df"))
-      .agg(max(col("df"))).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+      .agg(max(col("df")), sum(col("df") * col("df"))).head()
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
   }
 
   /** Defensive guard for exact (unbounded-vocabulary) posting joins: a
@@ -140,14 +145,14 @@ object Dedup {
       tokCol: String, op: String): Unit = {
     val estBytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes >= BigInt(exactPostingWarnBytes)) {
-      val d = maxPostingDocFreq(postings, tokCol)
+      val (d, f2) = maxPostingDocFreq(postings, tokCol)
       if (d > 10000)
         org.slf4j.LoggerFactory.getLogger("graft.analytics.Dedup").warn(
-          s"$op: maxDocFreq=None over a ~$estBytes-byte source and the hottest " +
-            s"token appears in $d documents — that one posting list alone feeds " +
-            s"~${d * d} candidate pairs into the join. Set maxDocFreq to bound it " +
-            "(sizes are computed after the drop, so results stay exact over the " +
-            "pruned vocabulary).")
+          s"$op: maxDocFreq=None over a ~$estBytes-byte source: the join will " +
+            s"produce ~$f2 candidate rows total (Σ df²), and the hottest token " +
+            s"alone appears in $d documents (~${d * d} pairs). Set maxDocFreq " +
+            "to bound it (sizes are computed after the drop, so results stay " +
+            "exact over the pruned vocabulary).")
     }
   }
 

@@ -497,6 +497,18 @@ object CorpusQueries {
       est.crossJoin(exact)
     }),
 
+    // length-proportional sampling: pick docs where the running token
+    // sum crosses a 1000-token boundary — integer-exact systematic
+    // sampling by weight, the "sample N tokens, not N docs" primitive;
+    // the oracle replays the running sum and boundary test exactly
+    "q120_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val weighted = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+      Curation.weightedSystematicSample(weighted, Seq(col("doc_id")), "w", step = 1000L)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- curation: sampling, quotas, clustering, sessionization ----
 
     // deterministic 10% sample — hash membership, replayable anywhere
@@ -1107,6 +1119,13 @@ object CorpusQueries {
         |SELECT mime, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM a WHERE n_bytes BETWEEN 120 AND 100000
         |GROUP BY mime ORDER BY mime""".stripMargin,
+    "q120_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |  sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id FROM c WHERE cum // 1000 > (cum - w) // 1000 ORDER BY doc_id""".stripMargin,
     "q119_ams_f2" ->
       """WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
         |           FROM documents),

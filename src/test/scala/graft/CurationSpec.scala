@@ -187,6 +187,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("weighted systematic sampling") {
+    import spark.implicits._
+    it("picks exactly the boundary-crossing rows, totalW div step of them") {
+      val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1000L), (5L, 1L), (6L, 1L))
+        .toDF("id", "w")
+      val got = graft.analytics.Curation.weightedSystematicSample(
+        df, Seq(col("id")), "w", step = 500L)
+        .select("id").as[Long].collect().toSet
+      // cum = 1,2,3,1003,1004,1005: only the heavy row crosses (500 and
+      // 1000); picks == totalW div step == 2 boundaries, one row
+      assert(got === Set(4L))
+      // each boundary is crossed exactly once (positive weights), so
+      // over a spread input the pick COUNT is exactly totalW div step
+      val spread = (1L to 300L).map(i => (i, i % 7 + 1L)).toDF("id", "w")
+      val totalW = spread.agg(sum("w")).head().getLong(0)
+      val picks = graft.analytics.Curation.weightedSystematicSample(
+        spread, Seq(col("id")), "w", step = 100L).count()
+      assert(picks === totalW / 100L)
+      // partitioning cannot move the integer running sum
+      val a = graft.analytics.Curation.weightedSystematicSample(
+        spread.repartition(13), Seq(col("id")), "w", step = 100L)
+        .select("id").as[Long].collect().sorted.toSeq
+      val b = graft.analytics.Curation.weightedSystematicSample(
+        spread.repartition(1), Seq(col("id")), "w", step = 100L)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(a === b)
+    }
+  }
+
   describe("edge cases") {
     it("empty inputs flow through sessionize, components, and sampling") {
       val noEvents = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")

@@ -260,7 +260,9 @@ class DedupSpec extends SparkSpec {
       // the measurement the guard reports: 'common' posts in 4 docs
       val postings = docs.select(col("doc_id").as("id"),
         explode(Dedup.wordShingles(col("text"), 1)).as("tok"))
-      assert(Dedup.maxPostingDocFreq(postings, "tok") == 4L)
+      // hottest token 'common' posts in 4 docs; total join price is the
+      // exact F2: 4² + six singleton tokens (alpha..delta, rare, epsilon)
+      assert(Dedup.maxPostingDocFreq(postings, "tok") == ((4L, 16L + 6L)))
       // force the >=bytes path (var is test-visible) and confirm the
       // maxDocFreq=None join still returns the same pairs — the guard
       // warns, never mutates results
