@@ -164,6 +164,66 @@ object Sketch {
       .select((col("tot").cast("double") / depth).as("est_f2"))
   }
 
+  /** HyperLogLog registers over `value`: `m = 2^p` buckets, each
+    * holding the max "rank" (leading-zero count + 1 of the hash suffix)
+    * seen — the classic cardinality sketch, here built integer-exact:
+    * bucket = top p bits of the 32-bit md5 hash, rank derives from the
+    * binary LENGTH of the (32−p)-bit suffix (no float log anywhere), and
+    * max() is idempotent so no DISTINCT pass is needed. The groupBy's
+    * map-side combine condenses every partition to ≤ m rows, so the
+    * shuffle carries m·partitions small ints for any input size.
+    * Output: (b, r) rows for NON-EMPTY buckets only.
+    */
+  def hllRegisters(df: DataFrame, value: Column, p: Int = 8,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, "hll precision p in [4,16]")
+    val sufBits = 32 - p
+    val h = hash32(value, salt)
+    val bucket = shiftright(h, sufBits)
+    val rem = h.bitwiseAND(lit((1L << sufBits) - 1L))
+    // rank = 1 + leading zeros of the suffix = (sufBits+1) − bit_length;
+    // bin() drops leading zeros, so length(bin(rem)) IS bit_length —
+    // integer everywhere, no log2 at power-of-two boundaries
+    val rank = lit(sufBits + 1) -
+      when(rem === 0L, lit(0)).otherwise(length(bin(rem)))
+    df.select(bucket.as("b"), rank.as("r"))
+      .groupBy("b").agg(max("r").cast("int").as("r"))
+  }
+
+  /** One-row HLL cardinality estimate with the standard small-range
+    * correction. The harmonic denominator Σ 2^(−r_b) is computed as the
+    * INTEGER Σ 2^(maxRank − r_b) (empty buckets contribute 2^maxRank),
+    * so everything up to the final one-row float formula is exact and
+    * order-free — the estimate, correction branch included, is a
+    * deterministic function of the input set that any md5-capable
+    * engine replays bit-for-bit. Output:
+    * (n_zero_regs, z_scaled, est_distinct).
+    */
+  def hllDistinct(df: DataFrame, value: Column, p: Int = 8,
+      salt: String = "hll"): DataFrame = {
+    val m = 1 << p
+    val maxRank = 32 - p + 1
+    // alpha_m for m >= 128 (Flajolet et al. 2007)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val regs = hllRegisters(df, value, p, salt)
+    // every empty bucket contributes rank 0 → 2^maxRank scaled; count
+    // them from the register count rather than generating m rows
+    val rawEst = lit(alpha * m * m) * lit(math.pow(2.0, maxRank)) /
+      col("z_scaled").cast("double")
+    regs.agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(1L, $maxRank - r)")).as("z_nonzero"))
+      .select(
+        (lit(m) - coalesce(col("n_regs"), lit(0L))).cast("long").as("n_zero_regs"),
+        (coalesce(col("z_nonzero"), lit(0L)) +
+          (lit(m.toLong) - coalesce(col("n_regs"), lit(0L))) * (1L << maxRank))
+          .as("z_scaled"))
+      .select(col("n_zero_regs"), col("z_scaled"),
+        round(
+          when(col("n_zero_regs") > 0 && rawEst <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs").cast("double")))
+          .otherwise(rawEst), 4).as("est_distinct"))
+  }
+
   /** Lossless union of CountMin sketches built with the same
     * depth/width/salt: cell-wise sum — the sketch of the concatenated
     * inputs, exactly (counts are linear).

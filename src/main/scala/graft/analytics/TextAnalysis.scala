@@ -336,6 +336,65 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
   }
+
+  /** TF-IDF sparse retrieval: top-`k` most similar corpus docs per
+    * query doc, scored by the inner product of tf·idf term vectors —
+    * the SPARSE complement of the dense ANN tiers (BM25 above scores a
+    * fixed tiny term set; this joins full document vectors through an
+    * inverted index).
+    *
+    * EXACTNESS: idf is quantized ONCE per distinct term to integer
+    * milli-units (round(ln(N/df)·10³)), so each candidate's score
+    * Σ_t tf_q(t)·tf_d(t)·idf_milli(t)² is a sum of integers —
+    * aggregated as DECIMAL(38,0), associative and order-free. Ranking
+    * casts that score to double for the bounded top-k aggregate, which
+    * is EXACT while |score| < 2⁵³ (≈9·10¹⁵ — holds through ~30k-token
+    * docs at milli idf; far past this corpus). Ties break by id, as
+    * everywhere in the ANN family.
+    *
+    * 100 TB shape: postings (id, term, tf) form via explode + one
+    * groupBy; the candidate generator is the postings EQUI-JOIN on term
+    * (query side is the small one — broadcast), partial per-(qid,id)
+    * sums condense map-side, and the top-k cut is the same bounded
+    * aggregate as the ANN tiers: ≤ k rows per (query, partition) on
+    * the shuffle, never a full-corpus window. The df table doubles as
+    * the frequency guard: terms with df > `maxDocFreq` drop out of
+    * BOTH sides (stopword postings are where sparse joins go
+    * quadratic), mirroring the n-gram-Jaccard guard contract.
+    */
+  def tfidfTopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, maxDocFreq: Option[Int] = None): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def postings(df: DataFrame, id: Column, text: Column, idName: String) =
+      Dedup.spread(df).select(id.cast("long").as(idName), explode(tokens(text)).as("term"))
+        .groupBy(idName, "term").agg(count(lit(1)).as(s"tf_$idName"))
+    val cp = postings(corpus, col(idCol), col(textCol), "id")
+    // corpus size as a one-row broadcast (same shape as bm25's stats row)
+    val n = corpus.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfT = cp.groupBy("term").agg(count(lit(1)).as("df"))
+    val guarded = maxDocFreq.map(m => dfT.filter(col("df") <= m)).getOrElse(dfT)
+    val idf = guarded.crossJoin(broadcast(n))
+      .select(col("term"),
+        round(log(col("n_docs") / col("df").cast("double")) * 1e3, 0)
+          .cast("long").as("idf_milli"))
+    val qp = postings(queries, col(qidCol), col(qtextCol), "qid")
+    // weight the SMALL side once; the corpus side picks idf up through
+    // the same term join it already pays for candidates
+    val qw = broadcast(qp.join(idf, "term")
+      .select(col("term"), col("qid"), (col("tf_qid") * col("idf_milli") * col("idf_milli")).as("qpart")))
+    val scored = cp.join(qw, "term")
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg(sum((col("qpart") * col("tf_id")).cast(d380)).as("score"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopK.topK(k)(col("score").cast("double"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("id"),
+        col("col.score").cast(d380).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }
 
 /** Minimal public stopword lists (top function words) per language —

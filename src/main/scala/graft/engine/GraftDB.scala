@@ -847,4 +847,11 @@ object GraftDB {
   def atPath(spark: SparkSession, root: String, partitioned: Boolean = true,
       autoIndex: Boolean = false): GraftDB =
     new GraftDB(new ParquetStorage(spark, root, partitioned), autoIndex)
+
+  /** Database on a directory of JSON-lines shards — the interchange
+    * tier for LLM-data tooling (see [[JsonlStorage]] for the line
+    * format and why `_seq` travels in the data).
+    */
+  def atJsonl(spark: SparkSession, root: String, autoIndex: Boolean = false): GraftDB =
+    new GraftDB(new JsonlStorage(spark, root), autoIndex)
 }

@@ -603,6 +603,57 @@ object CorpusQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       Curation.packChunks(withTokens, Seq("source"), "doc_id", "n_tokens", budget = 2000L)
         .select("doc_id", "source", "chunk_id").orderBy("doc_id")
+    }),
+
+    // HyperLogLog cardinality, integer-exact registers: two value
+    // streams (token multiset exercises the small-range ln-correction
+    // branch on this vocabulary; doc texts the register mass) — the
+    // estimate itself is a deterministic function of the input set, so
+    // the oracle gates the HLL math, correction branch included,
+    // against the exact distinct count
+    "q121_hll_distinct" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("v"))
+      def one(kind: String, in: DataFrame) = {
+        val exact = in.agg(countDistinct(col("v")).as("exact_distinct"))
+        graft.analytics.Sketch.hllDistinct(in, col("v"), p = 8)
+          .crossJoin(exact).select(lit(kind).as("kind"), col("n_zero_regs"),
+            col("z_scaled"), col("est_distinct"), col("exact_distinct"))
+      }
+      one("tok", toks).unionByName(one("text", d.select(col("text").as("v"))))
+        .orderBy("kind")
+    }),
+
+    // integer-exact PageRank over near-dup edges UNION doc→source
+    // affiliation edges (source hubs at id 10^6+k): the clique part
+    // alone is regular (uniform rank — uninteresting), the hub part
+    // gives real rank spread; 3 rounds of micro-unit propagation, every
+    // op integer — the oracle replays the banding join AND the
+    // propagation bit-for-bit, so edge recall and rank arithmetic are
+    // both under the gate
+    "q122_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mh = Dedup.minHashLshPairs(d, "doc_id", "text",
+        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.5)
+        .select(col("i"), col("j"))
+      val aff = d.select(col("doc_id").as("i"),
+        (lit(1000000L) + regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")).as("j"))
+      graft.analytics.Graph.pageRankMicro(mh.unionByName(aff), "i", "j", iterations = 3)
+        .orderBy("id")
+    }),
+
+    // TF-IDF sparse retrieval: every 101st doc queries the corpus for
+    // its 3 nearest neighbors by tf·idf inner product — inverted-index
+    // equi-join candidates, integer milli-idf scores, bounded top-k.
+    // No df guard here: this corpus is a 31-term vocabulary where every
+    // term is corpus-wide (a guard would empty the index); the guard
+    // path itself is gated by q51's pruned-vocabulary oracle.
+    "q124_tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") % 101 === 0)
+      TextAnalysis.tfidfTopK(d, "doc_id", "text", q, "doc_id", "text", k = 3)
+        .select(col("qid"), col("id"), col("score").cast("long").as("score"))
+        .orderBy("qid", "id")
     })
   )
 
@@ -1232,6 +1283,75 @@ object CorpusQueries {
         |  (6, true,  9, 17, 3), (7, true, 10, 19, 4), (8, true, 11, 21, 1),
         |  (9, false, NULL, NULL, NULL))
         |AS t(asset_id, decode_ok, width, height, channels)
-        |ORDER BY asset_id""".stripMargin
+        |ORDER BY asset_id""".stripMargin,
+    // HLL: bucket = top 8 of 32 md5-derived bits, rank from the binary
+    // LENGTH of the 24-bit suffix (integer, no log2), harmonic mass as
+    // Σ 2^(25−r) scaled integers; the alpha literal chain mirrors the
+    // Scala constant-fold order so the one-row float math is identical
+    "q121_hll_distinct" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS v FROM documents),
+        |tx AS (SELECT text AS v FROM documents),
+        |est AS (
+        |  SELECT kind, n_zero_regs, z_scaled,
+        |    round(CASE WHEN n_zero_regs > 0 AND
+        |        (0.7213/(1 + 1.079/256)) * 256 * 256 * 33554432.0 / z_scaled <= 640.0
+        |      THEN 256.0 * ln(256.0 / n_zero_regs)
+        |      ELSE (0.7213/(1 + 1.079/256)) * 256 * 256 * 33554432.0 / z_scaled
+        |      END, 4) AS est_distinct
+        |  FROM (
+        |    SELECT kind, 256 - count(*) AS n_zero_regs,
+        |      CAST(sum(1::BIGINT << (25 - r)) + (256 - count(*)) * 33554432 AS BIGINT) AS z_scaled
+        |    FROM (
+        |      SELECT kind, b, max(25 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS r
+        |      FROM (
+        |        SELECT kind, h // 16777216 AS b, h % 16777216 AS rem FROM (
+        |          SELECT 'tok' AS kind, CAST('0x' || substring(md5('hll:' || v), 1, 8) AS BIGINT) AS h FROM tk
+        |          UNION ALL
+        |          SELECT 'text' AS kind, CAST('0x' || substring(md5('hll:' || v), 1, 8) AS BIGINT) AS h FROM tx))
+        |      GROUP BY kind, b)
+        |    GROUP BY kind)),
+        |ex AS (SELECT 'tok' AS kind, count(DISTINCT v) AS exact_distinct FROM tk
+        |       UNION ALL SELECT 'text', count(DISTINCT v) FROM tx)
+        |SELECT e.kind, CAST(n_zero_regs AS BIGINT) AS n_zero_regs, z_scaled,
+        |  est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct
+        |FROM est e JOIN ex USING (kind) ORDER BY kind""".stripMargin,
+    // PageRank: the SAME banding CTEs as q57 feed 3 unrolled rounds of
+    // integer micro-unit propagation — `//` here and `div` in Spark
+    // agree on non-negative operands
+    "q122_pagerank" ->
+      s"""WITH $MinhashPairCtes,
+         |e AS (SELECT i, j FROM agg WHERE cand AND est >= 0.5),
+         |aff AS (SELECT doc_id AS i,
+         |        1000000 + CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) AS j
+         |        FROM documents),
+         |und AS (SELECT DISTINCT least(i, j) AS u, greatest(i, j) AS v FROM
+         |        (SELECT i, j FROM e UNION ALL SELECT i, j FROM aff) WHERE i <> j),
+         |dir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+         |deg AS (SELECT u AS id, count(*) AS deg FROM dir GROUP BY 1),
+         |p0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |c1 AS (SELECT d.v AS id, sum(p.pr // p.deg) AS inflow FROM p0 p JOIN dir d ON d.u = p.id GROUP BY 1),
+         |p1 AS (SELECT g.id, g.deg, 150000 + (85 * COALESCE(c.inflow, 0)) // 100 AS pr FROM deg g LEFT JOIN c1 c USING (id)),
+         |c2 AS (SELECT d.v AS id, sum(p.pr // p.deg) AS inflow FROM p1 p JOIN dir d ON d.u = p.id GROUP BY 1),
+         |p2 AS (SELECT g.id, g.deg, 150000 + (85 * COALESCE(c.inflow, 0)) // 100 AS pr FROM deg g LEFT JOIN c2 c USING (id)),
+         |c3 AS (SELECT d.v AS id, sum(p.pr // p.deg) AS inflow FROM p2 p JOIN dir d ON d.u = p.id GROUP BY 1),
+         |p3 AS (SELECT g.id, g.deg, 150000 + (85 * COALESCE(c.inflow, 0)) // 100 AS pr FROM deg g LEFT JOIN c3 c USING (id))
+         |SELECT id, CAST(pr AS BIGINT) AS pr_micro FROM p3 ORDER BY id""".stripMargin,
+    // TF-IDF: postings join with milli-quantized idf; every score is a
+    // sum of integer products, the cut is row_number over (score DESC,
+    // id) — identical to the bounded TopK aggregate's rank semantics
+    "q124_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term FROM documents),
+        |cp AS (SELECT doc_id AS id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |idf AS (SELECT term, CAST(round(ln(n_docs / df) * 1e3, 0) AS BIGINT) AS idf_milli
+        |        FROM (SELECT term, count(*) AS df FROM cp GROUP BY 1) d, n),
+        |qw AS (SELECT c.term, c.id AS qid, c.tf * i.idf_milli * i.idf_milli AS qpart
+        |       FROM cp c JOIN idf i USING (term) WHERE c.id % 101 = 0),
+        |sc AS (SELECT q.qid, c.id, sum(q.qpart * c.tf) AS score
+        |       FROM cp c JOIN qw q ON c.term = q.term AND c.id <> q.qid
+        |       GROUP BY 1, 2)
+        |SELECT qid, id, CAST(score AS BIGINT) AS score FROM (
+        |  SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+        |  FROM sc) WHERE rn <= 3 ORDER BY qid, id""".stripMargin
   )
 }

@@ -525,7 +525,17 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
         .orderBy("pri")
-    })
+    }),
+
+    // deterministic two-variable statistics: Pearson corr + OLS line of
+    // event value against props length — observations quantized ONCE to
+    // integer micro-units (floor of an IEEE product, identical on both
+    // engines), moments as exact decimal sums, floats only on the one
+    // result row. Spark's own corr() would be partitioning-dependent in
+    // its low bits; this is replayable bit-for-bit.
+    "q123_corr_events" -> ((s, dir) =>
+      graft.analytics.Stats.corrRegression(t(s, dir, "events"),
+        col("value"), length(col("props"))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -793,6 +803,25 @@ object RelationalQueries {
         |SELECT count(*) AS k_used, max(h) AS kth_hash,
         |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
         |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+    // micro-unit quantization (floor of the same IEEE product) then
+    // HUGEINT moment sums — exact and order-free like Spark's decimal
+    // sums; the closed-form floats evaluate once, on one row
+    "q123_corr_events" ->
+      """WITH q AS (SELECT CAST(floor(value * 1e6) AS BIGINT) AS xi,
+        |                  CAST(floor(length(props) * 1e6) AS BIGINT) AS yi
+        |           FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
+        |a AS (SELECT count(*) AS n,
+        |  sum(CAST(xi AS HUGEINT)) AS sx, sum(CAST(yi AS HUGEINT)) AS sy,
+        |  sum(CAST(xi AS HUGEINT) * yi) AS sxy,
+        |  sum(CAST(xi AS HUGEINT) * xi) AS sxx,
+        |  sum(CAST(yi AS HUGEINT) * yi) AS syy FROM q)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+        |FROM a""".stripMargin
   )
 }

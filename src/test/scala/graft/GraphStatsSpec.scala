@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Graph, Stats, TextAnalysis}
+
+/** Integer PageRank, deterministic two-variable stats, and TF-IDF
+  * retrieval: hand-computable fixtures plus the partitioning-invariance
+  * property every "deterministic" claim rests on.
+  */
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference PageRank in the exact integer semantics. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val dir = und ++ und.map(_.swap)
+    val deg = dir.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = deg.map { case (k, _) => k -> 1000000L }
+    for (_ <- 1 to iters) {
+      val inflow = dir.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = deg.map { case (k, _) => k -> (150000L + 85L * inflow.getOrElse(k, 0L) / 100L) }
+    }
+    pr
+  }
+
+  describe("pageRankMicro") {
+    it("matches the integer reference on a hub-and-chain graph") {
+      val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L), (6L, 7L))
+      val got = Graph.pageRankMicro(edges.toDF("i", "j"), "i", "j", iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === refPageRank(edges, 3))
+      // the hub outranks every leaf
+      assert(got(1L) > got(2L) && got(1L) > got(7L))
+    }
+
+    it("is invariant to edge orientation, duplication, and partitioning") {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      val a = Graph.pageRankMicro(edges.toDF("i", "j").repartition(7), "i", "j", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val flipped = (edges.map(_.swap) ++ edges).toDF("i", "j").repartition(2)
+      val b = Graph.pageRankMicro(flipped, "i", "j", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(a === b)
+    }
+
+    it("gives uniform rank on a regular graph (triangle)") {
+      val got = Graph.pageRankMicro(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("i", "j"), "i", "j", 3)
+        .collect().map(_.getLong(1)).toSet
+      assert(got === Set(1000000L))
+    }
+  }
+
+  describe("corrRegression") {
+    it("recovers a perfect positive line") {
+      val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+      val r = Stats.corrRegression(df, col("x"), col("y")).head()
+      assert(r.getAs[Long]("n") === 100L)
+      assert(r.getAs[Double]("corr") === 1.0)
+      assert(r.getAs[Double]("slope") === 3.0)
+      assert(r.getAs[Double]("intercept") === 7.0)
+    }
+
+    it("recovers a perfect negative line and is partitioning-invariant") {
+      val pts = (1 to 500).map(i => (i.toDouble, -0.5 * i + 100.0))
+      val a = Stats.corrRegression(pts.toDF("x", "y").repartition(1),
+        col("x"), col("y")).head()
+      val b = Stats.corrRegression(
+        scala.util.Random.shuffle(pts).toDF("x", "y").repartition(13),
+        col("x"), col("y")).head()
+      assert(a === b)
+      assert(a.getAs[Double]("corr") === -1.0)
+    }
+
+    it("drops incomplete observation pairs from n and the moments") {
+      val df = Seq[(java.lang.Double, java.lang.Double)](
+        (1.0, 2.0), (2.0, null), (null, 3.0), (3.0, 6.0), (5.0, 10.0))
+        .toDF("x", "y")
+      val r = Stats.corrRegression(df, col("x"), col("y")).head()
+      assert(r.getAs[Long]("n") === 3L)
+      assert(r.getAs[Double]("corr") === 1.0) // (1,2),(3,6),(5,10) are collinear
+    }
+  }
+
+  describe("tfidfTopK") {
+    it("ranks the doc sharing rare terms above one sharing common terms") {
+      // 'zeta' appears in q and d1 only (rare, high idf); 'alpha'
+      // everywhere (idf 0 at ln(4/4)) — d1 must win despite d2's
+      // higher raw overlap on common terms
+      val corpus = Seq(
+        (1L, "zeta alpha"),
+        (2L, "alpha alpha alpha alpha"),
+        (3L, "alpha beta")).toDF("doc_id", "text")
+      val q = Seq((10L, "zeta alpha")).toDF("doc_id", "text")
+      // idf over corpus+... df from CORPUS postings only: alpha df=3 of
+      // n=3 -> idf 0; zeta df=1 -> ln(3) high; beta df=1
+      val got = TextAnalysis.tfidfTopK(corpus, "doc_id", "text", q, "doc_id", "text", k = 2)
+        .orderBy("rank").collect()
+      assert(got.head.getAs[Long]("id") === 1L)
+      assert(got.head.getAs[Int]("rank") === 1)
+    }
+
+    it("applies the document-frequency guard to both sides") {
+      val corpus = Seq(
+        (1L, "common rare"), (2L, "common"), (3L, "common"), (4L, "common"),
+        (5L, "other")).toDF("doc_id", "text")
+      val q = Seq((9L, "common rare")).toDF("doc_id", "text")
+      val got = TextAnalysis.tfidfTopK(corpus, "doc_id", "text", q, "doc_id", "text",
+        k = 5, maxDocFreq = Some(2))
+        .collect()
+      // 'common' (df=4) is guarded out -> only doc 1 matches via 'rare'
+      assert(got.map(_.getAs[Long]("id")).toSet === Set(1L))
+    }
+  }
+}

@@ -102,4 +102,53 @@ class SketchSpec extends SparkSpec {
       assert(est > 5000.0 * 0.75 && est < 5000.0 * 1.25, s"est=$est")
     }
   }
+
+  describe("hyperloglog") {
+    it("estimates large cardinality within HLL error bounds") {
+      // p=8 -> m=256 registers, relative error ~1.04/sqrt(256) = 6.5%;
+      // md5 hashing makes the one realized estimate deterministic, so
+      // a 4-sigma band is stable
+      val df = (1L to 20000L).toDF("v")
+      val est = Sketch.hllDistinct(df, col("v"), p = 8)
+        .head().getAs[Double]("est_distinct")
+      assert(est > 20000.0 * 0.74 && est < 20000.0 * 1.26, s"est=$est")
+    }
+
+    it("takes the small-range correction branch at low cardinality") {
+      val df = (1L to 30L).flatMap(i => Seq.fill(10)(i)).toDF("v") // 30 distinct
+      val r = Sketch.hllDistinct(df, col("v"), p = 8).head()
+      val zeros = r.getAs[Long]("n_zero_regs")
+      assert(zeros > 200L) // most registers untouched
+      // linear-counting estimate: m * ln(m / V), rounded 4dp
+      val expect = BigDecimal(256.0 * math.log(256.0 / zeros))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("est_distinct") === expect)
+    }
+
+    it("is a set function: duplicates, order, and partitioning cannot move it") {
+      val vals = (1L to 3000L).map(i => i * 104729L % 997L)
+      val a = Sketch.hllDistinct(vals.toDF("v").repartition(1), col("v")).head()
+      val b = Sketch.hllDistinct(
+        scala.util.Random.shuffle(vals ++ vals).toDF("v").repartition(17),
+        col("v")).head()
+      assert(a === b)
+    }
+
+    it("registers agree with a driver-side reference implementation") {
+      val vals = (1L to 400L).toSeq
+      val got = Sketch.hllRegisters(vals.toDF("v"), col("v"), p = 8)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ref = vals.map { v =>
+        val hex = md.digest(s"hll:$v".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val b = h >>> 24
+        val rem = h & 0xffffffL
+        val bitLen = if (rem == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(rem)
+        (b, 25 - bitLen)
+      }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+      assert(got === ref)
+    }
+  }
 }
