@@ -170,6 +170,27 @@ object Explain {
       SparkEntry.queries("q115_curation_pipeline")(spark, sfDir)
     }
 
+    section("q121 HyperLogLog distinct (round 8)",
+      "One scan per value stream into a 256-register groupBy (map-side combine " +
+        "condenses every partition to <=256 rows); the harmonic mass is an integer " +
+        "shift-sum, floats touch one row at the end. No distinct, no wide shuffle.") {
+      SparkEntry.queries("q121_hll_distinct")(spark, sfDir)
+    }
+
+    section("q122 integer PageRank (round 8)",
+      "Each round is ONE equi-join of the rank table against the cached edge " +
+        "list plus one groupBy-sum — the connectedComponents per-round shape; " +
+        "rank state is (id, deg, pr) longs, no floats until display.") {
+      SparkEntry.queries("q122_pagerank")(spark, sfDir)
+    }
+
+    section("q124 TF-IDF sparse retrieval (round 8)",
+      "Inverted-index candidates: postings groupBy, idf broadcast onto the " +
+        "query side, term equi-join, per-(qid,id) partial sums, then the bounded " +
+        "top-k aggregate — never a full-corpus window.") {
+      SparkEntry.queries("q124_tfidf_topk")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")

@@ -129,6 +129,35 @@ object ScaleProbe {
       time(s"bpe_pairs_$label") {
         graft.analytics.TextAnalysis.bpePairCounts(d, "text", k = 50).count()
       }
+      // q121 shape: per-partition condense to <=256 registers, one tiny
+      // shuffle — expected ~linear scan cost with CONSTANT shuffle
+      // payload and stage count at any scale
+      time(s"hll_distinct_$label") {
+        graft.analytics.Sketch.hllDistinct(
+          d.select(explode(graft.analytics.TextAnalysis.tokens(col("text"))).as("v")),
+          col("v")).count()
+      }
+      // q122 shape: 3 rounds × (one rank-vs-edges equi-join + one
+      // groupBy-sum) over the near-dup + affiliation graph — expected
+      // ~linear in EDGES (which grow ~120× here because replicas are
+      // mutual near-dups, same as the minhash tier), constant stages
+      // per round
+      time(s"pagerank_$label") {
+        val mh = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 63, 21, 0.5)
+          .select(col("i"), col("j"))
+        val aff = d.select(col("doc_id").as("i"),
+          (lit(2000000000L) + conv(substring(md5(col("source")), 1, 6), 16, 10)
+            .cast("long")).as("j"))
+        graft.analytics.Graph.pageRankMicro(mh.unionByName(aff), "i", "j", 3).count()
+      }
+      // q124 shape: postings groupBy + term equi-join against a FIXED
+      // query set (retrieval workloads don't scale queries with the
+      // corpus) + bounded top-k — expected ~linear in corpus postings
+      time(s"tfidf_topk_$label") {
+        val q = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L)
+        graft.analytics.TextAnalysis.tfidfTopK(d, "doc_id", "text",
+          q, "doc_id", "text", k = 5).count()
+      }
     }
     // same hygiene as emb10 below: the text tiers are done with this
     docs10.unpersist()

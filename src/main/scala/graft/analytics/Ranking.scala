@@ -40,6 +40,20 @@ object Ranking {
     *
     * `order` must be a TOTAL order (break ties with a unique key) —
     * same contract as making any global row_number deterministic.
+    *
+    * COMPOSITION CONTRACT: correctness of the offsets join relies on
+    * the range exchange being planned ONCE and reused across the two
+    * internal branches — which holds because the exchange's subtree is
+    * deterministic and canonically equal (and exchange reuse is on,
+    * the Spark default). The OUTPUT, however, carries nondeterministic
+    * ids: an exchange built over this frame canonicalizes UNEQUAL
+    * across plan branches, so a downstream plan consuming the ranked
+    * frame in two branches of one action (self-join, rank-of-ranked)
+    * re-executes it twice with independently sampled boundaries and
+    * the two copies can disagree. Either consume the frame in one
+    * branch, join independent rankings by a unique key (see
+    * Stats.spearman), or `localCheckpoint()` it first. PlanAuditSpec
+    * pins the ReusedExchange for the single-level shape.
     */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
       numPartitions: Int = 0, totalCol: Option[String] = None): DataFrame = {

@@ -130,11 +130,26 @@ object Sketch {
     require(terms.nonEmpty, "need at least one probe term")
     val spark = sketch.sparkSession
     import spark.implicits._
-    val probe = terms.toDF("term")
+    countMinEstimateDF(sketch, broadcast(terms.toDF("term")), depth, width, salt)
+  }
+
+  /** [[countMinEstimate]] for a DataFrame of probe terms (column
+    * `term`) — the bulk form: estimate EVERY distinct item in one join
+    * against the depth×width cell table. The cell side is sketch-sized
+    * (KBs) whatever the corpus, so Catalyst broadcasts it and the probe
+    * side streams — estimating a billion distinct terms is a scan, not
+    * a shuffle. This is the candidate generator of the heavy-hitters
+    * pattern: CM estimates never UNDERcount, so `est >= T` keeps every
+    * true heavy hitter (recall 1 by construction) and an exact count of
+    * the candidates alone confirms or kills each.
+    */
+  def countMinEstimateDF(sketch: DataFrame, terms: DataFrame, depth: Int, width: Int,
+      salt: String = "cm"): DataFrame = {
+    val probe = terms
       .select(col("term"), posexplode(transform(sequence(lit(0), lit(depth - 1)),
         j => cmPos(col("term"), j, width, salt))))
       .select(col("term"), col("pos").as("j"), col("col").as("p"))
-    broadcast(probe).join(sketch, Seq("j", "p"), "left")
+    probe.join(broadcast(sketch), Seq("j", "p"), "left")
       .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 

@@ -50,4 +50,69 @@ object Stats {
       round((col("sy").cast("double") - covN / varXN * col("sx").cast("double"))
         / col("n").cast("double") / 1e6, 6).as("intercept"))
   }
+
+  /** Spearman rank correlation, deterministic variant: ranks are
+    * GLOBAL row numbers under a total order (`tie` breaks value ties),
+    * so ranks are a permutation of 1..n exactly and the classic
+    * ρ = 1 − 6·Σd²/(n(n²−1)) closed form applies with INTEGER Σd² —
+    * order-free, bit-replayable (average-rank tie handling would put
+    * floats in every rank; the tie-broken variant keeps the whole
+    * pipeline integer until the one-row division).
+    *
+    * Scale shape: each rank assignment is [[Ranking.withGlobalRowNumber]]
+    * — range partition + partition-offset correction, never an
+    * Exchange SinglePartition over the data. Output one row:
+    * (n, sum_d2, rho).
+    */
+  def spearman(df: DataFrame, x: Column, y: Column, tie: Column): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val obs = df.select(x.as("x"), y.as("y"), tie.as("t"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    // TWO INDEPENDENT single-level rankings joined on the unique tie
+    // key — deliberately NOT rank-then-rank-the-output: a ranked frame
+    // carries nondeterministic ids whose exprIds defeat canonical
+    // equality, so an exchange built OVER it is not reused across plan
+    // branches and each branch re-executes with freshly sampled range
+    // boundaries (see Ranking.withGlobalRowNumber's composition
+    // contract — this was observed as run-to-run rank drift)
+    val rx = Ranking.withGlobalRowNumber(obs.select("x", "t"),
+      Seq(col("x"), col("t")), "rx").select("t", "rx")
+    val ry = Ranking.withGlobalRowNumber(obs.select("y", "t"),
+      Seq(col("y"), col("t")), "ry").select("t", "ry")
+    rx.join(ry, "t").agg(count(lit(1)).as("n"),
+        sum(((col("rx") - col("ry")) * (col("rx") - col("ry"))).cast(d380)).as("sum_d2"))
+      .select(col("n"), col("sum_d2").cast("long").as("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n").cast(d380) * (col("n").cast(d380) * col("n").cast(d380) - 1))
+            .cast("double"), 6).as("rho"))
+  }
+
+  /** Tie-aware exact AUC (Mann–Whitney) of an INTEGER score against a
+    * boolean label — the evaluation step for any ranking-style quality
+    * model. Instead of the pairwise pos×neg join, scores condense to
+    * distinct-score rows (one groupBy with map-side combine), a
+    * cumulative window runs over THOSE (bounded by distinct scores,
+    * never corpus rows), and
+    * {{{ 2U = Σ_s np(s)·(2·nn_below(s) + nn(s)) }}}
+    * counts wins twice and ties once — all integer, so AUC = 2U /
+    * (2·np·nn) is a one-row division of exact longs. Output:
+    * (n_pos, n_neg, u2, auc).
+    */
+  def aucByScore(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val g = df.select(score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("p"))
+      .groupBy("s").agg(sum("p").as("np"), (count(lit(1)) - sum("p")).as("nn"))
+    // cumulative negatives strictly below each score: a window over the
+    // DISTINCT-score table — its width is the score cardinality, which
+    // a bounded integer score keeps small at any corpus size
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("nn_below", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum((col("np") * (col("nn_below") * 2L + col("nn"))).cast(d380)).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2").cast("long").as("u2"),
+        (col("u2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2L).cast("double")).as("auc"))
+  }
 }

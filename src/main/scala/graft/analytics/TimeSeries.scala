@@ -43,6 +43,35 @@ object TimeSeries {
     points.withColumn("moving", agg(element_at(col(Point.FieldsCol), fieldKey)).over(w))
   }
 
+  /** Exact rolling MEDIAN over the last `nRows` rows per key — the
+    * robust alternative to the moving mean (a single spike cannot drag
+    * it). Mean-family moving aggregates stream through `WindowExec`
+    * with O(1) state; an exact order statistic needs the frame's
+    * VALUES, so this collects the ≤ `nRows`-element frame, sorts it,
+    * and indexes the middle — per-row cost O(nRows·log nRows) with
+    * `nRows` bounded and tiny, still one hash shuffle by key and a
+    * streaming window, nothing corpus-sized buffered.
+    *
+    * Sorting the frame makes the median a SET function of the frame —
+    * row order inside the frame cannot move it — and the even-case
+    * midpoint is one IEEE add + halve: bit-identical on any engine.
+    * (For percentile-of-stream at corpus scale use the sketch tier;
+    * this is the exact small-window primitive.)
+    */
+  def rollingMedian(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, nRows: Int): DataFrame = {
+    require(nRows >= 1, "nRows >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    val arr = array_sort(collect_list(col(valueCol)).over(w))
+    val n = size(arr)
+    val median = when(n % 2 === 1,
+        element_at(arr, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(arr, (n / 2).cast("int")) +
+        element_at(arr, (n / 2 + 1).cast("int"))) / 2.0)
+    df.withColumn("rolling_median", median)
+  }
+
   /** Moving z-score anomaly detection — the classic TSDB alerting
     * primitive (is this point > `sigma` standard deviations from its
     * trailing window?), built ENGINE-EXACT: the window sum and

@@ -60,6 +60,34 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
 
   def df: DataFrame = { guardOpen(); storage.load() }
 
+  /** High-water mark of the `_seq` insertion-order key (−1 when empty):
+    * capture it, keep appending, and [[snapshotAt]] that mark later —
+    * the seq column makes append histories naturally versioned. One
+    * `max` scan (same cost class as `length`).
+    */
+  def seqWatermark: Long = {
+    val row = df.agg(max(Point.SeqCol)).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
+  }
+
+  /** Branch the database at a [[seqWatermark]]: an independent
+    * in-memory GraftDB over exactly the rows with `_seq <= seq` — a
+    * consistent read view while ingest keeps appending, and a safe
+    * sandbox (its mutations copy-on-write into the branch, never the
+    * origin). Exact time travel for append-only histories; `update`/
+    * `remove`/`overwrite` rewrite rows in place (COW semantics, the
+    * reference's model too), so pre-mutation row VERSIONS are not
+    * retained — branch before mutating if you need the pre-image.
+    *
+    * The branch reads the origin's storage LAZILY: it stays valid
+    * across origin appends, but a later COW rewrite (update/remove/
+    * overwrite/compact) of a file-backed origin replaces the files an
+    * unmaterialized branch still references — collect or cache the
+    * branch first if it must outlive origin mutations.
+    */
+  def snapshotAt(seq: Long): GraftDB =
+    GraftDB.fromDataFrame(df.filter(col(Point.SeqCol) <= seq), autoIndex)
+
   // reindex() state: a cached view with hot map keys columnarized, the
   // layout telling the compiler which flat columns to read, the data's
   // global time bounds (the zonemap tier — see [[TimeBounds]]), the

@@ -654,6 +654,41 @@ object CorpusQueries {
       TextAnalysis.tfidfTopK(d, "doc_id", "text", q, "doc_id", "text", k = 3)
         .select(col("qid"), col("id"), col("score").cast("long").as("score"))
         .orderBy("qid", "id")
+    }),
+
+    // tie-aware exact AUC of the q102 classifier margin against the
+    // lang=='en' label — model evaluation as an engine op: integer
+    // margins condense to distinct-score rows, the cumulative window
+    // runs over those, and 2U stays integer to the one-row division
+    "q128_auc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = TextAnalysis.hashedLinearQuality(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+      val labeled = scored.join(
+        d.select(col("doc_id"), (col("lang") === "en").as("label")), "doc_id")
+      graft.analytics.Stats.aucByScore(labeled, col("margin"), col("label"))
+    }),
+
+    // sketch-then-verify heavy hitters: a deliberately SQUEEZED CountMin
+    // (4×16 cells over a 31-term vocabulary, so collisions inflate) — CM
+    // never undercounts, so est>=T keeps every true heavy hitter by
+    // construction; the exact pass counts ONLY the candidates and the
+    // verdict column separates true heavies from collision impostors.
+    // Oracle replays sketch, candidates, and verdicts cell-for-cell.
+    "q129_heavy_hitters" -> ((s, dir) => {
+      val (depth, width, threshold) = (4, 16, 900L)
+      val toks = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = graft.analytics.Sketch.countMinSketch(toks, col("tok"), depth, width)
+      val cand = graft.analytics.Sketch.countMinEstimateDF(sketch,
+        toks.select(col("tok").as("term")).distinct(), depth, width)
+        .filter(col("est") >= threshold)
+      val exact = toks.join(cand.select(col("term").as("tok")), Seq("tok"), "left_semi")
+        .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact"))
+      cand.join(exact, "term")
+        .select(col("term"), col("est"), col("exact"),
+          (col("exact") >= threshold).as("is_heavy"))
+        .orderBy("term")
     })
   )
 
@@ -1352,6 +1387,50 @@ object CorpusQueries {
         |       GROUP BY 1, 2)
         |SELECT qid, id, CAST(score AS BIGINT) AS score FROM (
         |  SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
-        |  FROM sc) WHERE rn <= 3 ORDER BY qid, id""".stripMargin
+        |  FROM sc) WHERE rn <= 3 ORDER BY qid, id""".stripMargin,
+    // q102's margin CTE feeds the Mann-Whitney count: distinct scores,
+    // cumulative negatives below, 2U integer to the end
+    "q128_auc" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST('0x' || substring(md5('qc:' || tok), 1, 8) AS BIGINT) % 1024 AS b FROM toks),
+        |marg AS (SELECT doc_id, sum((b * 2654435761) % 1997 - 998) AS margin FROM m GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, COALESCE(g.margin, 0) AS s, (d.lang = 'en') AS label
+        |       FROM documents d LEFT JOIN marg g USING (doc_id)),
+        |grp AS (SELECT s, sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+        |               sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+        |        FROM sc GROUP BY s),
+        |cum AS (SELECT s, np, nn, COALESCE(sum(nn) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+        |        FROM grp),
+        |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |             sum(CAST(np * (nn_below * 2 + nn) AS HUGEINT)) AS u2
+        |      FROM cum)
+        |SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
+        |  CAST(u2 AS DOUBLE) / CAST(n_pos * n_neg * 2 AS DOUBLE) AS auc
+        |FROM a""".stripMargin,
+    // squeezed-CM candidates, exact verification, verdict — all gated
+    "q129_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents),
+        |cells AS (SELECT j,
+        |  CAST('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 16 AS p,
+        |  count(*) AS c
+        |  FROM tk, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |terms AS (SELECT DISTINCT tok AS term FROM tk),
+        |probe AS (SELECT term, j,
+        |  CAST('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || ':' || term), 1, 8) AS BIGINT) % 16 AS p
+        |  FROM terms, generate_series(0, 3) g(j)),
+        |est AS (SELECT term, min(COALESCE(c, 0)) AS est FROM probe
+        |        LEFT JOIN cells USING (j, p) GROUP BY 1),
+        |cand AS (SELECT term, est FROM est WHERE est >= 900),
+        |ex AS (SELECT tok AS term, count(*) AS exact FROM tk
+        |       JOIN cand ON tk.tok = cand.term GROUP BY 1)
+        |SELECT c.term, CAST(c.est AS BIGINT) AS est, CAST(e.exact AS BIGINT) AS exact,
+        |  e.exact >= 900 AS is_heavy
+        |FROM cand c JOIN ex e USING (term) ORDER BY term""".stripMargin
   )
 }

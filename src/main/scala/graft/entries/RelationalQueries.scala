@@ -535,7 +535,70 @@ object RelationalQueries {
     // its low bits; this is replayable bit-for-bit.
     "q123_corr_events" -> ((s, dir) =>
       graft.analytics.Stats.corrRegression(t(s, dir, "events"),
-        col("value"), length(col("props"))))
+        col("value"), length(col("props")))),
+
+    // exact rolling median of the last 5 values per event_type series:
+    // the sorted-frame order statistic is a set function of the frame,
+    // so both engines index identical arrays; the even-case midpoint is
+    // one IEEE add+halve — no rounding needed anywhere
+    "q125_rolling_median" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
+      graft.analytics.TimeSeries.rollingMedian(e, "event_type",
+        Seq(col("ts_us"), col("event_id")), "value", nRows = 5)
+        .select(col("event_id"), col("rolling_median"))
+        .orderBy("event_id")
+    }),
+
+    // Spearman rho with tie-broken total-order ranks: both rankings are
+    // permutations of 1..n, sum_d2 is integer, and the one-row closed
+    // form divides exact longs — the scale story is that ranks come
+    // from the range-partitioned global row-number machinery, never an
+    // Exchange SinglePartition (PlanAudit asserts this for q78)
+    "q127_spearman" -> ((s, dir) =>
+      graft.analytics.Stats.spearman(t(s, dir, "events"),
+        col("value"), length(col("props")), col("event_id"))),
+
+    // the CountMin sketch maintains itself over the STREAM (Complete-
+    // mode cells aggregate through the real micro-batch engine) and
+    // must land cell-identical to the batch sketch — q112's contract,
+    // for frequencies instead of cardinality
+    "q126_stream_countmin" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val (depth, width) = (4, 64)
+      val stream = StreamingIngest.eventsStream(s, dir).select(col("event_type"))
+      val cells = graft.analytics.Sketch.countMinSketch(stream, col("event_type"),
+        depth, width)
+      val done = StreamingIngest.runToTable(cells, "q126_sink", OutputMode.Complete())
+      graft.analytics.Sketch.countMinEstimate(done,
+        Seq("click", "error", "purchase", "signup", "view", "zzz"), depth, width)
+        .orderBy("term")
+    }),
+
+    // per-slice KMV sketches (one per event_type) merged losslessly
+    // must estimate EXACTLY what a direct global sketch estimates —
+    // the rollup contract that makes per-day/per-source sketch tables
+    // usable; the oracle computes the direct sketch, so any merge loss
+    // hash-mismatches
+    "q130_sketch_rollup" -> ((s, dir) => {
+      val k = 256
+      val e = Tables.events(s, dir)
+      val v = graft.analytics.Sketch.hash32(
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("ts_us div 86400000000").cast("string")))
+      val kmv = udaf(new graft.analytics.MinKDistinct(k))
+      val perSlice = e.select(col("event_type"), v.as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("sketch"))
+      graft.analytics.Sketch.mergeSketches(perSlice, k)
+        .select(size(col("sketch.items")).cast("long").as("k_used"),
+          element_at(col("sketch.items"), -1).as("kth_hash"))
+        .select(col("k_used"), col("kth_hash"),
+          when(col("k_used") < k, col("k_used").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              col("kth_hash").cast("double"))
+            .as("est_distinct"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -822,6 +885,53 @@ object RelationalQueries {
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
         |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
         |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // sorted 5-row frame, middle element(s) — list() frames match
+    // collect_list because the column is null-free in this table
+    "q125_rolling_median" ->
+      """WITH w AS (SELECT event_id,
+        |  list_sort(list(value) OVER (PARTITION BY event_type
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+        |       ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0 END AS rolling_median
+        |FROM w ORDER BY event_id""".stripMargin,
+    "q127_spearman" ->
+      """WITH o AS (SELECT value AS x, length(props) AS y, event_id AS t FROM events
+        |           WHERE value IS NOT NULL AND props IS NOT NULL),
+        |r AS (SELECT row_number() OVER (ORDER BY x, t) AS rx,
+        |             row_number() OVER (ORDER BY y, t) AS ry FROM o),
+        |a AS (SELECT count(*) AS n,
+        |             sum(CAST((rx - ry) * (rx - ry) AS HUGEINT)) AS sum_d2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+        |  round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE), 6) AS rho
+        |FROM a""".stripMargin,
+    // the streamed cells must equal the batch sketch of the same rows
+    "q126_stream_countmin" ->
+      """WITH cells AS (SELECT j,
+        |  CAST('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || ':' || event_type), 1, 8) AS BIGINT) % 64 AS p,
+        |  count(*) AS c
+        |  FROM events, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |terms(term) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'), ('zzz')),
+        |probe AS (SELECT term, j,
+        |  CAST('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || ':' || term), 1, 8) AS BIGINT) % 64 AS p
+        |  FROM terms, generate_series(0, 3) g(j))
+        |SELECT term, CAST(min(COALESCE(c, 0)) AS BIGINT) AS est
+        |FROM probe LEFT JOIN cells USING (j, p) GROUP BY term ORDER BY term""".stripMargin,
+    // the DIRECT global sketch — merge losslessness is exactly what
+    // equality against the per-slice-merged Spark result checks
+    "q130_sketch_rollup" ->
+      """WITH v AS (SELECT DISTINCT CAST('0x' || substring(md5(
+        |    'kmv:' || CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM events),
+        |k AS (SELECT h FROM v ORDER BY h LIMIT 256)
+        |SELECT count(*) AS k_used, max(h) AS kth_hash,
+        |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
+        |FROM k""".stripMargin
   )
 }

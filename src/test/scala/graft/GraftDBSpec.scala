@@ -495,5 +495,23 @@ class GraftDBSpec extends SparkSpec {
       db2.remove(MeasurementQuery() === "b")
       assert(GraftDB.atPath(spark, root).length == 2)
     }
+
+    it("snapshots an append history at a seq watermark, as an isolated branch") {
+      val db = GraftDB.inMemory(spark)
+      db.insertMultiple(Seq(
+        Point(t("2024-01-01T10:00:00Z"), "a", fields = Map("x" -> 1.0)),
+        Point(t("2024-01-02T10:00:00Z"), "a", fields = Map("x" -> 2.0))))
+      val mark = db.seqWatermark
+      db.insert(Point(t("2024-01-03T10:00:00Z"), "b", fields = Map("x" -> 3.0)))
+      val snap = db.snapshotAt(mark)
+      // the branch sees exactly the pre-append state...
+      assert(snap.length == 2 && db.length == 3)
+      assert(snap.getMeasurements == Seq("a"))
+      // ...and its mutations never reach the origin
+      snap.update(FieldQuery("x") === 1.0, fields = Map("x" -> 99.0))
+      assert(snap.get(FieldQuery("x") === 99.0).isDefined)
+      assert(db.get(FieldQuery("x") === 99.0).isEmpty)
+      assert(db.length == 3)
+    }
   }
 }

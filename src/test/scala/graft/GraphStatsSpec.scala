@@ -85,6 +85,64 @@ class GraphStatsSpec extends SparkSpec {
     }
   }
 
+  describe("spearman") {
+    it("is 1 on a monotone relation and -1 on a reversed one, regardless of scale") {
+      val df = (1 to 200).map(i => (i.toDouble, math.exp(i / 50.0), -i * 3.0, i.toLong))
+        .toDF("x", "up", "down", "id")
+      val a = Stats.spearman(df, col("x"), col("up"), col("id")).head()
+      assert(a.getAs[Long]("sum_d2") === 0L && a.getAs[Double]("rho") === 1.0)
+      val b = Stats.spearman(df, col("x"), col("down"), col("id")).head()
+      assert(b.getAs[Double]("rho") === -1.0)
+    }
+
+    it("matches a driver-side reference on tied data") {
+      val rows = Seq((1.0, 5.0, 1L), (1.0, 3.0, 2L), (2.0, 5.0, 3L), (0.5, 4.0, 4L))
+      val got = Stats.spearman(rows.toDF("x", "y", "id"),
+        col("x"), col("y"), col("id")).head()
+      // tie-broken ranks by (value, id): x -> [2,3,4,1], y -> [3,1,4,2]
+      val d2 = Seq((2 - 3), (3 - 1), (4 - 4), (1 - 2)).map(d => d * d).sum
+      assert(got.getAs[Long]("sum_d2") === d2.toLong)
+    }
+  }
+
+  describe("aucByScore") {
+    it("is 1.0 for a perfect ranker, 0.5 for score-blind labels with full ties") {
+      val perfect = (1 to 100).map(i => (i.toLong, i > 50)).toDF("s", "label")
+      val p = Stats.aucByScore(perfect, col("s"), col("label")).head()
+      assert(p.getAs[Double]("auc") === 1.0)
+      val allTied = (1 to 100).map(i => (7L, i % 2 == 0)).toDF("s", "label")
+      val t = Stats.aucByScore(allTied, col("s"), col("label")).head()
+      assert(t.getAs[Double]("auc") === 0.5)
+    }
+
+    it("matches the pairwise definition on a small mixed case") {
+      val rows = Seq((3L, true), (2L, false), (3L, false), (1L, false), (5L, true))
+        .toDF("s", "label")
+      val r = Stats.aucByScore(rows, col("s"), col("label")).head()
+      // pairs (pos, neg): (3;2)win (3;3)tie (3;1)win, (5;2)(5;3)(5;1) wins
+      // U = 5 + 0.5 -> AUC = 5.5 / 6
+      assert(r.getAs[Long]("u2") === 11L)
+      assert(r.getAs[Double]("auc") === 11.0 / 12.0)
+    }
+  }
+
+  describe("rollingMedian") {
+    it("matches a driver-side sliding median, odd and even frames") {
+      import graft.analytics.TimeSeries
+      val vals = Seq(5.0, 1.0, 4.0, 2.0, 3.0, 9.0, 0.0)
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("key", "ord", "v")
+      val got = TimeSeries.rollingMedian(df, "key", Seq(col("ord")), "v", nRows = 4)
+        .orderBy("ord").select("rolling_median").collect().map(_.getDouble(0))
+      val expect = vals.indices.map { i =>
+        val frame = vals.slice(math.max(0, i - 3), i + 1).sorted
+        val n = frame.size
+        if (n % 2 == 1) frame(n / 2) else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+      }
+      assert(got.toSeq === expect)
+    }
+  }
+
   describe("tfidfTopK") {
     it("ranks the doc sharing rare terms above one sharing common terms") {
       // 'zeta' appears in q and d1 only (rare, high idf); 'alpha'

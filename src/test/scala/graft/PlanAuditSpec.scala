@@ -293,6 +293,39 @@ class PlanAuditSpec extends SparkSpec {
       // and the single-partition branch sits above an aggregate (tiny side)
       val idx = p.indexOf("Exchange SinglePartition")
       assert(idx >= 0 && p.substring(idx).contains("HashAggregate"), p)
+      // offsets-vs-numbering CONSISTENCY pin (empirical, every CI run):
+      // the single-level ranks must equal the window-reference ranks
+      // exactly. This is the property that silently breaks when the two
+      // internal branches materialize the range exchange independently
+      // with different sampled boundaries — which is exactly what
+      // happens if the frame is RANKED AGAIN (nested rankings drift run
+      // to run; see Ranking's composition contract and Stats.spearman
+      // for the safe composition)
+      import org.apache.spark.sql.expressions.Window
+      val ref = orders.withColumn("rr",
+        row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      val bad = ranked.join(ref.select("o_orderkey", "rr"), "o_orderkey")
+        .filter(col("rn") =!= col("rr")).count()
+      assert(bad === 0L)
+    }
+
+    it("spearman composes two rankings stably (rank drift guard)") {
+      import graft.analytics.Stats
+      val events = Tables.table(spark, sf, "events")
+      val rho = Stats.spearman(events, col("value"), length(col("props")), col("event_id"))
+      // determinism is the whole point: one plan, two executions, one
+      // answer — the nested (rank-the-ranked-frame) formulation fails
+      // exactly this assertion
+      val a = rho.collect()
+      val b = rho.collect()
+      assert(a === b)
+      val p = plan(rho)
+      // every single-partition step is condensed-side (above an
+      // aggregate): offsets cumsums and the one-row moment aggregate —
+      // the events table itself stays range/hash partitioned
+      "Exchange SinglePartition".r.findAllIn(p).matchData.foreach { m =>
+        assert(p.substring(m.start).contains("HashAggregate"), p)
+      }
     }
 
     it("budget selection: corpus stays range-partitioned; only the offsets row-set is single-partition") {

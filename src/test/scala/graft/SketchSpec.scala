@@ -103,6 +103,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  describe("countmin bulk estimates") {
+    it("the DF probe form agrees with the Seq form and never undercounts") {
+      val toks = (1 to 400).flatMap(i => Seq.fill(i % 5 + 1)(s"w${i % 40}")).toDF("tok")
+      val sketch = Sketch.countMinSketch(toks, col("tok"), depth = 4, width = 32)
+      val terms = (0 until 40).map(i => s"w$i")
+      val seqForm = Sketch.countMinEstimate(sketch, terms, depth = 4, width = 32)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfForm = Sketch.countMinEstimateDF(sketch, terms.toDF("term"), depth = 4, width = 32)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(seqForm === dfForm)
+      val exact = toks.groupBy("tok").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (t, c) => assert(dfForm(t) >= c, s"undercount for $t") }
+    }
+  }
+
   describe("hyperloglog") {
     it("estimates large cardinality within HLL error bounds") {
       // p=8 -> m=256 registers, relative error ~1.04/sqrt(256) = 6.5%;
