@@ -191,6 +191,22 @@ object Explain {
       SparkEntry.queries("q124_tfidf_topk")(spark, sfDir)
     }
 
+    section("q129 sketch-then-verify heavy hitters (round 8)",
+      "The CM cell table is KBs and broadcasts; estimating every distinct " +
+        "term is a scan-side join, and the exact pass touches only the " +
+        "est>=T candidates (left_semi) — never a full-vocabulary exact count " +
+        "when the sketch can prune first.") {
+      SparkEntry.queries("q129_heavy_hitters")(spark, sfDir)
+    }
+
+    section("q134 edit-distance dedup confirmation (round 8)",
+      "Candidate-bound exact tier: the banding join proposes pairs, texts " +
+        "travel once per side through id equi-joins, and the O(L^2) " +
+        "Levenshtein kernel runs per candidate pair only — codegen'd " +
+        "built-in, no UDF.") {
+      SparkEntry.queries("q134_dedup_confirm")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")

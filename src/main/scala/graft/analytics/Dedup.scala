@@ -794,4 +794,32 @@ object Dedup {
     * sizing, and the point where one task's join buffer stops fitting.
     */
   private val SemanticFatCellWarn = 1 << 16
+
+  /** Edit-distance confirmation of candidate pairs — the exact final
+    * tier of the dedup funnel: banding (MinHash/SimHash/winnowing)
+    * proposes, Levenshtein disposes. `pairs` is any (i, j) candidate
+    * table; each pair joins its two texts and computes the true edit
+    * distance (codegen'd built-in, identical integer in any engine) and
+    * the length-normalized ratio dist / max(len_i, len_j).
+    *
+    * Cost model, stated plainly: Levenshtein is O(L²) PER PAIR — which
+    * is exactly why it sits BEHIND a candidate generator and never runs
+    * all-pairs. The joins are id equi-joins (texts travel once per
+    * side), so the stage is candidate-bound: |pairs| · L² work spread
+    * over the pair partitions. Output: (i, j, dist, len_max,
+    * confirmed = ratio·100 ≤ maxRatioPct) — the ratio test is kept in
+    * integers (dist·100 ≤ pct·len) so no float boundary exists.
+    */
+  def editDistanceConfirm(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxRatioPct: Int = 20): DataFrame = {
+    require(maxRatioPct >= 0 && maxRatioPct <= 100, "maxRatioPct in [0,100]")
+    val li = docs.select(col(idCol).cast("long").as("i"), col(textCol).as("__ti"))
+    val rj = docs.select(col(idCol).cast("long").as("j"), col(textCol).as("__tj"))
+    pairs.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .join(li, "i").join(rj, "j")
+      .select(col("i"), col("j"),
+        levenshtein(col("__ti"), col("__tj")).cast("long").as("dist"),
+        greatest(length(col("__ti")), length(col("__tj"))).cast("long").as("len_max"))
+      .withColumn("confirmed", col("dist") * 100L <= lit(maxRatioPct.toLong) * col("len_max"))
+  }
 }

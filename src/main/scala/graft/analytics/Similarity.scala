@@ -420,4 +420,32 @@ object Similarity {
       .select(col("qid"), col("id").cast("long").as("id"),
         dot(col("cv"), col("qv")).as("cosine")), k)
   }
+
+  /** Quantized Johnson–Lindenstrauss random projection: reduce each
+    * embedding to `outDim` components via a ±1 sign matrix derived from
+    * md5(salt:o:i) — the cheap dimensionality-reduction step before
+    * clustering/ANN when d is large (JL: pairwise distances survive a
+    * random sign projection up to (1±ε) at outDim = O(log n / ε²)).
+    *
+    * Kept integer-exact for cross-engine replay: each input component
+    * quantizes ONCE to micro-units (floor of an IEEE product), each
+    * output component is Σᵢ q(xᵢ)·s(o,i) — a bigint sum, order-free.
+    * Pure per-row projection: no shuffle, no state, d×outDim work per
+    * vector; the sign matrix is an expression, nothing broadcasts.
+    * Output: (id, o, y) with y in micro-units.
+    */
+  def jlProjectQuantized(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, salt: String = "jl"): DataFrame = {
+    require(outDim >= 1, "outDim >= 1")
+    val q = transform(col(vecCol), x => floor(x.cast("double") * 1e6).cast("long"))
+    val outs = sequence(lit(0), lit(outDim - 1))
+    df.select(col(idCol).as("id"), posexplode(transform(outs, o =>
+        aggregate(
+          zip_with(q, sequence(lit(0), size(col(vecCol)) - 1), (x, i) =>
+            x * (pmod(conv(substring(md5(
+              concat(lit(s"$salt:"), o.cast("string"), lit(":"), i.cast("string"))),
+              1, 8), 16, 10).cast("long"), lit(2L)) * 2L - 1L)),
+          lit(0L), (acc, v) => acc + v))))
+      .select(col("id"), col("pos").as("o"), col("col").as("y"))
+  }
 }

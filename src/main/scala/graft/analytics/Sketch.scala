@@ -215,12 +215,19 @@ object Sketch {
     * (n_zero_regs, z_scaled, est_distinct).
     */
   def hllDistinct(df: DataFrame, value: Column, p: Int = 8,
-      salt: String = "hll"): DataFrame = {
+      salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, value, p, salt), p)
+
+  /** The estimate tail of [[hllDistinct]], taking a (b, r) register
+    * table — so registers maintained INCREMENTALLY (a streaming
+    * Complete-mode max aggregate, or per-slice register tables merged
+    * by `groupBy(b).max(r)`) estimate through the identical math.
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
     val m = 1 << p
     val maxRank = 32 - p + 1
     // alpha_m for m >= 128 (Flajolet et al. 2007)
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val regs = hllRegisters(df, value, p, salt)
     // every empty bucket contributes rank 0 → 2^maxRank scaled; count
     // them from the register count rather than generating m rows
     val rawEst = lit(alpha * m * m) * lit(math.pow(2.0, maxRank)) /

@@ -689,6 +689,29 @@ object CorpusQueries {
         .select(col("term"), col("est"), col("exact"),
           (col("exact") >= threshold).as("is_heavy"))
         .orderBy("term")
+    }),
+
+    // quantized JL sign projection of every embedding to 8 dims: the
+    // dimensionality-reduction pre-pass before clustering/ANN at large
+    // d — micro-unit components × md5 ±1 signs, bigint sums, the whole
+    // matrix an expression; the oracle replays sign-for-sign
+    "q133_jl_projection" -> ((s, dir) =>
+      graft.analytics.Similarity.jlProjectQuantized(
+        emb(s, dir), "vec_id", "embedding", outDim = 8)
+        .orderBy("id", "o")),
+
+    // the exact final tier of the dedup funnel: minhash banding
+    // proposes candidate pairs, Levenshtein disposes — per-pair true
+    // edit distance and the integer ratio test (dist·100 <= 20·len);
+    // the oracle recomputes banding AND distances, so candidate recall
+    // and the confirmation arithmetic are both under the gate
+    "q134_dedup_confirm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.5)
+        .select("i", "j")
+      Dedup.editDistanceConfirm(pairs, d, "doc_id", "text", maxRatioPct = 20)
+        .orderBy("i", "j")
     })
   )
 
@@ -1431,6 +1454,26 @@ object CorpusQueries {
         |       JOIN cand ON tk.tok = cand.term GROUP BY 1)
         |SELECT c.term, CAST(c.est AS BIGINT) AS est, CAST(e.exact AS BIGINT) AS exact,
         |  e.exact >= 900 AS is_heavy
-        |FROM cand c JOIN ex e USING (term) ORDER BY term""".stripMargin
+        |FROM cand c JOIN ex e USING (term) ORDER BY term""".stripMargin,
+    // micro-quantized components × md5 sign matrix, integer sums
+    "q133_jl_projection" ->
+      """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, o,
+        |  sum(q * ((CAST('0x' || substring(md5('jl:' || CAST(o AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 2) * 2 - 1)) AS y
+        |  FROM v, generate_series(0, 7) g(o) GROUP BY 1, 2)
+        |SELECT vec_id AS id, CAST(o AS INTEGER) AS o, CAST(y AS BIGINT) AS y
+        |FROM p ORDER BY id, o""".stripMargin,
+    // the q57 banding CTEs feed per-pair Levenshtein confirmation
+    "q134_dedup_confirm" ->
+      s"""WITH $MinhashPairCtes,
+         |e AS (SELECT i, j FROM agg WHERE cand AND est >= 0.5)
+         |SELECT e.i, e.j,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+         |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS len_max,
+         |  levenshtein(a.text, b.text) * 100 <= 20 * greatest(length(a.text), length(b.text)) AS confirmed
+         |FROM e JOIN documents a ON a.doc_id = e.i JOIN documents b ON b.doc_id = e.j
+         |ORDER BY i, j""".stripMargin
   )
 }

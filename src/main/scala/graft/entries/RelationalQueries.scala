@@ -598,6 +598,44 @@ object RelationalQueries {
             .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
               col("kth_hash").cast("double"))
             .as("est_distinct"))
+    }),
+
+    // HLL registers maintained over the STREAM (Complete-mode max
+    // aggregate, ≤256 rows of state) — must estimate identically to
+    // the batch registers; the streaming third of the sketch family
+    // (q112 KMV, q126 CountMin, this)
+    "q131_stream_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val stream = StreamingIngest.eventsStream(s, dir)
+        .select(concat(col("user_id").cast("string"), lit(":"),
+          expr("ts_us div 86400000000").cast("string")).as("v"))
+      val regs = graft.analytics.Sketch.hllRegisters(stream, col("v"), p = 8)
+      val done = StreamingIngest.runToTable(regs, "q131_sink", OutputMode.Complete())
+      graft.analytics.Sketch.hllEstimate(done, p = 8)
+    }),
+
+    // the per-slice sketch TABLE (q130 gates the rollup): one saturated
+    // KMV estimate per event_type — k·slices state total, the shape a
+    // per-day/per-source cardinality dashboard reads
+    "q132_kmv_by_slice" -> ((s, dir) => {
+      val k = 256
+      val e = Tables.events(s, dir)
+      val v = graft.analytics.Sketch.hash32(
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("ts_us div 86400000000").cast("string")))
+      val kmv = udaf(new graft.analytics.MinKDistinct(k))
+      e.select(col("event_type"), v.as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("sketch"))
+        .select(col("event_type"),
+          size(col("sketch.items")).cast("long").as("k_used"),
+          element_at(col("sketch.items"), -1).as("kth_hash"))
+        .select(col("event_type"), col("k_used"), col("kth_hash"),
+          when(col("k_used") < k, col("k_used").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              col("kth_hash").cast("double"))
+            .as("est_distinct"))
+        .orderBy("event_type")
     })
   )
 
@@ -932,6 +970,36 @@ object RelationalQueries {
         |SELECT count(*) AS k_used, max(h) AS kth_hash,
         |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
         |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+    // identical math to q121's oracle, over the streamed value set
+    "q131_stream_hll" ->
+      """WITH h AS (SELECT CAST('0x' || substring(md5(
+        |    'hll:' || CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM events),
+        |br AS (SELECT h // 16777216 AS b, h % 16777216 AS rem FROM h),
+        |regs AS (SELECT b, max(25 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS r
+        |         FROM br GROUP BY 1),
+        |a AS (SELECT 256 - count(*) AS n_zero_regs,
+        |  CAST(sum(1::BIGINT << (25 - r)) + (256 - count(*)) * 33554432 AS BIGINT) AS z_scaled
+        |  FROM regs)
+        |SELECT CAST(n_zero_regs AS BIGINT) AS n_zero_regs, z_scaled,
+        |  round(CASE WHEN n_zero_regs > 0 AND
+        |      (0.7213/(1 + 1.079/256)) * 256 * 256 * 33554432.0 / z_scaled <= 640.0
+        |    THEN 256.0 * ln(256.0 / n_zero_regs)
+        |    ELSE (0.7213/(1 + 1.079/256)) * 256 * 256 * 33554432.0 / z_scaled
+        |    END, 4) AS est_distinct
+        |FROM a""".stripMargin,
+    "q132_kmv_by_slice" ->
+      """WITH v AS (SELECT DISTINCT event_type, CAST('0x' || substring(md5(
+        |    'kmv:' || CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM v),
+        |k AS (SELECT event_type, h FROM r WHERE rn <= 256)
+        |SELECT event_type, count(*) AS k_used, max(h) AS kth_hash,
+        |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -143,6 +143,63 @@ class GraphStatsSpec extends SparkSpec {
     }
   }
 
+  describe("jlProjectQuantized") {
+    it("matches a driver-side reference projection, exactly") {
+      import graft.analytics.Similarity
+      val vecs = Seq((1L, Array(0.5f, -1.25f, 2.0f)), (2L, Array(0.0f, 3.5f, -0.75f)))
+      val got = Similarity.jlProjectQuantized(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", outDim = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(o: Int, i: Int): Long = {
+        val hex = md.digest(s"jl:$o:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        (java.lang.Long.parseLong(hex, 16) % 2L) * 2L - 1L
+      }
+      val ref = (for ((id, v) <- vecs; o <- 0 until 4) yield {
+        (id, o) -> v.zipWithIndex.map { case (x, i) =>
+          math.floor(x.toDouble * 1e6).toLong * sign(o, i)
+        }.sum
+      }).toMap
+      assert(got === ref)
+    }
+
+    it("preserves cosine structure approximately at moderate outDim") {
+      import graft.analytics.Similarity
+      // two near-parallel vectors and one orthogonal-ish third: after
+      // projection the parallel pair must stay the closest pair
+      val d = 64
+      val base = Array.tabulate(d)(i => math.sin(i * 0.7).toFloat)
+      val near = base.map(x => x * 1.02f)
+      val far = Array.tabulate(d)(i => math.cos(i * 1.3).toFloat)
+      val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+      val proj = Similarity.jlProjectQuantized(df, "vec_id", "embedding", outDim = 16)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getLong(2).toDouble) }
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+      }
+      assert(cos(proj(1L).toSeq, proj(2L).toSeq) > cos(proj(1L).toSeq, proj(3L).toSeq))
+    }
+  }
+
+  describe("editDistanceConfirm") {
+    it("computes true distances and the integer ratio verdict") {
+      import graft.analytics.Dedup
+      val docs = Seq(
+        (1L, "the quick brown fox"), (2L, "the quick brown fax"),
+        (3L, "something else entirely here")).toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L), (1L, 3L)).toDF("i", "j")
+      val got = Dedup.editDistanceConfirm(pairs, docs, "doc_id", "text", maxRatioPct = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getBoolean(4))).toMap
+      assert(got((1L, 2L)) === ((1L, true))) // one substitution over 19 chars
+      val (d13, ok13) = got((1L, 3L))
+      assert(d13 > 5L && !ok13)
+    }
+  }
+
   describe("tfidfTopK") {
     it("ranks the doc sharing rare terms above one sharing common terms") {
       // 'zeta' appears in q and d1 only (rare, high idf); 'alpha'
