@@ -87,6 +87,39 @@ object Stats {
             .cast("double"), 6).as("rho"))
   }
 
+  /** One-pass data profile — the quality report a pipeline runs before
+    * trusting a new table: per column, row count, null count, exact
+    * distinct count, and numeric min/max (null for non-numeric
+    * columns). ONE scan: all per-column aggregates ride a single
+    * `agg` (Catalyst plans the multi-`countDistinct` via Expand — a
+    * |columns|× row multiplication map-side, still one pass over
+    * storage), then the one result row unpivots to per-column rows.
+    * Timestamps should be projected to epoch micros by the caller —
+    * the engine's cross-engine time currency.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) = f.dataType match {
+        case _: NumericType => (min(c).cast("double"), max(c).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      Seq(count(c).as(s"__cnt_${f.name}"),
+        countDistinct(c).as(s"__dst_${f.name}"),
+        mn.as(s"__min_${f.name}"), mx.as(s"__max_${f.name}"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
+    val perCol = fields.map { f =>
+      struct(lit(f.name).as("col"), col("__n").as("n"),
+        (col("__n") - col(s"__cnt_${f.name}")).as("n_nulls"),
+        col(s"__dst_${f.name}").as("n_distinct"),
+        col(s"__min_${f.name}").as("min_num"), col(s"__max_${f.name}").as("max_num"))
+    }
+    one.select(explode(array(perCol.toSeq: _*)).as("p")).select("p.*")
+  }
+
   /** Tie-aware exact AUC (Mann–Whitney) of an INTEGER score against a
     * boolean label — the evaluation step for any ranking-style quality
     * model. Instead of the pairwise pos×neg join, scores condense to

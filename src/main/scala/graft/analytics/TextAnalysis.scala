@@ -337,6 +337,24 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Materialize the inverted index itself — (term, df, cf, sorted
+    * posting list) — the artifact a search/retrieval serving layer
+    * loads, and what the n-gram-Jaccard/decontamination joins consume
+    * implicitly. One explode + one groupBy; `collect_set` bounds each
+    * row by the term's document frequency, which is exactly the
+    * quantity the posting-list guards exist to cap — pass the df cutoff
+    * DOWNSTREAM of this table (filter on `df`) or shard fat terms
+    * before serving; materializing a corpus-wide stopword's full
+    * posting list in one row is the anti-pattern this table makes
+    * visible (its `df` column IS the guard's input).
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.spread(df)
+      .select(col(idCol).cast("long").as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct("id").as("df"), count(lit(1)).as("cf"),
+        sort_array(collect_set(col("id"))).as("postings"))
+
   /** TF-IDF sparse retrieval: top-`k` most similar corpus docs per
     * query doc, scored by the inner product of tf·idf term vectors —
     * the SPARSE complement of the dense ANN tiers (BM25 above scores a

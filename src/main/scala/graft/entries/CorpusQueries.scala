@@ -712,7 +712,17 @@ object CorpusQueries {
         .select("i", "j")
       Dedup.editDistanceConfirm(pairs, d, "doc_id", "text", maxRatioPct = 20)
         .orderBy("i", "j")
-    })
+    }),
+
+    // the inverted index AS AN ARTIFACT: term -> (df, cf, sorted
+    // postings) — what serving layers load and what every
+    // posting-guard decision reads; postings stringify for the
+    // cross-engine hash (arrays encode differently per engine)
+    "q136_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text")
+        .select(col("term"), col("df"), col("cf"),
+          array_join(col("postings"), ",").as("postings"))
+        .orderBy("term"))
   )
 
   /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
@@ -1474,6 +1484,13 @@ object CorpusQueries {
          |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS len_max,
          |  levenshtein(a.text, b.text) * 100 <= 20 * greatest(length(a.text), length(b.text)) AS confirmed
          |FROM e JOIN documents a ON a.doc_id = e.i JOIN documents b ON b.doc_id = e.j
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+    "q136_inverted_index" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+        |           FROM documents)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS cf,
+        |  array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS postings
+        |FROM tk GROUP BY term ORDER BY term""".stripMargin
   )
 }

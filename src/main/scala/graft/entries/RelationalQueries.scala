@@ -636,6 +636,19 @@ object RelationalQueries {
               col("kth_hash").cast("double"))
             .as("est_distinct"))
         .orderBy("event_type")
+    }),
+
+    // the trust-a-new-table profile: per-column nulls, exact distincts,
+    // numeric ranges — ONE scan (multi-countDistinct Expand), ts
+    // projected to epoch micros first (the cross-engine currency)
+    "q135_profile" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      graft.analytics.Stats.profile(e)
+        .withColumn("min_num", round(col("min_num"), 6))
+        .withColumn("max_num", round(col("max_num"), 6))
+        .orderBy("col")
     })
   )
 
@@ -1000,6 +1013,31 @@ object RelationalQueries {
         |SELECT event_type, count(*) AS k_used, max(h) AS kth_hash,
         |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
         |       ELSE 255.0 * 4294967296.0 / max(h) END AS est_distinct
-        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q135_profile" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events),
+        |p AS (
+        |  SELECT 'event_id' AS col, count(*) AS n, count(*) - count(event_id) AS n_nulls,
+        |    count(DISTINCT event_id) AS n_distinct,
+        |    round(CAST(min(event_id) AS DOUBLE), 6) AS min_num, round(CAST(max(event_id) AS DOUBLE), 6) AS max_num FROM e
+        |  UNION ALL
+        |  SELECT 'ts_us', count(*), count(*) - count(ts_us), count(DISTINCT ts_us),
+        |    round(CAST(min(ts_us) AS DOUBLE), 6), round(CAST(max(ts_us) AS DOUBLE), 6) FROM e
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+        |    round(CAST(min(user_id) AS DOUBLE), 6), round(CAST(max(user_id) AS DOUBLE), 6) FROM e
+        |  UNION ALL
+        |  SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type),
+        |    NULL, NULL FROM e
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+        |    round(min(value), 6), round(max(value), 6) FROM e
+        |  UNION ALL
+        |  SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+        |    NULL, NULL FROM e)
+        |SELECT col, CAST(n AS BIGINT) AS n, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(min_num AS DOUBLE) AS min_num, CAST(max_num AS DOUBLE) AS max_num
+        |FROM p ORDER BY col""".stripMargin
   )
 }

@@ -143,6 +143,18 @@ class GraphStatsSpec extends SparkSpec {
     }
   }
 
+  describe("profile") {
+    it("reports nulls, exact distincts, and numeric ranges per column") {
+      val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, "b"), (null, "a"))
+        .toDF("num", "str")
+      val rows = Stats.profile(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+      assert(rows("num") === ((4L, 1L, 2L, Some(1.0), Some(2.0))))
+      assert(rows("str") === ((4L, 1L, 2L, None, None)))
+    }
+  }
+
   describe("jlProjectQuantized") {
     it("matches a driver-side reference projection, exactly") {
       import graft.analytics.Similarity
