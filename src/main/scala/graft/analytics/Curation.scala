@@ -122,6 +122,62 @@ object Curation {
         min(col(tsCol)).as("start_us"),
         max(col(tsCol)).as("end_us"))
 
+  /** Ordered funnel over sessions: how many sessions reach step 1,
+    * then step 2 STRICTLY AFTER their step-1 time, and so on — the
+    * conversion question behind every event pipeline. Subsequence
+    * semantics, first-match: s₁ = min time of steps(0); sₖ = min time
+    * of steps(k−1) with t > sₖ₋₁ (strict — a simultaneous event does
+    * not advance the funnel; deterministic, no tie coin-flips).
+    *
+    * One aggregation pass PER STEP over the sessionized events (k
+    * passes for a k-step funnel, each a session-key groupBy with the
+    * prior stage times broadcast back via an equi-join) — never a
+    * per-session collect or UDF ordering. Output one row:
+    * (n_sessions, reached_1..reached_k).
+    */
+  def sessionFunnel(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      typeCol: String, gapUs: Long, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8, "funnel wants 1-8 steps")
+    val sess = sessionize(df, keyCol, tsCol, tieCol, gapUs)
+      .select(col(keyCol).as("__k"), col("session_seq").as("__s"),
+        col(typeCol).as("__t"), col(tsCol).cast("long").as("__ts"))
+    var acc = sess.groupBy("__k", "__s")
+      .agg(min(when(col("__t") === steps.head, col("__ts"))).as("s1"))
+    for (k <- 2 to steps.size) {
+      val carried = (1 until k).map(i => first(col(s"s$i")).as(s"s$i"))
+      acc = sess.join(acc, Seq("__k", "__s"))
+        .groupBy("__k", "__s")
+        .agg(carried.head, carried.tail :+
+          min(when(col("__t") === steps(k - 1) && col("__ts") > col(s"s${k - 1}"),
+            col("__ts"))).as(s"s$k"): _*)
+    }
+    acc.agg(count(lit(1)).as("n_sessions"),
+      steps.indices.map(i =>
+        sum(when(col(s"s${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"reached_${i + 1}")): _*)
+  }
+
+  /** Retention cohorts: users bucketed by their FIRST active day, then
+    * distinct-user counts per (cohort day, day offset) — the retention
+    * triangle. Day indices are integer floors of epoch micros; all
+    * counts exact. Two aggregations and an equi-join on the user key;
+    * the (user, day) distinct condenses map-side. Output:
+    * (cohort_day, day_offset, n_users).
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsUsCol: String,
+      maxOffsetDays: Int = 7, dayUs: Long = 86400000000L): DataFrame = {
+    val ts = col(tsUsCol).cast("long")
+    // integer day floor: (ts − ts mod day) is an exact multiple of day,
+    // so the double division below is exact (quotient ≪ 2^53)
+    val day = ((ts - pmod(ts, lit(dayUs))) / lit(dayUs.toDouble)).cast("long")
+    val userDays = df.select(col(userCol).as("__u"), day.as("__d")).distinct()
+    val cohorts = userDays.groupBy("__u").agg(min("__d").as("cohort_day"))
+    userDays.join(cohorts, "__u")
+      .withColumn("day_offset", col("__d") - col("cohort_day"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("__u").as("n_users"))
+  }
+
   /** Greedy token-budget selection: walk the corpus in `order` (e.g.
     * quality desc) and keep rows while the running `weightCol` total
     * stays ≤ `budget` — "fill the training budget with the best docs",

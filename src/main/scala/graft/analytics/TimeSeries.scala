@@ -131,6 +131,61 @@ object TimeSeries {
       .drop("__rn")
   }
 
+  /** Per-series rate of change — the TSDB `DERIVATIVE` op (counter
+    * rates, throughput from totals): (v − lag(v)) / Δt-seconds per
+    * consecutive pair under (`orderCol`, `tieCol`) order. One hash
+    * shuffle by key, a streaming lag window. First row per key and
+    * zero-Δt ties yield null (a 0-denominator is reported as missing,
+    * not ±Inf). Both engines evaluate the identical IEEE expression on
+    * identical inputs — bit-replayable with no rounding.
+    */
+  def derivative(df: DataFrame, keyCol: String, tsUsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    val dv = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val dtUs = col(tsUsCol) - lag(col(tsUsCol), 1).over(w)
+    df.withColumn("rate_per_s",
+      when(dtUs > 0L, dv / (dtUs.cast("double") / 1e6)))
+  }
+
+  /** Per-series time-weighted average over tumbling windows — the TSDB
+    * `INTEGRAL`/TWA op (duty cycles, mean-state-over-time, where the
+    * plain AVG over-weights bursts). Last-observation-carried-forward
+    * weighting WITHIN the window: each point holds its value until the
+    * next point of the same (key, window); the window's last point
+    * carries no weight (no successor inside it — stated, deterministic
+    * semantics rather than a hidden extrapolation).
+    *
+    * Exactness: values quantize once to micro-units, each weight is an
+    * integer microsecond span, the per-window Σ vµ·Δtµs and Σ Δtµs are
+    * DECIMAL sums (order-free), and ONE double division per window row
+    * produces the average. Output: (key, window_start_us, n_points,
+    * twa — null for single-point windows with zero carried time).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsUsCol: String, tieCol: String,
+      valueCol: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs > 0")
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // integer window floor: ts − (ts mod w) — Column `/` is double
+    // division, never use it on the bucket math
+    val winStart = col(tsUsCol).cast("long") - pmod(col(tsUsCol).cast("long"), lit(windowUs))
+    val w = Window.partitionBy(col(keyCol), col("__win"))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val vMicro = floor(col(valueCol).cast("double") * 1e6).cast("long")
+    val dtUs = lead(col(tsUsCol), 1).over(w) - col(tsUsCol)
+    df.withColumn("__win", winStart)
+      .select(col(keyCol), col("__win"),
+        vMicro.as("__v"), coalesce(dtUs, lit(0L)).as("__dt"))
+      .groupBy(col(keyCol), col("__win").as("window_start_us"))
+      .agg(count(lit(1)).as("n_points"),
+        sum((col("__v") * col("__dt")).cast(d380)).as("__vdt"),
+        sum(col("__dt").cast(d380)).as("__t"))
+      .select(col(keyCol), col("window_start_us"), col("n_points"),
+        when(col("__t") > 0,
+          round(col("__vdt").cast("double") / col("__t").cast("double") / 1e6, 6))
+          .as("twa"))
+  }
+
   /** Downsample: last point per tumbling window per series — the
     * classic TSDB retention/rollup primitive. max_by keeps it a single
     * hash aggregate (no sort, no window).

@@ -649,7 +649,45 @@ object RelationalQueries {
         .withColumn("min_num", round(col("min_num"), 6))
         .withColumn("max_num", round(col("max_num"), 6))
         .orderBy("col")
-    })
+    }),
+
+    // ordered conversion funnel over 30-min sessions: signup -> click
+    // -> purchase with strictly-increasing times — first-match
+    // subsequence semantics, every count integer
+    "q137_funnel" -> ((s, dir) =>
+      graft.analytics.Curation.sessionFunnel(
+        Tables.events(s, dir).select(col("user_id"), col("ts_us"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapUs = 1800000000L, steps = Seq("signup", "click", "purchase"))),
+
+    // the retention triangle: first-active-day cohorts x day offsets,
+    // exact distinct users per cell
+    "q138_retention" -> ((s, dir) =>
+      graft.analytics.Curation.retentionCohorts(
+        Tables.events(s, dir), "user_id", "ts_us", maxOffsetDays = 7)
+        .orderBy("cohort_day", "day_offset")),
+
+    // TSDB DERIVATIVE: per-series rate of change between consecutive
+    // points; both engines evaluate the identical IEEE expression, so
+    // the raw doubles hash-match with no rounding
+    "q139_derivative" -> ((s, dir) =>
+      graft.analytics.TimeSeries.derivative(
+        Tables.events(s, dir).select(col("event_id"), col("ts_us"),
+          col("event_type"), col("value")),
+        "event_type", "ts_us", "event_id", "value")
+        .select(col("event_id"), col("rate_per_s"))
+        .orderBy("event_id")),
+
+    // TSDB INTEGRAL/time-weighted average over 1h tumbling windows:
+    // LOCF weighting inside the window, micro-quantized values x
+    // integer spans summed as decimals, one division per window row
+    "q140_twa" -> ((s, dir) =>
+      graft.analytics.TimeSeries.timeWeightedAvg(
+        Tables.events(s, dir).select(col("event_id"), col("ts_us"),
+          col("event_type"), col("value")),
+        "event_type", "ts_us", "event_id", "value", windowUs = 3600000000L)
+        .orderBy("event_type", "window_start_us"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1038,6 +1076,55 @@ object RelationalQueries {
         |SELECT col, CAST(n AS BIGINT) AS n, CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(n_distinct AS BIGINT) AS n_distinct,
         |  CAST(min_num AS DOUBLE) AS min_num, CAST(max_num AS DOUBLE) AS max_num
-        |FROM p ORDER BY col""".stripMargin
+        |FROM p ORDER BY col""".stripMargin,
+    "q137_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |x AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM x),
+        |a1 AS (SELECT user_id, sess,
+        |         min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s1
+        |       FROM s GROUP BY 1, 2),
+        |a2 AS (SELECT s.user_id, s.sess, any_value(a1.s1) AS s1,
+        |         min(CASE WHEN s.event_type = 'click' AND s.ts_us > a1.s1 THEN s.ts_us END) AS s2
+        |       FROM s JOIN a1 USING (user_id, sess) GROUP BY 1, 2),
+        |a3 AS (SELECT s.user_id, s.sess, any_value(a2.s1) AS s1, any_value(a2.s2) AS s2,
+        |         min(CASE WHEN s.event_type = 'purchase' AND s.ts_us > a2.s2 THEN s.ts_us END) AS s3
+        |       FROM s JOIN a2 USING (user_id, sess) GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_1,
+        |  CAST(sum(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_2,
+        |  CAST(sum(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_3
+        |FROM a3""".stripMargin,
+    "q138_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d FROM events),
+        |c AS (SELECT u, min(d) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT cohort_day, d - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |FROM ud JOIN c USING (u) WHERE d - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q139_derivative" ->
+      """SELECT event_id,
+        |  CASE WHEN ts_us - lag(ts_us) OVER w > 0
+        |    THEN (value - lag(value) OVER w) / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1e6)
+        |  END AS rate_per_s
+        |FROM (SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q140_twa" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vm FROM events),
+        |x AS (SELECT event_type, ts_us - ts_us % 3600000000 AS win, vm,
+        |        COALESCE(lead(ts_us) OVER (PARTITION BY event_type, ts_us - ts_us % 3600000000
+        |          ORDER BY ts_us, event_id) - ts_us, 0) AS dt
+        |      FROM e),
+        |g AS (SELECT event_type, win AS window_start_us, count(*) AS n_points,
+        |        sum(CAST(vm AS HUGEINT) * dt) AS vdt, sum(CAST(dt AS HUGEINT)) AS t
+        |      FROM x GROUP BY 1, 2)
+        |SELECT event_type, window_start_us, CAST(n_points AS BIGINT) AS n_points,
+        |  CASE WHEN t > 0 THEN round(CAST(vdt AS DOUBLE) / CAST(t AS DOUBLE) / 1e6, 6) END AS twa
+        |FROM g ORDER BY event_type, window_start_us""".stripMargin
   )
 }

@@ -92,6 +92,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  describe("session funnel") {
+    it("advances only on strictly-later events, first-match semantics") {
+      val e = Seq( // (user, ts, id, type)
+        // session A: full ordered funnel
+        (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+        // session B: click BEFORE signup, purchase simultaneous with click
+        (2L, 10L, 4L, "click"), (2L, 20L, 5L, "signup"), (2L, 20L, 6L, "purchase"),
+        // session C: signup only
+        (3L, 10L, 7L, "signup")
+      ).toDF("user_id", "ts_us", "event_id", "event_type")
+      val r = Curation.sessionFunnel(e, "user_id", "ts_us", "event_id", "event_type",
+        gapUs = 1000L, steps = Seq("signup", "click", "purchase")).head()
+      assert(r.getAs[Long]("n_sessions") === 3L)
+      assert(r.getAs[Long]("reached_1") === 3L) // all three signed up
+      assert(r.getAs[Long]("reached_2") === 1L) // only A clicked after signup
+      assert(r.getAs[Long]("reached_3") === 1L) // only A purchased after that
+    }
+  }
+
+  describe("retention cohorts") {
+    it("buckets users by first day and counts exactly") {
+      val day = 86400000000L
+      val e = Seq( // user 1 active day 0 and 2; user 2 active day 1 only
+        (1L, 0L), (1L, 10L), (1L, 2 * day), (2L, day + 5L)
+      ).toDF("user_id", "ts_us")
+      val got = Curation.retentionCohorts(e, "user_id", "ts_us", maxOffsetDays = 7)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+    }
+  }
+
   describe("stratified sampling") {
     it("takes k per stratum, stable across partitionings") {
       val df = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")

@@ -126,6 +126,36 @@ class GraphStatsSpec extends SparkSpec {
     }
   }
 
+  describe("derivative and time-weighted average") {
+    import graft.analytics.TimeSeries
+
+    it("derivative computes per-second rates, null on first rows and zero gaps") {
+      val e = Seq( // (key, ts_us, id, v)
+        ("a", 0L, 1L, 10.0), ("a", 2000000L, 2L, 14.0), ("a", 2000000L, 3L, 99.0),
+        ("b", 0L, 4L, 1.0)
+      ).toDF("k", "ts_us", "id", "v")
+      val got = TimeSeries.derivative(e, "k", "ts_us", "id", "v")
+        .orderBy("id").select("rate_per_s").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSeq === Seq(None, Some(2.0), None, None))
+    }
+
+    it("time-weighted average holds each value until the next point in-window") {
+      // window 10s: v=2 for 6s then v=10 for 3s (last point weightless)
+      val e = Seq(
+        ("a", 0L, 1L, 2.0), ("a", 6000000L, 2L, 10.0), ("a", 9000000L, 3L, 7.0),
+        ("a", 10000000L, 4L, 5.0) // alone in the next window -> null twa
+      ).toDF("k", "ts_us", "id", "v")
+      val got = TimeSeries.timeWeightedAvg(e, "k", "ts_us", "id", "v",
+        windowUs = 10000000L)
+        .orderBy("window_start_us").collect()
+      val twa0 = got(0).getAs[Double]("twa")
+      assert(twa0 === BigDecimal((2.0 * 6 + 10.0 * 3) / 9.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(1).isNullAt(got(1).fieldIndex("twa")))
+    }
+  }
+
   describe("rollingMedian") {
     it("matches a driver-side sliding median, odd and even frames") {
       import graft.analytics.TimeSeries
