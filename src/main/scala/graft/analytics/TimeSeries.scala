@@ -240,4 +240,49 @@ object TimeSeries {
       .select(col("key"), timestamp_seconds(col("bucket")).as("bucket_time"),
         col("v").as("observed"), col("filled"))
   }
+
+  /** [[gapFillForward]]'s LINEAR sibling — the TSDB `fill(linear)`:
+    * missing grid points interpolate between the surrounding
+    * observations instead of holding the last one. Same per-key grid
+    * and join; two extra window passes carry (previous, next)
+    * observation value+bucket, and the interpolation is one fixed IEEE
+    * expression — identical on any engine evaluating the same inputs,
+    * no rounding needed. The grid spans each key's OBSERVED range, so
+    * every grid point has both neighbors by construction (no
+    * extrapolation branch exists to diverge on). Output:
+    * (key, bucket_us, observed, filled).
+    */
+  def gapFillLinear(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    val step = lit(stepSeconds)
+    val bucket = floor(unix_timestamp(col(timeCol)) / step).cast("long") * step
+    val obs = df
+      .groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("v"))
+    val chunk = lit(stepSeconds * TimeSeries.GridChunk)
+    val grid = obs.groupBy("key")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("key"), col("hi"),
+        explode(sequence(col("lo"), col("hi"), chunk)).as("cstart"))
+      .select(col("key"),
+        explode(sequence(col("cstart"),
+          least(col("cstart") + chunk - step, col("hi")), step)).as("bucket"))
+    val wb = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("v").isNotNull, col("bucket"))
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("__pv", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("__pb", last(obsBucket, ignoreNulls = true).over(wb))
+      .withColumn("__nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("__nb", first(obsBucket, ignoreNulls = true).over(wf))
+      .select(col("key"), (col("bucket") * 1000000L).as("bucket_us"),
+        col("v").as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("bucket") - col("__pb")).cast("double") /
+              (col("__nb") - col("__pb")).cast("double")))
+          .as("filled"))
+  }
 }

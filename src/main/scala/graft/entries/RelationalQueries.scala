@@ -679,6 +679,17 @@ object RelationalQueries {
         .select(col("event_id"), col("rate_per_s"))
         .orderBy("event_id")),
 
+    // fill(linear): missing daily grid points interpolate between the
+    // surrounding observations — one fixed IEEE expression per gap,
+    // both neighbors guaranteed by the observed-range grid. The user
+    // filter SPARSIFIES the series so real gaps exist: the oracle
+    // checks interpolated values, not just pass-through observations.
+    "q141_gap_fill_linear" -> ((s, dir) =>
+      graft.analytics.TimeSeries.gapFillLinear(
+        Tables.events(s, dir).filter(col("user_id") % 37 === 0),
+        "event_type", "time", "value", stepSeconds = 86400L)
+        .orderBy("key", "bucket_us")),
+
     // TSDB INTEGRAL/time-weighted average over 1h tumbling windows:
     // LOCF weighting inside the window, micro-quantized values x
     // integer spans summed as decimals, one division per window row
@@ -1077,6 +1088,29 @@ object RelationalQueries {
         |  CAST(n_distinct AS BIGINT) AS n_distinct,
         |  CAST(min_num AS DOUBLE) AS min_num, CAST(max_num AS DOUBLE) AS max_num
         |FROM p ORDER BY col""".stripMargin,
+    "q141_gap_fill_linear" ->
+      """WITH obs AS (
+        |  SELECT event_type AS key, (CAST(epoch(ts) AS BIGINT) // 86400) * 86400 AS bucket,
+        |         arg_max(value, ts) AS v
+        |  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
+        |rng AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT key, unnest(range(lo, hi + 86400, 86400)) AS bucket FROM rng),
+        |j AS (SELECT g.key, g.bucket, o.v FROM grid g LEFT JOIN obs o USING (key, bucket)),
+        |f AS (SELECT key, bucket, v,
+        |  last_value(v IGNORE NULLS) OVER wb AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb AS pb,
+        |  first_value(v IGNORE NULLS) OVER wf AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key, bucket * 1000000 AS bucket_us, v AS observed,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+        |  END AS filled
+        |FROM f ORDER BY key, bucket_us""".stripMargin,
     "q137_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |x AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000

@@ -140,6 +140,17 @@ class GraphStatsSpec extends SparkSpec {
       assert(got.toSeq === Seq(None, Some(2.0), None, None))
     }
 
+    it("linear gap-fill interpolates between surrounding observations") {
+      import graft.analytics.TimeSeries
+      val e = Seq(
+        ("a", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L)), 1.0),
+        ("a", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(30L)), 7.0))
+        .toDF("k", "time", "v")
+      val got = TimeSeries.gapFillLinear(e, "k", "time", "v", stepSeconds = 10L)
+        .orderBy("bucket_us").select("filled").collect().map(_.getDouble(0))
+      assert(got.toSeq === Seq(1.0, 3.0, 5.0, 7.0))
+    }
+
     it("time-weighted average holds each value until the next point in-window") {
       // window 10s: v=2 for 6s then v=10 for 3s (last point weightless)
       val e = Seq(
