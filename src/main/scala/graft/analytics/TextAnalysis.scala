@@ -355,6 +355,63 @@ object TextAnalysis {
       .agg(countDistinct("id").as("df"), count(lit(1)).as("cf"),
         sort_array(collect_set(col("id"))).as("postings"))
 
+  /** Top-`k` terms per group by occurrence count — per-domain
+    * vocabulary profiles (drift monitoring, domain fingerprints). One
+    * explode + one (group, term) count with map-side combine, then the
+    * bounded TopK aggregate per group: ≤ k rows per (group, partition)
+    * on the final shuffle — never a per-group window over the full
+    * vocabulary. Rank semantics: count DESC, then term id... counts
+    * are longs; ties break by the term's md5-surrogate, exposed so the
+    * caller (and the oracle) can replay the exact cut.
+    * Output: (group, term, cnt, rank).
+    */
+  def topTermsByGroup(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val counts = Dedup.spread(df)
+      .select(col(groupCol).as("group"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("group", "term").agg(count(lit(1)).as("cnt"))
+    // ties must break on a NUMERIC surrogate (TopK carries long ids):
+    // the md5-derived term id — deterministic and oracle-replayable
+    val withId = counts.withColumn("tid",
+      conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+    // TopK ranks by (score DESC, id ASC): score = cnt, id = tid
+    val top = withId.groupBy("group")
+      .agg(graft.functions.TopK.topK(k)(col("cnt").cast("double"), col("tid")).as("top"))
+      .select(col("group"), posexplode(col("top")))
+      .select(col("group"), col("col.id").as("tid"),
+        col("col.score").cast("long").as("cnt"), (col("pos") + 1).as("rank"))
+    top.join(withId.select(col("group"), col("term"), col("tid")), Seq("group", "tid"))
+      .select(col("group"), col("term"), col("cnt"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Pairwise vocabulary Jaccard between groups — "how lexically
+    * similar are two sources": |V_a ∩ V_b| / |V_a ∪ V_b| over the
+    * groups' distinct-term sets. The intersection comes from the term
+    * self-join on the (group, term) distinct table (terms are the join
+    * key — postings-shaped, never group×group×vocab), union sizes from
+    * the inclusion–exclusion identity. Integer set sizes; ONE division
+    * per pair row. Output: (ga, gb, n_common, n_union, jaccard) for
+    * ga < gb.
+    */
+  def vocabJaccardPairs(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val vocab = Dedup.spread(df)
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val sizes = vocab.groupBy("g").agg(count(lit(1)).as("nv"))
+    val common = vocab.join(vocab.select(col("g").as("g2"), col("term")), "term")
+      .filter(col("g") < col("g2"))
+      .groupBy(col("g").as("ga"), col("g2").as("gb"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("g").as("ga"), col("nv").as("na"))), "ga")
+      .join(broadcast(sizes.select(col("g").as("gb"), col("nv").as("nb"))), "gb")
+      .select(col("ga"), col("gb"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jaccard"))
+  }
+
   /** TF-IDF sparse retrieval: top-`k` most similar corpus docs per
     * query doc, scored by the inner product of tf·idf term vectors —
     * the SPARSE complement of the dense ANN tiers (BM25 above scores a

@@ -241,6 +241,40 @@ object TimeSeries {
         col("v").as("observed"), col("filled"))
   }
 
+  /** CUSUM changepoint detection, integer-exact: for each series, the
+    * point where the cumulative deviation from the series mean peaks —
+    * the classic level-shift detector. The float-free trick: instead of
+    * Σᵢ(xᵢ − μ) (a float mean in every term), scale by n —
+    * {{{ C'ₖ = n·Pₖ − k·S,   Pₖ = Σ_{i≤k} xµᵢ,  S = P_n }}}
+    * which is n·Σ(xᵢ−μ) exactly, in micro-unit integers end to end.
+    * argmax |C'| = argmax |CUSUM|. Running sums are sequential window
+    * arithmetic (identical order on any engine); sums ride DECIMAL.
+    * One hash shuffle by key + a streaming window + a per-key argmax.
+    * Output: (key, peak_ts_us, peak_seq = k at the peak, cusum_scaled)
+    * with ties broken toward the earliest point.
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val vMicro = floor(col(valueCol).cast("double") * 1e6).cast("long").cast(d380)
+    val scored = df
+      .withColumn("__p", sum(vMicro).over(run))
+      .withColumn("__k", count(lit(1)).over(run))
+      .withColumn("__s", sum(vMicro).over(all))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__c", col("__n") * col("__p") - col("__k") * col("__s"))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(
+          abs(col("__c")).desc, col(tsUsCol), col(tieCol))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(tsUsCol).cast("long").as("peak_ts_us"),
+        col("__k").as("peak_seq"), col("__c").cast("long").as("cusum_scaled"))
+  }
+
   /** [[gapFillForward]]'s LINEAR sibling — the TSDB `fill(linear)`:
     * missing grid points interpolate between the surrounding
     * observations instead of holding the last one. Same per-key grid

@@ -88,6 +88,18 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
   def snapshotAt(seq: Long): GraftDB =
     GraftDB.fromDataFrame(df.filter(col(Point.SeqCol) <= seq), autoIndex)
 
+  /** Migrate the full state into another backend — parquet → JSONL for
+    * interchange, CSV → parquet to leave the compat tier, anything →
+    * memory for a hot working set. `_seq` travels, so insertion-order
+    * semantics survive the move. One distributed write through the
+    * target's own commit protocol; returns a GraftDB on the target.
+    */
+  def copyTo(target: Storage): GraftDB = {
+    guardOpen()
+    target.overwrite(df)
+    new GraftDB(target, autoIndex)
+  }
+
   // reindex() state: a cached view with hot map keys columnarized, the
   // layout telling the compiler which flat columns to read, the data's
   // global time bounds (the zonemap tier — see [[TimeBounds]]), the

@@ -722,7 +722,21 @@ object CorpusQueries {
       TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text")
         .select(col("term"), col("df"), col("cf"),
           array_join(col("postings"), ",").as("postings"))
-        .orderBy("term"))
+        .orderBy("term")),
+
+    // per-source vocabulary profile: top-5 terms via the bounded TopK
+    // aggregate (never a per-group window over the vocabulary); ties
+    // break on the md5 term surrogate, replayed by the oracle
+    "q143_top_terms_by_source" -> ((s, dir) =>
+      TextAnalysis.topTermsByGroup(docs(s, dir), "source", "text", k = 5)
+        .orderBy("group", "rank")),
+
+    // lexical similarity matrix between sources: vocabulary Jaccard
+    // through the term self-join (postings-shaped — never
+    // group x group x vocab), inclusion-exclusion union sizes
+    "q144_source_vocab_jaccard" -> ((s, dir) =>
+      TextAnalysis.vocabJaccardPairs(docs(s, dir), "source", "text")
+        .orderBy("ga", "gb"))
   )
 
   /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
@@ -1491,6 +1505,27 @@ object CorpusQueries {
         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
         |  CAST(count(*) AS BIGINT) AS cf,
         |  array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS postings
-        |FROM tk GROUP BY term ORDER BY term""".stripMargin
+        |FROM tk GROUP BY term ORDER BY term""".stripMargin,
+    "q143_top_terms_by_source" ->
+      """WITH tk AS (SELECT source AS g, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+        |           FROM documents),
+        |c AS (SELECT g, term, count(*) AS cnt,
+        |        CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS tid
+        |      FROM tk GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, tid) AS rank FROM c)
+        |SELECT g AS "group", term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
+    "q144_source_vocab_jaccard" ->
+      """WITH v AS (SELECT DISTINCT source AS g,
+        |             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+        |           FROM documents),
+        |sz AS (SELECT g, count(*) AS nv FROM v GROUP BY 1),
+        |cm AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_common
+        |       FROM v a JOIN v b ON a.term = b.term AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ga, gb, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(x.nv + y.nv - n_common AS BIGINT) AS n_union,
+        |  round(CAST(n_common AS DOUBLE) / CAST(x.nv + y.nv - n_common AS DOUBLE), 6) AS jaccard
+        |FROM cm JOIN sz x ON x.g = cm.ga JOIN sz y ON y.g = cm.gb
+        |ORDER BY ga, gb""".stripMargin
   )
 }

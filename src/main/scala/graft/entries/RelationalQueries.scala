@@ -690,6 +690,16 @@ object RelationalQueries {
         "event_type", "time", "value", stepSeconds = 86400L)
         .orderBy("key", "bucket_us")),
 
+    // CUSUM changepoint, float-free: n·P_k − k·S is exactly n·Σ(x−μ),
+    // so the peak deviation point is located in pure integers — the
+    // level-shift detector with no float mean in any term
+    "q142_cusum" -> ((s, dir) =>
+      graft.analytics.TimeSeries.cusumChangepoint(
+        Tables.events(s, dir).select(col("event_type"), col("ts_us"),
+          col("event_id"), col("value")),
+        "event_type", "ts_us", "event_id", "value")
+        .orderBy("event_type")),
+
     // TSDB INTEGRAL/time-weighted average over 1h tumbling windows:
     // LOCF weighting inside the window, micro-quantized values x
     // integer spans summed as decimals, one division per window row
@@ -1111,6 +1121,23 @@ object RelationalQueries {
         |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
         |  END AS filled
         |FROM f ORDER BY key, bucket_us""".stripMargin,
+    "q142_cusum" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vm FROM events),
+        |x AS (SELECT event_type, ts_us, event_id,
+        |  sum(CAST(vm AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS p,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS k,
+        |  sum(CAST(vm AS HUGEINT)) OVER (PARTITION BY event_type) AS s,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |c AS (SELECT event_type, ts_us, event_id, k, n * p - k * s AS cval FROM x),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cval) DESC, ts_us, event_id) AS rn FROM c)
+        |SELECT event_type, CAST(ts_us AS BIGINT) AS peak_ts_us,
+        |  CAST(k AS BIGINT) AS peak_seq, CAST(cval AS BIGINT) AS cusum_scaled
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q137_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |x AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000

@@ -70,6 +70,20 @@ class JsonlStorageSpec extends SparkSpec {
       assert(got(1).fields === Map("x" -> 2.0))
     }
 
+    it("copyTo migrates across backends with _seq and content intact") {
+      import graft.engine.{JsonlStorage, MemoryStorage}
+      val src = Files.createTempDirectory("graftsrc").toString
+      val db = GraftDB.atPath(spark, src) // parquet origin
+      db.insertMultiple(pts)
+      val jdir = Files.createTempDirectory("graftdst").toString
+      val viaJsonl = db.copyTo(new JsonlStorage(spark, jdir))
+      val inMem = viaJsonl.copyTo(new MemoryStorage(spark))
+      def canon(g: GraftDB) = g.all(sorted = false)
+        .map(p => (p.time, p.measurement, p.tags, p.fields, p._seq))
+      assert(canon(viaJsonl) === canon(db))
+      assert(canon(inMem) === canon(db))
+    }
+
     it("commits mutations atomically and survives reopen") {
       val dir = Files.createTempDirectory("graftjsonl").toString
       val db = GraftDB.atJsonl(spark, dir)
