@@ -53,6 +53,23 @@ object Dedup {
     df.groupBy(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .agg(min(idCol).as(idCol)).select(idCol)
 
+  /** The attribution side of exact dedup: every DROPPED row mapped to
+    * the survivor it duplicates — the output lineage/debugging tables
+    * and "redirect to canonical" serving paths need (exactSurvivorIds
+    * alone answers "who stays", not "who replaced whom"). Same digest
+    * shuffle as the survivor pass plus one digest equi-join back; rows
+    * that survive do not appear. Output: (idCol, survivor_id).
+    */
+  def attributionMap(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val digests = keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c"))
+    val keyed = df.select((digests :+ col(idCol)): _*)
+    val surv = keyed.groupBy(keyCols.map(c => col(s"__k_$c")): _*)
+      .agg(min(idCol).as("survivor_id"))
+    keyed.join(surv, keyCols.map(c => s"__k_$c"))
+      .filter(col(idCol) =!= col("survivor_id"))
+      .select(col(idCol), col("survivor_id"))
+  }
+
   /** Block-level (span) exact dedup — the fine-grained tier between
     * whole-document dedup and n-gram near-dup: cut each doc into
     * consecutive disjoint `blockLen`-token blocks ([[Curation.

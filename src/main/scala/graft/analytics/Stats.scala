@@ -87,6 +87,36 @@ object Stats {
             .cast("double"), 6).as("rho"))
   }
 
+  /** Lagged cross-correlation of two integer-valued series on a shared
+    * dense index — "does series A lead series B by k steps": for each
+    * lag, Pearson over pairs (x_d, y_{d+lag}). The caller supplies
+    * DENSE aligned series (missing steps already zero-filled) as
+    * (d, x) and (d, y); counts stay integers so every moment is an
+    * exact decimal sum, and the one closed-form division per lag row
+    * is the only float. Each lag is one equi-join on the shifted index
+    * plus a one-row aggregate; lags are a tiny driver-side loop over
+    * lazy plans. Output: (lag, n, corr).
+    */
+  def crossCorrelation(a: DataFrame, b: DataFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.size <= 32, "1-32 lags")
+    val d380 = DecimalType(38, 0)
+    val perLag = lags.map { lag =>
+      val joined = a.select(col("d"), col("x"))
+        .join(b.select((col("d") - lag).as("d"), col("y")), "d")
+      val agg = joined.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d380)).as("sx"), sum(col("y").cast(d380)).as("sy"),
+        sum((col("x").cast(d380) * col("y").cast(d380))).as("sxy"),
+        sum((col("x").cast(d380) * col("x").cast(d380))).as("sxx"),
+        sum((col("y").cast(d380) * col("y").cast(d380))).as("syy"))
+      val covN = (col("n").cast(d380) * col("sxy") - col("sx") * col("sy")).cast("double")
+      val varX = (col("n").cast(d380) * col("sxx") - col("sx") * col("sx")).cast("double")
+      val varY = (col("n").cast(d380) * col("syy") - col("sy") * col("sy")).cast("double")
+      agg.select(lit(lag).as("lag"), col("n"),
+        round(covN / sqrt(varX * varY), 6).as("corr"))
+    }
+    perLag.reduce(_ unionByName _)
+  }
+
   /** One-pass data profile — the quality report a pipeline runs before
     * trusting a new table: per column, row count, null count, exact
     * distinct count, and numeric min/max (null for non-numeric

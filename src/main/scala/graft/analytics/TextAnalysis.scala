@@ -355,6 +355,34 @@ object TextAnalysis {
       .agg(countDistinct("id").as("df"), count(lit(1)).as("cf"),
         sort_array(collect_set(col("id"))).as("postings"))
 
+  /** N-gram novelty score: the fraction of each document's DISTINCT
+    * word n-grams that appear in no other document — the inverse
+    * boilerplate signal (template-heavy docs score near 0, original
+    * prose near 1). Inverted-index shape: distinct (doc, gram) rows,
+    * gram document-frequencies with map-side combine, one join back;
+    * the ratio divides exact integers once per doc. Docs with fewer
+    * than `n` words have no grams and score null (no fabricated
+    * denominator). Output: (id, n_grams, n_unique, novelty).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = Dedup.spread(df)
+      .select(col(idCol).cast("long").as("id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val perDoc = grams.join(gdf, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_grams").isNotNull,
+          round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+  }
+
   /** Top-`k` terms per group by occurrence count — per-domain
     * vocabulary profiles (drift monitoring, domain fingerprints). One
     * explode + one (group, term) count with map-side combine, then the

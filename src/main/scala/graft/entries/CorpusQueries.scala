@@ -736,7 +736,26 @@ object CorpusQueries {
     // group x group x vocab), inclusion-exclusion union sizes
     "q144_source_vocab_jaccard" -> ((s, dir) =>
       TextAnalysis.vocabJaccardPairs(docs(s, dir), "source", "text")
-        .orderBy("ga", "gb"))
+        .orderBy("ga", "gb")),
+
+    // dedup LINEAGE: every dropped doc mapped to the survivor it
+    // duplicates — the redirect table a survivor set implies. Keyed on
+    // the 20-token prefix (prefix dedup, the URL/boilerplate-head
+    // variant) because THIS corpus has no full-text duplicates at
+    // sf0.01 — the prefix key makes the attribution path non-trivial
+    // (23 dropped docs at this scale) instead of gating an empty set
+    "q146_dedup_map" -> ((s, dir) => {
+      val keyed = docs(s, dir).withColumn("__prefix",
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 20)))
+      Dedup.attributionMap(keyed, Seq("__prefix"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // inverse-boilerplate signal: fraction of each doc's distinct
+    // 3-grams appearing in no other doc; exact integer ratio per doc
+    "q147_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
+        .orderBy("id"))
   )
 
   /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
@@ -1515,6 +1534,27 @@ object CorpusQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, tid) AS rank FROM c)
         |SELECT g AS "group", term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
+    "q146_dedup_map" ->
+      """WITH k AS (SELECT doc_id,
+        |    array_to_string(list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:20], ' ') AS pfx
+        |  FROM documents),
+        |s AS (SELECT pfx, min(doc_id) AS survivor_id FROM k GROUP BY pfx)
+        |SELECT k.doc_id, s.survivor_id FROM k JOIN s USING (pfx)
+        |WHERE k.doc_id <> s.survivor_id ORDER BY k.doc_id""".stripMargin,
+    "q147_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(w) < 3 THEN []
+        |        ELSE list_transform(range(0, length(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')) END) AS gram
+        |      FROM w),
+        |d AS (SELECT gram, count(*) AS gdf FROM g GROUP BY 1),
+        |p AS (SELECT doc_id, count(*) AS n_grams,
+        |        sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS n_unique
+        |      FROM g JOIN d USING (gram) GROUP BY 1)
+        |SELECT doc.doc_id AS id, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+        |  CASE WHEN p.n_grams IS NOT NULL
+        |    THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) END AS novelty
+        |FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id ORDER BY id""".stripMargin,
     "q144_source_vocab_jaccard" ->
       """WITH v AS (SELECT DISTINCT source AS g,
         |             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term

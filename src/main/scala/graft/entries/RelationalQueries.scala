@@ -690,6 +690,25 @@ object RelationalQueries {
         "event_type", "time", "value", stepSeconds = 86400L)
         .orderBy("key", "bucket_us")),
 
+    // lead-lag analysis: does signup volume lead purchase volume —
+    // Pearson between dense daily count series at lags 0..3; counts
+    // stay integers, one closed-form division per lag row
+    "q145_cross_corr" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val day = expr("ts_us div 86400000000")
+      val rng = e.agg(min(day).as("lo"), max(day).as("hi"))
+      val grid = rng.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      def dense(t: String, out: String) = {
+        val c = e.filter(col("event_type") === t)
+          .groupBy(day.as("d")).agg(count(lit(1)).as("c"))
+        grid.join(c, Seq("d"), "left")
+          .select(col("d"), coalesce(col("c"), lit(0L)).as(out))
+      }
+      graft.analytics.Stats.crossCorrelation(
+        dense("signup", "x"), dense("purchase", "y"), lags = Seq(0, 1, 2, 3))
+        .orderBy("lag")
+    }),
+
     // CUSUM changepoint, float-free: n·P_k − k·S is exactly n·Σ(x−μ),
     // so the peak deviation point is located in pure integers — the
     // level-shift detector with no float mean in any term
@@ -1121,6 +1140,27 @@ object RelationalQueries {
         |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
         |  END AS filled
         |FROM f ORDER BY key, bucket_us""".stripMargin,
+    "q145_cross_corr" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type FROM events),
+        |rng AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+        |grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM rng),
+        |sa AS (SELECT d, count(*) AS c FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |sb AS (SELECT d, count(*) AS c FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |xa AS (SELECT g.d, COALESCE(sa.c, 0) AS x FROM grid g LEFT JOIN sa USING (d)),
+        |yb AS (SELECT g.d, COALESCE(sb.c, 0) AS y FROM grid g LEFT JOIN sb USING (d)),
+        |lags(lag) AS (VALUES (0), (1), (2), (3)),
+        |j AS (SELECT l.lag, xa.x, yb.y FROM lags l
+        |      CROSS JOIN xa JOIN yb ON yb.d = xa.d + l.lag),
+        |m AS (SELECT lag, count(*) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM j GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+        |FROM m ORDER BY lag""".stripMargin,
     "q142_cusum" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
         |             CAST(floor(value * 1e6) AS BIGINT) AS vm FROM events),
