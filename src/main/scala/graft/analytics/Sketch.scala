@@ -246,6 +246,41 @@ object Sketch {
           .otherwise(rawEst), 4).as("est_distinct"))
   }
 
+  /** Bottom-k-by-hash quantile sketch — the fourth sketch family
+    * (cardinality KMV/HLL, frequency CountMin, join-size AMS F2, and
+    * now quantiles): a deterministic uniform sample of `k` rows — the
+    * ones whose md5-derived 60-bit row-key hash is smallest — and the
+    * exact interpolated quantiles OF THAT SAMPLE as the estimates.
+    * Bottom-k hash sampling is the classic coordinated-sampling
+    * primitive: a SET function of the row-key set (order/partition
+    * free), mergeable (the union's bottom-k is computable from parts'
+    * bottom-ks), and exactly replayable by any md5-capable engine —
+    * so the oracle gates the sampling AND the estimate, not a
+    * tolerance band.
+    *
+    * Plan shape: hashes ride a TakeOrdered(k) (bounded, per-partition
+    * top-k then one k-row merge — never a full sort), the ≤k sample
+    * joins back by hash (60-bit keys: collision-free in practice, and
+    * any collision only widens the sample by a row), and one aggregate
+    * computes the percentiles. Output: one row
+    * (n_sample, est_p050, est_p090, est_p099).
+    */
+  def bottomKQuantiles(df: DataFrame, idCol: String, value: Column, k: Int,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99), salt: String = "bks"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), "probs in [0,1]")
+    val hashed = df.select(
+      conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("__h"),
+      value.as("__v"))
+    val bottom = hashed.select("__h").orderBy("__h").limit(k)
+    val sample = hashed.join(broadcast(bottom), "__h")
+    val aggs = probs.map(p =>
+      round(expr(s"percentile(__v, $p)"), 6)
+        .as(f"est_p${math.round(p * 1000)}%03d"))
+    sample.agg(count(lit(1)).as("n_sample"), aggs: _*)
+  }
+
   /** Lossless union of CountMin sketches built with the same
     * depth/width/salt: cell-wise sum — the sketch of the concatenated
     * inputs, exactly (counts are linear).

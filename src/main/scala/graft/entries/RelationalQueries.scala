@@ -690,6 +690,20 @@ object RelationalQueries {
         "event_type", "time", "value", stepSeconds = 86400L)
         .orderBy("key", "bucket_us")),
 
+    // fourth sketch family: quantile estimation from a deterministic
+    // bottom-k-by-hash sample — the sampling AND the interpolated
+    // estimates replay exactly (no tolerance band), with the exact
+    // full-data quantiles alongside for the error story
+    "q148_quantile_sketch" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val est = graft.analytics.Sketch.bottomKQuantiles(e, "event_id", col("value"), k = 512)
+      val exact = e.agg(
+        round(expr("percentile(value, 0.5)"), 6).as("exact_p500"),
+        round(expr("percentile(value, 0.9)"), 6).as("exact_p900"),
+        round(expr("percentile(value, 0.99)"), 6).as("exact_p990"))
+      est.crossJoin(exact)
+    }),
+
     // lead-lag analysis: does signup volume lead purchase volume —
     // Pearson between dense daily count series at lags 0..3; counts
     // stay integers, one closed-form division per lag row
@@ -1140,6 +1154,21 @@ object RelationalQueries {
         |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
         |  END AS filled
         |FROM f ORDER BY key, bucket_us""".stripMargin,
+    "q148_quantile_sketch" ->
+      """WITH h AS (SELECT CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |             value AS v FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 512),
+        |s AS (SELECT v FROM h JOIN k USING (h)),
+        |est AS (SELECT count(*) AS n_sample,
+        |  round(quantile_cont(v, 0.5), 6) AS est_p500,
+        |  round(quantile_cont(v, 0.9), 6) AS est_p900,
+        |  round(quantile_cont(v, 0.99), 6) AS est_p990 FROM s),
+        |ex AS (SELECT round(quantile_cont(value, 0.5), 6) AS exact_p500,
+        |  round(quantile_cont(value, 0.9), 6) AS exact_p900,
+        |  round(quantile_cont(value, 0.99), 6) AS exact_p990 FROM events)
+        |SELECT CAST(n_sample AS BIGINT) AS n_sample, est_p500, est_p900, est_p990,
+        |  exact_p500, exact_p900, exact_p990
+        |FROM est, ex""".stripMargin,
     "q145_cross_corr" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type FROM events),
         |rng AS (SELECT min(d) AS lo, max(d) AS hi FROM e),

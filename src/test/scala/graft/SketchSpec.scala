@@ -119,6 +119,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  describe("bottom-k quantile sketch") {
+    it("is deterministic under shuffling and lands near the true quantiles") {
+      val rows = (1L to 20000L).map(i => (i, (i * 7919L % 9973L).toDouble))
+      val a = Sketch.bottomKQuantiles(rows.toDF("id", "v").repartition(1),
+        "id", col("v"), k = 1024).head()
+      val b = Sketch.bottomKQuantiles(
+        scala.util.Random.shuffle(rows).toDF("id", "v").repartition(17),
+        "id", col("v"), k = 1024).head()
+      assert(a === b)
+      assert(a.getAs[Long]("n_sample") === 1024L)
+      // v is ~uniform on [0, 9973): p50 ≈ 4986, p90 ≈ 8975; the
+      // md5-fixed sample makes the realized error deterministic, so a
+      // generous band (~4 sigma at k=1024) is a stable assertion
+      assert(math.abs(a.getAs[Double]("est_p500") - 4986.0) < 800.0)
+      assert(math.abs(a.getAs[Double]("est_p900") - 8975.0) < 500.0)
+    }
+  }
+
   describe("hyperloglog") {
     it("estimates large cardinality within HLL error bounds") {
       // p=8 -> m=256 registers, relative error ~1.04/sqrt(256) = 6.5%;
