@@ -309,6 +309,48 @@ class PlanAuditSpec extends SparkSpec {
       assert(bad === 0L)
     }
 
+    it("JL projection is a pure scan: zero exchanges") {
+      import graft.analytics.Similarity
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val p = plan(Similarity.jlProjectQuantized(emb, "vec_id", "embedding", outDim = 8))
+      assert(exchanges(p) == 0, p)
+    }
+
+    it("HLL condenses to registers before any shuffle, never a distinct over values") {
+      import graft.analytics.Sketch
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val toks = docs.select(explode(graft.analytics.TextAnalysis.tokens(col("text"))).as("v"))
+      val p = plan(Sketch.hllDistinct(toks, col("v")))
+      // bucket partial-agg + final single-row agg: two exchanges total,
+      // and no Expand (the multi-countDistinct shape this replaces)
+      assert(exchanges(p) <= 2, p)
+      assert(!p.contains("Expand"), p)
+    }
+
+    it("TF-IDF retrieval broadcasts the query side and cuts with the bounded aggregate") {
+      import graft.analytics.TextAnalysis
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val q = docs.filter(col("doc_id") % 101 === 0)
+      val p = plan(TextAnalysis.tfidfTopK(docs, "doc_id", "text", q, "doc_id", "text", k = 3))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // ONE nested-loop is legal: the broadcast of the one-row corpus
+      // count into idf (the bm25 stats-row shape); postings never meet
+      // each other through it
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+      assert(!p.contains("Window"), p) // the top-k cut is the aggregate, not a window
+    }
+
+    it("edit-distance confirmation stays candidate-bound: equi-joins only") {
+      import graft.analytics.Dedup
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 63, 21, 0.5)
+        .select("i", "j")
+      val p = plan(Dedup.editDistanceConfirm(pairs, docs, "doc_id", "text"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("levenshtein"), p) // the codegen'd built-in, not a UDF
+    }
+
     it("spearman composes two rankings stably (rank drift guard)") {
       import graft.analytics.Stats
       val events = Tables.table(spark, sf, "events")
