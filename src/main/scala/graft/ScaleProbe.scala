@@ -236,10 +236,12 @@ object ScaleProbe {
     val userOff = idRange.getLong(1) - math.min(idRange.getLong(0), 0L) + 1L
     val ev10 = (0 until 10).map(c =>
       ev1.select((col("user_id") + lit(c * userOff)).as("user_id"),
-        col("ts_us"), col("event_id"))).reduce(_ unionByName _)
+        col("ts_us"), col("event_id"), col("event_type"), col("value")))
+      .reduce(_ unionByName _)
       .repartition(64).cache()
     ev10.count()
-    for ((label, e) <- Seq("1x" -> ev1.select("user_id", "ts_us", "event_id"), "10x" -> ev10)) {
+    val evCols = Seq("user_id", "ts_us", "event_id", "event_type", "value")
+    for ((label, e) <- Seq("1x" -> ev1.select(evCols.map(col): _*), "10x" -> ev10)) {
       time(s"sessionize_$label") {
         Curation.sessionStats(e, "user_id", "ts_us", "event_id", 1800000000L).count()
       }
@@ -250,6 +252,23 @@ object ScaleProbe {
         graft.analytics.Layout.zorderBucketStats(e,
           pmod(col("user_id"), lit(1024L)),
           pmod(expr("ts_us div 3600000000"), lit(1024L)), prefixShift = 14).count()
+      }
+      // q137 shape: sessionize + one aggregation pass per funnel step —
+      // per-step joins are session-key equi-joins; expected ~linear
+      time(s"funnel_$label") {
+        Curation.sessionFunnel(e, "user_id", "ts_us", "event_id", "event_type",
+          gapUs = 1800000000L, steps = Seq("signup", "click", "purchase")).count()
+      }
+      // q138 shape: (user, day) distinct + min per user + one count per
+      // cohort cell — all map-side-combinable; expected ~linear
+      time(s"retention_$label") {
+        Curation.retentionCohorts(e, "user_id", "ts_us", maxOffsetDays = 7).count()
+      }
+      // q142 shape: one key shuffle + streaming windows + per-key argmax;
+      // the 5-key series grow 1x->10x rows each — expected ~linear
+      time(s"cusum_$label") {
+        graft.analytics.TimeSeries.cusumChangepoint(e,
+          "event_type", "ts_us", "event_id", "value").count()
       }
     }
     ev10.unpersist()

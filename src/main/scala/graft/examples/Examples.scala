@@ -89,4 +89,53 @@ object Examples {
     if (n > 0) ReferenceCsv.writeFile(fresh, outFile)
     n
   }
+
+  /** Example 5 (beyond the reference): the training-data curation
+    * pipeline as a user writes it — the composition every LLM-data team
+    * ships, in ~ten lines of public API:
+    *
+    *   1. exact-dedup the corpus (keep first occurrence);
+    *   2. near-dup sweep: MinHash candidates confirmed by edit
+    *      distance, drop the confirmed smaller-id twins;
+    *   3. model-quality filter (hashed-linear classifier keep set);
+    *   4. fill a token budget with the best-scoring survivors;
+    *   5. pack the selection into training chunks.
+    *
+    * Returns (selected docs with chunk ids, per-stage row counts) so
+    * the spec can assert the funnel narrows monotonically.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String,
+      tokenBudget: Long = 20000L): (DataFrame, Seq[(String, Long)]) = {
+    import graft.analytics.{Curation, Dedup, TextAnalysis}
+    val docs = Tables.table(spark, sfDir, "documents")
+
+    val survivors = Dedup.exactSurvivorIds(docs, Seq("text"), "doc_id")
+    val d1 = docs.join(survivors, "doc_id")
+
+    val candidates = Dedup.minHashLshPairs(d1, "doc_id", "text",
+      shingleN = 3, numHashes = 63, bands = 21, threshold = 0.5)
+    val confirmedDups = Dedup.editDistanceConfirm(
+        candidates.select("i", "j"), d1, "doc_id", "text", maxRatioPct = 20)
+      .filter(col("confirmed")).select(col("j").as("doc_id")).distinct()
+    val d2 = d1.join(confirmedDups, Seq("doc_id"), "left_anti")
+
+    val quality = TextAnalysis.hashedLinearQuality(d2, "doc_id", "text")
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val d3 = d2.select("doc_id", "source").join(quality, "doc_id")
+
+    val selected = Curation.budgetSelect(
+      d3.select(col("doc_id"), col("n_tokens"), col("score")),
+      Seq(col("score").desc, col("doc_id")), "n_tokens", budget = tokenBudget)
+
+    val packed = Curation.packChunks(
+      selected.join(d3.select("doc_id", "source"), "doc_id"),
+      Seq("source"), "doc_id", "n_tokens", budget = 2000L)
+
+    val counts = Seq(
+      "corpus" -> docs.count(), "exact_dedup" -> d1.count(),
+      "near_dedup" -> d2.count(), "quality" -> d3.count(),
+      "budget" -> selected.count())
+    (packed, counts)
+  }
 }

@@ -56,4 +56,17 @@ class ExamplesSpec extends SparkSpec {
     // advancing the watermark past the data exports nothing new
     assert(Examples.incrementalBackup(db, Instant.parse("2030-01-01T00:00:00Z"), out) == 0)
   }
+
+  it("example 5: the curation pipeline narrows monotonically and packs the selection") {
+    val (packed, counts) = Examples.curationPipeline(spark, sf, tokenBudget = 5000L)
+    val byStage = counts.toMap
+    assert(byStage("corpus") >= byStage("exact_dedup"))
+    assert(byStage("exact_dedup") >= byStage("near_dedup"))
+    assert(byStage("near_dedup") >= byStage("quality"))
+    assert(byStage("quality") >= byStage("budget"))
+    assert(byStage("budget") > 0)
+    // every selected doc landed in exactly one chunk
+    assert(packed.count() == byStage("budget"))
+    assert(packed.select("chunk_id").distinct().count() >= 1)
+  }
 }
