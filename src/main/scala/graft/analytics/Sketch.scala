@@ -23,6 +23,49 @@ final case class KmvBuf(items: Seq[Long])
   * probe short-circuits duplicates, which dominate once the sketch
   * saturates on heavy-hitter-skewed inputs.
   */
+/** One (row-key hash, value) observation for [[BottomKByHash]]. */
+final case class HashVal(h: Long, v: Double)
+
+/** Buffer/result of [[BottomKByHash]]: ≤ k observations with the
+  * smallest distinct hashes, hash-sorted at finish.
+  */
+final case class BkBuf(items: Seq[HashVal])
+
+/** Bottom-k-by-hash VALUE sample as an aggregate — the grouped form of
+  * the [[Sketch.bottomKQuantiles]] sampling primitive: per group, keep
+  * the `k` observations whose (unique) row-key hashes are smallest.
+  * A set function of the group's key set (order/partition free),
+  * losslessly mergeable, map-side bounded at k per partition — the
+  * "deterministic uniform sample per key" building block for per-key
+  * quantiles/means at any scale. Hash ties (only possible if row keys
+  * collide) keep the first-seen value; with 60-bit key hashes that is
+  * a non-event.
+  */
+final class BottomKByHash(k: Int) extends Aggregator[HashVal, BkBuf, BkBuf]
+    with Serializable {
+  require(k >= 1, "bottom-k needs k >= 1")
+
+  override def zero: BkBuf = BkBuf(Nil)
+
+  override def reduce(buf: BkBuf, x: HashVal): BkBuf =
+    if (buf.items.exists(_.h == x.h)) buf
+    else if (buf.items.size < k) BkBuf(x +: buf.items)
+    else {
+      val mx = buf.items.maxBy(_.h)
+      if (x.h < mx.h) BkBuf(x +: buf.items.filterNot(_.h == mx.h)) else buf
+    }
+
+  override def merge(a: BkBuf, b: BkBuf): BkBuf =
+    BkBuf((a.items ++ b.items).distinctBy(_.h).sortBy(_.h).take(k))
+
+  override def finish(buf: BkBuf): BkBuf = BkBuf(buf.items.sortBy(_.h))
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[BkBuf] =
+    Encoders.product[BkBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[BkBuf] =
+    Encoders.product[BkBuf]
+}
+
 final class MinKDistinct(k: Int) extends Aggregator[Long, KmvBuf, KmvBuf]
     with Serializable {
   require(k >= 1, "kmv needs k >= 1")
@@ -279,6 +322,31 @@ object Sketch {
       round(expr(s"percentile(__v, $p)"), 6)
         .as(f"est_p${math.round(p * 1000)}%03d"))
     sample.agg(count(lit(1)).as("n_sample"), aggs: _*)
+  }
+
+  /** Per-group quantile estimates from [[BottomKByHash]] samples —
+    * "p50/p90/p99 per service" at any scale: each group carries ≤ k
+    * sampled values through the aggregate (k·groups·partitions rows on
+    * the shuffle bound), then the ≤k-element samples explode and one
+    * small aggregate computes the interpolated quantiles per group.
+    * Deterministic end to end like [[bottomKQuantiles]]. Output:
+    * (group, n_sample, est_p###...).
+    */
+  def bottomKQuantilesByGroup(df: DataFrame, groupCol: String, idCol: String,
+      value: Column, k: Int, probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      salt: String = "bks"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val agg = udaf(new BottomKByHash(k), Encoders.product[HashVal])
+    val sampled = df.select(col(groupCol).as("group"),
+        conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        value.cast("double").as("v"))
+      .groupBy("group").agg(agg(col("h"), col("v")).as("sk"))
+    val aggs = probs.map(p =>
+      round(expr(s"percentile(__v, $p)"), 6).as(f"est_p${math.round(p * 1000)}%03d"))
+    sampled.select(col("group"), explode(col("sk.items.v")).as("__v"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_sample"), aggs: _*)
   }
 
   /** Lossless union of CountMin sketches built with the same

@@ -704,6 +704,15 @@ object RelationalQueries {
       est.crossJoin(exact)
     }),
 
+    // the GROUPED quantile sketch: per-type p50/p90/p99 from k=256
+    // bottom-k-by-hash samples riding a bounded aggregate — the
+    // "p99 per service" shape; deterministic like q148, per key
+    "q149_group_quantile_sketch" -> ((s, dir) =>
+      graft.analytics.Sketch.bottomKQuantilesByGroup(
+        Tables.events(s, dir).select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "event_id", col("value"), k = 256)
+        .orderBy("group")),
+
     // lead-lag analysis: does signup volume lead purchase volume —
     // Pearson between dense daily count series at lags 0..3; counts
     // stay integers, one closed-form division per lag row
@@ -1154,6 +1163,17 @@ object RelationalQueries {
         |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
         |  END AS filled
         |FROM f ORDER BY key, bucket_us""".stripMargin,
+    "q149_group_quantile_sketch" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |    value AS v FROM events),
+        |r AS (SELECT g, h, v, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        |s AS (SELECT g, v FROM r WHERE rn <= 256)
+        |SELECT g AS "group", CAST(count(*) AS BIGINT) AS n_sample,
+        |  round(quantile_cont(v, 0.5), 6) AS est_p500,
+        |  round(quantile_cont(v, 0.9), 6) AS est_p900,
+        |  round(quantile_cont(v, 0.99), 6) AS est_p990
+        |FROM s GROUP BY g ORDER BY "group"""".stripMargin,
     "q148_quantile_sketch" ->
       """WITH h AS (SELECT CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
         |             value AS v FROM events),

@@ -137,6 +137,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  describe("grouped bottom-k quantile sketch") {
+    it("matches the ungrouped sketch on a single group and is partition-invariant") {
+      val rows = (1L to 8000L).map(i => ("only", i, (i % 997L).toDouble))
+      val grouped = Sketch.bottomKQuantilesByGroup(
+        rows.toDF("g", "id", "v").repartition(13), "g", "id", col("v"), k = 512).head()
+      val flat = Sketch.bottomKQuantiles(
+        rows.map(r => (r._2, r._3)).toDF("id", "v"), "id", col("v"), k = 512).head()
+      assert(grouped.getAs[Long]("n_sample") === flat.getAs[Long]("n_sample"))
+      assert(grouped.getAs[Double]("est_p500") === flat.getAs[Double]("est_p500"))
+      assert(grouped.getAs[Double]("est_p990") === flat.getAs[Double]("est_p990"))
+    }
+
+    it("samples exactly k per group and under-k groups are exact") {
+      val rows = (1L to 1000L).map(i => (s"g${i % 2}", i, i.toDouble)) ++
+        Seq(("tiny", 5000L, 42.0), ("tiny", 5001L, 44.0))
+      val got = Sketch.bottomKQuantilesByGroup(
+        rows.toDF("g", "id", "v"), "g", "id", col("v"), k = 64)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("est_p500"))).toMap
+      assert(got("g0")._1 === 64L && got("g1")._1 === 64L)
+      assert(got("tiny") === ((2L, 43.0))) // below k: the sample IS the data
+    }
+  }
+
   describe("hyperloglog") {
     it("estimates large cardinality within HLL error bounds") {
       // p=8 -> m=256 registers, relative error ~1.04/sqrt(256) = 6.5%;
