@@ -87,6 +87,63 @@ object Stats {
             .cast("double"), 6).as("rho"))
   }
 
+  /** Equi-width histogram with a clamped overflow bin — the
+    * distribution-shape staple: bucket = min(floor((v−lo)/width),
+    * nBins−1), counts exact, cumulative counts over the ≤nBins result
+    * rows (the tiny window — never over data). Empty buckets are
+    * emitted with n = 0 so the shape is complete. Output:
+    * (bucket, lo_edge, hi_edge, n, cum_n).
+    */
+  def histogram(df: DataFrame, value: Column, lo: Double, width: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1 && width > 0, "nBins >= 1, width > 0")
+    val spark = df.sparkSession
+    val bucket = least(greatest(floor((value.cast("double") - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val counts = df.select(bucket.as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val all = spark.range(nBins).select(col("id").cast("int").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    all.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * width).as("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("cum_n", sum("n").over(w))
+  }
+
+  /** [[corrRegression]] per group — the per-series linear TREND table
+    * ("is each series drifting, and how fast"): identical micro-unit
+    * quantization and decimal moments, keyed by `groupCol`; one shuffle
+    * whose width is the group count, closed-form floats once per group
+    * row. Output: (group, n, corr, slope, intercept).
+    */
+  def corrRegressionByGroup(df: DataFrame, groupCol: String,
+      x: Column, y: Column): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val xi = floor(x.cast("double") * 1e6).cast("long")
+    val yi = floor(y.cast("double") * 1e6).cast("long")
+    val agg = df.select(col(groupCol).as("group"), xi.as("xi"), yi.as("yi"))
+      .filter(col("xi").isNotNull && col("yi").isNotNull)
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast(d380)).as("sx"),
+        sum(col("yi").cast(d380)).as("sy"),
+        sum(col("xi").cast(d380) * col("yi").cast(d380)).as("sxy"),
+        sum(col("xi").cast(d380) * col("xi").cast(d380)).as("sxx"),
+        sum(col("yi").cast(d380) * col("yi").cast(d380)).as("syy"))
+    val covN = (col("n").cast(d380) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (col("n").cast(d380) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (col("n").cast(d380) * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(col("group"), col("n"),
+      round(covN / sqrt(varXN * varYN), 6).as("corr"),
+      round(covN / varXN, 6).as("slope"),
+      round((col("sy").cast("double") - covN / varXN * col("sx").cast("double"))
+        / col("n").cast("double") / 1e6, 6).as("intercept"))
+  }
+
   /** Lagged cross-correlation of two integer-valued series on a shared
     * dense index — "does series A lead series B by k steps": for each
     * lag, Pearson over pairs (x_d, y_{d+lag}). The caller supplies

@@ -704,6 +704,27 @@ object RelationalQueries {
       est.crossJoin(exact)
     }),
 
+    // distribution shape: equi-width value histogram with a clamped
+    // overflow bin, empty bins emitted, exact cumulative counts
+    "q150_histogram" -> ((s, dir) =>
+      graft.analytics.Stats.histogram(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        col("value"), lo = 0.0, width = 25.0, nBins = 12)
+        .orderBy("bucket")),
+
+    // per-series linear TREND: slope/corr of value against event time
+    // (seconds) for every event_type — the drift monitor; same
+    // micro-unit + decimal-moment exactness as q123, keyed
+    // x = seconds since a FIXED epoch shift (2023-11-14): micro
+    // quantization then needs only ~1e12-scale integers, so the
+    // decimal-38 moment sums hold to 1e9-row groups — raw epoch
+    // seconds would overflow n·Σx² at ~1e4 rows/group
+    "q151_trend_by_series" -> ((s, dir) =>
+      graft.analytics.Stats.corrRegressionByGroup(
+        Tables.events(s, dir), "event_type",
+        expr("ts_us div 1000000 - 1700000000L"), col("value"))
+        .orderBy("group")),
+
     // the GROUPED quantile sketch: per-type p50/p90/p99 from k=256
     // bottom-k-by-hash samples riding a bounded aggregate — the
     // "p99 per service" shape; deterministic like q148, per key
@@ -1163,6 +1184,32 @@ object RelationalQueries {
         |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
         |  END AS filled
         |FROM f ORDER BY key, bucket_us""".stripMargin,
+    "q150_histogram" ->
+      """WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 11) AS INTEGER) AS bucket
+        |           FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+        |allb AS (SELECT CAST(unnest(range(0, 12)) AS INTEGER) AS bucket)
+        |SELECT a.bucket, 0.0 + a.bucket * 25.0 AS lo_edge, 0.0 + (a.bucket + 1) * 25.0 AS hi_edge,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |  CAST(sum(COALESCE(c.n, 0)) OVER (ORDER BY a.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |FROM allb a LEFT JOIN c USING (bucket) ORDER BY bucket""".stripMargin,
+    "q151_trend_by_series" ->
+      """WITH q AS (SELECT event_type AS g,
+        |    CAST(floor(CAST(epoch_us(ts) // 1000000 - 1700000000 AS DOUBLE) * 1e6) AS BIGINT) AS xi,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS yi
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |a AS (SELECT g, count(*) AS n,
+        |  sum(CAST(xi AS HUGEINT)) AS sx, sum(CAST(yi AS HUGEINT)) AS sy,
+        |  sum(CAST(xi AS HUGEINT) * yi) AS sxy,
+        |  sum(CAST(xi AS HUGEINT) * xi) AS sxx,
+        |  sum(CAST(yi AS HUGEINT) * yi) AS syy FROM q GROUP BY g)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+        |FROM a ORDER BY "group"""".stripMargin,
     "q149_group_quantile_sketch" ->
       """WITH h AS (SELECT event_type AS g,
         |    CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
