@@ -755,7 +755,24 @@ object CorpusQueries {
     // 3-grams appearing in no other doc; exact integer ratio per doc
     "q147_ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // video frame sampling (stub codec, REAL plumbing — the one-row-
+    // per-sampled-frame flatMap shape, integer timestamps, corrupt
+    // flag): every 2nd frame of deterministic GVID fixtures; the
+    // oracle replays the closed-form fixture contents
+    "q152_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0L until 9L).map { id =>
+        val fps = 10 + (id % 5).toInt * 5
+        val n = 5 + (id % 7).toInt
+        (id, Multimodal.encodeGvid(fps,
+          (0 until n).map(j => ((id * 31 + j * 17) % 256).toInt)))
+      } :+ ((9L, "not a video".getBytes("UTF-8")))
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      Multimodal.sampleVideoFrames(assets, "asset_id", "payload", stride = 2)
+        .orderBy("asset_id", "frame_idx")
+    })
   )
 
   /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
@@ -1534,6 +1551,18 @@ object CorpusQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, tid) AS rank FROM c)
         |SELECT g AS "group", term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
+    "q152_video_frames" ->
+      """WITH a AS (SELECT unnest(range(0, 9)) AS id),
+        |p AS (SELECT id, 10 + (id % 5) * 5 AS fps, 5 + id % 7 AS n FROM a),
+        |f AS (SELECT id, fps, unnest(range(0, n, 2)) AS j FROM p)
+        |SELECT * FROM (
+        |  SELECT id AS asset_id, true AS decode_ok, CAST(j AS INTEGER) AS frame_idx,
+        |    CAST(j * 1000 // fps AS BIGINT) AS ts_ms,
+        |    CAST((id * 31 + j * 17) % 256 AS INTEGER) AS luma
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 9, false, NULL, NULL, NULL)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     "q146_dedup_map" ->
       """WITH k AS (SELECT doc_id,
         |    array_to_string(list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:20], ' ') AS pfx

@@ -250,4 +250,73 @@ object Multimodal {
       .mapPartitions(decodeAudioBatch)
       .toDF()
   }
+
+  // ---- video frame sampling (STUB CODEC, real plumbing) ----
+  //
+  // The JDK ships no video codec and this container has no ffmpeg, so
+  // the DECODE here is a deterministic fake: the "GVID" fixture
+  // container (magic + fps + frame count + one packed luma per frame)
+  // stands in for a real demuxer, exactly the stub contract the image/
+  // audio tiers would use without their JDK codecs. Everything AROUND
+  // the codec is real and is what this op tests: payload pruning,
+  // per-partition batching, the one-row-PER-SAMPLED-FRAME output shape
+  // (frame sampling is a flatMap, unlike the 1:1 image/audio ops), the
+  // integer timestamp math, and the corrupt-payload failure flag.
+  // Swapping in a real demuxer means replacing parseGvid's body.
+
+  /** One sampled frame; a corrupt payload yields a single
+    * decode_ok = false row with null frame fields so the asset stays
+    * visible downstream.
+    */
+  final case class VideoFrame(asset_id: Long, decode_ok: Boolean,
+      frame_idx: Option[Int], ts_ms: Option[Long], luma: Option[Int])
+
+  /** Deterministic GVID fixture: "GVID" magic, unsigned-short fps and
+    * frame count, then one byte-packed luma (0-255) per frame.
+    */
+  def encodeGvid(fps: Int, lumas: Seq[Int]): Array[Byte] = {
+    require(fps > 0 && fps <= 0xffff && lumas.size <= 0xffff, "gvid bounds")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GVID".getBytes("US-ASCII"))
+    bos.write(fps >> 8); bos.write(fps & 0xff)
+    bos.write(lumas.size >> 8); bos.write(lumas.size & 0xff)
+    lumas.foreach(l => bos.write(l & 0xff))
+    bos.toByteArray
+  }
+
+  private def parseGvid(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+    if (bytes.length < 8 || new String(bytes.take(4), "US-ASCII") != "GVID") None
+    else {
+      val fps = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
+      val n = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+      if (fps == 0 || bytes.length < 8 + n) None
+      else Some((fps, Array.tabulate(n)(i => bytes(8 + i) & 0xff)))
+    }
+
+  /** Frame-sample every `stride`-th frame of each video asset: one
+    * output row per KEPT frame with its integer timestamp
+    * (frame·1000 div fps) and the stubbed per-frame feature. Batched
+    * per-partition flatMap — the demux cost amortizes per batch and a
+    * long asset fans out rows without buffering the whole frame set
+    * anywhere (the iterator is lazy per asset).
+    */
+  def sampleVideoFrames(assets: DataFrame, idCol: String, payloadCol: String,
+      stride: Int): DataFrame = {
+    require(stride >= 1, "stride >= 1")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseGvid(bytes) match {
+          case Some((fps, lumas)) =>
+            (0 until lumas.length by stride).iterator.map(i =>
+              VideoFrame(id, decode_ok = true, Some(i),
+                Some(i.toLong * 1000L / fps), Some(lumas(i))))
+          case None =>
+            Iterator.single(VideoFrame(id, decode_ok = false, None, None, None))
+        }
+      })
+      .toDF()
+  }
 }

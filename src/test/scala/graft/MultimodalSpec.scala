@@ -120,4 +120,29 @@ class MultimodalSpec extends SparkSpec {
       assert(joined.count() == 6 && joined.columns.contains("width"))
     }
   }
+
+  describe("video frame sampling (stub codec, real plumbing)") {
+    it("samples every stride-th frame with integer timestamps") {
+      val assets = Seq(
+        (1L, Multimodal.encodeGvid(fps = 25, lumas = Seq(10, 20, 30, 40, 50))),
+        (2L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload")
+      val got = Multimodal.sampleVideoFrames(assets, "asset_id", "payload", stride = 2)
+        .orderBy("asset_id", "frame_idx").collect()
+      val ok = got.filter(_.getBoolean(1))
+      assert(ok.map(r => (r.getInt(2), r.getLong(3), r.getInt(4))).toSeq ===
+        Seq((0, 0L, 10), (2, 80L, 30), (4, 160L, 50)))
+      val bad = got.filter(!_.getBoolean(1))
+      assert(bad.map(_.getLong(0)).toSeq === Seq(2L) && bad.head.isNullAt(2))
+    }
+
+    it("round-trips the GVID fixture exactly at stride 1") {
+      val lumas = (0 until 300).map(i => (i * 7) % 256)
+      val assets = Seq((7L, Multimodal.encodeGvid(30, lumas))).toDF("asset_id", "payload")
+      val got = Multimodal.sampleVideoFrames(assets, "asset_id", "payload", stride = 1)
+        .orderBy("frame_idx").collect()
+      assert(got.length === 300)
+      assert(got.map(_.getInt(4)).toSeq === lumas)
+      assert(got(299).getLong(3) === 299L * 1000L / 30L)
+    }
+  }
 }
