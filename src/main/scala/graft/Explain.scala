@@ -207,6 +207,26 @@ object Explain {
       SparkEntry.queries("q134_dedup_confirm")(spark, sfDir)
     }
 
+    section("q137 session funnel (round 8)",
+      "Sessionize (one key shuffle) then one aggregation pass per funnel " +
+        "step — session-key equi-joins carry the prior stage times; no " +
+        "per-session collect, no UDF ordering.") {
+      SparkEntry.queries("q137_funnel")(spark, sfDir)
+    }
+
+    section("q148 bottom-k quantile sketch (round 8)",
+      "Hashes ride a TakeOrdered(k) (per-partition top-k, one k-row " +
+        "merge — never a full sort); the sample joins back by broadcast " +
+        "and one aggregate computes the percentiles.") {
+      SparkEntry.queries("q148_quantile_sketch")(spark, sfDir)
+    }
+
+    section("q151 per-series trend (round 8)",
+      "One groupBy carrying six decimal moments per key — shuffle width " +
+        "is the group count; the closed-form floats run once per group row.") {
+      SparkEntry.queries("q151_trend_by_series")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")
