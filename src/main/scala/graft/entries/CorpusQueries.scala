@@ -772,6 +772,23 @@ object CorpusQueries {
       val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
       Multimodal.sampleVideoFrames(assets, "asset_id", "payload", stride = 2)
         .orderBy("asset_id", "frame_idx")
+    }),
+
+    // REAL image resize (decode -> integer nearest-neighbor remap ->
+    // re-encode): the thumbnail pre-pass; solid-color fixtures make
+    // the output pixels closed-form, so the oracle pins dims AND
+    // pixel values, and the re-encoded payload round-trips (suite)
+    "q153_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0L until 9L).map { id =>
+        val kind = (id % 3) match { case 0 => "rgb"; case 1 => "argb"; case _ => "gray" }
+        val gray = ((id * 17) % 256).toInt
+        (id, Multimodal.encodePng(3 + id.toInt, 5 + 2 * id.toInt, gray * 0x010101, kind))
+      } :+ ((9L, "not an image".getBytes("UTF-8")))
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      Multimodal.resizeImages(assets, "asset_id", "payload", outW = 4, outH = 6)
+        .select("asset_id", "decode_ok", "out_width", "out_height", "px_00", "px_center")
+        .orderBy("asset_id")
     })
   )
 
@@ -1551,6 +1568,19 @@ object CorpusQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, tid) AS rank FROM c)
         |SELECT g AS "group", term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
+    // solid-color fixtures: every pixel of the resize equals the
+    // fixture color g*0x010101 (g = id*17 mod 256)
+    "q153_image_resize" ->
+      """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
+        |  CAST(out_width AS INTEGER) AS out_width, CAST(out_height AS INTEGER) AS out_height,
+        |  CAST(px AS INTEGER) AS px_00, CAST(px AS INTEGER) AS px_center
+        |FROM (
+        |  SELECT id AS asset_id, true AS decode_ok, 4 AS out_width, 6 AS out_height,
+        |    ((id * 17) % 256) * 65793 AS px
+        |  FROM (SELECT unnest(range(0, 9)) AS id)
+        |  UNION ALL
+        |  SELECT 9, false, NULL, NULL, NULL)
+        |ORDER BY asset_id""".stripMargin,
     "q152_video_frames" ->
       """WITH a AS (SELECT unnest(range(0, 9)) AS id),
         |p AS (SELECT id, 10 + (id % 5) * 5 AS fps, 5 + id % 7 AS n FROM a),

@@ -251,6 +251,63 @@ object Multimodal {
       .toDF()
   }
 
+  /** A resized image: the re-encoded PNG payload plus its verified
+    * dimensions and a deterministic corner/center pixel probe (packed
+    * RGB) — integer evidence an oracle can state in closed form for
+    * solid-color fixtures.
+    */
+  final case class ResizedImage(asset_id: Long, decode_ok: Boolean,
+      out_width: Option[Int], out_height: Option[Int],
+      px_00: Option[Int], px_center: Option[Int], payload: Array[Byte])
+
+  /** REAL image resize — decode via `javax.imageio`, NEAREST-NEIGHBOR
+    * resample by explicit integer pixel mapping
+    * (src = (dst·srcDim) div dstDim — pure int math, no rendering
+    * pipeline, so the output pixels are bit-deterministic on any JVM),
+    * re-encode as PNG. The thumbnail/normalize pre-pass of a
+    * multimodal pipeline, batched per partition like the other decode
+    * tiers; corrupt payloads flip the flag and carry an empty payload.
+    */
+  def resizeImages(assets: DataFrame, idCol: String, payloadCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "output dims >= 1")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) ResizedImage(id, decode_ok = false, None, None, None, None, Array.emptyByteArray)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val out = new java.awt.image.BufferedImage(outW, outH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              val sy = (y * h) / outH
+              var x = 0
+              while (x < outW) {
+                out.setRGB(x, y, img.getRGB((x * w) / outW, sy) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(id, decode_ok = true, Some(outW), Some(outH),
+              Some(out.getRGB(0, 0) & 0xffffff),
+              Some(out.getRGB(outW / 2, outH / 2) & 0xffffff),
+              bos.toByteArray)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ResizedImage(id, decode_ok = false, None, None, None, None, Array.emptyByteArray)
+        }
+      })
+      .toDF()
+  }
+
   // ---- video frame sampling (STUB CODEC, real plumbing) ----
   //
   // The JDK ships no video codec and this container has no ffmpeg, so

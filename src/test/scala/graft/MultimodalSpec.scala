@@ -121,6 +121,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  describe("image resize (real decode, integer nearest-neighbor)") {
+    it("maps pixels by integer coordinates and re-encodes a decodable PNG") {
+      // a 4x4 image, left half red, right half blue: nearest-neighbor
+      // to 2x2 must sample pixels (0,0),(2,0),(0,2),(2,2) exactly
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val assets = Seq((1L, bos.toByteArray), (2L, Array[Byte](9, 9)))
+        .toDF("asset_id", "payload")
+      val rows = Multimodal.resizeImages(assets, "asset_id", "payload", 2, 2)
+        .orderBy("asset_id").collect()
+      assert(rows(0).getBoolean(1))
+      assert(rows(0).getInt(4) === 0xff0000)  // px_00 = red
+      assert(rows(0).getInt(5) === 0x0000ff)  // px_center = (1,1) -> src (2,2) = blue
+      // the re-encoded payload decodes with the normal image tier
+      val rt = Multimodal.decodeImageFeatures(
+        Seq((1L, rows(0).getAs[Array[Byte]]("payload"))).toDF("asset_id", "payload"),
+        "asset_id", "payload").head()
+      assert(rt.getAs[Boolean]("decode_ok") && rt.getAs[Int]("width") === 2)
+      assert(!rows(1).getBoolean(1)) // corrupt flagged, not fatal
+    }
+  }
+
   describe("video frame sampling (stub codec, real plumbing)") {
     it("samples every stride-th frame with integer timestamps") {
       val assets = Seq(
