@@ -356,6 +356,49 @@ object Sketch {
   def mergeCountMin(sketches: DataFrame): DataFrame =
     sketches.groupBy("j", "p").agg(sum("c").as("c"))
 
+  /** Lossless union of HLL register tables built with the same p/salt:
+    * register-wise max — exactly the register table of the concatenated
+    * inputs (max is idempotent and commutative), so per-slice register
+    * tables roll up through [[hllEstimate]] with zero loss.
+    */
+  def mergeHllRegisters(registers: DataFrame): DataFrame =
+    registers.groupBy("b").agg(max("r").cast("int").as("r"))
+
+  /** Per-group HLL cardinality table — the grouped sibling of
+    * [[hllDistinct]] (and of the KMV q132 shape): ≤ m register rows
+    * per (group, partition) on the shuffle, one estimate row per
+    * group. Output: (group, n_zero_regs, z_scaled, est_distinct).
+    */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, value: Column,
+      p: Int = 8, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, "hll precision p in [4,16]")
+    val m = 1 << p
+    val maxRank = 32 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sufBits = 32 - p
+    val h = hash32(value, salt)
+    val rem = h.bitwiseAND(lit((1L << sufBits) - 1L))
+    val rank = lit(sufBits + 1) -
+      when(rem === 0L, lit(0)).otherwise(length(bin(rem)))
+    val regs = df.select(col(groupCol).as("group"),
+        shiftright(h, sufBits).as("b"), rank.as("r"))
+      .groupBy("group", "b").agg(max("r").cast("int").as("r"))
+    val rawEst = lit(alpha * m * m) * lit(math.pow(2.0, maxRank)) /
+      col("z_scaled").cast("double")
+    regs.groupBy("group")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(1L, $maxRank - r)")).as("z_nonzero"))
+      .select(col("group"),
+        (lit(m) - col("n_regs")).cast("long").as("n_zero_regs"),
+        (col("z_nonzero") + (lit(m.toLong) - col("n_regs")) * (1L << maxRank))
+          .as("z_scaled"))
+      .select(col("group"), col("n_zero_regs"), col("z_scaled"),
+        round(
+          when(col("n_zero_regs") > 0 && rawEst <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs").cast("double")))
+          .otherwise(rawEst), 4).as("est_distinct"))
+  }
+
   /** Lossless union of per-slice sketches built with the same k/salt:
     * distinct-merge the item arrays and keep the k smallest — the
     * exact sketch of the concatenated inputs.

@@ -704,6 +704,40 @@ object RelationalQueries {
       est.crossJoin(exact)
     }),
 
+    // the quantile sketch MAINTAINS ITSELF over the stream (the
+    // BottomKByHash aggregate in Complete mode) and must land
+    // sample-identical to the batch sketch — the fourth streamed
+    // sketch (KMV q112, CountMin q126, HLL q131, quantiles here)
+    "q154_stream_quantile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val k = 512
+      val agg = udaf(new graft.analytics.BottomKByHash(k),
+        org.apache.spark.sql.Encoders.product[graft.analytics.HashVal])
+      val stream = StreamingIngest.eventsStream(s, dir)
+        .select(
+          conv(substring(md5(concat(lit("bks:"), col("event_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          col("value").cast("double").as("v"))
+      val sk = stream.agg(agg(col("h"), col("v")).as("sk"))
+      val done = StreamingIngest.runToTable(sk, "q154_sink", OutputMode.Complete())
+      done.select(explode(col("sk.items.v")).as("__v"))
+        .agg(count(lit(1)).as("n_sample"),
+          round(expr("percentile(__v, 0.5)"), 6).as("est_p500"),
+          round(expr("percentile(__v, 0.9)"), 6).as("est_p900"),
+          round(expr("percentile(__v, 0.99)"), 6).as("est_p990"))
+    }),
+
+    // per-slice HLL cardinality table — the grouped sibling of q121
+    // (and the HLL counterpart of the KMV slice table q132)
+    "q155_hll_by_slice" -> ((s, dir) =>
+      graft.analytics.Sketch.hllDistinctByGroup(
+        Tables.events(s, dir).select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("ts_us div 86400000000").cast("string")).as("v")),
+        "event_type", col("v"), p = 8)
+        .orderBy("group")),
+
     // distribution shape: equi-width value histogram with a clamped
     // overflow bin, empty bins emitted, exact cumulative counts
     "q150_histogram" -> ((s, dir) =>
@@ -1184,6 +1218,36 @@ object RelationalQueries {
         |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
         |  END AS filled
         |FROM f ORDER BY key, bucket_us""".stripMargin,
+    // identical to q148's estimate CTE by construction: the streamed
+    // sample must equal the batch bottom-k sample
+    "q154_stream_quantile_sketch" ->
+      """WITH h AS (SELECT CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |             value AS v FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 512),
+        |s AS (SELECT v FROM h JOIN k USING (h))
+        |SELECT CAST(count(*) AS BIGINT) AS n_sample,
+        |  round(quantile_cont(v, 0.5), 6) AS est_p500,
+        |  round(quantile_cont(v, 0.9), 6) AS est_p900,
+        |  round(quantile_cont(v, 0.99), 6) AS est_p990
+        |FROM s""".stripMargin,
+    "q155_hll_by_slice" ->
+      """WITH h AS (SELECT event_type AS g, CAST('0x' || substring(md5(
+        |    'hll:' || CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM events),
+        |br AS (SELECT g, h // 16777216 AS b, h % 16777216 AS rem FROM h),
+        |regs AS (SELECT g, b, max(25 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS r
+        |         FROM br GROUP BY 1, 2),
+        |a AS (SELECT g, 256 - count(*) AS n_zero_regs,
+        |  CAST(sum(1::BIGINT << (25 - r)) + (256 - count(*)) * 33554432 AS BIGINT) AS z_scaled
+        |  FROM regs GROUP BY g)
+        |SELECT g AS "group", CAST(n_zero_regs AS BIGINT) AS n_zero_regs, z_scaled,
+        |  round(CASE WHEN n_zero_regs > 0 AND
+        |      (0.7213/(1 + 1.079/256)) * 256 * 256 * 33554432.0 / z_scaled <= 640.0
+        |    THEN 256.0 * ln(256.0 / n_zero_regs)
+        |    ELSE (0.7213/(1 + 1.079/256)) * 256 * 256 * 33554432.0 / z_scaled
+        |    END, 4) AS est_distinct
+        |FROM a ORDER BY "group"""".stripMargin,
     "q150_histogram" ->
       """WITH b AS (SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 11) AS INTEGER) AS bucket
         |           FROM events WHERE value IS NOT NULL),

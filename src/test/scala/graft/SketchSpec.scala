@@ -160,6 +160,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  describe("hll merge and grouping") {
+    it("merged per-slice registers estimate exactly what the whole estimates") {
+      val left = (1L to 3000L).toDF("v")
+      val right = (2000L to 5000L).toDF("v")
+      val whole = Sketch.hllDistinct(left.union(right), col("v")).head()
+      val merged = Sketch.hllEstimate(Sketch.mergeHllRegisters(
+        Sketch.hllRegisters(left, col("v"))
+          .union(Sketch.hllRegisters(right, col("v"))))).head()
+      assert(whole === merged)
+    }
+
+    it("the grouped form matches the global sketch per group") {
+      val rows = (1L to 4000L).map(i => (s"g${i % 3}", i))
+      val grouped = Sketch.hllDistinctByGroup(rows.toDF("g", "v").repartition(7),
+        "g", col("v")).collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+      for (g <- Seq("g0", "g1", "g2")) {
+        val solo = Sketch.hllDistinct(
+          rows.filter(_._1 == g).map(_._2).toDF("v"), col("v"))
+          .head().getAs[Double]("est_distinct")
+        assert(grouped(g) === solo, s"group $g")
+      }
+    }
+  }
+
   describe("hyperloglog") {
     it("estimates large cardinality within HLL error bounds") {
       // p=8 -> m=256 registers, relative error ~1.04/sqrt(256) = 6.5%;
