@@ -45,26 +45,38 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .distinct()
-    // both directions once, cached: every iteration re-reads this
+    // both directions once, CACHED: every iteration (and the degree
+    // computation) re-reads this — without the persist each round would
+    // re-execute the full upstream plan (for q122 that upstream is the
+    // MinHash LSH banding join, once per round)
     val dir = und.select(col("u"), col("v"))
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-    val deg = dir.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-    var pr = deg.withColumn("pr", lit(1000000L))
-    for (round <- 1 to iterations) {
-      // truncate lineage on long runs the same way connectedComponents
-      // does — plan depth stays bounded, integer values are unaffected
-      if (round % 5 == 0) pr = pr.localCheckpoint(eager = false)
-      // contribution of j to each neighbor: pr(j) div deg(j) — the
-      // integer share; join edges (u=j) → route to v, sum per v
-      val contrib = pr.select(col("id").as("u"),
-          expr("pr div deg").as("share"))
-        .join(dir, "u")
-        .groupBy(col("v").as("id")).agg(sum("share").as("inflow"))
-      pr = deg.join(contrib, Seq("id"), "left")
-        .select(col("id"), col("deg"),
-          (lit(base) + expr(s"${dampingPct}L * coalesce(inflow, 0L) div 100"))
-            .as("pr"))
+      .persist()
+    try {
+      val deg = dir.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      var pr = deg.withColumn("pr", lit(1000000L))
+      for (round <- 1 to iterations) {
+        // truncate lineage on long runs the same way connectedComponents
+        // does — plan depth stays bounded, integer values are unaffected
+        if (round % 5 == 0) pr = pr.localCheckpoint(eager = false)
+        // contribution of j to each neighbor: pr(j) div deg(j) — the
+        // integer share; join edges (u=j) → route to v, sum per v
+        val contrib = pr.select(col("id").as("u"),
+            expr("pr div deg").as("share"))
+          .join(dir, "u")
+          .groupBy(col("v").as("id")).agg(sum("share").as("inflow"))
+        pr = deg.join(contrib, Seq("id"), "left")
+          .select(col("id"), col("deg"),
+            (lit(base) + expr(s"${dampingPct}L * coalesce(inflow, 0L) div 100"))
+              .as("pr"))
+      }
+      // materialize the final ranks (one row per node — executor-side
+      // blocks, never the driver) so unpersisting the edge cache below
+      // cannot force a from-scratch recompute when the caller acts
+      pr.select(col("id"), col("pr").as("pr_micro"))
+        .localCheckpoint(eager = true)
+    } finally {
+      dir.unpersist(blocking = false)
     }
-    pr.select(col("id"), col("pr").as("pr_micro"))
   }
 }

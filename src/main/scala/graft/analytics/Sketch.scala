@@ -269,8 +269,16 @@ object Sketch {
   def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
     val m = 1 << p
     val maxRank = 32 - p + 1
-    // alpha_m for m >= 128 (Flajolet et al. 2007)
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // alpha_m per Flajolet et al. 2007: the closed form is only valid
+    // for m >= 128 (p >= 7); the small-m constants below are the
+    // paper's tabulated values — without them p=4/5/6 estimates carry
+    // up to ~7% bias beyond the correction range
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     // every empty bucket contributes rank 0 → 2^maxRank scaled; count
     // them from the register count rather than generating m rows
     val rawEst = lit(alpha * m * m) * lit(math.pow(2.0, maxRank)) /
@@ -316,7 +324,14 @@ object Sketch {
       conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
         .cast("long").as("__h"),
       value.as("__v"))
-    val bottom = hashed.select("__h").orderBy("__h").limit(k)
+    // DISTINCT before the limit: duplicate ids hash identically, and
+    // without the dedup the bottom-k rows could cover < k distinct
+    // keys (and the join back would fan out inconsistently with the
+    // deduping BottomKByHash aggregator used by the grouped/streaming
+    // variants). With distinct hashes the sample is exactly "all rows
+    // whose key-hash is among the k smallest distinct hashes" — still
+    // a set function of the row-key set.
+    val bottom = hashed.select("__h").distinct().orderBy("__h").limit(k)
     val sample = hashed.join(broadcast(bottom), "__h")
     val aggs = probs.map(p =>
       round(expr(s"percentile(__v, $p)"), 6)

@@ -87,12 +87,16 @@ object Stats {
             .cast("double"), 6).as("rho"))
   }
 
-  /** Equi-width histogram with a clamped overflow bin — the
-    * distribution-shape staple: bucket = min(floor((v−lo)/width),
-    * nBins−1), counts exact, cumulative counts over the ≤nBins result
-    * rows (the tiny window — never over data). Empty buckets are
-    * emitted with n = 0 so the shape is complete. Output:
-    * (bucket, lo_edge, hi_edge, n, cum_n).
+  /** Equi-width histogram with CLAMPED overflow AND underflow bins —
+    * the distribution-shape staple: bucket = clamp(floor((v−lo)/width),
+    * 0, nBins−1), counts exact, cumulative counts over the ≤nBins
+    * result rows (the tiny window — never over data). BOTH tails clamp:
+    * values ≥ lo + nBins·width land in bucket nBins−1, and values
+    * BELOW `lo` land in bucket 0 — so the first bin's count includes
+    * any underflow, mirroring the last bin's overflow (callers who
+    * want open tails should pre-filter to [lo, lo + nBins·width)).
+    * Empty buckets are emitted with n = 0 so the shape is complete.
+    * Output: (bucket, lo_edge, hi_edge, n, cum_n).
     */
   def histogram(df: DataFrame, value: Column, lo: Double, width: Double,
       nBins: Int): DataFrame = {

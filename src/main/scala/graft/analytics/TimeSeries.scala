@@ -57,6 +57,16 @@ object TimeSeries {
     * midpoint is one IEEE add + halve: bit-identical on any engine.
     * (For percentile-of-stream at corpus scale use the sketch tier;
     * this is the exact small-window primitive.)
+    *
+    * NULL CONTRACT: the median is taken over the NON-NULL values of
+    * the frame — `collect_list` drops nulls, and `n` is the size of
+    * that null-free list, so a frame of `nRows` rows with k nulls
+    * yields the median of the remaining `nRows − k` values (an
+    * all-null frame yields an empty list and a null median). Engines
+    * whose list aggregation KEEPS nulls (e.g. DuckDB's `list()`)
+    * diverge on nullable inputs — when replaying against such an
+    * oracle, pre-filter nulls on both sides or feed a non-null
+    * column. The q125 gate feeds a non-null fixture by construction.
     */
   def rollingMedian(df: DataFrame, keyCol: String, orderCols: Seq[Column],
       valueCol: String, nRows: Int): DataFrame = {

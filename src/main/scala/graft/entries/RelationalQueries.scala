@@ -1223,7 +1223,7 @@ object RelationalQueries {
     "q154_stream_quantile_sketch" ->
       """WITH h AS (SELECT CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
         |             value AS v FROM events),
-        |k AS (SELECT h FROM h ORDER BY h LIMIT 512),
+        |k AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT 512),
         |s AS (SELECT v FROM h JOIN k USING (h))
         |SELECT CAST(count(*) AS BIGINT) AS n_sample,
         |  round(quantile_cont(v, 0.5), 6) AS est_p500,
@@ -1288,7 +1288,7 @@ object RelationalQueries {
     "q148_quantile_sketch" ->
       """WITH h AS (SELECT CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
         |             value AS v FROM events),
-        |k AS (SELECT h FROM h ORDER BY h LIMIT 512),
+        |k AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT 512),
         |s AS (SELECT v FROM h JOIN k USING (h)),
         |est AS (SELECT count(*) AS n_sample,
         |  round(quantile_cont(v, 0.5), 6) AS est_p500,
