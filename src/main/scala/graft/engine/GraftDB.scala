@@ -147,11 +147,20 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
       // bisect returns [] without touching a single point).
       GraftDB.emptyLocal(spark)
     case Some(IndexState(idf, layout, _, _, _)) =>
+      // complete layout: maps are rebuilt from the slot columns (the
+      // view doesn't store them). Incomplete (cardinality-capped)
+      // layout: the view KEPT the map columns — pass them through,
+      // since the slots cover only the hot keys.
+      val (tagsOut, fieldsOut) =
+        if (layout.complete)
+          (GraftDB.rebuildMap(layout.tagSlots, "__tv_", "__tp_", "string"),
+            GraftDB.rebuildMap(layout.fieldSlots, "__fv_", "__fp_", "double"))
+        else (col(Point.TagsCol), col(Point.FieldsCol))
       idf.filter(cond(q)).select(
         col(Point.TimeCol),
         col(Point.MeasurementCol),
-        GraftDB.rebuildMap(layout.tagSlots, "__tv_", "__tp_", "string").as(Point.TagsCol),
-        GraftDB.rebuildMap(layout.fieldSlots, "__fv_", "__fp_", "double").as(Point.FieldsCol),
+        tagsOut.as(Point.TagsCol),
+        fieldsOut.as(Point.FieldsCol),
         col(Point.SeqCol))
   }
 
@@ -327,10 +336,17 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     val hi = stats.getTimestamp(1).toInstant
     val inOrder = st.timeBounds.forall { case (_, oldHi) => !lo.isBefore(oldHi) }
     if (!inOrder) return false
-    val newTagKeys = stats.getSeq[String](3)
-      .filterNot(st.layout.tagSlots.contains).sorted
-    val newFieldKeys = stats.getSeq[String](4)
-      .filterNot(st.layout.fieldSlots.contains).sorted
+    // Incomplete (cardinality-capped) layout: brand-new keys do NOT
+    // earn slots — they are cold by definition and the compiler's map
+    // fallback covers them (the view kept the map columns). A complete
+    // layout must extend, or the new keys would wrongly compile to
+    // constant-absent.
+    val newTagKeys =
+      if (!st.layout.complete) Nil
+      else stats.getSeq[String](3).filterNot(st.layout.tagSlots.contains).sorted
+    val newFieldKeys =
+      if (!st.layout.complete) Nil
+      else stats.getSeq[String](4).filterNot(st.layout.fieldSlots.contains).sorted
     val tagSlots = st.layout.tagSlots ++
       newTagKeys.zipWithIndex.map { case (k, i) => k -> (st.layout.tagSlots.size + i) }
     val fieldSlots = st.layout.fieldSlots ++
@@ -351,7 +367,8 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
         map_contains_key(col(Point.TagsCol), k).as(s"__tp_$i")) } ++
       fieldSlots.toSeq.sortBy(_._2).flatMap { case (k, i) => Seq(
         element_at(col(Point.FieldsCol), k).as(s"__fv_$i"),
-        map_contains_key(col(Point.FieldsCol), k).as(s"__fp_$i")) }
+        map_contains_key(col(Point.FieldsCol), k).as(s"__fp_$i")) } ++
+      (if (st.layout.complete) Nil else Seq(col(Point.TagsCol), col(Point.FieldsCol)))
     // time-sorted within partitions so cached-batch min/max stats prune
     // inside the delta too; no repartition — an append stays O(batch)
     val deltaView = delta.select(deltaCols: _*)
@@ -359,7 +376,7 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     deltaView.count() // materialize NOW, while the batch plan is current
     indexedState = Some(IndexState(
       oldExtended.unionByName(deltaView),
-      IndexedLayout(tagSlots, fieldSlots, complete = true),
+      IndexedLayout(tagSlots, fieldSlots, complete = st.layout.complete),
       Some((st.timeBounds.fold(lo)(_._1), hi)),
       st.cached :+ deltaView,
       // patches stack UNDER the union — carry the count so interleaved
@@ -419,7 +436,12 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
       q: Q, time: Option[Instant], measurement: Option[String],
       tags: Map[String, String], fields: Map[String, Double],
       unsetTags: Seq[String], unsetFields: Seq[String]): Unit = indexedState match {
-    case Some(st) if st.patches < MaxIndexPatches =>
+    // complete layouts only: an incomplete (cardinality-capped) view
+    // retains the raw map columns for the cold tail, and a slot-only
+    // patch would leave those maps stale — invalidate instead (the
+    // reference's own update path fully rebuilds too,
+    // database.py:1583-1591; auto_index re-reads on next search).
+    case Some(st) if st.patches < MaxIndexPatches && st.layout.complete =>
       val newTagKeys = tags.keys.filterNot(st.layout.tagSlots.contains).toSeq.sorted
       val newFieldKeys = fields.keys.filterNot(st.layout.fieldSlots.contains).toSeq.sorted
       val tagSlots = st.layout.tagSlots ++
@@ -687,6 +709,14 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     */
   def indexValid: Boolean = indexedState.isDefined
 
+  /** Index-shape observability (and the cardinality-guard audit hooks):
+    * width of the live cached view in columns, and whether the layout
+    * columnarized EVERY key (false ⇒ the cap kicked in and the cold
+    * tail rides map access).
+    */
+  def indexColumnCount: Option[Int] = indexedState.map(_.view.columns.length)
+  def indexComplete: Option[Boolean] = indexedState.map(_.layout.complete)
+
   /** Precompiled query — the analogue of the reference holding a
     * compiled query object and re-running it against its index
     * (queries.py:471-504 SimpleQuery). The returned DataFrame memoizes
@@ -714,28 +744,50 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
   def reindex(): Unit = {
     invalidateIndex()
     // ONE key-discovery job for both universes (was two explode+distinct
-    // jobs): kind-tagged keys explode together, one distinct shuffle —
+    // jobs): kind-tagged keys explode together, one grouped shuffle —
     // the scalable shape (per-row arrays never accumulate in one
     // buffer, unlike a collect_list agg), half the build's job count.
+    // The count per key is free on the same shuffle (partial agg) and
+    // feeds the cardinality guard below.
     val keyRows = df.select(explode(concat(
         transform(map_keys(col(Point.TagsCol)), k => struct(lit("t").as("kind"), k.as("k"))),
         transform(map_keys(col(Point.FieldsCol)), k => struct(lit("f").as("kind"), k.as("k")))))
         .as("e"))
-      .select(col("e.kind"), col("e.k")).distinct().collect()
-    val tagKeys = keyRows.filter(_.getString(0) == "t").map(_.getString(1)).sorted.toSeq
-    val fieldKeys = keyRows.filter(_.getString(0) == "f").map(_.getString(1)).sorted.toSeq
-    // Primitives-only cache: the map columns are NOT stored — the slots
-    // cover every key (layout is complete), and filterPlan rebuilds the
-    // maps for matched rows. Cached batches hold only atomic columns,
-    // so scans never pay per-row map materialization and the cache is
-    // roughly half the size.
+      .select(col("e.kind"), col("e.k"))
+      .groupBy("kind", "k").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // CARDINALITY GUARD: every columnarized key costs two flat columns
+    // in the cached view, and a schemaless store that drifted to 10k+
+    // distinct keys would otherwise build a 20k-column plan — Catalyst
+    // analysis blowup before any data moves (the reference's dict index
+    // is cardinality-proof, index.py:112-114; this is our equivalent).
+    // Above the cap, only the hottest keys by row frequency get slots;
+    // the cold tail compiles through map access (IndexedLayout
+    // .complete = false), so the MAP columns stay in the cached view.
+    val maxSlots = math.max(1, spark.conf.getOption("graft.index.maxColumnarKeys")
+      .map(_.toInt).getOrElse(GraftDB.DefaultMaxColumnarKeys))
+    val complete = keyRows.length <= maxSlots
+    val hot =
+      if (complete) keyRows
+      else keyRows.sortBy { case (kind, k, n) => (-n, kind, k) }.take(maxSlots)
+    val tagKeys = hot.collect { case ("t", k, _) => k }.sorted.toSeq
+    val fieldKeys = hot.collect { case ("f", k, _) => k }.sorted.toSeq
+    // Primitives-only cache when the layout is COMPLETE: the map
+    // columns are NOT stored — the slots cover every key, and
+    // filterPlan rebuilds the maps for matched rows. Cached batches
+    // hold only atomic columns, so scans never pay per-row map
+    // materialization and the cache is roughly half the size. An
+    // INCOMPLETE layout keeps the two map columns so cold-tail keys
+    // filter (and project) straight off the maps.
     val cols = Seq(col(Point.TimeCol), col(Point.MeasurementCol), col(Point.SeqCol)) ++
       tagKeys.zipWithIndex.flatMap { case (k, i) => Seq(
         element_at(col(Point.TagsCol), k).as(s"__tv_$i"),
         map_contains_key(col(Point.TagsCol), k).as(s"__tp_$i")) } ++
       fieldKeys.zipWithIndex.flatMap { case (k, i) => Seq(
         element_at(col(Point.FieldsCol), k).as(s"__fv_$i"),
-        map_contains_key(col(Point.FieldsCol), k).as(s"__fp_$i")) }
+        map_contains_key(col(Point.FieldsCol), k).as(s"__fp_$i")) } ++
+      (if (complete) Nil else Seq(col(Point.TagsCol), col(Point.FieldsCol)))
     // Time-sorted layout: cached-batch min/max stats on `time` then
     // prune range queries to the few batches that overlap — the columnar
     // analogue of the reference's sorted-timestamp index binary search
@@ -769,12 +821,20 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     }
     indexedState = Some(IndexState(idf,
       IndexedLayout(tagKeys.zipWithIndex.toMap, fieldKeys.zipWithIndex.toMap,
-        complete = true),
+        complete = complete),
       bounds, List(idf)))
   }
 }
 
 object GraftDB {
+
+  /** Cap on columnarized index slots (override per session with conf
+    * `graft.index.maxColumnarKeys`). Each slot is two flat columns in
+    * the cached view; 256 hot keys → ~515 columns, comfortably inside
+    * Catalyst's analysis budget, while a schemaless store drifted to
+    * 10k distinct keys stays indexable (cold tail via map access).
+    */
+  val DefaultMaxColumnarKeys = 256
 
   /** Canonical-schema empty result as a LocalRelation: collecting it
     * launches no job at all (unlike an empty RDD scan, which still

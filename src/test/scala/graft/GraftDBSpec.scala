@@ -458,6 +458,76 @@ class GraftDBSpec extends SparkSpec {
     }
   }
 
+  describe("reindex cardinality guard (hot-slot cap, cold tail via maps)") {
+    // The reference's dict index tolerates arbitrary key drift
+    // (index.py:112-114); the columnarized view must too: above the
+    // slot cap only the hottest keys get flat columns and the cold
+    // tail compiles through map access, so a schemaless store that
+    // drifted to thousands of distinct keys cannot analysis-explode
+    // the cached plan.
+    it("a 5000-distinct-key store reindexes to a bounded view and stays correct") {
+      val db = GraftDB.inMemory(spark)
+      val base = t("2024-01-01T00:00:00Z")
+      db.insertMultiple((0 until 5000).map { i =>
+        Point(base.plusSeconds(i.toLong), "m",
+          Map("host" -> s"h${i % 3}"),
+          Map(s"k_$i" -> i.toDouble, "hot" -> (i % 10).toDouble))
+      })
+      db.reindex()
+      assert(db.indexComplete.contains(false),
+        "5000 keys must exceed the default 256-slot cap")
+      val width = db.indexColumnCount.get
+      assert(width <= 3 + 2 * GraftDB.DefaultMaxColumnarKeys + 2,
+        s"cached view has $width columns — the cap did not hold")
+      // hot keys (every row carries them) answer through slots...
+      assert(db.count(TagQuery("host") === "h1") == 1667)
+      assert(db.count(FieldQuery("hot") === 7.0) == 500)
+      // ...cold singleton keys answer through the map fallback
+      assert(db.count(FieldQuery("k_123") === 123.0) == 1)
+      assert(db.count(FieldQuery("k_123").exists()) == 1)
+      assert(db.count(~FieldQuery("k_123").exists()) == 4999)
+      // output maps arrive intact through the passthrough projection
+      val p = db.get(FieldQuery("k_77") === 77.0).get
+      assert(p.fields("k_77") == 77.0 && p.fields("hot") == 7.0
+        && p.tags("host") == s"h${77 % 3}")
+    }
+    it("capped layout: in-order append extends without slot growth; update invalidates") {
+      spark.conf.set("graft.index.maxColumnarKeys", "8")
+      try {
+        val db = GraftDB.inMemory(spark)
+        val base = t("2024-01-01T00:00:00Z")
+        db.insertMultiple((0 until 60).map { i =>
+          Point(base.plusSeconds(i.toLong), "m",
+            Map("host" -> s"h${i % 2}"), Map(s"k_$i" -> i.toDouble))
+        })
+        db.reindex()
+        assert(db.indexComplete.contains(false))
+        val widthBefore = db.indexColumnCount.get
+        // a time-ordered append with a brand-new key extends in place —
+        // the new key rides the cold tail, no slot (column) growth
+        db.insert(Point(base.plusSeconds(3600L), "m",
+          Map("host" -> "h9"), Map("k_new" -> 1.0)))
+        assert(db.indexValid, "in-order append must extend, not invalidate")
+        assert(db.indexComplete.contains(false))
+        assert(db.indexColumnCount.get == widthBefore,
+          "cold-tail keys must not grow the capped layout")
+        assert(db.count(FieldQuery("k_new") === 1.0) == 1)
+        assert(db.count(TagQuery("host") === "h9") == 1)
+        assert(db.count(~FieldQuery("k_new").exists()) == 60)
+        // a literal update invalidates a capped index (a slot-only
+        // patch would leave the retained map columns stale)
+        assert(db.update(FieldQuery("k_7") === 7.0, fields = Map("k_7" -> 70.0)) == 1)
+        assert(!db.indexValid)
+        db.reindex()
+        assert(db.count(FieldQuery("k_7") === 70.0) == 1)
+        // below the cap the layout stays complete and primitives-only
+        val small = freshDb()
+        small.reindex()
+        assert(small.indexComplete.contains(true))
+      } finally spark.conf.unset("graft.index.maxColumnarKeys")
+    }
+  }
+
   describe("index observability + prepared queries") {
     it("indexValid tracks the reindex/write lifecycle; prepared plans answer repeatedly") {
       val db = GraftDB.inMemory(spark)
