@@ -774,6 +774,28 @@ object CorpusQueries {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // REAL video container decode: MJPEG-in-AVI — genuine RIFF chunk
+    // demux + per-frame javax.imageio JPEG decode (the one video
+    // format the stock JDK fully decodes). Uniform-gray frames
+    // survive JPEG quantization EXACTLY (verified for all 256
+    // levels), so the oracle pins the decoded luma itself — no
+    // tolerance band. Corrupt tier: arbitrary bytes AND a GVID
+    // payload (a video, but the wrong container) both flag false.
+    "q156_video_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0L until 9L).map { id =>
+        val fps = 10 + (id % 5).toInt * 5
+        val n = 5 + (id % 7).toInt
+        (id, Multimodal.encodeMjpegAvi(fps,
+          (0 until n).map(j => ((id * 31 + j * 17) % 256).toInt)))
+      } ++ Seq(
+        (9L, "not a video".getBytes("UTF-8")),
+        (10L, Multimodal.encodeGvid(10, Seq(1, 2, 3))))
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      Multimodal.sampleMjpegAviFrames(assets, "asset_id", "payload", stride = 2)
+        .orderBy("asset_id", "frame_idx")
+    }),
+
     // REAL image resize (decode -> integer nearest-neighbor remap ->
     // re-encode): the thumbnail pre-pass; solid-color fixtures make
     // the output pixels closed-form, so the oracle pins dims AND
@@ -1592,6 +1614,24 @@ object CorpusQueries {
         |  FROM f
         |  UNION ALL
         |  SELECT 9, false, NULL, NULL, NULL)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+    // the MJPEG tier shares q152's closed-form fixture contents; the
+    // luma column here is the DECODED JPEG center pixel (exact for
+    // uniform-gray frames), and ts comes from the AVI stream header's
+    // rational rate (scale=1, rate=fps)
+    "q156_video_mjpeg" ->
+      """WITH a AS (SELECT unnest(range(0, 9)) AS id),
+        |p AS (SELECT id, 10 + (id % 5) * 5 AS fps, 5 + id % 7 AS n FROM a),
+        |f AS (SELECT id, fps, unnest(range(0, n, 2)) AS j FROM p)
+        |SELECT * FROM (
+        |  SELECT id AS asset_id, true AS decode_ok, CAST(j AS INTEGER) AS frame_idx,
+        |    CAST(j * 1000 // fps AS BIGINT) AS ts_ms,
+        |    CAST((id * 31 + j * 17) % 256 AS INTEGER) AS luma
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 9, false, NULL, NULL, NULL
+        |  UNION ALL
+        |  SELECT 10, false, NULL, NULL, NULL)
         |ORDER BY asset_id, frame_idx""".stripMargin,
     "q146_dedup_map" ->
       """WITH k AS (SELECT doc_id,

@@ -171,4 +171,55 @@ class MultimodalSpec extends SparkSpec {
       assert(got(299).getLong(3) === 299L * 1000L / 30L)
     }
   }
+
+  describe("video frame sampling (REAL container: MJPEG-in-AVI)") {
+    it("demuxes a real AVI and decodes every JPEG frame exactly at stride 1") {
+      val lumas = (0 until 48).map(i => (i * 11) % 256)
+      val assets = Seq((3L, Multimodal.encodeMjpegAvi(25, lumas)))
+        .toDF("asset_id", "payload")
+      val got = Multimodal.sampleMjpegAviFrames(assets, "asset_id", "payload", stride = 1)
+        .orderBy("frame_idx").collect()
+      assert(got.length === 48)
+      assert(got.forall(_.getBoolean(1)))
+      // uniform-gray JPEG round-trips exactly — decoded luma IS the input
+      assert(got.map(_.getInt(4)).toSeq === lumas)
+      // ts off the container's rational rate: i*1000*scale div rate
+      assert(got.map(_.getLong(3)).toSeq === (0 until 48).map(_ * 1000L / 25L))
+    }
+
+    it("strides, flags corrupt containers, and flags a single bad frame without hiding the rest") {
+      val good = Multimodal.encodeMjpegAvi(10, Seq(10, 20, 30, 40, 50))
+      // corrupt ONE frame in a valid container: zero out the middle
+      // 00dc chunk's JPEG magic so demux succeeds but decode fails
+      val oneBad = Multimodal.encodeMjpegAvi(10, Seq(10, 20, 30, 40, 50))
+      val idx = {
+        // find the third 00dc occurrence
+        def find(from: Int, needle: String): Int = {
+          val n = needle.getBytes("US-ASCII")
+          (from until oneBad.length - n.length).find(i => n.indices.forall(j => oneBad(i + j) == n(j))).getOrElse(-1)
+        }
+        val f1 = find(0, "00dc"); val f2 = find(f1 + 4, "00dc"); find(f2 + 4, "00dc")
+      }
+      oneBad(idx + 8) = 0; oneBad(idx + 9) = 0 // clobber SOI marker
+      val assets = Seq(
+        (0L, good),
+        (1L, oneBad),
+        (2L, "junk".getBytes("UTF-8")),
+        (3L, Multimodal.encodeGvid(10, Seq(1, 2, 3)))) // video, wrong container
+        .toDF("asset_id", "payload").repartition(2)
+      val got = Multimodal.sampleMjpegAviFrames(assets, "asset_id", "payload", stride = 2)
+        .orderBy("asset_id", "frame_idx").collect()
+      val byId = got.groupBy(_.getLong(0))
+      // stride 2 over 5 frames -> idx 0,2,4
+      assert(byId(0L).map(r => (r.getInt(2), r.getInt(4))).toSeq === Seq((0, 10), (2, 30), (4, 50)))
+      // asset 1: frame 2 is the clobbered one — flagged, idx/ts kept, others intact
+      val a1 = byId(1L).map(r => (r.getInt(2), r.getBoolean(1))).toSeq
+      assert(a1 === Seq((0, true), (2, false), (4, true)))
+      assert(byId(1L).find(_.getInt(2) == 2).get.isNullAt(4))
+      // corrupt containers: single false row each, null frame fields
+      Seq(2L, 3L).foreach { id =>
+        assert(byId(id).length === 1 && !byId(id).head.getBoolean(1) && byId(id).head.isNullAt(2))
+      }
+    }
+  }
 }
