@@ -728,6 +728,28 @@ object RelationalQueries {
           round(expr("percentile(__v, 0.99)"), 6).as("est_p990"))
     }),
 
+    // NON-FILE streaming source: the rate-micro-batch GENERATOR drives
+    // the exact same checkpointed foreachBatch ingest graph as the
+    // file/MemoryStream tiers (q45/q95/q108) — proving the graph is
+    // source-agnostic (the reference's own ingest is a broker consumer
+    // loop, examples/3_iot_datastore_with_mqtt.py). The generator's
+    // value->point transform is closed-form, the stream filters to the
+    // prefix [0, 3000), so the converged store is deterministic and
+    // the oracle replays it from range() alone — no file is ever read.
+    "q157_stream_rate_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      val db = graft.engine.GraftDB.inMemory(s)
+      val ckpt = java.nio.file.Files.createTempDirectory("rateckpt").toString
+      StreamingIngest.ingestRate(s, db, rowsPerBatch = 500, totalRows = 3000L, ckpt)
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"),
+          unix_millis(min(col(graft.model.Point.TimeCol))).as("min_ts_ms"),
+          unix_millis(max(col(graft.model.Point.TimeCol))).as("max_ts_ms"))
+        .orderBy("sensor")
+    }),
+
     // per-slice HLL cardinality table — the grouped sibling of q121
     // (and the HLL counterpart of the KMV slice table q132)
     "q155_hll_by_slice" -> ((s, dir) =>
@@ -1230,6 +1252,17 @@ object RelationalQueries {
         |  round(quantile_cont(v, 0.9), 6) AS est_p900,
         |  round(quantile_cont(v, 0.99), 6) AS est_p990
         |FROM s""".stripMargin,
+    // the rate generator's value->point transform replayed from
+    // range(): sensor = 's'||(value%7), v = value%100,
+    // ts_ms = epoch(2024-01-01) + value*1000
+    "q157_stream_rate_ingest" ->
+      """WITH v AS (SELECT unnest(range(0, 3000)) AS value)
+        |SELECT 's' || CAST(value % 7 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 100) AS BIGINT) AS sum_v,
+        |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
+        |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q155_hll_by_slice" ->
       """WITH h AS (SELECT event_type AS g, CAST('0x' || substring(md5(
         |    'hll:' || CAST(user_id AS VARCHAR) || ':' ||

@@ -271,6 +271,60 @@ object StreamingIngest {
       .withColumn("time", timestamp_micros(col("ts_us")))
   }
 
+  /** Epoch millis of 2024-01-01T00:00:00Z — the deterministic rate
+    * stream's time origin.
+    */
+  val RateEpochMs: Long = 1704067200000L
+
+  /** A NON-FILE streaming source: Spark's `rate-micro-batch` generator
+    * (exactly `rowsPerBatch` rows per trigger, `value` a gapless
+    * monotonic long) mapped to canonical Point rows by a CLOSED-FORM
+    * transform of `value` — time, tag and field are all pure integer
+    * functions of it, so the stream's content is deterministic and an
+    * oracle can replay the final ingested state from `range()` alone.
+    * `maxRows` bounds the prefix: rows with value ≥ maxRows are
+    * filtered out in the STREAM graph, so however many batches run,
+    * the ingested set converges to exactly [0, maxRows). This is the
+    * honest sandbox stand-in for a broker source (Kafka/MQTT — the
+    * reference's own ingest loop is an MQTT consumer,
+    * examples/3_iot_datastore_with_mqtt.py:56-120): unbounded,
+    * arriving in micro-batches, never touching the filesystem.
+    */
+  def ratePointsSource(spark: SparkSession, rowsPerBatch: Int, maxRows: Long,
+      numPartitions: Int = 4): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("numPartitions", numPartitions.toLong)
+      .option("startTimestamp", 0L)
+      .load()
+      .filter(col("value") < maxRows)
+      .select(
+        timestamp_millis(lit(RateEpochMs) + col("value") * 1000L).as(Point.TimeCol),
+        lit("rate").as(Point.MeasurementCol),
+        map(lit("sensor"), concat(lit("s"), col("value") % 7)).as(Point.TagsCol),
+        map(lit("v"), (col("value") % 100).cast("double")).as(Point.FieldsCol))
+
+  /** Drive [[start]] from the rate source until the full deterministic
+    * prefix has landed in `db`, then stop the query. Proves the ingest
+    * graph is source-agnostic: the SAME checkpointed foreachBatch
+    * append consumes a generator source here and file/MemoryStream
+    * sources elsewhere — nothing in the graph knows the source kind.
+    * The wait polls the engine's own `length` fast path; because the
+    * stream filters to value < totalRows, the state CONVERGES to
+    * exactly totalRows rows no matter how many triggers fire.
+    */
+  def ingestRate(spark: SparkSession, db: GraftDB, rowsPerBatch: Int,
+      totalRows: Long, checkpointDir: String, timeoutMs: Long = 120000L): Unit = {
+    val q = start(ratePointsSource(spark, rowsPerBatch, totalRows), db, checkpointDir)
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (db.length < totalRows && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+    } finally q.stop()
+    val n = db.length
+    require(n == totalRows, s"rate ingest landed $n of $totalRows rows")
+  }
+
   /** Run a finite streaming query to completion (Trigger.AvailableNow →
     * memory sink) and return the result table — used to declare
     * batch-comparable streaming queries that genuinely execute through

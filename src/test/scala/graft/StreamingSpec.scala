@@ -94,6 +94,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("non-file source (rate-micro-batch generator)") {
+    it("the same ingest graph consumes a generator source — no file ever read") {
+      val db = GraftDB.inMemory(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("rateckpt").toString
+      StreamingIngest.ingestRate(spark, db, rowsPerBatch = 100, totalRows = 350L, ckpt)
+      // converged exactly to the filtered prefix, however many triggers fired
+      assert(db.length == 350)
+      // closed-form content: value %7 tags, %100 fields, value-second times
+      assert(db.count(TagQuery("sensor") === "s3") == 50)
+      assert(db.count(FieldQuery("v") === 99.0) == 3) // values 99, 199, 299
+      val times = db.getTimestamps()
+      assert(times.min == java.time.Instant.ofEpochMilli(StreamingIngest.RateEpochMs))
+      assert(times.max == java.time.Instant.ofEpochMilli(StreamingIngest.RateEpochMs + 349000L))
+      // and the store is fully queryable like any batch-ingested one
+      db.reindex()
+      assert(db.count(TagQuery("sensor") === "s0") == 50)
+    }
+  }
+
   describe("sliding and session windows") {
     it("sliding windows overlap; each event lands in windowLen/slide windows") {
       val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
