@@ -270,6 +270,79 @@ object TextAnalysis {
         (col("n_tokens") > 0 && col("margin") >= 0).as("keep"))
   }
 
+  /** The classifier family's tokenization: lowercase alphanumeric
+    * runs (shared by [[hashedLinearQuality]], [[trainBucketWeights]]
+    * and [[hashedLinearQualityWeighted]] so train and apply always
+    * agree on the token stream).
+    */
+  def qcTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** The md5 hash bucket of one classifier token — the feature index
+    * of the hashed-linear family.
+    */
+  def qcBucket(tok: Column, buckets: Int, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), tok)), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** TRAIN the hashed-linear classifier's bucket weights from a
+    * labeled corpus — the "externally trained weights" path the
+    * closed-form [[hashedLinearQuality]] documents: a centroid-
+    * difference (naive-Bayes-flavored) milli-weight per bucket,
+    *
+    *   w(b) = ⌊1000 · (pos_b − neg_b) / (pos_b + neg_b)⌋ ∈ [−1000, 1000]
+    *
+    * where pos_b/neg_b count the bucket's token OCCURRENCES in
+    * positively/negatively labeled docs. Kept integer-exact across
+    * engines: the floor runs on a shifted non-negative numerator
+    * (`(x + 1000·n) div n − 1000`), so truncating and flooring
+    * division agree — no rounding-mode divergence.
+    *
+    * 100 TB shape: one explode + one groupBy whose result is bounded
+    * by `buckets` (≤ thousands), with map-side partial aggregation —
+    * the classic "train on the cluster, serve as a broadcast" split.
+    * Output: (bucket, milli_weight).
+    */
+  def trainBucketWeights(df: DataFrame, textCol: String, label: Column,
+      buckets: Int = 1024, salt: String = "qc"): DataFrame =
+    df.select(explode(qcTokens(col(textCol))).as("tok"), label.as("good"))
+      .select(qcBucket(col("tok"), buckets, salt).as("bucket"),
+        when(col("good"), 1L).otherwise(0L).as("g"))
+      .groupBy("bucket")
+      .agg(sum("g").as("pos"), (count(lit(1)) - sum("g")).as("neg"))
+      .select(col("bucket"),
+        (expr("(1000 * (pos - neg) + 1000 * (pos + neg)) div (pos + neg)") - 1000L)
+          .as("milli_weight"))
+
+  /** APPLY an external (bucket → milli-weight) table — trained by
+    * [[trainBucketWeights]] or anywhere else — as the classifier's
+    * model: the weights fold into ONE map row and ride a broadcast
+    * (the documented "trained weights slot in as a broadcast lookup"
+    * seam); buckets absent from the table weigh 0. Same integer-
+    * margin exactness contract as the closed-form variant: the margin
+    * is a bigint sum, only the reported score divides (by
+    * 1000·n_tokens) and rounds 6dp. Output schema matches
+    * [[hashedLinearQuality]]: (id, n_tokens, margin, score, keep).
+    */
+  def hashedLinearQualityWeighted(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 1024, salt: String = "qc"): DataFrame = {
+    require(buckets >= 1, "buckets >= 1")
+    val model = weights.agg(
+      map_from_entries(collect_list(struct(col("bucket"), col("milli_weight")))).as("m"))
+    val toks = qcTokens(col(textCol))
+    df.crossJoin(broadcast(model))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, t =>
+            coalesce(element_at(col("m"), qcBucket(t, buckets, salt)), lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("margin"))
+      .select(col(idCol), col("n_tokens"), col("margin"),
+        when(col("n_tokens") > 0,
+          round(col("margin").cast("double") / (lit(1000.0) * col("n_tokens")), 6))
+          .otherwise(lit(0.0)).as("score"),
+        (col("n_tokens") > 0 && col("margin") >= 0).as("keep"))
+  }
+
   /** Character trigrams of a string as an array, in order; docs shorter
     * than 3 chars contribute the whole text as their single "gram" so
     * every doc scores.

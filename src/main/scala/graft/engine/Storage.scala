@@ -119,6 +119,15 @@ object Storage {
   /** Bits reserved below the generation prefix of `_seq`. */
   val GenShift: Int = 45
 
+  /** Row-count backstop for the coordinator (WAL-style) append path —
+    * override per session with conf `graft.storage.localAppendMaxRows`.
+    * The byte-estimate gate admits batches ≤ files.maxPartitionBytes/8
+    * (16 MB at defaults, ~10^5 small points); this cap bounds what a
+    * MIS-estimated batch can materialize on the coordinator before the
+    * append declines and falls back to the distributed write.
+    */
+  val LocalAppendMaxRows: Int = 131072
+
   /** Encode InternalRows into ONE parquet file on the driver, with no
     * Spark job, through Spark's own `ParquetWriteSupport` — so the file
     * is bit-compatible with distributed writes: same spark-schema
@@ -379,23 +388,28 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // normally already are).
       val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
       val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= BigInt(splitBytes / 8L)) appendDeltaLocal(batch)
-      else {
-        val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-          ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-        val stamped = withSeq(batch.coalesce(nOut))
-        stamped
-          .sortWithinPartitions(Point.TimeCol)
-          // Delta tier optimizes append latency: snappy encodes ~3× faster
-          // than Spark 4's zstd default; compaction rewrites with the
-          // read-optimized default codec.
-          .write.option("compression", "snappy")
-          .mode(SaveMode.Append).parquet(deltaPath)
-        noteDeltaFiles(nOut)
-        // same plan, same source partitioning → monotonically_increasing_id
-        // reproduces the written _seq values on re-evaluation
-        Some(stamped)
-      }
+      // The byte estimate routes; the ROW-COUNT cap inside
+      // appendDeltaLocal backstops it — a mis-estimated wide batch
+      // (Catalyst stats are estimates, not measurements) declines the
+      // coordinator path (None) and falls through to the distributed
+      // write instead of drive-collecting.
+      (if (est <= BigInt(splitBytes / 8L)) appendDeltaLocal(batch) else None)
+        .orElse {
+          val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+            ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+          val stamped = withSeq(batch.coalesce(nOut))
+          stamped
+            .sortWithinPartitions(Point.TimeCol)
+            // Delta tier optimizes append latency: snappy encodes ~3× faster
+            // than Spark 4's zstd default; compaction rewrites with the
+            // read-optimized default codec.
+            .write.option("compression", "snappy")
+            .mode(SaveMode.Append).parquet(deltaPath)
+          noteDeltaFiles(nOut)
+          // same plan, same source partitioning → monotonically_increasing_id
+          // reproduces the written _seq values on re-evaluation
+          Some(stamped)
+        }
     }
 
   /** WAL-style coordinator append for sub-split batches (≤ 1/8 of
@@ -419,11 +433,18 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     */
   private def appendDeltaLocal(batch: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-    // InternalRows end to end: executeCollect (one job, full batch
-    // parallelism) → seq-stamp → ParquetWriter; no external-Row
-    // conversion anywhere (measured ~2× of the whole append when the
-    // map columns round-trip through Scala objects)
-    val rows = batch.queryExecution.executedPlan.executeCollect()
+    // InternalRows end to end: one collect job, full batch parallelism
+    // → seq-stamp → ParquetWriter; no external-Row conversion anywhere
+    // (measured ~2× of the whole append when the map columns
+    // round-trip through Scala objects). The collect is executeTake
+    // (cap + 1), NOT executeCollect: the byte estimate that routed us
+    // here is a Catalyst guess, and a mis-estimated wide batch must
+    // not materialize unboundedly on the coordinator — past the row
+    // cap we return None and the caller takes the distributed path.
+    val maxRows = spark.conf.getOption("graft.storage.localAppendMaxRows")
+      .map(_.toInt).getOrElse(Storage.LocalAppendMaxRows)
+    val rows = batch.queryExecution.executedPlan.executeTake(maxRows + 1)
+    if (rows.length > maxRows) return None
     val gen = nextGen()
     val fullSchema = org.apache.spark.sql.types.StructType(
       batch.schema.fields :+ Point.schema(Point.SeqCol))

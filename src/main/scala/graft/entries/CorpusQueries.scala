@@ -209,6 +209,22 @@ object CorpusQueries {
       TextAnalysis.hashedLinearQuality(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // the TRAINED-weights path of the q102 classifier: weights are a
+    // real (bucket -> milli-weight) TABLE — centroid-difference
+    // trained on a deterministic label (docs with >= 60 tokens) —
+    // folded into one map row and broadcast, instead of q102's
+    // closed-form hash weights. Train AND apply are both replayed by
+    // the oracle, integer-exact end to end (floor-division on a
+    // shifted numerator, so both engines' division modes agree).
+    "q158_quality_trained" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labeled = d.withColumn("good",
+        size(TextAnalysis.qcTokens(col("text"))) >= 60)
+      val w = TextAnalysis.trainBucketWeights(labeled, "text", col("good"))
+      TextAnalysis.hashedLinearQualityWeighted(d, "doc_id", "text", w)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style char-trigram LM filter, integer-exact: the "model"
     // is the corpus trigram count table folded into one broadcast map
     // row; a doc's score is a bigint mass / count — the oracle rebuilds
@@ -1134,6 +1150,36 @@ object CorpusQueries {
         |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS margin,
         |  CASE WHEN COALESCE(s.n, 0) > 0
         |       THEN round(CAST(s.margin AS DOUBLE) / (998.0 * s.n), 6) ELSE 0.0 END AS score,
+        |  COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0 AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // replays BOTH halves of the trained classifier: the centroid-
+    // difference training (label: >= 60 tokens; floor-division on a
+    // shifted numerator so // and div agree) and the broadcast-map
+    // scoring pass
+    "q158_quality_trained" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |nt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |lab AS (SELECT d.doc_id, COALESCE(nt.n, 0) >= 60 AS good
+        |        FROM documents d LEFT JOIN nt USING (doc_id)),
+        |b AS (SELECT doc_id,
+        |    CAST('0x' || substring(md5('qc:' || tok), 1, 8) AS BIGINT) % 1024 AS b
+        |  FROM toks),
+        |bl AS (SELECT b.b, CASE WHEN lab.good THEN 1 ELSE 0 END AS g
+        |       FROM b JOIN lab USING (doc_id)),
+        |w AS (SELECT b,
+        |    (1000 * (sum(g) - (count(*) - sum(g))) + 1000 * count(*)) // count(*) - 1000 AS mw
+        |  FROM bl GROUP BY b),
+        |s AS (SELECT b.doc_id, sum(COALESCE(w.mw, 0)) AS margin, count(*) AS n
+        |      FROM b LEFT JOIN w USING (b) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS margin,
+        |  CASE WHEN COALESCE(s.n, 0) > 0
+        |       THEN round(CAST(s.margin AS DOUBLE) / (1000.0 * s.n), 6) ELSE 0.0 END AS score,
         |  COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0 AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

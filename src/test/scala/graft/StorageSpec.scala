@@ -170,6 +170,31 @@ class StorageSpec extends SparkSpec {
       assert(again.all(sorted = false).map(_.fields("v")) == Seq(1.0, 2.0, 3.0))
       assert(again.all().map(_.fields("v")) == Seq(2.0, 1.0, 3.0)) // time order
     }
+    it("row-count backstop: a mis-estimated batch declines the coordinator and writes distributed") {
+      // the byte-estimate gate would route this tiny batch local; a
+      // tightened row cap simulates the mis-estimate (estimate says
+      // "small", actual rows exceed what the coordinator should hold)
+      spark.conf.set("graft.storage.localAppendMaxRows", "10")
+      try {
+        val dir = Files.createTempDirectory("graftwalcap").toString
+        val db = GraftDB.atPath(spark, dir)
+        db.insertMultiple((0 until 100).map(i =>
+          Point(t("2024-01-01T00:00:00Z").plusSeconds(i.toLong), "m",
+            Map("a" -> s"x$i"), Map("v" -> i.toDouble))))
+        val names = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        assert(!names.exists(_.endsWith("-local.snappy.parquet")),
+          s"capped batch still took the coordinator path: ${names.toSeq}")
+        assert(names.exists(_.endsWith(".parquet")), s"no delta file in ${names.toSeq}")
+        // nothing lost in the fallback: full content, distinct seqs
+        assert(db.length == 100)
+        assert(db.all(sorted = false).map(_.fields("v")) == (0 until 100).map(_.toDouble))
+        // and an under-cap append still lands local afterwards
+        db.insert(Point(t("2024-02-01T00:00:00Z"), "m", Map.empty, Map("v" -> -1.0)))
+        val after = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        assert(after.exists(_.endsWith("-local.snappy.parquet")))
+        assert(db.length == 101)
+      } finally spark.conf.unset("graft.storage.localAppendMaxRows")
+    }
     it("local and distributed delta files coexist under one scan and one compaction") {
       val dir = Files.createTempDirectory("graftwalmix").toString
       val db = GraftDB.atPath(spark, dir)
