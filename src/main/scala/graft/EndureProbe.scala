@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{GraftDB, ParquetStorage}
+import graft.model.Point
+import graft.query._
+
+/** Sustained-ingest endurance probe (not part of the driver contract):
+  * drives hundreds of micro-batch appends through `ParquetStorage`'s
+  * delta tier + auto-compaction and samples, over time,
+  *
+  *   - the delta tier's live file count (must stay bounded by the
+  *     auto-compaction threshold — one file per batch forever without
+  *     the policy), and
+  *   - the p50 of a fixed point-query read (must stay FLAT — an
+  *     unbounded file count would show up directly as listing + footer
+  *     overhead growing with batch number).
+  *
+  * Prints one markdown table row per sample window for BENCH_NOTES.
+  * `SPARK_GRAFT_ENDURE_BATCHES` overrides the batch count (default
+  * 300), `SPARK_GRAFT_ENDURE_ROWS` the rows per batch (default 500).
+  */
+object EndureProbe {
+  def main(args: Array[String]): Unit = {
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_ENDURE_BATCHES", "300").toInt
+    val rowsPerBatch = sys.env.getOrElse("SPARK_GRAFT_ENDURE_ROWS", "500").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graftendure").toString
+    val db = GraftDB.atPath(spark, dir) // default autoCompactFiles = 32
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+
+    def mkBatch(b: Int) = spark.createDataset((0 until rowsPerBatch).map { i =>
+      val v = b.toLong * rowsPerBatch + i
+      Point(base.plusSeconds(v), "endure",
+        Map("host" -> s"h${v % 5}"), Map("v" -> (v % 100).toDouble))
+    }).toDF().drop(Point.SeqCol).localCheckpoint(true)
+
+    def deltaFiles(): Int = {
+      val d = new java.io.File(s"$dir/delta")
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    }
+
+    /** p50 of 7 runs of a fresh point query over the CURRENT store
+      * state — re-planned each sample (the store's file listing is part
+      * of what degrades when a delta tier is unbounded).
+      */
+    def readP50(): Double = {
+      val times = (1 to 7).map { _ =>
+        val t0 = System.nanoTime()
+        db.filterPlan(TagQuery("host") === "h3").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(3)
+    }
+
+    db.insertDF(mkBatch(-1)) // warm the writer path (untimed)
+    val sampleEvery = math.max(1, nBatches / 10)
+    println("| batches | delta files | p50 read (s) | append p50 (s) |")
+    println("|---|---|---|---|")
+    var appendTimes = List.empty[Double]
+    (0 until nBatches).foreach { b =>
+      val batch = mkBatch(b)
+      val t0 = System.nanoTime()
+      db.insertDF(batch)
+      appendTimes ::= (System.nanoTime() - t0) / 1e9
+      if ((b + 1) % sampleEvery == 0) {
+        val ap50 = appendTimes.sorted.apply(appendTimes.size / 2)
+        println(f"| ${b + 1} | ${deltaFiles()} | ${readP50()}%.4f | $ap50%.4f |")
+        appendTimes = Nil
+      }
+    }
+    val rows = db.length
+    val expect = (nBatches + 1).toLong * rowsPerBatch
+    println(s"rows=$rows expected=$expect bounded=${deltaFiles() <= ParquetStorage.DefaultAutoCompactFiles}")
+    require(rows == expect, s"endurance lost rows: $rows != $expect")
+    spark.stop()
+  }
+}

@@ -94,6 +94,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("sustained ingest endurance (auto-compaction under streaming)") {
+    it("bounded delta file count and intact contents after many streamed micro-batches") {
+      val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
+      val dir = java.nio.file.Files.createTempDirectory("graftendure").toString
+      val db = new GraftDB(new graft.engine.ParquetStorage(spark, dir,
+        partitioned = true, autoCompactFiles = 8))
+      val ckpt = java.nio.file.Files.createTempDirectory("graftendureckpt").toString
+      val q = StreamingIngest.start(
+        canonical(mem.toDF().toDF("time", "m", "room", "temp")), db, ckpt)
+      val nBatches = 60
+      try {
+        (0 until nBatches).foreach { b =>
+          mem.addData((new Timestamp(1704067200000L + b * 60000L), "m", s"r${b % 4}", b.toDouble))
+          q.processAllAvailable() // force ONE micro-batch (= one append) per event
+        }
+      } finally q.stop()
+      // one delta file per batch forever without the policy — 60 here;
+      // the threshold-8 auto-compaction must keep the tier bounded
+      val delta = new java.io.File(s"$dir/delta")
+      val files = if (!delta.exists) 0
+        else delta.listFiles.count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+      assert(files <= 8, s"delta holds $files files after $nBatches streamed batches")
+      // nothing lost across the repeated compactions, order intact
+      assert(db.length == nBatches)
+      val seqs = db.all(sorted = false).map(_._seq)
+      assert(seqs == seqs.sorted && seqs.distinct.size == nBatches)
+      assert(db.getFieldValues("temp").map(_.doubleValue) == (0 until nBatches).map(_.toDouble))
+    }
+  }
+
   describe("non-file source (rate-micro-batch generator)") {
     it("the same ingest graph consumes a generator source — no file ever read") {
       val db = GraftDB.inMemory(spark)
