@@ -2,11 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Measures the PQ/ADC compression-vs-recall trade behind the
-  * BENCH_NOTES table: exact-top-10 recall of `Similarity.pqTopK`
-  * against `bruteForceTopK` across subspace splits (m × subDim), on
-  * the sf0.001 embeddings with label-derived codebooks. Scratch
-  * measurement main, same role as QueryProbe/StreamProbe.
+/** ANN recall dashboard (scratch measurement main, same role as
+  * QueryProbe/StreamProbe): recall@10 of every approximate family
+  * against `Similarity.bruteForceTopK` ground truth, at the GATED
+  * configurations (q82 LSH bits=8/1 seed, q81 IVF label-centroids
+  * nProbe=2, q110 PQ m=4×16, q111 IVF+PQ composition), plus the PQ
+  * subspace-split sweep behind the original BENCH_NOTES compression
+  * table. Run with SPARK_GRAFT_SF_DIR=sf0.1 for the round-over-round
+  * dashboard row; the suite asserts floors for the same configs on a
+  * synthetic clustered corpus (AnalyticsSpec "recall floors").
   */
 object PqProbe {
   def main(args: Array[String]): Unit = {
@@ -15,15 +19,58 @@ object PqProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "10").toInt
+    val k = 10
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
-    val exact = graft.analytics.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "qid", 10)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpusN = e.count()
+    val exact = graft.analytics.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "qid", k)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+
+    def recall(approx: Set[(Long, Long)]): Double =
+      (approx intersect exact).size.toDouble / exact.size
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid").cast("long"), col("id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    println(s"ANNPROBE sf=$sf corpus=$corpusN queries=$nQueries k=$k")
+    println("| family | gated config | recall@10 |")
+    println("|---|---|---|")
+
+    // q82: sign-LSH, md5 hyperplanes, 8 bits, one band
+    val lsh = pairs(graft.analytics.Similarity.lshTopK(e, q,
+      "vec_id", "embedding", "qid", k, bits = 8, seeds = Seq(1),
+      signature = graft.functions.VectorFunctions.md5HyperplaneSignature))
+    println(f"| LSH (q82) | bits=8, 1 band | ${recall(lsh)}%.3f |")
+
+    // q81: IVF with deterministic label centroids, nProbe=2
+    val cents = graft.analytics.Similarity.centroids(
+      e.select(col("label"),
+        graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+      "label", "nv")
+      .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+    val ivf = pairs(graft.analytics.Similarity.ivfTopKWithCentroids(e, q, cents,
+      "vec_id", "embedding", "qid", k, nProbe = 2))
+    println(f"| IVF (q81) | label cells, nProbe=2 | ${recall(ivf)}%.3f |")
+
+    // q110: PQ/ADC, m=4 x subDim=16
+    val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", 4, 16)
+    val pq = pairs(graft.analytics.Similarity.pqTopK(e, q, cb,
+      "vec_id", "embedding", "qid", k, 4, 16))
+    println(f"| PQ (q110) | m=4, subDim=16 | ${recall(pq)}%.3f |")
+
+    // q111: IVF+PQ composition
+    val ivfpq = pairs(graft.analytics.Similarity.ivfPqTopK(e, q, cents, cb,
+      "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
+    println(f"| IVF+PQ (q111) | nProbe=2, m=4x16 | ${recall(ivfpq)}%.3f |")
+
+    // the original compression sweep: recall across subspace splits
     for ((m, sd) <- Seq((4, 16), (8, 8), (16, 4), (32, 2))) {
-      val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m, sd)
-      val pq = graft.analytics.Similarity.pqTopK(e, q, cb, "vec_id", "embedding", "qid", 10, m, sd)
-        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
-      println(s"PQPROBE m=$m subDim=$sd recall=${(pq intersect exact).size.toDouble / exact.size}")
+      val cbs = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m, sd)
+      val r = pairs(graft.analytics.Similarity.pqTopK(e, q, cbs,
+        "vec_id", "embedding", "qid", k, m, sd))
+      println(f"| PQ sweep | m=$m, subDim=$sd | ${recall(r)}%.3f |")
     }
     spark.stop()
   }

@@ -184,6 +184,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("ANN recall floors at the gated configs") {
+    // The q81/q82/q110/q111 hash gates pin exact replayability; this
+    // pins approximation QUALITY — a de-optimization in banding,
+    // probing or encoding that still replays deterministically would
+    // pass the gates yet drop recall, and trips here instead. Floors
+    // sit just under the measured deterministic recalls (PqProbe
+    // dashboard in BENCH_NOTES: 0.10 / 0.38 / 0.20 / 0.14 at
+    // sf0.001, 10 queries, k=10).
+    it("LSH/IVF/PQ/IVF+PQ recall@10 vs brute force cannot silently drop") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding"))
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("qid").cast("long"), col("id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(graft.analytics.Similarity.bruteForceTopK(
+        e, q, "vec_id", "embedding", "qid", 10))
+      def recall(a: Set[(Long, Long)]): Double =
+        (a intersect exact).size.toDouble / exact.size
+
+      val lsh = recall(pairs(graft.analytics.Similarity.lshTopK(e, q,
+        "vec_id", "embedding", "qid", 10, bits = 8, seeds = Seq(1),
+        signature = graft.functions.VectorFunctions.md5HyperplaneSignature)))
+      assert(lsh >= 0.10, s"LSH recall dropped: $lsh")
+
+      val cents = graft.analytics.Similarity.centroids(
+        e.select(col("label"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+        "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val ivf = recall(pairs(graft.analytics.Similarity.ivfTopKWithCentroids(
+        e, q, cents, "vec_id", "embedding", "qid", 10, nProbe = 2)))
+      assert(ivf >= 0.35, s"IVF recall dropped: $ivf")
+
+      val cb = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", 4, 16)
+      val pq = recall(pairs(graft.analytics.Similarity.pqTopK(e, q, cb,
+        "vec_id", "embedding", "qid", 10, 4, 16)))
+      assert(pq >= 0.18, s"PQ recall dropped: $pq")
+
+      val ivfpq = recall(pairs(graft.analytics.Similarity.ivfPqTopK(e, q, cents, cb,
+        "vec_id", "embedding", "qid", 10, nProbe = 2, m = 4, subDim = 16)))
+      assert(ivfpq >= 0.12, s"IVF+PQ recall dropped: $ivfpq")
+    }
+  }
+
   describe("hard-negative mining") {
     it("returns only different-label vectors, ranked exactly like a filtered exact scan") {
       val sf = "/root/testdata/sf0.001"
