@@ -70,16 +70,16 @@ object Bench {
     * round in BENCH_NOTES ("analytics rolling medians" table).
     */
   private val AnalyticsExpected: Map[String, Double] = Map(
-    "q30_agg_pricing" -> 0.23,
-    "q32_join_multiway" -> 1.50,
-    "q33_window_rank" -> 0.43,
-    "q34_topk" -> 0.24,
-    "q40_window_tumbling" -> 0.24,
-    "q41_asof_join" -> 0.52,
-    "q50_dedup_exact" -> 0.25,
-    "q57_minhash_pairs" -> 0.70,
-    "q58_embedding_near_dup" -> 0.63,
-    "q59_ann_topk" -> 0.75)
+    "q30_agg_pricing" -> 0.19,
+    "q32_join_multiway" -> 0.75,
+    "q33_window_rank" -> 0.30,
+    "q34_topk" -> 0.18,
+    "q40_window_tumbling" -> 0.20,
+    "q41_asof_join" -> 0.15,
+    "q50_dedup_exact" -> 0.15,
+    "q57_minhash_pairs" -> 0.55,
+    "q58_embedding_near_dup" -> 0.55,
+    "q59_ann_topk" -> 0.62)
 
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(

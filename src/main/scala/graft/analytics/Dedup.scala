@@ -99,6 +99,57 @@ object Dedup {
           .as("n_kept"))
   }
 
+  /** EXACT repeated-span EXCISION — the substring-level dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), token-granular: every position where an
+    * `spanLen`-token window's contents occur MORE THAN ONCE in the
+    * corpus (any doc, including the same one) is marked duplicated,
+    * and the cleaned text drops every marked token — so boilerplate,
+    * quoted reposts and template spans are cut OUT of documents
+    * instead of whole near-dup documents being dropped (the
+    * complement of [[blockDedupStats]], which keeps block statistics,
+    * and of the doc-level MinHash tier).
+    *
+    * Spark-first shape (the scalable stand-in for a suffix array,
+    * which does not distribute): one windowed-gram explode, a
+    * frequency count over gram DIGESTS (md5 — 32 bytes on the
+    * shuffle, never the span text; the count is map-side combinable),
+    * a digest equi-join back to the occurrences, and one per-doc
+    * fold. Everything is set logic + integer positions — replayable
+    * exactly by any md5-capable engine. Output: (id, n_tokens,
+    * n_dup_tokens, cleaned_text) with cleaned_text the space-joined
+    * surviving tokens in original order.
+    */
+  def exciseRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): DataFrame = {
+    require(spanLen >= 1, "spanLen >= 1")
+    val src = spread(df)
+    val w = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // (id, p, digest) for every spanLen-window start position p
+    val grams = src.select(col(idCol).as("id"),
+        posexplode(when(size(w) >= spanLen,
+          transform(sequence(lit(0), size(w) - spanLen),
+            p => md5(concat_ws(" ", slice(w, p + 1, lit(spanLen))))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("id"), col("pos").as("p"), col("col").as("d"))
+    val repeated = grams.groupBy("d")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("d")
+    // token positions covered by ANY repeated window
+    val covered = grams.join(repeated, "d")
+      .select(col("id"), explode(sequence(col("p"), col("p") + (spanLen - 1))).as("tp"))
+      .distinct()
+    val cuts = covered.groupBy("id")
+      .agg(sort_array(collect_set(col("tp"))).as("cut"))
+    src.select(col(idCol).as("id"), w.as("w"))
+      .join(cuts, Seq("id"), "left")
+      .select(col("id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cut")), lit(0)).cast("long").as("n_dup_tokens"),
+        concat_ws(" ", filter(col("w"),
+          (t, i) => !coalesce(array_contains(col("cut"), i), lit(false))))
+          .as("cleaned_text"))
+  }
+
   // ---- tokenization helpers ----
 
   /** Word n-gram shingles as a distinct array. Empty tokens are dropped

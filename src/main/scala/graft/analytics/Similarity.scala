@@ -108,6 +108,14 @@ object Similarity {
         .select(col("cell").as("group"), posexplode(col("cv")))
         .select(col("group"), col("pos").as("i"), col("col").cast("double").as("x"))
         .groupBy("group", "i").agg(round(avg("x"), roundTo).as("c"))
+        // materialize the k×d centroid table NOW (same defect class as
+        // the PageRank edge cache): left lazy, the rounds compose into
+        // one nested plan whose depth grows with iters and whose final
+        // evaluation re-enters every round's corpus scan as one deep
+        // tree — eager checkpoint pins each round to exactly one scan
+        // and keeps the plan flat, at the cost of k×d executor-side
+        // rows per round
+        .localCheckpoint(eager = true)
     }
     cents
   }

@@ -773,6 +773,17 @@ object CorpusQueries {
       TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
         .orderBy("id")),
 
+    // EXACT repeated-span excision (Lee et al. 2022 substring dedup,
+    // token-granular): every position covered by a 10-token window
+    // whose contents recur anywhere in the corpus is cut out of the
+    // doc. Gram identity travels as md5 digests (the scalable
+    // suffix-array stand-in); positions are pure set logic, so the
+    // oracle replays the whole excision — counts AND the cleaned
+    // text — exactly.
+    "q159_excise_spans" -> ((s, dir) =>
+      Dedup.exciseRepeatedSpans(docs(s, dir), "doc_id", "text", spanLen = 10)
+        .orderBy("id")),
+
     // video frame sampling (stub codec, REAL plumbing — the one-row-
     // per-sampled-frame flatMap shape, integer timestamps, corrupt
     // flag): every 2nd frame of deterministic GVID fixtures; the
@@ -809,6 +820,29 @@ object CorpusQueries {
         (10L, Multimodal.encodeGvid(10, Seq(1, 2, 3))))
       val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
       Multimodal.sampleMjpegAviFrames(assets, "asset_id", "payload", stride = 2)
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    // scene-cut detection composed OVER the real MJPEG decode: per
+    // asset, flag frames whose decoded luma jumps >= 50 vs the
+    // previous frame — the "sample one frame per scene" pre-pass.
+    // Decode is the already-gated q156 machinery at stride 1; the
+    // cut logic is pure window arithmetic the oracle replays from
+    // the closed-form fixture lumas.
+    "q161_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0L until 9L).map { id =>
+        val fps = 10 + (id % 5).toInt * 5
+        val n = 5 + (id % 7).toInt
+        (id, Multimodal.encodeMjpegAvi(fps,
+          (0 until n).map(j => ((id * 31 + j * 17) % 256).toInt)))
+      }
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      val frames = Multimodal.sampleMjpegAviFrames(assets, "asset_id", "payload", stride = 1)
+        .filter(col("decode_ok"))
+      Multimodal.sceneCuts(frames, threshold = 50)
+        .select(col("asset_id"), col("frame_idx"), col("ts_ms"),
+          col("luma"), col("diff"), col("is_cut"))
         .orderBy("asset_id", "frame_idx")
     }),
 
@@ -1661,6 +1695,21 @@ object CorpusQueries {
         |  UNION ALL
         |  SELECT 9, false, NULL, NULL, NULL)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // the decoded lumas are the closed-form fixture values (exact
+    // JPEG round-trip), so lag/diff/cut replay directly
+    "q161_scene_cuts" ->
+      """WITH a AS (SELECT unnest(range(0, 9)) AS id),
+        |p AS (SELECT id, 10 + (id % 5) * 5 AS fps, 5 + id % 7 AS n FROM a),
+        |f AS (SELECT id, fps, unnest(range(0, n)) AS j FROM p),
+        |l AS (SELECT id AS asset_id, CAST(j AS INTEGER) AS frame_idx,
+        |        CAST(j * 1000 // fps AS BIGINT) AS ts_ms,
+        |        CAST((id * 31 + j * 17) % 256 AS INTEGER) AS luma FROM f),
+        |d AS (SELECT asset_id, frame_idx, ts_ms, luma,
+        |        abs(luma - lag(luma) OVER (PARTITION BY asset_id ORDER BY frame_idx)) AS diff
+        |      FROM l)
+        |SELECT asset_id, frame_idx, ts_ms, luma, CAST(diff AS INTEGER) AS diff,
+        |  COALESCE(diff >= 50, false) AS is_cut
+        |FROM d ORDER BY asset_id, frame_idx""".stripMargin,
     // the MJPEG tier shares q152's closed-form fixture contents; the
     // luma column here is the DECODED JPEG center pixel (exact for
     // uniform-gray frames), and ts comes from the AVI stream header's
@@ -1700,6 +1749,31 @@ object CorpusQueries {
         |  CASE WHEN p.n_grams IS NOT NULL
         |    THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) END AS novelty
         |FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id ORDER BY id""".stripMargin,
+    // the full excision replayed: windowed gram digests -> repeated
+    // set -> covered positions -> anti-joined token reconstruction
+    "q159_excise_spans" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN length(w) >= 10
+        |        THEN list_transform(range(0, length(w) - 9),
+        |          p -> struct_pack(p := p, d := md5(array_to_string(w[p+1:p+10], ' '))))
+        |        ELSE [] END) AS e FROM w),
+        |ge AS (SELECT doc_id, e.p AS p, e.d AS d FROM g),
+        |rep AS (SELECT d FROM ge GROUP BY d HAVING count(*) >= 2),
+        |cov0 AS (SELECT doc_id, unnest(range(p, p + 10)) AS tp FROM ge JOIN rep USING (d)),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM cov0),
+        |cut AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, length(w) + 1),
+        |        i -> struct_pack(i := i - 1, tok := w[i]))) AS e FROM w),
+        |tk AS (SELECT doc_id, e.i AS i, e.tok AS tok FROM tok),
+        |keep AS (SELECT tk.doc_id, tk.i, tk.tok FROM tk
+        |         LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.tp = tk.i
+        |         WHERE cov.tp IS NULL),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id AS id, CAST(length(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(cut.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+        |  COALESCE(cl.cleaned, '') AS cleaned_text
+        |FROM w LEFT JOIN cut USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY id""".stripMargin,
     "q144_source_vocab_jaccard" ->
       """WITH v AS (SELECT DISTINCT source AS g,
         |             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term

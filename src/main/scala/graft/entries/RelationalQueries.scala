@@ -728,6 +728,35 @@ object RelationalQueries {
           round(expr("percentile(__v, 0.99)"), 6).as("est_p990"))
     }),
 
+    // the GROUPED streaming quantile sketch — "p99 per service,
+    // continuously maintained": one BottomKByHash state per group in
+    // Complete mode (≤k rows each), landing sample-identical to the
+    // batch q149 — so the per-group family now also has all three
+    // forms (batch q149, streamed here, and the mergeable per-slice
+    // shape via the aggregator's buffers)
+    "q160_stream_group_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      val k = 256
+      val agg = udaf(new graft.analytics.BottomKByHash(k),
+        org.apache.spark.sql.Encoders.product[graft.analytics.HashVal])
+      val stream = StreamingIngest.eventsStream(s, dir)
+        .select(col("event_type").as("g"),
+          conv(substring(md5(concat(lit("bks:"), col("event_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          col("value").cast("double").as("v"))
+      val sk = stream.groupBy("g").agg(agg(col("h"), col("v")).as("sk"))
+      val done = StreamingIngest.runToTable(sk, "q160_sink", OutputMode.Complete())
+      done.select(col("g"), explode(col("sk.items.v")).as("__v"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_sample"),
+          round(expr("percentile(__v, 0.5)"), 6).as("est_p500"),
+          round(expr("percentile(__v, 0.9)"), 6).as("est_p900"),
+          round(expr("percentile(__v, 0.99)"), 6).as("est_p990"))
+        .withColumnRenamed("g", "group")
+        .orderBy("group")
+    }),
+
     // NON-FILE streaming source: the rate-micro-batch GENERATOR drives
     // the exact same checkpointed foreachBatch ingest graph as the
     // file/MemoryStream tiers (q45/q95/q108) — proving the graph is
@@ -1308,6 +1337,19 @@ object RelationalQueries {
         |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
         |FROM a ORDER BY "group"""".stripMargin,
     "q149_group_quantile_sketch" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |    value AS v FROM events),
+        |r AS (SELECT g, h, v, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        |s AS (SELECT g, v FROM r WHERE rn <= 256)
+        |SELECT g AS "group", CAST(count(*) AS BIGINT) AS n_sample,
+        |  round(quantile_cont(v, 0.5), 6) AS est_p500,
+        |  round(quantile_cont(v, 0.9), 6) AS est_p900,
+        |  round(quantile_cont(v, 0.99), 6) AS est_p990
+        |FROM s GROUP BY g ORDER BY "group"""".stripMargin,
+    // identical to q149's CTEs by construction: the streamed grouped
+    // samples must equal the batch per-group bottom-k samples
+    "q160_stream_group_quantiles" ->
       """WITH h AS (SELECT event_type AS g,
         |    CAST('0x' || substring(md5('bks:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
         |    value AS v FROM events),

@@ -497,6 +497,25 @@ object Multimodal {
     }
   }
 
+  /** Scene-cut detection over a decoded frame table — the standard
+    * video-preprocessing step before "sample one frame per scene" in
+    * a training-data pipeline: per asset, frames are ordered by index
+    * and a cut is flagged where the luma feature jumps by at least
+    * `threshold` against the previous frame (first frame: no previous,
+    * diff null, not a cut). Pure window arithmetic over the table the
+    * decode stage already produced — one hash shuffle by asset, no
+    * re-decode; at 1000 executors each asset's frames sort locally
+    * within its partition.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Int): DataFrame = {
+    require(threshold >= 1, "threshold >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    frames
+      .withColumn("diff", abs(col("luma") - lag(col("luma"), 1).over(w)))
+      .withColumn("is_cut", coalesce(col("diff") >= threshold, lit(false)))
+  }
+
   /** Frame-sample every `stride`-th frame of each MJPEG-in-AVI asset —
     * the REAL-format sibling of [[sampleVideoFrames]], same contract:
     * one row per kept frame (flatMap fan-out), integer timestamps from

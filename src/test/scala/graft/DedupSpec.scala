@@ -56,6 +56,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("repeated-span excision (substring-level dedup)") {
+    it("cuts every position covered by a corpus-repeated window, keeps the rest in order") {
+      val docs = Seq(
+        (0L, "a b c d e"),        // "a b c"/"b c d" repeat in doc 1 -> only "e" survives
+        (1L, "x a b c d y"),      // covered {1,2,3,4} -> "x y"
+        (2L, "zz ww"),            // shorter than the span: untouched
+        (3L, "m n o p m n o p")   // self-repeat covers everything -> ""
+      ).toDF("doc_id", "text")
+      val out = Dedup.exciseRepeatedSpans(docs, "doc_id", "text", spanLen = 3)
+        .orderBy("id")
+        .select("id", "n_tokens", "n_dup_tokens", "cleaned_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(out == Seq(
+        (0L, 5L, 4L, "e"),
+        (1L, 6L, 4L, "x y"),
+        (2L, 2L, 0L, "zz ww"),
+        (3L, 8L, 8L, "")))
+    }
+  }
+
   describe("n-gram jaccard") {
     it("exact pairwise jaccard finds the planted near-dups and nothing else") {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)

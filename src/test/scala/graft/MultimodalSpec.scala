@@ -187,6 +187,21 @@ class MultimodalSpec extends SparkSpec {
       assert(got.map(_.getLong(3)).toSeq === (0 until 48).map(_ * 1000L / 25L))
     }
 
+    it("scene cuts flag per-asset luma jumps; first frame is never a cut") {
+      val frames = Seq(
+        (1L, 0, 0L, 10), (1L, 1, 100L, 10), (1L, 2, 200L, 80),
+        (1L, 3, 300L, 82), (1L, 4, 400L, 20),
+        (2L, 0, 0L, 200), (2L, 1, 50L, 140))
+        .toDF("asset_id", "frame_idx", "ts_ms", "luma")
+      val got = Multimodal.sceneCuts(frames, threshold = 50)
+        .orderBy("asset_id", "frame_idx")
+        .select("asset_id", "frame_idx", "is_cut").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+      assert(got === Seq(
+        (1L, 0, false), (1L, 1, false), (1L, 2, true), (1L, 3, false), (1L, 4, true),
+        (2L, 0, false), (2L, 1, true)))
+    }
+
     it("strides, flags corrupt containers, and flags a single bad frame without hiding the rest") {
       val good = Multimodal.encodeMjpegAvi(10, Seq(10, 20, 30, 40, 50))
       // corrupt ONE frame in a valid container: zero out the middle
