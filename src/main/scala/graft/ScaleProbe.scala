@@ -98,6 +98,15 @@ object ScaleProbe {
       time(s"block_dedup_$label") {
         Dedup.blockDedupStats(d, "doc_id", "text", blockLen = 3).count()
       }
+      // q159 shape: windowed-gram explode (~tokens rows) + digest count
+      // + digest join-back + per-doc fold. Unlike pair generation there
+      // is NO d² term anywhere — a span occurring in d docs contributes
+      // d occurrence rows, never d² pairs — so expected growth is
+      // ~linear in corpus tokens even though at 10× nearly every span
+      // repeats across replicas (worst case for the covered-set size)
+      time(s"excise_spans_$label") {
+        Dedup.exciseRepeatedSpans(d, "doc_id", "text", spanLen = 10).count()
+      }
       // q93 shape: pure per-doc projections + ONE broadcast stats row —
       // expected ~linear, constant stages
       time(s"bm25_$label") {

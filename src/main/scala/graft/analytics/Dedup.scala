@@ -123,19 +123,55 @@ object Dedup {
   def exciseRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       spanLen: Int): DataFrame = {
     require(spanLen >= 1, "spanLen >= 1")
-    val src = spread(df)
+    val grams = spanGrams(spread(df), idCol, textCol, spanLen)
+    val repeated = grams.groupBy("d")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("d")
+    exciseByDigests(spread(df), idCol, textCol, spanLen, grams, repeated)
+  }
+
+  /** CROSS-CORPUS span excision — decontamination at SPAN granularity:
+    * cut from every training document each position covered by a
+    * `spanLen`-token window whose contents appear ANYWHERE in
+    * `evalDf`'s text column. Where q88/q104 FLAG contaminated docs,
+    * this SALVAGES them: the quoted benchmark passage is removed, the
+    * rest of the document survives into the training set. Same
+    * digest-only shuffle contract as [[exciseRepeatedSpans]]; the
+    * eval digest set is distinct-bounded (eval corpora are small, so
+    * Catalyst broadcasts the join side). Output shape:
+    * (id, n_tokens, n_dup_tokens, cleaned_text).
+    */
+  def exciseContaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String, spanLen: Int): DataFrame = {
+    require(spanLen >= 1, "spanLen >= 1")
+    val grams = spanGrams(spread(df), idCol, textCol, spanLen)
+    val evalDigests = spanGrams(
+      evalDf.select(lit(0L).as("__eid"), col(evalTextCol)), "__eid", evalTextCol, spanLen)
+      .select("d").distinct()
+    exciseByDigests(spread(df), idCol, textCol, spanLen, grams, evalDigests)
+  }
+
+  /** (id, p, digest) for every `spanLen`-token window start position
+    * p of every doc — the shared candidate table of the excision
+    * family. Digests, never span text, from here on.
+    */
+  private def spanGrams(src: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): DataFrame = {
     val w = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    // (id, p, digest) for every spanLen-window start position p
-    val grams = src.select(col(idCol).as("id"),
+    src.select(col(idCol).as("id"),
         posexplode(when(size(w) >= spanLen,
           transform(sequence(lit(0), size(w) - spanLen),
             p => md5(concat_ws(" ", slice(w, p + 1, lit(spanLen))))))
           .otherwise(array().cast("array<string>"))))
       .select(col("id"), col("pos").as("p"), col("col").as("d"))
-    val repeated = grams.groupBy("d")
-      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("d")
-    // token positions covered by ANY repeated window
-    val covered = grams.join(repeated, "d")
+  }
+
+  /** Cut every token position covered by a gram whose digest is in
+    * `cutDigests`, and rebuild each doc's cleaned text in order.
+    */
+  private def exciseByDigests(src: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, grams: DataFrame, cutDigests: DataFrame): DataFrame = {
+    val w = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val covered = grams.join(cutDigests, "d")
       .select(col("id"), explode(sequence(col("p"), col("p") + (spanLen - 1))).as("tp"))
       .distinct()
     val cuts = covered.groupBy("id")

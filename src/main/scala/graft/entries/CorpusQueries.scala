@@ -773,6 +773,20 @@ object CorpusQueries {
       TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
         .orderBy("id")),
 
+    // span-level DECONTAMINATION: where q88/q104 FLAG contaminated
+    // docs, this SALVAGES them — every position covered by a 10-token
+    // window that appears anywhere in the eval set (q88's eval
+    // convention: doc_id % 97 == 0) is cut, the rest of the doc
+    // survives into the training set. Excluding the eval docs
+    // themselves from the output corpus mirrors real pipelines.
+    "q162_excise_contaminated" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = d.filter(col("doc_id") % 97 === 0).select(col("text"))
+      Dedup.exciseContaminatedSpans(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", ev, "text", spanLen = 10)
+        .orderBy("id")
+    }),
+
     // EXACT repeated-span excision (Lee et al. 2022 substring dedup,
     // token-granular): every position covered by a 10-token window
     // whose contents recur anywhere in the corpus is cut out of the
@@ -1749,6 +1763,36 @@ object CorpusQueries {
         |  CASE WHEN p.n_grams IS NOT NULL
         |    THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) END AS novelty
         |FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id ORDER BY id""".stripMargin,
+    // q159's CTE chain with the cut set = eval-corpus digests and the
+    // train corpus = non-eval docs
+    "q162_excise_contaminated" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id % 97 <> 0),
+        |ew AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |ed AS (SELECT DISTINCT unnest(CASE WHEN length(w) >= 10
+        |        THEN list_transform(range(0, length(w) - 9), p -> md5(array_to_string(w[p+1:p+10], ' ')))
+        |        ELSE [] END) AS d FROM ew),
+        |g AS (SELECT doc_id, unnest(CASE WHEN length(w) >= 10
+        |        THEN list_transform(range(0, length(w) - 9),
+        |          p -> struct_pack(p := p, d := md5(array_to_string(w[p+1:p+10], ' '))))
+        |        ELSE [] END) AS e FROM w),
+        |ge AS (SELECT doc_id, e.p AS p, e.d AS d FROM g),
+        |cov0 AS (SELECT doc_id, unnest(range(p, p + 10)) AS tp FROM ge JOIN ed USING (d)),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM cov0),
+        |cut AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, length(w) + 1),
+        |        i -> struct_pack(i := i - 1, tok := w[i]))) AS e FROM w),
+        |tk AS (SELECT doc_id, e.i AS i, e.tok AS tok FROM tok),
+        |keep AS (SELECT tk.doc_id, tk.i, tk.tok FROM tk
+        |         LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.tp = tk.i
+        |         WHERE cov.tp IS NULL),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id AS id, CAST(length(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(cut.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+        |  COALESCE(cl.cleaned, '') AS cleaned_text
+        |FROM w LEFT JOIN cut USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY id""".stripMargin,
     // the full excision replayed: windowed gram digests -> repeated
     // set -> covered positions -> anti-joined token reconstruction
     "q159_excise_spans" ->

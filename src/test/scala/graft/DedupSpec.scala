@@ -74,6 +74,23 @@ class DedupSpec extends SparkSpec {
         (2L, 2L, 0L, "zz ww"),
         (3L, 8L, 8L, "")))
     }
+
+    it("cross-corpus variant cuts only eval-set spans — in-corpus repeats survive") {
+      val train = Seq(
+        (0L, "a b c d e"),        // "a b c" is in eval -> cut {0,1,2} -> "d e"
+        (1L, "p q r p q r"),      // repeats IN-corpus but not in eval: untouched
+        (2L, "z a b c d")         // covered {1,2,3} -> "z d"
+      ).toDF("doc_id", "text")
+      val eval = Seq((0L, "x y a b c")).toDF("eval_id", "text")
+      val out = Dedup.exciseContaminatedSpans(train, "doc_id", "text", eval, "text", spanLen = 3)
+        .orderBy("id")
+        .select("id", "n_tokens", "n_dup_tokens", "cleaned_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(out == Seq(
+        (0L, 5L, 3L, "d e"),
+        (1L, 6L, 0L, "p q r p q r"),
+        (2L, 5L, 3L, "z d")))
+    }
   }
 
   describe("n-gram jaccard") {

@@ -88,6 +88,35 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("sha2"), p)
     }
 
+    it("repeated-span excision shuffles digests, never span text") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val p = plan(Dedup.exciseRepeatedSpans(docs, "doc_id", "text", spanLen = 10))
+      // gram identity travels as md5 — the repeated-gram count and the
+      // join back are digest-keyed, so no exchange ever carries the
+      // 10-token span strings (the raw `text` column may ride the
+      // per-doc fold, but grams themselves are hashed pre-shuffle)
+      assert(p.contains("md5"), p)
+      // all joins are equi-joins (digest, id) — a cartesian would mean
+      // the candidate generation degenerated
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+
+    it("trained-weights classifier: the model is ONE broadcast map row, corpus never shuffles") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val labeled = docs.withColumn("good",
+        size(graft.analytics.TextAnalysis.qcTokens(col("text"))) >= 60)
+      val w = graft.analytics.TextAnalysis.trainBucketWeights(labeled, "text", col("good"))
+      val p = plan(graft.analytics.TextAnalysis.hashedLinearQualityWeighted(
+        docs, "doc_id", "text", w))
+      // scoring pass = corpus scan x broadcast(1-row map); a keyed
+      // join-back of exploded tokens would show as SMJ/SHJ
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+      // exchanges: the buckets-bounded training groupBy + the one-row
+      // model fold — nothing on the scoring scan itself
+      assert(exchanges(p) <= 2, p)
+    }
+
     it("trigram LM scoring never joins per-occurrence — model rides ONE broadcast row") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
       val p = plan(graft.analytics.TextAnalysis.charTrigramLmScore(docs, "doc_id", "text"))
