@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 8, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 9, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -225,6 +225,22 @@ object Explain {
       "One groupBy carrying six decimal moments per key — shuffle width " +
         "is the group count; the closed-form floats run once per group row.") {
       SparkEntry.queries("q151_trend_by_series")(spark, sfDir)
+    }
+
+    section("q158 trained-weights quality classifier (round 9)",
+      "Training is one buckets-bounded groupBy; the learned weights fold " +
+        "into ONE map row and ride a broadcast into the scoring scan — " +
+        "no per-token join, the corpus side never shuffles.") {
+      SparkEntry.queries("q158_quality_trained")(spark, sfDir)
+    }
+
+    section("q159 repeated-span excision (round 9)",
+      "Windowed grams hash to md5 pre-shuffle, so the repeated-gram " +
+        "count and the join back are digest-keyed (32 bytes a row, " +
+        "never span text); covered positions explode bounded by " +
+        "occurrences x spanLen, and the per-doc fold rebuilds cleaned " +
+        "text without any window over the corpus.") {
+      SparkEntry.queries("q159_excise_spans")(spark, sfDir)
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
