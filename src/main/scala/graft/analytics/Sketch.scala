@@ -137,6 +137,48 @@ object Sketch {
     df.select(hash32(value, salt).as("h")).agg(agg(col("h")).as("sketch"))
   }
 
+  /** KMV SET-OPERATION estimates over two coordinated sketches — the
+    * theta-sketch algebra tier: because both sides hash with the SAME
+    * salt, their bottom-k samples are coordinated, and the k smallest
+    * hashes of the UNION give
+    *
+    *   est_union        = (k−1)·2^32 / R_k          (usual KMV),
+    *   jaccard ρ        = |{h ∈ U_k : h ∈ A ∧ h ∈ B}| / |U_k|,
+    *   est_intersection = ρ · est_union
+    *
+    * — "how many distinct users did BOTH" answered from two KB-sized
+    * sketches, no corpus DISTINCT, no join of the raw sides. Below
+    * saturation everything is exact. Deterministic like the rest of
+    * the sketch tier: md5 hashes, set logic, one closed-form float —
+    * the oracle replays sample AND estimates. Output one row:
+    * (k_union, kth_hash, n_common, est_union, est_intersection,
+    * jaccard).
+    */
+  def kmvSetOps(dfA: DataFrame, valueA: Column, dfB: DataFrame, valueB: Column,
+      k: Int, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val a = kmvSketch(dfA, valueA, k, salt).select(col("sketch.items").as("ia"))
+    val b = kmvSketch(dfB, valueB, k, salt).select(col("sketch.items").as("ib"))
+    val estU = when(col("k_union") < k, col("k_union").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+        col("kth_hash").cast("double"))
+    a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        slice(array_sort(array_distinct(concat(col("ia"), col("ib")))), 1, k).as("u"))
+      .select(
+        size(col("u")).cast("long").as("k_union"),
+        element_at(col("u"), -1).as("kth_hash"),
+        size(filter(col("u"), h =>
+          array_contains(col("ia"), h) && array_contains(col("ib"), h)))
+          .cast("long").as("n_common"))
+      .select(col("k_union"), col("kth_hash"), col("n_common"),
+        estU.as("est_union"),
+        (col("n_common").cast("double") / col("k_union").cast("double") * estU)
+          .as("est_intersection"),
+        (col("n_common").cast("double") / col("k_union").cast("double"))
+          .as("jaccard"))
+  }
+
   /** CountMin frequency sketch: `depth` independent md5-derived hash
     * rows of `width` counters; every item occurrence increments one
     * cell per row, and `estimate(x) = min_j cell[j][h_j(x)]` — an

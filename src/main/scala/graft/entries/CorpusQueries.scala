@@ -860,6 +860,28 @@ object CorpusQueries {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // the end-to-end VIDEO curation pre-pass as ONE gated query (the
+    // multimodal sibling of q115's text pipeline): real MJPEG decode
+    // -> scene segmentation (running cut count) -> representative
+    // frame per scene. Output: one row per representative frame.
+    "q163_video_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0L until 9L).map { id =>
+        val fps = 10 + (id % 5).toInt * 5
+        val n = 5 + (id % 7).toInt
+        (id, Multimodal.encodeMjpegAvi(fps,
+          (0 until n).map(j => ((id * 31 + j * 17) % 256).toInt)))
+      }
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      val frames = Multimodal.sampleMjpegAviFrames(assets, "asset_id", "payload", stride = 1)
+        .filter(col("decode_ok"))
+      Multimodal.sceneRepresentatives(frames, threshold = 50)
+        .filter(col("is_representative"))
+        .select(col("asset_id"), col("scene_id").cast("long").as("scene_id"),
+          col("frame_idx"), col("ts_ms"), col("luma"))
+        .orderBy("asset_id", "scene_id")
+    }),
+
     // REAL image resize (decode -> integer nearest-neighbor remap ->
     // re-encode): the thumbnail pre-pass; solid-color fixtures make
     // the output pixels closed-form, so the oracle pins dims AND
@@ -1709,6 +1731,24 @@ object CorpusQueries {
         |  UNION ALL
         |  SELECT 9, false, NULL, NULL, NULL)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // scene ids are running cut counts over the closed-form lumas;
+    // the representative is the min frame_idx per (asset, scene)
+    "q163_video_pipeline" ->
+      """WITH a AS (SELECT unnest(range(0, 9)) AS id),
+        |p AS (SELECT id, 10 + (id % 5) * 5 AS fps, 5 + id % 7 AS n FROM a),
+        |f AS (SELECT id, fps, unnest(range(0, n)) AS j FROM p),
+        |l AS (SELECT id AS asset_id, CAST(j AS INTEGER) AS frame_idx,
+        |        CAST(j * 1000 // fps AS BIGINT) AS ts_ms,
+        |        CAST((id * 31 + j * 17) % 256 AS INTEGER) AS luma FROM f),
+        |d AS (SELECT *, COALESCE(abs(luma - lag(luma) OVER w) >= 50, false) AS is_cut
+        |      FROM l WINDOW w AS (PARTITION BY asset_id ORDER BY frame_idx)),
+        |sc AS (SELECT *, sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY asset_id ORDER BY frame_idx
+        |               ROWS UNBOUNDED PRECEDING) AS scene_id FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY asset_id, scene_id
+        |        ORDER BY frame_idx) AS rn FROM sc)
+        |SELECT asset_id, CAST(scene_id AS BIGINT) AS scene_id, frame_idx, ts_ms, luma
+        |FROM r WHERE rn = 1 ORDER BY asset_id, scene_id""".stripMargin,
     // the decoded lumas are the closed-form fixture values (exact
     // JPEG round-trip), so lag/diff/cut replay directly
     "q161_scene_cuts" ->

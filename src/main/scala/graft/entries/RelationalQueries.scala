@@ -779,6 +779,18 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // KMV set algebra — theta-sketch-style union/intersection/Jaccard
+    // estimates from two COORDINATED bottom-k samples ("how many
+    // distinct users did BOTH signup and purchase" from two KB
+    // sketches, no corpus DISTINCT, no raw join); the oracle replays
+    // the coordinated samples and the closed-form estimators
+    "q164_kmv_set_ops" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.analytics.Sketch.kmvSetOps(
+        e.filter(col("event_type") === "signup"), col("user_id"),
+        e.filter(col("event_type") === "purchase"), col("user_id"), k = 256)
+    }),
+
     // per-slice HLL cardinality table — the grouped sibling of q121
     // (and the HLL counterpart of the KMV slice table q132)
     "q155_hll_by_slice" -> ((s, dir) =>
@@ -1075,6 +1087,24 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q164_kmv_set_ops" ->
+      """WITH av AS (SELECT DISTINCT CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |            FROM events WHERE event_type = 'signup'),
+        |a AS (SELECT h FROM av ORDER BY h LIMIT 256),
+        |bv AS (SELECT DISTINCT CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |            FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT h FROM bv ORDER BY h LIMIT 256),
+        |u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT 256),
+        |m AS (SELECT count(*) AS k_union, max(h) AS kth_hash,
+        |        sum(CASE WHEN h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+        |            THEN 1 ELSE 0 END) AS n_common FROM u),
+        |e AS (SELECT *, CASE WHEN k_union < 256 THEN CAST(k_union AS DOUBLE)
+        |        ELSE 255.0 * 4294967296.0 / kth_hash END AS est_union FROM m)
+        |SELECT CAST(k_union AS BIGINT) AS k_union, kth_hash,
+        |  CAST(n_common AS BIGINT) AS n_common, est_union,
+        |  CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) * est_union AS est_intersection,
+        |  CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) AS jaccard
+        |FROM e""".stripMargin,
     "q109_kmv_distinct" ->
       """WITH v AS (SELECT DISTINCT CAST('0x' || substring(md5(
         |    'kmv:' || CAST(user_id AS VARCHAR) || ':' ||

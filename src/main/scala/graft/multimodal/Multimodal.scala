@@ -516,6 +516,24 @@ object Multimodal {
       .withColumn("is_cut", coalesce(col("diff") >= threshold, lit(false)))
   }
 
+  /** Scene segmentation + representative-frame selection — the full
+    * video curation pre-pass composed from the decode and cut stages:
+    * frames get a scene id (running count of cuts, per asset, in
+    * frame order) and the FIRST frame of each scene is its
+    * representative (what a training pipeline embeds/captions instead
+    * of every near-identical frame). Window arithmetic over the
+    * decoded frame table; one hash shuffle by asset.
+    */
+  def sceneRepresentatives(frames: DataFrame, threshold: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    sceneCuts(frames, threshold)
+      .withColumn("scene_id", sum(col("is_cut").cast("int")).over(w))
+      .withColumn("is_representative",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("asset_id", "scene_id").orderBy("frame_idx")) === 1)
+  }
+
   /** Frame-sample every `stride`-th frame of each MJPEG-in-AVI asset —
     * the REAL-format sibling of [[sampleVideoFrames]], same contract:
     * one row per kept frame (flatMap fan-out), integer timestamps from

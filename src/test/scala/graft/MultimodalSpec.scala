@@ -202,6 +202,18 @@ class MultimodalSpec extends SparkSpec {
         (2L, 0, false), (2L, 1, true)))
     }
 
+    it("scene representatives: running cut count segments; first frame of each scene wins") {
+      val frames = Seq(
+        (1L, 0, 0L, 10), (1L, 1, 100L, 10), (1L, 2, 200L, 80),
+        (1L, 3, 300L, 82), (1L, 4, 400L, 20))
+        .toDF("asset_id", "frame_idx", "ts_ms", "luma")
+      val got = Multimodal.sceneRepresentatives(frames, threshold = 50)
+        .orderBy("frame_idx")
+        .select("frame_idx", "scene_id", "is_representative").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(got === Seq((0, 0L, true), (1, 0L, false), (2, 1L, true), (3, 1L, false), (4, 2L, true)))
+    }
+
     it("strides, flags corrupt containers, and flags a single bad frame without hiding the rest") {
       val good = Multimodal.encodeMjpegAvi(10, Seq(10, 20, 30, 40, 50))
       // corrupt ONE frame in a valid container: zero out the middle

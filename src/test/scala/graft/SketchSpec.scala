@@ -41,6 +41,28 @@ class SketchSpec extends SparkSpec {
       assert(whole === merged)
     }
 
+    it("set ops are exact below saturation; saturated intersection tracks true jaccard") {
+      // A = {1..20}, B = {11..30}: |A∪B| = 30, |A∩B| = 10 — unsaturated
+      // at k=64, so everything is exact
+      val a = (1L to 20L).toDF("v")
+      val b = (11L to 30L).toDF("v")
+      val r = Sketch.kmvSetOps(a, col("v"), b, col("v"), k = 64).head()
+      assert(r.getAs[Long]("k_union") === 30L)
+      assert(r.getAs[Long]("n_common") === 10L)
+      assert(r.getAs[Double]("est_union") === 30.0)
+      assert(r.getAs[Double]("est_intersection") === 10.0)
+      assert(math.abs(r.getAs[Double]("jaccard") - 10.0 / 30.0) < 1e-12)
+      // saturated: 5000 ∪ 5000 with 50% overlap at k=256 — estimates
+      // must land within loose KMV bounds of the truth
+      val bigA = (1L to 5000L).toDF("v")
+      val bigB = (2501L to 7500L).toDF("v") // union 7500, intersection 2500
+      val s = Sketch.kmvSetOps(bigA, col("v"), bigB, col("v"), k = 256).head()
+      assert(math.abs(s.getAs[Double]("est_union") - 7500.0) / 7500.0 < 0.25,
+        s.toString)
+      assert(math.abs(s.getAs[Double]("est_intersection") - 2500.0) / 2500.0 < 0.4,
+        s.toString)
+    }
+
     it("countmin never underestimates, and collides into overestimates when squeezed") {
       // 200 distinct tokens into a deliberately tiny 2x8 sketch: every
       // cell is shared, so estimates must EXCEED exact counts — the
