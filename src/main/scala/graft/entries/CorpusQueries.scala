@@ -787,6 +787,29 @@ object CorpusQueries {
         .orderBy("id")
     }),
 
+    // clean-then-dedup COMPOSITION gate (the q115 pattern for the
+    // excision tier): span-level decontamination (q162) feeds exact
+    // dedup ON THE CLEANED TEXT (q50's machinery) — the realistic
+    // ordering, since excision collapses docs that differed only in
+    // their quoted benchmark spans into exact duplicates. One summary
+    // row so stage-ordering regressions cannot hide between green
+    // per-stage gates.
+    "q165_clean_dedup_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ev = d.filter(col("doc_id") % 97 === 0).select(col("text"))
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+      val cleaned = Dedup.exciseContaminatedSpans(
+        train, "doc_id", "text", ev, "text", spanLen = 10)
+      val surv = Dedup.exactSurvivorIds(
+        cleaned.filter(col("cleaned_text") =!= ""), Seq("cleaned_text"), "id")
+      cleaned.agg(
+          count(lit(1)).as("n_docs_in"),
+          sum(col("n_tokens")).cast("long").as("tokens_in"),
+          sum(col("n_tokens") - col("n_dup_tokens")).cast("long").as("tokens_kept"),
+          sum((col("cleaned_text") === "").cast("long")).as("n_emptied"))
+        .crossJoin(surv.agg(count(lit(1)).as("n_survivors")))
+    }),
+
     // EXACT repeated-span excision (Lee et al. 2022 substring dedup,
     // token-granular): every position covered by a 10-token window
     // whose contents recur anywhere in the corpus is cut out of the
@@ -1803,6 +1826,41 @@ object CorpusQueries {
         |  CASE WHEN p.n_grams IS NOT NULL
         |    THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) END AS novelty
         |FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id ORDER BY id""".stripMargin,
+    // q162's chain folded to the one-row pipeline summary; survivors
+    // = distinct non-empty cleaned texts (min-id grouping counts one
+    // per distinct text, so COUNT(DISTINCT) replays it)
+    "q165_clean_dedup_pipeline" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id % 97 <> 0),
+        |ew AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |ed AS (SELECT DISTINCT unnest(CASE WHEN length(w) >= 10
+        |        THEN list_transform(range(0, length(w) - 9), p -> md5(array_to_string(w[p+1:p+10], ' ')))
+        |        ELSE [] END) AS d FROM ew),
+        |g AS (SELECT doc_id, unnest(CASE WHEN length(w) >= 10
+        |        THEN list_transform(range(0, length(w) - 9),
+        |          p -> struct_pack(p := p, d := md5(array_to_string(w[p+1:p+10], ' '))))
+        |        ELSE [] END) AS e FROM w),
+        |ge AS (SELECT doc_id, e.p AS p, e.d AS d FROM g),
+        |cov0 AS (SELECT doc_id, unnest(range(p, p + 10)) AS tp FROM ge JOIN ed USING (d)),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM cov0),
+        |cut AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, length(w) + 1),
+        |        i -> struct_pack(i := i - 1, tok := w[i]))) AS e FROM w),
+        |tk AS (SELECT doc_id, e.i AS i, e.tok AS tok FROM tok),
+        |keep AS (SELECT tk.doc_id, tk.i, tk.tok FROM tk
+        |         LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.tp = tk.i
+        |         WHERE cov.tp IS NULL),
+        |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned FROM keep GROUP BY doc_id),
+        |out AS (SELECT w.doc_id AS id, length(w.w) AS n_tokens,
+        |          COALESCE(cut.n_dup, 0) AS n_dup, COALESCE(cl.cleaned, '') AS cleaned
+        |        FROM w LEFT JOIN cut USING (doc_id) LEFT JOIN cl USING (doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs_in,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_in,
+        |  CAST(sum(n_tokens - n_dup) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(CASE WHEN cleaned = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied,
+        |  CAST(count(DISTINCT CASE WHEN cleaned <> '' THEN cleaned END) AS BIGINT) AS n_survivors
+        |FROM out""".stripMargin,
     // q159's CTE chain with the cut set = eval-corpus digests and the
     // train corpus = non-eval docs
     "q162_excise_contaminated" ->
