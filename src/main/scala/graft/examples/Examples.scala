@@ -138,4 +138,45 @@ object Examples {
       "budget" -> selected.count())
     (packed, counts)
   }
+
+  /** Example 6 — the VIDEO curation pipeline (the multimodal sibling
+    * of example 5), composed from the public API over real
+    * MJPEG-in-AVI assets:
+    *   1. demux + per-frame JPEG decode (`sampleMjpegAviFrames`) —
+    *      corrupt containers flag, they don't kill the sweep;
+    *   2. scene segmentation + representative selection
+    *      (`sceneRepresentatives`);
+    *   3. exact frame dedup ACROSS assets by decoded luma signature
+    *      (reposted clips collapse to one representative).
+    *
+    * Returns (kept representative frames, per-stage counts) so the
+    * spec can assert the funnel narrows and corrupt assets survive
+    * as flags.
+    */
+  def videoPipeline(spark: SparkSession, assets: DataFrame,
+      cutThreshold: Int = 50): (DataFrame, Seq[(String, Long)]) = {
+    import graft.analytics.Dedup
+    import graft.multimodal.Multimodal
+    val frames = Multimodal.sampleMjpegAviFrames(assets, "asset_id", "payload", stride = 1)
+    val decoded = frames.filter(col("decode_ok"))
+    val reps = Multimodal.sceneRepresentatives(decoded, cutThreshold)
+      .filter(col("is_representative"))
+      .select(col("asset_id"), col("scene_id"), col("frame_idx"),
+        col("ts_ms"), col("luma"))
+    // cross-asset frame dedup: a reposted clip shares its scene's
+    // luma signature — keep the first (asset, frame) per signature
+    val surv = Dedup.exactSurvivorIds(
+      reps.withColumn("id", col("asset_id") * 1000000L + col("frame_idx")),
+      Seq("luma"), "id")
+    val kept = reps
+      .withColumn("id", col("asset_id") * 1000000L + col("frame_idx"))
+      .join(surv, "id").drop("id")
+    val counts = Seq(
+      "assets" -> assets.count(),
+      "decoded_frames" -> decoded.count(),
+      "corrupt_assets" -> frames.filter(!col("decode_ok")).select("asset_id").distinct().count(),
+      "scene_representatives" -> reps.count(),
+      "deduped_frames" -> kept.count())
+    (kept, counts)
+  }
 }

@@ -91,6 +91,41 @@ class DedupSpec extends SparkSpec {
         (1L, 6L, 0L, "p q r p q r"),
         (2L, 5L, 3L, "z d")))
     }
+
+    it("matches a driver-side reference interpreter on random high-collision corpora") {
+      // tiny vocabulary + short docs => dense span collisions, hitting
+      // every branch (no-gram docs, fully-excised docs, partial cuts,
+      // in-doc repeats); the reference implementation is the spec
+      val rnd = new scala.util.Random(11)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val spanLen = 3
+      val corpus = (0L until 60L).map { id =>
+        val n = rnd.nextInt(12) // 0..11 tokens
+        (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: count every span occurrence corpus-wide, cover, cut
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toVector
+      }.toMap
+      val occ = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, w) <- toks; p <- 0 to w.size - spanLen)
+        occ(w.slice(p, p + spanLen).mkString(" ")) =
+          occ.getOrElse(w.slice(p, p + spanLen).mkString(" "), 0) + 1
+      val expect = corpus.map { case (id, _) =>
+        val w = toks(id)
+        val covered = (0 to w.size - spanLen)
+          .filter(p => occ(w.slice(p, p + spanLen).mkString(" ")) >= 2)
+          .flatMap(p => p until p + spanLen).toSet
+        val cleaned = w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        (id, w.size.toLong, covered.size.toLong, cleaned.mkString(" "))
+      }
+      val got = Dedup.exciseRepeatedSpans(
+        corpus.toDF("doc_id", "text").repartition(7), "doc_id", "text", spanLen)
+        .orderBy("id")
+        .select("id", "n_tokens", "n_dup_tokens", "cleaned_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got === expect)
+    }
   }
 
   describe("n-gram jaccard") {

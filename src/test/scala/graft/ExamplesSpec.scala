@@ -69,4 +69,30 @@ class ExamplesSpec extends SparkSpec {
     assert(packed.count() == byStage("budget"))
     assert(packed.select("chunk_id").distinct().count() >= 1)
   }
+
+  it("example 6: the video pipeline dedups reposted clips and survives corrupt assets") {
+    import graft.multimodal.Multimodal
+    val clipA = Multimodal.encodeMjpegAvi(10, Seq(10, 12, 90, 91, 20, 22))
+    val clipB = Multimodal.encodeMjpegAvi(25, Seq(200, 201, 50))
+    val assets = Seq(
+      (1L, clipA),
+      (2L, clipA),                  // repost of clip 1 — dedups away
+      (3L, clipB),
+      (4L, "junk".getBytes("UTF-8")) // corrupt — flagged, not fatal
+    ).toDF("asset_id", "payload")
+    val (kept, counts) = Examples.videoPipeline(spark, assets, cutThreshold = 50)
+    val byStage = counts.toMap
+    assert(byStage("assets") == 4)
+    assert(byStage("decoded_frames") == 15) // 6 + 6 + 3
+    assert(byStage("corrupt_assets") == 1)
+    // scenes: clipA has cuts at idx 2 and 4 (3 scenes x 2 copies),
+    // clipB at idx 2 (2 scenes) -> 8 representatives
+    assert(byStage("scene_representatives") == 8)
+    // the reposted clip's 3 representatives share lumas with the
+    // original's -> 5 distinct survive
+    assert(byStage("deduped_frames") == 5)
+    // survivors are the FIRST occurrence: all of asset 1's reps stay
+    assert(kept.filter(col("asset_id") === 1L).count() == 3)
+    assert(kept.filter(col("asset_id") === 2L).count() == 0)
+  }
 }
