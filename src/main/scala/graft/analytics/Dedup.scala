@@ -156,7 +156,9 @@ object Dedup {
     */
   private def spanGrams(src: DataFrame, idCol: String, textCol: String,
       spanLen: Int): DataFrame = {
-    val w = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // null text = empty doc, not a poisoned row (split(null) is null
+    // and size(null) = -1 would corrupt the token accounting)
+    val w = filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
     src.select(col(idCol).as("id"),
         posexplode(when(size(w) >= spanLen,
           transform(sequence(lit(0), size(w) - spanLen),
@@ -170,7 +172,7 @@ object Dedup {
     */
   private def exciseByDigests(src: DataFrame, idCol: String, textCol: String,
       spanLen: Int, grams: DataFrame, cutDigests: DataFrame): DataFrame = {
-    val w = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val w = filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
     val covered = grams.join(cutDigests, "d")
       .select(col("id"), explode(sequence(col("p"), col("p") + (spanLen - 1))).as("tp"))
       .distinct()

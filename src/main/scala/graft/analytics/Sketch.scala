@@ -120,7 +120,9 @@ object Sketch {
     val sk = kmvSketch(df, value, k, salt)
     sk.select(
         size(col("sketch.items")).cast("long").as("k_used"),
-        element_at(col("sketch.items"), -1).as("kth_hash"))
+        // try_: an empty input has no k-th hash — null, not an ANSI
+        // array-index error (k_used = 0 routes the exact branch anyway)
+        try_element_at(col("sketch.items"), lit(-1)).as("kth_hash"))
       .select(col("k_used"), col("kth_hash"),
         when(col("k_used") < k, col("k_used").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
@@ -167,15 +169,21 @@ object Sketch {
         slice(array_sort(array_distinct(concat(col("ia"), col("ib")))), 1, k).as("u"))
       .select(
         size(col("u")).cast("long").as("k_union"),
-        element_at(col("u"), -1).as("kth_hash"),
+        // try_: an empty union (both sides empty) has no k-th hash —
+        // null, not an ANSI array-index error
+        try_element_at(col("u"), lit(-1)).as("kth_hash"),
         size(filter(col("u"), h =>
           array_contains(col("ia"), h) && array_contains(col("ib"), h)))
           .cast("long").as("n_common"))
       .select(col("k_union"), col("kth_hash"), col("n_common"),
         estU.as("est_union"),
-        (col("n_common").cast("double") / col("k_union").cast("double") * estU)
+        // guard the empty-union case: 0/0 would be NaN, and an empty
+        // union genuinely has zero intersection and zero similarity
+        when(col("k_union") === 0L, lit(0.0))
+          .otherwise(col("n_common").cast("double") / col("k_union").cast("double") * estU)
           .as("est_intersection"),
-        (col("n_common").cast("double") / col("k_union").cast("double"))
+        when(col("k_union") === 0L, lit(0.0))
+          .otherwise(col("n_common").cast("double") / col("k_union").cast("double"))
           .as("jaccard"))
   }
 

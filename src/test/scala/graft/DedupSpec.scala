@@ -92,6 +92,16 @@ class DedupSpec extends SparkSpec {
         (2L, 5L, 3L, "z d")))
     }
 
+    it("null text is an empty doc, not a poisoned row") {
+      val docs = Seq((0L, "a b c a b c"), (1L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val out = Dedup.exciseRepeatedSpans(docs, "doc_id", "text", spanLen = 3)
+        .orderBy("id")
+        .select("id", "n_tokens", "n_dup_tokens", "cleaned_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(out == Seq((0L, 6L, 6L, ""), (1L, 0L, 0L, "")))
+    }
+
     it("matches a driver-side reference interpreter on random high-collision corpora") {
       // tiny vocabulary + short docs => dense span collisions, hitting
       // every branch (no-gram docs, fully-excised docs, partial cuts,

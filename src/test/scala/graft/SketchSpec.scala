@@ -61,6 +61,13 @@ class SketchSpec extends SparkSpec {
         s.toString)
       assert(math.abs(s.getAs[Double]("est_intersection") - 2500.0) / 2500.0 < 0.4,
         s.toString)
+      // empty sides: zero union, zero intersection, zero jaccard — no NaN
+      val empty = Seq.empty[Long].toDF("v")
+      val z = Sketch.kmvSetOps(empty, col("v"), empty, col("v"), k = 16).head()
+      assert(z.getAs[Long]("k_union") === 0L)
+      assert(z.getAs[Double]("est_union") === 0.0)
+      assert(z.getAs[Double]("est_intersection") === 0.0)
+      assert(z.getAs[Double]("jaccard") === 0.0)
     }
 
     it("countmin never underestimates, and collides into overestimates when squeezed") {
