@@ -187,6 +187,44 @@ object Sketch {
           .as("jaccard"))
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup) — the subset-SUM
+    * sketch: a k-row weighted sample from which ANY subset's total
+    * weight is estimated unbiasedly,
+    *
+    *   u_i   = (hash32(id)+1) / 2^32          (md5-derived uniform),
+    *   pri_i = w_i / u_i,
+    *   S     = top-k by priority, τ = (k+1)-th priority (0 if n ≤ k),
+    *   est   = Σ_{i∈S} max(w_i, τ)            (exact when n ≤ k).
+    *
+    * "Total tokens in this slice" answerable from k rows instead of a
+    * corpus scan. Determinism contract like the rest of the sketch
+    * tier: the uniform is integer-derived, the top-k cut totally
+    * ordered by (priority desc, id), and the estimate sums INTEGER
+    * micro-units (⌊max(w,τ)·10^6⌋) — so sample AND estimate replay
+    * exactly in any md5-capable engine, no float-summation-order
+    * divergence. Plan shape: pure scan → TakeOrdered(k+1) (bounded
+    * per-partition heaps, never a full sort) → one k-row aggregate.
+    * Output one row: (k_sample, tau_micro, est_total_micro).
+    */
+  def prioritySampleSum(df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String = "ps"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val prid = df.select(col(idCol).cast("long").as("id"),
+        weight.cast("double").as("wt"),
+        ((hash32(col(idCol), salt) + 1L) / lit(4294967296.0)).as("u"))
+      .select(col("id"), col("wt"), (col("wt") / col("u")).as("pri"))
+    val topK1 = prid.orderBy(col("pri").desc, col("id")).limit(k + 1)
+      .agg(count(lit(1)).as("n_top"), min("pri").as("min_pri"))
+      .select(when(col("n_top") === (k + 1), col("min_pri"))
+        .otherwise(lit(0.0)).as("tau"))
+    prid.orderBy(col("pri").desc, col("id")).limit(k)
+      .crossJoin(broadcast(topK1))
+      .agg(count(lit(1)).as("k_sample"),
+        min(floor(col("tau") * 1e6).cast("long")).as("tau_micro"),
+        sum(floor(greatest(col("wt"), col("tau")) * 1e6).cast("long"))
+          .as("est_total_micro"))
+  }
+
   /** CountMin frequency sketch: `depth` independent md5-derived hash
     * rows of `width` counters; every item occurrence increments one
     * cell per row, and `estimate(x) = min_j cell[j][h_j(x)]` — an

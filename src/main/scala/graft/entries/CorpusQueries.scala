@@ -787,6 +787,17 @@ object CorpusQueries {
         .orderBy("id")
     }),
 
+    // priority sampling (Duffield-Lund-Thorup) — the subset-SUM
+    // sketch: total corpus chars estimated unbiasedly from a 64-row
+    // weighted sample; integer-derived uniforms + micro-unit integer
+    // summation make sample AND estimate replay exactly (the exact
+    // total rides alongside for the error story)
+    "q166_priority_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.analytics.Sketch.prioritySampleSum(d, "doc_id", col("n_chars"), k = 64)
+        .crossJoin(d.agg(sum(col("n_chars")).cast("long").as("exact_total")))
+    }),
+
     // clean-then-dedup COMPOSITION gate (the q115 pattern for the
     // excision tier): span-level decontamination (q162) feeds exact
     // dedup ON THE CLEANED TEXT (q50's machinery) — the realistic
@@ -1826,6 +1837,21 @@ object CorpusQueries {
         |  CASE WHEN p.n_grams IS NOT NULL
         |    THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) END AS novelty
         |FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id ORDER BY id""".stripMargin,
+    "q166_priority_sample" ->
+      """WITH p AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS wt,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+        |        / 4294967296.0) AS pri
+        |  FROM documents),
+        |t1 AS (SELECT count(*) AS n_top, min(pri) AS min_pri
+        |       FROM (SELECT pri FROM p ORDER BY pri DESC, id LIMIT 65)),
+        |tau AS (SELECT CASE WHEN n_top = 65 THEN min_pri ELSE 0.0 END AS tau FROM t1),
+        |s AS (SELECT id, wt FROM p ORDER BY pri DESC, id LIMIT 64)
+        |SELECT CAST(count(*) AS BIGINT) AS k_sample,
+        |  CAST(min(floor(tau * 1e6)) AS BIGINT) AS tau_micro,
+        |  CAST(sum(CAST(floor(greatest(wt, tau) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_micro,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS exact_total
+        |FROM s, tau""".stripMargin,
     // q162's chain folded to the one-row pipeline summary; survivors
     // = distinct non-empty cleaned texts (min-id grouping counts one
     // per distinct text, so COUNT(DISTINCT) replays it)

@@ -70,6 +70,26 @@ class SketchSpec extends SparkSpec {
       assert(z.getAs[Double]("jaccard") === 0.0)
     }
 
+    it("priority sampling: exact below k, unbiased-ish above, deterministic under shuffling") {
+      // n <= k: tau = 0, estimate == exact total (in micro-units)
+      val small = (1L to 20L).map(i => (i, i * 10.0)).toDF("id", "w")
+      val r = Sketch.prioritySampleSum(small, "id", col("w"), k = 64).head()
+      assert(r.getAs[Long]("k_sample") === 20L)
+      assert(r.getAs[Long]("tau_micro") === 0L)
+      assert(r.getAs[Long]("est_total_micro") === (1L to 20L).map(_ * 10L * 1000000L).sum)
+      // n >> k: estimate lands within a loose band of the truth and is
+      // invariant to row order / partitioning (set function)
+      val vals = (1L to 3000L).map(i => (i, (i % 97 + 1).toDouble))
+      val truth = vals.map(_._2).sum
+      val a = Sketch.prioritySampleSum(vals.toDF("id", "w").repartition(1),
+        "id", col("w"), k = 128).head().getAs[Long]("est_total_micro")
+      val b = Sketch.prioritySampleSum(
+        scala.util.Random.shuffle(vals).toDF("id", "w").repartition(13),
+        "id", col("w"), k = 128).head().getAs[Long]("est_total_micro")
+      assert(a === b)
+      assert(math.abs(a / 1e6 - truth) / truth < 0.35, s"est=${a / 1e6} truth=$truth")
+    }
+
     it("countmin never underestimates, and collides into overestimates when squeezed") {
       // 200 distinct tokens into a deliberately tiny 2x8 sketch: every
       // cell is shared, so estimates must EXCEED exact counts — the
