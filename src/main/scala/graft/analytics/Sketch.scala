@@ -225,6 +225,41 @@ object Sketch {
           .as("est_total_micro"))
   }
 
+  /** Per-group [[prioritySampleSum]] — "estimated total tokens PER
+    * SOURCE" from ≤ k sampled rows per group: rank by priority inside
+    * each group (one key shuffle; WindowGroupLimit early-stops at
+    * k+1), τ_g = each group's (k+1)-th priority (0 for under-k
+    * groups, which are therefore EXACT), estimate per group =
+    * Σ max(w, τ_g) over its top-k in integer micro-units. Output:
+    * (group, k_sample, tau_micro, est_total_micro).
+    */
+  def prioritySampleSumByGroup(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int, salt: String = "ps"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy(col("pri").desc, col("id"))
+    df.select(col(groupCol).as("group"), col(idCol).cast("long").as("id"),
+        weight.cast("double").as("wt"),
+        ((hash32(col(idCol), salt) + 1L) / lit(4294967296.0)).as("u"))
+      .select(col("group"), col("id"), col("wt"), (col("wt") / col("u")).as("pri"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k + 1)
+      .groupBy("group")
+      .agg(
+        sum(when(col("rn") <= k, 1L).otherwise(0L)).as("k_sample"),
+        // the group's tau: its (k+1)-th priority, 0 when under k+1 rows
+        max(when(col("rn") === (k + 1), col("pri")).otherwise(lit(0.0))).as("__tau"),
+        // tau is an aggregate of the SAME group, so max(w, tau) folds
+        // after the agg over the carried ≤ k-element weight list
+        sort_array(collect_list(when(col("rn") <= k, col("wt"))), asc = false)
+          .as("__ws"))
+      .select(col("group"), col("k_sample"),
+        floor(col("__tau") * 1e6).cast("long").as("tau_micro"),
+        aggregate(col("__ws"), lit(0L), (acc, x) =>
+          acc + floor(greatest(x, col("__tau")) * 1e6).cast("long"))
+          .as("est_total_micro"))
+  }
+
   /** CountMin frequency sketch: `depth` independent md5-derived hash
     * rows of `width` counters; every item occurrence increments one
     * cell per row, and `estimate(x) = min_j cell[j][h_j(x)]` — an

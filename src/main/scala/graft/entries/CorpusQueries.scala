@@ -798,6 +798,13 @@ object CorpusQueries {
         .crossJoin(d.agg(sum(col("n_chars")).cast("long").as("exact_total")))
     }),
 
+    // the grouped sibling: estimated total chars PER SOURCE from <= 32
+    // sampled rows per group; under-k groups are exact (tau = 0)
+    "q167_priority_sample_by_source" -> ((s, dir) =>
+      graft.analytics.Sketch.prioritySampleSumByGroup(
+        docs(s, dir), "source", "doc_id", col("n_chars"), k = 32)
+        .orderBy("group")),
+
     // clean-then-dedup COMPOSITION gate (the q115 pattern for the
     // excision tier): span-level decontamination (q162) feeds exact
     // dedup ON THE CLEANED TEXT (q50's machinery) — the realistic
@@ -1852,6 +1859,22 @@ object CorpusQueries {
         |  CAST(sum(CAST(floor(greatest(wt, tau) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_micro,
         |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS exact_total
         |FROM s, tau""".stripMargin,
+    "q167_priority_sample_by_source" ->
+      """WITH p AS (SELECT source AS g, doc_id AS id, CAST(n_chars AS DOUBLE) AS wt,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+        |        / 4294967296.0) AS pri
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY pri DESC, id) AS rn FROM p),
+        |t AS (SELECT g, max(CASE WHEN rn = 33 THEN pri ELSE 0.0 END) AS tau,
+        |        sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END) AS k_sample
+        |      FROM r WHERE rn <= 33 GROUP BY g),
+        |e AS (SELECT r.g, sum(CAST(floor(greatest(r.wt, t.tau) * 1e6) AS BIGINT)) AS est
+        |      FROM r JOIN t USING (g) WHERE rn <= 32 GROUP BY r.g)
+        |SELECT t.g AS "group", CAST(t.k_sample AS BIGINT) AS k_sample,
+        |  CAST(floor(t.tau * 1e6) AS BIGINT) AS tau_micro,
+        |  CAST(e.est AS BIGINT) AS est_total_micro
+        |FROM t JOIN e ON e.g = t.g ORDER BY "group"""".stripMargin,
     // q162's chain folded to the one-row pipeline summary; survivors
     // = distinct non-empty cleaned texts (min-id grouping counts one
     // per distinct text, so COUNT(DISTINCT) replays it)

@@ -90,6 +90,25 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a / 1e6 - truth) / truth < 0.35, s"est=${a / 1e6} truth=$truth")
     }
 
+    it("grouped priority sampling matches the global sketch per group; under-k groups exact") {
+      val vals = (1L to 900L).map(i => (s"g${i % 3}", i, (i % 50 + 1).toDouble)) ++
+        (9000L to 9004L).map(i => ("tiny", i, 7.0)) // 5-row group: exact
+      val df = vals.toDF("g", "id", "w").repartition(11)
+      val grouped = Sketch.prioritySampleSumByGroup(df, "g", "id", col("w"), k = 64)
+        .collect().map(r => r.getAs[String]("group") ->
+          (r.getAs[Long]("k_sample"), r.getAs[Long]("tau_micro"), r.getAs[Long]("est_total_micro")))
+        .toMap
+      // each group independently equals the ungrouped sketch run on it
+      for (g <- Seq("g0", "g1", "g2", "tiny")) {
+        val solo = Sketch.prioritySampleSum(df.filter(col("g") === g), "id", col("w"), k = 64)
+          .head()
+        assert(grouped(g) === ((solo.getAs[Long]("k_sample"),
+          solo.getAs[Long]("tau_micro"), solo.getAs[Long]("est_total_micro"))), g)
+      }
+      // the under-k group is exact
+      assert(grouped("tiny") === ((5L, 0L, 5L * 7L * 1000000L)))
+    }
+
     it("countmin never underestimates, and collides into overestimates when squeezed") {
       // 200 distinct tokens into a deliberately tiny 2x8 sketch: every
       // cell is shared, so estimates must EXCEED exact counts — the
