@@ -66,6 +66,46 @@ final class BottomKByHash(k: Int) extends Aggregator[HashVal, BkBuf, BkBuf]
     Encoders.product[BkBuf]
 }
 
+/** One priority-sample entry: md5-derived priority, row id (the total
+  * tie-break), weight.
+  */
+final case class PriVal(pri: Double, id: Long, wt: Double)
+final case class PriBuf(items: Seq[PriVal])
+
+/** Top-(k+1)-by-priority sample state — the STREAMED form of
+  * [[Sketch.prioritySampleSum]]'s TakeOrdered(k+1): keeps the k+1
+  * entries highest by (priority desc, id asc), deduped by id (an
+  * at-least-once source redelivering a row must not re-sample it), so
+  * a Complete-mode stream lands SAMPLE-IDENTICAL to the batch sketch.
+  * State is ≤ k+1 small rows per group.
+  */
+final class TopKByPriority(kPlus1: Int) extends Aggregator[PriVal, PriBuf, PriBuf]
+    with Serializable {
+  require(kPlus1 >= 2, "top-k-by-priority needs k+1 >= 2")
+  private val ord: Ordering[PriVal] = Ordering.by(p => (-p.pri, p.id))
+
+  override def zero: PriBuf = PriBuf(Nil)
+
+  override def reduce(buf: PriBuf, x: PriVal): PriBuf =
+    if (buf.items.exists(_.id == x.id)) buf
+    else if (buf.items.size < kPlus1) PriBuf(x +: buf.items)
+    else {
+      val worst = buf.items.max(ord)
+      if (ord.lt(x, worst)) PriBuf(x +: buf.items.filterNot(_.id == worst.id))
+      else buf
+    }
+
+  override def merge(a: PriBuf, b: PriBuf): PriBuf =
+    PriBuf((a.items ++ b.items).distinctBy(_.id).sorted(ord).take(kPlus1))
+
+  override def finish(buf: PriBuf): PriBuf = PriBuf(buf.items.sorted(ord))
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[PriBuf] =
+    Encoders.product[PriBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[PriBuf] =
+    Encoders.product[PriBuf]
+}
+
 final class MinKDistinct(k: Int) extends Aggregator[Long, KmvBuf, KmvBuf]
     with Serializable {
   require(k >= 1, "kmv needs k >= 1")
@@ -223,6 +263,24 @@ object Sketch {
         min(floor(col("tau") * 1e6).cast("long")).as("tau_micro"),
         sum(floor(greatest(col("wt"), col("tau")) * 1e6).cast("long"))
           .as("est_total_micro"))
+  }
+
+  /** Estimate tail of the priority sample, from a FINISHED
+    * [[TopKByPriority]] state (`itemsCol` = the sorted top-(k+1)
+    * (pri, id, wt) list): the same (k_sample, tau_micro,
+    * est_total_micro) row [[prioritySampleSum]] emits — so a streamed
+    * state estimates through identical math.
+    */
+  def priorityEstimateFromItems(df: DataFrame, itemsCol: String, k: Int): DataFrame = {
+    val items = col(itemsCol)
+    val tau = when(size(items) === (k + 1),
+      element_at(items, k + 1).getField("pri")).otherwise(lit(0.0))
+    df.select(
+      least(size(items), lit(k)).cast("long").as("k_sample"),
+      floor(tau * 1e6).cast("long").as("tau_micro"),
+      aggregate(slice(items, 1, k), lit(0L), (acc, x) =>
+        acc + floor(greatest(x.getField("wt"), tau) * 1e6).cast("long"))
+        .as("est_total_micro"))
   }
 
   /** Per-group [[prioritySampleSum]] — "estimated total tokens PER

@@ -728,6 +728,32 @@ object RelationalQueries {
           round(expr("percentile(__v, 0.99)"), 6).as("est_p990"))
     }),
 
+    // the STREAMED priority sample — the subset-sum sketch maintains
+    // itself over the stream (TopKByPriority state, <= k+1 rows,
+    // deduped by id so at-least-once redelivery cannot re-sample) and
+    // must land sample-identical to the batch math; fifth streamed
+    // sketch family (KMV q112, CountMin q126, HLL q131, quantiles
+    // q154, subset-sum here)
+    "q168_stream_priority_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingIngest
+      import graft.analytics.{PriVal, Sketch, TopKByPriority}
+      val k = 64
+      val agg = udaf(new TopKByPriority(k + 1),
+        org.apache.spark.sql.Encoders.product[PriVal])
+      val wt = (col("event_id") % 50 + 1).cast("double")
+      val stream = StreamingIngest.eventsStream(s, dir)
+        .select(
+          (wt / ((Sketch.hash32(col("event_id"), "ps") + 1L) / lit(4294967296.0)))
+            .as("pri"),
+          col("event_id").cast("long").as("id"),
+          wt.as("wt"))
+      val sk = stream.agg(agg(col("pri"), col("id"), col("wt")).as("sk"))
+      val done = StreamingIngest.runToTable(sk, "q168_sink", OutputMode.Complete())
+      Sketch.priorityEstimateFromItems(done.select(col("sk.items").as("items")),
+        "items", k)
+    }),
+
     // the GROUPED streaming quantile sketch — "p99 per service,
     // continuously maintained": one BottomKByHash state per group in
     // Complete mode (≤k rows each), landing sample-identical to the
@@ -1377,6 +1403,22 @@ object RelationalQueries {
         |  round(quantile_cont(v, 0.9), 6) AS est_p900,
         |  round(quantile_cont(v, 0.99), 6) AS est_p990
         |FROM s GROUP BY g ORDER BY "group"""".stripMargin,
+    // the q166 estimator replayed over events (weight = event_id%50+1)
+    "q168_stream_priority_sample" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    CAST(event_id % 50 + 1 AS DOUBLE) AS wt,
+        |    CAST(event_id % 50 + 1 AS DOUBLE) /
+        |      ((CAST('0x' || substring(md5('ps:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+        |        / 4294967296.0) AS pri
+        |  FROM events),
+        |t1 AS (SELECT count(*) AS n_top, min(pri) AS min_pri
+        |       FROM (SELECT pri FROM p ORDER BY pri DESC, id LIMIT 65)),
+        |tau AS (SELECT CASE WHEN n_top = 65 THEN min_pri ELSE 0.0 END AS tau FROM t1),
+        |s AS (SELECT id, wt FROM p ORDER BY pri DESC, id LIMIT 64)
+        |SELECT CAST(count(*) AS BIGINT) AS k_sample,
+        |  CAST(min(floor(tau * 1e6)) AS BIGINT) AS tau_micro,
+        |  CAST(sum(CAST(floor(greatest(wt, tau) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_micro
+        |FROM s, tau""".stripMargin,
     // identical to q149's CTEs by construction: the streamed grouped
     // samples must equal the batch per-group bottom-k samples
     "q160_stream_group_quantiles" ->

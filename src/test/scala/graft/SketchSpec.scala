@@ -109,6 +109,27 @@ class SketchSpec extends SparkSpec {
       assert(grouped("tiny") === ((5L, 0L, 5L * 7L * 1000000L)))
     }
 
+    it("TopKByPriority state estimates identically to the batch sketch, dedupes redelivery") {
+      import graft.analytics.{PriVal, TopKByPriority}
+      val k = 32
+      val vals = (1L to 500L).map(i => (i, (i % 23 + 1).toDouble))
+      val df = vals.toDF("id", "w").repartition(9)
+      val withPri = df.select(
+        (col("w") / ((Sketch.hash32(col("id"), "ps") + 1L) / lit(4294967296.0))).as("pri"),
+        col("id"), col("w").as("wt"))
+      val agg = udaf(new TopKByPriority(k + 1),
+        org.apache.spark.sql.Encoders.product[PriVal])
+      // redeliver every row twice: the id-dedupe must make it a no-op
+      val redelivered = withPri.union(withPri)
+      val viaState = Sketch.priorityEstimateFromItems(
+        redelivered.agg(agg(col("pri"), col("id"), col("wt")).as("sk"))
+          .select(col("sk.items").as("items")), "items", k).head()
+      val viaBatch = Sketch.prioritySampleSum(df, "id", col("w"), k).head()
+      assert(viaState.getAs[Long]("k_sample") === viaBatch.getAs[Long]("k_sample"))
+      assert(viaState.getAs[Long]("tau_micro") === viaBatch.getAs[Long]("tau_micro"))
+      assert(viaState.getAs[Long]("est_total_micro") === viaBatch.getAs[Long]("est_total_micro"))
+    }
+
     it("countmin never underestimates, and collides into overestimates when squeezed") {
       // 200 distinct tokens into a deliberately tiny 2x8 sketch: every
       // cell is shared, so estimates must EXCEED exact counts — the
