@@ -85,6 +85,37 @@ class MultimodalSpec extends SparkSpec {
           && rows(id).isNullAt(4) && rows(id).isNullAt(5))
       }
     }
+    it("decode is format-agnostic: BMP, GIF and JPEG payloads all decode through the same stage") {
+      import spark.implicits._
+      def encodeAs(fmt: String, w: Int, h: Int, gray: Int): Array[Byte] = {
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until h; x <- 0 until w) im.getRaster.setSample(x, y, 0, gray)
+        val bos = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+        bos.toByteArray
+      }
+      val fixtures = Seq(
+        (0L, encodeAs("bmp", 6, 4, 120)),
+        (1L, encodeAs("gif", 5, 7, 200)),
+        (2L, encodeAs("jpg", 8, 8, 64)))
+      val df = spark.createDataset(fixtures).toDF("asset_id", "payload").repartition(2)
+      val rows = Multimodal.decodeImageFeatures(df, "asset_id", "payload")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(0L).getBoolean(1) && rows(0L).getInt(2) == 6 && rows(0L).getInt(3) == 4)
+      assert(rows(1L).getBoolean(1) && rows(1L).getInt(2) == 5 && rows(1L).getInt(3) == 7)
+      assert(rows(2L).getBoolean(1) && rows(2L).getInt(2) == 8 && rows(2L).getInt(3) == 8)
+      // brightness reads through getRGB, which gamma-converts gray
+      // rasters to sRGB — so for these gray fixtures only pin that
+      // brightness is present, sane, and identical where the payload
+      // pipelines agree (exact raster-level round-trip is pinned by
+      // the MJPEG tier, which reads the raster directly)
+      Seq(0L, 1L, 2L).foreach { id =>
+        val b = rows(id).getDouble(5)
+        assert(b > 0.0 && b < 1.0, s"asset $id brightness $b")
+      }
+    }
+
     it("decodes WAV fixtures exactly, peak scan survives chunk boundaries and sign") {
       import spark.implicits._
       // 6000 stereo frames = 24000 PCM bytes: the peak sample sits past
