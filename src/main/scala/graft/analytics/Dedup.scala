@@ -53,6 +53,38 @@ object Dedup {
     df.groupBy(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .agg(min(idCol).as(idCol)).select(idCol)
 
+  /** Append a batch's distinct content digests to a PERSISTED digest
+    * store — the state side of incremental exact dedup: production
+    * pipelines dedup each day's batch against everything already
+    * ingested, and the thing that persists between runs is this
+    * digest table (64-byte sha-256 rows), never the corpus. Parquet
+    * append; dedup inside the batch first so the store grows by at
+    * most the batch's distinct count.
+    */
+  def appendDigestStore(df: DataFrame, keyCols: Seq[String], path: String): Unit =
+    df.select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+
+  /** Survivors of a NEW batch against the persisted digest store:
+    * first occurrence per digest inside the batch (min id — the
+    * [[exactSurvivorIds]] rule), then an ANTI-join against the store
+    * drops everything already ingested in any earlier batch. Two
+    * digest-keyed shuffles, nothing corpus-sized; at 1000 executors
+    * the store side is a plain parquet scan of 64-byte rows. Output:
+    * the surviving ids.
+    */
+  def dedupAgainstStore(newBatch: DataFrame, keyCols: Seq[String], idCol: String,
+      path: String): DataFrame = {
+    val store = newBatch.sparkSession.read.parquet(path)
+    val digests = keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c"))
+    newBatch.select((digests :+ col(idCol)): _*)
+      .groupBy(keyCols.map(c => col(s"__k_$c")): _*)
+      .agg(min(idCol).as(idCol))
+      .join(store, keyCols.map(c => s"__k_$c"), "left_anti")
+      .select(idCol)
+  }
+
   /** The attribution side of exact dedup: every DROPPED row mapped to
     * the survivor it duplicates — the output lineage/debugging tables
     * and "redirect to canonical" serving paths need (exactSurvivorIds

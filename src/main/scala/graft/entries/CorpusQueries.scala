@@ -805,6 +805,25 @@ object CorpusQueries {
         docs(s, dir), "source", "doc_id", col("n_chars"), k = 32)
         .orderBy("group")),
 
+    // INCREMENTAL exact dedup against a PERSISTED digest store — the
+    // production pattern: day-1's batch lands and persists only its
+    // 64-byte digests; day-2's batch dedups in-batch (min-id rule),
+    // then anti-joins the store. Real parquet persistence inside the
+    // query (the q101-style lifecycle shape); the oracle replays both
+    // days from the split alone.
+    "q169_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val day1 = d.filter(col("doc_id") % 2 === 0)
+      val day2 = d.filter(col("doc_id") % 2 === 1)
+      val store = java.nio.file.Files.createTempDirectory("graftdigests").toString + "/digests"
+      Dedup.appendDigestStore(day1, Seq("text"), store)
+      val surv1 = Dedup.exactSurvivorIds(day1, Seq("text"), "doc_id")
+      val surv2 = Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store)
+      surv1.select(col("doc_id"), lit(1).as("day"))
+        .unionByName(surv2.select(col("doc_id"), lit(2).as("day")))
+        .orderBy("doc_id")
+    }),
+
     // clean-then-dedup COMPOSITION gate (the q115 pattern for the
     // excision tier): span-level decontamination (q162) feeds exact
     // dedup ON THE CLEANED TEXT (q50's machinery) — the realistic
@@ -1844,6 +1863,18 @@ object CorpusQueries {
         |  CASE WHEN p.n_grams IS NOT NULL
         |    THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) END AS novelty
         |FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id ORDER BY id""".stripMargin,
+    // day-1 survivors = min-id per text among evens; day-2 survivors =
+    // min-id per text among odds whose text is absent from day 1
+    "q169_incremental_dedup" ->
+      """WITH d1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |d2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+        |s2 AS (SELECT min(doc_id) AS doc_id FROM d2
+        |       WHERE text NOT IN (SELECT text FROM d1) GROUP BY text)
+        |SELECT doc_id, 1 AS day FROM s1
+        |UNION ALL
+        |SELECT doc_id, 2 AS day FROM s2
+        |ORDER BY doc_id""".stripMargin,
     "q166_priority_sample" ->
       """WITH p AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS wt,
         |    CAST(n_chars AS DOUBLE) /

@@ -35,6 +35,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("incremental dedup against a persisted digest store") {
+    it("new batches dedup in-batch then against everything already ingested") {
+      val store = java.nio.file.Files.createTempDirectory("graftdig").toString + "/digests"
+      val day1 = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+      Dedup.appendDigestStore(day1, Seq("text"), store)
+      // day 2: one cross-batch dup, one in-batch dup pair, one novel
+      val day2 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "beta"))
+        .toDF("doc_id", "text")
+      val surv2 = Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store)
+        .as[Long].collect().toSet
+      assert(surv2 == Set(11L))
+      // the store accretes day 2 — day 3 sees both days' digests
+      Dedup.appendDigestStore(day2, Seq("text"), store)
+      val day3 = Seq((20L, "gamma"), (21L, "delta")).toDF("doc_id", "text")
+      val surv3 = Dedup.dedupAgainstStore(day3, Seq("text"), "doc_id", store)
+        .as[Long].collect().toSet
+      assert(surv3 == Set(21L))
+    }
+  }
+
   describe("block-level span dedup") {
     it("first occurrence (min doc, then min position) survives; later copies don't") {
       val spans = Seq(
