@@ -79,7 +79,8 @@ object Bench {
     "q50_dedup_exact" -> 0.15,
     "q57_minhash_pairs" -> 0.55,
     "q58_embedding_near_dup" -> 0.55,
-    "q59_ann_topk" -> 0.62)
+    "q59_ann_topk" -> 0.62,
+    "q159_excise_spans" -> 0.30)
 
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(
@@ -376,7 +377,8 @@ object Bench {
     val analytics = Seq(
       "q30_agg_pricing", "q32_join_multiway", "q33_window_rank", "q34_topk",
       "q40_window_tumbling", "q41_asof_join",
-      "q50_dedup_exact", "q57_minhash_pairs", "q58_embedding_near_dup", "q59_ann_topk")
+      "q50_dedup_exact", "q57_minhash_pairs", "q58_embedding_near_dup", "q59_ann_topk",
+      "q159_excise_spans")
 
     // Warm pass at sf0.01: identical plan shapes compile all
     // whole-stage-codegen classes (cached by generated source), so the

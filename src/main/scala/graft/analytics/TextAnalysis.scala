@@ -320,9 +320,14 @@ object TextAnalysis {
     * (the documented "trained weights slot in as a broadcast lookup"
     * seam); buckets absent from the table weigh 0. Same integer-
     * margin exactness contract as the closed-form variant: the margin
-    * is a bigint sum, only the reported score divides (by
-    * 1000·n_tokens) and rounds 6dp. Output schema matches
-    * [[hashedLinearQuality]]: (id, n_tokens, margin, score, keep).
+    * is a bigint sum, and the reported score is the RAW quotient
+    * margin / (1000·n_tokens) — one double division of two exact
+    * integers, bit-identical in any engine. Deliberately NOT rounded:
+    * both engines compute the identical quotient, so rounding can
+    * only ADD divergence (Spark's HALF_UP and DuckDB's rounding split
+    * a representable tie differently — observed at sf0.1). Output
+    * schema matches [[hashedLinearQuality]]:
+    * (id, n_tokens, margin, score, keep).
     */
   def hashedLinearQualityWeighted(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int = 1024, salt: String = "qc"): DataFrame = {
@@ -338,7 +343,7 @@ object TextAnalysis {
           lit(0L), (acc, x) => acc + x).as("margin"))
       .select(col(idCol), col("n_tokens"), col("margin"),
         when(col("n_tokens") > 0,
-          round(col("margin").cast("double") / (lit(1000.0) * col("n_tokens")), 6))
+          col("margin").cast("double") / (lit(1000.0) * col("n_tokens")))
           .otherwise(lit(0.0)).as("score"),
         (col("n_tokens") > 0 && col("margin") >= 0).as("keep"))
   }

@@ -1309,7 +1309,7 @@ object CorpusQueries {
         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS margin,
         |  CASE WHEN COALESCE(s.n, 0) > 0
-        |       THEN round(CAST(s.margin AS DOUBLE) / (1000.0 * s.n), 6) ELSE 0.0 END AS score,
+        |       THEN CAST(s.margin AS DOUBLE) / (1000.0 * s.n) ELSE 0.0 END AS score,
         |  COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0 AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
