@@ -245,8 +245,10 @@ object TextAnalysis {
     * over md5-derived buckets, so the document margin Σ m(b(tok)) is a
     * bigint sum — associative, order-free, bit-identical anywhere —
     * and the keep decision (margin ≥ 0) can never straddle a float
-    * boundary. Only the REPORTED score divides (by 998·n_tokens) and
-    * is rounded 6dp on both sides.
+    * boundary. Only the REPORTED score divides (by 998·n_tokens) — a
+    * raw quotient of exact integers, bit-identical in any engine and
+    * deliberately NOT rounded (rounding a bit-identical value can
+    * only add representable-tie divergence).
     *
     * 100 TB shape: a pure per-row projection (tokenize + hash +
     * integer fold) — no shuffle, no state, full scan parallelism; the
@@ -265,7 +267,11 @@ object TextAnalysis {
         aggregate(transform(toks, milli _), lit(0L), (acc, x) => acc + x).as("margin"))
       .select(col(idCol), col("n_tokens"), col("margin"),
         when(col("n_tokens") > 0,
-          round(col("margin").cast("double") / (lit(998.0) * col("n_tokens")), 6))
+          // RAW quotient, deliberately un-rounded: margin and n are
+          // exact integers, so the division is bit-identical in any
+          // engine — rounding can only ADD divergence at representable
+          // ties (the q158 sf0.1 lesson)
+          col("margin").cast("double") / (lit(998.0) * col("n_tokens")))
           .otherwise(lit(0.0)).as("score"),
         (col("n_tokens") > 0 && col("margin") >= 0).as("keep"))
   }
@@ -457,7 +463,9 @@ object TextAnalysis {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
         when(col("n_grams").isNotNull,
-          round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
+          // raw quotient of two exact integers — bit-identical in any
+          // engine, so rounding would only add tie risk
+          col("n_unique").cast("double") / col("n_grams").cast("double"))
           .as("novelty"))
   }
 

@@ -1279,7 +1279,7 @@ object CorpusQueries {
         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(s.margin, 0) AS BIGINT) AS margin,
         |  CASE WHEN COALESCE(s.n, 0) > 0
-        |       THEN round(CAST(s.margin AS DOUBLE) / (998.0 * s.n), 6) ELSE 0.0 END AS score,
+        |       THEN CAST(s.margin AS DOUBLE) / (998.0 * s.n) ELSE 0.0 END AS score,
         |  COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0 AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
@@ -1554,7 +1554,7 @@ object CorpusQueries {
          |s AS (SELECT doc_id, sum((b * 2654435761) % 1997 - 998) AS margin, count(*) AS n
          |      FROM m GROUP BY doc_id),
          |qc AS (SELECT d2.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
-         |       round(CAST(s.margin AS DOUBLE) / (998.0 * s.n), 6) AS score
+         |       CAST(s.margin AS DOUBLE) / (998.0 * s.n) AS score
          |       FROM d2 LEFT JOIN s USING (doc_id)
          |       WHERE COALESCE(s.n, 0) > 0 AND COALESCE(s.margin, 0) >= 0),
          |d3 AS (SELECT d2.doc_id, d2.source, qc.n_tokens, qc.score FROM d2 JOIN qc USING (doc_id)),
@@ -1861,7 +1861,7 @@ object CorpusQueries {
         |SELECT doc.doc_id AS id, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
         |  CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
         |  CASE WHEN p.n_grams IS NOT NULL
-        |    THEN round(CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE), 6) END AS novelty
+        |    THEN CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE) END AS novelty
         |FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id ORDER BY id""".stripMargin,
     // day-1 survivors = min-id per text among evens; day-2 survivors =
     // min-id per text among odds whose text is absent from day 1
