@@ -109,6 +109,31 @@ class SketchSpec extends SparkSpec {
       assert(grouped("tiny") === ((5L, 0L, 5L * 7L * 1000000L)))
     }
 
+    it("set ops match a driver-side reference implementation on saturated inputs") {
+      // reference: the exact same md5-derived hashing and bottom-k set
+      // logic, computed independently in plain Scala
+      def h32(v: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"kmv:$v".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val k = 64
+      val aVals = (1L to 800L).map(_ * 3L)
+      val bVals = (1L to 800L).map(_ * 2L) // overlap at multiples of 6
+      val aH = aVals.map(h32).distinct.sorted.take(k)
+      val bH = bVals.map(h32).distinct.sorted.take(k)
+      val u = (aH ++ bH).distinct.sorted.take(k)
+      val common = u.count(h => aH.contains(h) && bH.contains(h))
+      val estU = if (u.size < k) u.size.toDouble else (k - 1).toDouble * 4294967296.0 / u.last
+      val r = Sketch.kmvSetOps(aVals.toDF("v"), col("v"), bVals.toDF("v"), col("v"), k).head()
+      assert(r.getAs[Long]("k_union") === u.size.toLong)
+      assert(r.getAs[Long]("kth_hash") === u.last)
+      assert(r.getAs[Long]("n_common") === common.toLong)
+      assert(r.getAs[Double]("est_union") === estU)
+      assert(r.getAs[Double]("jaccard") === common.toDouble / u.size)
+    }
+
     it("TopKByPriority state estimates identically to the batch sketch, dedupes redelivery") {
       import graft.analytics.{PriVal, TopKByPriority}
       val k = 32
