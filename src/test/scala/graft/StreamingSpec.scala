@@ -94,6 +94,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  describe("non-file source (socket)") {
+    it("a socket stream drives the same ingest graph — the broker-consumer shape") {
+      // a local line server standing in for a broker: the reference's
+      // own ingest is an MQTT consumer loop; socket is Spark's
+      // built-in non-file test source
+      val server = new java.net.ServerSocket(0)
+      val lines = (0 until 25).map(i =>
+        f"2024-01-01T00:$i%02d:00Z,therm,room$i,$i.5")
+      val writer = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          lines.foreach(out.println)
+          out.flush()
+          // keep the connection open until the test is done reading
+          Thread.sleep(30000L)
+          sock.close()
+        } catch { case _: Exception => () }
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val db = GraftDB.inMemory(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graftsockckpt").toString
+      val raw = spark.readStream.format("socket")
+        .option("host", "localhost").option("port", server.getLocalPort).load()
+      val parsed = raw.select(split(col("value"), ",").as("f"))
+        .select(
+          to_timestamp(col("f").getItem(0)).as(Point.TimeCol),
+          col("f").getItem(1).as(Point.MeasurementCol),
+          map(lit("room"), col("f").getItem(2)).as(Point.TagsCol),
+          map(lit("temp"), col("f").getItem(3).cast("double")).as(Point.FieldsCol))
+      val q = StreamingIngest.start(parsed, db, ckpt)
+      try {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (db.length < lines.size && q.exception.isEmpty &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100L)
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      } finally { q.stop(); server.close() }
+      assert(db.length == 25)
+      assert(db.count(FieldQuery("temp") === 7.5) == 1)
+      assert(db.count(TagQuery("room") === "room13") == 1)
+      assert(db.getTimestamps().max == java.time.Instant.parse("2024-01-01T00:24:00Z"))
+    }
+  }
+
   describe("sustained ingest endurance (auto-compaction under streaming)") {
     it("bounded delta file count and intact contents after many streamed micro-batches") {
       val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
