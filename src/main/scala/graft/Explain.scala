@@ -243,6 +243,13 @@ object Explain {
       SparkEntry.queries("q159_excise_spans")(spark, sfDir)
     }
 
+    section("q166 priority sample (round 9)",
+      "The subset-sum sketch's cut is a TakeOrderedAndProject(k+1) — " +
+        "bounded per-partition heaps, never a full sort — feeding one " +
+        "k-row aggregate; the weight scan is pure projection.") {
+      SparkEntry.queries("q166_priority_sample")(spark, sfDir)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")
