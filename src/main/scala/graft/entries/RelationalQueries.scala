@@ -817,6 +817,22 @@ object RelationalQueries {
         e.filter(col("event_type") === "purchase"), col("user_id"), k = 256)
     }),
 
+    // day-of-week SEASONALITY profile — the TSDB capacity-planning
+    // staple ("is weekend traffic different"): per (series, dow) count
+    // and mean, with the sum carried as DECIMAL (order-free, exact)
+    // and the mean a raw quotient of deterministic values — engine-
+    // exact end to end. One bounded-width shuffle (series × 7 rows).
+    "q170_seasonality" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts_us").isNotNull)
+        .groupBy(col("event_type"),
+          ((expr("ts_us div 86400000000") + 3) % 7).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_v"))
+        .select(col("event_type"), col("dow"), col("n"), col("sum_v"),
+          (col("sum_v") / col("n")).as("mean_v"))
+        .orderBy("event_type", "dow")),
+
     // per-slice HLL cardinality table — the grouped sibling of q121
     // (and the HLL counterpart of the KMV slice table q132)
     "q155_hll_by_slice" -> ((s, dir) =>
@@ -1113,6 +1129,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q170_seasonality" ->
+      """SELECT event_type,
+        |  CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
+        |FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q164_kmv_set_ops" ->
       """WITH av AS (SELECT DISTINCT CAST('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
         |            FROM events WHERE event_type = 'signup'),
