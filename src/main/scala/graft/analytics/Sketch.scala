@@ -242,10 +242,26 @@ object Sketch {
     * ordered by (priority desc, id), and the estimate sums INTEGER
     * micro-units (⌊max(w,τ)·10^6⌋) — so sample AND estimate replay
     * exactly in any md5-capable engine, no float-summation-order
-    * divergence. Plan shape: pure scan → TakeOrdered(k+1) (bounded
-    * per-partition heaps, never a full sort) → one k-row aggregate.
+    * divergence. Priorities are w/u with u as small as 2^-32, so τ can
+    * exceed what micro-units represent in a signed 64-bit long; both
+    * τ and max(w,τ) are clamped at [[MaxMicroRepresentable]] (9·10^12,
+    * i.e. 9·10^18 micro-units < Long.Max) BEFORE the ·10^6 — the same
+    * `least` appears in the oracle SQL, so non-ANSI Spark clamping vs
+    * DuckDB overflow can never diverge. Plan shape: pure scan →
+    * TakeOrdered(k+1) (bounded per-partition heaps, never a full
+    * sort) → one k-row aggregate.
     * Output one row: (k_sample, tau_micro, est_total_micro).
     */
+  /** Largest value the micro-unit (·10^6, floor, cast long) contract can
+    * carry: 9·10^12 → 9·10^18 micro-units, exactly representable as a
+    * double and below Long.MaxValue. Values above it clamp identically
+    * in the engine and the oracle.
+    */
+  val MaxMicroRepresentable: Double = 9.0e12
+
+  private def microClamp(v: Column): Column =
+    floor(least(v, lit(MaxMicroRepresentable)) * 1e6).cast("long")
+
   def prioritySampleSum(df: DataFrame, idCol: String, weight: Column, k: Int,
       salt: String = "ps"): DataFrame = {
     require(k >= 1, "k >= 1")
@@ -260,8 +276,8 @@ object Sketch {
     prid.orderBy(col("pri").desc, col("id")).limit(k)
       .crossJoin(broadcast(topK1))
       .agg(count(lit(1)).as("k_sample"),
-        min(floor(col("tau") * 1e6).cast("long")).as("tau_micro"),
-        sum(floor(greatest(col("wt"), col("tau")) * 1e6).cast("long"))
+        min(microClamp(col("tau"))).as("tau_micro"),
+        sum(microClamp(greatest(col("wt"), col("tau"))))
           .as("est_total_micro"))
   }
 
@@ -277,9 +293,9 @@ object Sketch {
       element_at(items, k + 1).getField("pri")).otherwise(lit(0.0))
     df.select(
       least(size(items), lit(k)).cast("long").as("k_sample"),
-      floor(tau * 1e6).cast("long").as("tau_micro"),
+      microClamp(tau).as("tau_micro"),
       aggregate(slice(items, 1, k), lit(0L), (acc, x) =>
-        acc + floor(greatest(x.getField("wt"), tau) * 1e6).cast("long"))
+        acc + microClamp(greatest(x.getField("wt"), tau)))
         .as("est_total_micro"))
   }
 
@@ -312,9 +328,9 @@ object Sketch {
         sort_array(collect_list(when(col("rn") <= k, col("wt"))), asc = false)
           .as("__ws"))
       .select(col("group"), col("k_sample"),
-        floor(col("__tau") * 1e6).cast("long").as("tau_micro"),
+        microClamp(col("__tau")).as("tau_micro"),
         aggregate(col("__ws"), lit(0L), (acc, x) =>
-          acc + floor(greatest(x, col("__tau")) * 1e6).cast("long"))
+          acc + microClamp(greatest(x, col("__tau"))))
           .as("est_total_micro"))
   }
 

@@ -815,7 +815,7 @@ object CorpusQueries {
       val d = docs(s, dir)
       val day1 = d.filter(col("doc_id") % 2 === 0)
       val day2 = d.filter(col("doc_id") % 2 === 1)
-      val store = java.nio.file.Files.createTempDirectory("graftdigests").toString + "/digests"
+      val store = graft.util.Scratch.dir("graftdigests") + "/digests"
       Dedup.appendDigestStore(day1, Seq("text"), store)
       val surv1 = Dedup.exactSurvivorIds(day1, Seq("text"), "doc_id")
       val surv2 = Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store)
@@ -1886,8 +1886,8 @@ object CorpusQueries {
         |tau AS (SELECT CASE WHEN n_top = 65 THEN min_pri ELSE 0.0 END AS tau FROM t1),
         |s AS (SELECT id, wt FROM p ORDER BY pri DESC, id LIMIT 64)
         |SELECT CAST(count(*) AS BIGINT) AS k_sample,
-        |  CAST(min(floor(tau * 1e6)) AS BIGINT) AS tau_micro,
-        |  CAST(sum(CAST(floor(greatest(wt, tau) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_micro,
+        |  CAST(min(floor(least(tau, 9e12) * 1e6)) AS BIGINT) AS tau_micro,
+        |  CAST(sum(CAST(floor(least(greatest(wt, tau), 9e12) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_micro,
         |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS exact_total
         |FROM s, tau""".stripMargin,
     "q167_priority_sample_by_source" ->
@@ -1900,10 +1900,10 @@ object CorpusQueries {
         |t AS (SELECT g, max(CASE WHEN rn = 33 THEN pri ELSE 0.0 END) AS tau,
         |        sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END) AS k_sample
         |      FROM r WHERE rn <= 33 GROUP BY g),
-        |e AS (SELECT r.g, sum(CAST(floor(greatest(r.wt, t.tau) * 1e6) AS BIGINT)) AS est
+        |e AS (SELECT r.g, sum(CAST(floor(least(greatest(r.wt, t.tau), 9e12) * 1e6) AS BIGINT)) AS est
         |      FROM r JOIN t USING (g) WHERE rn <= 32 GROUP BY r.g)
         |SELECT t.g AS "group", CAST(t.k_sample AS BIGINT) AS k_sample,
-        |  CAST(floor(t.tau * 1e6) AS BIGINT) AS tau_micro,
+        |  CAST(floor(least(t.tau, 9e12) * 1e6) AS BIGINT) AS tau_micro,
         |  CAST(e.est AS BIGINT) AS est_total_micro
         |FROM t JOIN e ON e.g = t.g ORDER BY "group"""".stripMargin,
     // q162's chain folded to the one-row pipeline summary; survivors

@@ -413,7 +413,7 @@ object RelationalQueries {
     // with NO exchange below the join (PlanAudit pins that) — same
     // result as q31's broadcast form, proven by sharing its oracle
     "q103_bucketed_join" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graftbucketq").toString
+      val base = graft.util.Scratch.dir("graftbucketq")
       graft.sources.Bucketing.writeBucketed(
         t(s, dir, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice")),
         "g103_orders", s"$base/orders", "custkey", 8)
@@ -794,7 +794,7 @@ object RelationalQueries {
     "q157_stream_rate_ingest" -> ((s, dir) => {
       import graft.streaming.StreamingIngest
       val db = graft.engine.GraftDB.inMemory(s)
-      val ckpt = java.nio.file.Files.createTempDirectory("rateckpt").toString
+      val ckpt = graft.util.Scratch.dir("rateckpt")
       StreamingIngest.ingestRate(s, db, rowsPerBatch = 500, totalRows = 3000L, ckpt)
       db.allDF()
         .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
@@ -1152,8 +1152,12 @@ object RelationalQueries {
         |        ELSE 255.0 * 4294967296.0 / kth_hash END AS est_union FROM m)
         |SELECT CAST(k_union AS BIGINT) AS k_union, kth_hash,
         |  CAST(n_common AS BIGINT) AS n_common, est_union,
-        |  CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) * est_union AS est_intersection,
-        |  CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) AS jaccard
+        |  CASE WHEN k_union = 0 THEN 0.0
+        |       ELSE CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) * est_union
+        |  END AS est_intersection,
+        |  CASE WHEN k_union = 0 THEN 0.0
+        |       ELSE CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)
+        |  END AS jaccard
         |FROM e""".stripMargin,
     "q109_kmv_distinct" ->
       """WITH v AS (SELECT DISTINCT CAST('0x' || substring(md5(
@@ -1440,8 +1444,8 @@ object RelationalQueries {
         |tau AS (SELECT CASE WHEN n_top = 65 THEN min_pri ELSE 0.0 END AS tau FROM t1),
         |s AS (SELECT id, wt FROM p ORDER BY pri DESC, id LIMIT 64)
         |SELECT CAST(count(*) AS BIGINT) AS k_sample,
-        |  CAST(min(floor(tau * 1e6)) AS BIGINT) AS tau_micro,
-        |  CAST(sum(CAST(floor(greatest(wt, tau) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_micro
+        |  CAST(min(floor(least(tau, 9e12) * 1e6)) AS BIGINT) AS tau_micro,
+        |  CAST(sum(CAST(floor(least(greatest(wt, tau), 9e12) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_micro
         |FROM s, tau""".stripMargin,
     // identical to q149's CTEs by construction: the streamed grouped
     // samples must equal the batch per-group bottom-k samples

@@ -456,31 +456,54 @@ object Multimodal {
     if (bytes.length < 12 || fccAt(0) != "RIFF" || fccAt(8) != "AVI ") return None
     var rate = 0L
     var scale = 0L
+    var strhSeen = 0      // strl LISTs appear in stream order: Nth strh = stream N
+    var videoStream = -1  // index of the first 'vids' stream (its frames are 'NNdc'/'NNdb')
     val frames = Vector.newBuilder[Array[Byte]]
     var ok = true
-    // walk [off, end) as a sequence of chunks, descending into LISTs
-    def walk(off0: Int, end: Int): Unit = {
-      var off = off0
-      while (ok && off + 8 <= end) {
+    // Iterative chunk walk over [off, end) with an explicit region stack —
+    // a corrupt container nesting thousands of LISTs must fail soft
+    // (ok=false / zero frames), never StackOverflowError out of the
+    // NonFatal handler in the decode stage.
+    var off = 12
+    var end = bytes.length
+    val parentEnds = new java.util.ArrayDeque[Integer]()
+    while (ok && (off + 8 <= end || !parentEnds.isEmpty)) {
+      if (off + 8 > end) {
+        if (off > end) ok = false // misaligned child overran its LIST
+        else { off = end; end = parentEnds.pop() } // LIST exhausted: resume parent
+      } else {
         val id = fccAt(off)
         val sz = rU32(off + 4)
         val body = off + 8
-        if (sz < 0 || body + sz > end) { ok = false; return }
-        id match {
+        if (sz < 0 || body + sz > end) ok = false
+        else id match {
           case "LIST" if sz >= 4 =>
-            walk(body + 4, body + sz.toInt) // skip the 4cc list type
-          case "strh" if sz >= 28 && fccAt(body) == "vids" && rate == 0L =>
-            scale = rU32(body + 20)
-            rate = rU32(body + 24)
-          case "00dc" | "00db" =>
-            frames += java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt)
-          case _ => () // avih/strf/idx1/JUNK/audio chunks: structure-checked, skipped
+            parentEnds.push(end) // descend: children end exactly at body+sz
+            end = body + sz.toInt
+            off = body + 4 // skip the 4cc list type
+          case _ =>
+            id match {
+              case "strh" =>
+                if (sz >= 28 && fccAt(body) == "vids" && videoStream < 0) {
+                  videoStream = strhSeen
+                  scale = rU32(body + 20)
+                  rate = rU32(body + 24)
+                }
+                strhSeen += 1
+              case _ if id(0).isDigit && id(1).isDigit &&
+                  (id.endsWith("dc") || id.endsWith("db")) =>
+                // frame chunk: keep only the video stream's (audio-first
+                // containers put vids at stream 01 — matching a hardcoded
+                // '00' would silently drop every frame)
+                if ((id(0) - '0') * 10 + (id(1) - '0') == videoStream)
+                  frames += java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt)
+              case _ => () // avih/strf/idx1/JUNK/audio chunks: structure-checked, skipped
+            }
+            off = body + sz.toInt + (sz.toInt & 1) // word alignment
         }
-        off = body + sz.toInt + (sz.toInt & 1) // word alignment
       }
-      if (off > end) ok = false
     }
-    walk(12, bytes.length)
+    if (ok && off > end) ok = false
     if (!ok || rate <= 0L || scale <= 0L) None
     else Some((rate, scale, frames.result()))
   }
@@ -553,6 +576,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         parseMjpegAvi(bytes) match {
+          // parsed header but zero video frames (e.g. frames belong to a
+          // stream we don't track, or an empty movi): flag it rather
+          // than letting the asset silently vanish from the output
+          case Some((_, _, frames)) if frames.isEmpty =>
+            Iterator.single(VideoFrame(id, decode_ok = false, None, None, None))
           case Some((rate, scale, frames)) =>
             (0 until frames.length by stride).iterator.map { i =>
               val ts = i.toLong * 1000L * scale / rate

@@ -279,5 +279,90 @@ class MultimodalSpec extends SparkSpec {
         assert(byId(id).length === 1 && !byId(id).head.getBoolean(1) && byId(id).head.isNullAt(2))
       }
     }
+
+    it("demuxes an audio-first AVI: video at stream 01, frames as 01dc") {
+      def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def u32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+        fcc(id) ++ u32(body.length.toLong) ++ body ++ pad
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        fcc("LIST") ++ u32((body.length + 4).toLong) ++ fcc(kind) ++ body
+      val lumas = Seq(15, 45, 75)
+      val jpegs = lumas.map { g =>
+        val im = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = im.getRaster
+        for (y <- 0 until 16; x <- 0 until 16) r.setSample(x, y, 0, g)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "jpg", bos)
+        bos.toByteArray
+      }
+      val strhAud = chunk("strh",
+        fcc("auds") ++ fcc("    ") ++ u32(0L) ++ u16(0) ++ u16(0) ++
+        u32(0L) ++ u32(1L) ++ u32(8000L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L))
+      val strfAud = chunk("strf", u32(0L) ++ u32(0L))
+      val strhVid = chunk("strh",
+        fcc("vids") ++ fcc("MJPG") ++ u32(0L) ++ u16(0) ++ u16(0) ++
+        u32(0L) ++ u32(1L) ++ u32(10L) ++
+        u32(0L) ++ u32(jpegs.length.toLong) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+        u16(0) ++ u16(0) ++ u16(16) ++ u16(16))
+      val strfVid = chunk("strf",
+        u32(40L) ++ u32(16L) ++ u32(16L) ++ u16(1) ++ u16(24) ++
+        fcc("MJPG") ++ u32((16 * 16 * 3).toLong) ++ Array.fill(16)(0.toByte))
+      val avih = chunk("avih",
+        u32(100000L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+        u32(jpegs.length.toLong) ++ u32(0L) ++ u32(2L) ++ u32(0L) ++
+        u32(16L) ++ u32(16L) ++ Array.fill(16)(0.toByte))
+      val hdrl = list("hdrl", avih ++ list("strl", strhAud ++ strfAud) ++
+        list("strl", strhVid ++ strfVid))
+      // movi interleaves audio (00wb, stream 0) with video frames (01dc)
+      val audioChunk = chunk("00wb", Array.fill(32)(7.toByte))
+      val movi = list("movi",
+        jpegs.flatMap(f => audioChunk ++ chunk("01dc", f)).toArray)
+      val payload = fcc("AVI ") ++ hdrl ++ movi
+      val avi = fcc("RIFF") ++ u32(payload.length.toLong) ++ payload
+      val got = Multimodal.sampleMjpegAviFrames(
+        Seq((9L, avi)).toDF("asset_id", "payload"), "asset_id", "payload", stride = 1)
+        .orderBy("frame_idx").collect()
+      assert(got.length === 3)
+      assert(got.forall(_.getBoolean(1)))
+      assert(got.map(_.getInt(4)).toSeq === lumas)
+      assert(got.map(_.getLong(3)).toSeq === Seq(0L, 100L, 200L))
+    }
+
+    it("fails soft (one flagged row) on a container nesting 200k LISTs — no stack overflow") {
+      val n = 200000
+      val bytes = new Array[Byte](12 + 12 * n)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, bytes, off, 4)
+      }
+      def putU32(off: Int, v: Long): Unit = {
+        bytes(off) = (v & 0xff).toByte; bytes(off + 1) = ((v >> 8) & 0xff).toByte
+        bytes(off + 2) = ((v >> 16) & 0xff).toByte; bytes(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      put(0, "RIFF"); putU32(4, (bytes.length - 8).toLong); put(8, "AVI ")
+      var off = 12
+      while (off < bytes.length) {
+        put(off, "LIST"); putU32(off + 4, (bytes.length - off - 8).toLong); put(off + 8, "deep")
+        off += 12
+      }
+      val got = Multimodal.sampleMjpegAviFrames(
+        Seq((5L, bytes)).toDF("asset_id", "payload"), "asset_id", "payload", stride = 1)
+        .collect()
+      assert(got.length === 1 && !got.head.getBoolean(1) && got.head.isNullAt(2))
+    }
+
+    it("flags a parsed container with zero video frames instead of dropping the asset") {
+      val empty = Multimodal.encodeMjpegAvi(10, Seq.empty)
+      val got = Multimodal.sampleMjpegAviFrames(
+        Seq((6L, empty)).toDF("asset_id", "payload"), "asset_id", "payload", stride = 1)
+        .collect()
+      assert(got.length === 1 && !got.head.getBoolean(1) && got.head.isNullAt(2))
+    }
   }
 }

@@ -90,6 +90,16 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a / 1e6 - truth) / truth < 0.35, s"est=${a / 1e6} truth=$truth")
     }
 
+    it("priority sampling clamps out-of-contract weights at MaxMicroRepresentable") {
+      // a weight above 9e12 would overflow ⌊w·10^6⌋ as a long; the
+      // clamp pins it at exactly 9e18 micro-units on both engines
+      val r = Sketch.prioritySampleSum(
+        Seq((1L, 5.0e13)).toDF("id", "w"), "id", col("w"), k = 64).head()
+      assert(r.getAs[Long]("k_sample") === 1L)
+      assert(r.getAs[Long]("tau_micro") === 0L)
+      assert(r.getAs[Long]("est_total_micro") === 9000000000000000000L)
+    }
+
     it("grouped priority sampling matches the global sketch per group; under-k groups exact") {
       val vals = (1L to 900L).map(i => (s"g${i % 3}", i, (i % 50 + 1).toDouble)) ++
         (9000L to 9004L).map(i => ("tiny", i, 7.0)) // 5-row group: exact
