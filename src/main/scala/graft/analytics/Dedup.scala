@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,11 +60,142 @@ object Dedup {
     * digest table (64-byte sha-256 rows), never the corpus. Parquet
     * append; dedup inside the batch first so the store grows by at
     * most the batch's distinct count.
+    *
+    * `batchTag` stamps the rows with the ingest batch/day they arrived
+    * in — [[compactDigestStore]]'s retention keys off the LAST tag a
+    * digest was seen with. `sidecar = true` additionally folds the
+    * batch's digests into the bloom sidecar so
+    * [[dedupAgainstStore]]'s skip guard stays current.
     */
-  def appendDigestStore(df: DataFrame, keyCols: Seq[String], path: String): Unit =
-    df.select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
+  def appendDigestStore(df: DataFrame, keyCols: Seq[String], path: String,
+      batchTag: Long = 0L, sidecar: Boolean = false): Unit = {
+    val digests = df
+      .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .distinct()
+    digests
+      .withColumn("__batch_tag", lit(batchTag))
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    if (sidecar) updateDigestSidecar(df.sparkSession, path, digests)
+  }
+
+  // ---- digest-store lifecycle ----
+  //
+  // A store that only ever appends accretes one small parquet file per
+  // batch forever AND is re-scanned in full by every batch's anti-join
+  // even when the batch couldn't possibly collide. Two fixes, both
+  // standard state-store hygiene:
+  //   - [[compactDigestStore]]: fold the appends into few split-sized
+  //     files, optionally dropping digests not seen since a retention
+  //     tag (stale state on a rolling-window dedup contract);
+  //   - a BLOOM SIDECAR (md5-derived positions, same deterministic
+  //     construction as [[bloomDecontaminate]]): a KB-scale bit array
+  //     over every digest in the store, consulted BEFORE the anti-join
+  //     — a batch with zero possible hits skips the store read
+  //     entirely. The sidecar only ever decides the SKIP; any possible
+  //     hit falls through to the exact anti-join, so false positives
+  //     cost a scan, never correctness.
+
+  private def sidecarPath(path: String): String = path.stripSuffix("/") + "_bloom"
+
+  /** One combined key per store row (stores may hold composite-key
+    * digests as several `__k_*` columns).
+    */
+  private def storeRowKey(cols: Seq[String]): Column =
+    concat_ws("", cols.map(col): _*)
+
+  private def bloomPos(h: Int, key: Column, bits: Int): Column =
+    conv(substring(md5(concat(lit(s"dsb$h:"), key)), 1, 8), 16, 10)
+      .cast("long") % bits
+
+  /** Bits and hash count of the sidecar — 2^19 bits = 64 KB of words;
+    * at 100k store digests and k=3 that is a ~8% false-skip-miss rate,
+    * which only costs the occasional avoidable scan.
+    */
+  val SidecarBits: Int = 1 << 19
+  val SidecarK: Int = 3
+
+  /** Rebuild the sidecar from the full store (run at compaction; also
+    * the fallback when no sidecar exists yet).
+    */
+  def rebuildDigestSidecar(spark: SparkSession, path: String): Unit = {
+    val store = spark.read.parquet(path)
+    val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
+    val pos = store
+      .select(explode(array((1 to SidecarK).map(h =>
+        bloomPos(h, storeRowKey(keyCols), SidecarBits)): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](SidecarBits / 64)
+    pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    writeSidecar(spark, path, words)
+  }
+
+  /** Fold a batch's digests into the existing sidecar — blooms merge
+    * by OR, so the append path touches only the BATCH (one position
+    * job + a 64 KB read-modify-write), never the store. No sidecar (or
+    * a differently-sized one) → rebuild from the store once.
+    */
+  private def updateDigestSidecar(spark: SparkSession, path: String,
+      batchDigests: DataFrame): Unit =
+    readSidecar(spark, path) match {
+      case Some((bits, k, words)) if bits == SidecarBits && k == SidecarK =>
+        val keyCols = batchDigests.columns.filter(_.startsWith("__k_")).toSeq
+        val pos = batchDigests
+          .select(explode(array((1 to k).map(h =>
+            bloomPos(h, storeRowKey(keyCols), bits)): _*)).as("p"))
+          .distinct().collect().map(_.getLong(0))
+        pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+        writeSidecar(spark, path, words)
+      case _ => rebuildDigestSidecar(spark, path)
+    }
+
+  private def writeSidecar(spark: SparkSession, path: String, words: Array[Long]): Unit = {
+    import spark.implicits._
+    Seq((SidecarBits, SidecarK, words.toSeq))
+      .toDF("bits", "k", "words")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(sidecarPath(path))
+  }
+
+  private def readSidecar(spark: SparkSession, path: String): Option[(Int, Int, Array[Long])] = {
+    val p = new org.apache.hadoop.fs.Path(sidecarPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(sidecarPath(path)).head()
+      Some((r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    }
+  }
+
+  /** Compact the digest store: one row per digest (LAST batch tag
+    * wins), split-sized files, staged write + atomic swap, sidecar
+    * rebuilt. `retainMinTag` drops digests whose last sighting is
+    * older than the retention horizon — the rolling-window dedup
+    * contract ("a duplicate of something ingested > N days ago is
+    * allowed back in"), which is what keeps the store bounded over an
+    * unbounded ingest history.
+    */
+  def compactDigestStore(spark: SparkSession, path: String,
+      retainMinTag: Option[Long] = None): Unit = {
+    val store = spark.read.parquet(path)
+    val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
+    val tagged =
+      if (store.columns.contains("__batch_tag")) store
+      else store.withColumn("__batch_tag", lit(0L))
+    val folded = tagged
+      .groupBy(keyCols.map(col): _*)
+      .agg(max("__batch_tag").as("__batch_tag"))
+    val kept = retainMinTag.fold(folded)(t => folded.filter(col("__batch_tag") >= t))
+    val staging = path.stripSuffix("/") + s".staging-${java.util.UUID.randomUUID()}"
+    kept.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(new org.apache.hadoop.fs.Path(path), true))
+      throw new java.io.IOException(s"digest store compact: delete failed: $path")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(s"digest store compact: rename failed: $staging -> $path")
+    rebuildDigestSidecar(spark, path)
+  }
 
   /** Survivors of a NEW batch against the persisted digest store:
     * first occurrence per digest inside the batch (min id — the
@@ -73,15 +204,37 @@ object Dedup {
     * digest-keyed shuffles, nothing corpus-sized; at 1000 executors
     * the store side is a plain parquet scan of 64-byte rows. Output:
     * the surviving ids.
+    *
+    * `useSidecar = true` consults the bloom sidecar first: the batch's
+    * digests are tested against the broadcast bit array (one job over
+    * the BATCH — never the store), and when nothing can collide the
+    * returned plan contains NO store scan at all. The result is
+    * identical either way — the sidecar decides only whether the
+    * anti-join is provably unnecessary.
     */
   def dedupAgainstStore(newBatch: DataFrame, keyCols: Seq[String], idCol: String,
-      path: String): DataFrame = {
-    val store = newBatch.sparkSession.read.parquet(path)
+      path: String, useSidecar: Boolean = false): DataFrame = {
+    val spark = newBatch.sparkSession
     val digests = keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c"))
-    newBatch.select((digests :+ col(idCol)): _*)
-      .groupBy(keyCols.map(c => col(s"__k_$c")): _*)
+    val storeKeyCols = keyCols.map(c => s"__k_$c")
+    val inBatch = newBatch.select((digests :+ col(idCol)): _*)
+      .groupBy(storeKeyCols.map(col): _*)
       .agg(min(idCol).as(idCol))
-      .join(store, keyCols.map(c => s"__k_$c"), "left_anti")
+    val skip = useSidecar && readSidecar(spark, path).exists { case (bits, k, words) =>
+      val bitset = lit(words)
+      def bitTest(p: Column): Column =
+        call_function("shiftright",
+          element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L
+      val mightHit = (1 to k)
+        .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
+        .reduce(_ && _)
+      inBatch.filter(mightHit).limit(1).isEmpty
+    }
+    if (skip) inBatch.select(idCol)
+    else inBatch
+      .join(spark.read.parquet(path).select(storeKeyCols.map(col): _*),
+        storeKeyCols, "left_anti")
       .select(idCol)
   }
 

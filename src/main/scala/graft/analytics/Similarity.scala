@@ -308,6 +308,110 @@ object Similarity {
       .select(col("qid"), col("id"), (-col("cosine")).as("adc"), col("rank"))
   }
 
+  // ---- residual IVF+PQ (the standard FAISS `IVFx,PQy` form) ----
+  //
+  // Non-residual PQ (q110/q111) quantizes raw vectors, so every
+  // codebook must model the GLOBAL spread. Encoding the residual
+  // v − c(cell) instead spends the identical m bytes on the
+  // within-cell spread only — strictly less variance to cover, better
+  // recall at the same code size. Same determinism contract as the
+  // rest of the ANN ladder (label-derived quantizers, 6dp rounds,
+  // struct-min tie-breaks) so the full composition replays in SQL.
+  // One extra care: the ADC expansion ||q−c − pq||² carries the
+  // per-(query, cell) term ||q − c_cell||², which is NOT constant
+  // across a query's probed cells and is therefore added explicitly
+  // before ranking.
+
+  /** (id, cell, rv): each corpus vector's assigned cell and residual
+    * against that cell's centroid.
+    */
+  private def residualVecs(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .join(broadcast(centersOf(centroids)), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("cv"), col("center"), (a, b) => a - b).as("rv"))
+
+  /** Per-(row, subspace, code) ADC terms cc − 2·r_s·c_s over an
+    * ALREADY-RESIDUAL vector column (no re-normalization — residuals
+    * are not unit vectors and must not be rescaled).
+    */
+  private def residualSubDists(res: DataFrame, keyCols: Seq[String], rvCol: String,
+      cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    res.select(keyCols.map(col) :+ posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col(rvCol), s * subDim + 1, lit(subDim)))): _*)
+      .withColumnRenamed("pos", "__pos")
+      .withColumn("sub", col("__pos").cast("int"))
+      .join(broadcast(cb), "sub")
+      .select(keyCols.map(col) :+ col("sub") :+ col("code") :+
+        (col("cc") - lit(2.0) * dot(col("col"), col("center"))).as("sdist"): _*)
+
+  /** Residual PQ codebooks, trained by SIGN-ORTHANT bucketing: per
+    * subspace, each residual subvector gets a code from the sign bits
+    * of its first `signBits` dimensions, and the codebook entry is the
+    * bucket's mean (rounded). The label-mean trick the raw-vector tier
+    * uses (q110/q111) degenerates on residuals — a vector's residual
+    * against its OWN label centroid averages to ~zero per label — so
+    * the residual trainer must bucket by the residual's own geometry;
+    * sign orthants are the deterministic, SQL-replayable form of that
+    * (a structured one-shot quantizer, 2^signBits codes per subspace).
+    * Output shape identical to [[pqCodebooks]]: (sub, code, j, c).
+    */
+  def residualPqCodebooks(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      m: Int, subDim: Int, signBits: Int = 3, roundTo: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "residualPqCodebooks")
+    require(signBits >= 1 && signBits <= subDim, "signBits in [1, subDim]")
+    val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
+    val sub = residualVecs(keyed, centroids, "__rid", vecCol)
+      .select(col("id"), posexplode(col("rv")))
+      .filter(col("pos") < m * subDim)
+      .select(col("id"), expr(s"pos div $subDim").cast("int").as("sub"),
+        pmod(col("pos"), lit(subDim)).as("j"), col("col").cast("double").as("x"))
+    val orth = sub.filter(col("j") < signBits)
+      .groupBy("id", "sub")
+      .agg(sum(when(col("x") >= 0, expr("shiftleft(1, cast(j as int))"))
+        .otherwise(0L)).cast("int").as("code"))
+    sub.join(orth, Seq("id", "sub"))
+      .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
+  }
+
+  /** Residual IVF+PQ top-k: coarse probe prunes to `nProbe` cells;
+    * candidates score from m-byte RESIDUAL codes via per-(query, cell)
+    * distance tables (the query's residual differs per probed cell, so
+    * the broadcast table is queries × nProbe × m × codes — still
+    * tiny); ADC = Σ_s (cc − 2·qr_s·c_s) + ||qr||², rounded, ranked
+    * with the (adc, id) tie-break. Plan shape matches [[ivfPqTopK]]:
+    * broadcast quantizers, one encode shuffle, bounded TopK aggregate.
+    */
+  def residualIvfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int, nProbe: Int,
+      m: Int, subDim: Int, roundTo: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "residualIvfPqTopK")
+    val cb = pqCentersOf(codebooks)
+    val res = residualVecs(
+      corpus.withColumn("__rid", col(idCol).cast("long")), centroids, "__rid", vecCol)
+    val enc = residualSubDists(res, Seq("id", "cell"), "rv", cb, m, subDim)
+      .groupBy("id", "cell", "sub")
+      .agg(min(struct(col("sdist"), col("code"))).getField("code").as("code"))
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    val qres = probeCells(q0, centersOf(centroids), nProbe)
+      .join(broadcast(centersOf(centroids)), "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("center"), (a, b) => a - b).as("qr"))
+    val qrr = qres.select(col("qid"), col("cell"), dot(col("qr"), col("qr")).as("qrr"))
+    val qtable = residualSubDists(qres, Seq("qid", "cell"), "qr", cb, m, subDim)
+      .withColumnRenamed("sdist", "qdist")
+    val scored = enc.join(broadcast(qtable), Seq("cell", "sub", "code"))
+      .groupBy("qid", "id", "cell").agg(sum(col("qdist")).as("qsum"))
+      .join(broadcast(qrr), Seq("qid", "cell"))
+      .select(col("qid"), col("id"), round(col("qsum") + col("qrr"), roundTo).as("adc"))
+    topKPerQuery(scored.select(col("qid"), col("id"), (-col("adc")).as("cosine")), k)
+      .select(col("qid"), col("id"), (-col("cosine")).as("adc"), col("rank"))
+  }
+
   /** (cell, center-vector) table from the [[centroids]] output shape. */
   private def centersOf(centroids: DataFrame): DataFrame = centroids
     .groupBy(col(centroids.columns.head).as("cell"))

@@ -301,6 +301,29 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     }
   }
 
+  /** Exactly-once ingest: [[insertDF]] semantics, applied AT MOST ONCE
+    * per `token` however often the call is replayed — the sink the
+    * checkpointed streaming engine needs when a crash can re-run a
+    * micro-batch whose append already landed. Returns whether the batch
+    * was applied (false = deduplicated replay). The parquet backend
+    * makes the token commit durable; see
+    * [[Storage.appendIdempotent]].
+    */
+  def insertDFIdempotent(batch: DataFrame, token: String): Boolean = {
+    guardOpen()
+    val applied = storage.appendIdempotent(batch, token)
+    if (applied) {
+      // token appends carry no reproducible delta plan; the live index
+      // falls back to the invalidate-on-write contract
+      if (indexedState.isDefined) invalidateIndex()
+      else storage match {
+        case p: ParquetStorage => p.maybeCompactDelta()
+        case _                 => ()
+      }
+    }
+    applied
+  }
+
   /** How many delta segments an index may accumulate before an append
     * invalidates instead of extending: each extension unions one more
     * cached slice into the view, and an unbounded chain would grow the

@@ -62,6 +62,24 @@ trait Storage {
     append(batch, compactPrefixes); None
   }
 
+  /** IDEMPOTENT append: apply `batch` at most once per `token`, no
+    * matter how many times the call is retried — the sink half of
+    * exactly-once streaming ingest (the source half is a replayable
+    * offset log). Returns true when the batch was applied, false when
+    * this token had already committed and the call was a no-op replay.
+    *
+    * Base implementation remembers tokens in the handle (exactly-once
+    * within the process — the right contract for the in-memory backend,
+    * which dies with the JVM anyway). [[ParquetStorage]] overrides with
+    * a DURABLE commit record so replays after a crash-restart dedup too.
+    */
+  def appendIdempotent(batch: DataFrame, token: String): Boolean = synchronized {
+    if (committedTokens.contains(token)) false
+    else { append(batch); committedTokens += token; true }
+  }
+
+  private val committedTokens = scala.collection.mutable.HashSet.empty[String]
+
   /** Replace the full state (canonical schema WITH `_seq`). */
   def overwrite(full: DataFrame): Unit
 
@@ -303,9 +321,123 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private val deltaPath = s"$root/delta"
   private val backupDataPath = s"$root/.backup-data"
   private val backupDeltaPath = s"$root/.backup-delta"
+  private val versionsPath = s"$root/_versions"
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   recover()
+
+  // ---- multi-handle commit protocol (beyond-reference: the reference is
+  // explicitly single-threaded, docs/source/tips.rst:22) ----
+  //
+  // Every WRITE claims the next slot in a version chain under
+  // `_versions/`: marker `<n>` = "transition n is in flight", `<n>.done`
+  // = "transition n complete". A claim of n+1 is only attempted once
+  // `<n>.done` exists, and the claim itself is an atomic create-if-absent
+  // — so two handles on one root can never both be inside a destructive
+  // swap, and an append landing between another writer's listing and its
+  // rename (the classic lost-update window) cannot happen: the swap holds
+  // the chain head until it seals. Appends RETRY on contention (they
+  // commute); [[overwrite]] additionally verifies the chain head still
+  // equals the version it observed at [[load]] and FAILS LOUDLY when a
+  // concurrent commit has landed since — the caller recomputes from
+  // fresh state (optimistic concurrency, not a silent clobber).
+  // Sealing prunes markers below the head, so the chain dir stays O(1).
+
+  /** Version observed at the last [[load]] — what [[overwrite]]'s
+    * staleness check compares against.
+    */
+  @volatile private var observedVersion: Long = latestSealed()
+
+  private def latestVersion(): Long =
+    if (!exists(versionsPath)) 0L
+    else fs.listStatus(new Path(versionsPath))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripSuffix(".done").toLong).toOption)
+      .foldLeft(0L)(math.max)
+
+  /** Largest SEALED version — a load during another writer's in-flight
+    * transition observes the predecessor, so the overwrite that follows
+    * it correctly conflicts once that transition seals.
+    */
+  private def latestSealed(): Long =
+    if (!exists(versionsPath)) 0L
+    else fs.listStatus(new Path(versionsPath))
+      .flatMap(s => Option(s.getPath.getName)
+        .filter(_.endsWith(".done"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".done").toLong).toOption))
+      .foldLeft(0L)(math.max)
+
+  private def isSealed(n: Long): Boolean =
+    n == 0L || fs.exists(new Path(s"$versionsPath/$n.done"))
+
+  /** Atomic create-if-absent: true iff WE created the marker. Local
+    * paths use File.createNewFile (O_EXCL); others rely on the
+    * FileSystem's create(overwrite=false).
+    */
+  private def atomicClaim(p: Path): Boolean = {
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      new java.io.File(uri.getPath).createNewFile()
+    else
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  /** Claim the next version, spinning while the chain head is another
+    * writer's in-flight transition. `requireObserved` = the destructive
+    * paths' staleness check: conflict → ConcurrentModificationException
+    * instead of a blind retry, because the caller's input was computed
+    * from a state that is no longer current.
+    */
+  private def claimVersion(requireObserved: Boolean, timeoutMs: Long = 30000L): Long = {
+    if (!exists(versionsPath)) { fs.mkdirs(new Path(versionsPath)); () }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (true) {
+      val cur = latestVersion()
+      if (isSealed(cur)) {
+        if (requireObserved && cur != observedVersion)
+          throw new java.util.ConcurrentModificationException(
+            s"storage at $root advanced to v$cur since this handle loaded " +
+              s"v$observedVersion — reload and recompute the mutation")
+        if (atomicClaim(new Path(s"$versionsPath/${cur + 1}"))) return cur + 1
+        // lost the claim race: loop — the staleness check above will
+        // fire for destructive callers once the winner seals
+      }
+      if (System.currentTimeMillis() > deadline)
+        throw new java.io.IOException(
+          s"timed out waiting for in-flight commit v${latestVersion()} at $root " +
+            "(crashed writer? a new handle's open-time recovery seals orphans)")
+      Thread.sleep(2L)
+    }
+    0L // unreachable
+  }
+
+  private def sealVersion(n: Long): Unit = {
+    val out = fs.create(new Path(s"$versionsPath/$n.done"), true)
+    out.close()
+    observedVersion = n
+    // prune the chain below the head: keep only <n> and <n>.done
+    fs.listStatus(new Path(versionsPath)).foreach { s =>
+      val stem = s.getPath.getName.stripSuffix(".done")
+      if (scala.util.Try(stem.toLong).toOption.exists(_ < n))
+        fs.delete(s.getPath, false)
+    }
+  }
+
+  /** Run `body` as one claimed transition. A body failure repairs the
+    * store (same open-time [[recover]] protocol) and seals anyway, so a
+    * surviving sibling handle is not deadlocked behind the dead claim;
+    * the original failure propagates.
+    */
+  private def committed[T](requireObserved: Boolean)(body: => T): T = {
+    val v = claimVersion(requireObserved)
+    try { val r = body; sealVersion(v); r }
+    catch {
+      case e: Throwable =>
+        try { recover(); sealVersion(v) } catch { case _: Throwable => () }
+        throw e
+    }
+  }
 
   private def exists(p: String): Boolean = fs.exists(new Path(p))
 
@@ -348,13 +480,23 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         .filter(_.getPath.getName.startsWith(".staging-"))
       staging.foreach(s => fs.delete(s.getPath, true))
     }
+    // A writer that died INSIDE a claimed transition leaves the version
+    // chain headed by an unsealed marker; the state repairs above make
+    // the store consistent again, so seal the orphan — handle open is
+    // the takeover point (opening a handle while another process is
+    // actively committing has always been out of contract for this
+    // swap-based layout; within one process, [[committed]] seals its
+    // own failures).
+    val head = latestVersion()
+    if (head > 0 && !isSealed(head)) sealVersion(head)
   }
 
   private def read(path: String): Option[DataFrame] =
     if (exists(path)) Some(spark.read.parquet(path).select(Point.columns.map(col): _*))
     else None
 
-  override def load(): DataFrame =
+  override def load(): DataFrame = {
+    observedVersion = latestSealed()
     (read(dataPath), read(deltaPath)) match {
       case (Some(d), Some(x)) => d.unionByName(x)
       case (Some(d), None)    => d
@@ -362,6 +504,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       case (None, None)       => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
     }
+  }
 
   /** Write in the partitioned main-store layout. */
   private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
@@ -375,7 +518,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   override def append(batch: DataFrame): Unit = { appendDelta(batch); () }
 
   override def appendDelta(batch: DataFrame, compactPrefixes: Option[Boolean]): Option[DataFrame] =
-    synchronized {
+    synchronized { committed(requireObserved = false) {
       // Size the delta files by DATA VOLUME (Catalyst stats estimate vs
       // files.maxPartitionBytes — no job): a 10k-row batch arriving in 8
       // partitions would otherwise pay 8 task launches + 8 file commits
@@ -410,7 +553,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           // reproduces the written _seq values on re-evaluation
           Some(stamped)
         }
-    }
+    } }
 
   /** WAL-style coordinator append for sub-split batches (≤ 1/8 of
     * `files.maxPartitionBytes`, 16 MB at defaults): the whole Spark
@@ -488,12 +631,83 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     Some(spark.read.schema(fullSchema).parquet(file.toString))
   }
 
+  private val commitsPath = s"$root/_ingest_commits"
+
+  /** Durable exactly-once append: delta files named by `token`, with a
+    * commit record in `_ingest_commits/` (OUTSIDE the delta dir, so
+    * compaction folding token files into merged segments cannot erase
+    * the commit memory). Replay protocol:
+    *   1. commit record exists → no-op (the batch landed, drop the replay);
+    *   2. else delete any `tok-<token>-` delta leftovers (a previous
+    *      attempt died between data and record), rewrite the data via
+    *      staging + rename, THEN write the record.
+    * A crash at any point leaves either "no record + (partial) data" —
+    * repaired by the next replay — or "record + complete data". Readers
+    * racing a repair can transiently see the uncommitted batch (same
+    * visibility window any delta append has); the CONVERGED state holds
+    * each token's rows exactly once.
+    */
+  override def appendIdempotent(batch: DataFrame, token: String): Boolean = synchronized {
+    val safe = token.replaceAll("[^A-Za-z0-9_\\-.]", "_")
+    val record = new Path(s"$commitsPath/$safe")
+    if (fs.exists(record)) return false
+    committed(requireObserved = false) {
+    // re-check inside the claim: another handle may have landed the
+    // same token while we waited for the chain head
+    if (fs.exists(record)) false
+    else {
+    if (exists(deltaPath)) {
+      fs.listStatus(new Path(deltaPath))
+        .filter(_.getPath.getName.startsWith(s"tok-$safe-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    val staging = s"$root/.staging-tok-${UUID.randomUUID()}"
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+    withSeq(batch.coalesce(nOut))
+      .sortWithinPartitions(Point.TimeCol)
+      .write.option("compression", "snappy")
+      .mode(SaveMode.Overwrite).parquet(staging)
+    val files = fs.listStatus(new Path(staging)).filter(f =>
+      f.isFile && !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
+    if (!exists(deltaPath)) { fs.mkdirs(new Path(deltaPath)); () }
+    files.zipWithIndex.foreach { case (f, i) =>
+      renameOrThrow(f.getPath.toString, s"$deltaPath/tok-$safe-$i.snappy.parquet")
+    }
+    deleteOrThrow(staging)
+    if (!fs.exists(new Path(commitsPath))) { fs.mkdirs(new Path(commitsPath)); () }
+    fs.create(record, true).close()
+    noteDeltaFiles(files.length)
+    true
+    } }
+  }
+
+  /** Commit-record retention: keep the `keepLast` most recent records
+    * (by token name, descending — stream tokens embed the batch id, so
+    * lexicographic order is commit order for equal-width ids). A
+    * checkpointed stream can only ever replay its LAST uncommitted
+    * batch, so any bound ≥ 1 is safe; the default gives slack for
+    * multiple interleaved streams.
+    */
+  def pruneIngestCommits(keepLast: Int = 64): Unit = synchronized {
+    if (!fs.exists(new Path(commitsPath))) return
+    val all = fs.listStatus(new Path(commitsPath)).sortBy(_.getPath.getName)
+    all.dropRight(keepLast).foreach(s => fs.delete(s.getPath, false))
+  }
+
   /** Fold the delta tier into the partitioned main store. Run after
     * bulk ingest (or on a schedule) so reads regain full partition
     * pruning; appends stay cheap regardless.
     */
   def compact(): Unit = synchronized {
-    if (exists(deltaPath)) overwrite(load())
+    // content-preserving: serialize via the chain (no append can land
+    // inside the fold-and-swap) but skip the staleness check — the
+    // input is read INSIDE the claim, so it cannot be stale
+    committed(requireObserved = false) {
+      if (exists(deltaPath)) overwriteInner(load())
+    }
     deltaFileEstimate = 0
   }
 
@@ -549,24 +763,37 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * and the generation counter are unaffected.
     */
   private[engine] def compactDelta(): Unit = synchronized {
-    if (!exists(deltaPath)) return
-    val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
-    val delta = spark.read.parquet(deltaPath).select(Point.columns.map(col): _*)
-    // merged file count by data volume, same sizing rule as appends
-    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-    delta.coalesce(nOut)
-      .sortWithinPartitions(Point.TimeCol)
-      .write.option("compression", "snappy")
-      .mode(SaveMode.Overwrite).parquet(staging)
-    renameOrThrow(deltaPath, backupDeltaPath)
-    renameOrThrow(staging, deltaPath)
-    deleteOrThrow(backupDeltaPath)
+    committed(requireObserved = false) {
+      if (exists(deltaPath)) {
+        val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
+        val delta = spark.read.parquet(deltaPath).select(Point.columns.map(col): _*)
+        // merged file count by data volume, same sizing rule as appends
+        val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+        val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
+        val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+          ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+        delta.coalesce(nOut)
+          .sortWithinPartitions(Point.TimeCol)
+          .write.option("compression", "snappy")
+          .mode(SaveMode.Overwrite).parquet(staging)
+        renameOrThrow(deltaPath, backupDeltaPath)
+        renameOrThrow(staging, deltaPath)
+        deleteOrThrow(backupDeltaPath)
+      }
+    }
   }
 
+  /** Destructive replace: claims the version chain exclusively AND
+    * fails loudly ([[java.util.ConcurrentModificationException]]) when
+    * any commit landed since this handle's last [[load]] — `full` was
+    * computed from that load, so silently swapping it in would erase
+    * the concurrent commit. The loser reloads and recomputes.
+    */
   override def overwrite(full: DataFrame): Unit = synchronized {
+    committed(requireObserved = true) { overwriteInner(full) }
+  }
+
+  private def overwriteInner(full: DataFrame): Unit = {
     val staging = s"$root/.staging-${UUID.randomUUID()}"
     // Materialize BEFORE touching the primary: `full` may read from it.
     writePartitioned(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite)

@@ -459,6 +459,31 @@ object CorpusQueries {
         .select("qid", "id").orderBy("qid", "id")
     }),
 
+    // RESIDUAL IVF+PQ — the standard FAISS `IVFx,PQy` form (q111 is
+    // the non-residual variant): PQ codes quantize vector − assigned
+    // centroid, spending the same m bytes on within-cell spread only.
+    // The oracle replays centroids → assignment → residuals → residual
+    // codebooks → codes → per-(query,cell) tables (+ the ||q−c||² term
+    // that is NOT rank-invariant across probed cells) → ranks, so the
+    // better-recall-at-identical-bytes claim is itself under the gate
+    // (and measured against q111 in the recall dashboard).
+    "q174_ann_residual_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cb = Similarity.residualPqCodebooks(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      Similarity.residualIvfPqTopK(
+        corpus = e,
+        queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        centroids = cents, codebooks = cb,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10, nProbe = 2,
+        m = 4, subDim = 16)
+        .select("qid", "id").orderBy("qid", "id")
+    }),
+
     // the END-TO-END curation pipeline as ONE gated query — the shape a
     // reference user actually ships: exact dedup -> language filter ->
     // model-quality filter -> source mixture -> token-budget selection.
@@ -821,6 +846,38 @@ object CorpusQueries {
       val surv2 = Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store)
       surv1.select(col("doc_id"), lit(1).as("day"))
         .unionByName(surv2.select(col("doc_id"), lit(2).as("day")))
+        .orderBy("doc_id")
+    }),
+
+    // the FULL digest-store LIFECYCLE under the oracle (q169 plus
+    // state hygiene): tagged appends, a mid-history COMPACTION that
+    // folds the append files and rebuilds the bloom sidecar, and
+    // sidecar-guarded dedup for the last batch. The sidecar decides
+    // only whether the anti-join is provably unnecessary — results are
+    // the same exact set algebra as q169, which is what lets DuckDB
+    // replay a run whose physical plan may have skipped the store
+    // entirely.
+    "q173_incremental_dedup_lifecycle" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val day1 = d.filter(col("doc_id") % 3 === 0)
+      val day2 = d.filter(col("doc_id") % 3 === 1)
+      val day3 = d.filter(col("doc_id") % 3 === 2)
+      val store = graft.util.Scratch.dir("graftdiglc") + "/digests"
+      Dedup.appendDigestStore(day1, Seq("text"), store, batchTag = 1L, sidecar = true)
+      val surv1 = Dedup.exactSurvivorIds(day1, Seq("text"), "doc_id")
+      // materialize day-2's survivors BEFORE compaction rewrites the
+      // store files its lazy plan would otherwise re-list (the real
+      // pipeline ships each day's output before the next maintenance
+      // window, so eager here IS the production shape)
+      val surv2 = Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store,
+        useSidecar = true).localCheckpoint(true)
+      Dedup.appendDigestStore(day2, Seq("text"), store, batchTag = 2L, sidecar = true)
+      Dedup.compactDigestStore(s, store)
+      val surv3 = Dedup.dedupAgainstStore(day3, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      surv1.select(col("doc_id"), lit(1).as("day"))
+        .unionByName(surv2.select(col("doc_id"), lit(2).as("day")))
+        .unionByName(surv3.select(col("doc_id"), lit(3).as("day")))
         .orderBy("doc_id")
     }),
 
@@ -1406,6 +1463,66 @@ object CorpusQueries {
         |SELECT qid, id FROM (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
         |  FROM score) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
+    "q174_ann_residual_ivfpq" ->
+      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |un AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+        |       FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2),
+        |ccf AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
+        |dpf AS (SELECT un.vec_id, cent.cell, sum(un.x * cent.c) AS dp
+        |        FROM un JOIN cent ON un.i = cent.i GROUP BY 1, 2),
+        |ddf AS (SELECT dpf.vec_id, dpf.cell, ccf.cc - 2*dpf.dp AS cdist
+        |        FROM dpf JOIN ccf USING (cell)),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM ddf) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM ddf WHERE vec_id < 3) WHERE rn <= 2),
+        |res AS (SELECT un.vec_id, un.label, un.i, un.x - cent.c AS x
+        |        FROM un JOIN assign a ON a.vec_id = un.vec_id
+        |        JOIN cent ON cent.cell = a.cell AND cent.i = un.i),
+        |us AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub,
+        |       ((i - 1) % 16) AS j, x FROM res),
+        |orth AS (SELECT vec_id, sub,
+        |         CAST(sum(CASE WHEN j < 3 AND x >= 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS INT) AS code
+        |         FROM us GROUP BY 1, 2),
+        |pcent AS (SELECT us.sub, o.code, us.j, round(avg(us.x), 6) AS c
+        |          FROM us JOIN orth o ON o.vec_id = us.vec_id AND o.sub = us.sub
+        |          GROUP BY 1, 2, 3),
+        |pcc AS (SELECT sub, code, sum(c*c) AS cc FROM pcent GROUP BY 1, 2),
+        |pdp AS (SELECT us.vec_id, pcent.sub, pcent.code, sum(us.x * pcent.c) AS dp
+        |        FROM us JOIN pcent ON us.sub = pcent.sub AND us.j = pcent.j GROUP BY 1, 2, 3),
+        |sd AS (SELECT pdp.vec_id, pdp.sub, pdp.code, pcc.cc - 2*pdp.dp AS sdist
+        |       FROM pdp JOIN pcc ON pcc.sub = pdp.sub AND pcc.code = pdp.code),
+        |enc AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sdist, code) AS rn
+        |  FROM sd) WHERE rn = 1),
+        |qres AS (SELECT p.qid, p.cell, un.i, un.x - cent.c AS x
+        |         FROM probe p JOIN un ON un.vec_id = p.qid
+        |         JOIN cent ON cent.cell = p.cell AND cent.i = un.i),
+        |qrr AS (SELECT qid, cell, sum(x*x) AS qrr FROM qres GROUP BY 1, 2),
+        |qus AS (SELECT qid, cell, CAST((i - 1) // 16 AS INT) AS sub,
+        |        ((i - 1) % 16) AS j, x FROM qres),
+        |qdp AS (SELECT qus.qid, qus.cell, pcent.sub, pcent.code, sum(qus.x * pcent.c) AS dp
+        |        FROM qus JOIN pcent ON qus.sub = pcent.sub AND qus.j = pcent.j
+        |        GROUP BY 1, 2, 3, 4),
+        |qsd AS (SELECT qdp.qid, qdp.cell, qdp.sub, qdp.code, pcc.cc - 2*qdp.dp AS qdist
+        |        FROM qdp JOIN pcc ON pcc.sub = qdp.sub AND pcc.code = qdp.code),
+        |adc AS (SELECT q.qid, a.vec_id AS id,
+        |          round(sum(q.qdist) + any_value(r.qrr), 6) AS adc
+        |        FROM probe p
+        |        JOIN assign a ON a.cell = p.cell
+        |        JOIN enc e ON e.vec_id = a.vec_id
+        |        JOIN qsd q ON q.qid = p.qid AND q.cell = p.cell
+        |                  AND q.sub = e.sub AND q.code = e.code
+        |        JOIN qrr r ON r.qid = p.qid AND r.cell = p.cell
+        |        GROUP BY 1, 2)
+        |SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+        |  FROM adc) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
     "q111_ann_ivfpq" ->
       """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
@@ -1874,6 +1991,22 @@ object CorpusQueries {
         |SELECT doc_id, 1 AS day FROM s1
         |UNION ALL
         |SELECT doc_id, 2 AS day FROM s2
+        |ORDER BY doc_id""".stripMargin,
+    "q173_incremental_dedup_lifecycle" ->
+      """WITH d1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |d2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |d3 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+        |s2 AS (SELECT min(doc_id) AS doc_id FROM d2
+        |       WHERE text NOT IN (SELECT text FROM d1) GROUP BY text),
+        |s3 AS (SELECT min(doc_id) AS doc_id FROM d3
+        |       WHERE text NOT IN (SELECT text FROM d1)
+        |         AND text NOT IN (SELECT text FROM d2) GROUP BY text)
+        |SELECT doc_id, 1 AS day FROM s1
+        |UNION ALL
+        |SELECT doc_id, 2 AS day FROM s2
+        |UNION ALL
+        |SELECT doc_id, 3 AS day FROM s3
         |ORDER BY doc_id""".stripMargin,
     "q166_priority_sample" ->
       """WITH p AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS wt,

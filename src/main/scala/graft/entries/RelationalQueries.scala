@@ -805,6 +805,53 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // BROKER ingest through the CUSTOM DataSourceV2 connector
+    // (`graft-log`, streaming/LogSource.scala): a producer seals the
+    // deterministic prefix [0, 2400) into immutable segment files (the
+    // reference's MQTT consumer shape, examples/3_iot_datastore_with_
+    // mqtt.py:56-120, re-expressed as a replayable offset log), and
+    // Trigger.AvailableNow + admission control (700 records/trigger)
+    // drain it through the EXACTLY-ONCE foreachBatch append graph into
+    // a parquet-backed store — durable per-batch tokens dedup any
+    // replay, so the converged state is the closed form of the
+    // published set and the oracle replays it from range() alone.
+    "q171_stream_log_ingest" -> ((s, dir) => {
+      import graft.streaming.{GraftLogProducer, StreamingIngest}
+      val log = graft.util.Scratch.dir("graftlogq")
+      val producer = new GraftLogProducer(log)
+      (0 until 6).foreach(seg =>
+        producer.publish((seg * 400 until (seg + 1) * 400).map(_.toString)))
+      val db = graft.engine.GraftDB.atPath(s, graft.util.Scratch.dir("graftlogqdb"))
+      StreamingIngest.drainLog(s, db, log, maxRecordsPerTrigger = 700L,
+        graft.util.Scratch.dir("graftlogqckpt"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"),
+          unix_millis(min(col(graft.model.Point.TimeCol))).as("min_ts_ms"),
+          unix_millis(max(col(graft.model.Point.TimeCol))).as("max_ts_ms"))
+        .orderBy("sensor")
+    }),
+
+    // SOCKET ingest under the oracle (was suite-only): an in-process
+    // line server pushes the deterministic prefix [0, 1500) over TCP
+    // and Spark's socket source drives the SAME checkpointed ingest
+    // graph — the literal broker-consumer loop. Distinct closed-form
+    // constants from q157/q171 so each source's gate is its own.
+    "q172_stream_socket_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      val db = graft.engine.GraftDB.inMemory(s)
+      StreamingIngest.ingestSocketValues(s, db, total = 1500,
+        graft.util.Scratch.dir("sockckpt"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"),
+          unix_millis(min(col(graft.model.Point.TimeCol))).as("min_ts_ms"),
+          unix_millis(max(col(graft.model.Point.TimeCol))).as("max_ts_ms"))
+        .orderBy("sensor")
+    }),
+
     // KMV set algebra — theta-sketch-style union/intersection/Jaccard
     // estimates from two COORDINATED bottom-k samples ("how many
     // distinct users did BOTH signup and purchase" from two KB
@@ -1373,6 +1420,22 @@ object RelationalQueries {
         |SELECT 's' || CAST(value % 7 AS VARCHAR) AS sensor,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(value % 100) AS BIGINT) AS sum_v,
+        |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
+        |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q171_stream_log_ingest" ->
+      """WITH v AS (SELECT unnest(range(0, 2400)) AS value)
+        |SELECT 's' || CAST(value % 5 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 90) AS BIGINT) AS sum_v,
+        |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
+        |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q172_stream_socket_ingest" ->
+      """WITH v AS (SELECT unnest(range(0, 1500)) AS value)
+        |SELECT 's' || CAST(value % 6 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 80) AS BIGINT) AS sum_v,
         |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
         |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,

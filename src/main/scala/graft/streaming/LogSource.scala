@@ -1,0 +1,263 @@
+package graft.streaming
+
+import java.util.{Optional => JOptional}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A CUSTOM DataSourceV2 streaming source — the broker-consumer shape of
+  * the reference's own ingest (an MQTT subscriber loop,
+  * examples/3_iot_datastore_with_mqtt.py:56-120), re-expressed as the
+  * thing a Spark cluster actually consumes: a replayable, offset-addressed
+  * log. The sandbox stand-in for the broker is a directory of SEALED
+  * segment files (a producer publishes a batch by writing a temp file and
+  * atomically renaming it in — segments are immutable once visible, the
+  * Kafka log-segment contract), so offsets are stable across restarts and
+  * any offset range replays bit-identically — which is exactly what the
+  * checkpointed micro-batch engine needs for exactly-once.
+  *
+  * Wire format: one UTF-8 line per record. Segment names carry their own
+  * record count (`<seq12>-<count>.seg`), so `latestOffset` is a pure
+  * directory listing — no file is opened until its records are actually
+  * planned into a batch (the sidecar-index idea, baked into the name).
+  *
+  * Scale shape: one InputPartition per segment-slice, so a 1000-executor
+  * cluster drains a large backlog with segment-level parallelism; the
+  * driver never reads record data, only the listing. Admission control
+  * (`maxRecordsPerTrigger`) bounds each micro-batch, and
+  * `SupportsTriggerAvailableNow` snapshots the backlog so AvailableNow
+  * drains a static log to completion in rate-limited batches and stops.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-log")
+  *     .option("path", dir).option("maxRecordsPerTrigger", 500)
+  *     .load()                       // schema: offset LONG, payload STRING
+  * }}}
+  */
+class GraftLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-log"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLog.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftLog {
+  val Schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  private val SegmentName = """(\d{12})-(\d+)\.seg""".r
+
+  /** One sealed segment: its sequence number, record count, and path. */
+  final case class Segment(seq: Long, count: Long, path: String)
+
+  /** List sealed segments in `dir`, sorted by sequence — the topic's
+    * committed record log. Names carry counts, so this is listing-only.
+    */
+  def listSegments(dir: String, conf: Configuration): Seq[Segment] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SegmentName(seq, count) if st.isFile =>
+          Some(Segment(seq.toLong, count.toLong, st.getPath.toString))
+        case _ => None
+      }
+    }.sortBy(_.seq)
+  }
+
+  /** Total records across sealed segments = the log's latest offset. */
+  def latestOffset(dir: String, conf: Configuration): Long =
+    listSegments(dir, conf).map(_.count).sum
+
+  /** Map the record range [start, end) onto segment slices — one input
+    * partition per touched segment, line-addressed within it.
+    */
+  def slices(segments: Seq[Segment], start: Long, end: Long): Seq[GraftLogSlice] = {
+    val out = ArrayBuffer.empty[GraftLogSlice]
+    var cum = 0L
+    segments.foreach { s =>
+      val segStart = cum
+      val segEnd = cum + s.count
+      val lo = math.max(start, segStart)
+      val hi = math.min(end, segEnd)
+      if (lo < hi)
+        out += GraftLogSlice(s.path, lo - segStart, hi - segStart, lo)
+      cum = segEnd
+    }
+    require(end <= cum || start >= end,
+      s"offset range [$start,$end) exceeds the log's $cum sealed records " +
+        "(segments are immutable; a shrinking log means external tampering)")
+    out.toSeq
+  }
+}
+
+/** Producer side: publish records by sealing whole segments atomically —
+  * write a dot-prefixed temp file, fsync, rename in with the count in the
+  * name. Readers never see a torn segment; the offset sequence is
+  * append-only.
+  */
+final class GraftLogProducer(dir: String, conf: Configuration = new Configuration()) {
+  private val dirPath = new Path(dir)
+  private val fs: FileSystem = dirPath.getFileSystem(conf)
+  if (!fs.exists(dirPath)) { fs.mkdirs(dirPath); () }
+
+  private var seq: Long =
+    GraftLog.listSegments(dir, conf).lastOption.map(_.seq + 1).getOrElse(0L)
+
+  /** Seal `records` as the next segment; returns the log's new end offset. */
+  def publish(records: Seq[String]): Long = synchronized {
+    require(records.nonEmpty, "publish needs at least one record")
+    require(records.forall(r => !r.contains("\n")), "records are single lines")
+    val name = f"$seq%012d-${records.length}.seg"
+    val tmp = new Path(dirPath, s".$name.inprogress")
+    val dst = new Path(dirPath, name)
+    val out = fs.create(tmp, true)
+    try {
+      out.write(records.mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"segment seal failed: $tmp -> $dst")
+    seq += 1
+    GraftLog.latestOffset(dir, conf)
+  }
+}
+
+final class GraftLogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-log requires option 'path'")
+    p
+  }
+  override def name(): String = s"graft-log:$path"
+  override def schema(): StructType = GraftLog.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftLogScan(path,
+        Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
+    }
+}
+
+final class GraftLogScan(path: String, maxPerTrigger: Option[Long]) extends Scan {
+  override def readSchema(): StructType = GraftLog.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLogMicroBatchStream(path, maxPerTrigger)
+  override def toBatch: Batch = new Batch {
+    private val segments = GraftLog.listSegments(path, new Configuration())
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftLog.slices(segments, 0L, segments.map(_.count).sum)
+        .toArray[InputPartition]
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftLogReaderFactory()
+  }
+}
+
+/** Stream offset = count of records consumed from the log's start — a
+  * single monotone long, serialized as its decimal string.
+  */
+final case class GraftLogOffset(records: Long) extends Offset {
+  override def json(): String = records.toString
+}
+
+final class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  private val conf = new Configuration()
+  // AvailableNow snapshot: the backlog to drain, frozen at query start
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def initialOffset(): Offset = GraftLogOffset(0L)
+  override def deserializeOffset(json: String): Offset = GraftLogOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // retention is the producer's
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftLog.latestOffset(path, conf))
+
+  override def reportLatestOffset(): Offset =
+    GraftLogOffset(GraftLog.latestOffset(path, conf))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftLogOffset].records
+    val sealedEnd = GraftLog.latestOffset(path, conf)
+    val capped = availableNowCap.fold(sealedEnd)(math.min(sealedEnd, _))
+    val end = limit match {
+      case r: ReadMaxRows     => math.min(capped, from + r.maxRows())
+      case _: ReadAllAvailable => capped
+      case _                   => capped
+    }
+    GraftLogOffset(math.max(from, end))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLogOffset].records
+    val e = end.asInstanceOf[GraftLogOffset].records
+    GraftLog.slices(GraftLog.listSegments(path, conf), s, e).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory()
+
+  override def stop(): Unit = ()
+}
+
+/** One segment slice: lines [startLine, endLine) of `file`, carrying
+  * global offsets starting at `baseOffset`.
+  */
+final case class GraftLogSlice(file: String, startLine: Long, endLine: Long,
+    baseOffset: Long) extends InputPartition
+
+final class GraftLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[GraftLogSlice]
+    new PartitionReader[InternalRow] {
+      private val p = new Path(slice.file)
+      private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        p.getFileSystem(new Configuration()).open(p), "UTF-8"))
+      private var line: String = _
+      private var idx: Long = 0L
+      private var emitted: Long = 0L
+      // skip to the slice start; sealed segments make this deterministic
+      while (idx < slice.startLine && { line = in.readLine(); line != null }) idx += 1
+
+      override def next(): Boolean = {
+        if (slice.startLine + emitted >= slice.endLine) return false
+        line = in.readLine()
+        if (line == null)
+          throw new java.io.IOException(
+            s"segment ${slice.file} shorter than its sealed count (corrupt log)")
+        true
+      }
+      override def get(): InternalRow = {
+        val row = InternalRow(slice.baseOffset + emitted, UTF8String.fromString(line))
+        emitted += 1
+        row
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}

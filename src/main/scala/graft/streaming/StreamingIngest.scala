@@ -67,6 +67,34 @@ object StreamingIngest {
       .start()
   }
 
+  /** EXACTLY-ONCE variant of [[start]]: same source → transform →
+    * foreachBatch append graph, with the append made idempotent by a
+    * durable per-batch token ([[GraftDB.insertDFIdempotent]]). The
+    * micro-batch engine replays an uncommitted batch after a crash with
+    * the SAME batchId and — for a replayable source like `graft-log` —
+    * the same offset range and content; the token `"<streamName>-b<id>"`
+    * then dedups the replayed append, so the converged store holds each
+    * record exactly once. `streamName` scopes tokens when several
+    * streams feed one store; it must be stable across restarts (the
+    * checkpoint is what makes batchId stable).
+    */
+  def startExactlyOnce(
+      stream: DataFrame,
+      db: GraftDB,
+      checkpointDir: String,
+      streamName: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        db.insertDFIdempotent(batch.localCheckpoint(true), s"$streamName-b$batchId")
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation in APPEND mode: a window
     * row is emitted once, when the watermark passes its end; events
     * arriving later than `lateness` behind the stream's max event time
@@ -304,6 +332,41 @@ object StreamingIngest {
         map(lit("sensor"), concat(lit("s"), col("value") % 7)).as(Point.TagsCol),
         map(lit("v"), (col("value") % 100).cast("double")).as(Point.FieldsCol))
 
+  /** The graft-log topic as a stream of canonical Point rows: payload
+    * lines are decimal values and the value→point transform is CLOSED
+    * FORM (time, tag, field are integer functions of it), so however
+    * the log was segmented or batched, the converged ingested state is
+    * a pure function of the published value set — which is what lets a
+    * SQL oracle replay broker ingest from `range()` alone.
+    */
+  def logPointsSource(spark: SparkSession, dir: String,
+      maxRecordsPerTrigger: Long): DataFrame =
+    spark.readStream.format("graft-log")
+      .option("path", dir)
+      .option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+      .load()
+      .select(col("payload").cast("long").as("v"))
+      .select(
+        timestamp_millis(lit(RateEpochMs) + col("v") * 1000L).as(Point.TimeCol),
+        lit("log").as(Point.MeasurementCol),
+        map(lit("sensor"), concat(lit("s"), col("v") % 5)).as(Point.TagsCol),
+        map(lit("v"), (col("v") % 90).cast("double")).as(Point.FieldsCol))
+
+  /** Drain a STATIC graft-log topic into `db` exactly once: the
+    * [[startExactlyOnce]] graph under Trigger.AvailableNow — the
+    * source's admission control slices the backlog into rate-limited
+    * micro-batches, the AvailableNow snapshot stops the query when the
+    * prefix is consumed, and the per-batch tokens make the append path
+    * idempotent under replay.
+    */
+  def drainLog(spark: SparkSession, db: GraftDB, dir: String,
+      maxRecordsPerTrigger: Long, checkpointDir: String,
+      streamName: String = "graftlog"): Unit = {
+    val q = startExactlyOnce(logPointsSource(spark, dir, maxRecordsPerTrigger),
+      db, checkpointDir, streamName, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
   /** Drive [[start]] from the rate source until the full deterministic
     * prefix has landed in `db`, then stop the query. Proves the ingest
     * graph is source-agnostic: the SAME checkpointed foreachBatch
@@ -323,6 +386,58 @@ object StreamingIngest {
     } finally q.stop()
     val n = db.length
     require(n == totalRows, s"rate ingest landed $n of $totalRows rows")
+  }
+
+  /** The socket source's closed-form value→point transform — same
+    * determinism contract as [[logPointsSource]] / [[ratePointsSource]]
+    * (distinct constants per source so a cross-wired graph cannot pass
+    * the wrong gate): lines are decimal values; time/tag/field are
+    * integer functions of the value.
+    */
+  def socketValuesSource(spark: SparkSession, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", "localhost").option("port", port).load()
+      .select(col("value").cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .select(
+        timestamp_millis(lit(RateEpochMs) + col("v") * 1000L).as(Point.TimeCol),
+        lit("sock").as(Point.MeasurementCol),
+        map(lit("sensor"), concat(lit("s"), col("v") % 6)).as(Point.TagsCol),
+        map(lit("v"), (col("v") % 80).cast("double")).as(Point.FieldsCol))
+
+  /** Drive [[start]] from an in-process line server over a TCP socket —
+    * the literal broker-consumer shape (a server pushes lines, the
+    * engine subscribes) — until the deterministic prefix [0, total) has
+    * landed in `db`. The socket source is not replayable, so this is
+    * the at-least-once tier: within one run each line is delivered
+    * once, and the converged store is the closed form of the pushed
+    * set; replayable exactly-once is the `graft-log` connector's job.
+    */
+  def ingestSocketValues(spark: SparkSession, db: GraftDB, total: Int,
+      checkpointDir: String, timeoutMs: Long = 120000L): Unit = {
+    val server = new java.net.ServerSocket(0)
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        (0 until total).foreach(v => out.println(v))
+        out.flush()
+        Thread.sleep(timeoutMs) // hold the connection until the reader is done
+        sock.close()
+      } catch { case _: Exception => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = start(socketValuesSource(spark, server.getLocalPort), db, checkpointDir)
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (db.length < total && q.exception.isEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      q.exception.foreach(e => throw e)
+    } finally { q.stop(); server.close() }
+    val n = db.length
+    require(n == total, s"socket ingest landed $n of $total rows")
   }
 
   /** Run a finite streaming query to completion (Trigger.AvailableNow →

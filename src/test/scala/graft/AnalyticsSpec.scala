@@ -226,6 +226,17 @@ class AnalyticsSpec extends SparkSpec {
       val ivfpq = recall(pairs(graft.analytics.Similarity.ivfPqTopK(e, q, cents, cb,
         "vec_id", "embedding", "qid", 10, nProbe = 2, m = 4, subDim = 16)))
       assert(ivfpq >= 0.12, s"IVF+PQ recall dropped: $ivfpq")
+
+      // residual codes (q174) must BEAT the raw-vector codes (q111) at
+      // identical bytes — that superiority is the whole point of the
+      // FAISS residual form, so it is pinned, not just the floor
+      val rcb = graft.analytics.Similarity.residualPqCodebooks(
+        e, cents, "vec_id", "embedding", 4, 16)
+      val rivfpq = recall(pairs(graft.analytics.Similarity.residualIvfPqTopK(
+        e, q, cents, rcb, "vec_id", "embedding", "qid", 10, nProbe = 2, m = 4, subDim = 16)))
+      info(s"recall@10: ivfpq=$ivfpq residual=$rivfpq")
+      assert(rivfpq > ivfpq, s"residual IVF+PQ ($rivfpq) should beat raw IVF+PQ ($ivfpq)")
+      assert(rivfpq >= 0.18, s"residual IVF+PQ recall dropped: $rivfpq") // measured 0.20
     }
   }
 

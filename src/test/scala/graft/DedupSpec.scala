@@ -53,6 +53,59 @@ class DedupSpec extends SparkSpec {
         .as[Long].collect().toSet
       assert(surv3 == Set(21L))
     }
+
+    it("bloom sidecar: a non-colliding batch SKIPS the store scan, results identical") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigsc").toString + "/digests"
+      val day1 = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("doc_id", "text")
+      Dedup.appendDigestStore(day1, Seq("text"), store, batchTag = 1L, sidecar = true)
+      // disjoint batch: the sidecar proves no collision is possible
+      val clean = Seq((10L, "delta"), (11L, "epsilon"), (12L, "delta")).toDF("doc_id", "text")
+      val guarded = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      // the RETURNED PLAN contains no store relation at all
+      assert(!guarded.queryExecution.sparkPlan.toString.contains("digests"),
+        "skip path must not scan the digest store")
+      assert(guarded.as[Long].collect().toSet ==
+        Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", store)
+          .as[Long].collect().toSet)
+      // colliding batch: guard falls through to the exact anti-join
+      val dirty = Seq((20L, "alpha"), (21L, "zeta")).toDF("doc_id", "text")
+      val g2 = Dedup.dedupAgainstStore(dirty, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(g2.queryExecution.sparkPlan.toString.contains("digests"))
+      assert(g2.as[Long].collect().toSet == Set(21L))
+      // sidecar stays current across appends: delta is in the store now
+      Dedup.appendDigestStore(clean, Seq("text"), store, batchTag = 2L, sidecar = true)
+      val d3 = Seq((30L, "delta"), (31L, "eta")).toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstStore(d3, Seq("text"), "doc_id", store, useSidecar = true)
+        .as[Long].collect().toSet == Set(31L))
+    }
+
+    it("compaction folds appends to one file; retention re-admits expired digests") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigc").toString + "/digests"
+      Dedup.appendDigestStore(Seq((0L, "old1"), (1L, "old2")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 1L, sidecar = true)
+      Dedup.appendDigestStore(Seq((2L, "new1")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 2L, sidecar = true)
+      // a digest re-seen in a later batch carries the LATER tag
+      Dedup.appendDigestStore(Seq((3L, "old1")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 3L, sidecar = true)
+      def files(): Int = new java.io.File(store).listFiles()
+        .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      assert(files() >= 3)
+      // full-history compact: file count collapses, behavior unchanged
+      Dedup.compactDigestStore(spark, store)
+      assert(files() == 1)
+      val probe = Seq((40L, "old2"), (41L, "novel")).toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store, useSidecar = true)
+        .as[Long].collect().toSet == Set(41L))
+      // retention at tag >= 2: old2 (last seen tag 1) is forgotten and
+      // re-admitted; old1 (re-seen at tag 3) is retained and still dedups
+      Dedup.compactDigestStore(spark, store, retainMinTag = Some(2L))
+      val probe2 = Seq((50L, "old1"), (51L, "old2"), (52L, "new1")).toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstStore(probe2, Seq("text"), "doc_id", store, useSidecar = true)
+        .as[Long].collect().toSet == Set(51L))
+    }
   }
 
   describe("block-level span dedup") {

@@ -130,6 +130,87 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  describe("multi-handle commit safety (optimistic version chain)") {
+    it("two handles appending concurrently lose nothing") {
+      val dir = Files.createTempDirectory("graftmulti").toString
+      val a = GraftDB.atPath(spark, dir)
+      val b = GraftDB.atPath(spark, dir)
+      val n = 12
+      def writer(db: GraftDB, tag: String) = new Thread(() => {
+        (0 until n).foreach { i =>
+          db.insert(Point(t(f"2024-01-${i + 1}%02dT00:00:00Z"), "m",
+            Map("w" -> tag), Map("v" -> i.toDouble)))
+        }
+      })
+      val (ta, tb) = (writer(a, "a"), writer(b, "b"))
+      ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+      assert(!ta.isAlive && !tb.isAlive)
+      // every appended point survives, visible from a FRESH handle
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.length == 2L * n)
+      assert(again.count(TagQuery("w") === "a") == n)
+      assert(again.count(TagQuery("w") === "b") == n)
+    }
+
+    it("a stale overwrite fails loudly instead of clobbering a concurrent commit") {
+      val dir = Files.createTempDirectory("graftstale").toString
+      val a = new ParquetStorage(spark, dir)
+      val seedDb = GraftDB.atPath(spark, dir)
+      seedDb.insert(Point(t("2024-01-01T00:00:00Z"), "m", Map(), Map("v" -> 1.0)))
+      val stale = a.load() // A's view of the world, version observed here
+      // B commits (an append) AFTER A's load
+      val b = GraftDB.atPath(spark, dir)
+      b.insert(Point(t("2024-01-02T00:00:00Z"), "m", Map(), Map("v" -> 2.0)))
+      // A's swap would erase B's committed point — it must refuse
+      intercept[java.util.ConcurrentModificationException] { a.overwrite(stale) }
+      // nothing was destroyed; A reloads and can commit against fresh state
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.length == 2)
+      a.overwrite(a.load().filter(org.apache.spark.sql.functions
+        .element_at(org.apache.spark.sql.functions.col(Point.FieldsCol), "v") =!= 1.0))
+      assert(GraftDB.atPath(spark, dir).length == 1)
+    }
+
+    it("an append racing another handle's compaction survives") {
+      val dir = Files.createTempDirectory("graftrace").toString
+      val a = GraftDB.atPath(spark, dir)
+      (1 to 6).foreach(i => a.insert(Point(t(f"2024-01-0${i}T00:00:00Z"), "m",
+        Map(), Map("v" -> i.toDouble))))
+      val b = GraftDB.atPath(spark, dir)
+      val compactor = new Thread(() => a.compact())
+      val appender = new Thread(() =>
+        b.insert(Point(t("2024-02-01T00:00:00Z"), "m", Map(), Map("v" -> 99.0))))
+      compactor.start(); appender.start()
+      compactor.join(120000); appender.join(120000)
+      assert(!compactor.isAlive && !appender.isAlive)
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.length == 7)
+      assert(again.count(FieldQuery("v") === 99.0) == 1)
+    }
+
+    it("reopening seals an orphaned claim from a dead writer; crash recovery unregressed") {
+      val (db, dir) = seeded()
+      db.compact()
+      val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
+      // dead writer: claimed the next version, then the process died
+      // mid-swap (primary at backup, staging orphaned, claim unsealed)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "_versions"))
+      val head = new java.io.File(s"$dir/_versions").listFiles()
+        .map(_.getName.stripSuffix(".done")).filter(_.forall(_.isDigit))
+        .map(_.toLong).foldLeft(0L)(math.max)
+      assert(new java.io.File(s"$dir/_versions/${head + 1}").createNewFile())
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, "data"),
+        java.nio.file.Paths.get(dir, ".backup-data"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, ".staging-dead"))
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
+      // the orphan is sealed: new commits proceed without waiting
+      again.insert(Point(t("2024-03-01T00:00:00Z"), "m", Map(), Map("v" -> 5.0)))
+      assert(again.length == before.size + 1)
+    }
+  }
+
   describe("driver-local WAL append (sub-split batches)") {
     it("small appends land as ONE local parquet file with no distributed write job") {
       val dir = Files.createTempDirectory("graftwal").toString
