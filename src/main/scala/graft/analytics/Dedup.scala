@@ -690,25 +690,40 @@ object Dedup {
     * never fixed. (maxHamming = 3 → the classic 4×16-bit scheme.)
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(df, idCol, textCol).cache() // lifecycle: see minHashLshPairs
+    hammingPairs64(sh, "id", "simhash", maxHamming)
+  }
+
+  /** Hamming-banded pairs over PRECOMPUTED 64-bit hashes — the
+    * candidate-generation core of [[simHashPairs]], reusable for any
+    * 64-bit fingerprint family (text SimHash, image dHash): split the
+    * hash into (maxHamming + 1) contiguous bit-bands; by pigeonhole two
+    * hashes within the radius agree on at least one band, so the
+    * bucket-equi-join's recall is 1 BY CONSTRUCTION and no pair of
+    * hashes ever meets outside a shared bucket (never a cross join).
+    * Output: (i, j, hamming), i < j, hamming <= maxHamming.
+    */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63, "maxHamming in [0, 63]")
     val bands = maxHamming + 1
     val widths = Array.tabulate(bands)(b => 64 / bands + (if (b < 64 % bands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until bands).map { b =>
       val mask = if (widths(b) >= 64) lit(-1L) else lit((1L << widths(b)) - 1)
-      shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(mask)
+      shiftrightunsigned(col("__h"), offsets(b)).bitwiseAND(mask)
     }
     val popcount = (c: Column) =>
       (0 until 64).map(b => shiftrightunsigned(c, b).bitwiseAND(1L)).reduce(_ + _)
 
-    val sh = simHash(df, idCol, textCol).cache() // lifecycle: see minHashLshPairs
-    val banded = sh.select(col("id"), col("simhash"), posexplode(array(bandCols: _*)))
+    val hs = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"))
+    val banded = hs.select(col("id"), col("__h"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.simhash").as("hi"), col("b.simhash").as("hj"))
+        col("a.__h").as("hi"), col("b.__h").as("hj"))
       .dropDuplicates("i", "j")
       .withColumn("hamming", popcount(col("hi").bitwiseXOR(col("hj"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -335,6 +335,29 @@ object CorpusQueries {
         .orderBy("asset_id")
     }),
 
+    // perceptual image near-dup (dHash over decoded luma + Hamming
+    // banding, the q56 machinery): three deterministic SCENES, each in
+    // three renditions — lossless PNG, half-resolution re-render, and
+    // a lossy JPEG re-encode (which breaks the exact byte hash q60
+    // uses) — plus one corrupt payload. The fixture's margin-25 cell
+    // permutations make the ground truth a priori: renditions of one
+    // scene pair, scenes never do (closed-form cross-scene distance
+    // > the radius, pinned in MultimodalSpec), so the oracle is the
+    // literal within-scene pair list.
+    "q175_image_perceptual_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val scenes = Seq((2, 0), (5, 3), (7, 1))
+      val fixtures = scenes.zipWithIndex.flatMap { case ((p, q), k) =>
+        Seq(
+          (k * 3L, Multimodal.encodeCellPattern(10, p, q, "png")),
+          (k * 3L + 1, Multimodal.encodeCellPattern(5, p, q, "png")),
+          (k * 3L + 2, Multimodal.encodeCellPattern(10, p, q, "jpg")))
+      } :+ ((90L, "not an image".getBytes("UTF-8")))
+      val assets = s.createDataset(fixtures).toDF("asset_id", "payload").repartition(4)
+      Multimodal.perceptualDupPairs(assets, "asset_id", "payload", maxHamming = 12)
+        .select("i", "j").orderBy("i", "j")
+    }),
+
     // real audio decode (javax.sound WAV/PCM16) over deterministic
     // fixtures — rate/channels/frames/peak derive from the id, all
     // features integer so ground truth is exact; one corrupt payload
@@ -1017,32 +1040,59 @@ object CorpusQueries {
     })
   )
 
-  /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain — the
-    * clustering oracles (q64/q66) build their edge set from exactly
-    * these CTEs, so banding recall stays part of what they check too.
+  /** MinHash signature CTEs (t → shingles → hash pair → 63-row
+    * signature per doc), the shared prefix of both pair replays below.
     */
-  private val MinhashPairCtes: String =
+  private val MinhashSigCtes: String =
     """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(w) < 3 THEN []
       |  ELSE list_transform(range(0, length(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')) END) AS tok FROM t),
       |hs AS (SELECT doc_id,
       |  CAST('0x' || substring(md5('A:' || tok), 1, 15) AS BIGINT) AS h1,
       |  CAST('0x' || substring(md5('B:' || tok), 1, 15) AS BIGINT) % 140737488355328 AS h2 FROM sh),
-      |sig AS (SELECT doc_id, i, min(h1 + i * h2) AS v
-      |  FROM hs, (SELECT unnest(range(0, 63)) AS i) ii GROUP BY doc_id, i),
+      |sig AS MATERIALIZED (SELECT doc_id, i, min(h1 + i * h2) AS v
+      |  FROM hs, (SELECT unnest(range(0, 63)) AS i) ii GROUP BY doc_id, i)""".stripMargin
+
+  /** The q57 MinHash+LSH pair pipeline as a reusable CTE chain. This
+    * ALL-PAIRS form derives candidacy from exhaustive comparison —
+    * the strongest banding-recall check, kept for q57 itself where the
+    * gate runs at sf0.01.
+    */
+  private val MinhashPairCtes: String =
+    s"""$MinhashSigCtes,
       |pos AS (SELECT a.doc_id AS i, a.i // 3 AS band, b.doc_id AS j, (a.v = b.v) AS eq
       |  FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id),
       |byband AS (SELECT i, j, band, bool_and(eq) AS bandhit,
       |  sum(CASE WHEN eq THEN 1 ELSE 0 END) AS neq FROM pos GROUP BY 1, 2, 3),
       |agg AS (SELECT i, j, bool_or(bandhit) AS cand, sum(neq) / 63.0 AS est FROM byband GROUP BY 1, 2)""".stripMargin
 
+  /** The SAME edge semantics (some band fully equal AND est >= 0.5)
+    * via banding BUCKET joins — the exact candidate generation the
+    * engine runs, and what lets DuckDB replay the closure chains at
+    * sf0.1 without the all-pairs O(docs²·64) blow-up that used to OOM
+    * it (candidates only ever meet inside a shared band bucket).
+    */
+  private val MinhashEdgeCtes: String =
+    s"""$MinhashSigCtes,
+       |bkey AS (SELECT doc_id, i // 3 AS band,
+       |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bkey a JOIN bkey b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id),
+       |ceste AS (SELECT c.i, c.j, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 63.0 AS est
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.i
+       |  JOIN sig sb ON sb.doc_id = c.j AND sb.i = sa.i
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT i, j FROM ceste WHERE est >= 0.5)""".stripMargin
+
   /** Edge set + transitive closure + min-reachable-id labeling, shared
     * by q64 (clusters) and q66 (survivors). DuckDB's recursive UNION
     * dedups rows, so the closure terminates.
     */
   private val ComponentCtes: String =
-    s"""$MinhashPairCtes,
-       |e AS (SELECT i, j FROM agg WHERE cand AND est >= 0.5),
+    s"""$MinhashEdgeCtes,
        |bidir AS (SELECT i AS a, j AS b FROM e UNION SELECT j AS a, i AS b FROM e),
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM documents
@@ -1723,6 +1773,12 @@ object CorpusQueries {
         |  (9, false, NULL, NULL, NULL, NULL, NULL))
         |AS t(asset_id, decode_ok, sample_rate, channels, bits, n_frames, peak)
         |ORDER BY asset_id""".stripMargin,
+    "q175_image_perceptual_dedup" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j FROM (VALUES
+        |  (0, 1), (0, 2), (1, 2),
+        |  (3, 4), (3, 5), (4, 5),
+        |  (6, 7), (6, 8), (7, 8))
+        |AS t(i, j) ORDER BY i, j""".stripMargin,
     "q90_image_decode" ->
       """SELECT CAST(asset_id AS BIGINT) AS asset_id, decode_ok,
         |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
@@ -1769,8 +1825,7 @@ object CorpusQueries {
     // integer micro-unit propagation — `//` here and `div` in Spark
     // agree on non-negative operands
     "q122_pagerank" ->
-      s"""WITH $MinhashPairCtes,
-         |e AS (SELECT i, j FROM agg WHERE cand AND est >= 0.5),
+      s"""WITH $MinhashEdgeCtes,
          |aff AS (SELECT doc_id AS i,
          |        1000000 + CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) AS j
          |        FROM documents),
@@ -1859,8 +1914,7 @@ object CorpusQueries {
         |FROM p ORDER BY id, o""".stripMargin,
     // the q57 banding CTEs feed per-pair Levenshtein confirmation
     "q134_dedup_confirm" ->
-      s"""WITH $MinhashPairCtes,
-         |e AS (SELECT i, j FROM agg WHERE cand AND est >= 0.5)
+      s"""WITH $MinhashEdgeCtes
          |SELECT e.i, e.j,
          |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
          |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS len_max,

@@ -149,6 +149,131 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 64-bit difference hash (dHash) row: the perceptual fingerprint
+    * that survives re-encoding and resizing, unlike the exact
+    * [[fingerprint64]] (xxhash64 of the BYTES, which any quality
+    * change breaks). Failure contract as everywhere in this tier: an
+    * undecodable payload flags instead of throwing.
+    */
+  final case class PerceptualHash(asset_id: Long, decode_ok: Boolean, dhash: Option[Long])
+
+  /** dHash: area-average the decoded image onto a 9×8 luma grid
+    * (integer BT.601 over every pixel of each cell — resolution-
+    * invariant by construction, no interpolation kernel to disagree
+    * about), then bit gy·8+gx = cell(gx) > cell(gx+1) within the row.
+    * The classic re-encoded/rescaled-duplicate detector for scraped
+    * image corpora: JPEG noise moves cell AVERAGES by a few luma
+    * levels, so comparisons with any real margin are stable, while the
+    * byte-level hash changes completely. Decode runs batched
+    * per-partition (the codec seam); everything downstream is columnar.
+    */
+  def dHash64(assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (im == null) PerceptualHash(id, decode_ok = false, None)
+          else {
+            val w = im.getWidth; val h = im.getHeight
+            val gw = 9; val gh = 8
+            val cell = Array.ofDim[Long](gh, gw)
+            var gy = 0
+            while (gy < gh) {
+              var gx = 0
+              while (gx < gw) {
+                val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+                val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+                var sum = 0L; var n = 0L
+                var y = y0
+                while (y < math.min(y1, h)) {
+                  var x = x0
+                  while (x < math.min(x1, w)) {
+                    val rgb = im.getRGB(x, y)
+                    sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                      114L * (rgb & 0xff)) / 1000L
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                cell(gy)(gx) = if (n == 0) 0L else sum / n
+                gx += 1
+              }
+              gy += 1
+            }
+            var hash = 0L
+            gy = 0
+            while (gy < gh) {
+              var gx = 0
+              while (gx < 8) {
+                if (cell(gy)(gx) > cell(gy)(gx + 1)) hash |= (1L << (gy * 8 + gx))
+                gx += 1
+              }
+              gy += 1
+            }
+            PerceptualHash(id, decode_ok = true, Some(hash))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => PerceptualHash(id, decode_ok = false, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** Perceptual near-dup pairs: decode → [[dHash64]] → Hamming-banded
+    * bucket join ([[graft.analytics.Dedup.hammingPairs64]], the q56
+    * machinery — recall 1 for the radius, never a cross join).
+    * Undecodable assets are excluded (they have no perceptual
+    * identity; route them through the exact byte hash instead).
+    * Output: (i, j, hamming).
+    */
+  def perceptualDupPairs(assets: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int): DataFrame =
+    graft.analytics.Dedup.hammingPairs64(
+      dHash64(assets, idCol, payloadCol).filter(col("decode_ok")),
+      "asset_id", "dhash", maxHamming)
+
+  /** Deterministic PATTERNED fixture for the perceptual tier: 9×8 flat
+    * cells of `cellPx`×`cellPx` pixels; row gy's cell lumas are a
+    * margin-25 permutation 20 + 25·((gx·p + gy + q) mod 9), so every
+    * adjacent-cell comparison has ≥ 25 levels of margin — far above
+    * JPEG's few-level noise on near-flat cells — and the expected
+    * dHash is the closed form of (p, q) alone, independent of cellPx
+    * and of the encode format. `p` must be coprime to 9.
+    */
+  def encodeCellPattern(cellPx: Int, p: Int, q: Int, format: String): Array[Byte] = {
+    require(cellPx >= 1, "cellPx >= 1")
+    require(p % 3 != 0, "p must be coprime to 9")
+    val w = 9 * cellPx; val h = 8 * cellPx
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = im.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = x / cellPx; val gy = y / cellPx
+        r.setSample(x, y, 0, 20 + 25 * ((gx * p + gy + q) % 9))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, format, bos)
+    bos.toByteArray
+  }
+
+  /** The closed-form dHash of an [[encodeCellPattern]] fixture. */
+  def cellPatternDHash(p: Int, q: Int): Long = {
+    var hash = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if ((gx * p + gy + q) % 9 > ((gx + 1) * p + gy + q) % 9)
+        hash |= (1L << (gy * 8 + gx))
+    hash
+  }
+
   /** Per-partition batched decode: prunes to (id, payload) BEFORE the
     * expensive stage (so Parquet reads only those columns), then runs
     * the codec once per partition-batch — the Scala analogue of a

@@ -357,6 +357,46 @@ class MultimodalSpec extends SparkSpec {
       assert(got.length === 1 && !got.head.getBoolean(1) && got.head.isNullAt(2))
     }
 
+    it("dHash: closed-form on PNG, resize-invariant, JPEG-stable, scenes far apart") {
+      import graft.multimodal.Multimodal
+      val scenes = Seq((2, 0), (5, 3), (7, 1))
+      // scenes are mutually distant in dHash space BY the closed form —
+      // the a priori guarantee the pair ground truth rests on
+      for (Seq((pa, qa), (pb, qb)) <- scenes.combinations(2)) {
+        val d = java.lang.Long.bitCount(
+          Multimodal.cellPatternDHash(pa, qa) ^ Multimodal.cellPatternDHash(pb, qb))
+        assert(d > 12, s"scenes ($pa,$qa) and ($pb,$qb) only $d bits apart")
+      }
+      val assets = scenes.zipWithIndex.flatMap { case ((p, q), k) =>
+        Seq(
+          (k * 3L, Multimodal.encodeCellPattern(10, p, q, "png")),
+          (k * 3L + 1, Multimodal.encodeCellPattern(5, p, q, "png")), // re-rendered smaller
+          (k * 3L + 2, Multimodal.encodeCellPattern(10, p, q, "jpg"))) // lossy re-encode
+      } :+ ((90L, "not an image".getBytes("UTF-8")))
+      val df = assets.toDF("asset_id", "payload").repartition(3)
+      val hashes = Multimodal.dHash64(df, "asset_id", "payload")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.getBoolean(1)) Some(r.getLong(2)) else None)).toMap
+      // lossless variants hit the closed form exactly; resize is a no-op
+      scenes.zipWithIndex.foreach { case ((p, q), k) =>
+        val expect = Multimodal.cellPatternDHash(p, q)
+        assert(hashes(k * 3L) === Some(expect))
+        assert(hashes(k * 3L + 1) === Some(expect))
+        // JPEG: within a tight radius of the closed form
+        val jd = java.lang.Long.bitCount(hashes(k * 3L + 2).get ^ expect)
+        assert(jd <= 6, s"jpeg variant of scene $k drifted $jd bits")
+      }
+      assert(hashes(90L).isEmpty)
+      // pairing: exactly the within-scene triangles, corrupt asset absent
+      val pairs = Multimodal.perceptualDupPairs(df, "asset_id", "payload", maxHamming = 12)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expectPairs = (0 until 3).flatMap { k =>
+        val b = k * 3L
+        Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+      }.toSet
+      assert(pairs === expectPairs)
+    }
+
     it("flags a parsed container with zero video frames instead of dropping the asset") {
       val empty = Multimodal.encodeMjpegAvi(10, Seq.empty)
       val got = Multimodal.sampleMjpegAviFrames(
