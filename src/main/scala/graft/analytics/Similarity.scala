@@ -364,16 +364,21 @@ object Similarity {
     requireIntegralId(corpus, idCol, "residualPqCodebooks")
     require(signBits >= 1 && signBits <= subDim, "signBits in [1, subDim]")
     val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
-    val sub = residualVecs(keyed, centroids, "__rid", vecCol)
-      .select(col("id"), posexplode(col("rv")))
-      .filter(col("pos") < m * subDim)
-      .select(col("id"), expr(s"pos div $subDim").cast("int").as("sub"),
-        pmod(col("pos"), lit(subDim)).as("j"), col("col").cast("double").as("x"))
-    val orth = sub.filter(col("j") < signBits)
-      .groupBy("id", "sub")
-      .agg(sum(when(col("x") >= 0, expr("shiftleft(1, cast(j as int))"))
-        .otherwise(0L)).cast("int").as("code"))
-    sub.join(orth, Seq("id", "sub"))
+    // the orthant code derives from the SAME subvector row the entries
+    // aggregate from — computed inline as array arithmetic, so training
+    // is scan → explode → one (sub, code, j) partial-agg shuffle, with
+    // no corpus-sized self-join anywhere (PlanAudit pins that)
+    residualVecs(keyed, centroids, "__rid", vecCol)
+      .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("rv"), s * subDim + 1, lit(subDim)))))
+      .select(col("pos").cast("int").as("sub"), col("col").as("sv"))
+      .withColumn("code",
+        (0 until signBits).map(j =>
+          when(element_at(col("sv"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _))
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .select(col("sub"), col("code"), col("pos").as("j"),
+        col("col").cast("double").as("x"))
       .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
   }
 

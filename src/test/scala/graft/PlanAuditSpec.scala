@@ -180,6 +180,38 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p)
     }
 
+    it("residual IVF+PQ: quantizers broadcast, candidates never cartesian, no per-qid window") {
+      import graft.functions.VectorFunctions.l2Normalize
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = graft.analytics.Similarity.centroids(
+        e.select(col("label"), l2Normalize(col("embedding")).as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cb = graft.analytics.Similarity.residualPqCodebooks(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16)
+      val p = plan(graft.analytics.Similarity.residualIvfPqTopK(e,
+        e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        cents, cb, "vec_id", "embedding", "qid", k = 10, nProbe = 2, m = 4, subDim = 16))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // corpus-sized tables only ever join BROADCAST quantizer state —
+      // an SMJ would mean two corpus-sized sides met
+      assert(!p.contains("SortMergeJoin"), p)
+      // the codebook trainer too: scan → explode → one partial-agg
+      val cp = plan(cb)
+      assert(!cp.contains("SortMergeJoin") && !cp.contains("CartesianProduct"), cp)
+    }
+
+    it("perceptual image dedup: banded bucket join, never a cross join over assets") {
+      import graft.multimodal.Multimodal
+      import spark.implicits._
+      val assets = Seq(
+        (0L, Multimodal.encodeCellPattern(5, 2, 0, "png")),
+        (1L, Multimodal.encodeCellPattern(5, 5, 3, "png")))
+        .toDF("asset_id", "payload")
+      val p = plan(Multimodal.perceptualDupPairs(assets, "asset_id", "payload", maxHamming = 12))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+
     it("kmv sketch is ONE pass — no corpus DISTINCT shuffle, k-bounded partials only") {
       val e = Tables.events(spark, sf)
       val p = plan(graft.analytics.Sketch.kmvDistinct(e,
