@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 9, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 10, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -248,6 +248,56 @@ object Explain {
         "bounded per-partition heaps, never a full sort — feeding one " +
         "k-row aggregate; the weight scan is pure projection.") {
       SparkEntry.queries("q166_priority_sample")(spark, sfDir)
+    }
+
+    section("q174 residual IVF+PQ (round 10)",
+      "The true FAISS IVFx,PQy form: residuals come from a broadcast " +
+        "centroid join (zip_with subtraction in the projection), the " +
+        "orthant-trained codebook is scan → explode → one partial-agg " +
+        "shuffle (no corpus self-join), and serving joins residual codes " +
+        "to BROADCAST per-(query, cell) tables — no SortMergeJoin, no " +
+        "cartesian, top-k through the bounded aggregate.") {
+      SparkEntry.queries("q174_ann_residual_ivfpq")(spark, sfDir)
+    }
+
+    section("q175 perceptual image dedup (round 10)",
+      "dHash decode is the per-partition codec seam (one DeserializeToObject/" +
+        "MapPartitions pair); everything after is columnar — banding explodes " +
+        "each 64-bit hash to (maxHamming+1) bucket keys and candidates meet in " +
+        "a bucket equi-join, never a cross join over assets.") {
+      import spark.implicits._
+      val assets = Seq((2, 0), (5, 3), (7, 1), (4, 2)).zipWithIndex.map { case ((p, q), k) =>
+        (k.toLong, graft.multimodal.Multimodal.encodeCellPattern(5, p, q, "png"))
+      }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal.perceptualDupPairs(assets, "asset_id", "payload", 12)
+    }
+
+    section("digest-store sidecar skip (round 10)",
+      "A batch the bloom sidecar proves non-colliding: the returned plan is " +
+        "the in-batch survivor aggregate ALONE — no parquet scan of the digest " +
+        "store anywhere (the anti-join was provably unnecessary).") {
+      import spark.implicits._
+      val store = graft.util.Scratch.dir("explaindig") + "/digests"
+      graft.analytics.Dedup.appendDigestStore(
+        Seq((0L, "alpha")).toDF("doc_id", "text"), Seq("text"), store,
+        batchTag = 1L, sidecar = true)
+      graft.analytics.Dedup.dedupAgainstStore(
+        Seq((1L, "beta")).toDF("doc_id", "text"), Seq("text"), "doc_id", store,
+        useSidecar = true)
+    }
+
+    section("graft-log broker ingest (round 10)",
+      "The custom DataSourceV2 source appears as a BatchScan over segment " +
+        "slices (shown here through the batch read path; the streaming plan " +
+        "is the same scan under MicroBatchScan): offsets and payloads come " +
+        "straight off sealed segment files, one input partition per touched " +
+        "segment slice.") {
+      val dir = graft.util.Scratch.dir("explainlog")
+      val p = new graft.streaming.GraftLogProducer(dir)
+      p.publish((0 until 100).map(_.toString))
+      p.publish((100 until 200).map(_.toString))
+      spark.read.format("graft-log").option("path", dir).load()
+        .filter(org.apache.spark.sql.functions.col("offset") >= 50)
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),

@@ -179,4 +179,21 @@ object Examples {
       "deduped_frames" -> kept.count())
     (kept, counts)
   }
+
+  /** Example 7: the reference's MQTT example, production-grade — a
+    * broker-shaped topic (the `graft-log` DataSourceV2 connector:
+    * sealed segments, replayable offsets, admission control) drained
+    * into a durable store with EXACTLY-ONCE appends, so a crash between
+    * the sink write and the engine's commit record replays the batch
+    * without duplicating it. `publish` is what the producer side calls
+    * (the on_message half of examples/3_iot_datastore_with_mqtt.py);
+    * `drain` is the consumer.
+    */
+  def brokerPipeline(spark: SparkSession, topicDir: String, dbDir: String,
+      ckptDir: String, maxPerTrigger: Long = 1000L): GraftDB = {
+    val db = GraftDB.atPath(spark, dbDir)
+    StreamingIngest.drainLog(spark, db, topicDir, maxPerTrigger, ckptDir,
+      streamName = "example7")
+    db
+  }
 }

@@ -87,6 +87,14 @@ object GraftLog {
 
   /** Map the record range [start, end) onto segment slices — one input
     * partition per touched segment, line-addressed within it.
+    *
+    * Scale note: a slice that starts mid-segment skips lines
+    * sequentially from the segment head (newline-framed records have no
+    * random access), so producers should size segments near the batch
+    * granularity they expect consumers to run at — the same guidance
+    * Kafka gives for segment.bytes vs fetch size. A byte-offset index
+    * sidecar (Kafka's .index) would remove the skip; the name-encoded
+    * record count is already that idea for OFFSET discovery.
     */
   def slices(segments: Seq[Segment], start: Long, end: Long): Seq[GraftLogSlice] = {
     val out = ArrayBuffer.empty[GraftLogSlice]

@@ -95,4 +95,19 @@ class ExamplesSpec extends SparkSpec {
     assert(kept.filter(col("asset_id") === 1L).count() == 3)
     assert(kept.filter(col("asset_id") === 2L).count() == 0)
   }
+
+  it("example 7: broker-shaped topic drains with exactly-once appends") {
+    import graft.streaming.GraftLogProducer
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val topic = tmp("ex7topic")
+    val producer = new GraftLogProducer(topic)
+    (0 until 4).foreach(s => producer.publish((s * 250 until (s + 1) * 250).map(_.toString)))
+    val db = Examples.brokerPipeline(spark, topic, tmp("ex7db"), tmp("ex7ckpt"),
+      maxPerTrigger = 300L)
+    assert(db.length == 1000L)
+    // closed-form content: field v = value % 90, sensor s(v % 5)
+    assert(db.count(graft.query.TagQuery("sensor") === "s0") == 200L)
+    assert(db.count(graft.query.FieldQuery("v") === 89.0) ==
+      (0 until 1000).count(_ % 90 == 89))
+  }
 }

@@ -188,6 +188,22 @@ class StorageSpec extends SparkSpec {
       assert(again.count(FieldQuery("v") === 99.0) == 1)
     }
 
+    it("ingest-commit retention keeps recent tokens deduplicating; pruned history re-admits") {
+      val dir = Files.createTempDirectory("graftprune").toString
+      val st = new ParquetStorage(spark, dir)
+      import spark.implicits._
+      def batch(v: Double) = Seq((t("2024-01-01T00:00:00Z"),
+        "m", Map.empty[String, String], Map("v" -> v)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      // zero-padded tokens: lexicographic order == commit order
+      (0 until 6).foreach(i => assert(st.appendIdempotent(batch(i), f"b$i%04d")))
+      st.pruneIngestCommits(keepLast = 2)
+      // recent tokens still dedup; pruned history no longer does
+      assert(!st.appendIdempotent(batch(5), "b0005"))
+      assert(!st.appendIdempotent(batch(4), "b0004"))
+      assert(st.appendIdempotent(batch(0), "b0000"))
+    }
+
     it("reopening seals an orphaned claim from a dead writer; crash recovery unregressed") {
       val (db, dir) = seeded()
       db.compact()
