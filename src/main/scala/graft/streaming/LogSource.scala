@@ -128,18 +128,41 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
   private var seq: Long =
     GraftLog.listSegments(dir, conf).lastOption.map(_.seq + 1).getOrElse(0L)
 
-  /** Seal `records` as the next segment; returns the log's new end offset. */
-  def publish(records: Seq[String]): Long = synchronized {
+  /** Seal `records` as the next segment; returns the log's new end
+    * offset. Alongside the segment, a SPARSE BYTE-OFFSET INDEX
+    * (`<name>.idx`, one `recordIdx,byteOffset` line per `indexEvery`
+    * records — Kafka's .index) is sealed the same tmp+rename way, so a
+    * consumer slice starting mid-segment SEEKS to the nearest indexed
+    * record instead of skipping lines from the head.
+    */
+  def publish(records: Seq[String], indexEvery: Int = 256): Long = synchronized {
     require(records.nonEmpty, "publish needs at least one record")
     require(records.forall(r => !r.contains("\n")), "records are single lines")
+    require(indexEvery >= 1, "indexEvery >= 1")
     val name = f"$seq%012d-${records.length}.seg"
     val tmp = new Path(dirPath, s".$name.inprogress")
     val dst = new Path(dirPath, name)
+    val idx = new StringBuilder
+    var byteOff = 0L
     val out = fs.create(tmp, true)
     try {
-      out.write(records.mkString("", "\n", "\n").getBytes("UTF-8"))
+      records.zipWithIndex.foreach { case (r, i) =>
+        if (i % indexEvery == 0) idx ++= s"$i,$byteOff\n"
+        val bytes = (r + "\n").getBytes("UTF-8")
+        out.write(bytes)
+        byteOff += bytes.length
+      }
       out.hsync()
     } finally out.close()
+    val idxTmp = new Path(dirPath, s".$name.idx.inprogress")
+    val idxOut = fs.create(idxTmp, true)
+    try { idxOut.write(idx.toString.getBytes("UTF-8")); idxOut.hsync() }
+    finally idxOut.close()
+    // index first, then the segment: a segment is never visible without
+    // its index (the reverse order would leave a window where readers
+    // fall back to head-skip — harmless, but why have two code paths)
+    if (!fs.rename(idxTmp, new Path(dirPath, s"$name.idx")))
+      throw new java.io.IOException(s"index seal failed: $idxTmp")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"segment seal failed: $tmp -> $dst")
     seq += 1
@@ -244,12 +267,39 @@ final class GraftLogReaderFactory extends PartitionReaderFactory {
     val slice = partition.asInstanceOf[GraftLogSlice]
     new PartitionReader[InternalRow] {
       private val p = new Path(slice.file)
-      private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        p.getFileSystem(new Configuration()).open(p), "UTF-8"))
+      private val fs = p.getFileSystem(new Configuration())
+      // seek to the nearest indexed record at-or-before the slice start
+      // (sparse .idx sidecar sealed with the segment); no index → skip
+      // from the head. Either way the records read are identical.
+      private val (seekRecord, seekByte) = {
+        val ip = new Path(slice.file + ".idx")
+        if (slice.startLine == 0L || !fs.exists(ip)) (0L, 0L)
+        else {
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(ip), "UTF-8"))
+          try {
+            var best = (0L, 0L)
+            var l = br.readLine()
+            while (l != null) {
+              val c = l.indexOf(',')
+              val rec = l.substring(0, c).toLong
+              if (rec <= slice.startLine && rec >= best._1) best = (rec, l.substring(c + 1).toLong)
+              l = br.readLine()
+            }
+            best
+          } finally br.close()
+        }
+      }
+      private val in = {
+        val raw = fs.open(p)
+        if (seekByte > 0L) raw.seek(seekByte)
+        new java.io.BufferedReader(new java.io.InputStreamReader(raw, "UTF-8"))
+      }
       private var line: String = _
-      private var idx: Long = 0L
+      private var idx: Long = seekRecord
       private var emitted: Long = 0L
-      // skip to the slice start; sealed segments make this deterministic
+      // skip the remainder to the slice start; sealed segments make
+      // this deterministic
       while (idx < slice.startLine && { line = in.readLine(); line != null }) idx += 1
 
       override def next(): Boolean = {

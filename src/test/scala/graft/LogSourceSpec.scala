@@ -47,6 +47,33 @@ class LogSourceSpec extends SparkSpec {
       intercept[IllegalArgumentException] { GraftLog.slices(segs, 200L, 260L) }
     }
 
+    it("byte-offset index sidecar: mid-segment slices seek, and fall back without it") {
+      val dir = tmp("graftlogidx")
+      val p = new GraftLogProducer(dir)
+      p.publish((0 until 1000).map(i => s"rec$i"), indexEvery = 100)
+      assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".seg.idx")))
+      val segs = GraftLog.listSegments(dir, new Configuration())
+      assert(segs.map(_.count) === Seq(1000L)) // .idx invisible to offset discovery
+      def readSlice(lo: Long, hi: Long): Seq[(Long, String)] = {
+        val slice = GraftLog.slices(segs, lo, hi)
+        val rf = new graft.streaming.GraftLogReaderFactory()
+        slice.flatMap { s =>
+          val r = rf.createReader(s)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          while (r.next()) { val row = r.get(); out += ((row.getLong(0), row.getString(1))) }
+          r.close()
+          out
+        }
+      }
+      // slice that starts mid-segment (between index points): seeks to
+      // record 700's byte offset, skips 37, reads exactly [737, 742)
+      assert(readSlice(737L, 742L) === (737 until 742).map(i => (i.toLong, s"rec$i")))
+      // fallback: same slice with the index gone reads identically
+      assert(new java.io.File(dir).listFiles().filter(_.getName.endsWith(".idx"))
+        .forall(_.delete()))
+      assert(readSlice(737L, 742L) === (737 until 742).map(i => (i.toLong, s"rec$i")))
+    }
+
     it("batch-reads the whole log with global offsets") {
       val dir = tmp("graftlog")
       val p = new GraftLogProducer(dir)
@@ -146,6 +173,60 @@ class LogSourceSpec extends SparkSpec {
       // exactly once: 800 rows, and every value distinct (time encodes v)
       assert(db2.length === 800L)
       assert(db2.allDF().select(graft.model.Point.TimeCol).distinct().count() === 800L)
+    }
+  }
+
+  describe("kill/resume soak") {
+    it("four kill-resume cycles with forced replays still converge to exactly-once") {
+      val dir = tmp("graftlogsoak")
+      val producer = new GraftLogProducer(dir)
+      val ckpt = tmp("graftlogsoakckpt")
+      val root = tmp("graftlogsoakdb")
+      val total = 2000L
+      (0 until 10).foreach(s => producer.publish((s * 100 until (s + 1) * 100).map(_.toString)))
+      def ids(d: String): Seq[Long] = {
+        val fs = new java.io.File(s"$ckpt/$d").listFiles()
+        if (fs == null) Nil
+        else fs.map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted.toSeq
+      }
+      var published = 10
+      for (cycle <- 0 until 4) {
+        val db = GraftDB.atPath(spark, root)
+        val startLen = db.length
+        val q = StreamingIngest.startExactlyOnce(
+          StreamingIngest.logPointsSource(spark, dir, maxRecordsPerTrigger = 130L),
+          db, ckpt, "soak")
+        try {
+          val target = if (cycle == 3) total else math.min(total, startLen + 260L)
+          val deadline = System.currentTimeMillis() + 120000L
+          while (db.length < target && q.exception.isEmpty &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(20L)
+          assert(q.exception.isEmpty, s"cycle $cycle: ${q.exception}")
+        } finally { q.stop(); q.awaitTermination() }
+        // quiesce, then force a replay on clean boundaries (crash window)
+        var snap = (ids("offsets"), ids("commits"))
+        var settled = false
+        while (!settled) {
+          Thread.sleep(150L)
+          val next = (ids("offsets"), ids("commits"))
+          settled = next == snap
+          snap = next
+        }
+        if (cycle < 3 && snap._1.lastOption == snap._2.lastOption && snap._2.nonEmpty) {
+          val cp = new org.apache.hadoop.fs.Path(s"$ckpt/commits/${snap._2.last}")
+          cp.getFileSystem(new Configuration()).delete(cp, false)
+        }
+        // the topic keeps growing while the consumer is down
+        if (published < 20) {
+          (published until published + 5).foreach(s =>
+            producer.publish((s * 100 until (s + 1) * 100).map(_.toString)))
+          published += 5
+        }
+      }
+      val db = GraftDB.atPath(spark, root)
+      assert(db.length === total)
+      assert(db.allDF().select(graft.model.Point.TimeCol).distinct().count() === total)
     }
   }
 

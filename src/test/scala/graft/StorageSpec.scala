@@ -188,6 +188,40 @@ class StorageSpec extends SparkSpec {
       assert(again.count(FieldQuery("v") === 99.0) == 1)
     }
 
+    it("mixed soak: two appenders + a compactor + a retrying mutator lose nothing") {
+      val dir = Files.createTempDirectory("graftsoak").toString
+      val a = GraftDB.atPath(spark, dir)
+      val b = GraftDB.atPath(spark, dir)
+      val c = GraftDB.atPath(spark, dir)
+      val n = 8
+      def appender(db: GraftDB, base: Int) = new Thread(() => {
+        (0 until n).foreach { i =>
+          db.insert(Point(t(f"2024-01-${i + 1}%02dT00:00:00Z"), "m",
+            Map(), Map("v" -> (base + i).toDouble)))
+        }
+      })
+      val compactor = new Thread(() => {
+        (0 until 4).foreach { _ => c.compact(); Thread.sleep(30L) }
+      })
+      val ts = Seq(appender(a, 1000), appender(b, 2000), compactor)
+      ts.foreach(_.start()); ts.foreach(_.join(180000))
+      assert(ts.forall(!_.isAlive))
+      // optimistic mutation: losers see ConcurrentModificationException
+      // and retry against fresh state — never a silent clobber
+      val mutator = GraftDB.atPath(spark, dir)
+      var removed = -1L
+      var attempts = 0
+      while (removed < 0 && attempts < 10) {
+        attempts += 1
+        try removed = mutator.remove(FieldQuery("v") === 1000.0)
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+      assert(removed == 1L, s"remove landed $removed after $attempts attempts")
+      val fresh = GraftDB.atPath(spark, dir)
+      assert(fresh.length == 2L * n - 1)
+      assert(fresh.count(FieldQuery("v") >= 2000.0) == n)
+    }
+
     it("ingest-commit retention keeps recent tokens deduplicating; pruned history re-admits") {
       val dir = Files.createTempDirectory("graftprune").toString
       val st = new ParquetStorage(spark, dir)
