@@ -713,9 +713,6 @@ object Dedup {
       val mask = if (widths(b) >= 64) lit(-1L) else lit((1L << widths(b)) - 1)
       shiftrightunsigned(col("__h"), offsets(b)).bitwiseAND(mask)
     }
-    val popcount = (c: Column) =>
-      (0 until 64).map(b => shiftrightunsigned(c, b).bitwiseAND(1L)).reduce(_ + _)
-
     val hs = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"))
     val banded = hs.select(col("id"), col("__h"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -725,7 +722,10 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"),
         col("a.__h").as("hi"), col("b.__h").as("hj"))
       .dropDuplicates("i", "j")
-      .withColumn("hamming", popcount(col("hi").bitwiseXOR(col("hj"))).cast("long"))
+      // built-in bit_count: one codegen'd Long.bitCount per pair instead
+      // of a 64-term shift-add expression tree
+      .withColumn("hamming",
+        call_function("bit_count", col("hi").bitwiseXOR(col("hj"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
   }
