@@ -65,6 +65,15 @@ object PqProbe {
       "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
     println(f"| IVF+PQ (q111) | nProbe=2, m=4x16 | ${recall(ivfpq)}%.3f |")
 
+    // q174: residual IVF+PQ (orthant-trained residual codebooks) —
+    // identical bytes per vector as q111; the residual form's whole
+    // claim is a higher number on this row
+    val rcb = graft.analytics.Similarity.residualPqCodebooks(
+      e, cents, "vec_id", "embedding", 4, 16)
+    val rivfpq = pairs(graft.analytics.Similarity.residualIvfPqTopK(e, q, cents, rcb,
+      "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
+    println(f"| residual IVF+PQ (q174) | nProbe=2, m=4x16, residual codes | ${recall(rivfpq)}%.3f |")
+
     // the original compression sweep: recall across subspace splits
     for ((m, sd) <- Seq((4, 16), (8, 8), (16, 4), (32, 2))) {
       val cbs = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m, sd)
