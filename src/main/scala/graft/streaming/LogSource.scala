@@ -6,10 +6,12 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -52,7 +54,10 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
     GraftLog.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftLogTable(new CaseInsensitiveStringMap(properties))
+    // reads carry GraftLog.Schema; a WRITE hands the query's own schema
+    // through here — echo it so resolution passes, and validate the
+    // payload contract at write-build time
+    new GraftLogTable(new CaseInsensitiveStringMap(properties), schema)
 }
 
 object GraftLog {
@@ -61,21 +66,43 @@ object GraftLog {
     StructField("payload", StringType, nullable = true)))
 
   private val SegmentName = """(\d{12})-(\d+)\.seg""".r
+  private val SinkSegmentName = """s(\d{12})-p(\d{4})-(\d+)\.seg""".r
 
   /** One sealed segment: its sequence number, record count, and path. */
   final case class Segment(seq: Long, count: Long, path: String)
 
   /** List sealed segments in `dir`, sorted by sequence — the topic's
     * committed record log. Names carry counts, so this is listing-only.
+    *
+    * Two segment families coexist in a listing (a topic is normally
+    * written by ONE of them): producer segments (`<seq>-<count>.seg`,
+    * visible the instant the rename lands) and STREAMING-SINK segments
+    * (`s<epoch>-p<pid>-<count>.seg`), which are visible only once their
+    * epoch's `_epoch-<id>.committed` marker exists — the marker is the
+    * sink's atomic publish, so a consumer can never observe a
+    * half-committed epoch (and an epoch replay can clean invisible
+    * leftovers without ever shrinking anyone's offsets).
     */
   def listSegments(dir: String, conf: Configuration): Seq[Segment] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toSeq.flatMap { st =>
+    val entries = fs.listStatus(p)
+    val committedEpochs = entries.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_epoch-") && n.endsWith(".committed"))
+        scala.util.Try(n.stripPrefix("_epoch-").stripSuffix(".committed").toLong).toOption
+      else None
+    }.toSet
+    entries.toSeq.flatMap { st =>
       st.getPath.getName match {
         case SegmentName(seq, count) if st.isFile =>
           Some(Segment(seq.toLong, count.toLong, st.getPath.toString))
+        case SinkSegmentName(epoch, pid, count)
+            if st.isFile && committedEpochs.contains(epoch.toLong) =>
+          // epoch-major, partition-minor order; caps documented on the sink
+          Some(Segment(epoch.toLong * 10000L + pid.toLong, count.toLong,
+            st.getPath.toString))
         case _ => None
       }
     }.sortBy(_.seq)
@@ -170,22 +197,35 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
   }
 }
 
-final class GraftLogTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+final class GraftLogTable(options: CaseInsensitiveStringMap,
+    declaredSchema: StructType = GraftLog.Schema)
+    extends Table with SupportsRead with SupportsWrite {
   private val path = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-log requires option 'path'")
     p
   }
   override def name(): String = s"graft-log:$path"
-  override def schema(): StructType = GraftLog.Schema
+  override def schema(): StructType =
+    if (declaredSchema.isEmpty) GraftLog.Schema else declaredSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GraftLogScan(path,
         Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fields.length == 1 && s.fields.head.dataType == StringType,
+      s"graft-log sink takes exactly one STRING column (the record payload); got $s")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(path)
+      }
+    }
+  }
 }
 
 final class GraftLogScan(path: String, maxPerTrigger: Option[Long]) extends Scan {
@@ -254,6 +294,93 @@ final class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
     new GraftLogReaderFactory()
 
   override def stop(): Unit = ()
+}
+
+/** The WRITE side of the connector — `df.writeStream.format("graft-log")`
+  * publishes each micro-batch epoch as sealed segments, exactly once:
+  *
+  *   1. every task streams its rows to a DOT-PREFIXED staged file
+  *      (invisible to every listing);
+  *   2. the driver's epoch commit renames the staged files to
+  *      `s<epoch>-p<pid>-<count>.seg` — still invisible to consumers,
+  *      because sink segments only list once their epoch marker exists;
+  *   3. ONE atomic marker create (`_epoch-<id>.committed`) publishes the
+  *      whole epoch.
+  *
+  * A crash anywhere before step 3 leaves only invisible files, which the
+  * epoch's replay deletes and rewrites; a replay AFTER step 3 sees the
+  * marker and drops its own output — so consumers observe each epoch's
+  * records exactly once and offsets never move backwards. Caps (from the
+  * seq packing in [[GraftLog.listSegments]]): ≤ 10000 partitions per
+  * epoch; topics are written by producers OR the sink, not both.
+  */
+final class GraftLogStreamingWrite(path: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftLogWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    val marker = new Path(dir, s"_epoch-$epochId.committed")
+    val staged = messages.collect { case m: GraftLogWriteMessage => m }
+    if (fs.exists(marker)) {
+      // replayed epoch already published: drop this attempt's output
+      staged.foreach(m => fs.delete(new Path(m.stagedPath), false))
+      return
+    }
+    // clean any invisible leftovers of a dead attempt, then move ours in
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case n if n.startsWith(f"s$epochId%012d-") && n.endsWith(".seg") =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    staged.filter(_.count > 0L).foreach { m =>
+      val dst = new Path(dir, f"s$epochId%012d-p${m.partitionId}%04d-${m.count}.seg")
+      if (!fs.rename(new Path(m.stagedPath), dst))
+        throw new java.io.IOException(s"sink seal failed: ${m.stagedPath} -> $dst")
+    }
+    staged.filter(_.count == 0L).foreach(m => fs.delete(new Path(m.stagedPath), false))
+    fs.create(marker, true).close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.collect { case m: GraftLogWriteMessage => m }
+      .foreach(m => try fs.delete(new Path(m.stagedPath), false) catch { case _: Exception => () })
+  }
+}
+
+final case class GraftLogWriteMessage(partitionId: Int, count: Long,
+    stagedPath: String) extends WriterCommitMessage
+
+final class GraftLogWriterFactory(path: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    require(partitionId < 10000, "graft-log sink: <= 10000 partitions per epoch")
+    new DataWriter[InternalRow] {
+      private val staged = new Path(path,
+        f".sink-e$epochId%012d-p$partitionId%04d-t$taskId.staged")
+      private val fs = staged.getFileSystem(new Configuration())
+      private val out = fs.create(staged, true)
+      private var count = 0L
+      override def write(row: InternalRow): Unit = {
+        val payload = if (row.isNullAt(0)) "" else row.getUTF8String(0).toString
+        require(!payload.contains("\n"), "records are single lines")
+        out.write((payload + "\n").getBytes("UTF-8"))
+        count += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.hsync(); out.close()
+        GraftLogWriteMessage(partitionId, count, staged.toString)
+      }
+      override def abort(): Unit = {
+        try out.close() catch { case _: Exception => () }
+        try { fs.delete(staged, false); () } catch { case _: Exception => () }
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One segment slice: lines [startLine, endLine) of `file`, carrying

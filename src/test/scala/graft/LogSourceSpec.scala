@@ -204,13 +204,15 @@ class LogSourceSpec extends SparkSpec {
             Thread.sleep(20L)
           assert(q.exception.isEmpty, s"cycle $cycle: ${q.exception}")
         } finally { q.stop(); q.awaitTermination() }
-        // quiesce, then force a replay on clean boundaries (crash window)
+        // quiesce, then force a replay on clean boundaries (crash window):
+        // demand TWO consecutive stable snapshots — one equality can race
+        // a metadata write that straddles the poll interval
         var snap = (ids("offsets"), ids("commits"))
-        var settled = false
-        while (!settled) {
-          Thread.sleep(150L)
+        var stable = 0
+        while (stable < 2) {
+          Thread.sleep(200L)
           val next = (ids("offsets"), ids("commits"))
-          settled = next == snap
+          if (next == snap) stable += 1 else stable = 0
           snap = next
         }
         if (cycle < 3 && snap._1.lastOption == snap._2.lastOption && snap._2.nonEmpty) {
@@ -227,6 +229,63 @@ class LogSourceSpec extends SparkSpec {
       val db = GraftDB.atPath(spark, root)
       assert(db.length === total)
       assert(db.allDF().select(graft.model.Point.TimeCol).distinct().count() === total)
+    }
+  }
+
+  describe("graft-log streaming SINK (the write side of the connector)") {
+    it("publishes epochs atomically; a forced epoch replay does not duplicate") {
+      val src = tmp("graftlogsrc")
+      val dst = tmp("graftlogdst")
+      val ckpt = tmp("graftlogsinkckpt")
+      val producer = new GraftLogProducer(src)
+      (0 until 4).foreach(s => producer.publish((s * 100 until (s + 1) * 100).map(_.toString)))
+      def relay(): Unit = {
+        val q = spark.readStream.format("graft-log")
+          .option("path", src).option("maxRecordsPerTrigger", 150L).load()
+          .selectExpr("concat('v', payload) AS payload")
+          .writeStream.format("graft-log")
+          .option("path", dst).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      relay()
+      val readBack = spark.read.format("graft-log").option("path", dst).load()
+      assert(readBack.count() === 400L)
+      // every record exactly once, content transformed
+      val got = readBack.select("payload").collect().map(_.getString(0)).sorted.toSeq
+      assert(got === (0 until 400).map(i => s"v$i").sorted)
+      // epoch markers exist; staged files are gone
+      val names = new java.io.File(dst).listFiles().map(_.getName)
+      assert(names.exists(_.startsWith("_epoch-")))
+      assert(!names.exists(_.contains(".staged")))
+      // force a replay: delete the newest CHECKPOINT commit — Spark
+      // re-runs that epoch; the topic's own epoch marker dedups it
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit))
+      val newest = commits.maxBy(_.getName.toLong)
+      val cp = new org.apache.hadoop.fs.Path(s"$ckpt/commits/${newest.getName}")
+      cp.getFileSystem(new Configuration()).delete(cp, false)
+      relay()
+      assert(spark.read.format("graft-log").option("path", dst).load().count() === 400L)
+      // the log keeps flowing end to end: publish more, relay again
+      producer.publish((400 until 450).map(_.toString))
+      relay()
+      assert(spark.read.format("graft-log").option("path", dst).load().count() === 450L)
+    }
+
+    it("rejects multi-column or non-string input loudly") {
+      val q = spark.readStream.format("rate-micro-batch").option("rowsPerBatch", 1).load()
+        .writeStream.format("graft-log")
+        .option("path", tmp("graftlogbad"))
+        .option("checkpointLocation", tmp("graftlogbadckpt"))
+        .start()
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(60000L)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("STRING column")), err.getMessage)
     }
   }
 
