@@ -852,6 +852,39 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // the connector ROUND TRIP under the oracle: producer seals
+    // [0, 1800) into topic A; a relay stream (graft-log SOURCE →
+    // closed-form transform v→3v+1 → graft-log SINK, epoch-marker
+    // exactly-once) publishes topic B; the exactly-once ingest drains
+    // topic B into a store. Three commit protocols compose — offset
+    // replay, epoch markers, batch tokens — and the converged state is
+    // still a pure function of range(0, 1800).
+    "q176_stream_log_relay" -> ((s, dir) => {
+      import graft.streaming.{GraftLogProducer, StreamingIngest}
+      val topicA = graft.util.Scratch.dir("graftrelayA")
+      val topicB = graft.util.Scratch.dir("graftrelayB")
+      val producer = new GraftLogProducer(topicA)
+      (0 until 6).foreach(seg =>
+        producer.publish((seg * 300 until (seg + 1) * 300).map(_.toString)))
+      val relay = s.readStream.format("graft-log")
+        .option("path", topicA).option("maxRecordsPerTrigger", 500L).load()
+        .selectExpr("cast(cast(payload as bigint) * 3 + 1 as string) AS payload")
+        .writeStream.format("graft-log")
+        .option("path", topicB)
+        .option("checkpointLocation", graft.util.Scratch.dir("graftrelayck1"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      relay.awaitTermination()
+      val db = graft.engine.GraftDB.inMemory(s)
+      StreamingIngest.drainLog(s, db, topicB, maxRecordsPerTrigger = 700L,
+        graft.util.Scratch.dir("graftrelayck2"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"))
+        .orderBy("sensor")
+    }),
+
     // KMV set algebra — theta-sketch-style union/intersection/Jaccard
     // estimates from two COORDINATED bottom-k samples ("how many
     // distinct users did BOTH signup and purchase" from two KB
@@ -1430,6 +1463,12 @@ object RelationalQueries {
         |  CAST(sum(value % 90) AS BIGINT) AS sum_v,
         |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
         |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q176_stream_log_relay" ->
+      """WITH v AS (SELECT unnest(range(0, 1800)) * 3 + 1 AS value)
+        |SELECT 's' || CAST(value % 5 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 90) AS BIGINT) AS sum_v
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_stream_socket_ingest" ->
       """WITH v AS (SELECT unnest(range(0, 1500)) AS value)
