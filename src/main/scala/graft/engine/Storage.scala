@@ -491,8 +491,16 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     if (head > 0 && !isSealed(head)) sealVersion(head)
   }
 
+  // ignoreMissingFiles: maintenance (delta compaction, idempotent-token
+  // repair) atomically REPLACES visible files; a reader that listed just
+  // before the swap must degrade to "skip the vanished file" (its rows
+  // reappear in the replacement on the next read), not die with
+  // FILE_NOT_EXIST mid-scan — the standard LSM read-vs-maintenance
+  // contract. Genuine loss still surfaces: the rows are absent from
+  // every subsequent read, which the crash-recovery specs assert on.
   private def read(path: String): Option[DataFrame] =
-    if (exists(path)) Some(spark.read.parquet(path).select(Point.columns.map(col): _*))
+    if (exists(path)) Some(spark.read.option("ignoreMissingFiles", "true")
+      .parquet(path).select(Point.columns.map(col): _*))
     else None
 
   override def load(): DataFrame = {

@@ -66,10 +66,13 @@ object GraftLog {
     StructField("payload", StringType, nullable = true)))
 
   private val SegmentName = """(\d{12})-(\d+)\.seg""".r
+  private val BasedSegmentName = """(\d{12})-b(\d+)-(\d+)\.seg""".r
   private val SinkSegmentName = """s(\d{12})-p(\d{4})-(\d+)\.seg""".r
 
-  /** One sealed segment: its sequence number, record count, and path. */
-  final case class Segment(seq: Long, count: Long, path: String)
+  /** One sealed segment: sequence number, the GLOBAL offset of its
+    * first record, record count, and path.
+    */
+  final case class Segment(seq: Long, base: Long, count: Long, path: String)
 
   /** List sealed segments in `dir`, sorted by sequence — the topic's
     * committed record log. Names carry counts, so this is listing-only.
@@ -94,23 +97,60 @@ object GraftLog {
         scala.util.Try(n.stripPrefix("_epoch-").stripSuffix(".committed").toLong).toOption
       else None
     }.toSet
-    entries.toSeq.flatMap { st =>
+    // (seq, explicitBase, count, path): producer segments carry their
+    // base offset in the name (what makes RETENTION safe — deleting a
+    // prefix cannot shift anyone's offsets); legacy/sink segments
+    // derive bases from the running cumulative sum.
+    val raw = entries.toSeq.flatMap { st =>
       st.getPath.getName match {
+        case BasedSegmentName(seq, base, count) if st.isFile =>
+          Some((seq.toLong, Some(base.toLong), count.toLong, st.getPath.toString))
         case SegmentName(seq, count) if st.isFile =>
-          Some(Segment(seq.toLong, count.toLong, st.getPath.toString))
+          Some((seq.toLong, None, count.toLong, st.getPath.toString))
         case SinkSegmentName(epoch, pid, count)
             if st.isFile && committedEpochs.contains(epoch.toLong) =>
           // epoch-major, partition-minor order; caps documented on the sink
-          Some(Segment(epoch.toLong * 10000L + pid.toLong, count.toLong,
+          Some((epoch.toLong * 10000L + pid.toLong, None, count.toLong,
             st.getPath.toString))
         case _ => None
       }
-    }.sortBy(_.seq)
+    }.sortBy(_._1)
+    var cum = 0L
+    raw.map { case (seq, explicit, count, path) =>
+      val base = explicit.getOrElse(cum)
+      require(base >= cum,
+        s"segment $path declares base $base below the running offset $cum (corrupt log)")
+      cum = base + count
+      Segment(seq, base, count, path)
+    }
   }
 
-  /** Total records across sealed segments = the log's latest offset. */
+  /** Offset low-water persisted by [[GraftLogProducer.truncateBefore]]
+    * (Kafka's logStartOffset): survives even a FULLY truncated log, so
+    * neither end of the offset range ever moves backwards.
+    */
+  private[streaming] def logStart(dir: String, conf: Configuration): Long = {
+    val p = new Path(dir, "_log_start")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      try in.readLine().trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** End offset of the last sealed segment = the log's latest offset. */
   def latestOffset(dir: String, conf: Configuration): Long =
-    listSegments(dir, conf).map(_.count).sum
+    listSegments(dir, conf).lastOption.fold(logStart(dir, conf))(s => s.base + s.count)
+
+  /** First retained record's offset (= latestOffset on an empty or
+    * fully-truncated log).
+    */
+  def earliestOffset(dir: String, conf: Configuration): Long = {
+    val segs = listSegments(dir, conf)
+    math.max(logStart(dir, conf), segs.headOption.fold(0L)(_.base))
+  }
 
   /** Map the record range [start, end) onto segment slices — one input
     * partition per touched segment, line-addressed within it.
@@ -125,19 +165,19 @@ object GraftLog {
     */
   def slices(segments: Seq[Segment], start: Long, end: Long): Seq[GraftLogSlice] = {
     val out = ArrayBuffer.empty[GraftLogSlice]
-    var cum = 0L
+    var covered = 0L
     segments.foreach { s =>
-      val segStart = cum
-      val segEnd = cum + s.count
-      val lo = math.max(start, segStart)
-      val hi = math.min(end, segEnd)
-      if (lo < hi)
-        out += GraftLogSlice(s.path, lo - segStart, hi - segStart, lo)
-      cum = segEnd
+      val lo = math.max(start, s.base)
+      val hi = math.min(end, s.base + s.count)
+      if (lo < hi) {
+        out += GraftLogSlice(s.path, lo - s.base, hi - s.base, lo)
+        covered += hi - lo
+      }
     }
-    require(end <= cum || start >= end,
-      s"offset range [$start,$end) exceeds the log's $cum sealed records " +
-        "(segments are immutable; a shrinking log means external tampering)")
+    require(start >= end || covered == end - start,
+      s"offset range [$start,$end) not fully covered by sealed segments " +
+        s"($covered of ${end - start} records; past the log end, or truncated " +
+        "by retention while a consumer still needed it)")
     out.toSeq
   }
 }
@@ -166,7 +206,10 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     require(records.nonEmpty, "publish needs at least one record")
     require(records.forall(r => !r.contains("\n")), "records are single lines")
     require(indexEvery >= 1, "indexEvery >= 1")
-    val name = f"$seq%012d-${records.length}.seg"
+    // base offset baked into the name: retention can delete a prefix of
+    // segments without shifting any surviving record's offset
+    val base = GraftLog.latestOffset(dir, conf)
+    val name = f"$seq%012d-b$base-${records.length}.seg"
     val tmp = new Path(dirPath, s".$name.inprogress")
     val dst = new Path(dirPath, name)
     val idx = new StringBuilder
@@ -194,6 +237,43 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
       throw new java.io.IOException(s"segment seal failed: $tmp -> $dst")
     seq += 1
     GraftLog.latestOffset(dir, conf)
+  }
+
+  /** RETENTION: delete every segment whose records all precede
+    * `offset`, and persist the new log-start low-water — safe because
+    * producer segments carry their base offset in the name, so
+    * surviving records keep their offsets and `latestOffset` never
+    * moves backwards (a fully-truncated log still reports it from the
+    * `_log_start` marker). Consumers whose checkpoints still point
+    * before the new start fail LOUDLY at planInputPartitions (the
+    * coverage check), exactly like a Kafka consumer past retention.
+    * Only whole segments are dropped; a segment straddling `offset`
+    * survives intact. Returns the number of segments deleted.
+    */
+  def truncateBefore(offset: Long): Int = synchronized {
+    val segs = GraftLog.listSegments(dir, conf)
+    require(segs.forall(s =>
+      new Path(s.path).getName.matches("""\d{12}-b\d+-\d+\.seg""")),
+      "truncateBefore needs base-offset segment names (producer topics)")
+    val doomed = segs.filter(s => s.base + s.count <= offset)
+    doomed.foreach { s =>
+      fs.delete(new Path(s.path), false)
+      val idx = new Path(s.path + ".idx")
+      if (fs.exists(idx)) { fs.delete(idx, false); () }
+    }
+    val newStart = math.max(GraftLog.logStart(dir, conf),
+      doomed.lastOption.fold(0L)(s => s.base + s.count))
+    if (newStart > 0L) {
+      val tmp = new Path(dirPath, "._log_start.inprogress")
+      val out = fs.create(tmp, true)
+      try { out.write(newStart.toString.getBytes("UTF-8")); out.hsync() }
+      finally out.close()
+      val dst = new Path(dirPath, "_log_start")
+      if (fs.exists(dst)) { fs.delete(dst, false); () }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException("log-start marker rename failed")
+    }
+    doomed.size
   }
 }
 
@@ -234,9 +314,11 @@ final class GraftLogScan(path: String, maxPerTrigger: Option[Long]) extends Scan
     new GraftLogMicroBatchStream(path, maxPerTrigger)
   override def toBatch: Batch = new Batch {
     private val segments = GraftLog.listSegments(path, new Configuration())
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftLog.slices(segments, 0L, segments.map(_.count).sum)
-        .toArray[InputPartition]
+    override def planInputPartitions(): Array[InputPartition] = {
+      val lo = segments.headOption.fold(0L)(_.base)
+      val hi = segments.lastOption.fold(0L)(s => s.base + s.count)
+      GraftLog.slices(segments, lo, hi).toArray[InputPartition]
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLogReaderFactory()
   }
@@ -255,7 +337,11 @@ final class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   // AvailableNow snapshot: the backlog to drain, frozen at query start
   @volatile private var availableNowCap: Option[Long] = None
 
-  override def initialOffset(): Offset = GraftLogOffset(0L)
+  // a fresh consumer starts at the earliest RETAINED record — on an
+  // untruncated topic that is offset 0; a checkpointed consumer never
+  // calls this again, so truncation can't rewind it
+  override def initialOffset(): Offset =
+    GraftLogOffset(GraftLog.earliestOffset(path, conf))
   override def deserializeOffset(json: String): Offset = GraftLogOffset(json.toLong)
   override def commit(end: Offset): Unit = () // retention is the producer's
 

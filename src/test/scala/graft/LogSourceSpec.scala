@@ -37,14 +37,60 @@ class LogSourceSpec extends SparkSpec {
 
     it("slices an offset range onto per-segment partitions") {
       val segs = Seq(
-        GraftLog.Segment(0L, 100L, "s0"),
-        GraftLog.Segment(1L, 50L, "s1"),
-        GraftLog.Segment(2L, 100L, "s2"))
+        GraftLog.Segment(0L, 0L, 100L, "s0"),
+        GraftLog.Segment(1L, 100L, 50L, "s1"),
+        GraftLog.Segment(2L, 150L, 100L, "s2"))
       val sl = GraftLog.slices(segs, 80L, 180L)
       assert(sl.map(s => (s.file, s.startLine, s.endLine, s.baseOffset)) === Seq(
         ("s0", 80L, 100L, 80L), ("s1", 0L, 50L, 100L), ("s2", 0L, 30L, 150L)))
       assert(GraftLog.slices(segs, 250L, 250L).isEmpty)
       intercept[IllegalArgumentException] { GraftLog.slices(segs, 200L, 260L) }
+      // a truncated prefix: offsets before the retained head are gone
+      intercept[IllegalArgumentException] { GraftLog.slices(segs.drop(1), 80L, 180L) }
+    }
+
+    it("retention: truncateBefore drops whole segments, offsets never shift") {
+      val dir = tmp("graftlogret")
+      val p = new GraftLogProducer(dir)
+      (0 until 5).foreach(s => p.publish((s * 100 until (s + 1) * 100).map(i => s"r$i")))
+      assert(GraftLog.earliestOffset(dir, new Configuration()) === 0L)
+      // drop everything before 250: segments [0,100) and [100,200) go;
+      // [200,300) straddles and survives intact
+      assert(p.truncateBefore(250L) === 2)
+      assert(GraftLog.earliestOffset(dir, new Configuration()) === 200L)
+      assert(GraftLog.latestOffset(dir, new Configuration()) === 500L)
+      // surviving records keep their global offsets
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.head === ((200L, "r200")) && got.length === 300)
+      // a consumer whose checkpoint points before the head fails loudly
+      intercept[IllegalArgumentException] {
+        GraftLog.slices(GraftLog.listSegments(dir, new Configuration()), 100L, 400L)
+      }
+      // publishing continues from the same high water
+      p.publish(Seq("r500"))
+      assert(GraftLog.latestOffset(dir, new Configuration()) === 501L)
+      // full truncation: the low/high water survive via the marker
+      assert(p.truncateBefore(501L) === 4)
+      assert(GraftLog.earliestOffset(dir, new Configuration()) === 501L)
+      assert(GraftLog.latestOffset(dir, new Configuration()) === 501L)
+      p.publish(Seq("r501"))
+      assert(spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((501L, "r501")))
+    }
+
+    it("a fresh consumer on a truncated topic starts at the retained head") {
+      val dir = tmp("graftlogret2")
+      val p = new GraftLogProducer(dir)
+      (0 until 3).foreach(s => p.publish((s * 100 until (s + 1) * 100).map(_.toString)))
+      p.truncateBefore(100L)
+      val db = GraftDB.inMemory(spark)
+      // the closed-form transform maps retained values [100, 300)
+      StreamingIngest.drainLog(spark, db, dir, maxRecordsPerTrigger = 120L,
+        tmp("graftlogret2ckpt"))
+      assert(db.length === 200L)
+      assert(db.allDF().select(graft.model.Point.TimeCol).distinct().count() === 200L)
     }
 
     it("byte-offset index sidecar: mid-segment slices seek, and fall back without it") {
