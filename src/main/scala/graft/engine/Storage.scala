@@ -505,13 +505,30 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
 
   override def load(): DataFrame = {
     observedVersion = latestSealed()
-    (read(dataPath), read(deltaPath)) match {
-      case (Some(d), Some(x)) => d.unionByName(x)
-      case (Some(d), None)    => d
-      case (None, Some(x))    => x
-      case (None, None)       => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+    // Lock-free reads vs atomic-swap maintenance: between this exists()
+    // check and Spark's eager path resolution, a compaction can rename
+    // a whole tier away for a few ms — retry the resolution instead of
+    // surfacing PATH_NOT_FOUND for a state that is already consistent
+    // again by the next beat (vanished FILES inside a surviving dir are
+    // the read option's job; a vanished DIR is this loop's).
+    var attempt = 0
+    while (true) {
+      try {
+        return (read(dataPath), read(deltaPath)) match {
+          case (Some(d), Some(x)) => d.unionByName(x)
+          case (Some(d), None)    => d
+          case (None, Some(x))    => x
+          case (None, None)       => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+        }
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getMessage).exists(_.contains("PATH_NOT_FOUND")) && attempt < 40 =>
+          attempt += 1
+          Thread.sleep(25L)
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write in the partitioned main-store layout. */

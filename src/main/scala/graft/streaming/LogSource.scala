@@ -186,6 +186,10 @@ object GraftLog {
   * write a dot-prefixed temp file, fsync, rename in with the count in the
   * name. Readers never see a torn segment; the offset sequence is
   * append-only.
+  *
+  * One live producer per topic (the Kafka partition-leader contract):
+  * two producers racing the same sequence slot fail loudly on the
+  * seal rename (the name already exists), never silently interleave.
   */
 final class GraftLogProducer(dir: String, conf: Configuration = new Configuration()) {
   private val dirPath = new Path(dir)
