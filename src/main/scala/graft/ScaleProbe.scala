@@ -81,6 +81,18 @@ object ScaleProbe {
       time(s"exact_dedup_$label") {
         Dedup.exactSurvivorIds(d, Seq("text"), "doc_id").count()
       }
+      // q173 shape (round 10): the per-batch production pattern — the
+      // persisted digest store stays FIXED (history doesn't grow with
+      // one batch) while the arriving batch scales 10×; the anti-join
+      // is digest-keyed both sides, so expected ~linear in the batch.
+      // Sidecar consult = one extra scan of the BATCH digests.
+      time(s"incremental_dedup_store_$label") {
+        val store = graft.util.Scratch.dir(s"scaledig$label") + "/digests"
+        Dedup.appendDigestStore(docs1.filter(col("doc_id") % 2 === 0),
+          Seq("text"), store, batchTag = 1L, sidecar = true)
+        Dedup.dedupAgainstStore(d.filter(col("doc_id") % 2 === 1),
+          Seq("text"), "doc_id", store, useSidecar = true).count()
+      }
       // q88 shape: the eval/benchmark set stays FIXED (base-id docs
       // only — real benchmarks don't grow with the corpus); the corpus
       // scales 10×. Expected growth: ~linear in corpus (the inverted-
@@ -229,6 +241,18 @@ object ScaleProbe {
         graft.analytics.Similarity.ivfPqTopK(d,
           d.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
           cents, pqCb, "vec_id", "embedding", "qid", k = 10, nProbe = 2,
+          m = 4, subDim = 16).count()
+      }
+      // q174 shape (round 10): residual codes — same serving cost model
+      // as ivfpq_topk (probed lists, m-byte codes) plus one extra
+      // broadcast-centroid subtraction per corpus row in train/encode;
+      // expected ~linear with constant stages
+      val rCb = graft.analytics.Similarity.residualPqCodebooks(
+        d, cents, "vec_id", "embedding", m = 4, subDim = 16)
+      time(s"residual_ivfpq_topk_$label") {
+        graft.analytics.Similarity.residualIvfPqTopK(d,
+          d.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+          cents, rCb, "vec_id", "embedding", "qid", k = 10, nProbe = 2,
           m = 4, subDim = 16).count()
       }
     }

@@ -49,6 +49,34 @@ class LogSourceSpec extends SparkSpec {
       intercept[IllegalArgumentException] { GraftLog.slices(segs.drop(1), 80L, 180L) }
     }
 
+    it("slices cover every offset exactly once over 300 random layouts and ranges") {
+      val rnd = new scala.util.Random(42)
+      for (trial <- 0 until 300) {
+        val nSegs = rnd.nextInt(6)
+        var base = rnd.nextInt(5).toLong // truncated head
+        val segs = (0 until nSegs).map { i =>
+          val cnt = 1L + rnd.nextInt(20)
+          val s = GraftLog.Segment(i.toLong, base, cnt, s"s$trial-$i")
+          base += cnt
+          s
+        }
+        val lo = segs.headOption.fold(0L)(_.base)
+        val hi = segs.lastOption.fold(lo)(s => s.base + s.count)
+        val a = lo + (if (hi > lo) rnd.nextInt((hi - lo).toInt + 1) else 0)
+        val b = a + (if (hi > a) rnd.nextInt((hi - a).toInt + 1) else 0)
+        val sl = GraftLog.slices(segs, a, b)
+        val mapped = sl.flatMap(s =>
+          (s.startLine until s.endLine).map(l => (s.file, l, s.baseOffset + (l - s.startLine))))
+        // bijection between [a, b) and (file, line) pairs, offsets consistent
+        assert(mapped.map(_._3).sorted === (a until b).toSeq, s"trial $trial")
+        mapped.foreach { case (f, line, off) =>
+          val seg = segs.find(_.path == f).get
+          assert(seg.base + line === off, s"trial $trial")
+          assert(line >= 0 && line < seg.count, s"trial $trial")
+        }
+      }
+    }
+
     it("retention: truncateBefore drops whole segments, offsets never shift") {
       val dir = tmp("graftlogret")
       val p = new GraftLogProducer(dir)
