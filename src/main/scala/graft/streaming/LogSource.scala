@@ -8,8 +8,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -152,6 +152,85 @@ object GraftLog {
     math.max(logStart(dir, conf), segs.headOption.fold(0L)(_.base))
   }
 
+  /** Highest sink epoch folded into based-name segments by
+    * [[compactSinkEpochs]] (−1 if none): an epoch at or below this has
+    * already been published and compacted, so a sink replay of it must
+    * drop its output even though the epoch marker is gone.
+    */
+  private[streaming] def compactedThrough(dir: String, conf: Configuration): Long = {
+    val p = new Path(dir, "_sink_compacted_through")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      try in.readLine().trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** MARKER COMPACTION — bounds the one-file-per-epoch `_epoch-*.committed`
+    * growth on sink topics. Every committed epoch older than the newest
+    * `keepLast` markers is folded into the producer segment form: each of
+    * its `s<epoch>-p<pid>-<n>.seg` files is renamed to
+    * `<seq>-b<base>-<n>.seg` (same synthesized seq = epoch·10000+pid, base
+    * from the current listing), which is visible WITHOUT a marker — then
+    * the `_sink_compacted_through` low-water advances and the marker is
+    * deleted. Record offsets, order, and content are invariants: at every
+    * instant each record is visible exactly once (sink-named under its
+    * marker, or based-named), so a crash at any step leaves a consistent
+    * log that the next compaction finishes. Bonus: a fully-compacted
+    * prefix is in producer form, so [[GraftLogProducer.truncateBefore]]
+    * retention works on sink topics too.
+    *
+    * Single-writer contract (same as the sink itself): run this from the
+    * sink's epoch commit or one maintenance process, never concurrently.
+    * Returns the number of markers removed.
+    */
+  def compactSinkEpochs(dir: String, conf: Configuration, keepLast: Int = 32): Int = {
+    require(keepLast >= 1, "keepLast >= 1 (the engine can replay the newest epoch)")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0
+    val markers = fs.listStatus(p).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_epoch-") && n.endsWith(".committed"))
+        scala.util.Try(n.stripPrefix("_epoch-").stripSuffix(".committed").toLong).toOption
+      else None
+    }.sorted.toSeq
+    if (markers.size <= keepLast) return 0
+    val doomed = markers.dropRight(keepLast)
+    // bases come from the live listing (sink segments derive theirs from
+    // the running sum); renames preserve them explicitly
+    val byPath = listSegments(dir, conf).map(s => s.path -> s).toMap
+    var removed = 0
+    doomed.foreach { epoch =>
+      fs.listStatus(p).foreach { st =>
+        st.getPath.getName match {
+          case SinkSegmentName(e, pid, count) if st.isFile && e.toLong == epoch =>
+            val seg = byPath(st.getPath.toString)
+            require(seg.seq < 1000000000000L, s"sink seq ${seg.seq} exceeds 12 digits")
+            val dst = new Path(p, f"${seg.seq}%012d-b${seg.base}-${count.toLong}.seg")
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(s"compaction rename failed: ${st.getPath} -> $dst")
+          case _ => ()
+        }
+      }
+      // low-water BEFORE the marker delete: a crash between the two
+      // leaves a marker with no sink segments — harmless, re-deleted next run
+      val tmp = new Path(p, "._sink_compacted_through.inprogress")
+      val out = fs.create(tmp, true)
+      try { out.write(epoch.toString.getBytes("UTF-8")); out.hsync() }
+      finally out.close()
+      val dst = new Path(p, "_sink_compacted_through")
+      if (fs.exists(dst)) { fs.delete(dst, false); () }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException("compacted-through marker rename failed")
+      fs.delete(new Path(p, s"_epoch-$epoch.committed"), false)
+      removed += 1
+    }
+    removed
+  }
+
   /** Map the record range [start, end) onto segment slices — one input
     * partition per touched segment, line-addressed within it.
     *
@@ -256,10 +335,16 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     */
   def truncateBefore(offset: Long): Int = synchronized {
     val segs = GraftLog.listSegments(dir, conf)
-    require(segs.forall(s =>
-      new Path(s.path).getName.matches("""\d{12}-b\d+-\d+\.seg""")),
-      "truncateBefore needs base-offset segment names (producer topics)")
     val doomed = segs.filter(s => s.base + s.count <= offset)
+    // deleting a prefix must not shift any survivor's offset: the doomed
+    // segments and the FIRST survivor must carry explicit base offsets
+    // (producer/compacted form — the first based survivor re-anchors the
+    // running sum for any still-markered sink segments after it)
+    def based(s: GraftLog.Segment): Boolean =
+      new Path(s.path).getName.matches("""\d{12}-b\d+-\d+\.seg""")
+    require(doomed.forall(based) && segs.drop(doomed.size).headOption.forall(based),
+      "truncateBefore needs base-offset segment names at and after the cut " +
+        "(producer topics, or sink topics past marker compaction)")
     doomed.foreach { s =>
       fs.delete(new Path(s.path), false)
       val idx = new Path(s.path + ".idx")
@@ -304,18 +389,45 @@ final class GraftLogTable(options: CaseInsensitiveStringMap,
     val s = info.schema()
     require(s.fields.length == 1 && s.fields.head.dataType == StringType,
       s"graft-log sink takes exactly one STRING column (the record payload); got $s")
+    val keepMarkers = Option(options.get("compactMarkersAfter")).map(_.toInt).getOrElse(32)
+    require(keepMarkers >= 1, "compactMarkersAfter >= 1")
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(path)
+        override def toStreaming: StreamingWrite =
+          new GraftLogStreamingWrite(path, keepMarkers)
       }
     }
   }
 }
 
-final class GraftLogScan(path: String, maxPerTrigger: Option[Long]) extends Scan {
+final class GraftLogScan(path: String, maxPerTrigger: Option[Long])
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = GraftLog.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(path, maxPerTrigger)
+
+  /** Listing-only stats (exact row count from the name-encoded counts,
+    * bytes from file lengths) so Catalyst can size a topic correctly —
+    * e.g. auto-broadcast a small topic joined against a big table
+    * instead of treating the V2 relation as unknown/huge.
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = new Configuration()
+    val segs = GraftLog.listSegments(path, conf)
+    val rows = segs.map(_.count).sum
+    val bytes =
+      if (segs.isEmpty) 0L
+      else {
+        val fs = new Path(path).getFileSystem(conf)
+        segs.map(s => try fs.getFileStatus(new Path(s.path)).getLen
+          catch { case _: java.io.FileNotFoundException => 0L }).sum
+      }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def toBatch: Batch = new Batch {
     private val segments = GraftLog.listSegments(path, new Configuration())
     override def planInputPartitions(): Array[InputPartition] = {
@@ -336,7 +448,8 @@ final case class GraftLogOffset(records: Long) extends Offset {
 }
 
 final class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
-    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
   private val conf = new Configuration()
   // AvailableNow snapshot: the backlog to drain, frozen at query start
   @volatile private var availableNowCap: Option[Long] = None
@@ -383,6 +496,24 @@ final class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory()
 
+  /** Consumer-lag observability (Kafka's records-lag), surfaced in each
+    * StreamingQueryProgress under `sources[i].metrics` — the number a
+    * production operator alarms on. Listing-only, like all offset work.
+    */
+  override def metrics(latestConsumed: JOptional[Offset]): java.util.Map[String, String] = {
+    val latest = GraftLog.latestOffset(path, conf)
+    // the engine may pass back a SerializedOffset rehydrated from the
+    // checkpoint log, not our class — go through the json form
+    val consumed =
+      if (latestConsumed.isPresent) latestConsumed.get.json().trim.toLong
+      else GraftLog.earliestOffset(path, conf)
+    val m = new java.util.HashMap[String, String]()
+    m.put("latestOffset", latest.toString)
+    m.put("consumedOffset", consumed.toString)
+    m.put("backlogRecords", math.max(0L, latest - consumed).toString)
+    m
+  }
+
   override def stop(): Unit = ()
 }
 
@@ -403,8 +534,16 @@ final class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   * records exactly once and offsets never move backwards. Caps (from the
   * seq packing in [[GraftLog.listSegments]]): ≤ 10000 partitions per
   * epoch; topics are written by producers OR the sink, not both.
+  *
+  * Marker growth is BOUNDED: each commit ends by folding epochs older
+  * than the newest `compactMarkersAfter` markers into producer-form
+  * segments ([[GraftLog.compactSinkEpochs]]), so a sink that runs for a
+  * year holds O(compactMarkersAfter) markers, not one per epoch ever
+  * committed. Replays of a compacted epoch are still dropped via the
+  * `_sink_compacted_through` low-water.
   */
-final class GraftLogStreamingWrite(path: String) extends StreamingWrite {
+final class GraftLogStreamingWrite(path: String, compactMarkersAfter: Int = 32)
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftLogWriterFactory(path)
 
@@ -413,8 +552,9 @@ final class GraftLogStreamingWrite(path: String) extends StreamingWrite {
     val fs = dir.getFileSystem(new Configuration())
     val marker = new Path(dir, s"_epoch-$epochId.committed")
     val staged = messages.collect { case m: GraftLogWriteMessage => m }
-    if (fs.exists(marker)) {
-      // replayed epoch already published: drop this attempt's output
+    if (fs.exists(marker) || epochId <= GraftLog.compactedThrough(path, new Configuration())) {
+      // replayed epoch already published (marker live, or folded into
+      // based-name segments by compaction): drop this attempt's output
       staged.foreach(m => fs.delete(new Path(m.stagedPath), false))
       return
     }
@@ -433,6 +573,9 @@ final class GraftLogStreamingWrite(path: String) extends StreamingWrite {
     }
     staged.filter(_.count == 0L).foreach(m => fs.delete(new Path(m.stagedPath), false))
     fs.create(marker, true).close()
+    // bound marker growth; single sink driver = single compactor
+    GraftLog.compactSinkEpochs(path, new Configuration(), compactMarkersAfter)
+    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -158,6 +158,25 @@ class LogSourceSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(got === (0 until 8).map(i => (i.toLong, s"rec$i")))
     }
+
+    it("reports listing-only statistics, so a small topic auto-broadcasts") {
+      val dir = tmp("graftlogstats")
+      val p = new GraftLogProducer(dir)
+      p.publish((0 until 50).map(i => s"k$i"))
+      // exact row count and positive byte size, straight from the scan
+      val stats = new graft.streaming.GraftLogScan(dir, None).estimateStatistics()
+      assert(stats.numRows().getAsLong === 50L)
+      assert(stats.sizeInBytes().getAsLong > 0L)
+      // Catalyst sees those stats: joining the small topic against a
+      // larger table picks a broadcast join with NO broadcast() hint
+      val topic = spark.read.format("graft-log").option("path", dir).load()
+      val big = spark.range(100000L).selectExpr("concat('k', id % 64) AS payload", "id")
+      val joined = big.join(topic, "payload")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected auto-broadcast, got:\n$plan")
+      // id%64==k occurs 1562 times, +1 for k < 100000%64 = 32
+      assert(joined.count() === 50L * 1562L + 32L)
+    }
   }
 
   describe("graft-log micro-batch stream") {
@@ -181,6 +200,31 @@ class LogSourceSpec extends SparkSpec {
       val expect = (0 until 600).groupBy(v => s"s${v % 5}")
         .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_ % 90).sum.toDouble)) }
       assert(bySensor === expect)
+    }
+
+    it("surfaces consumer lag in StreamingQueryProgress source metrics") {
+      val dir = tmp("graftlogmet")
+      val p = new GraftLogProducer(dir)
+      (0 until 4).foreach(s => p.publish((s * 100 until (s + 1) * 100).map(_.toString)))
+      val q = spark.readStream.format("graft-log")
+        .option("path", dir).option("maxRecordsPerTrigger", 100L).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("graftlogmetckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val progs = q.recentProgress.filter(_.sources.nonEmpty)
+      assert(progs.nonEmpty)
+      val metrics = progs.map(_.sources.head.metrics)
+      // every progress carries the lag triple; the drain ends at zero backlog
+      metrics.foreach { m =>
+        assert(m.containsKey("backlogRecords") && m.containsKey("latestOffset")
+          && m.containsKey("consumedOffset"), s"missing lag metrics: $m")
+      }
+      assert(metrics.last.get("backlogRecords") === "0")
+      assert(metrics.last.get("consumedOffset") === "400")
+      // mid-drain progress saw real positive backlog (rate-limited batches)
+      assert(metrics.exists(_.get("backlogRecords").toLong > 0L))
     }
 
     it("kill + resume from checkpoint with a forced batch replay lands every record exactly once") {
@@ -346,6 +390,94 @@ class LogSourceSpec extends SparkSpec {
       producer.publish((400 until 450).map(_.toString))
       relay()
       assert(spark.read.format("graft-log").option("path", dst).load().count() === 450L)
+    }
+
+    it("bounds epoch-marker growth: old epochs compact to based segments, " +
+        "nothing lost, compacted replays still drop, retention works") {
+      val src = tmp("graftcmpsrc")
+      val dst = tmp("graftcmpdst")
+      val ckpt = tmp("graftcmpckpt")
+      val conf = new Configuration()
+      val producer = new GraftLogProducer(src)
+      producer.publish((0 until 200).map(_.toString))
+      // 20 records/trigger over 200 records = 10 epochs; keep only 3 markers
+      val q = spark.readStream.format("graft-log")
+        .option("path", src).option("maxRecordsPerTrigger", 20L).load()
+        .selectExpr("payload")
+        .writeStream.format("graft-log")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .option("compactMarkersAfter", "3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def names = new java.io.File(dst).listFiles().map(_.getName).toSeq
+      val markers = names.filter(_.startsWith("_epoch-"))
+      assert(markers.size <= 3, s"markers not bounded: $markers")
+      assert(names.exists(_.matches("""\d{12}-b\d+-\d+\.seg""")),
+        "compaction produced no based segments")
+      // every record exactly once, offsets dense from 0
+      val rows = spark.read.format("graft-log").option("path", dst).load()
+        .orderBy("offset").collect()
+      assert(rows.map(_.getLong(0)).toSeq === (0L until 200L))
+      assert(rows.map(_.getString(1)).toSeq === (0 until 200).map(_.toString))
+      // a replay of a COMPACTED epoch (below the low-water) drops its
+      // staged output instead of re-publishing
+      val through = names.find(_ == "_sink_compacted_through")
+      assert(through.isDefined)
+      val stagedPath = new org.apache.hadoop.fs.Path(dst, ".sink-e000000000000-p0000-t9.staged")
+      val fs = stagedPath.getFileSystem(conf)
+      val out = fs.create(stagedPath, true); out.write("ghost\n".getBytes("UTF-8")); out.close()
+      new graft.streaming.GraftLogStreamingWrite(dst, 3).commit(0L,
+        Array(graft.streaming.GraftLogWriteMessage(0, 1L, stagedPath.toString)))
+      assert(!fs.exists(stagedPath), "compacted-epoch replay did not drop its staging")
+      assert(spark.read.format("graft-log").option("path", dst).load().count() === 200L)
+      // retention now works on the compacted prefix (based names)
+      val segs = GraftLog.listSegments(dst, conf)
+      val firstBased = segs.takeWhile(s => new java.io.File(s.path).getName
+        .matches("""\d{12}-b\d+-\d+\.seg"""))
+      assert(firstBased.size >= 2, "expected a compacted prefix to truncate")
+      val cut = firstBased(1).base + firstBased(1).count
+      assert(new GraftLogProducer(dst).truncateBefore(cut) === 2)
+      val after = spark.read.format("graft-log").option("path", dst).load()
+        .orderBy("offset").collect()
+      assert(after.map(_.getLong(0)).toSeq === (cut until 200L),
+        "surviving offsets shifted after sink-topic retention")
+      // but a cut INSIDE the still-markered tail fails loudly
+      val markered = segs.filterNot(s => new java.io.File(s.path).getName
+        .matches("""\d{12}-b\d+-\d+\.seg"""))
+      assert(markered.nonEmpty)
+      intercept[IllegalArgumentException] {
+        new GraftLogProducer(dst).truncateBefore(markered.head.base + markered.head.count)
+      }
+    }
+
+    it("manual compaction keeps the read view bit-identical") {
+      val dst = tmp("graftcmp2")
+      val ckpt = tmp("graftcmp2ckpt")
+      val conf = new Configuration()
+      // 5 epochs of 10 via rate-per-micro-batch for determinism
+      val q = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 10).option("numPartitions", 2).load()
+        .selectExpr("cast(value AS STRING) AS payload")
+        .writeStream.format("graft-log")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .option("compactMarkersAfter", "1000") // keep commit-path compaction out of the way
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (GraftLog.latestOffset(dst, conf) < 50L && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(GraftLog.latestOffset(dst, conf) >= 50L, "stream never reached 50 records")
+      } finally { q.stop(); q.awaitTermination() }
+      val before = spark.read.format("graft-log").option("path", dst).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val removed = GraftLog.compactSinkEpochs(dst, conf, keepLast = 1)
+      assert(removed >= 3)
+      val after = spark.read.format("graft-log").option("path", dst).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(after === before, "compaction changed the read view")
+      // idempotent: nothing left to fold
+      assert(GraftLog.compactSinkEpochs(dst, conf, keepLast = 1) === 0)
     }
 
     it("rejects multi-column or non-string input loudly") {
