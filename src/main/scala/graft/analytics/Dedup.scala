@@ -72,10 +72,14 @@ object Dedup {
     val digests = df
       .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .distinct()
+    // fingerprint of the store the current sidecar (if any) describes —
+    // captured BEFORE the append so the incremental sidecar merge can
+    // prove the old sidecar was current up to exactly this batch
+    val preFp = if (sidecar) storeFingerprint(df.sparkSession, path) else ""
     digests
       .withColumn("__batch_tag", lit(batchTag))
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
-    if (sidecar) updateDigestSidecar(df.sparkSession, path, digests)
+    if (sidecar) updateDigestSidecar(df.sparkSession, path, digests, preFp)
   }
 
   // ---- digest-store lifecycle ----
@@ -96,6 +100,30 @@ object Dedup {
   //     cost a scan, never correctness.
 
   private def sidecarPath(path: String): String = path.stripSuffix("/") + "_bloom"
+
+  /** Fingerprint of the store's CURRENT file listing (names + lengths,
+    * md5). Written into the sidecar at build time and re-checked before
+    * the skip guard trusts it: an append that didn't refresh the
+    * sidecar (sidecar=false), or any out-of-band store rewrite, changes
+    * the listing and voids the sidecar — the guard then falls back to
+    * the exact anti-join instead of risking a bloom false NEGATIVE
+    * (a skipped scan that lets duplicates through).
+    */
+  private def storeFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else {
+      val listing = fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}")
+        .sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+  }
 
   /** One combined key per store row (stores may hold composite-key
     * digests as several `__k_*` columns).
@@ -131,13 +159,19 @@ object Dedup {
 
   /** Fold a batch's digests into the existing sidecar — blooms merge
     * by OR, so the append path touches only the BATCH (one position
-    * job + a 64 KB read-modify-write), never the store. No sidecar (or
-    * a differently-sized one) → rebuild from the store once.
+    * job + a 64 KB read-modify-write), never the store. The merge is
+    * only sound when the old sidecar covered the store AS IT WAS
+    * BEFORE this batch's append (`preAppendFp`, captured by the caller
+    * before it wrote the store) — otherwise some earlier un-sidecarred
+    * append would stay unrepresented and the skip guard could skip a
+    * real collision. Stale / absent / differently-sized sidecar →
+    * rebuild from the full store once.
     */
   private def updateDigestSidecar(spark: SparkSession, path: String,
-      batchDigests: DataFrame): Unit =
-    readSidecar(spark, path) match {
-      case Some((bits, k, words)) if bits == SidecarBits && k == SidecarK =>
+      batchDigests: DataFrame, preAppendFp: String): Unit =
+    readSidecarRaw(spark, path) match {
+      case Some((bits, k, words, Some(fp)))
+          if bits == SidecarBits && k == SidecarK && fp == preAppendFp =>
         val keyCols = batchDigests.columns.filter(_.startsWith("__k_")).toSeq
         val pos = batchDigests
           .select(explode(array((1 to k).map(h =>
@@ -148,24 +182,47 @@ object Dedup {
       case _ => rebuildDigestSidecar(spark, path)
     }
 
+  // The sidecar records the store fingerprint it was built against
+  // (post-write state — callers write the store first, then the
+  // sidecar), so a reader can prove the sidecar still describes the
+  // store before trusting a skip decision.
   private def writeSidecar(spark: SparkSession, path: String, words: Array[Long]): Unit = {
     import spark.implicits._
-    Seq((SidecarBits, SidecarK, words.toSeq))
-      .toDF("bits", "k", "words")
+    Seq((SidecarBits, SidecarK, words.toSeq, storeFingerprint(spark, path)))
+      .toDF("bits", "k", "words", "store_fp")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sidecarPath(path))
   }
 
-  private def readSidecar(spark: SparkSession, path: String): Option[(Int, Int, Array[Long])] = {
+  /** Sidecar as stored, fingerprint included, no validation. Pre-upgrade
+    * sidecars (no `store_fp` column) read as fp = None.
+    */
+  private def readSidecarRaw(spark: SparkSession,
+      path: String): Option[(Int, Int, Array[Long], Option[String])] = {
     val p = new org.apache.hadoop.fs.Path(sidecarPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(sidecarPath(path)).head()
-      Some((r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      val sc = spark.read.parquet(sidecarPath(path))
+      val r = sc.head()
+      val fp = if (sc.columns.contains("store_fp")) Some(r.getString(3)) else None
+      Some((r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, fp))
     }
   }
+
+  /** Returns the sidecar ONLY when it provably matches the store's
+    * current contents: the recorded fingerprint must equal the store's
+    * live listing (pre-upgrade sidecars without one are treated as
+    * stale). Any mismatch → None → callers rebuild or fall back to the
+    * exact path.
+    */
+  private def readSidecar(spark: SparkSession, path: String): Option[(Int, Int, Array[Long])] =
+    readSidecarRaw(spark, path) match {
+      case Some((bits, k, words, Some(fp))) if fp == storeFingerprint(spark, path) =>
+        Some((bits, k, words))
+      case _ => None
+    }
 
   /** Compact the digest store: one row per digest (LAST batch tag
     * wins), split-sized files, staged write + atomic swap, sidecar
@@ -188,12 +245,22 @@ object Dedup {
     val kept = retainMinTag.fold(folded)(t => folded.filter(col("__batch_tag") >= t))
     val staging = path.stripSuffix("/") + s".staging-${java.util.UUID.randomUUID()}"
     kept.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    // Backup-then-swap (same protocol as ParquetStorage.compactDelta):
+    // the live store is renamed aside BEFORE the staging rename lands,
+    // so no crash point loses both copies — a delete-then-rename window
+    // would leave NO store at all (and readers a missing path) if the
+    // process died between the two. Backup is dropped only after the
+    // new store is verifiably in place.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(new org.apache.hadoop.fs.Path(path), true))
-      throw new java.io.IOException(s"digest store compact: delete failed: $path")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path)))
-      throw new java.io.IOException(s"digest store compact: rename failed: $staging -> $path")
+    def renameOrThrow(src: String, dst: String): Unit =
+      if (!fs.rename(new org.apache.hadoop.fs.Path(src), new org.apache.hadoop.fs.Path(dst)))
+        throw new java.io.IOException(s"digest store compact: rename failed: $src -> $dst")
+    val backup = path.stripSuffix("/") + s".backup-${java.util.UUID.randomUUID()}"
+    renameOrThrow(path, backup)
+    renameOrThrow(staging, path)
+    if (!fs.delete(new org.apache.hadoop.fs.Path(backup), true))
+      throw new java.io.IOException(s"digest store compact: backup cleanup failed: $backup")
     rebuildDigestSidecar(spark, path)
   }
 

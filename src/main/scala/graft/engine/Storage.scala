@@ -415,7 +415,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private def sealVersion(n: Long): Unit = {
     val out = fs.create(new Path(s"$versionsPath/$n.done"), true)
     out.close()
-    observedVersion = n
+    // NOTE: deliberately does NOT touch observedVersion. observedVersion
+    // is "the state this handle's next overwrite input was computed
+    // from" — only load() (and overwrite's own seal, which establishes
+    // the new state the caller now holds) may advance it. If an append
+    // or compaction seal advanced it, the sequence load@v5 → sibling
+    // commits v6 → own append seals v7 → overwrite(state-from-v5) would
+    // pass the staleness check and silently erase the sibling's v6.
     // prune the chain below the head: keep only <n> and <n>.done
     fs.listStatus(new Path(versionsPath)).foreach { s =>
       val stem = s.getPath.getName.stripSuffix(".done")
@@ -427,11 +433,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   /** Run `body` as one claimed transition. A body failure repairs the
     * store (same open-time [[recover]] protocol) and seals anyway, so a
     * surviving sibling handle is not deadlocked behind the dead claim;
-    * the original failure propagates.
+    * the original failure propagates. `adoptVersion` = the overwrite
+    * path: on success the sealed version becomes this handle's observed
+    * version (the caller now holds exactly the state it just committed).
     */
-  private def committed[T](requireObserved: Boolean)(body: => T): T = {
+  private def committed[T](requireObserved: Boolean, adoptVersion: Boolean = false)(body: => T): T = {
     val v = claimVersion(requireObserved)
-    try { val r = body; sealVersion(v); r }
+    try { val r = body; sealVersion(v); if (adoptVersion) observedVersion = v; r }
     catch {
       case e: Throwable =>
         try { recover(); sealVersion(v) } catch { case _: Throwable => () }
@@ -709,17 +717,45 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     } }
   }
 
-  /** Commit-record retention: keep the `keepLast` most recent records
-    * (by token name, descending — stream tokens embed the batch id, so
-    * lexicographic order is commit order for equal-width ids). A
-    * checkpointed stream can only ever replay its LAST uncommitted
-    * batch, so any bound ≥ 1 is safe; the default gives slack for
-    * multiple interleaved streams.
+  /** Commit-record retention: keep the `keepLast` most RECENT records,
+    * ordered by file modification time (commit order regardless of
+    * token naming — a variable-width "b100" token must not be judged
+    * older than "b99" by a lexicographic sort), token name as the
+    * equal-millisecond tiebreak (stream tokens zero-pad their batch id
+    * so name order IS commit order within a stream). A checkpointed
+    * stream can only ever replay its LAST uncommitted batch, so any
+    * bound ≥ 1 is safe; the default gives slack for multiple
+    * interleaved streams.
     */
   def pruneIngestCommits(keepLast: Int = 64): Unit = synchronized {
     if (!fs.exists(new Path(commitsPath))) return
-    val all = fs.listStatus(new Path(commitsPath)).sortBy(_.getPath.getName)
+    val all = fs.listStatus(new Path(commitsPath))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
     all.dropRight(keepLast).foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Delete delta `tok-<token>-*` files whose commit record is ABSENT:
+    * an idempotent-append attempt that crashed between renaming its data
+    * into the delta tier and writing the commit record. The replay
+    * normally repairs these by name — but a compaction that ran first
+    * would fold the orphan rows into anonymous merged files the replay
+    * can no longer find, and the re-append would land the rows twice
+    * permanently. So every compaction purges orphans BEFORE reading the
+    * delta tier. Safe against in-flight appends: [[appendIdempotent]]
+    * renames data AND writes its record inside one claimed transition,
+    * and this runs inside a claimed transition too — a record-less tok
+    * file seen here can only be a crashed attempt's leftover.
+    */
+  private def purgeUncommittedTokenFiles(): Unit = {
+    if (!exists(deltaPath)) return
+    fs.listStatus(new Path(deltaPath))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("tok-"))
+      .foreach { s =>
+        val token = s.getPath.getName.stripPrefix("tok-")
+          .replaceAll("-\\d+\\.snappy\\.parquet$", "")
+        if (!fs.exists(new Path(s"$commitsPath/$token")))
+          fs.delete(s.getPath, false)
+      }
   }
 
   /** Fold the delta tier into the partitioned main store. Run after
@@ -731,7 +767,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // inside the fold-and-swap) but skip the staleness check — the
     // input is read INSIDE the claim, so it cannot be stale
     committed(requireObserved = false) {
-      if (exists(deltaPath)) overwriteInner(load())
+      if (exists(deltaPath)) { purgeUncommittedTokenFiles(); overwriteInner(load()) }
     }
     deltaFileEstimate = 0
   }
@@ -790,6 +826,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private[engine] def compactDelta(): Unit = synchronized {
     committed(requireObserved = false) {
       if (exists(deltaPath)) {
+        purgeUncommittedTokenFiles()
         val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
         val delta = spark.read.parquet(deltaPath).select(Point.columns.map(col): _*)
         // merged file count by data volume, same sizing rule as appends
@@ -815,7 +852,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * the concurrent commit. The loser reloads and recomputes.
     */
   override def overwrite(full: DataFrame): Unit = synchronized {
-    committed(requireObserved = true) { overwriteInner(full) }
+    committed(requireObserved = true, adoptVersion = true) { overwriteInner(full) }
   }
 
   private def overwriteInner(full: DataFrame): Unit = {

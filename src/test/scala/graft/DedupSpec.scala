@@ -81,6 +81,34 @@ class DedupSpec extends SparkSpec {
         .as[Long].collect().toSet == Set(31L))
     }
 
+    it("a stale sidecar (append without sidecar refresh) falls back to the exact anti-join") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigstale").toString + "/digests"
+      Dedup.appendDigestStore(Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 1L, sidecar = true)
+      // append WITHOUT refreshing the sidecar: the store now holds a
+      // digest the bit array knows nothing about
+      Dedup.appendDigestStore(Seq((2L, "gamma")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 2L, sidecar = false)
+      // probe collides ONLY with the un-sidecarred digest — a guard that
+      // trusted the stale sidecar would skip the scan and let the
+      // duplicate through (a bloom false NEGATIVE)
+      val probe = Seq((10L, "gamma"), (11L, "novel")).toDF("doc_id", "text")
+      val out = Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(out.queryExecution.sparkPlan.toString.contains("digests"),
+        "stale sidecar must void the skip guard — plan should scan the store")
+      assert(out.as[Long].collect().toSet == Set(11L))
+      // a sidecar-refreshing append restores the fingerprint match and
+      // the skip path for genuinely clean batches
+      Dedup.appendDigestStore(Seq((3L, "delta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 3L, sidecar = true)
+      val clean = Seq((20L, "epsilon")).toDF("doc_id", "text")
+      val g = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(!g.queryExecution.sparkPlan.toString.contains("digests"))
+      assert(g.as[Long].collect().toSet == Set(20L))
+    }
+
     it("compaction folds appends to one file; retention re-admits expired digests") {
       val store = java.nio.file.Files.createTempDirectory("graftdigc").toString + "/digests"
       Dedup.appendDigestStore(Seq((0L, "old1"), (1L, "old2")).toDF("doc_id", "text"),

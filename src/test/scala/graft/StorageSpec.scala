@@ -238,6 +238,75 @@ class StorageSpec extends SparkSpec {
       assert(st.appendIdempotent(batch(0), "b0000"))
     }
 
+    it("a handle's own append does not launder the overwrite staleness check") {
+      val dir = Files.createTempDirectory("graftstalelaunder").toString
+      val a = new ParquetStorage(spark, dir)
+      import spark.implicits._
+      def batch(v: Double) = Seq((t("2024-01-01T00:00:00Z"),
+        "m", Map.empty[String, String], Map("v" -> v)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      a.append(batch(1.0))
+      val stale = a.load() // A observes the world here (1 row)
+      // B commits after A's load
+      val b = GraftDB.atPath(spark, dir)
+      b.insert(Point(t("2024-01-02T00:00:00Z"), "m", Map(), Map("v" -> 2.0)))
+      // A's OWN append seals a newer version — it must NOT make A's
+      // pre-B snapshot look current again (the lost-update laundering:
+      // load@v1 → B commits v2 → own append seals v3 → overwrite(stale)
+      // would erase B's row if the seal refreshed the observed version)
+      a.append(batch(3.0))
+      intercept[java.util.ConcurrentModificationException] { a.overwrite(stale) }
+      // nothing was destroyed — B's commit and both appends survive
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.length == 3)
+      assert(again.count(FieldQuery("v") === 2.0) == 1)
+      // a fresh load re-arms the handle: overwrite now succeeds
+      a.overwrite(a.load())
+      assert(GraftDB.atPath(spark, dir).length == 3)
+    }
+
+    it("commit retention orders by commit TIME, not token name (variable-width batch ids)") {
+      val dir = Files.createTempDirectory("graftprunevw").toString
+      val st = new ParquetStorage(spark, dir)
+      import spark.implicits._
+      def batch(v: Double) = Seq((t("2024-01-01T00:00:00Z"),
+        "m", Map.empty[String, String], Map("v" -> v)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      // lexicographically, "s-b10"/"s-b11" sort BEFORE "s-b9" — a
+      // name-ordered prune would judge the two newest commits oldest,
+      // drop one, and re-admit a post-crash replay of a recent batch
+      assert(st.appendIdempotent(batch(9.0), "s-b9"))
+      assert(st.appendIdempotent(batch(10.0), "s-b10"))
+      assert(st.appendIdempotent(batch(11.0), "s-b11"))
+      st.pruneIngestCommits(keepLast = 2)
+      assert(!st.appendIdempotent(batch(10.0), "s-b10"), "recent b10 must still dedup")
+      assert(!st.appendIdempotent(batch(11.0), "s-b11"), "recent b11 must still dedup")
+      assert(st.appendIdempotent(batch(9.0), "s-b9"), "only the oldest re-admits")
+    }
+
+    it("compaction purges uncommitted token files so a replay cannot double-append") {
+      val dir = Files.createTempDirectory("grafttokorphan").toString
+      val st = new ParquetStorage(spark, dir)
+      import spark.implicits._
+      def batch(v: Double) = Seq((t("2024-01-01T00:00:00Z"),
+        "m", Map.empty[String, String], Map("v" -> v)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      assert(st.appendIdempotent(batch(1.0), "tokA"))
+      assert(st.appendIdempotent(batch(2.0), "other"))
+      // simulate tokA's attempt crashing between the data rename and the
+      // commit record: data present in delta, record absent
+      assert(new java.io.File(s"$dir/_ingest_commits/tokA").delete())
+      // compaction must NOT bake the orphan rows into anonymous merged
+      // files (the replay could no longer find-and-repair them by name)
+      st.compact()
+      // the replay repairs and lands the batch exactly once
+      assert(st.appendIdempotent(batch(1.0), "tokA"))
+      val db = GraftDB.atPath(spark, dir)
+      assert(db.length == 2, "orphan folded by compaction + replay = duplicate rows")
+      assert(db.count(FieldQuery("v") === 1.0) == 1)
+      assert(db.count(FieldQuery("v") === 2.0) == 1)
+    }
+
     it("reopening seals an orphaned claim from a dead writer; crash recovery unregressed") {
       val (db, dir) = seeded()
       db.compact()
