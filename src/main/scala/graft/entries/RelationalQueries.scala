@@ -885,6 +885,35 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // PARTITIONED topic fan-in — the Kafka parallelism unit the single-
+    // directory q171 lacks: three producer sub-dirs (p-0000..p-0002)
+    // read as ONE `graft-log` source with a per-partition composite
+    // offset (replayable per partition, one Spark input partition per
+    // topic-partition segment slice), drained through the UNCHANGED
+    // exactly-once ingest graph. Partition p holds the values v ≡ p
+    // (mod 3) of [0, 1800), so the union is [0, 1800) no matter how
+    // the proportional admission budget interleaved the partitions —
+    // and the oracle replays the converged state from range() alone.
+    "q177_stream_log_partitioned" -> ((s, dir) => {
+      import graft.streaming.{GraftLog, GraftLogProducer, StreamingIngest}
+      val topic = graft.util.Scratch.dir("graftplogq")
+      (0 until 3).foreach { p =>
+        val prod = new GraftLogProducer(GraftLog.partitionDir(topic, p))
+        (0 until 1800).filter(_ % 3 == p).grouped(200)
+          .foreach(g => prod.publish(g.map(_.toString)))
+      }
+      val db = graft.engine.GraftDB.atPath(s, graft.util.Scratch.dir("graftplogqdb"))
+      StreamingIngest.drainPartitionedLog(s, db, topic,
+        maxRecordsPerTrigger = 500L, graft.util.Scratch.dir("graftplogqckpt"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"),
+          unix_millis(min(col(graft.model.Point.TimeCol))).as("min_ts_ms"),
+          unix_millis(max(col(graft.model.Point.TimeCol))).as("max_ts_ms"))
+        .orderBy("sensor")
+    }),
+
     // KMV set algebra — theta-sketch-style union/intersection/Jaccard
     // estimates from two COORDINATED bottom-k samples ("how many
     // distinct users did BOTH signup and purchase" from two KB
@@ -1469,6 +1498,16 @@ object RelationalQueries {
         |SELECT 's' || CAST(value % 5 AS VARCHAR) AS sensor,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(value % 90) AS BIGINT) AS sum_v
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the partitioned-topic transform: sensor = 's'||(v%6), v%70,
+    // ts_ms = epoch(2024-01-01) + v*1000 over the partitions' union
+    "q177_stream_log_partitioned" ->
+      """WITH v AS (SELECT unnest(range(0, 1800)) AS value)
+        |SELECT 's' || CAST(value % 6 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 70) AS BIGINT) AS sum_v,
+        |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
+        |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_stream_socket_ingest" ->
       """WITH v AS (SELECT unnest(range(0, 1500)) AS value)

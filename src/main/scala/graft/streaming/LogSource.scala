@@ -51,7 +51,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-log"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLog.Schema
+    if (options.getBoolean("partitioned", false)) GraftLog.PartitionedSchema
+    else GraftLog.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     // reads carry GraftLog.Schema; a WRITE hands the query's own schema
@@ -64,6 +65,40 @@ object GraftLog {
   val Schema: StructType = StructType(Seq(
     StructField("offset", LongType, nullable = false),
     StructField("payload", StringType, nullable = true)))
+
+  /** Schema of a PARTITIONED topic read — (partition, offset) is the
+    * record's identity, exactly Kafka's (partition, offset) pair;
+    * offsets are per-partition sequences, independent across partitions.
+    */
+  val PartitionedSchema: StructType = StructType(Seq(
+    StructField("partition", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
+  private val PartDirName = """p-(\d{4})""".r
+
+  /** Sub-directory of topic `dir` holding partition `p`'s segment log. */
+  def partitionDir(dir: String, p: Int): String = {
+    require(p >= 0 && p < 10000, "partition id in [0, 10000)")
+    f"${dir.stripSuffix("/")}/p-$p%04d"
+  }
+
+  /** Discover a partitioned topic's partitions: `p-NNNN` sub-dirs, by
+    * id. Listing-only; a topic's partition count is normally fixed at
+    * creation (the Kafka model), but a partition added later is picked
+    * up by the NEXT offset poll and consumed from ITS earliest offset.
+    */
+  def listPartitions(dir: String, conf: Configuration): Seq[Int] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case PartDirName(id) if st.isDirectory => Some(id.toInt)
+        case _ => None
+      }
+    }.sorted
+  }
 
   private val SegmentName = """(\d{12})-(\d+)\.seg""".r
   private val BasedSegmentName = """(\d{12})-b(\d+)-(\d+)\.seg""".r
@@ -382,10 +417,17 @@ final class GraftLogTable(options: CaseInsensitiveStringMap,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftLogScan(path,
-        Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
+      override def build(): Scan =
+        if (options.getBoolean("partitioned", false))
+          new GraftLogPartitionedScan(path,
+            Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
+        else new GraftLogScan(path,
+          Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!options.getBoolean("partitioned", false),
+      "graft-log sink writes a single-partition topic; to fan out, run one " +
+        "sink per partition sub-directory (partitionDir(dir, p))")
     val s = info.schema()
     require(s.fields.length == 1 && s.fields.head.dataType == StringType,
       s"graft-log sink takes exactly one STRING column (the record payload); got $s")
@@ -517,6 +559,189 @@ final class GraftLogMicroBatchStream(path: String, maxPerTrigger: Option[Long])
   override def stop(): Unit = ()
 }
 
+// ---------------------------------------------------------------------------
+// PARTITIONED topics — the Kafka parallelism unit. A topic is a directory
+// of `p-NNNN` sub-directories, each an independent single-writer segment
+// log with its own offset sequence (N producers → N partitions, no
+// cross-producer coordination). The source reads ALL partitions as one
+// stream: the checkpoint offset is the per-partition offset MAP, each
+// micro-batch plans one input-partition per touched segment-slice per
+// topic-partition, and exactly-once holds per partition because every
+// (partition, offset) range replays bit-identically from the sealed
+// segments. Reference analogue: the MQTT consumer loop
+// (examples/3_iot_datastore_with_mqtt.py:56-120), generalized from one
+// consumer to the N-producer fan-in a production topic actually has.
+// ---------------------------------------------------------------------------
+
+/** Composite stream offset: topic-partition id → records consumed.
+  * Serialized as a sorted JSON object (`{"0":12,"1":7}`) so equal
+  * offsets always serialize identically — the engine compares offsets
+  * by their json form when deciding whether new data exists.
+  */
+final case class GraftLogPartitionedOffset(parts: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    parts.toSeq.sortBy(_._1).map { case (p, n) => s""""$p":$n""" }
+      .mkString("{", ",", "}")
+}
+
+object GraftLogPartitionedOffset {
+  def fromJson(s: String): GraftLogPartitionedOffset = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) GraftLogPartitionedOffset(Map.empty)
+    else GraftLogPartitionedOffset(body.split(",").map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"").toInt ->
+        kv.substring(i + 1).trim.toLong
+    }.toMap)
+  }
+}
+
+final class GraftLogPartitionedScan(path: String, maxPerTrigger: Option[Long])
+    extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = GraftLog.PartitionedSchema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLogPartitionedMicroBatchStream(path, maxPerTrigger)
+
+  override def estimateStatistics(): Statistics = {
+    val conf = new Configuration()
+    val (rows, bytes) = GraftLog.listPartitions(path, conf).map { p =>
+      val segs = GraftLog.listSegments(GraftLog.partitionDir(path, p), conf)
+      val fs = new Path(path).getFileSystem(conf)
+      (segs.map(_.count).sum, segs.map(s =>
+        try fs.getFileStatus(new Path(s.path)).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }).sum)
+    }.foldLeft((0L, 0L)) { case ((r, b), (r2, b2)) => (r + r2, b + b2) }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    private val conf = new Configuration()
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftLog.listPartitions(path, conf).flatMap { p =>
+        val dir = GraftLog.partitionDir(path, p)
+        val segs = GraftLog.listSegments(dir, conf)
+        val lo = segs.headOption.fold(0L)(_.base)
+        val hi = segs.lastOption.fold(0L)(s => s.base + s.count)
+        GraftLog.slices(segs, lo, hi)
+          .map(sl => GraftLogPartSlice(p, sl.file, sl.startLine, sl.endLine, sl.baseOffset))
+      }.toArray[InputPartition]
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftLogReaderFactory()
+  }
+}
+
+final class GraftLogPartitionedMicroBatchStream(path: String, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
+  private val conf = new Configuration()
+  @volatile private var availableNowCap: Option[Map[Int, Long]] = None
+
+  private def partitionEnds(): Map[Int, Long] =
+    GraftLog.listPartitions(path, conf).map(p =>
+      p -> GraftLog.latestOffset(GraftLog.partitionDir(path, p), conf)).toMap
+
+  override def initialOffset(): Offset =
+    GraftLogPartitionedOffset(GraftLog.listPartitions(path, conf).map(p =>
+      p -> GraftLog.earliestOffset(GraftLog.partitionDir(path, p), conf)).toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftLogPartitionedOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(partitionEnds())
+
+  override def reportLatestOffset(): Offset =
+    GraftLogPartitionedOffset(partitionEnds())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  /** Admission control across partitions: a ReadMaxRows budget is split
+    * PROPORTIONALLY to each partition's backlog (floor shares, then the
+    * remainder one record at a time in partition order) — the same
+    * fairness Kafka's maxOffsetsPerTrigger applies, so one hot
+    * partition cannot starve the others, and the allocation is a pure
+    * function of (start, listing) — deterministic under replay.
+    * Partitions discovered after the checkpoint was written (absent
+    * from `start`) enter at their earliest retained offset.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftLogPartitionedOffset].parts
+    val sealedEnds = partitionEnds()
+    val capped = availableNowCap.fold(sealedEnds)(cap =>
+      sealedEnds.map { case (p, e) => p -> math.min(e, cap.getOrElse(p, 0L)) })
+    val fromAll: Map[Int, Long] = capped.map { case (p, _) =>
+      p -> from.getOrElse(p,
+        GraftLog.earliestOffset(GraftLog.partitionDir(path, p), conf))
+    }
+    val backlogs = capped.toSeq.sortBy(_._1).map { case (p, e) =>
+      (p, math.max(0L, e - fromAll(p)))
+    }
+    val ends = limit match {
+      case r: ReadMaxRows =>
+        val budget = r.maxRows()
+        val total = backlogs.map(_._2).sum
+        if (total <= budget) capped
+        else {
+          val floors = scala.collection.mutable.LinkedHashMap(
+            backlogs.map { case (p, b) => p -> budget * b / total }: _*)
+          var rem = budget - floors.values.sum
+          backlogs.foreach { case (p, b) =>
+            if (rem > 0 && floors(p) < b) {
+              val extra = math.min(b - floors(p), rem)
+              floors(p) += extra; rem -= extra
+            }
+          }
+          floors.map { case (p, take) => p -> (fromAll(p) + take) }.toMap
+        }
+      case _ => capped
+    }
+    // never move any partition backwards
+    GraftLogPartitionedOffset(ends.map { case (p, e) => p -> math.max(fromAll(p), e) })
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLogPartitionedOffset].parts
+    val e = end.asInstanceOf[GraftLogPartitionedOffset].parts
+    e.toSeq.sortBy(_._1).flatMap { case (p, to) =>
+      val dir = GraftLog.partitionDir(path, p)
+      val fromP = s.getOrElse(p, GraftLog.earliestOffset(dir, conf))
+      if (fromP >= to) Nil
+      else GraftLog.slices(GraftLog.listSegments(dir, conf), fromP, to)
+        .map(sl => GraftLogPartSlice(p, sl.file, sl.startLine, sl.endLine, sl.baseOffset))
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory()
+
+  override def metrics(latestConsumed: JOptional[Offset]): java.util.Map[String, String] = {
+    val ends = partitionEnds()
+    val latest = ends.values.sum
+    val consumed =
+      if (latestConsumed.isPresent)
+        GraftLogPartitionedOffset.fromJson(latestConsumed.get.json()).parts.values.sum
+      else GraftLog.listPartitions(path, conf).map(p =>
+        GraftLog.earliestOffset(GraftLog.partitionDir(path, p), conf)).sum
+    val m = new java.util.HashMap[String, String]()
+    m.put("latestOffset", latest.toString)
+    m.put("consumedOffset", consumed.toString)
+    m.put("backlogRecords", math.max(0L, latest - consumed).toString)
+    m.put("partitions", ends.size.toString)
+    m
+  }
+
+  override def stop(): Unit = ()
+}
+
 /** The WRITE side of the connector — `df.writeStream.format("graft-log")`
   * publishes each micro-batch epoch as sealed segments, exactly once:
   *
@@ -622,9 +847,19 @@ final class GraftLogWriterFactory(path: String) extends StreamingDataWriterFacto
 final case class GraftLogSlice(file: String, startLine: Long, endLine: Long,
     baseOffset: Long) extends InputPartition
 
+/** A slice of one TOPIC-PARTITION's segment: same line addressing, rows
+  * additionally carry the partition id ((partition, offset) identity).
+  */
+final case class GraftLogPartSlice(partition: Int, file: String,
+    startLine: Long, endLine: Long, baseOffset: Long) extends InputPartition
+
 final class GraftLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val slice = partition.asInstanceOf[GraftLogSlice]
+    val (slice, partId) = partition match {
+      case s: GraftLogSlice => (s, None)
+      case s: GraftLogPartSlice =>
+        (GraftLogSlice(s.file, s.startLine, s.endLine, s.baseOffset), Some(s.partition))
+    }
     new PartitionReader[InternalRow] {
       private val p = new Path(slice.file)
       private val fs = p.getFileSystem(new Configuration())
@@ -671,7 +906,11 @@ final class GraftLogReaderFactory extends PartitionReaderFactory {
         true
       }
       override def get(): InternalRow = {
-        val row = InternalRow(slice.baseOffset + emitted, UTF8String.fromString(line))
+        val payload = UTF8String.fromString(line)
+        val row = partId match {
+          case Some(p) => InternalRow(p, slice.baseOffset + emitted, payload)
+          case None    => InternalRow(slice.baseOffset + emitted, payload)
+        }
         emitted += 1
         row
       }

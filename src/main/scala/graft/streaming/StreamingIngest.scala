@@ -76,7 +76,12 @@ object StreamingIngest {
     * then dedups the replayed append, so the converged store holds each
     * record exactly once. `streamName` scopes tokens when several
     * streams feed one store; it must be stable across restarts (the
-    * checkpoint is what makes batchId stable).
+    * checkpoint is what makes batchId stable). The batch id is
+    * zero-padded to 12 digits so token names sort in commit order —
+    * the equal-width contract [[graft.engine.ParquetStorage
+    * .pruneIngestCommits]]'s name-ordered retention relies on
+    * (un-padded, "b100" sorts before "b99" and pruning could drop a
+    * recent batch's commit record, re-admitting a post-crash replay).
     */
   def startExactlyOnce(
       stream: DataFrame,
@@ -90,7 +95,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        db.insertDFIdempotent(batch.localCheckpoint(true), s"$streamName-b$batchId")
+        db.insertDFIdempotent(batch.localCheckpoint(true), f"$streamName-b$batchId%012d")
         ()
       }
       .start()
@@ -363,6 +368,40 @@ object StreamingIngest {
       maxRecordsPerTrigger: Long, checkpointDir: String,
       streamName: String = "graftlog"): Unit = {
     val q = startExactlyOnce(logPointsSource(spark, dir, maxRecordsPerTrigger),
+      db, checkpointDir, streamName, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  /** A PARTITIONED graft-log topic (N producer sub-dirs fanned in as
+    * one source) as a stream of canonical Point rows — the same closed
+    * value→point form as [[logPointsSource]] with its own constants
+    * (measurement "plog", 6 sensors), so the converged state stays a
+    * pure function of the union of the partitions' published value
+    * sets regardless of partition count, interleaving, or batch cuts.
+    */
+  def partitionedLogPointsSource(spark: SparkSession, dir: String,
+      maxRecordsPerTrigger: Long): DataFrame =
+    spark.readStream.format("graft-log")
+      .option("path", dir)
+      .option("partitioned", "true")
+      .option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+      .load()
+      .select(col("payload").cast("long").as("v"))
+      .select(
+        timestamp_millis(lit(RateEpochMs) + col("v") * 1000L).as(Point.TimeCol),
+        lit("plog").as(Point.MeasurementCol),
+        map(lit("sensor"), concat(lit("s"), col("v") % 6)).as(Point.TagsCol),
+        map(lit("v"), (col("v") % 70).cast("double")).as(Point.FieldsCol))
+
+  /** [[drainLog]] for a partitioned topic: the composite per-partition
+    * offset replays each (partition, range) bit-identically, so the
+    * same exactly-once token protocol holds per partition.
+    */
+  def drainPartitionedLog(spark: SparkSession, db: GraftDB, dir: String,
+      maxRecordsPerTrigger: Long, checkpointDir: String,
+      streamName: String = "graftplog"): Unit = {
+    val q = startExactlyOnce(
+      partitionedLogPointsSource(spark, dir, maxRecordsPerTrigger),
       db, checkpointDir, streamName, Trigger.AvailableNow())
     q.awaitTermination()
   }

@@ -350,6 +350,172 @@ class LogSourceSpec extends SparkSpec {
     }
   }
 
+  describe("graft-log PARTITIONED topics (N producer sub-dirs as one source)") {
+    import graft.streaming.{GraftLogPartitionedMicroBatchStream, GraftLogPartitionedOffset, GraftLogPartSlice}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+    it("composite offsets round-trip; admission budget splits proportionally to backlog") {
+      val topic = tmp("graftplogoff")
+      val conf = new Configuration()
+      new GraftLogProducer(GraftLog.partitionDir(topic, 0))
+        .publish((0 until 100).map(_.toString))
+      new GraftLogProducer(GraftLog.partitionDir(topic, 1))
+        .publish((0 until 300).map(_.toString))
+      new GraftLogProducer(GraftLog.partitionDir(topic, 2)) // exists, empty
+      assert(GraftLog.listPartitions(topic, conf) === Seq(0, 1, 2))
+      val stream = new GraftLogPartitionedMicroBatchStream(topic, Some(100L))
+      val init = stream.initialOffset().asInstanceOf[GraftLogPartitionedOffset]
+      assert(init.parts === Map(0 -> 0L, 1 -> 0L, 2 -> 0L))
+      assert(GraftLogPartitionedOffset.fromJson(init.json()) === init)
+      assert(init.json() === """{"0":0,"1":0,"2":0}""")
+      // backlogs 100/300/0, budget 100 → proportional floors 25/75/0
+      val end = stream.latestOffset(init, ReadLimit.maxRows(100L))
+        .asInstanceOf[GraftLogPartitionedOffset]
+      assert(end.parts === Map(0 -> 25L, 1 -> 75L, 2 -> 0L))
+      // one input partition per touched (topic-partition, segment slice)
+      val slices = stream.planInputPartitions(init, end)
+        .map(_.asInstanceOf[GraftLogPartSlice])
+      assert(slices.map(s => (s.partition, s.endLine - s.startLine)).toSeq ===
+        Seq((0, 25L), (1, 75L)))
+      // no limit → everything; offsets never move backwards
+      val all = stream.latestOffset(end, ReadLimit.allAvailable())
+        .asInstanceOf[GraftLogPartitionedOffset]
+      assert(all.parts === Map(0 -> 100L, 1 -> 300L, 2 -> 0L))
+      // a partition appearing AFTER the checkpoint enters at its head
+      new GraftLogProducer(GraftLog.partitionDir(topic, 3))
+        .publish(Seq("late"))
+      val withNew = stream.latestOffset(end, ReadLimit.allAvailable())
+        .asInstanceOf[GraftLogPartitionedOffset]
+      assert(withNew.parts(3) === 1L)
+    }
+
+    it("batch-reads all partitions with (partition, offset) identity") {
+      val topic = tmp("graftplogbatch")
+      new GraftLogProducer(GraftLog.partitionDir(topic, 0))
+        .publish((0 until 4).map(i => s"a$i"))
+      new GraftLogProducer(GraftLog.partitionDir(topic, 1))
+        .publish((0 until 3).map(i => s"b$i"))
+      val got = spark.read.format("graft-log")
+        .option("path", topic).option("partitioned", "true").load()
+        .orderBy("partition", "offset").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got ===
+        (0 until 4).map(i => (0, i.toLong, s"a$i")) ++
+          (0 until 3).map(i => (1, i.toLong, s"b$i")))
+      // exact listing-only statistics across partitions
+      val stats = new graft.streaming.GraftLogPartitionedScan(topic, None)
+        .estimateStatistics()
+      assert(stats.numRows().getAsLong === 7L)
+      assert(stats.sizeInBytes().getAsLong > 0L)
+    }
+
+    it("drains a 3-partition topic under AvailableNow through the unchanged ingest graph") {
+      val topic = tmp("graftplogdrain")
+      (0 until 3).foreach { p =>
+        val prod = new GraftLogProducer(GraftLog.partitionDir(topic, p))
+        (0 until 900).filter(_ % 3 == p).grouped(150)
+          .foreach(g => prod.publish(g.map(_.toString)))
+      }
+      val db = GraftDB.atPath(spark, tmp("graftplogdraindb"))
+      val ckpt = tmp("graftplogdrainckpt")
+      StreamingIngest.drainPartitionedLog(spark, db, topic,
+        maxRecordsPerTrigger = 250L, ckpt)
+      assert(db.length === 900L)
+      // admission control split the drain into rate-limited batches
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .count(f => f.getName.forall(_.isDigit))
+      assert(commits >= 4, s"expected rate-limited batches, got $commits commits")
+      // converged content is the closed form of [0, 900) — independent of
+      // how the budget interleaved the three partitions
+      val bySensor = db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("s"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).as("sv"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val expect = (0 until 900).groupBy(v => s"s${v % 6}")
+        .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_ % 70).sum.toDouble)) }
+      assert(bySensor === expect)
+    }
+
+    it("kill + resume with a forced replay is exactly-once per partition") {
+      val topic = tmp("graftplogkr")
+      val producers = (0 until 3).map(p =>
+        new GraftLogProducer(GraftLog.partitionDir(topic, p)))
+      (0 until 3).foreach { p =>
+        (0 until 1200).filter(_ % 3 == p).grouped(200)
+          .foreach(g => producers(p).publish(g.map(_.toString)))
+      }
+      val root = tmp("graftplogkrdb")
+      val ckpt = tmp("graftplogkrckpt")
+      val db = GraftDB.atPath(spark, root)
+      val q1 = StreamingIngest.startExactlyOnce(
+        StreamingIngest.partitionedLogPointsSource(spark, topic, 300L),
+        db, ckpt, "pkill")
+      try {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (db.length < 300L && System.currentTimeMillis() < deadline)
+          Thread.sleep(25L)
+        assert(db.length >= 300L, "first run never landed a batch")
+      } finally { q1.stop(); q1.awaitTermination() }
+      def ids(d: String): Seq[Long] = {
+        val fs = new java.io.File(s"$ckpt/$d").listFiles()
+        if (fs == null) Nil
+        else fs.map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted.toSeq
+      }
+      var snap = (ids("offsets"), ids("commits"))
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(200L)
+        val next = (ids("offsets"), ids("commits"))
+        if (next == snap) stable += 1 else stable = 0
+        snap = next
+      }
+      // force the worst crash window on a clean boundary: the store
+      // append landed but the engine's commit record didn't — the
+      // replayed batch re-plans the SAME per-partition offset ranges
+      if (snap._1.lastOption == snap._2.lastOption && snap._2.nonEmpty) {
+        val cp = new org.apache.hadoop.fs.Path(s"$ckpt/commits/${snap._2.last}")
+        cp.getFileSystem(new Configuration()).delete(cp, false)
+        info(s"forced replay of batch ${snap._2.last}")
+      } else info(s"natural replay pending for batch ${snap._1.last}")
+      // every partition keeps growing while the consumer is down
+      (0 until 3).foreach { p =>
+        producers(p).publish(
+          (1200 until 1500).filter(_ % 3 == p).map(_.toString))
+      }
+      val db2 = GraftDB.atPath(spark, root)
+      val q2 = StreamingIngest.startExactlyOnce(
+        StreamingIngest.partitionedLogPointsSource(spark, topic, 300L),
+        db2, ckpt, "pkill")
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (db2.length < 1500L && q2.exception.isEmpty &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(25L)
+        assert(q2.exception.isEmpty, s"resumed query failed: ${q2.exception}")
+      } finally q2.stop()
+      // exactly once across ALL partitions: 1500 rows, all values distinct
+      assert(db2.length === 1500L)
+      assert(db2.allDF().select(graft.model.Point.TimeCol).distinct().count() === 1500L)
+    }
+
+    it("the sink refuses a partitioned topic loudly") {
+      val q = spark.readStream.format("rate-micro-batch").option("rowsPerBatch", 1).load()
+        .selectExpr("cast(value AS STRING) AS payload")
+        .writeStream.format("graft-log")
+        .option("path", tmp("graftplogsink"))
+        .option("partitioned", "true")
+        .option("checkpointLocation", tmp("graftplogsinkckpt"))
+        .start()
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(60000L)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("single-partition")), err.getMessage)
+    }
+  }
+
   describe("graft-log streaming SINK (the write side of the connector)") {
     it("publishes epochs atomically; a forced epoch replay does not duplicate") {
       val src = tmp("graftlogsrc")
