@@ -203,6 +203,79 @@ object GraftLog {
     }
   }
 
+  // ---- topic maintenance lock (claim/seal version chain) ----
+  //
+  // The same protocol as ParquetStorage's `_versions` chain: marker
+  // `_maint/<n>` = "maintenance transition n in flight", `<n>.done` =
+  // complete; a claim of n+1 is attempted only once `<n>.done` exists,
+  // and the claim itself is an atomic create-if-absent. Serializes the
+  // topic's DESTRUCTIVE maintenance — marker compaction, retention, and
+  // the sink's epoch commit — against each other: two unserialized
+  // compactors could each fold a different epoch prefix and the later
+  // low-water write would REGRESS `_sink_compacted_through`, letting a
+  // replay of an already-compacted epoch re-publish its records
+  // (duplicates). Reads stay lock-free (every individual rename is
+  // atomic and both segment name forms are visible-consistent).
+  //
+  // Liveness after a crash mid-transition: a claim older than the lock
+  // timeout is a dead process's — the next waiter seals it and takes
+  // over (the topic has no "handle open" recovery point, so takeover is
+  // time-based; every maintenance step is idempotent/resumable by
+  // design, so finishing a dead run's work is always safe).
+
+  private[graft] def withTopicLock[T](dir: String, conf: Configuration,
+      timeoutMs: Long = 30000L)(body: => T): T = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) { fs.mkdirs(root); () }
+    val md = new Path(root, "_maint")
+    if (!fs.exists(md)) { fs.mkdirs(md); () }
+    def head(): Long = fs.listStatus(md)
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripSuffix(".done").toLong).toOption)
+      .foldLeft(0L)(math.max)
+    def isSealed(n: Long): Boolean = n == 0L || fs.exists(new Path(md, s"$n.done"))
+    def atomicClaim(p: Path): Boolean = {
+      val uri = p.toUri
+      if (uri.getScheme == null || uri.getScheme == "file")
+        new java.io.File(uri.getPath).createNewFile()
+      else
+        try { fs.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var v = -1L
+    while (v < 0) {
+      val cur = head()
+      if (isSealed(cur)) {
+        if (atomicClaim(new Path(md, s"${cur + 1}"))) v = cur + 1
+      } else {
+        // stale-claim takeover: the claimant died mid-transition
+        val age = try System.currentTimeMillis() -
+          fs.getFileStatus(new Path(md, s"$cur")).getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L }
+        if (age > timeoutMs) fs.create(new Path(md, s"$cur.done"), true).close()
+      }
+      if (v < 0) {
+        if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"timed out waiting for topic maintenance lock at $dir")
+        Thread.sleep(2L)
+      }
+    }
+    try body
+    finally {
+      // seal even on failure (every step is resumable; a surviving
+      // sibling must not deadlock behind a dead claim), prune below head
+      fs.create(new Path(md, s"$v.done"), true).close()
+      fs.listStatus(md).foreach { s =>
+        val stem = s.getPath.getName.stripSuffix(".done")
+        if (scala.util.Try(stem.toLong).toOption.exists(_ < v))
+          fs.delete(s.getPath, false)
+      }
+    }
+  }
+
   /** MARKER COMPACTION — bounds the one-file-per-epoch `_epoch-*.committed`
     * growth on sink topics. Every committed epoch older than the newest
     * `keepLast` markers is folded into the producer segment form: each of
@@ -217,11 +290,19 @@ object GraftLog {
     * prefix is in producer form, so [[GraftLogProducer.truncateBefore]]
     * retention works on sink topics too.
     *
-    * Single-writer contract (same as the sink itself): run this from the
-    * sink's epoch commit or one maintenance process, never concurrently.
-    * Returns the number of markers removed.
+    * CONCURRENT-SAFE: the whole pass runs inside the topic maintenance
+    * lock ([[withTopicLock]]), so two maintenance processes — or a
+    * maintenance run racing the sink's own epoch commit — serialize
+    * instead of interleaving (an unserialized pair could regress the
+    * `_sink_compacted_through` low-water and re-admit a compacted
+    * epoch's replay). Returns the number of markers removed.
     */
-  def compactSinkEpochs(dir: String, conf: Configuration, keepLast: Int = 32): Int = {
+  def compactSinkEpochs(dir: String, conf: Configuration, keepLast: Int = 32): Int =
+    withTopicLock(dir, conf) { compactSinkEpochsLocked(dir, conf, keepLast) }
+
+  /** [[compactSinkEpochs]] body — caller must hold the topic lock. */
+  private[streaming] def compactSinkEpochsLocked(dir: String, conf: Configuration,
+      keepLast: Int): Int = {
     require(keepLast >= 1, "keepLast >= 1 (the engine can replay the newest epoch)")
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
@@ -251,15 +332,19 @@ object GraftLog {
         }
       }
       // low-water BEFORE the marker delete: a crash between the two
-      // leaves a marker with no sink segments — harmless, re-deleted next run
-      val tmp = new Path(p, "._sink_compacted_through.inprogress")
-      val out = fs.create(tmp, true)
-      try { out.write(epoch.toString.getBytes("UTF-8")); out.hsync() }
-      finally out.close()
-      val dst = new Path(p, "_sink_compacted_through")
-      if (fs.exists(dst)) { fs.delete(dst, false); () }
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException("compacted-through marker rename failed")
+      // leaves a marker with no sink segments — harmless, re-deleted next
+      // run. MONOTONE: never write a value below the current low-water
+      // (belt-and-braces — the lock already serializes writers).
+      if (epoch > compactedThrough(dir, conf)) {
+        val tmp = new Path(p, "._sink_compacted_through.inprogress")
+        val out = fs.create(tmp, true)
+        try { out.write(epoch.toString.getBytes("UTF-8")); out.hsync() }
+        finally out.close()
+        val dst = new Path(p, "_sink_compacted_through")
+        if (fs.exists(dst)) { fs.delete(dst, false); () }
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException("compacted-through marker rename failed")
+      }
       fs.delete(new Path(p, s"_epoch-$epoch.committed"), false)
       removed += 1
     }
@@ -369,6 +454,12 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     * survives intact. Returns the number of segments deleted.
     */
   def truncateBefore(offset: Long): Int = synchronized {
+    // serialized against other maintenance (marker compaction renames
+    // the very segments retention lists and deletes)
+    GraftLog.withTopicLock(dir, conf) { truncateBeforeLocked(offset) }
+  }
+
+  private def truncateBeforeLocked(offset: Long): Int = {
     val segs = GraftLog.listSegments(dir, conf)
     val doomed = segs.filter(s => s.base + s.count <= offset)
     // deleting a prefix must not shift any survivor's offset: the doomed
@@ -773,34 +864,43 @@ final class GraftLogStreamingWrite(path: String, compactMarkersAfter: Int = 32)
     new GraftLogWriterFactory(path)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
-    val marker = new Path(dir, s"_epoch-$epochId.committed")
+    val fs = dir.getFileSystem(conf)
     val staged = messages.collect { case m: GraftLogWriteMessage => m }
-    if (fs.exists(marker) || epochId <= GraftLog.compactedThrough(path, new Configuration())) {
-      // replayed epoch already published (marker live, or folded into
-      // based-name segments by compaction): drop this attempt's output
-      staged.foreach(m => fs.delete(new Path(m.stagedPath), false))
-      return
-    }
-    // clean any invisible leftovers of a dead attempt, then move ours in
-    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case n if n.startsWith(f"s$epochId%012d-") && n.endsWith(".seg") =>
-          fs.delete(st.getPath, false)
-        case _ => ()
+    // the whole publish (replay check → seals → marker → compaction)
+    // runs under the topic maintenance lock, so an external maintenance
+    // run (compaction, retention) can never interleave with an epoch
+    // commit — e.g. fold segments this commit is mid-way through
+    // publishing, or regress the compacted-through low-water the replay
+    // check consults
+    GraftLog.withTopicLock(path, conf) {
+      val marker = new Path(dir, s"_epoch-$epochId.committed")
+      if (fs.exists(marker) || epochId <= GraftLog.compactedThrough(path, conf)) {
+        // replayed epoch already published (marker live, or folded into
+        // based-name segments by compaction): drop this attempt's output
+        staged.foreach(m => fs.delete(new Path(m.stagedPath), false))
+        return
       }
+      // clean any invisible leftovers of a dead attempt, then move ours in
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        st.getPath.getName match {
+          case n if n.startsWith(f"s$epochId%012d-") && n.endsWith(".seg") =>
+            fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+      staged.filter(_.count > 0L).foreach { m =>
+        val dst = new Path(dir, f"s$epochId%012d-p${m.partitionId}%04d-${m.count}.seg")
+        if (!fs.rename(new Path(m.stagedPath), dst))
+          throw new java.io.IOException(s"sink seal failed: ${m.stagedPath} -> $dst")
+      }
+      staged.filter(_.count == 0L).foreach(m => fs.delete(new Path(m.stagedPath), false))
+      fs.create(marker, true).close()
+      // bound marker growth (already holding the lock)
+      GraftLog.compactSinkEpochsLocked(path, conf, compactMarkersAfter)
+      ()
     }
-    staged.filter(_.count > 0L).foreach { m =>
-      val dst = new Path(dir, f"s$epochId%012d-p${m.partitionId}%04d-${m.count}.seg")
-      if (!fs.rename(new Path(m.stagedPath), dst))
-        throw new java.io.IOException(s"sink seal failed: ${m.stagedPath} -> $dst")
-    }
-    staged.filter(_.count == 0L).foreach(m => fs.delete(new Path(m.stagedPath), false))
-    fs.create(marker, true).close()
-    // bound marker growth; single sink driver = single compactor
-    GraftLog.compactSinkEpochs(path, new Configuration(), compactMarkersAfter)
-    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

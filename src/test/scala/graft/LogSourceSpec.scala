@@ -646,6 +646,70 @@ class LogSourceSpec extends SparkSpec {
       assert(GraftLog.compactSinkEpochs(dst, conf, keepLast = 1) === 0)
     }
 
+    it("two concurrent compactors serialize: consistent listing, monotone low-water") {
+      val dst = tmp("graftcmprace")
+      val conf = new Configuration()
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
+      // hand-build a sink topic: 12 committed epochs, one segment each
+      (0 until 12).foreach { e =>
+        val seg = new org.apache.hadoop.fs.Path(dst, f"s$e%012d-p0000-5.seg")
+        val out = fs.create(seg, true)
+        try out.write((0 until 5).map(i => s"e$e-r$i\n").mkString.getBytes("UTF-8"))
+        finally out.close()
+        fs.create(new org.apache.hadoop.fs.Path(dst, s"_epoch-$e.committed"), true).close()
+      }
+      val before = spark.read.format("graft-log").option("path", dst).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(before.size === 60)
+      // two compactors race with different retention targets — an
+      // unserialized pair interleaves renames / regresses the low-water;
+      // under the topic lock both complete (or no-op) cleanly
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(1, 3).map(keep => new Thread(() =>
+        try { GraftLog.compactSinkEpochs(dst, conf, keepLast = keep); () }
+        catch { case e: Throwable => errs.add(e); () }))
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      assert(ts.forall(!_.isAlive))
+      assert(errs.isEmpty, s"racing compactors failed: ${errs.toArray.toSeq}")
+      // read view bit-identical; at most 3 markers survive; low-water is
+      // the largest epoch either pass folded (never a smaller rewrite)
+      val after = spark.read.format("graft-log").option("path", dst).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(after === before, "racing compactions changed the read view")
+      val markers = new java.io.File(dst).listFiles().map(_.getName)
+        .filter(_.startsWith("_epoch-")).toSeq
+      assert(markers.size <= 3, s"markers not bounded after race: $markers")
+      assert(GraftLog.compactSinkEpochs(dst, conf, keepLast = 1) >= 0)
+      val through = {
+        val in = scala.io.Source.fromFile(s"$dst/_sink_compacted_through")
+        try in.mkString.trim.toLong finally in.close()
+      }
+      assert(through === 10L, s"low-water $through != 10 (epoch 11 retained)")
+      // replay of ANY compacted epoch still drops its staged output
+      val stagedPath = new org.apache.hadoop.fs.Path(dst, ".sink-e000000000007-p0000-t9.staged")
+      val out2 = fs.create(stagedPath, true); out2.write("ghost\n".getBytes("UTF-8")); out2.close()
+      new graft.streaming.GraftLogStreamingWrite(dst, 3).commit(7L,
+        Array(graft.streaming.GraftLogWriteMessage(0, 1L, stagedPath.toString)))
+      assert(!fs.exists(stagedPath))
+      assert(spark.read.format("graft-log").option("path", dst).load().count() === 60L)
+    }
+
+    it("a stale lock claim from a dead maintenance process is taken over") {
+      val dst = tmp("graftcmpdead")
+      val conf = new Configuration()
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dst/_maint"))
+      // a dead process claimed transition 1 and never sealed it; backdate
+      // the claim past the takeover age
+      fs.create(new org.apache.hadoop.fs.Path(s"$dst/_maint/1"), true).close()
+      new java.io.File(s"$dst/_maint/1").setLastModified(
+        System.currentTimeMillis() - 3600000L)
+      // a new maintenance run seals the orphan and proceeds
+      val got = GraftLog.withTopicLock(dst, conf, timeoutMs = 2000L) { 42 }
+      assert(got === 42)
+    }
+
     it("rejects multi-column or non-string input loudly") {
       val q = spark.readStream.format("rate-micro-batch").option("rowsPerBatch", 1).load()
         .writeStream.format("graft-log")
