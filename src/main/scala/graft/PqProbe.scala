@@ -74,6 +74,18 @@ object PqProbe {
       "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
     println(f"| residual IVF+PQ (q174) | nProbe=2, m=4x16, residual codes | ${recall(rivfpq)}%.3f |")
 
+    // q178: OPQ rotation (variance-balancing permutation, Ge et al.)
+    // over the residual form, 6 orthant bits (64 codes — still one
+    // byte, identical storage); the claim is a strictly higher number
+    // than the q174 row at both scales (measured 0.260/0.200 vs
+    // 0.200/0.140 at sf0.001/sf0.1)
+    val perm = graft.analytics.Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+    val ocb = graft.analytics.Similarity.opqResidualPqCodebooks(
+      e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+    val orivfpq = pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, cents, perm, ocb,
+      "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
+    println(f"| OPQ residual IVF+PQ (q178) | nProbe=2, m=4x16, OPQ perm, 6 sign bits | ${recall(orivfpq)}%.3f |")
+
     // the original compression sweep: recall across subspace splits
     for ((m, sd) <- Seq((4, 16), (8, 8), (16, 4), (32, 2))) {
       val cbs = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m, sd)

@@ -382,6 +382,133 @@ object Similarity {
       .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
   }
 
+  // ---- OPQ rotation (permutation form) for the residual PQ tier ----
+  //
+  // Ge et al., "Optimized Product Quantization" (CVPR 2013) quantize
+  // R·x for a learned orthogonal R. This is the PERMUTATION-subgroup
+  // instance of that idea: permutations are orthogonal (exact
+  // distances invariant — only the PQ approximation changes), and the
+  // permutation realizes OPQ's variance/eigenvalue-ALLOCATION step —
+  // deal the dimensions across the m subspaces so each carries a
+  // balanced share of the residual spread, instead of whatever the
+  // storage order happened to group together. Two mechanisms lift
+  // recall at identical bytes: (a) balanced per-subspace variance
+  // (no subspace wastes its code budget on near-constant dims), and
+  // (b) within each subspace the dims are ordered by variance, so the
+  // sign-orthant code bits (the first `signBits` positions) fall on
+  // the most informative dimensions. Deterministic and SQL-replayable:
+  // one per-dimension variance aggregate + rank arithmetic.
+
+  /** The OPQ permutation learned from the corpus residuals: one row
+    * per source dimension `i` (1-based, matching `element_at`) with
+    * its target subspace `sub` and in-subspace position `j`.
+    * Dimensions rank by residual variance (population form
+    * avg(x²)−avg(x)², rounded; ties broken by i) and snake-deal across
+    * subspaces: rank r → subspace r%m on even rounds, m−1−r%m on odd
+    * (the boustrophedon keeps the per-subspace variance sums closest),
+    * position j = r/m (best variance first — the sign-bit positions).
+    */
+  def opqPermutation(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "opqPermutation")
+    val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
+    val w = Window.orderBy(col("v").desc, col("i").asc)
+    residualVecs(keyed, centroids, "__rid", vecCol)
+      .select(posexplode(col("rv")))
+      .select((col("pos") + 1).as("i"), col("col").cast("double").as("x"))
+      .groupBy("i")
+      .agg(round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 9).as("v"))
+      .withColumn("r", row_number().over(w) - 1)
+      .select(col("i"),
+        when(((col("r") / m).cast("int") % 2) === 0, col("r") % m)
+          .otherwise(lit(m - 1) - col("r") % m).cast("int").as("sub"),
+        (col("r") / m).cast("int").as("j"))
+  }
+
+  /** Collect a permutation table to its positional form: entry p of
+    * the result is the 1-based SOURCE dimension that lands at rotated
+    * position p = sub·subDim + j. Tiny (d rows) — broadcast as array
+    * literals into the rotate expression.
+    */
+  private def permSources(perm: DataFrame, m: Int, subDim: Int): Seq[Int] = {
+    val rows = perm.select("i", "sub", "j").collect()
+      .map(r => (r.getInt(1) * subDim + r.getInt(2)) -> r.getInt(0)).toMap
+    require(rows.size == m * subDim, s"permutation covers ${rows.size} of ${m * subDim} dims")
+    (0 until m * subDim).map(rows)
+  }
+
+  /** Gather `vec`'s entries in permuted order (position p reads source
+    * dim srcs(p)) — the orthogonal rotation as one array expression.
+    */
+  private def applyPerm(vec: org.apache.spark.sql.Column,
+      srcs: Seq[Int]): org.apache.spark.sql.Column =
+    array(srcs.map(s => element_at(vec, s)): _*)
+
+  /** [[residualPqCodebooks]] over OPQ-rotated residuals: identical
+    * training (sign-orthant buckets, label-free, deterministic), but
+    * the orthant bits and subspace means now see the variance-balanced
+    * dimension order. Output shape (sub, code, j, c) — positions refer
+    * to the ROTATED layout; pair with [[opqResidualIvfPqTopK]] and the
+    * same `perm`.
+    */
+  def opqResidualPqCodebooks(corpus: DataFrame, centroids: DataFrame, perm: DataFrame,
+      idCol: String, vecCol: String,
+      m: Int, subDim: Int, signBits: Int = 3, roundTo: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "opqResidualPqCodebooks")
+    require(signBits >= 1 && signBits <= subDim, "signBits in [1, subDim]")
+    val srcs = permSources(perm, m, subDim)
+    val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
+    residualVecs(keyed, centroids, "__rid", vecCol)
+      .withColumn("rv", applyPerm(col("rv"), srcs))
+      .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("rv"), s * subDim + 1, lit(subDim)))))
+      .select(col("pos").cast("int").as("sub"), col("col").as("sv"))
+      .withColumn("code",
+        (0 until signBits).map(j =>
+          when(element_at(col("sv"), j + 1) >= 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _))
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .select(col("sub"), col("code"), col("pos").as("j"),
+        col("col").cast("double").as("x"))
+      .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
+  }
+
+  /** [[residualIvfPqTopK]] with the OPQ rotation applied to both the
+    * corpus residuals and the per-(query, cell) query residuals — the
+    * rotation is orthogonal, so ||qr||² and the ADC expansion are
+    * computed in rotated coordinates unchanged. Same plan shape:
+    * broadcast quantizers + rotation literals, one encode shuffle,
+    * bounded TopK.
+    */
+  def opqResidualIvfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, perm: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int, nProbe: Int,
+      m: Int, subDim: Int, roundTo: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "opqResidualIvfPqTopK")
+    val srcs = permSources(perm, m, subDim)
+    val cb = pqCentersOf(codebooks)
+    val res = residualVecs(
+      corpus.withColumn("__rid", col(idCol).cast("long")), centroids, "__rid", vecCol)
+      .withColumn("rv", applyPerm(col("rv"), srcs))
+    val enc = residualSubDists(res, Seq("id", "cell"), "rv", cb, m, subDim)
+      .groupBy("id", "cell", "sub")
+      .agg(min(struct(col("sdist"), col("code"))).getField("code").as("code"))
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    val qres = probeCells(q0, centersOf(centroids), nProbe)
+      .join(broadcast(centersOf(centroids)), "cell")
+      .select(col("qid"), col("cell"),
+        applyPerm(zip_with(col("qv"), col("center"), (a, b) => a - b), srcs).as("qr"))
+    val qrr = qres.select(col("qid"), col("cell"), dot(col("qr"), col("qr")).as("qrr"))
+    val qtable = residualSubDists(qres, Seq("qid", "cell"), "qr", cb, m, subDim)
+      .withColumnRenamed("sdist", "qdist")
+    val scored = enc.join(broadcast(qtable), Seq("cell", "sub", "code"))
+      .groupBy("qid", "id", "cell").agg(sum(col("qdist")).as("qsum"))
+      .join(broadcast(qrr), Seq("qid", "cell"))
+      .select(col("qid"), col("id"), round(col("qsum") + col("qrr"), roundTo).as("adc"))
+    topKPerQuery(scored.select(col("qid"), col("id"), (-col("adc")).as("cosine")), k)
+      .select(col("qid"), col("id"), (-col("cosine")).as("adc"), col("rank"))
+  }
+
   /** Residual IVF+PQ top-k: coarse probe prunes to `nProbe` cells;
     * candidates score from m-byte RESIDUAL codes via per-(query, cell)
     * distance tables (the query's residual differs per probed cell, so

@@ -237,6 +237,27 @@ class AnalyticsSpec extends SparkSpec {
       info(s"recall@10: ivfpq=$ivfpq residual=$rivfpq")
       assert(rivfpq > ivfpq, s"residual IVF+PQ ($rivfpq) should beat raw IVF+PQ ($ivfpq)")
       assert(rivfpq >= 0.18, s"residual IVF+PQ recall dropped: $rivfpq") // measured 0.20
+
+      // OPQ rotation (q178) must BEAT the un-rotated residual form
+      // (q174) at identical bytes — the rotation's whole claim, pinned
+      // like the residual-vs-raw superiority above (measured 0.26 vs
+      // 0.20 here; 0.20 vs 0.14 at sf0.1)
+      val perm = graft.analytics.Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", 4, 16)
+      val ocb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val opq = recall(pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, cents, perm, ocb, "vec_id", "embedding", "qid", 10,
+        nProbe = 2, m = 4, subDim = 16)))
+      info(s"recall@10: opq=$opq")
+      assert(opq > rivfpq, s"OPQ residual IVF+PQ ($opq) should beat residual ($rivfpq)")
+      assert(opq >= 0.24, s"OPQ recall dropped: $opq") // measured 0.26
+      // the permutation is a bijection over the 64 dims, split 16/16/16/16
+      val pRows = perm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      assert(pRows.map(_._1).sorted.toSeq === (1 to 64))
+      assert(pRows.groupBy(_._2).view.mapValues(_.length).toMap ===
+        Map(0 -> 16, 1 -> 16, 2 -> 16, 3 -> 16))
+      assert(pRows.map(p => (p._2, p._3)).distinct.length === 64)
     }
   }
 
