@@ -22,11 +22,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // per-query scratch teardown: the parquet write below fully
+      // materializes the result, so any on-disk state the query
+      // allocated (digest stores, topics, checkpoints) is dead after it
+      val mark = graft.util.Scratch.marker()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally graft.util.Scratch.releaseSince(mark)
       // queries are independent; intermediate caches some operators
       // register (e.g. LSH signature tables) would otherwise accumulate
       // across all 70+ queries in this one JVM

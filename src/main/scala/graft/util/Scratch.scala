@@ -5,15 +5,21 @@ import java.nio.file.{Files, Path}
 /** Managed scratch directories for queries that need real on-disk state
   * (persisted digest stores, bucketed tables, stream checkpoints) as part
   * of their lifecycle shape. Every dir handed out here is registered for
-  * recursive deletion at JVM exit, so repeated query construction (EXPLAIN
-  * passes, harness re-invocations) cannot leak temp trees.
+  * recursive deletion at JVM exit — the backstop — and callers have three
+  * EXPLICIT lifecycles so a long-lived session doesn't accumulate temp
+  * trees until exit:
+  *   - [[withDir]] scopes a dir to a code block (deleted on the way out);
+  *   - [[release]] drops one dir by path once its consumer is done;
+  *   - [[marker]]/[[releaseSince]] bracket a unit of work (the Verify
+  *     harness wraps each query: materialize the result, then drop every
+  *     scratch dir that query created).
   */
 object Scratch {
-  private val created = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private val created = scala.collection.mutable.ArrayBuffer.empty[Path]
 
   private lazy val hook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.forEach { p => deleteRecursively(p) }
+      synchronized { created.toList }.foreach(deleteRecursively)
     }))
   }
 
@@ -27,11 +33,52 @@ object Scratch {
     } catch { case _: Exception => () }
   }
 
-  /** A fresh temp directory (as a string path), cleaned up at JVM exit. */
-  def dir(prefix: String): String = {
+  /** A fresh temp directory (as a string path), cleaned up at JVM exit
+    * at the latest — prefer one of the explicit lifecycles above when
+    * the dir's useful life is shorter than the session's.
+    */
+  def dir(prefix: String): String = synchronized {
     hook
     val p = Files.createTempDirectory(prefix)
-    created.add(p)
+    created += p
     p.toString
+  }
+
+  /** Delete a dir handed out by [[dir]] NOW and deregister it from the
+    * exit hook. No-op for unknown paths.
+    */
+  def release(path: String): Unit = {
+    val doomed = synchronized {
+      val idx = created.indexWhere(_.toString == path)
+      if (idx < 0) None else Some(created.remove(idx))
+    }
+    doomed.foreach(deleteRecursively)
+  }
+
+  /** High-water mark of dirs created so far — bracket with
+    * [[releaseSince]] to drop everything a unit of work allocated.
+    */
+  def marker(): Int = synchronized { created.length }
+
+  /** Delete and deregister every dir created after `mark` (as returned
+    * by [[marker]]). The harness teardown: run query → materialize →
+    * releaseSince(mark), so per-query state doesn't outlive the query.
+    */
+  def releaseSince(mark: Int): Unit = {
+    val doomed = synchronized {
+      if (mark >= created.length) Nil
+      else {
+        val d = created.drop(mark).toList
+        created.remove(mark, created.length - mark)
+        d
+      }
+    }
+    doomed.foreach(deleteRecursively)
+  }
+
+  /** Scoped form: the dir lives exactly as long as `body`. */
+  def withDir[T](prefix: String)(body: String => T): T = {
+    val d = dir(prefix)
+    try body(d) finally release(d)
   }
 }

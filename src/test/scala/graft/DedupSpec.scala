@@ -81,6 +81,29 @@ class DedupSpec extends SparkSpec {
         .as[Long].collect().toSet == Set(31L))
     }
 
+    it("scratch lifecycle: a scoped digest store is deleted when its scope closes") {
+      val keep = graft.util.Scratch.dir("graftdigkeep") // unrelated dir survives
+      val storePath = graft.util.Scratch.withDir("graftdiglife") { d =>
+        val store = s"$d/digests"
+        Dedup.appendDigestStore(Seq((0L, "alpha")).toDF("doc_id", "text"),
+          Seq("text"), store, batchTag = 1L, sidecar = true)
+        val surv = Dedup.dedupAgainstStore(
+          Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+          Seq("text"), "doc_id", store, useSidecar = true)
+          .as[Long].collect().toSet
+        assert(surv === Set(2L))
+        assert(new java.io.File(store).exists())
+        d
+      }
+      // the scope closed after the result materialized: dir gone NOW,
+      // not at JVM exit
+      assert(!new java.io.File(storePath).exists(),
+        s"scoped scratch dir survived its scope: $storePath")
+      assert(new java.io.File(keep).exists(), "release must not touch other dirs")
+      graft.util.Scratch.release(keep)
+      assert(!new java.io.File(keep).exists())
+    }
+
     it("a stale sidecar (append without sidecar refresh) falls back to the exact anti-join") {
       val store = java.nio.file.Files.createTempDirectory("graftdigstale").toString + "/digests"
       Dedup.appendDigestStore(Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"),

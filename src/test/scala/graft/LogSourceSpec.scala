@@ -499,6 +499,22 @@ class LogSourceSpec extends SparkSpec {
       assert(db2.allDF().select(graft.model.Point.TimeCol).distinct().count() === 1500L)
     }
 
+    it("scratch lifecycle: marker/releaseSince drops a drained topic's on-disk state") {
+      val before = graft.util.Scratch.marker()
+      // the Verify-harness bracket: allocate → run to completion → release
+      val (topic, dbDir, ckpt) = (graft.util.Scratch.dir("graftploglt"),
+        graft.util.Scratch.dir("graftplogltdb"), graft.util.Scratch.dir("graftplogltck"))
+      new GraftLogProducer(GraftLog.partitionDir(topic, 0))
+        .publish((0 until 60).map(_.toString))
+      val db = GraftDB.atPath(spark, dbDir)
+      StreamingIngest.drainPartitionedLog(spark, db, topic,
+        maxRecordsPerTrigger = 50L, ckpt)
+      assert(db.length === 60L)
+      graft.util.Scratch.releaseSince(before)
+      Seq(topic, dbDir, ckpt).foreach(d =>
+        assert(!new java.io.File(d).exists(), s"scratch dir survived release: $d"))
+    }
+
     it("the sink refuses a partitioned topic loudly") {
       val q = spark.readStream.format("rate-micro-batch").option("rowsPerBatch", 1).load()
         .selectExpr("cast(value AS STRING) AS payload")
