@@ -52,6 +52,131 @@ object ScaleProbe {
         f"(result rows: $n, stages: ${stages.get()})")
     }
 
+    // ---- round-11 tier: ×100 probes for the broker / digest-store /
+    // residual-PQ paths (VERDICT r10 task 6). Gated behind its own env
+    // so it can run standalone: SPARK_GRAFT_SCALE_ONLY=r11.
+    def r11Tier(): Unit = {
+      import graft.engine.GraftDB
+      import graft.streaming.{GraftLog, GraftLogProducer, StreamingIngest}
+      // q171/q177 shape: segment count ×100 (fixed 500 records each, so
+      // data scales with segments). Offset discovery is listing-only and
+      // slices are one partition per touched segment — expected ~linear
+      // wall with constant stage budget per micro-batch, no driver term
+      // beyond the listing.
+      for ((label, nSegs) <- Seq("1x" -> 20, "100x" -> 2000)) {
+        val mark = graft.util.Scratch.marker()
+        val topic = graft.util.Scratch.dir(s"scalelog$label")
+        val prod = new GraftLogProducer(topic)
+        (0 until nSegs).foreach(s =>
+          prod.publish((s * 500 until (s + 1) * 500).map(_.toString)))
+        time(s"log_batch_read_$label") {
+          spark.read.format("graft-log").option("path", topic).load().count()
+        }
+        time(s"log_drain_exactly_once_$label") {
+          val db = GraftDB.atPath(spark, graft.util.Scratch.dir(s"scalelogdb$label"))
+          StreamingIngest.drainLog(spark, db, topic,
+            maxRecordsPerTrigger = math.max(1000L, nSegs * 50L),
+            graft.util.Scratch.dir(s"scalelogck$label"))
+          db.length
+        }
+        graft.util.Scratch.releaseSince(mark)
+      }
+      // q177: the same ×100 segment universe fanned across 4 partitions
+      // — per-partition offsets, proportional admission; expected the
+      // same ~linear growth as the single-dir drain above
+      locally {
+        val mark = graft.util.Scratch.marker()
+        val topic = graft.util.Scratch.dir("scaleplog")
+        (0 until 4).foreach { p =>
+          val prod = new GraftLogProducer(GraftLog.partitionDir(topic, p))
+          (0 until 500).foreach(s =>
+            prod.publish((s * 500 until (s + 1) * 500).map(_.toString)))
+        }
+        time("log_partitioned_drain_100x") {
+          val db = GraftDB.atPath(spark, graft.util.Scratch.dir("scaleplogdb"))
+          StreamingIngest.drainPartitionedLog(spark, db, topic,
+            maxRecordsPerTrigger = 100000L, graft.util.Scratch.dir("scaleplogck"))
+          db.length
+        }
+        graft.util.Scratch.releaseSince(mark)
+      }
+      // q173 shape at store ×100: the persisted digest HISTORY scales
+      // (100 salted replicas ≈ 100× distinct digests), the arriving
+      // batch stays fixed. The anti-join is digest-keyed so the probe
+      // expectation is ~linear in the STORE for the scan side with a
+      // constant batch-side cost; the sidecar skip-rate is printed —
+      // at ×100 the 64 KB bloom saturates (rate → 1.0) and the guard
+      // degrades gracefully to always-scan, which is the documented
+      // sizing story, not a failure.
+      val d1s = Tables.table(spark, sfDir, "documents")
+      for ((label, copies) <- Seq("1x" -> 1, "100x" -> 100)) {
+        val mark = graft.util.Scratch.marker()
+        val store = graft.util.Scratch.dir(s"scaledigx$label") + "/digests"
+        val hist = (0 until copies).map(c =>
+          d1s.select(concat(col("text"), lit(s" h$c")).as("text")))
+          .reduce(_ unionByName _)
+        Dedup.appendDigestStore(hist, Seq("text"), store, batchTag = 1L, sidecar = true)
+        val novel = d1s.select(col("doc_id"), concat(col("text"), lit(" novel")).as("text"))
+        val rate = Dedup.sidecarMightHitRate(novel, Seq("text"), store)
+        println(f"SCALE sidecar_might_hit_rate_$label%-20s ${rate.getOrElse(-1.0)}%.4f")
+        time(s"dedup_store_novel_$label") {
+          Dedup.dedupAgainstStore(novel, Seq("text"), "doc_id", store,
+            useSidecar = true).count()
+        }
+        time(s"dedup_store_colliding_$label") {
+          Dedup.dedupAgainstStore(
+            d1s.select(col("doc_id"), concat(col("text"), lit(" h0")).as("text")),
+            Seq("text"), "doc_id", store, useSidecar = true).count()
+        }
+        graft.util.Scratch.releaseSince(mark)
+      }
+      // q174/q178 shape at corpus ×100: train + serve over 100 replicas.
+      // Training is scan → explode → bounded partial agg; serving cost
+      // tracks the probed inverted lists (100× corpus ⇒ 100× list
+      // length ⇒ ~linear), codes only — no window, no cartesian. q178
+      // adds one 64-row permutation aggregate + a gather expression per
+      // row: same cost model.
+      val emb1s = Tables.table(spark, sfDir, "embeddings")
+      val emb100 = (0 until 100).map(c =>
+        emb1s.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))).reduce(_ unionByName _)
+        .repartition(64).cache()
+      println(s"SCALE embeddings x100: ${emb100.count()} vectors")
+      val cents100 = graft.analytics.Similarity.centroids(
+        emb100.select(col("label"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+        "label", "nv")
+      for ((label, d) <- Seq("1x" -> emb1s, "100x" -> emb100)) {
+        val cents = if (label == "1x") graft.analytics.Similarity.centroids(
+          d.select(col("label"),
+            graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
+          "label", "nv") else cents100
+        val rCb = graft.analytics.Similarity.residualPqCodebooks(
+          d, cents, "vec_id", "embedding", m = 4, subDim = 16)
+        time(s"residual_ivfpq_train_serve_$label") {
+          graft.analytics.Similarity.residualIvfPqTopK(d,
+            d.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+            cents, rCb, "vec_id", "embedding", "qid", k = 10, nProbe = 2,
+            m = 4, subDim = 16).count()
+        }
+        val perm = graft.analytics.Similarity.opqPermutation(
+          d, cents, "vec_id", "embedding", 4, 16)
+        val oCb = graft.analytics.Similarity.opqResidualPqCodebooks(
+          d, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+        time(s"opq_ivfpq_train_serve_$label") {
+          graft.analytics.Similarity.opqResidualIvfPqTopK(d,
+            d.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+            cents, perm, oCb, "vec_id", "embedding", "qid", k = 10, nProbe = 2,
+            m = 4, subDim = 16).count()
+        }
+      }
+      emb100.unpersist()
+      ()
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("r11")) {
+      r11Tier(); spark.stop(); return
+    }
+
     val docs1 = Tables.table(spark, sfDir, "documents")
     val nDocs = docs1.count()
     // 10× corpus: replicate with id offsets AND a per-copy text salt so

@@ -305,6 +305,37 @@ object Dedup {
       .select(idCol)
   }
 
+  /** Observability for the sidecar skip guard: the fraction of the
+    * batch's distinct digests the bloom sidecar cannot rule out
+    * (None = no trustworthy sidecar). 0.0 means the whole anti-join is
+    * skippable; as the store grows past the sidecar's capacity
+    * (~2^19 bits / k=3 → useful to ~10^5 digests) the rate saturates
+    * toward 1.0 and the guard degrades gracefully to always-scan —
+    * this is the number an operator watches to size the sidecar.
+    */
+  def sidecarMightHitRate(newBatch: DataFrame, keyCols: Seq[String],
+      path: String): Option[Double] = {
+    val spark = newBatch.sparkSession
+    readSidecar(spark, path).map { case (bits, k, words) =>
+      val storeKeyCols = keyCols.map(c => s"__k_$c")
+      val inBatch = newBatch
+        .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
+        .distinct()
+      val bitset = lit(words)
+      def bitTest(p: Column): Column =
+        call_function("shiftright",
+          element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L
+      val mightHit = (1 to k)
+        .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
+        .reduce(_ && _)
+      val agg = inBatch.select(
+        count(lit(1)).as("n"),
+        sum(when(mightHit, 1L).otherwise(0L)).as("h")).head()
+      if (agg.getLong(0) == 0L) 0.0 else agg.getLong(1).toDouble / agg.getLong(0)
+    }
+  }
+
   /** The attribution side of exact dedup: every DROPPED row mapped to
     * the survivor it duplicates — the output lineage/debugging tables
     * and "redirect to canonical" serving paths need (exactSurvivorIds

@@ -96,6 +96,67 @@ class ExamplesSpec extends SparkSpec {
     assert(kept.filter(col("asset_id") === 2L).count() == 0)
   }
 
+  it("MIGRATION.md snippets execute as written (doc-driven, no API gaps)") {
+    import graft.engine.GraftDB
+    import graft.query._
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    val db = GraftDB.inMemory(spark)
+    // "Insert" section
+    assert(db.insert(Point(Instant.parse("2024-01-02T00:00:00Z"), "temperature",
+      Map("sensor" -> "living_room", "unit" -> "celsius"),
+      Map("value" -> 23.2))) == 1)
+    val points = Seq(
+      Point(Instant.parse("2024-01-03T00:00:00Z"), "temperature",
+        Map("sensor" -> "bedroom"), Map("value" -> 26.0)),
+      Point(Instant.parse("2024-01-04T00:00:00Z"), "temperature",
+        Map("sensor" -> "living_room"), Map("value" -> 19.5)))
+    assert(db.insertMultiple(points) == points.size)
+    db.insert(Point.local(java.time.LocalDateTime.of(2024, 1, 1, 12, 30, 0),
+      "temperature", fields = Map("value" -> 23.2)))
+    // "Query DSL" section — each form as documented
+    val q1 = (TimeQuery() >= t0) & (TagQuery("sensor") === "living_room") &
+      (FieldQuery("value") > 20)
+    assert(db.count(q1) == 1)
+    val q2 = ~(TagQuery("unit") === "celsius") // true when the tag is missing
+    assert(db.count(q2) == 3)
+    assert(db.count(TagQuery("sensor").matches("living.*", flags = "i")) == 2)
+    assert(db.count(FieldQuery("value").test(v => v > 20)) == 3)
+    assert(db.count((FieldQuery("value").map(v => v * 9 / 5 + 32) > 70)) == 3)
+    // "Read ops" section
+    assert(db.all().size == 4 && db.length == 4)
+    assert(db.search(q1).size == 1)
+    assert(db.get(q1).isDefined && db.contains(q1))
+    assert(db.selectDF(Seq("time", "tags.sensor", "fields.value"), Noop).count() == 4)
+    assert(db.getMeasurements == Seq("temperature"))
+    assert(db.getFieldKeys() == Seq("value"))
+    assert(db.getTagValues(Seq("sensor")).apply("sensor").contains("bedroom"))
+    assert(db.getFieldValues("value").size == 4)
+    assert(db.getTimestamps().size == 4)
+    // "Mutations" section
+    assert(db.update(TagQuery("sensor") === "bedroom",
+      tags = Map("unit" -> "F"), fields = Map("value" -> 0.0)) == 1)
+    assert(db.updateWith(TagQuery("sensor") === "bedroom", fields = Some(f =>
+      transform_values(f, (k, v) => when(k === "value", v * 2).otherwise(v)))) == 0)
+    db.updateAll(tags = Map("seen" -> "y"))
+    assert(db.count(TagQuery("seen") === "y") == 4)
+    assert(db.remove(FieldQuery("value") === 0.0) == 1)
+    // "Measurements" section
+    val m = db.measurement("temperature")
+    assert(m.length == 3 && m.iterator.hasNext)
+    assert(m.search(FieldQuery("value") > 20).nonEmpty)
+    // "Index" section
+    db.reindex()
+    assert(db.count(TagQuery("sensor") === "living_room") == 2)
+    // "Export back to the reference" + snapshot sections
+    val out = Files.createTempFile("graftmig", ".csv").toString
+    graft.sources.ReferenceCsv.writeFile(db.df, out)
+    assert(GraftDB.atCsv(spark, out, readOnly = true).length == 3)
+    val mark = db.seqWatermark
+    db.insert(Point(Instant.parse("2024-02-01T00:00:00Z"), "temperature",
+      Map(), Map("value" -> 1.0)))
+    assert(db.snapshotAt(mark).length == 3 && db.length == 4)
+  }
+
   it("example 7: broker-shaped topic drains with exactly-once appends") {
     import graft.streaming.GraftLogProducer
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
