@@ -300,6 +300,35 @@ object Explain {
         .filter(org.apache.spark.sql.functions.col("offset") >= 50)
     }
 
+    section("q178 OPQ residual IVF+PQ (round 11)",
+      "Ge et al.'s OPQ as a variance-balancing permutation: the rotation " +
+        "rides as array-literal gathers inside projections (zero new joins " +
+        "or shuffles vs q174 — the permutation trainer itself is scan → " +
+        "explode → one 64-row aggregate). Serving keeps the q174 contract: " +
+        "broadcast quantizer tables, one encode shuffle, bounded top-k, " +
+        "no SortMergeJoin, no cartesian.") {
+      SparkEntry.queries("q178_ann_opq_residual_ivfpq")(spark, sfDir)
+    }
+
+    section("partitioned graft-log topic (round 11)",
+      "N producer sub-directories as ONE source: the batch read plans one " +
+        "input partition per (topic-partition, segment slice) — a " +
+        "1000-executor cluster drains a partitioned backlog with " +
+        "segment-level parallelism, and the streaming plan is the same " +
+        "scan under MicroBatchScan with a per-partition composite offset. " +
+        "Rows carry the (partition, offset) identity.") {
+      val dir = graft.util.Scratch.dir("explainplog")
+      (0 until 3).foreach { p =>
+        val prod = new graft.streaming.GraftLogProducer(
+          graft.streaming.GraftLog.partitionDir(dir, p))
+        prod.publish((0 until 100).map(_.toString))
+        ()
+      }
+      spark.read.format("graft-log").option("path", dir)
+        .option("partitioned", "true").load()
+        .filter(org.apache.spark.sql.functions.col("offset") >= 50)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")

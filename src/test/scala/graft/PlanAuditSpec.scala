@@ -201,6 +201,52 @@ class PlanAuditSpec extends SparkSpec {
       assert(!cp.contains("SortMergeJoin") && !cp.contains("CartesianProduct"), cp)
     }
 
+    it("OPQ residual IVF+PQ: rotation is a literal gather — no new joins, no window, no cartesian") {
+      import graft.functions.VectorFunctions.l2Normalize
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = graft.analytics.Similarity.centroids(
+        e.select(col("label"), l2Normalize(col("embedding")).as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = graft.analytics.Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", 4, 16)
+      // the permutation trainer is scan → broadcast cell-assignment →
+      // explode → one 64-row agg; the only join is the broadcast
+      // centroid lookup — never a corpus-sized join, and the ranking
+      // window runs over exactly 64 rows
+      val permPlan = plan(perm)
+      assert(!permPlan.contains("SortMergeJoin") &&
+        !permPlan.contains("CartesianProduct"), permPlan)
+      val cb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val p = plan(graft.analytics.Similarity.opqResidualIvfPqTopK(e,
+        e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        cents, perm, cb, "vec_id", "embedding", "qid", k = 10, nProbe = 2,
+        m = 4, subDim = 16))
+      // identical shape contract to the un-rotated residual form: the
+      // rotation rides as array-literal gathers inside projections
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+
+    it("partitioned graft-log batch read plans one input partition per topic-partition slice") {
+      import graft.streaming.{GraftLog, GraftLogProducer}
+      val topic = java.nio.file.Files.createTempDirectory("graftplogaudit").toString
+      (0 until 3).foreach { part =>
+        val prod = new GraftLogProducer(GraftLog.partitionDir(topic, part))
+        prod.publish((0 until 10).map(_.toString))
+        prod.publish((10 until 20).map(_.toString))
+        ()
+      }
+      val df = spark.read.format("graft-log")
+        .option("path", topic).option("partitioned", "true").load()
+      // 3 partitions × 2 segments = 6 input partitions: a 1000-executor
+      // cluster drains a partitioned backlog with segment-level
+      // parallelism; the driver never opens a segment file
+      assert(df.rdd.getNumPartitions === 6)
+      assert(df.count() === 60L)
+    }
+
     it("perceptual image dedup: banded bucket join, never a cross join over assets") {
       import graft.multimodal.Multimodal
       import spark.implicits._
