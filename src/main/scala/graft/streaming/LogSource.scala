@@ -351,6 +351,31 @@ object GraftLog {
     removed
   }
 
+  /** Split a ReadMaxRows budget across topic-partitions PROPORTIONALLY
+    * to backlog: floor shares first, then the remainder one slot at a
+    * time in partition order to partitions with backlog left. Pure and
+    * deterministic — the same (budget, backlogs) always allocates
+    * identically, which is what makes a replayed batch re-plan the
+    * exact same per-partition ranges. Invariants (property-tested):
+    * allocations sum to min(budget, total backlog), no partition
+    * exceeds its backlog, and a positive budget always makes progress.
+    */
+  private[graft] def distributeBudget(budget: Long,
+      backlogs: Seq[(Int, Long)]): Map[Int, Long] = {
+    val total = backlogs.map(_._2).sum
+    if (total <= budget) return backlogs.toMap
+    val floors = scala.collection.mutable.LinkedHashMap(
+      backlogs.map { case (p, b) => p -> budget * b / total }: _*)
+    var rem = budget - floors.values.sum
+    backlogs.foreach { case (p, b) =>
+      if (rem > 0 && floors(p) < b) {
+        val extra = math.min(b - floors(p), rem)
+        floors(p) += extra; rem -= extra
+      }
+    }
+    floors.toMap
+  }
+
   /** Map the record range [start, end) onto segment slices — one input
     * partition per touched segment, line-addressed within it.
     *
@@ -778,21 +803,10 @@ final class GraftLogPartitionedMicroBatchStream(path: String, maxPerTrigger: Opt
     }
     val ends = limit match {
       case r: ReadMaxRows =>
-        val budget = r.maxRows()
         val total = backlogs.map(_._2).sum
-        if (total <= budget) capped
-        else {
-          val floors = scala.collection.mutable.LinkedHashMap(
-            backlogs.map { case (p, b) => p -> budget * b / total }: _*)
-          var rem = budget - floors.values.sum
-          backlogs.foreach { case (p, b) =>
-            if (rem > 0 && floors(p) < b) {
-              val extra = math.min(b - floors(p), rem)
-              floors(p) += extra; rem -= extra
-            }
-          }
-          floors.map { case (p, take) => p -> (fromAll(p) + take) }.toMap
-        }
+        if (total <= r.maxRows()) capped
+        else GraftLog.distributeBudget(r.maxRows(), backlogs)
+          .map { case (p, take) => p -> (fromAll(p) + take) }
       case _ => capped
     }
     // never move any partition backwards

@@ -389,6 +389,26 @@ class LogSourceSpec extends SparkSpec {
       assert(withNew.parts(3) === 1L)
     }
 
+    it("budget distribution invariants hold over 500 random backlog profiles") {
+      val rnd = new scala.util.Random(7)
+      for (trial <- 0 until 500) {
+        val nParts = 1 + rnd.nextInt(8)
+        val backlogs = (0 until nParts).map(p => (p, rnd.nextInt(1000).toLong))
+        val total = backlogs.map(_._2).sum
+        val budget = rnd.nextInt(1200).toLong
+        val alloc = GraftLog.distributeBudget(budget, backlogs)
+        // exact budget use (capped by what exists), per-partition bound,
+        // and determinism under recomputation
+        assert(alloc.values.sum === math.min(budget, total), s"trial $trial")
+        backlogs.foreach { case (p, b) =>
+          assert(alloc(p) >= 0 && alloc(p) <= b, s"trial $trial p=$p")
+        }
+        assert(GraftLog.distributeBudget(budget, backlogs) === alloc, s"trial $trial")
+        // progress: a positive budget against a non-empty backlog drains
+        if (budget > 0 && total > 0) assert(alloc.values.sum > 0, s"trial $trial")
+      }
+    }
+
     it("batch-reads all partitions with (partition, offset) identity") {
       val topic = tmp("graftplogbatch")
       new GraftLogProducer(GraftLog.partitionDir(topic, 0))
