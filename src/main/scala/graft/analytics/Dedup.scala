@@ -65,10 +65,15 @@ object Dedup {
     * in — [[compactDigestStore]]'s retention keys off the LAST tag a
     * digest was seen with. `sidecar = true` additionally folds the
     * batch's digests into the bloom sidecar so
-    * [[dedupAgainstStore]]'s skip guard stays current.
+    * [[dedupAgainstStore]]'s skip guard stays current; `sidecarBits`
+    * sizes it — the default 64 KB is right up to ~10^5 digests, and a
+    * store headed past that should size for ~5 bits/digest (measure
+    * with [[sidecarMightHitRate]]; a mismatched existing sidecar is
+    * rebuilt at the requested size).
     */
   def appendDigestStore(df: DataFrame, keyCols: Seq[String], path: String,
-      batchTag: Long = 0L, sidecar: Boolean = false): Unit = {
+      batchTag: Long = 0L, sidecar: Boolean = false,
+      sidecarBits: Int = SidecarBits): Unit = {
     val digests = df
       .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .distinct()
@@ -79,7 +84,7 @@ object Dedup {
     digests
       .withColumn("__batch_tag", lit(batchTag))
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
-    if (sidecar) updateDigestSidecar(df.sparkSession, path, digests, preFp)
+    if (sidecar) updateDigestSidecar(df.sparkSession, path, digests, preFp, sidecarBits)
   }
 
   // ---- digest-store lifecycle ----
@@ -135,26 +140,41 @@ object Dedup {
     conv(substring(md5(concat(lit(s"dsb$h:"), key)), 1, 8), 16, 10)
       .cast("long") % bits
 
-  /** Bits and hash count of the sidecar — 2^19 bits = 64 KB of words;
-    * at 100k store digests and k=3 that is a ~8% false-skip-miss rate,
-    * which only costs the occasional avoidable scan.
+  /** Default bits and hash count of the sidecar — 2^19 bits = 64 KB
+    * of words; at 100k store digests and k=3 that is a ~8%
+    * false-skip-miss rate, which only costs the occasional avoidable
+    * scan. Bigger stores pass `sidecarBits` (~5 bits per expected
+    * digest); the cap below bounds the broadcast literal the skip
+    * guard ships with the plan.
     */
   val SidecarBits: Int = 1 << 19
   val SidecarK: Int = 3
 
-  /** Rebuild the sidecar from the full store (run at compaction; also
-    * the fallback when no sidecar exists yet).
+  /** Largest sidecar accepted: 2^24 bits = 2 MB of words — still a
+    * sane plan-embedded literal, good to ~3M digests at k=3.
     */
-  def rebuildDigestSidecar(spark: SparkSession, path: String): Unit = {
+  val MaxSidecarBits: Int = 1 << 24
+
+  private def requireSidecarBits(bits: Int): Unit =
+    require(bits >= (1 << 10) && bits <= MaxSidecarBits && bits % 64 == 0,
+      s"sidecarBits must be in [2^10, 2^24] and a multiple of 64; got $bits")
+
+  /** Rebuild the sidecar from the full store (run at compaction; also
+    * the fallback when no sidecar exists yet). `bits` sizes the new
+    * sidecar.
+    */
+  def rebuildDigestSidecar(spark: SparkSession, path: String,
+      bits: Int = SidecarBits): Unit = {
+    requireSidecarBits(bits)
     val store = spark.read.parquet(path)
     val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
     val pos = store
       .select(explode(array((1 to SidecarK).map(h =>
-        bloomPos(h, storeRowKey(keyCols), SidecarBits)): _*)).as("p"))
+        bloomPos(h, storeRowKey(keyCols), bits)): _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
-    val words = new Array[Long](SidecarBits / 64)
+    val words = new Array[Long](bits / 64)
     pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
-    writeSidecar(spark, path, words)
+    writeSidecar(spark, path, bits, words)
   }
 
   /** Fold a batch's digests into the existing sidecar — blooms merge
@@ -168,27 +188,31 @@ object Dedup {
     * rebuild from the full store once.
     */
   private def updateDigestSidecar(spark: SparkSession, path: String,
-      batchDigests: DataFrame, preAppendFp: String): Unit =
+      batchDigests: DataFrame, preAppendFp: String,
+      wantBits: Int = SidecarBits): Unit = {
+    requireSidecarBits(wantBits)
     readSidecarRaw(spark, path) match {
       case Some((bits, k, words, Some(fp)))
-          if bits == SidecarBits && k == SidecarK && fp == preAppendFp =>
+          if bits == wantBits && k == SidecarK && fp == preAppendFp =>
         val keyCols = batchDigests.columns.filter(_.startsWith("__k_")).toSeq
         val pos = batchDigests
           .select(explode(array((1 to k).map(h =>
             bloomPos(h, storeRowKey(keyCols), bits)): _*)).as("p"))
           .distinct().collect().map(_.getLong(0))
         pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
-        writeSidecar(spark, path, words)
-      case _ => rebuildDigestSidecar(spark, path)
+        writeSidecar(spark, path, bits, words)
+      case _ => rebuildDigestSidecar(spark, path, wantBits)
     }
+  }
 
   // The sidecar records the store fingerprint it was built against
   // (post-write state — callers write the store first, then the
   // sidecar), so a reader can prove the sidecar still describes the
   // store before trusting a skip decision.
-  private def writeSidecar(spark: SparkSession, path: String, words: Array[Long]): Unit = {
+  private def writeSidecar(spark: SparkSession, path: String, bits: Int,
+      words: Array[Long]): Unit = {
     import spark.implicits._
-    Seq((SidecarBits, SidecarK, words.toSeq, storeFingerprint(spark, path)))
+    Seq((bits, SidecarK, words.toSeq, storeFingerprint(spark, path)))
       .toDF("bits", "k", "words", "store_fp")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -261,7 +285,10 @@ object Dedup {
     renameOrThrow(staging, path)
     if (!fs.delete(new org.apache.hadoop.fs.Path(backup), true))
       throw new java.io.IOException(s"digest store compact: backup cleanup failed: $backup")
-    rebuildDigestSidecar(spark, path)
+    // rebuild at the size the operator chose for this store (the
+    // pre-compaction sidecar's), defaulting for stores that had none
+    val keepBits = readSidecarRaw(spark, path).map(_._1).getOrElse(SidecarBits)
+    rebuildDigestSidecar(spark, path, keepBits)
   }
 
   /** Survivors of a NEW batch against the persisted digest store:

@@ -132,6 +132,42 @@ class DedupSpec extends SparkSpec {
       assert(g.as[Long].collect().toSet == Set(20L))
     }
 
+    it("a sized-up sidecar keeps the skip alive where the default would saturate") {
+      // deterministic corpus big enough to exercise sizing without
+      // saturating either config outright: 4000 distinct digests
+      val n = 4000
+      val hist = spark.range(n).selectExpr("concat('doc-', id) AS text")
+      val probe = spark.range(200)
+        .selectExpr("id AS doc_id", "concat('novel-', id) AS text")
+      def rateAt(bits: Int): Double = {
+        val store = java.nio.file.Files.createTempDirectory(s"graftdigsz$bits")
+          .toString + "/digests"
+        Dedup.appendDigestStore(hist, Seq("text"), store,
+          batchTag = 1L, sidecar = true, sidecarBits = bits)
+        val r = Dedup.sidecarMightHitRate(probe, Seq("text"), store)
+        assert(r.isDefined, s"no trusted sidecar at bits=$bits")
+        // the skip guard agrees with the rate: zero rate = no store scan
+        val g = Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store,
+          useSidecar = true)
+        if (r.get == 0.0)
+          assert(!g.queryExecution.sparkPlan.toString.contains("digests"))
+        assert(g.as[Long].collect().size == 200)
+        r.get
+      }
+      // tiny sidecar: heavily loaded by 4000 digests → high false-hit
+      // rate; the sized-up sidecar drops it by orders of magnitude
+      val small = rateAt(1 << 12) // 4096 bits for 4000 digests: saturated
+      val big = rateAt(1 << 20)   // ~0.4% loaded
+      assert(small > 0.5, s"small sidecar unexpectedly sparse: $small")
+      assert(big < 0.05, s"sized-up sidecar still hot: $big")
+      // out-of-range sizes fail loudly
+      intercept[IllegalArgumentException] {
+        Dedup.appendDigestStore(hist, Seq("text"),
+          java.nio.file.Files.createTempDirectory("graftdigbad").toString + "/d",
+          sidecar = true, sidecarBits = 63)
+      }
+    }
+
     it("compaction folds appends to one file; retention re-admits expired digests") {
       val store = java.nio.file.Files.createTempDirectory("graftdigc").toString + "/digests"
       Dedup.appendDigestStore(Seq((0L, "old1"), (1L, "old2")).toDF("doc_id", "text"),
