@@ -914,6 +914,42 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // the PARTITIONED round trip — four commit protocols composed: a
+    // single-dir topic A replays by offset; a relay stream computes
+    // v→7v+3 AND the record's target partition (v % 4, the Kafka
+    // producer-partitioner contract) and publishes through the
+    // PARTITIONED sink (per-sub-log epoch markers, exactly-once per
+    // partition); the partitioned source fans the 4 sub-logs back in
+    // under composite offsets; the token-committed ingest lands the
+    // converged state. Still a pure function of range(0, 1500).
+    "q179_stream_log_partitioned_relay" -> ((s, dir) => {
+      import graft.streaming.{GraftLogProducer, StreamingIngest}
+      val topicA = graft.util.Scratch.dir("graftprelayA")
+      val topicB = graft.util.Scratch.dir("graftprelayB")
+      val producer = new GraftLogProducer(topicA)
+      (0 until 5).foreach(seg =>
+        producer.publish((seg * 300 until (seg + 1) * 300).map(_.toString)))
+      val relay = s.readStream.format("graft-log")
+        .option("path", topicA).option("maxRecordsPerTrigger", 400L).load()
+        .selectExpr(
+          "cast(cast(payload AS BIGINT) % 4 AS INT) AS partition",
+          "cast(cast(payload AS BIGINT) * 7 + 3 AS STRING) AS payload")
+        .writeStream.format("graft-log")
+        .option("path", topicB).option("partitioned", "true")
+        .option("checkpointLocation", graft.util.Scratch.dir("graftprelayck1"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      relay.awaitTermination()
+      val db = graft.engine.GraftDB.inMemory(s)
+      StreamingIngest.drainPartitionedLog(s, db, topicB,
+        maxRecordsPerTrigger = 600L, graft.util.Scratch.dir("graftprelayck2"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"))
+        .orderBy("sensor")
+    }),
+
     // KMV set algebra — theta-sketch-style union/intersection/Jaccard
     // estimates from two COORDINATED bottom-k samples ("how many
     // distinct users did BOTH signup and purchase" from two KB
@@ -1508,6 +1544,14 @@ object RelationalQueries {
         |  CAST(sum(value % 70) AS BIGINT) AS sum_v,
         |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
         |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // partitioned relay: the union of the 4 sub-logs is {7v+3} over
+    // range(0, 1500) regardless of routing or batch cuts
+    "q179_stream_log_partitioned_relay" ->
+      """WITH v AS (SELECT unnest(range(0, 1500)) * 7 + 3 AS value)
+        |SELECT 's' || CAST(value % 6 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 70) AS BIGINT) AS sum_v
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_stream_socket_ingest" ->
       """WITH v AS (SELECT unnest(range(0, 1500)) AS value)

@@ -541,18 +541,27 @@ final class GraftLogTable(options: CaseInsensitiveStringMap,
           Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(!options.getBoolean("partitioned", false),
-      "graft-log sink writes a single-partition topic; to fan out, run one " +
-        "sink per partition sub-directory (partitionDir(dir, p))")
     val s = info.schema()
-    require(s.fields.length == 1 && s.fields.head.dataType == StringType,
-      s"graft-log sink takes exactly one STRING column (the record payload); got $s")
     val keepMarkers = Option(options.get("compactMarkersAfter")).map(_.toInt).getOrElse(32)
     require(keepMarkers >= 1, "compactMarkersAfter >= 1")
+    val partitioned = options.getBoolean("partitioned", false)
+    if (partitioned)
+      // the Kafka-producer contract: the QUERY computes the partition
+      // (its hash, key routing, whatever), the sink routes each record
+      // to that topic-partition's sub-log
+      require(s.fields.length == 2 &&
+        s.fields.head.dataType == org.apache.spark.sql.types.IntegerType &&
+        s.fields(1).dataType == StringType,
+        "partitioned graft-log sink takes exactly (partition INT, payload STRING); " +
+          s"got $s")
+    else
+      require(s.fields.length == 1 && s.fields.head.dataType == StringType,
+        s"graft-log sink takes exactly one STRING column (the record payload); got $s")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
-          new GraftLogStreamingWrite(path, keepMarkers)
+          if (partitioned) new GraftLogPartitionedStreamingWrite(path, keepMarkers)
+          else new GraftLogStreamingWrite(path, keepMarkers)
       }
     }
   }
@@ -926,6 +935,123 @@ final class GraftLogStreamingWrite(path: String, compactMarkersAfter: Int = 32)
 
 final case class GraftLogWriteMessage(partitionId: Int, count: Long,
     stagedPath: String) extends WriterCommitMessage
+
+/** One Spark task's staged output for a PARTITIONED sink epoch: one
+  * entry per topic-partition the task routed records to.
+  */
+final case class GraftLogPartStaged(topicPartition: Int, sparkPartitionId: Int,
+    count: Long, stagedPath: String)
+final case class GraftLogPartWriteMessage(entries: Seq[GraftLogPartStaged])
+    extends WriterCommitMessage
+
+/** The PARTITIONED write side — `df.writeStream.format("graft-log")
+  * .option("partitioned", "true")` over (partition INT, payload STRING):
+  * each task streams its rows into one dot-prefixed staged file PER
+  * topic-partition it touches, and the epoch commit publishes each
+  * topic-partition's sub-log independently under that sub-log's own
+  * maintenance lock — seal staged files as `s<epoch>-p<sparkPid>-<n>
+  * .seg` inside `p-NNNN/`, then ONE atomic marker create per sub-log.
+  *
+  * Exactly-once is PER PARTITION (the Kafka base contract): a crash
+  * mid-commit leaves some sub-logs published (marker live — their
+  * replay output is dropped) and others not (only invisible staged
+  * files — replay cleans and republishes); either way each record
+  * reaches its partition's consumers exactly once, and the partitioned
+  * SOURCE reads every sub-log independently so no cross-partition
+  * atomicity is ever assumed.
+  */
+final class GraftLogPartitionedStreamingWrite(path: String, compactMarkersAfter: Int = 32)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftLogPartitionedWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val fs = new Path(path).getFileSystem(conf)
+    val staged = messages.collect { case m: GraftLogPartWriteMessage => m }
+      .flatMap(_.entries)
+    staged.groupBy(_.topicPartition).toSeq.sortBy(_._1).foreach { case (tp, entries) =>
+      val dir = new Path(GraftLog.partitionDir(path, tp))
+      GraftLog.withTopicLock(dir.toString, conf) {
+        val marker = new Path(dir, s"_epoch-$epochId.committed")
+        if (fs.exists(marker) ||
+            epochId <= GraftLog.compactedThrough(dir.toString, conf)) {
+          entries.foreach(e => fs.delete(new Path(e.stagedPath), false))
+        } else {
+          // clean a dead attempt's invisible leftovers, then seal ours
+          if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+            st.getPath.getName match {
+              case n if n.startsWith(f"s$epochId%012d-") && n.endsWith(".seg") =>
+                fs.delete(st.getPath, false)
+              case _ => ()
+            }
+          }
+          entries.filter(_.count > 0L).foreach { e =>
+            val dst = new Path(dir,
+              f"s$epochId%012d-p${e.sparkPartitionId}%04d-${e.count}.seg")
+            if (!fs.rename(new Path(e.stagedPath), dst))
+              throw new java.io.IOException(s"sink seal failed: ${e.stagedPath} -> $dst")
+          }
+          entries.filter(_.count == 0L).foreach(e =>
+            fs.delete(new Path(e.stagedPath), false))
+          fs.create(marker, true).close()
+          GraftLog.compactSinkEpochsLocked(dir.toString, conf, compactMarkersAfter)
+          ()
+        }
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.collect { case m: GraftLogPartWriteMessage => m }.flatMap(_.entries)
+      .foreach(e => try fs.delete(new Path(e.stagedPath), false)
+        catch { case _: Exception => () })
+  }
+}
+
+final class GraftLogPartitionedWriterFactory(path: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    require(partitionId < 10000, "graft-log sink: <= 10000 spark partitions per epoch")
+    new DataWriter[InternalRow] {
+      private val conf = new Configuration()
+      // one staged stream per topic-partition this task touches; staged
+      // files live INSIDE the target sub-log so the seal is a same-dir
+      // rename (atomic on every sane filesystem)
+      private val open = scala.collection.mutable.LinkedHashMap
+        .empty[Int, (Path, org.apache.hadoop.fs.FSDataOutputStream, Long)]
+      override def write(row: InternalRow): Unit = {
+        require(!row.isNullAt(0), "partitioned sink: partition must not be null")
+        val tp = row.getInt(0)
+        require(tp >= 0 && tp < 10000, s"partition $tp outside [0, 10000)")
+        val payload = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
+        require(!payload.contains("\n"), "records are single lines")
+        val (p, out, n) = open.getOrElseUpdate(tp, {
+          val dir = new Path(GraftLog.partitionDir(path, tp))
+          val fs = dir.getFileSystem(conf)
+          if (!fs.exists(dir)) { fs.mkdirs(dir); () }
+          val staged = new Path(dir,
+            f".sink-e$epochId%012d-p$partitionId%04d-t$taskId.staged")
+          (staged, fs.create(staged, true), 0L)
+        })
+        out.write((payload + "\n").getBytes("UTF-8"))
+        open(tp) = (p, out, n + 1)
+      }
+      override def commit(): WriterCommitMessage = {
+        val entries = open.toSeq.map { case (tp, (p, out, n)) =>
+          out.hsync(); out.close()
+          GraftLogPartStaged(tp, partitionId, n, p.toString)
+        }
+        GraftLogPartWriteMessage(entries)
+      }
+      override def abort(): Unit = open.foreach { case (_, (p, out, _)) =>
+        try out.close() catch { case _: Exception => () }
+        try { p.getFileSystem(conf).delete(p, false); () } catch { case _: Exception => () }
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 final class GraftLogWriterFactory(path: String) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {

@@ -597,20 +597,60 @@ class LogSourceSpec extends SparkSpec {
         assert(!new java.io.File(d).exists(), s"scratch dir survived release: $d"))
     }
 
-    it("the sink refuses a partitioned topic loudly") {
-      val q = spark.readStream.format("rate-micro-batch").option("rowsPerBatch", 1).load()
-        .selectExpr("cast(value AS STRING) AS payload")
-        .writeStream.format("graft-log")
-        .option("path", tmp("graftplogsink"))
-        .option("partitioned", "true")
-        .option("checkpointLocation", tmp("graftplogsinkckpt"))
-        .start()
-      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.awaitTermination(60000L)
+    it("partitioned SINK routes by computed partition; replays drop per partition") {
+      val src = tmp("graftpsinksrc")
+      val dst = tmp("graftpsinkdst")
+      val ckpt = tmp("graftpsinkckpt")
+      new GraftLogProducer(src).publish((0 until 200).map(_.toString))
+      new GraftLogProducer(src).publish((200 until 400).map(_.toString))
+      // the query computes the partition (Kafka's producer partitioner)
+      def relay(): Unit = {
+        val q = spark.readStream.format("graft-log")
+          .option("path", src).option("maxRecordsPerTrigger", 150L).load()
+          .selectExpr("cast(cast(payload AS BIGINT) % 3 AS INT) AS partition", "payload")
+          .writeStream.format("graft-log")
+          .option("path", dst).option("partitioned", "true")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(err).exists(_.contains("single-partition")), err.getMessage)
+      relay()
+      val got = spark.read.format("graft-log")
+        .option("path", dst).option("partitioned", "true").load()
+        .orderBy("partition", "offset").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2).toInt)).toSeq
+      assert(got.size === 400)
+      // every record in its computed partition, offsets dense per partition
+      (0 until 3).foreach { tp =>
+        val inTp = got.filter(_._1 == tp)
+        assert(inTp.map(_._2) === (0L until inTp.size.toLong), s"partition $tp offsets")
+        assert(inTp.forall(_._3 % 3 == tp), s"partition $tp routing")
+      }
+      assert(got.map(_._3).sorted === (0 until 400))
+      // staged files are gone; each sub-log carries its own epoch markers
+      (0 until 3).foreach { tp =>
+        val names = new java.io.File(GraftLog.partitionDir(dst, tp)).listFiles().map(_.getName)
+        assert(!names.exists(_.contains(".staged")), s"p$tp: ${names.toSeq}")
+        assert(names.exists(_.startsWith("_epoch-")), s"p$tp: ${names.toSeq}")
+      }
+      // force an epoch replay: per-partition markers drop the duplicate
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit))
+      val cp = new org.apache.hadoop.fs.Path(
+        s"$ckpt/commits/${commits.maxBy(_.getName.toLong).getName}")
+      cp.getFileSystem(new Configuration()).delete(cp, false)
+      relay()
+      assert(spark.read.format("graft-log").option("path", dst)
+        .option("partitioned", "true").load().count() === 400L)
+      // the stream keeps flowing: publish more, relay again, fan-in drains
+      new GraftLogProducer(src).publish((400 until 430).map(_.toString))
+      relay()
+      val db = GraftDB.inMemory(spark)
+      StreamingIngest.drainPartitionedLog(spark, db, dst,
+        maxRecordsPerTrigger = 200L, tmp("graftpsinkdrainck"))
+      assert(db.length === 430L)
+      assert(db.allDF().select(graft.model.Point.TimeCol).distinct().count() === 430L)
     }
   }
 
