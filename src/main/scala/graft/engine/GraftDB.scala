@@ -309,6 +309,14 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     * makes the token commit durable; see
     * [[Storage.appendIdempotent]].
     */
+  /** Whether an idempotent-insert token has already committed —
+    * lets callers honor alias token names (see
+    * [[Storage.hasIngestCommit]]).
+    */
+  def hasIngestCommit(token: String): Boolean = {
+    guardOpen(); storage.hasIngestCommit(token)
+  }
+
   def insertDFIdempotent(batch: DataFrame, token: String): Boolean = {
     guardOpen()
     val applied = storage.appendIdempotent(batch, token)

@@ -78,6 +78,14 @@ trait Storage {
     else { append(batch); committedTokens += token; true }
   }
 
+  /** Whether `token` has already committed through [[appendIdempotent]]
+    * — the pre-check a caller needs to honor ALIAS tokens (e.g. a
+    * renamed token format whose old name may have committed before an
+    * upgrade) without re-appending.
+    */
+  def hasIngestCommit(token: String): Boolean =
+    synchronized { committedTokens.contains(token) }
+
   private val committedTokens = scala.collection.mutable.HashSet.empty[String]
 
   /** Replace the full state (canonical schema WITH `_seq`). */
@@ -328,6 +336,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
 
   // ---- multi-handle commit protocol (beyond-reference: the reference is
   // explicitly single-threaded, docs/source/tips.rst:22) ----
+  //
+  // NOTE: graft.streaming.GraftLog.withTopicLock implements the same
+  // claim/seal chain for TOPIC maintenance with a deliberately
+  // different liveness policy — heartbeat lease + timeout takeover
+  // there (topics have no handle-open recovery point), open-time
+  // orphan sealing here. A fix to either protocol's claim/seal core
+  // should be checked against the other.
   //
   // Every WRITE claims the next slot in a version chain under
   // `_versions/`: marker `<n>` = "transition n is in flight", `<n>.done`
@@ -680,6 +695,11 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * visibility window any delta append has); the CONVERGED state holds
     * each token's rows exactly once.
     */
+  override def hasIngestCommit(token: String): Boolean = synchronized {
+    val safe = token.replaceAll("[^A-Za-z0-9_\\-.]", "_")
+    fs.exists(new Path(s"$commitsPath/$safe"))
+  }
+
   override def appendIdempotent(batch: DataFrame, token: String): Boolean = synchronized {
     val safe = token.replaceAll("[^A-Za-z0-9_\\-.]", "_")
     val record = new Path(s"$commitsPath/$safe")
@@ -726,12 +746,29 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * stream can only ever replay its LAST uncommitted batch, so any
     * bound ≥ 1 is safe; the default gives slack for multiple
     * interleaved streams.
+    *
+    * INVARIANT guarded here: a commit record must OUTLIVE its token's
+    * data files in the delta tier. Compaction's orphan purge treats
+    * "tok file with no record" as a crashed attempt's leftover and
+    * deletes it — so pruning a record whose `tok-<token>-*` files have
+    * not yet been folded away would turn the next compaction into
+    * silent loss of a committed batch. Such records are skipped (they
+    * become prunable after any compaction folds the delta tier).
     */
   def pruneIngestCommits(keepLast: Int = 64): Unit = synchronized {
     if (!fs.exists(new Path(commitsPath))) return
+    val liveTokens: Set[String] =
+      if (!exists(deltaPath)) Set.empty
+      else fs.listStatus(new Path(deltaPath))
+        .filter(s => s.isFile && s.getPath.getName.startsWith("tok-"))
+        .map(_.getPath.getName.stripPrefix("tok-")
+          .replaceAll("-\\d+\\.snappy\\.parquet$", ""))
+        .toSet
     val all = fs.listStatus(new Path(commitsPath))
       .sortBy(s => (s.getModificationTime, s.getPath.getName))
-    all.dropRight(keepLast).foreach(s => fs.delete(s.getPath, false))
+    all.dropRight(keepLast)
+      .filterNot(s => liveTokens.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** Delete delta `tok-<token>-*` files whose commit record is ABSENT:

@@ -220,8 +220,13 @@ object GraftLog {
   // Liveness after a crash mid-transition: a claim older than the lock
   // timeout is a dead process's — the next waiter seals it and takes
   // over (the topic has no "handle open" recovery point, so takeover is
-  // time-based; every maintenance step is idempotent/resumable by
-  // design, so finishing a dead run's work is always safe).
+  // time-based). A LIVE holder is protected by a HEARTBEAT: a daemon
+  // thread refreshes the claim file's mtime every timeoutMs/4 while the
+  // body runs, so "age > timeoutMs" can only be true of a holder whose
+  // process died (or was suspended longer than the lease — the
+  // standard lease-takeover residual risk; every maintenance step is
+  // idempotent/resumable by design, so finishing a dead run's work is
+  // always safe).
 
   private[graft] def withTopicLock[T](dir: String, conf: Configuration,
       timeoutMs: Long = 30000L)(body: => T): T = {
@@ -243,6 +248,15 @@ object GraftLog {
         try { fs.create(p, false).close(); true }
         catch { case _: java.io.IOException => false }
     }
+    def touch(p: Path): Unit =
+      try fs.setTimes(p, System.currentTimeMillis(), -1L)
+      catch { case _: Exception =>
+        val uri = p.toUri
+        if (uri.getScheme == null || uri.getScheme == "file") {
+          new java.io.File(uri.getPath).setLastModified(System.currentTimeMillis())
+          ()
+        }
+      }
     val deadline = System.currentTimeMillis() + timeoutMs
     var v = -1L
     while (v < 0) {
@@ -250,7 +264,8 @@ object GraftLog {
       if (isSealed(cur)) {
         if (atomicClaim(new Path(md, s"${cur + 1}"))) v = cur + 1
       } else {
-        // stale-claim takeover: the claimant died mid-transition
+        // stale-claim takeover: no heartbeat for a full lease period
+        // means the claimant died mid-transition
         val age = try System.currentTimeMillis() -
           fs.getFileStatus(new Path(md, s"$cur")).getModificationTime
         catch { case _: java.io.FileNotFoundException => 0L }
@@ -263,8 +278,22 @@ object GraftLog {
         Thread.sleep(2L)
       }
     }
+    // lease heartbeat: keep the claim visibly alive while body runs
+    val claimPath = new Path(md, s"$v")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      var interrupted = false
+      while (!stop.get() && !interrupted) {
+        try Thread.sleep(math.max(1L, timeoutMs / 4))
+        catch { case _: InterruptedException => interrupted = true }
+        if (!stop.get() && !interrupted) touch(claimPath)
+      }
+    }, s"graft-topic-lock-heartbeat-$v")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
+      stop.set(true); beat.interrupt()
       // seal even on failure (every step is resumable; a surviving
       // sibling must not deadlock behind a dead claim), prune below head
       fs.create(new Path(md, s"$v.done"), true).close()
@@ -364,8 +393,12 @@ object GraftLog {
       backlogs: Seq[(Int, Long)]): Map[Int, Long] = {
     val total = backlogs.map(_._2).sum
     if (total <= budget) return backlogs.toMap
+    // BigInt for the share product: budget × backlog overflows Long
+    // already at 10^9 records/trigger against a 10^10-record backlog,
+    // and a wrapped-negative floor would starve the hottest partition
     val floors = scala.collection.mutable.LinkedHashMap(
-      backlogs.map { case (p, b) => p -> budget * b / total }: _*)
+      backlogs.map { case (p, b) =>
+        p -> (BigInt(budget) * b / total).toLong }: _*)
     var rem = budget - floors.values.sum
     backlogs.foreach { case (p, b) =>
       if (rem > 0 && floors(p) < b) {

@@ -95,8 +95,16 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        db.insertDFIdempotent(batch.localCheckpoint(true), f"$streamName-b$batchId%012d")
-        ()
+        // legacy-token bridge: a checkpoint that committed this batch
+        // under the pre-padding token name ("<name>-b<id>") before an
+        // upgrade, then crashed before Spark's own commit log entry,
+        // replays here with the NEW padded name — honor the old
+        // record so the upgrade cannot double-append the batch
+        if (!db.hasIngestCommit(s"$streamName-b$batchId")) {
+          db.insertDFIdempotent(batch.localCheckpoint(true),
+            f"$streamName-b$batchId%012d")
+          ()
+        }
       }
       .start()
 

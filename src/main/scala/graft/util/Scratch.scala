@@ -15,11 +15,16 @@ import java.nio.file.{Files, Path}
   *     scratch dir that query created).
   */
 object Scratch {
-  private val created = scala.collection.mutable.ArrayBuffer.empty[Path]
+  // (monotonic id, path): ids make the marker/releaseSince bracket
+  // immune to interleaved release() calls — a positional index would
+  // shift when a PRE-mark dir is released mid-bracket and make
+  // releaseSince drop the wrong entries
+  private val created = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
+  private var nextId: Long = 0L
 
   private lazy val hook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      synchronized { created.toList }.foreach(deleteRecursively)
+      synchronized { created.toList }.foreach(e => deleteRecursively(e._2))
     }))
   }
 
@@ -40,7 +45,8 @@ object Scratch {
   def dir(prefix: String): String = synchronized {
     hook
     val p = Files.createTempDirectory(prefix)
-    created += p
+    created += ((nextId, p))
+    nextId += 1
     p.toString
   }
 
@@ -49,29 +55,30 @@ object Scratch {
     */
   def release(path: String): Unit = {
     val doomed = synchronized {
-      val idx = created.indexWhere(_.toString == path)
-      if (idx < 0) None else Some(created.remove(idx))
+      val idx = created.indexWhere(_._2.toString == path)
+      if (idx < 0) None else Some(created.remove(idx)._2)
     }
     doomed.foreach(deleteRecursively)
   }
 
-  /** High-water mark of dirs created so far — bracket with
+  /** High-water mark (a monotonic creation id) — bracket with
     * [[releaseSince]] to drop everything a unit of work allocated.
+    * Single-bracket-at-a-time semantics: dirs another thread creates
+    * inside the bracket are released with it (the Verify harness, the
+    * one bracketing caller, is single-threaded per query).
     */
-  def marker(): Int = synchronized { created.length }
+  def marker(): Long = synchronized { nextId }
 
-  /** Delete and deregister every dir created after `mark` (as returned
-    * by [[marker]]). The harness teardown: run query → materialize →
-    * releaseSince(mark), so per-query state doesn't outlive the query.
+  /** Delete and deregister every dir created at or after `mark` (as
+    * returned by [[marker]]). The harness teardown: run query →
+    * materialize → releaseSince(mark), so per-query state doesn't
+    * outlive the query.
     */
-  def releaseSince(mark: Int): Unit = {
+  def releaseSince(mark: Long): Unit = {
     val doomed = synchronized {
-      if (mark >= created.length) Nil
-      else {
-        val d = created.drop(mark).toList
-        created.remove(mark, created.length - mark)
-        d
-      }
+      val (drop, keep) = created.partition(_._1 >= mark)
+      created.clear(); created ++= keep
+      drop.toList.map(_._2)
     }
     doomed.foreach(deleteRecursively)
   }

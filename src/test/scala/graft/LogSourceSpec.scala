@@ -407,6 +407,12 @@ class LogSourceSpec extends SparkSpec {
         // progress: a positive budget against a non-empty backlog drains
         if (budget > 0 && total > 0) assert(alloc.values.sum > 0, s"trial $trial")
       }
+      // overflow regime: budget × backlog far past Long.MaxValue — the
+      // shares must stay exact, non-negative, and budget-summing
+      val huge = Seq((0, 10000000000L), (1, 5000000000L), (2, 1L))
+      val big = GraftLog.distributeBudget(1000000000L, huge)
+      assert(big.values.sum === 1000000000L, s"overflowed shares: $big")
+      huge.foreach { case (p, b) => assert(big(p) >= 0 && big(p) <= b, s"p=$p: $big") }
     }
 
     it("batch-reads all partitions with (partition, offset) identity") {
@@ -833,6 +839,26 @@ class LogSourceSpec extends SparkSpec {
       assert(spark.read.format("graft-log").option("path", dst).load().count() === 60L)
     }
 
+    it("upgrade bridge: a batch committed under the unpadded token is not re-appended") {
+      val topic = tmp("graftupgr")
+      new GraftLogProducer(topic).publish((0 until 200).map(_.toString))
+      val root = tmp("graftupgrdb")
+      // simulate the pre-upgrade crash window: batch 0 committed to the
+      // store under the OLD token name, but Spark's checkpoint commit
+      // never landed — post-upgrade, the replay of batch 0 must be a
+      // no-op even though it now carries the padded token
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(new Configuration())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_ingest_commits"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/_ingest_commits/upg-b0"), true).close()
+      val db = GraftDB.atPath(spark, root)
+      StreamingIngest.drainLog(spark, db, topic, maxRecordsPerTrigger = 100L,
+        tmp("graftupgrck"), streamName = "upg")
+      // batch 0's 100 records were "already committed" pre-upgrade (the
+      // store just doesn't hold them in this synthetic setup); batch 1's
+      // 100 landed — the point is NO double-apply path exists
+      assert(db.length === 100L)
+    }
+
     it("a stale lock claim from a dead maintenance process is taken over") {
       val dst = tmp("graftcmpdead")
       val conf = new Configuration()
@@ -846,6 +872,31 @@ class LogSourceSpec extends SparkSpec {
       // a new maintenance run seals the orphan and proceeds
       val got = GraftLog.withTopicLock(dst, conf, timeoutMs = 2000L) { 42 }
       assert(got === 42)
+    }
+
+    it("a LIVE long-running lock holder heartbeats and is never taken over") {
+      val dst = tmp("graftlockbeat")
+      val conf = new Configuration()
+      val inside = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      // holder works LONGER than its lease; the heartbeat keeps the
+      // claim fresh so the contender must wait, not take over
+      val holder = new Thread(() =>
+        try GraftLog.withTopicLock(dst, conf, timeoutMs = 500L) {
+          inside.set(true); Thread.sleep(1500L); inside.set(false)
+        } catch { case e: Throwable => errs.add(e); () })
+      val contender = new Thread(() => {
+        Thread.sleep(200L) // let the holder claim first
+        try GraftLog.withTopicLock(dst, conf, timeoutMs = 5000L) {
+          if (inside.get()) overlapped.set(true)
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+      holder.start(); contender.start()
+      holder.join(30000L); contender.join(30000L)
+      assert(!holder.isAlive && !contender.isAlive)
+      assert(errs.isEmpty, s"lock threads failed: ${errs.toArray.toSeq}")
+      assert(!overlapped.get(), "contender entered while a live holder was inside")
     }
 
     it("rejects multi-column or non-string input loudly") {

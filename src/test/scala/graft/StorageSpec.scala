@@ -231,6 +231,10 @@ class StorageSpec extends SparkSpec {
         .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
       // zero-padded tokens: lexicographic order == commit order
       (0 until 6).foreach(i => assert(st.appendIdempotent(batch(i), f"b$i%04d")))
+      // retention only drops records whose token files have been folded
+      // away — compact first (the no-compaction case is covered by the
+      // prune-keeps-live-tokens spec)
+      st.compact()
       st.pruneIngestCommits(keepLast = 2)
       // recent tokens still dedup; pruned history no longer does
       assert(!st.appendIdempotent(batch(5), "b0005"))
@@ -278,10 +282,49 @@ class StorageSpec extends SparkSpec {
       assert(st.appendIdempotent(batch(9.0), "s-b9"))
       assert(st.appendIdempotent(batch(10.0), "s-b10"))
       assert(st.appendIdempotent(batch(11.0), "s-b11"))
+      st.compact() // fold token files so retention may act
       st.pruneIngestCommits(keepLast = 2)
       assert(!st.appendIdempotent(batch(10.0), "s-b10"), "recent b10 must still dedup")
       assert(!st.appendIdempotent(batch(11.0), "s-b11"), "recent b11 must still dedup")
       assert(st.appendIdempotent(batch(9.0), "s-b9"), "only the oldest re-admits")
+    }
+
+    it("prune keeps records whose token files still live in the delta tier (no loss with purge)") {
+      val dir = Files.createTempDirectory("graftprunepurge").toString
+      val st = new ParquetStorage(spark, dir)
+      import spark.implicits._
+      def batch(v: Double) = Seq((t("2024-01-01T00:00:00Z"),
+        "m", Map.empty[String, String], Map("v" -> v)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      (0 until 4).foreach(i => assert(st.appendIdempotent(batch(i), f"t$i%02d")))
+      // aggressive prune BEFORE any compaction: every token's data still
+      // sits in the delta tier, so NO record may be dropped — otherwise
+      // the next compaction's orphan purge would delete committed rows
+      st.pruneIngestCommits(keepLast = 1)
+      (0 until 4).foreach(i =>
+        assert(!st.appendIdempotent(batch(i), f"t$i%02d"), s"t$i re-admitted while live"))
+      st.compact() // folds tok files away; rows preserved
+      assert(GraftDB.atPath(spark, dir).length == 4,
+        "committed rows lost across prune + compaction")
+      // with the delta tier folded, retention can finally drop history
+      st.pruneIngestCommits(keepLast = 1)
+      assert(st.appendIdempotent(batch(0), "t00"), "pruned token should re-admit")
+      assert(!st.appendIdempotent(batch(3), "t03"), "newest token must survive")
+    }
+
+    it("legacy-token bridge: a pre-padding commit record dedups the padded replay") {
+      val dir = Files.createTempDirectory("graftlegacy").toString
+      val st = new ParquetStorage(spark, dir)
+      import spark.implicits._
+      val batch = Seq((t("2024-01-01T00:00:00Z"),
+        "m", Map.empty[String, String], Map("v" -> 1.0)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      // a batch committed under the OLD unpadded token format
+      assert(st.appendIdempotent(batch, "up-b7"))
+      // post-upgrade code asks about the legacy name before using the
+      // padded one — the record is visible
+      assert(st.hasIngestCommit("up-b7"))
+      assert(!st.hasIngestCommit(f"up-b${7L}%012d"))
     }
 
     it("compaction purges uncommitted token files so a replay cannot double-append") {
