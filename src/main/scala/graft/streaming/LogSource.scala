@@ -872,17 +872,25 @@ final class GraftLogPartitionedMicroBatchStream(path: String, maxPerTrigger: Opt
 
   override def metrics(latestConsumed: JOptional[Offset]): java.util.Map[String, String] = {
     val ends = partitionEnds()
-    val latest = ends.values.sum
-    val consumed =
+    val consumedByPart: Map[Int, Long] =
       if (latestConsumed.isPresent)
-        GraftLogPartitionedOffset.fromJson(latestConsumed.get.json()).parts.values.sum
-      else GraftLog.listPartitions(path, conf).map(p =>
-        GraftLog.earliestOffset(GraftLog.partitionDir(path, p), conf)).sum
+        GraftLogPartitionedOffset.fromJson(latestConsumed.get.json()).parts
+      else Map.empty
+    def consumedOf(p: Int): Long = consumedByPart.getOrElse(p,
+      GraftLog.earliestOffset(GraftLog.partitionDir(path, p), conf))
+    val latest = ends.values.sum
+    val consumed = ends.keys.map(consumedOf).sum
     val m = new java.util.HashMap[String, String]()
     m.put("latestOffset", latest.toString)
     m.put("consumedOffset", consumed.toString)
     m.put("backlogRecords", math.max(0L, latest - consumed).toString)
     m.put("partitions", ends.size.toString)
+    // per-partition lag — the per-topic-partition number a production
+    // operator alarms on (Kafka's records-lag per partition); also the
+    // direct skew signal when one producer runs hot
+    ends.toSeq.sortBy(_._1).foreach { case (p, e) =>
+      m.put(f"backlogRecords.p$p%04d", math.max(0L, e - consumedOf(p)).toString)
+    }
     m
   }
 

@@ -525,6 +525,34 @@ class LogSourceSpec extends SparkSpec {
       assert(db2.allDF().select(graft.model.Point.TimeCol).distinct().count() === 1500L)
     }
 
+    it("surfaces per-partition consumer lag in source metrics") {
+      val topic = tmp("graftplogmet")
+      new GraftLogProducer(GraftLog.partitionDir(topic, 0))
+        .publish((0 until 300).map(_.toString))
+      new GraftLogProducer(GraftLog.partitionDir(topic, 1))
+        .publish((0 until 100).map(_.toString))
+      val q = spark.readStream.format("graft-log")
+        .option("path", topic).option("partitioned", "true")
+        .option("maxRecordsPerTrigger", 100L).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("graftplogmetck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val metrics = q.recentProgress.filter(_.sources.nonEmpty).map(_.sources.head.metrics)
+      assert(metrics.nonEmpty)
+      metrics.foreach { m =>
+        assert(m.containsKey("backlogRecords.p0000") &&
+          m.containsKey("backlogRecords.p0001") && m.get("partitions") == "2", s"$m")
+      }
+      // drained: per-partition lag ends at zero; mid-drain the HOT
+      // partition showed more lag than the cold one at least once
+      assert(metrics.last.get("backlogRecords.p0000") === "0")
+      assert(metrics.last.get("backlogRecords.p0001") === "0")
+      assert(metrics.exists(m => m.get("backlogRecords.p0000").toLong >
+        m.get("backlogRecords.p0001").toLong))
+    }
+
     it("retention is per-partition: one partition truncates, siblings and offsets unaffected") {
       val topic = tmp("graftplogret")
       val producers = (0 until 2).map(p =>
