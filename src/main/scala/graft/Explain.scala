@@ -329,6 +329,24 @@ object Explain {
         .filter(org.apache.spark.sql.functions.col("offset") >= 50)
     }
 
+    section("partitioned sink round trip read-back (round 11)",
+      "After the q179 composition (relay computes partition + payload, the " +
+        "partitioned sink publishes each p-NNNN sub-log under its own epoch " +
+        "markers), the read side fans the sub-logs back in: one input " +
+        "partition per (topic-partition, segment slice), rows carrying the " +
+        "(partition, offset) identity — no shuffle anywhere on the ingest " +
+        "path before the store append.") {
+      val dir = graft.util.Scratch.dir("explainpsink")
+      (0 until 2).foreach { p =>
+        val prod = new graft.streaming.GraftLogProducer(
+          graft.streaming.GraftLog.partitionDir(dir, p))
+        prod.publish((0 until 50).map(_.toString))
+        ()
+      }
+      spark.read.format("graft-log").option("path", dir)
+        .option("partitioned", "true").load()
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")
