@@ -103,6 +103,36 @@ object GraftLog {
   private val SegmentName = """(\d{12})-(\d+)\.seg""".r
   private val BasedSegmentName = """(\d{12})-b(\d+)-(\d+)\.seg""".r
   private val SinkSegmentName = """s(\d{12})-p(\d{4})-(\d+)\.seg""".r
+  private val StagedSinkName = """\.sink-e(\d{12})-p\d{4}-t\d+\.staged""".r
+
+  /** Sweep dead attempts' invisible `.sink-*.staged` leftovers in `dir`.
+    * A task KILL skips `DataWriter.abort`, so a crashed attempt's
+    * dot-prefixed staged file would otherwise linger forever (readers
+    * never see it — no segment regex matches a dot name — but a sink
+    * that runs for a year accumulates garbage). Swept: files whose
+    * epoch is `upToEpoch` or OLDER and whose NAME is not in `keep` —
+    * name, not full path, because listStatus returns fully-qualified
+    * URIs while writer messages carry the construction-time form.
+    * Future epochs are never touched. A zombie speculative task still
+    * writing to a swept file keeps an unlinked inode — harmless.
+    * Caller must hold the topic lock.
+    */
+  private[streaming] def sweepStagedLocked(dir: String, conf: Configuration,
+      upToEpoch: Long, keep: Set[String]): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0
+    var swept = 0
+    fs.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case StagedSinkName(e) if st.isFile && e.toLong <= upToEpoch &&
+            !keep.contains(st.getPath.getName) =>
+          if (fs.delete(st.getPath, false)) swept += 1
+        case _ => ()
+      }
+    }
+    swept
+  }
 
   /** One sealed segment: sequence number, the GLOBAL offset of its
     * first record, record count, and path.
@@ -939,6 +969,10 @@ final class GraftLogStreamingWrite(path: String, compactMarkersAfter: Int = 32)
     // publishing, or regress the compacted-through low-water the replay
     // check consults
     GraftLog.withTopicLock(path, conf) {
+      // dead attempts' staged leftovers (task kill skips abort) — sweep
+      // everything this-epoch-or-older that isn't ours
+      GraftLog.sweepStagedLocked(path, conf, epochId,
+        staged.map(m => new Path(m.stagedPath).getName).toSet)
       val marker = new Path(dir, s"_epoch-$epochId.committed")
       if (fs.exists(marker) || epochId <= GraftLog.compactedThrough(path, conf)) {
         // replayed epoch already published (marker live, or folded into
@@ -1014,6 +1048,11 @@ final class GraftLogPartitionedStreamingWrite(path: String, compactMarkersAfter:
     staged.groupBy(_.topicPartition).toSeq.sortBy(_._1).foreach { case (tp, entries) =>
       val dir = new Path(GraftLog.partitionDir(path, tp))
       GraftLog.withTopicLock(dir.toString, conf) {
+        // sweep dead attempts' staged leftovers in this sub-log (a
+        // sub-log the current epoch doesn't touch is swept the next
+        // time an epoch routes records to it)
+        GraftLog.sweepStagedLocked(dir.toString, conf, epochId,
+          entries.map(e => new Path(e.stagedPath).getName).toSet)
         val marker = new Path(dir, s"_epoch-$epochId.committed")
         if (fs.exists(marker) ||
             epochId <= GraftLog.compactedThrough(dir.toString, conf)) {

@@ -689,6 +689,51 @@ class LogSourceSpec extends SparkSpec {
   }
 
   describe("graft-log streaming SINK (the write side of the connector)") {
+    it("epoch commit sweeps dead attempts' staged leftovers, never future epochs") {
+      val src = tmp("graftswpsrc")
+      val dst = tmp("graftswpdst")
+      new GraftLogProducer(src).publish((0 until 100).map(_.toString))
+      // a killed task skips abort(): plant its orphan staged file (epoch
+      // 0 = the first epoch this relay will commit) plus a FUTURE
+      // epoch's, which the sweep must never touch
+      val dstDir = new java.io.File(dst); dstDir.mkdirs()
+      val orphan = new java.io.File(dstDir, ".sink-e000000000000-p9999-t7.staged")
+      val future = new java.io.File(dstDir, ".sink-e000000000099-p9999-t7.staged")
+      Seq(orphan, future).foreach { f =>
+        val w = new java.io.FileWriter(f); w.write("zombie\n"); w.close()
+      }
+      val q = spark.readStream.format("graft-log")
+        .option("path", src).load().selectExpr("payload")
+        .writeStream.format("graft-log")
+        .option("path", dst).option("checkpointLocation", tmp("graftswpck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(!orphan.exists(), "dead attempt's staged leftover not swept")
+      assert(future.exists(), "future epoch's staged file must survive")
+      // the zombie's rows never became visible
+      assert(spark.read.format("graft-log").option("path", dst).load()
+        .count() === 100L)
+
+      // same sweep per sub-log on the PARTITIONED sink
+      val pdst = tmp("graftswppdst")
+      val sub = new java.io.File(GraftLog.partitionDir(pdst, 0)); sub.mkdirs()
+      val porphan = new java.io.File(sub, ".sink-e000000000000-p9999-t3.staged")
+      val pw = new java.io.FileWriter(porphan); pw.write("zombie\n"); pw.close()
+      val pq = spark.readStream.format("graft-log")
+        .option("path", src).load()
+        .selectExpr("cast(cast(payload AS BIGINT) % 2 AS INT) AS partition", "payload")
+        .writeStream.format("graft-log")
+        .option("path", pdst).option("partitioned", "true")
+        .option("checkpointLocation", tmp("graftswppck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      pq.awaitTermination()
+      assert(!porphan.exists(), "partitioned sub-log staged leftover not swept")
+      assert(spark.read.format("graft-log").option("path", pdst)
+        .option("partitioned", "true").load().count() === 100L)
+    }
+
     it("publishes epochs atomically; a forced epoch replay does not duplicate") {
       val src = tmp("graftlogsrc")
       val dst = tmp("graftlogdst")
