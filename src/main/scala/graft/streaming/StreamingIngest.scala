@@ -414,6 +414,50 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** MULTI-TOPIC FAN-IN — Kafka's subscribe-to-many: N independent
+    * topics (plain or partitioned, mixed freely) unioned as ONE
+    * streaming query. Spark's offset log stores each unioned source's
+    * offset SEPARATELY inside the single checkpoint, so a kill/resume
+    * replays every topic from its own committed position and the
+    * per-batch token protocol downstream stays exactly-once for the
+    * union. `maxRecordsPerTrigger` is a PER-TOPIC admission budget
+    * (each source plans its own slice). Each record maps in closed
+    * form from (topic name, value) — topic as a tag — so the converged
+    * state is a pure function of the topics' published value sets,
+    * independent of interleaving or batch cuts.
+    */
+  def multiTopicPointsSource(spark: SparkSession,
+      topics: Seq[(String, Boolean)], maxRecordsPerTrigger: Long): DataFrame = {
+    require(topics.nonEmpty, "at least one topic")
+    topics.map { case (dir, partitioned) =>
+      val topicName = new java.io.File(dir).getName
+      spark.readStream.format("graft-log")
+        .option("path", dir)
+        .option("partitioned", partitioned.toString)
+        .option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+        .load()
+        .select(col("payload").cast("long").as("v"))
+        .select(
+          timestamp_millis(lit(RateEpochMs) + col("v") * 1000L).as(Point.TimeCol),
+          lit("mlog").as(Point.MeasurementCol),
+          map(lit("topic"), lit(topicName),
+            lit("sensor"), concat(lit("s"), col("v") % 4)).as(Point.TagsCol),
+          map(lit("v"), (col("v") % 50).cast("double")).as(Point.FieldsCol))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[drainLog]] over a multi-topic union: one checkpoint, one token
+    * stream, per-topic offset replay.
+    */
+  def drainTopics(spark: SparkSession, db: GraftDB,
+      topics: Seq[(String, Boolean)], maxRecordsPerTrigger: Long,
+      checkpointDir: String, streamName: String = "graftmlog"): Unit = {
+    val q = startExactlyOnce(
+      multiTopicPointsSource(spark, topics, maxRecordsPerTrigger),
+      db, checkpointDir, streamName, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
   /** Drive [[start]] from the rate source until the full deterministic
     * prefix has landed in `db`, then stop the query. Proves the ingest
     * graph is source-agnostic: the SAME checkpointed foreachBatch

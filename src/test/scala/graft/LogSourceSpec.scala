@@ -599,6 +599,34 @@ class LogSourceSpec extends SparkSpec {
       assert(db2.allDF().select(graft.model.Point.TimeCol).distinct().count() === 400L)
     }
 
+    it("multi-topic fan-in: plain + partitioned topics union into one exactly-once ingest") {
+      val ta = tmp("graftmta")
+      val tb = tmp("graftmtb")
+      val ckpt = tmp("graftmtck")
+      new GraftLogProducer(ta).publish((0 until 200).map(_.toString))
+      (0 until 2).foreach { p =>
+        new GraftLogProducer(GraftLog.partitionDir(tb, p))
+          .publish((1000 until 1100).filter(_ % 2 == p).map(_.toString))
+      }
+      val db = GraftDB.inMemory(spark)
+      val topics = Seq(ta -> false, tb -> true)
+      StreamingIngest.drainTopics(spark, db, topics, 64L, ckpt)
+      assert(db.length === 300L)
+      // topic rides as a tag; per-topic counts are the published sets
+      val byTopic = db.allDF()
+        .groupBy(org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col(graft.model.Point.TagsCol), "topic"))
+        .count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(byTopic === Map(new java.io.File(ta).getName -> 200L,
+        new java.io.File(tb).getName -> 100L))
+      // continuation against the SAME checkpoint: each topic resumes from
+      // its own committed offset, so only the new records land
+      new GraftLogProducer(ta).publish((200 until 230).map(_.toString))
+      StreamingIngest.drainTopics(spark, db, topics, 64L, ckpt)
+      assert(db.length === 330L)
+      assert(db.allDF().select(graft.model.Point.TimeCol).distinct().count() === 330L)
+    }
+
     it("two independent consumer groups drain one topic, each exactly-once") {
       val topic = tmp("graftploggrp")
       (0 until 2).foreach { p =>
