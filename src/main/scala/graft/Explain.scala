@@ -347,6 +347,26 @@ object Explain {
         .option("partitioned", "true").load()
     }
 
+    section("multi-topic fan-in (round 11)",
+      "Kafka's subscribe-to-many: two topics (one plain, one partitioned) " +
+        "unioned as one plan. Union is a NARROW op — each topic contributes " +
+        "its own scan partitions and no exchange appears anywhere, so N " +
+        "topics fan in at the cost of listing N directories. The streaming " +
+        "form (StreamingIngest.drainTopics) adds per-source offsets in one " +
+        "checkpoint on top of this same scan shape.") {
+      val ta = graft.util.Scratch.dir("explainmta")
+      val tb = graft.util.Scratch.dir("explainmtb")
+      new graft.streaming.GraftLogProducer(ta).publish((0 until 60).map(_.toString))
+      new graft.streaming.GraftLogProducer(
+        graft.streaming.GraftLog.partitionDir(tb, 0)).publish((0 until 40).map(_.toString))
+      val a = spark.read.format("graft-log").option("path", ta).load()
+        .select(org.apache.spark.sql.functions.col("payload"))
+      val b = spark.read.format("graft-log").option("path", tb)
+        .option("partitioned", "true").load()
+        .select(org.apache.spark.sql.functions.col("payload"))
+      a.unionAll(b)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote EXPLAIN.md (${out.length} chars)")
