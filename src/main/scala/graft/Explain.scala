@@ -310,6 +310,19 @@ object Explain {
       SparkEntry.queries("q178_ann_opq_residual_ivfpq")(spark, sfDir)
     }
 
+    section("q180 exact re-rank of the ADC shortlist (round 11)",
+      "The FAISS refine stage: the q178 tier emits a 50-candidate " +
+        "shortlist per query, and the final top-10 is the exact cosine " +
+        "computed for those 50 only. The plan's refine tail shows the " +
+        "tiny shortlist BROADCAST into the corpus scan (a " +
+        "BroadcastHashJoin prunes non-candidates' raw vectors at the " +
+        "join — no corpus-sized shuffle), the query table broadcast, " +
+        "and the bounded TopKByScore aggregate — so the stage that " +
+        "recovers the ADC quantization loss costs 50 vector reads per " +
+        "query, not a rescan.") {
+      SparkEntry.queries("q180_ann_rerank")(spark, sfDir)
+    }
+
     section("partitioned graft-log topic (round 11)",
       "N producer sub-directories as ONE source: the batch read plans one " +
         "input partition per (topic-partition, segment slice) — a " +

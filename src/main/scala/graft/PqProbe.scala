@@ -86,6 +86,29 @@ object PqProbe {
       "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
     println(f"| OPQ residual IVF+PQ (q178) | nProbe=2, m=4x16, OPQ perm, 6 sign bits | ${recall(orivfpq)}%.3f |")
 
+    // q180: exact re-rank of the q178 shortlist (R=50) — the refine
+    // stage; recall@10 here equals recall@50 of the q178 tier, the
+    // single biggest recall lever at the cost of 50 raw-vector reads
+    // per query
+    val short50 = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, cents, perm, ocb,
+      "vec_id", "embedding", "qid", k = 50, nProbe = 2, m = 4, subDim = 16)
+    val rerank = pairs(graft.analytics.Similarity.exactRerank(e, q, short50,
+      "vec_id", "embedding", "qid", k))
+    println(f"| exact re-rank of q178 shortlist (q180) | R=50, nProbe=2, m=4x16 | ${recall(rerank)}%.3f |")
+
+    // refine-ceiling sweep: with the refine stage fixed at R=50, the
+    // re-ranked recall tracks COARSE-PROBE COVERAGE — at nProbe=2 it
+    // sits at the q81 exact-IVF ceiling, and raising nProbe moves the
+    // ceiling itself (the quantization term is already recovered), so
+    // a user tunes recall with nProbe/R, not with bigger codes
+    for (np <- Seq(2, 3, 5)) {
+      val sl = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, cents, perm, ocb,
+        "vec_id", "embedding", "qid", k = 50, nProbe = np, m = 4, subDim = 16)
+      val rr = pairs(graft.analytics.Similarity.exactRerank(e, q, sl,
+        "vec_id", "embedding", "qid", k))
+      println(f"| re-rank sweep | R=50, nProbe=$np | ${recall(rr)}%.3f |")
+    }
+
     // the original compression sweep: recall across subspace splits
     for ((m, sd) <- Seq((4, 16), (8, 8), (16, 4), (32, 2))) {
       val cbs = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m, sd)

@@ -169,6 +169,19 @@ object ScaleProbe {
             cents, perm, oCb, "vec_id", "embedding", "qid", k = 10, nProbe = 2,
             m = 4, subDim = 16).count()
         }
+        // q180 shape: the refine tail costs queries × R exact dots +
+        // one broadcast-pruned pass over the corpus scan — its DELTA
+        // over the shortlist run above must stay ~flat as the corpus
+        // scales (the shortlist is R rows per query regardless of N)
+        time(s"opq_ivfpq_rerank_$label") {
+          val qs = d.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding"))
+          val short50 = graft.analytics.Similarity.opqResidualIvfPqTopK(d, qs,
+            cents, perm, oCb, "vec_id", "embedding", "qid", k = 50, nProbe = 2,
+            m = 4, subDim = 16)
+          graft.analytics.Similarity.exactRerank(d, qs, short50,
+            "vec_id", "embedding", "qid", k = 10).count()
+        }
       }
       emb100.unpersist()
       ()

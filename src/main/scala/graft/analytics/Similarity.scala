@@ -43,6 +43,39 @@ object Similarity {
       .select(col("qid"), col("id"), dot(col("cv"), col("qv")).as("cosine")), k)
   }
 
+  /** Exact re-rank of an ANN shortlist — the standard refine stage
+    * (FAISS's `RFlat`): any approximate tier produces a per-query
+    * shortlist of R > k candidate ids, and the final ranking is the
+    * EXACT cosine computed only for those R candidates. recall@k of
+    * the refined result equals recall@R of the underlying tier, so a
+    * modest R (3–5×k) converts a mediocre ADC ranking into near-exact
+    * results while still reading m-byte codes for the other
+    * (1 − R/N) of the corpus.
+    *
+    * Scale shape: `shortlist` is queries × R rows — tiny — and is
+    * BROADCAST into the corpus scan, so the raw vectors of only the
+    * candidates are ever materialized (a broadcast-hash join prunes
+    * the scan; no corpus-sized shuffle). The query table is broadcast
+    * too, the exact dot runs over queries × R rows, and the final
+    * top-k is the bounded aggregate. Cosines are rounded (6dp) before
+    * ranking with the (cosine DESC, id) tie-break, so an external
+    * engine replays the refinement bit-for-bit.
+    *
+    * `shortlist` must carry (`qid`, `id`) — the output shape of every
+    * topK in this module. Output: (qid, id, cosine, rank).
+    */
+  def exactRerank(corpus: DataFrame, queries: DataFrame, shortlist: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "exactRerank")
+    val c = corpus.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    val cand = c.join(broadcast(shortlist.select("qid", "id")), "id")
+      .join(broadcast(q), "qid")
+    topKPerQuery(cand.select(col("qid"), col("id"),
+      round(dot(col("cv"), col("qv")), roundTo).as("cosine")), k)
+  }
+
   private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     val idType = df.schema(idCol).dataType
     require(Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),

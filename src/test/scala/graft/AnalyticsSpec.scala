@@ -252,6 +252,30 @@ class AnalyticsSpec extends SparkSpec {
       info(s"recall@10: opq=$opq")
       assert(opq > rivfpq, s"OPQ residual IVF+PQ ($opq) should beat residual ($rivfpq)")
       assert(opq >= 0.24, s"OPQ recall dropped: $opq") // measured 0.26
+      // exact re-rank of the R=50 OPQ shortlist (q180): recall@10
+      // equals recall@50 of the underlying tier, so the refined
+      // result must dominate the un-refined one — that dominance and
+      // a floor just under the measured recall are both pinned
+      val short50 = graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, cents, perm, ocb, "vec_id", "embedding", "qid", 50,
+        nProbe = 2, m = 4, subDim = 16)
+      val rer = recall(pairs(graft.analytics.Similarity.exactRerank(
+        e, q, short50, "vec_id", "embedding", "qid", 10)))
+      info(s"recall@10: rerank=$rer")
+      assert(rer > opq, s"exact re-rank ($rer) should beat its ADC tier ($opq)")
+      assert(rer >= 0.35, s"re-rank recall dropped: $rer") // measured 0.38 (= the
+      // nProbe=2 coarse ceiling: q81's exact IVF row — refine recovers
+      // everything the probe admits)
+      // every refined hit must come from the shortlist, and within the
+      // shortlist the refinement is EXACT — so any true-top-10 member
+      // present in the shortlist must surface in the refined top-10
+      val shortSet = pairs(short50)
+      val refined = pairs(graft.analytics.Similarity.exactRerank(
+        e, q, short50, "vec_id", "embedding", "qid", 10))
+      assert(refined.subsetOf(shortSet), "rerank invented a candidate outside its shortlist")
+      assert((exact intersect shortSet).subsetOf(refined),
+        "a true top-10 member in the shortlist failed to surface after exact re-rank")
+
       // the permutation is a bijection over the 64 dims, split 16/16/16/16
       val pRows = perm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
       assert(pRows.map(_._1).sorted.toSeq === (1 to 64))

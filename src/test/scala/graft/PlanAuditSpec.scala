@@ -229,6 +229,33 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), p)
     }
 
+    it("exact re-rank: shortlist broadcasts INTO the corpus scan — no corpus shuffle, no window") {
+      import graft.functions.VectorFunctions.l2Normalize
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+      val cents = graft.analytics.Similarity.centroids(
+        e.select(col("label"), l2Normalize(col("embedding")).as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = graft.analytics.Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", 4, 16)
+      val cb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val short50 = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q,
+        cents, perm, cb, "vec_id", "embedding", "qid", 50, nProbe = 2, m = 4, subDim = 16)
+      val p = plan(graft.analytics.Similarity.exactRerank(
+        e, q, short50, "vec_id", "embedding", "qid", 10))
+      // the refine stage itself: candidates come from a broadcast-hash
+      // join of the tiny shortlist against the corpus scan (raw vectors
+      // of non-candidates are pruned at the join, never shuffled), the
+      // query table is broadcast, and the final top-k is the bounded
+      // aggregate — a window or SMJ here would mean the refine stage
+      // re-introduced the corpus-sized cost the ADC tier avoided
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(p.contains("TopKByScore"), p)
+    }
+
     it("partitioned graft-log batch read plans one input partition per topic-partition slice") {
       import graft.streaming.{GraftLog, GraftLogProducer}
       val topic = java.nio.file.Files.createTempDirectory("graftplogaudit").toString
