@@ -101,12 +101,12 @@ object PqProbe {
     // sits at the q81 exact-IVF ceiling, and raising nProbe moves the
     // ceiling itself (the quantization term is already recovered), so
     // a user tunes recall with nProbe/R, not with bigger codes
-    for (np <- Seq(2, 3, 5)) {
+    for ((np, r) <- Seq((2, 50), (3, 50), (5, 50), (5, 100))) {
       val sl = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, cents, perm, ocb,
-        "vec_id", "embedding", "qid", k = 50, nProbe = np, m = 4, subDim = 16)
+        "vec_id", "embedding", "qid", k = r, nProbe = np, m = 4, subDim = 16)
       val rr = pairs(graft.analytics.Similarity.exactRerank(e, q, sl,
         "vec_id", "embedding", "qid", k))
-      println(f"| re-rank sweep | R=50, nProbe=$np | ${recall(rr)}%.3f |")
+      println(f"| re-rank sweep | R=$r, nProbe=$np | ${recall(rr)}%.3f |")
     }
 
     // the original compression sweep: recall across subspace splits
