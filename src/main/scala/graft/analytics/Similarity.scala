@@ -520,12 +520,34 @@ object Similarity {
     requireIntegralId(corpus, idCol, "opqResidualIvfPqTopK")
     val srcs = permSources(perm, m, subDim)
     val cb = pqCentersOf(codebooks)
+    val enc = opqEncodeCells(corpus, centroids, srcs, cb, idCol, vecCol, m, subDim)
+    opqServeAdc(enc, queries, centroids, srcs, cb, vecCol, qidCol, k, nProbe, m, subDim, roundTo)
+  }
+
+  /** OPQ-rotated residual PQ codes: (id, cell, sub, code) — the
+    * m-byte-per-vector index payload every OPQ serve path scores
+    * against. One encode shuffle; quantizer state rides broadcast.
+    */
+  private def opqEncodeCells(corpus: DataFrame, centroids: DataFrame,
+      srcs: Seq[Int], cb: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
     val res = residualVecs(
       corpus.withColumn("__rid", col(idCol).cast("long")), centroids, "__rid", vecCol)
       .withColumn("rv", applyPerm(col("rv"), srcs))
-    val enc = residualSubDists(res, Seq("id", "cell"), "rv", cb, m, subDim)
+    residualSubDists(res, Seq("id", "cell"), "rv", cb, m, subDim)
       .groupBy("id", "cell", "sub")
       .agg(min(struct(col("sdist"), col("code"))).getField("code").as("code"))
+  }
+
+  /** The OPQ ADC serve tail over an already-encoded code set (computed
+    * in-query or scanned back from a persisted index): per-(query,
+    * probed-cell) rotated-residual distance tables broadcast against
+    * the codes, + the ||qr||² term, rounded, bounded top-k.
+    */
+  private def opqServeAdc(enc: DataFrame, queries: DataFrame,
+      centroids: DataFrame, srcs: Seq[Int], cb: DataFrame,
+      vecCol: String, qidCol: String, k: Int, nProbe: Int, m: Int, subDim: Int,
+      roundTo: Int): DataFrame = {
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
     val qres = probeCells(q0, centersOf(centroids), nProbe)
       .join(broadcast(centersOf(centroids)), "cell")
@@ -540,6 +562,65 @@ object Similarity {
       .select(col("qid"), col("id"), round(col("qsum") + col("qrr"), roundTo).as("adc"))
     topKPerQuery(scored.select(col("qid"), col("id"), (-col("adc")).as("cosine")), k)
       .select(col("qid"), col("id"), (-col("cosine")).as("adc"), col("rank"))
+  }
+
+  /** Materialize the OPQ-IVF+PQ serving layout — the on-disk form of
+    * the FAISS index file, Spark-shaped: the m-byte codes land as
+    * parquet PARTITIONED BY `cell` (one directory per inverted list,
+    * so a probe's IO is exactly its probed lists), and the three
+    * quantizer tables (coarse centroids, OPQ permutation, residual
+    * codebooks — KBs, the "index header") land as plain parquet
+    * sidecars. Training runs ONCE over the corpus lifetime;
+    * [[opqIvfPqTopKPersisted]] serves every later query batch from
+    * this layout without touching raw vectors (pair with
+    * [[exactRerank]] against the raw corpus for the refine stage).
+    */
+  def opqIvfPqPersist(corpus: DataFrame,
+      centroids: DataFrame, perm: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int,
+      path: String): Unit = {
+    requireIntegralId(corpus, idCol, "opqIvfPqPersist")
+    val srcs = permSources(perm, m, subDim)
+    opqEncodeCells(corpus, centroids, srcs, pqCentersOf(codebooks),
+      idCol, vecCol, m, subDim)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    centroids.write.mode("overwrite").parquet(s"$path/meta_centroids")
+    perm.write.mode("overwrite").parquet(s"$path/meta_perm")
+    codebooks.write.mode("overwrite").parquet(s"$path/meta_codebooks")
+  }
+
+  /** Probe a persisted OPQ-IVF+PQ index ([[opqIvfPqPersist]] layout).
+    * Like [[ivfTopKPersisted]], the probed cell set (queries × nProbe
+    * ids — tiny by the ANN contract) collects into a LITERAL
+    * `cell IN (...)` predicate, buying STATIC partition pruning: the
+    * codes scan lists only the probed inverted-list directories, and
+    * unprobed cells cost zero IO (PlanAudit-asserted). The serve math
+    * is [[opqResidualIvfPqTopK]]'s, bit-for-bit — the round trip
+    * through parquet changes nothing, which is what lets the q181
+    * oracle be q178's replay verbatim.
+    */
+  def opqIvfPqTopKPersisted(indexPath: String, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int,
+      m: Int, subDim: Int, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
+    val perm = spark.read.parquet(s"$indexPath/meta_perm")
+    val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
+    val srcs = permSources(perm, m, subDim)
+    val centers = centersOf(centroids)
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    val cells = probeCells(q0, centers, nProbe)
+      .select("cell").distinct().collect().map(_.get(0)).toSeq
+    // filter BEFORE the type-bridging cast: the isin must land on the
+    // raw partition column for static pruning (a cast on the column
+    // side would defeat it); the cast after only bridges exotic label
+    // types whose directory-name inference differs from the quantizer's
+    val cellType = centers.schema("cell").dataType
+    val enc = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast(cellType))
+    opqServeAdc(enc, queries, centroids, srcs, pqCentersOf(codebooks),
+      vecCol, qidCol, k, nProbe, m, subDim, roundTo)
   }
 
   /** Residual IVF+PQ top-k: coarse probe prunes to `nProbe` cells;

@@ -118,6 +118,30 @@ class AnalyticsSpec extends SparkSpec {
         .select("qid", "id").as[(Long, Long)].collect().toSet
       assert(served == inMemory && served.nonEmpty)
     }
+    it("persisted OPQ-IVF+PQ index serves BIT-IDENTICAL ranks to the in-query computation") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+      val cents = Similarity.centroids(
+        e.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb = Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val inQuery = Similarity.opqResidualIvfPqTopK(e, q, cents, perm, cb,
+        "vec_id", "embedding", "qid", k = 10, nProbe = 2, m = 4, subDim = 16)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+      graft.util.Scratch.withDir("opqidxspec") { dir =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          "vec_id", "embedding", 4, 16, dir)
+        val served = Similarity.opqIvfPqTopKPersisted(dir, q,
+          "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+          .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+        // full (qid, id, rank) equality — not just the id sets: the
+        // parquet round trip must not perturb a single ADC rank
+        assert(served == inQuery && served.nonEmpty)
+      }
+    }
     it("md5-derived hyperplane signatures are deterministic 0/1 bits and recall the top-1") {
       import graft.functions.VectorFunctions.md5HyperplaneSignature
       val sigs = corpus.select($"vec_id",

@@ -414,6 +414,33 @@ class PlanAuditSpec extends SparkSpec {
       assert(res.count() > 0)
     }
 
+    it("persisted OPQ-IVF+PQ layout: codes scan statically pruned to probed cells") {
+      import graft.analytics.Similarity
+      import graft.functions.VectorFunctions.l2Normalize
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = Similarity.centroids(
+        emb.select(col("label"), l2Normalize(col("embedding")).as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(emb, cents, "vec_id", "embedding", 4, 16)
+      val cb = Similarity.opqResidualPqCodebooks(
+        emb, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      graft.util.Scratch.withDir("opqauditidx") { dir =>
+        Similarity.opqIvfPqPersist(emb, cents, perm, cb,
+          "vec_id", "embedding", 4, 16, dir)
+        val qs = emb.filter(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val res = Similarity.opqIvfPqTopKPersisted(dir, qs,
+          "qid", "embedding", k = 5, nProbe = 2, m = 4, subDim = 16)
+        val p = plan(res)
+        // the probed-cell literal lands in PartitionFilters on the CODES
+        // scan — unprobed inverted lists cost zero IO; and the serve tail
+        // keeps the in-query contract (broadcast tables, bounded top-k)
+        assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+        assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+        assert(res.count() > 0)
+      }
+    }
+
     it("scalable global ranking keeps the big-table window out of a single partition") {
       import graft.analytics.Ranking
       val orders = spark.read.parquet(s"$sf/orders.parquet")
