@@ -323,6 +323,30 @@ object Explain {
       SparkEntry.queries("q180_ann_rerank")(spark, sfDir)
     }
 
+    section("q181 persisted OPQ-IVF+PQ index serve (round 11)",
+      "The on-disk index: codes live as parquet partitioned by cell, and " +
+        "the serve collects the probed cell ids into a literal cell IN " +
+        "(...) — the scan's PartitionFilters line below is the static " +
+        "pruning, so unprobed inverted lists cost zero IO. Everything " +
+        "else is the q178 serve contract: broadcast distance tables, one " +
+        "bounded top-k, no raw vectors touched.") {
+      import org.apache.spark.sql.functions.{col, round => rnd}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = graft.analytics.Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), rnd(col("c"), 6).as("c"))
+      val perm = graft.analytics.Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val idx = graft.util.Scratch.dir("explainopqidx")
+      graft.analytics.Similarity.opqIvfPqPersist(e, cents, perm, cb,
+        "vec_id", "embedding", 4, 16, idx)
+      graft.analytics.Similarity.opqIvfPqTopKPersisted(idx,
+        e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+        "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+    }
+
     section("partitioned graft-log topic (round 11)",
       "N producer sub-directories as ONE source: the batch read plans one " +
         "input partition per (topic-partition, segment slice) — a " +

@@ -182,6 +182,20 @@ object ScaleProbe {
           graft.analytics.Similarity.exactRerank(d, qs, short50,
             "vec_id", "embedding", "qid", k = 10).count()
         }
+        // q181 shape: train+persist ONCE (untimed — the amortized part),
+        // then serve-only. The timed serve reads codes from the probed
+        // cell directories exclusively (static pruning), so its cost
+        // tracks probed-list length (~linear in corpus) with ZERO
+        // training stages and zero unprobed IO
+        val idxDir = graft.util.Scratch.dir(s"scaleopqidx$label")
+        graft.analytics.Similarity.opqIvfPqPersist(d, cents, perm, oCb,
+          "vec_id", "embedding", 4, 16, idxDir)
+        time(s"opq_persisted_serve_$label") {
+          graft.analytics.Similarity.opqIvfPqTopKPersisted(idxDir,
+            d.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+            "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16).count()
+        }
+        graft.util.Scratch.release(idxDir)
       }
       emb100.unpersist()
       ()

@@ -62,7 +62,10 @@ object Similarity {
     * engine replays the refinement bit-for-bit.
     *
     * `shortlist` must carry (`qid`, `id`) — the output shape of every
-    * topK in this module. Output: (qid, id, cosine, rank).
+    * topK in this module; duplicate (qid, id) rows are tolerated (the
+    * tiny shortlist dedupes before the join — otherwise a repeated
+    * candidate would occupy two top-k slots). Output: (qid, id,
+    * cosine, rank).
     */
   def exactRerank(corpus: DataFrame, queries: DataFrame, shortlist: DataFrame,
       idCol: String, vecCol: String, qidCol: String, k: Int,
@@ -70,7 +73,7 @@ object Similarity {
     requireIntegralId(corpus, idCol, "exactRerank")
     val c = corpus.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-    val cand = c.join(broadcast(shortlist.select("qid", "id")), "id")
+    val cand = c.join(broadcast(shortlist.select("qid", "id").dropDuplicates("qid", "id")), "id")
       .join(broadcast(q), "qid")
     topKPerQuery(cand.select(col("qid"), col("id"),
       round(dot(col("cv"), col("qv")), roundTo).as("cosine")), k)
@@ -587,6 +590,35 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/meta_centroids")
     perm.write.mode("overwrite").parquet(s"$path/meta_perm")
     codebooks.write.mode("overwrite").parquet(s"$path/meta_codebooks")
+  }
+
+  /** Incremental index maintenance — the FAISS `add()` analog: encode
+    * a NEW vector batch with the index's EXISTING quantizers (read
+    * from the meta sidecars; no retraining, so every previously
+    * written code stays valid) and append the codes to the
+    * cell-partitioned layout. The production cadence this enables:
+    * train once on an early sample, then every arriving corpus batch
+    * is one encode-and-append — the serve path picks the new vectors
+    * up on its next probe with zero churn to the layout. Quantizer
+    * drift is the operator's dial: retrain+rewrite via
+    * [[opqIvfPqPersist]] when recall decays. Single-maintainer by
+    * contract (like the reference's storage mutators): concurrent
+    * appends to the same index need external serialization. Ids must
+    * be NEW — re-appending an id already in the index leaves two code
+    * rows per (id, cell, sub) and the serve's per-candidate sum would
+    * double-count it; dedupe arrivals first (the [[Dedup]] digest
+    * store, q169/q173, is the production tool for exactly this).
+    */
+  def opqIvfPqAppend(newVectors: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, m: Int, subDim: Int): Unit = {
+    requireIntegralId(newVectors, idCol, "opqIvfPqAppend")
+    val spark = newVectors.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
+    val perm = spark.read.parquet(s"$indexPath/meta_perm")
+    val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
+    opqEncodeCells(newVectors, centroids, permSources(perm, m, subDim),
+      pqCentersOf(codebooks), idCol, vecCol, m, subDim)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
   }
 
   /** Probe a persisted OPQ-IVF+PQ index ([[opqIvfPqPersist]] layout).

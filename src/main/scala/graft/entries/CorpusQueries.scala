@@ -604,6 +604,43 @@ object CorpusQueries {
       }
     }),
 
+    // INCREMENTAL INDEX MAINTENANCE — the FAISS add() lifecycle over
+    // the q181 layout: quantizers train ONCE on the base half (even
+    // vec_ids), the base persists, then the odd half arrives as a new
+    // batch and is encoded with the FROZEN quantizers and appended to
+    // the cell directories. Serving the grown index must equal the
+    // pure computation "quantizers from evens, codes over all" — which
+    // is exactly what the oracle replays (the q178 chain with every
+    // training CTE filtered to vec_id % 2 = 0). This gates the whole
+    // production cadence: no retrain on append, appended codes land in
+    // the right inverted lists, the serve picks them up unchanged.
+    "q182_ann_opq_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val delta = e.filter(col("vec_id") % 2 === 1)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        base.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(base, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb = Similarity.opqResidualPqCodebooks(base, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      graft.util.Scratch.withDir("opqappend") { idx =>
+        Similarity.opqIvfPqPersist(base, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
+        Similarity.opqIvfPqAppend(delta, idx,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16)
+        Similarity.opqIvfPqTopKPersisted(idx,
+          queries = e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
+          m = 4, subDim = 16)
+          .select("qid", "id").orderBy("qid", "id")
+          .localCheckpoint(true)
+      }
+    }),
+
     // the END-TO-END curation pipeline as ONE gated query — the shape a
     // reference user actually ships: exact dedup -> language filter ->
     // model-quality filter -> source mixture -> token-budget selection.
@@ -1211,6 +1248,82 @@ object CorpusQueries {
       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
       |  FROM adc) WHERE rn <= 10 ORDER BY qid, id""".stripMargin
 
+  // q182's replay: the q178 chain with the TRAIN/ENCODE split of
+  // incremental maintenance — every quantizer (coarse centroids,
+  // variance permutation, residual codebooks) trains on the EVEN
+  // vec_ids only (the persisted base), while assignment and codes
+  // cover ALL ids (base + the appended odd batch). Serving math
+  // unchanged.
+  private val OpqAppendSql: String =
+    """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+      |un AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+      |       FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+      |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un
+      |         WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      |ccf AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
+      |dpf AS (SELECT un.vec_id, cent.cell, sum(un.x * cent.c) AS dp
+      |        FROM un JOIN cent ON un.i = cent.i GROUP BY 1, 2),
+      |ddf AS (SELECT dpf.vec_id, dpf.cell, ccf.cc - 2*dpf.dp AS cdist
+      |        FROM dpf JOIN ccf USING (cell)),
+      |assign AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+      |  FROM ddf) WHERE rn = 1),
+      |probe AS (SELECT vec_id AS qid, cell FROM (
+      |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+      |  FROM ddf WHERE vec_id < 3) WHERE rn <= 2),
+      |res AS (SELECT un.vec_id, un.label, un.i, un.x - cent.c AS x
+      |        FROM un JOIN assign a ON a.vec_id = un.vec_id
+      |        JOIN cent ON cent.cell = a.cell AND cent.i = un.i),
+      |trainres AS (SELECT * FROM res WHERE vec_id % 2 = 0),
+      |pvar AS (SELECT i, round(avg(x*x) - avg(x)*avg(x), 9) AS v FROM trainres GROUP BY 1),
+      |perm AS (SELECT i,
+      |         CASE WHEN ((r // 4) % 2) = 0 THEN r % 4 ELSE 3 - (r % 4) END AS sub,
+      |         r // 4 AS j
+      |         FROM (SELECT i, row_number() OVER (ORDER BY v DESC, i) - 1 AS r FROM pvar)),
+      |us AS (SELECT res.vec_id, CAST(perm.sub AS INT) AS sub, perm.j, res.x
+      |       FROM res JOIN perm ON perm.i = res.i),
+      |ustr AS (SELECT trainres.vec_id, CAST(perm.sub AS INT) AS sub, perm.j, trainres.x
+      |         FROM trainres JOIN perm ON perm.i = trainres.i),
+      |orth AS (SELECT vec_id, sub,
+      |         CAST(sum(CASE WHEN j < 6 AND x >= 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS INT) AS code
+      |         FROM ustr GROUP BY 1, 2),
+      |pcent AS (SELECT ustr.sub, o.code, ustr.j, round(avg(ustr.x), 6) AS c
+      |          FROM ustr JOIN orth o ON o.vec_id = ustr.vec_id AND o.sub = ustr.sub
+      |          GROUP BY 1, 2, 3),
+      |pcc AS (SELECT sub, code, sum(c*c) AS cc FROM pcent GROUP BY 1, 2),
+      |pdp AS (SELECT us.vec_id, pcent.sub, pcent.code, sum(us.x * pcent.c) AS dp
+      |        FROM us JOIN pcent ON us.sub = pcent.sub AND us.j = pcent.j GROUP BY 1, 2, 3),
+      |sd AS (SELECT pdp.vec_id, pdp.sub, pdp.code, pcc.cc - 2*pdp.dp AS sdist
+      |       FROM pdp JOIN pcc ON pcc.sub = pdp.sub AND pcc.code = pdp.code),
+      |enc AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sdist, code) AS rn
+      |  FROM sd) WHERE rn = 1),
+      |qres AS (SELECT p.qid, p.cell, un.i, un.x - cent.c AS x
+      |         FROM probe p JOIN un ON un.vec_id = p.qid
+      |         JOIN cent ON cent.cell = p.cell AND cent.i = un.i),
+      |qrr AS (SELECT qid, cell, sum(x*x) AS qrr FROM qres GROUP BY 1, 2),
+      |qus AS (SELECT qres.qid, qres.cell, CAST(perm.sub AS INT) AS sub, perm.j, qres.x
+      |        FROM qres JOIN perm ON perm.i = qres.i),
+      |qdp AS (SELECT qus.qid, qus.cell, pcent.sub, pcent.code, sum(qus.x * pcent.c) AS dp
+      |        FROM qus JOIN pcent ON qus.sub = pcent.sub AND qus.j = pcent.j
+      |        GROUP BY 1, 2, 3, 4),
+      |qsd AS (SELECT qdp.qid, qdp.cell, qdp.sub, qdp.code, pcc.cc - 2*qdp.dp AS qdist
+      |        FROM qdp JOIN pcc ON pcc.sub = qdp.sub AND pcc.code = qdp.code),
+      |adc AS (SELECT q.qid, a.vec_id AS id,
+      |          round(sum(q.qdist) + any_value(r.qrr), 6) AS adc
+      |        FROM probe p
+      |        JOIN assign a ON a.cell = p.cell
+      |        JOIN enc e ON e.vec_id = a.vec_id
+      |        JOIN qsd q ON q.qid = p.qid AND q.cell = p.cell
+      |                  AND q.sub = e.sub AND q.code = e.code
+      |        JOIN qrr r ON r.qid = p.qid AND r.cell = p.cell
+      |        GROUP BY 1, 2)
+      |SELECT qid, id FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+      |  FROM adc) WHERE rn <= 10 ORDER BY qid, id""".stripMargin
+
   private val MinhashSigCtes: String =
     """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(w) < 3 THEN []
@@ -1749,6 +1862,9 @@ object CorpusQueries {
     // the persisted index must serve BIT-IDENTICAL results to the
     // in-query computation — its oracle IS q178's replay, verbatim
     "q181_ann_opq_persisted" -> OpqResidualIvfPqSql,
+    // incremental maintenance: train on evens, append odds encoded
+    // with the frozen quantizers — the oracle replays that split
+    "q182_ann_opq_append" -> OpqAppendSql,
     // q178's replay widened to a 50-candidate shortlist, then the
     // refine stage: exact cosine (normalized dot, 6dp round) computed
     // for shortlist candidates only, re-ranked (cosine DESC, id)

@@ -142,6 +142,36 @@ class AnalyticsSpec extends SparkSpec {
         assert(served == inQuery && served.nonEmpty)
       }
     }
+    it("incremental append == one-shot persist under the same frozen quantizers") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val base = e.filter($"vec_id" % 2 === 0)
+      val delta = e.filter($"vec_id" % 2 === 1)
+      val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+      val cents = Similarity.centroids(
+        base.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+      val perm = Similarity.opqPermutation(base, cents, "vec_id", "embedding", 4, 16)
+      val cb = Similarity.opqResidualPqCodebooks(
+        base, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      def serve(dir: String) = Similarity.opqIvfPqTopKPersisted(dir, q,
+        "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+      graft.util.Scratch.withDir("opqappA") { a =>
+        Similarity.opqIvfPqPersist(base, cents, perm, cb, "vec_id", "embedding", 4, 16, a)
+        Similarity.opqIvfPqAppend(delta, a, "vec_id", "embedding", 4, 16)
+        // every vector (base + appended) carries exactly m codes — the
+        // append landed in the layout, none doubled, none dropped
+        assert(spark.read.parquet(s"$a/codes").count() === e.count() * 4)
+        graft.util.Scratch.withDir("opqappB") { b =>
+          // one-shot persist of the UNION under the SAME (base-trained)
+          // quantizers — the append path must be indistinguishable
+          Similarity.opqIvfPqPersist(e, cents, perm, cb, "vec_id", "embedding", 4, 16, b)
+          assert(serve(a) === serve(b))
+          assert(serve(a).nonEmpty)
+        }
+      }
+    }
     it("md5-derived hyperplane signatures are deterministic 0/1 bits and recall the top-1") {
       import graft.functions.VectorFunctions.md5HyperplaneSignature
       val sigs = corpus.select($"vec_id",
@@ -299,6 +329,10 @@ class AnalyticsSpec extends SparkSpec {
       assert(refined.subsetOf(shortSet), "rerank invented a candidate outside its shortlist")
       assert((exact intersect shortSet).subsetOf(refined),
         "a true top-10 member in the shortlist failed to surface after exact re-rank")
+      // duplicate shortlist rows must not double-occupy top-k slots
+      val dupRefined = pairs(graft.analytics.Similarity.exactRerank(
+        e, q, short50.unionAll(short50), "vec_id", "embedding", "qid", 10))
+      assert(dupRefined === refined, "duplicated shortlist changed the refined result")
 
       // the permutation is a bijection over the 64 dims, split 16/16/16/16
       val pRows = perm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
