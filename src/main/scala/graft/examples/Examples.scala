@@ -196,4 +196,40 @@ object Examples {
       streamName = "example7")
     db
   }
+
+  /** Example 8 — the ANN serving lifecycle over the embeddings table,
+    * end to end: train the quantizers ONCE on an early sample, persist
+    * the index (codes as cell-partitioned parquet), encode-and-append
+    * the rest of the corpus with the frozen quantizers, then serve a
+    * query batch from the on-disk index and exact-rerank the ADC
+    * shortlist against the raw vectors. Returns (corpus size, served
+    * shortlist size, refined top-k rows) — the FAISS
+    * train/add/search/refine cadence, each stage the gated operator
+    * (q178/q181/q182/q180).
+    */
+  def annServing(spark: SparkSession, sfDir: String, indexDir: String,
+      k: Int = 10, shortlistR: Int = 50): (Long, Long, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val Similarity = graft.analytics.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val sample = e.filter(col("vec_id") % 2 === 0)
+    val rest = e.filter(col("vec_id") % 2 === 1)
+    val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+    val cents = Similarity.centroids(
+      sample.select(col("label"), nv.as("nv")), "label", "nv")
+      .select(col("group"), col("i"), rnd(col("c"), 6).as("c"))
+    val perm = Similarity.opqPermutation(sample, cents, "vec_id", "embedding", 4, 16)
+    val cb = Similarity.opqResidualPqCodebooks(
+      sample, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+    Similarity.opqIvfPqPersist(sample, cents, perm, cb,
+      "vec_id", "embedding", 4, 16, indexDir)           // train + persist once
+    Similarity.opqIvfPqAppend(rest, indexDir,
+      "vec_id", "embedding", 4, 16)                     // add() the rest, frozen quantizers
+    val queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+    val shortlist = Similarity.opqIvfPqTopKPersisted(indexDir, queries,
+      "qid", "embedding", k = shortlistR, nProbe = 2, m = 4, subDim = 16)
+    val refined = Similarity.exactRerank(e, queries, shortlist,
+      "vec_id", "embedding", "qid", k)
+    (e.count(), shortlist.count(), refined)
+  }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Point
 import graft.streaming.{GraftLog, GraftLogProducer}
 
-/** The README quickstart: runs examples 1–7 end-to-end in one JVM.
+/** The README quickstart: runs examples 1–8 end-to-end in one JVM.
   *
   *   sbt "runMain graft.examples.RunExamples"            # sf0.001
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.examples.RunExamples"
@@ -80,6 +80,14 @@ object RunExamples {
       maxRecordsPerTrigger = 400L, graft.util.Scratch.dir("ex7ckpt"))
     println(s"[example 7] drained ${brokerDb.length} records from a 3-partition " +
       "topic, exactly once")
+
+    // 8: the ANN serving lifecycle — train once on a sample, persist the
+    // index, append the rest with frozen quantizers, serve from disk,
+    // exact-rerank the shortlist
+    val (corpusN, shortN, refined) = Examples.annServing(
+      spark, sfDir, graft.util.Scratch.dir("ex8idx"))
+    println(s"[example 8] ANN lifecycle corpus=$corpusN -> shortlist=$shortN " +
+      s"-> refined top-10 rows=${refined.count()}")
 
     graft.util.Scratch.releaseSince(mark)
     spark.stop()

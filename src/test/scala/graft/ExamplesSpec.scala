@@ -171,4 +171,20 @@ class ExamplesSpec extends SparkSpec {
     assert(db.count(graft.query.FieldQuery("v") === 89.0) ==
       (0 until 1000).count(_ % 90 == 89))
   }
+
+  it("example 8: the ANN lifecycle trains once, appends, serves from disk, and rerank dominates") {
+    graft.util.Scratch.withDir("ex8specidx") { idx =>
+      val (corpusN, shortN, refined) = Examples.annServing(
+        spark, "/root/testdata/sf0.001", idx)
+      assert(corpusN === 500L)
+      // 3 queries × R=50 shortlist (probed lists hold enough candidates)
+      assert(shortN === 150L)
+      val rows = refined.select("qid", "id", "rank").collect()
+      assert(rows.length === 30)          // 3 queries × top-10
+      // the refined ranks are exact-cosine order — rank 1 of a query
+      // that is ITS OWN corpus member must be itself
+      val self = rows.filter(r => r.getInt(2) == 1).map(r => (r.getLong(0), r.getLong(1)))
+      assert(self.forall { case (q, id) => q == id })
+    }
+  }
 }
