@@ -616,10 +616,64 @@ object Similarity {
     val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
     val perm = spark.read.parquet(s"$indexPath/meta_perm")
     val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
-    opqEncodeCells(newVectors, centroids, permSources(perm, m, subDim),
-      pqCentersOf(codebooks), idCol, vecCol, m, subDim)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+    val conf = spark.sessionState.newHadoopConf()
+    // maintenance mutations serialize under the index's claim/heartbeat
+    // lock (the topic-maintenance protocol): an appender cannot race a
+    // compactor's directory swap
+    graft.streaming.GraftLog.withTopicLock(indexPath, conf) {
+      opqEncodeCells(newVectors, centroids, permSources(perm, m, subDim),
+        pqCentersOf(codebooks), idCol, vecCol, m, subDim)
+        .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+    }
   }
+
+  /** Compact a persisted index's codes tier: repeated [[opqIvfPqAppend]]
+    * batches leave one small file per (cell, append, task); compaction
+    * rewrites each inverted list as ONE file (a `repartition(cell)`
+    * pass) and swaps it in via the backup-then-rename protocol the
+    * digest store uses — no crash point loses the tier (a dead run
+    * leaves either the old codes, the old codes + a staging dir, or
+    * the new codes + a backup; every state readable or resumable).
+    * Serialized against appends and other compactors under the same
+    * index lock. Serving between the two swap renames can observe a
+    * transient missing-path (single-maintainer contract, as for the
+    * digest store) — schedule compaction off the serving path.
+    */
+  def opqIvfPqCompact(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    graft.streaming.GraftLog.withTopicLock(indexPath, conf) {
+      val live = new Path(s"$indexPath/codes")
+      val stg = new Path(s"$indexPath/codes_staging")
+      val bak = new Path(s"$indexPath/codes_backup")
+      val fs = live.getFileSystem(conf)
+      // resume/cleanup of a dead run's leftovers
+      if (fs.exists(bak) && fs.exists(live)) { fs.delete(bak, true); () }
+      if (fs.exists(bak) && !fs.exists(live)) require(fs.rename(bak, live),
+        s"index compact: cannot restore $bak -> $live")
+      if (fs.exists(stg)) { fs.delete(stg, true); () }
+      spark.read.parquet(live.toString)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stg.toString)
+      require(fs.rename(live, bak), s"index compact: cannot back up $live")
+      require(fs.rename(stg, live), s"index compact: cannot swap in $stg")
+      fs.delete(bak, true)
+      ()
+    }
+  }
+
+  /** Index observability: per-inverted-list occupancy of a persisted
+    * index — (cell, vectors, code_rows). The list-balance view is the
+    * skew dial a production operator watches (a fat cell serves slow;
+    * retrain or split when the max/median ratio drifts). Pure codes
+    * scan, one partial agg.
+    */
+  def opqIvfPqStats(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/codes")
+      .groupBy("cell")
+      .agg(countDistinct("id").as("vectors"), count(lit(1)).as("code_rows"))
 
   /** Probe a persisted OPQ-IVF+PQ index ([[opqIvfPqPersist]] layout).
     * Like [[ivfTopKPersisted]], the probed cell set (queries × nProbe

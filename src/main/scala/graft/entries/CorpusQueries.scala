@@ -641,6 +641,68 @@ object CorpusQueries {
       }
     }),
 
+    // INDEX COMPACTION — the q182 lifecycle plus the maintenance step:
+    // appends leave one small file per (cell, batch, task); compaction
+    // rewrites each inverted list as ONE file under the index lock
+    // (backup-then-rename swap, appender/compactor races serialized)
+    // and the serve over the compacted layout must STILL equal the
+    // train/encode-split replay — compaction is storage-only, zero
+    // semantic drift, and that claim is exactly what this gate pins.
+    "q183_ann_opq_compact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 2 === 0)
+      val delta = e.filter(col("vec_id") % 2 === 1)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        base.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(base, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb = Similarity.opqResidualPqCodebooks(base, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      graft.util.Scratch.withDir("opqcompact") { idx =>
+        Similarity.opqIvfPqPersist(base, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
+        Similarity.opqIvfPqAppend(delta, idx,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16)
+        Similarity.opqIvfPqCompact(s, idx)
+        Similarity.opqIvfPqTopKPersisted(idx,
+          queries = e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
+          m = 4, subDim = 16)
+          .select("qid", "id").orderBy("qid", "id")
+          .localCheckpoint(true)
+      }
+    }),
+
+    // INDEX OBSERVABILITY — per-inverted-list occupancy of the q181
+    // layout: (cell, vectors, code_rows). The oracle recomputes the
+    // cell assignment from scratch and counts it — so the stats view
+    // is guaranteed to describe the REAL assignment, and code_rows
+    // must be exactly m × vectors (no doubled/dropped codes in the
+    // layout). This is the skew dial an operator watches at scale.
+    "q184_ann_index_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      graft.util.Scratch.withDir("opqstats") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
+        Similarity.opqIvfPqStats(s, idx)
+          .select(col("cell").cast("int").as("cell"),
+            col("vectors"), col("code_rows"))
+          .orderBy("cell")
+          .localCheckpoint(true)
+      }
+    }),
+
     // the END-TO-END curation pipeline as ONE gated query — the shape a
     // reference user actually ships: exact dedup -> language filter ->
     // model-quality filter -> source mixture -> token-budget selection.
@@ -1865,6 +1927,29 @@ object CorpusQueries {
     // incremental maintenance: train on evens, append odds encoded
     // with the frozen quantizers — the oracle replays that split
     "q182_ann_opq_append" -> OpqAppendSql,
+    // compaction is storage-only: the compacted layout must serve the
+    // SAME answer, so its oracle is the q182 replay verbatim
+    "q183_ann_opq_compact" -> OpqAppendSql,
+    // stats must describe the real assignment: the oracle recomputes
+    // the cell argmin and counts it; code_rows = m × vectors
+    "q184_ann_index_stats" ->
+      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+        |un AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+        |       FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+        |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2),
+        |ccf AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
+        |dpf AS (SELECT un.vec_id, cent.cell, sum(un.x * cent.c) AS dp
+        |        FROM un JOIN cent ON un.i = cent.i GROUP BY 1, 2),
+        |ddf AS (SELECT dpf.vec_id, dpf.cell, ccf.cc - 2*dpf.dp AS cdist
+        |        FROM dpf JOIN ccf USING (cell)),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+        |  FROM ddf) WHERE rn = 1)
+        |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS vectors,
+        |       count(*) * 4 AS code_rows
+        |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
     // q178's replay widened to a 50-candidate shortlist, then the
     // refine stage: exact cosine (normalized dot, 6dp round) computed
     // for shortlist candidates only, re-ranked (cosine DESC, id)

@@ -172,6 +172,48 @@ class AnalyticsSpec extends SparkSpec {
         }
       }
     }
+    it("index compaction: one file per inverted list, identical serve, dead-run leftovers recovered") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val q = e.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+      val cents = Similarity.centroids(
+        e.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb = Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      def serve(dir: String) = Similarity.opqIvfPqTopKPersisted(dir, q,
+        "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+      def filesPerCell(dir: String): Map[String, Int] =
+        new java.io.File(s"$dir/codes").listFiles().filter(_.getName.startsWith("cell="))
+          .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      graft.util.Scratch.withDir("opqcompactspec") { idx =>
+        Similarity.opqIvfPqPersist(
+          e.filter($"vec_id" % 3 === 0), cents, perm, cb, "vec_id", "embedding", 4, 16, idx)
+        Similarity.opqIvfPqAppend(
+          e.filter($"vec_id" % 3 === 1), idx, "vec_id", "embedding", 4, 16)
+        Similarity.opqIvfPqAppend(
+          e.filter($"vec_id" % 3 === 2), idx, "vec_id", "embedding", 4, 16)
+        val before = serve(idx)
+        assert(filesPerCell(idx).values.max > 1, "appends should leave multiple files per cell")
+        // a dead compactor's staging leftover must not poison the next run
+        new java.io.File(s"$idx/codes_staging").mkdirs()
+        Similarity.opqIvfPqCompact(spark, idx)
+        assert(filesPerCell(idx).values.forall(_ == 1),
+          s"compaction should leave ONE file per inverted list: ${filesPerCell(idx)}")
+        assert(!new java.io.File(s"$idx/codes_backup").exists())
+        assert(!new java.io.File(s"$idx/codes_staging").exists())
+        assert(serve(idx) === before, "compaction changed the serve result")
+        // crash window: backup exists, live missing — the next compact restores
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/codes"),
+          new org.apache.hadoop.fs.Path(s"$idx/codes_backup")))
+        Similarity.opqIvfPqCompact(spark, idx)
+        assert(serve(idx) === before, "restore-then-compact changed the serve result")
+      }
+    }
     it("md5-derived hyperplane signatures are deterministic 0/1 bits and recall the top-1") {
       import graft.functions.VectorFunctions.md5HyperplaneSignature
       val sigs = corpus.select($"vec_id",
