@@ -676,6 +676,69 @@ object CorpusQueries {
       }
     }),
 
+    // STREAMING ANN SERVING — the production shape that ties the
+    // round's two tiers together: query ids arrive on a `graft-log`
+    // topic (replayable offsets, one-record micro-batches so the run
+    // crosses several epochs), each micro-batch is served against the
+    // PERSISTED index (the q181 layout; collect-time probe pruning
+    // works because foreachBatch hands a batch DataFrame), and the
+    // top-10 results land in a GraftDB store via the idempotent token
+    // protocol — exactly-once per batch under replay. The converged
+    // store is a pure function of the published query set, so the
+    // oracle is q178's replay verbatim: stream orchestration must add
+    // or lose NOTHING.
+    "q185_ann_stream_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      graft.util.Scratch.withDir("annservidx") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
+        val qtopic = graft.util.Scratch.dir("annservq")
+        new graft.streaming.GraftLogProducer(qtopic)
+          .publish(Seq("0", "1", "2"))
+        val db = graft.engine.GraftDB.inMemory(s)
+        val sq = s.readStream.format("graft-log")
+          .option("path", qtopic).option("maxRecordsPerTrigger", 1L).load()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", graft.util.Scratch.dir("annservck"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val qs = batch.select(col("payload").cast("long").as("qid"))
+              .join(e.select(col("vec_id").as("qid"), col("embedding")), "qid")
+            val res = Similarity.opqIvfPqTopKPersisted(idx, qs,
+              qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
+              m = 4, subDim = 16)
+            val pts = res.select(
+              org.apache.spark.sql.functions.timestamp_millis(lit(0L) + col("qid"))
+                .as(graft.model.Point.TimeCol),
+              lit("annserve").as(graft.model.Point.MeasurementCol),
+              map(lit("qid"), col("qid").cast("string"))
+                .as(graft.model.Point.TagsCol),
+              map(lit("id"), col("id").cast("double"),
+                lit("rank"), col("rank").cast("double"))
+                .as(graft.model.Point.FieldsCol))
+            db.insertDFIdempotent(pts.localCheckpoint(true), f"annserve-b$batchId%012d")
+            ()
+          }
+          .start()
+        sq.awaitTermination()
+        db.allDF()
+          .select(
+            element_at(col(graft.model.Point.TagsCol), "qid").cast("bigint").as("qid"),
+            element_at(col(graft.model.Point.FieldsCol), "id").cast("bigint").as("id"))
+          .orderBy("qid", "id")
+          .localCheckpoint(true)
+      }
+    }),
+
     // INDEX OBSERVABILITY — per-inverted-list occupancy of the q181
     // layout: (cell, vectors, code_rows). The oracle recomputes the
     // cell assignment from scratch and counts it — so the stats view
@@ -1930,6 +1993,9 @@ object CorpusQueries {
     // compaction is storage-only: the compacted layout must serve the
     // SAME answer, so its oracle is the q182 replay verbatim
     "q183_ann_opq_compact" -> OpqAppendSql,
+    // stream orchestration must add or lose nothing: the converged
+    // store of the streaming serve is q178's replay verbatim
+    "q185_ann_stream_serve" -> OpqResidualIvfPqSql,
     // stats must describe the real assignment: the oracle recomputes
     // the cell argmin and counts it; code_rows = m × vectors
     "q184_ann_index_stats" ->

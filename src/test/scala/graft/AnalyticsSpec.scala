@@ -214,6 +214,59 @@ class AnalyticsSpec extends SparkSpec {
         assert(serve(idx) === before, "restore-then-compact changed the serve result")
       }
     }
+    it("streaming serve restart adds nothing: same checkpoint + store converge once") {
+      import org.apache.spark.sql.streaming.Trigger
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = Similarity.centroids(
+        e.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb = Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      graft.util.Scratch.withDir("annservrestart") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb, "vec_id", "embedding", 4, 16, idx)
+        val qtopic = graft.util.Scratch.dir("annservrq")
+        new graft.streaming.GraftLogProducer(qtopic).publish(Seq("0", "1", "2"))
+        val ck = graft.util.Scratch.dir("annservrck")
+        val db = graft.engine.GraftDB.inMemory(spark)
+        def runServe(): Unit = {
+          val sq = spark.readStream.format("graft-log")
+            .option("path", qtopic).option("maxRecordsPerTrigger", 1L).load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val qs = batch.select($"payload".cast("long").as("qid"))
+                .join(e.select($"vec_id".as("qid"), $"embedding"), "qid")
+              val res = Similarity.opqIvfPqTopKPersisted(idx, qs,
+                "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+              val pts = res.select(
+                timestamp_millis(lit(0L) + $"qid").as(graft.model.Point.TimeCol),
+                lit("annserve").as(graft.model.Point.MeasurementCol),
+                map(lit("qid"), $"qid".cast("string")).as(graft.model.Point.TagsCol),
+                map(lit("id"), $"id".cast("double"), lit("rank"), $"rank".cast("double"))
+                  .as(graft.model.Point.FieldsCol))
+              db.insertDFIdempotent(pts.localCheckpoint(true), f"annserve-b$batchId%012d")
+              ()
+            }
+            .start()
+          sq.awaitTermination()
+        }
+        runServe()
+        val after1 = db.length
+        assert(after1 === 30L) // 3 queries × top-10
+        // restart the identical stream on the same checkpoint and store:
+        // no new source data, no new batches, and even a re-delivered
+        // batch would hit its committed token — the store must not move
+        runServe()
+        assert(db.length === after1, "restart duplicated streaming-serve results")
+        // more queries arrive: only the NEW ones land
+        new graft.streaming.GraftLogProducer(qtopic).publish(Seq("3"))
+        runServe()
+        assert(db.length === after1 + 10L)
+      }
+    }
     it("md5-derived hyperplane signatures are deterministic 0/1 bits and recall the top-1") {
       import graft.functions.VectorFunctions.md5HyperplaneSignature
       val sigs = corpus.select($"vec_id",
