@@ -584,12 +584,17 @@ object Similarity {
       path: String): Unit = {
     requireIntegralId(corpus, idCol, "opqIvfPqPersist")
     val srcs = permSources(perm, m, subDim)
-    opqEncodeCells(corpus, centroids, srcs, pqCentersOf(codebooks),
-      idCol, vecCol, m, subDim)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    centroids.write.mode("overwrite").parquet(s"$path/meta_centroids")
-    perm.write.mode("overwrite").parquet(s"$path/meta_perm")
-    codebooks.write.mode("overwrite").parquet(s"$path/meta_codebooks")
+    val conf = corpus.sparkSession.sessionState.newHadoopConf()
+    // a retrain/rewrite is a maintenance mutation like append/compact:
+    // all three serialize under the index's claim/heartbeat lock
+    graft.streaming.GraftLog.withTopicLock(path, conf) {
+      opqEncodeCells(corpus, centroids, srcs, pqCentersOf(codebooks),
+        idCol, vecCol, m, subDim)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      centroids.write.mode("overwrite").parquet(s"$path/meta_centroids")
+      perm.write.mode("overwrite").parquet(s"$path/meta_perm")
+      codebooks.write.mode("overwrite").parquet(s"$path/meta_codebooks")
+    }
   }
 
   /** Incremental index maintenance — the FAISS `add()` analog: encode
