@@ -71,9 +71,16 @@ object Similarity {
       idCol: String, vecCol: String, qidCol: String, k: Int,
       roundTo: Int = 6): DataFrame = {
     requireIntegralId(corpus, idCol, "exactRerank")
-    val c = corpus.select(col(idCol).cast("long").as("id"), l2Normalize(col(vecCol)).as("cv"))
+    // normalize ABOVE the broadcast join, not below it: Catalyst does
+    // not defer expression evaluation past a join, so normalizing in
+    // the scan projection would pay O(N·dim) for the full corpus —
+    // exactly the cost the refine stage exists to avoid. Joining the
+    // raw vectors to the shortlist first normalizes only the R
+    // survivors per query.
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("__rawv"))
     val q = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
     val cand = c.join(broadcast(shortlist.select("qid", "id").dropDuplicates("qid", "id")), "id")
+      .select(col("qid"), col("id"), l2Normalize(col("__rawv")).as("cv"))
       .join(broadcast(q), "qid")
     topKPerQuery(cand.select(col("qid"), col("id"),
       round(dot(col("cv"), col("qv")), roundTo).as("cosine")), k)
@@ -524,7 +531,9 @@ object Similarity {
     val srcs = permSources(perm, m, subDim)
     val cb = pqCentersOf(codebooks)
     val enc = opqEncodeCells(corpus, centroids, srcs, cb, idCol, vecCol, m, subDim)
-    opqServeAdc(enc, queries, centroids, srcs, cb, vecCol, qidCol, k, nProbe, m, subDim, roundTo)
+    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+    opqServeAdc(enc, probeCells(q0, centersOf(centroids), nProbe),
+      centroids, srcs, cb, k, m, subDim, roundTo)
   }
 
   /** OPQ-rotated residual PQ codes: (id, cell, sub, code) — the
@@ -545,14 +554,16 @@ object Similarity {
   /** The OPQ ADC serve tail over an already-encoded code set (computed
     * in-query or scanned back from a persisted index): per-(query,
     * probed-cell) rotated-residual distance tables broadcast against
-    * the codes, + the ||qr||² term, rounded, bounded top-k.
+    * the codes, + the ||qr||² term, rounded, bounded top-k. Takes the
+    * ALREADY-COMPUTED probe set ((qid, qv, cell), the [[probeCells]]
+    * shape) so a caller that also needs the probes driver-side (the
+    * persisted serve's pruning literal) runs the probe job once.
     */
-  private def opqServeAdc(enc: DataFrame, queries: DataFrame,
+  private def opqServeAdc(enc: DataFrame, probes: DataFrame,
       centroids: DataFrame, srcs: Seq[Int], cb: DataFrame,
-      vecCol: String, qidCol: String, k: Int, nProbe: Int, m: Int, subDim: Int,
+      k: Int, m: Int, subDim: Int,
       roundTo: Int): DataFrame = {
-    val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-    val qres = probeCells(q0, centersOf(centroids), nProbe)
+    val qres = probes
       .join(broadcast(centersOf(centroids)), "cell")
       .select(col("qid"), col("cell"),
         applyPerm(zip_with(col("qv"), col("center"), (a, b) => a - b), srcs).as("qr"))
@@ -578,22 +589,104 @@ object Similarity {
     * this layout without touching raw vectors (pair with
     * [[exactRerank]] against the raw corpus for the refine stage).
     */
+  // Cell ids become parquet partition DIRECTORY NAMES, and the serve's
+  // pruning literal plus the compaction rewrite both rely on the
+  // directory string round-tripping through Spark's partition-type
+  // inference ("01" would come back as int 1). Integral ids round-trip
+  // losslessly; anything else must map to a surrogate int first.
+  private def requireIntegralCells(centroids: DataFrame, op: String): Unit = {
+    val cellCol = centroids.columns.head
+    val t = centroids.schema(cellCol).dataType.simpleString
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(t),
+      s"$op requires integral cell ids ('$cellCol' is $t): partition-directory " +
+        "type inference must round-trip cell values — map labels to a surrogate int first")
+  }
+
+  // The four index directories a retrain replaces. Staging a full new
+  // generation, then creating the `_retrain_pending` marker, then
+  // swapping each dir makes a crash at ANY point roll-forwardable: the
+  // marker only ever exists with ALL staging dirs complete, so finishing
+  // the swaps (in any later maintenance op) is always safe.
+  private val IndexDirs = Seq("codes", "meta_centroids", "meta_perm", "meta_codebooks")
+
+  private def retrainMarker(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_pending")
+
+  /** Swap `name`_staging into `name` via backup-then-rename; a no-op if
+    * the staging dir is absent (that swap already completed).
+    */
+  private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stg = new Path(s"$indexPath/${name}_staging")
+    val live = new Path(s"$indexPath/$name")
+    val bak = new Path(s"$indexPath/${name}_backup")
+    if (fs.exists(stg)) {
+      if (fs.exists(live)) {
+        if (fs.exists(bak)) { fs.delete(bak, true); () }
+        require(fs.rename(live, bak), s"index retrain: cannot back up $live")
+      }
+      require(fs.rename(stg, live), s"index retrain: cannot swap in $stg")
+    }
+    if (fs.exists(bak)) { fs.delete(bak, true); () }
+  }
+
+  /** Roll a dead retrain forward (call with the index lock held): if the
+    * marker exists, every staging dir is complete — finish the swaps and
+    * clear the marker. Without the marker, stray staging dirs are a
+    * pre-marker crash's leftovers and the live generation is untouched.
+    */
+  private def recoverRetrain(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Unit = {
+    if (fs.exists(retrainMarker(indexPath))) {
+      IndexDirs.foreach(swapStaged(fs, indexPath, _))
+      fs.delete(retrainMarker(indexPath), false)
+      ()
+    }
+  }
+
+  /** Readers fail LOUDLY on an index with an unfinished retrain (a
+    * crashed swap, or one racing right now) instead of silently joining
+    * codes and quantizers from different generations.
+    */
+  private def requireNoPendingRetrain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val marker = retrainMarker(indexPath)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(marker),
+      s"index at $indexPath has an unfinished retrain (crashed mid-swap, or in " +
+        "progress): run opqIvfPqPersist/opqIvfPqAppend/opqIvfPqCompact to roll " +
+        "it forward before serving")
+  }
+
   def opqIvfPqPersist(corpus: DataFrame,
       centroids: DataFrame, perm: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int,
       path: String): Unit = {
     requireIntegralId(corpus, idCol, "opqIvfPqPersist")
+    requireIntegralCells(centroids, "opqIvfPqPersist")
     val srcs = permSources(perm, m, subDim)
-    val conf = corpus.sparkSession.sessionState.newHadoopConf()
+    val spark = corpus.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     // a retrain/rewrite is a maintenance mutation like append/compact:
     // all three serialize under the index's claim/heartbeat lock
     graft.streaming.GraftLog.withTopicLock(path, conf) {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      recoverRetrain(fs, path)
+      // stage the full new generation first — codes repartitioned so
+      // every vector's m rows land in ONE file per cell (a reader never
+      // observes a partial code set for a vector), then mark, then swap
       opqEncodeCells(corpus, centroids, srcs, pqCentersOf(codebooks),
         idCol, vecCol, m, subDim)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-      centroids.write.mode("overwrite").parquet(s"$path/meta_centroids")
-      perm.write.mode("overwrite").parquet(s"$path/meta_perm")
-      codebooks.write.mode("overwrite").parquet(s"$path/meta_codebooks")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_staging")
+      centroids.write.mode("overwrite").parquet(s"$path/meta_centroids_staging")
+      perm.write.mode("overwrite").parquet(s"$path/meta_perm_staging")
+      codebooks.write.mode("overwrite").parquet(s"$path/meta_codebooks_staging")
+      fs.create(retrainMarker(path), true).close()
+      IndexDirs.foreach(swapStaged(fs, path, _))
+      fs.delete(retrainMarker(path), false)
+      ()
     }
   }
 
@@ -606,9 +699,10 @@ object Similarity {
     * is one encode-and-append — the serve path picks the new vectors
     * up on its next probe with zero churn to the layout. Quantizer
     * drift is the operator's dial: retrain+rewrite via
-    * [[opqIvfPqPersist]] when recall decays. Single-maintainer by
-    * contract (like the reference's storage mutators): concurrent
-    * appends to the same index need external serialization. Ids must
+    * [[opqIvfPqPersist]] when recall decays. Mutations (retrain /
+    * append / compact) serialize under the index's claim/heartbeat
+    * lock; lock-free readers either see a whole appended per-cell file
+    * or none of it (never a vector with a partial code set). Ids must
     * be NEW — re-appending an id already in the index leaves two code
     * rows per (id, cell, sub) and the serve's per-candidate sum would
     * double-count it; dedupe arrivals first (the [[Dedup]] digest
@@ -618,16 +712,25 @@ object Similarity {
       idCol: String, vecCol: String, m: Int, subDim: Int): Unit = {
     requireIntegralId(newVectors, idCol, "opqIvfPqAppend")
     val spark = newVectors.sparkSession
-    val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
-    val perm = spark.read.parquet(s"$indexPath/meta_perm")
-    val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
     val conf = spark.sessionState.newHadoopConf()
     // maintenance mutations serialize under the index's claim/heartbeat
     // lock (the topic-maintenance protocol): an appender cannot race a
-    // compactor's directory swap
+    // compactor's directory swap — and the quantizer meta is read
+    // INSIDE the lock, so a retrain holding it cannot swap generations
+    // between this append's meta read and its codes write
     graft.streaming.GraftLog.withTopicLock(indexPath, conf) {
+      val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+      recoverRetrain(fs, indexPath)
+      val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
+      val perm = spark.read.parquet(s"$indexPath/meta_perm")
+      val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
+      // one file per cell per append (repartition by cell): a reader
+      // either sees a whole appended file or none of it, so no vector is
+      // ever visible with a partial code set; a reader can only miss the
+      // NEWEST batch, never mis-score an existing candidate
       opqEncodeCells(newVectors, centroids, permSources(perm, m, subDim),
         pqCentersOf(codebooks), idCol, vecCol, m, subDim)
+        .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
     }
   }
@@ -653,11 +756,15 @@ object Similarity {
       val stg = new Path(s"$indexPath/codes_staging")
       val bak = new Path(s"$indexPath/codes_backup")
       val fs = live.getFileSystem(conf)
+      recoverRetrain(fs, indexPath)
       // resume/cleanup of a dead run's leftovers
       if (fs.exists(bak) && fs.exists(live)) { fs.delete(bak, true); () }
       if (fs.exists(bak) && !fs.exists(live)) require(fs.rename(bak, live),
         s"index compact: cannot restore $bak -> $live")
       if (fs.exists(stg)) { fs.delete(stg, true); () }
+      // cell values round-trip the directory-name inference exactly
+      // because persist validates integral cell ids — the rewrite
+      // re-materializes the same directories it read
       spark.read.parquet(live.toString)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(stg.toString)
@@ -675,10 +782,12 @@ object Similarity {
     * scan, one partial agg.
     */
   def opqIvfPqStats(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    requireNoPendingRetrain(spark, indexPath)
     spark.read.parquet(s"$indexPath/codes")
       .groupBy("cell")
       .agg(countDistinct("id").as("vectors"), count(lit(1)).as("code_rows"))
+  }
 
   /** Probe a persisted OPQ-IVF+PQ index ([[opqIvfPqPersist]] layout).
     * Like [[ivfTopKPersisted]], the probed cell set (queries × nProbe
@@ -694,24 +803,30 @@ object Similarity {
       qidCol: String, vecCol: String, k: Int, nProbe: Int,
       m: Int, subDim: Int, roundTo: Int = 6): DataFrame = {
     val spark = queries.sparkSession
+    requireNoPendingRetrain(spark, indexPath)
     val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
     val perm = spark.read.parquet(s"$indexPath/meta_perm")
     val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
     val srcs = permSources(perm, m, subDim)
     val centers = centersOf(centroids)
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-    val cells = probeCells(q0, centers, nProbe)
-      .select("cell").distinct().collect().map(_.get(0)).toSeq
+    // ONE probe job: the eagerly-materialized probe set (queries ×
+    // nProbe rows — tiny) feeds both the driver-side pruning literal
+    // and the serve tail, instead of re-running the probe ranking in
+    // each
+    val probes = probeCells(q0, centers, nProbe).localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     // filter BEFORE the type-bridging cast: the isin must land on the
     // raw partition column for static pruning (a cast on the column
-    // side would defeat it); the cast after only bridges exotic label
-    // types whose directory-name inference differs from the quantizer's
+    // side would defeat it). Persist validates integral cell ids, so
+    // the directory-name inference round-trips exactly and the cast
+    // only bridges integer WIDTH (int dirs vs a long quantizer column)
     val cellType = centers.schema("cell").dataType
     val enc = spark.read.parquet(s"$indexPath/codes")
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast(cellType))
-    opqServeAdc(enc, queries, centroids, srcs, pqCentersOf(codebooks),
-      vecCol, qidCol, k, nProbe, m, subDim, roundTo)
+    opqServeAdc(enc, probes, centroids, srcs, pqCentersOf(codebooks),
+      k, m, subDim, roundTo)
   }
 
   /** Residual IVF+PQ top-k: coarse probe prunes to `nProbe` cells;

@@ -267,6 +267,67 @@ class AnalyticsSpec extends SparkSpec {
         assert(db.length === after1 + 10L)
       }
     }
+    it("crashed retrain rolls forward; readers fail loudly on the pending marker") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val base = e.filter($"vec_id" % 2 === 0)
+      val delta = e.filter($"vec_id" % 2 === 1)
+      val q = e.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+      val cents = Similarity.centroids(
+        base.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+      val perm = Similarity.opqPermutation(base, cents, "vec_id", "embedding", 4, 16)
+      val cb = Similarity.opqResidualPqCodebooks(
+        base, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      def serve(dir: String) = Similarity.opqIvfPqTopKPersisted(dir, q,
+        "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+      val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      graft.util.Scratch.withDir("opqcrashA") { a =>
+        graft.util.Scratch.withDir("opqcrashB") { b =>
+          Similarity.opqIvfPqPersist(base, cents, perm, cb, "vec_id", "embedding", 4, 16, a)
+          Similarity.opqIvfPqAppend(delta, a, "vec_id", "embedding", 4, 16)
+          val expected = serve(a)
+          // simulate a retrain of index B that died right after the
+          // marker: a COMPLETE staged generation, nothing swapped yet
+          Similarity.opqIvfPqPersist(base, cents, perm, cb, "vec_id", "embedding", 4, 16, b)
+          Seq("codes", "meta_centroids", "meta_perm", "meta_codebooks").foreach { n =>
+            assert(fs.rename(new org.apache.hadoop.fs.Path(s"$b/$n"),
+              new org.apache.hadoop.fs.Path(s"$b/${n}_staging")))
+          }
+          fs.create(new org.apache.hadoop.fs.Path(s"$b/_retrain_pending"), true).close()
+          // a reader must refuse the torn index LOUDLY, not serve garbage
+          val ex = intercept[IllegalArgumentException](serve(b))
+          assert(ex.getMessage.contains("unfinished retrain"))
+          val ex2 = intercept[IllegalArgumentException](
+            Similarity.opqIvfPqStats(spark, b).collect())
+          assert(ex2.getMessage.contains("unfinished retrain"))
+          // ANY later maintenance op rolls the dead retrain forward
+          Similarity.opqIvfPqAppend(delta, b, "vec_id", "embedding", 4, 16)
+          assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/_retrain_pending")))
+          assert(serve(b) === expected)
+        }
+      }
+    }
+
+    it("persist rejects non-integral cell ids (directory inference cannot round-trip them)") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val strCents = Similarity.centroids(
+        e.select(concat(lit("L"), $"label").as("label"),
+          graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+        "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+      val perm = Similarity.opqPermutation(e, strCents, "vec_id", "embedding", 4, 16)
+      val cb = Similarity.opqResidualPqCodebooks(
+        e, strCents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      graft.util.Scratch.withDir("opqstrcell") { idx =>
+        val ex = intercept[IllegalArgumentException](
+          Similarity.opqIvfPqPersist(e, strCents, perm, cb, "vec_id", "embedding", 4, 16, idx))
+        assert(ex.getMessage.contains("integral cell ids"))
+      }
+    }
+
     it("md5-derived hyperplane signatures are deterministic 0/1 bits and recall the top-1") {
       import graft.functions.VectorFunctions.md5HyperplaneSignature
       val sigs = corpus.select($"vec_id",
