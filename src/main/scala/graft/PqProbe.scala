@@ -109,6 +109,49 @@ object PqProbe {
       println(f"| re-rank sweep | R=$r, nProbe=$np | ${recall(rr)}%.3f |")
     }
 
+    // q186: TRAINED coarse quantizer — Lloyd rounds refine the
+    // label-seeded centroids (the q100 k-means step) before the OPQ
+    // chain trains against them; probe coverage is the binding recall
+    // lever (the (nProbe, R) sweep above), and better cells raise it at
+    // zero serve cost. The claim is a strictly higher number than the
+    // q178 row at identical bytes — the gated config is iters=3
+    // (measured 0.300/0.210 vs 0.260/0.200 at sf0.001/sf0.1; the iter
+    // sweep below shows the trajectory at both scales).
+    for (it <- Seq(1, 2, 3, 5)) {
+      val lc = graft.analytics.Similarity.lloydRefine(e, cents, "vec_id", "embedding", iters = it)
+      val lp = graft.analytics.Similarity.opqPermutation(e, lc, "vec_id", "embedding", 4, 16)
+      val lb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, lc, lp, "vec_id", "embedding", 4, 16, signBits = 6)
+      val lr = pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lc, lp, lb,
+        "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
+      println(f"| Lloyd iter sweep | iters=$it, nProbe=2 | ${recall(lr)}%.3f |")
+    }
+    val lcents = graft.analytics.Similarity.lloydRefine(
+      e, cents, "vec_id", "embedding", iters = 3)
+    val lperm = graft.analytics.Similarity.opqPermutation(e, lcents, "vec_id", "embedding", 4, 16)
+    val locb = graft.analytics.Similarity.opqResidualPqCodebooks(
+      e, lcents, lperm, "vec_id", "embedding", 4, 16, signBits = 6)
+    val lloyd = pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, lperm, locb,
+      "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
+    println(f"| Lloyd-trained OPQ residual IVF+PQ (q186) | 3 Lloyd iters, nProbe=2, m=4x16 | ${recall(lloyd)}%.3f |")
+
+    // q187: the HIGH-RECALL serving operating point — R=100/nProbe=5
+    // re-rank over the label-quantizer OPQ tier (the sweep's best row,
+    // gated so the quality config is hash-pinned, not just swept)
+    val short187 = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, cents, perm, ocb,
+      "vec_id", "embedding", "qid", k = 100, nProbe = 5, m = 4, subDim = 16)
+    val hi = pairs(graft.analytics.Similarity.exactRerank(e, q, short187,
+      "vec_id", "embedding", "qid", k))
+    println(f"| high-recall re-rank (q187) | R=100, nProbe=5, m=4x16 | ${recall(hi)}%.3f |")
+
+    // Lloyd + the high-recall refine stage composed — the quality
+    // ceiling of the full trained serving stack
+    val lshort = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, lperm, locb,
+      "vec_id", "embedding", "qid", k = 100, nProbe = 5, m = 4, subDim = 16)
+    val lhi = pairs(graft.analytics.Similarity.exactRerank(e, q, lshort,
+      "vec_id", "embedding", "qid", k))
+    println(f"| Lloyd + high-recall re-rank | 3 Lloyd iters, R=100, nProbe=5 | ${recall(lhi)}%.3f |")
+
     // the original compression sweep: recall across subspace splits
     for ((m, sd) <- Seq((4, 16), (8, 8), (16, 4), (32, 2))) {
       val cbs = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m, sd)

@@ -584,9 +584,12 @@ object Similarity {
     * so a probe's IO is exactly its probed lists), and the three
     * quantizer tables (coarse centroids, OPQ permutation, residual
     * codebooks — KBs, the "index header") land as plain parquet
-    * sidecars. Training runs ONCE over the corpus lifetime;
-    * [[opqIvfPqTopKPersisted]] serves every later query batch from
-    * this layout without touching raw vectors (pair with
+    * sidecars — all inside a GENERATION directory committed by pointer
+    * flip (layout notes above), so re-running persist is a
+    * zero-downtime retrain: concurrent serves keep reading the previous
+    * generation until the flip. Training runs ONCE over the corpus
+    * lifetime; [[opqIvfPqTopKPersisted]] serves every later query batch
+    * from this layout without touching raw vectors (pair with
     * [[exactRerank]] against the raw corpus for the refine stage).
     */
   // Cell ids become parquet partition DIRECTORY NAMES, and the serve's
@@ -602,61 +605,150 @@ object Similarity {
         "type inference must round-trip cell values — map labels to a surrogate int first")
   }
 
-  // The four index directories a retrain replaces. Staging a full new
-  // generation, then creating the `_retrain_pending` marker, then
-  // swapping each dir makes a crash at ANY point roll-forwardable: the
-  // marker only ever exists with ALL staging dirs complete, so finishing
-  // the swaps (in any later maintenance op) is always safe.
-  private val IndexDirs = Seq("codes", "meta_centroids", "meta_perm", "meta_codebooks")
+  // ---- generation-addressed index layout (zero-downtime retrain) ----
+  //
+  // A mutation never touches the generation a reader is serving from.
+  // The index root holds IMMUTABLE-once-committed generation dirs
+  //   gen-NNNNN/{codes, meta_centroids, meta_perm, meta_codebooks}
+  // plus a pointer file `_current` naming the committed generation.
+  // Retrain/compaction stage the COMPLETE next generation (invisible —
+  // the pointer still names the old one), then commit by flipping the
+  // pointer, so a retrain runs concurrently with any number of serves
+  // with zero read outage and zero generation mixing: a reader resolves
+  // the pointer ONCE and every path it touches afterwards belongs to
+  // that one committed generation. (Appends are the one in-place
+  // mutation — they only ADD whole per-cell files to the live
+  // generation's codes dir, so a reader sees each appended file
+  // entirely or not at all; no existing candidate can be mis-scored.)
+  //
+  // The roll-forward marker lives WITHIN the commit: `_commit_pending`
+  // (content: the staged generation number) is created only once the
+  // staged generation is COMPLETE, so any later maintenance op can
+  // always finish the flip; without the marker, gen dirs above the
+  // pointer are a pre-commit crash's leftovers and are discarded.
+  //
+  // Retention: the PREVIOUS generation survives until the NEXT commit
+  // (commit prunes gens ≤ N−2), so an in-flight serve that resolved the
+  // pointer just before a flip still scans intact files. A result must
+  // therefore materialize before two further retrains land — the
+  // entries/specs materialize eagerly inside their scratch lifetime.
 
-  private def retrainMarker(indexPath: String) =
-    new org.apache.hadoop.fs.Path(s"$indexPath/_retrain_pending")
+  private def currentPtr(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_current")
+  private def commitMarker(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_commit_pending")
+  private[graft] def genDir(indexPath: String, gen: Long): String =
+    f"$indexPath/gen-$gen%05d"
 
-  /** Swap `name`_staging into `name` via backup-then-rename; a no-op if
-    * the staging dir is absent (that swap already completed).
+  private def readLongFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLong
+    }.toOption
+
+  private def writeLongFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, v: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.inprogress")
+    val out = fs.create(tmp, true)
+    try { out.write(v.toString.getBytes("UTF-8")); out.hsync() } finally out.close()
+    if (fs.exists(p)) { fs.delete(p, false); () }
+    require(fs.rename(tmp, p), s"pointer rename failed: $tmp -> $p")
+  }
+
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap(s => scala.util.Try(
+      s.getPath.getName.stripPrefix("gen-").toLong).toOption
+      .filter(_ => s.getPath.getName.startsWith("gen-")))
+  }
+
+  /** Committed generation a WRITER builds on (call with the index lock
+    * held, after [[recoverGenerations]]): 0 = none committed yet.
     */
-  private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String, name: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val stg = new Path(s"$indexPath/${name}_staging")
-    val live = new Path(s"$indexPath/$name")
-    val bak = new Path(s"$indexPath/${name}_backup")
-    if (fs.exists(stg)) {
-      if (fs.exists(live)) {
-        if (fs.exists(bak)) { fs.delete(bak, true); () }
-        require(fs.rename(live, bak), s"index retrain: cannot back up $live")
+  private def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Long =
+    readLongFile(fs, currentPtr(indexPath)).getOrElse(0L)
+
+  /** Committed generation for a LOCK-FREE reader. The pointer flip has
+    * a sub-ms window (delete + rename) where `_current` is absent; a
+    * reader landing inside it takes the commit marker's value (the
+    * marker is created strictly before the flip and removed strictly
+    * after, and a marker's generation is complete by protocol), then
+    * retries briefly before concluding "no committed generation".
+    */
+  private def currentGenForRead(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Long = {
+    var attempt = 0
+    while (attempt < 40) {
+      readLongFile(fs, currentPtr(indexPath)) match {
+        case Some(g) => return g
+        case None =>
+          readLongFile(fs, commitMarker(indexPath)) match {
+            case Some(g) => return g
+            case None =>
+              if (listGens(fs, indexPath).isEmpty) return 0L
+              attempt += 1
+              Thread.sleep(5L)
+          }
       }
-      require(fs.rename(stg, live), s"index retrain: cannot swap in $stg")
     }
-    if (fs.exists(bak)) { fs.delete(bak, true); () }
+    0L
   }
 
-  /** Roll a dead retrain forward (call with the index lock held): if the
-    * marker exists, every staging dir is complete — finish the swaps and
-    * clear the marker. Without the marker, stray staging dirs are a
-    * pre-marker crash's leftovers and the live generation is untouched.
+  /** Finish a crashed commit and discard pre-commit staging (call with
+    * the index lock held): a `_commit_pending` marker means its staged
+    * generation is complete — flip the pointer to it; gen dirs above
+    * the (possibly just-advanced) pointer are pre-marker leftovers of a
+    * crashed stage and are deleted.
     */
-  private def recoverRetrain(fs: org.apache.hadoop.fs.FileSystem,
+  private def recoverGenerations(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Unit = {
-    if (fs.exists(retrainMarker(indexPath))) {
-      IndexDirs.foreach(swapStaged(fs, indexPath, _))
-      fs.delete(retrainMarker(indexPath), false)
-      ()
+    readLongFile(fs, commitMarker(indexPath)).foreach { staged =>
+      writeLongFile(fs, currentPtr(indexPath), staged)
+      fs.delete(commitMarker(indexPath), false)
+      pruneGens(fs, indexPath, staged)
+    }
+    val cur = currentGen(fs, indexPath)
+    listGens(fs, indexPath).filter(_ > cur).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(genDir(indexPath, g)), true)
     }
   }
 
-  /** Readers fail LOUDLY on an index with an unfinished retrain (a
-    * crashed swap, or one racing right now) instead of silently joining
-    * codes and quantizers from different generations.
+  /** Commit a COMPLETELY staged generation: marker → pointer flip →
+    * marker delete → prune (keep the new generation and its
+    * predecessor). Crash anywhere after the marker lands → the next
+    * maintenance op rolls the commit forward.
     */
-  private def requireNoPendingRetrain(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
-    val marker = retrainMarker(indexPath)
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(marker),
-      s"index at $indexPath has an unfinished retrain (crashed mid-swap, or in " +
-        "progress): run opqIvfPqPersist/opqIvfPqAppend/opqIvfPqCompact to roll " +
-        "it forward before serving")
+  private def commitGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, newGen: Long): Unit = {
+    writeLongFile(fs, commitMarker(indexPath), newGen)
+    writeLongFile(fs, currentPtr(indexPath), newGen)
+    fs.delete(commitMarker(indexPath), false)
+    pruneGens(fs, indexPath, newGen)
+  }
+
+  private def pruneGens(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, keepFrom: Long): Unit =
+    listGens(fs, indexPath).filter(_ <= keepFrom - 2).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(genDir(indexPath, g)), true)
+    }
+
+  /** The live generation's directory — the same resolve every reader
+    * performs (observability/spec hook).
+    */
+  private[graft] def liveGenDir(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = currentGenForRead(fs, indexPath)
+    require(cur > 0, s"index at $indexPath has no committed generation")
+    genDir(indexPath, cur)
   }
 
   def opqIvfPqPersist(corpus: DataFrame,
@@ -669,24 +761,25 @@ object Similarity {
     val spark = corpus.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     // a retrain/rewrite is a maintenance mutation like append/compact:
-    // all three serialize under the index's claim/heartbeat lock
+    // all three serialize under the index's claim/heartbeat lock.
+    // Readers are NOT blocked: they keep serving the committed
+    // generation until the pointer flips to this one.
     graft.streaming.GraftLog.withTopicLock(path, conf) {
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      recoverRetrain(fs, path)
-      // stage the full new generation first — codes repartitioned so
-      // every vector's m rows land in ONE file per cell (a reader never
-      // observes a partial code set for a vector), then mark, then swap
+      recoverGenerations(fs, path)
+      val gen = genDir(path, currentGen(fs, path) + 1)
+      // stage the full new generation — codes repartitioned so every
+      // vector's m rows land in ONE file per cell (a reader never
+      // observes a partial code set for a vector) — then commit by
+      // pointer flip; the staged dir is invisible until then
       opqEncodeCells(corpus, centroids, srcs, pqCentersOf(codebooks),
         idCol, vecCol, m, subDim)
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_staging")
-      centroids.write.mode("overwrite").parquet(s"$path/meta_centroids_staging")
-      perm.write.mode("overwrite").parquet(s"$path/meta_perm_staging")
-      codebooks.write.mode("overwrite").parquet(s"$path/meta_codebooks_staging")
-      fs.create(retrainMarker(path), true).close()
-      IndexDirs.foreach(swapStaged(fs, path, _))
-      fs.delete(retrainMarker(path), false)
-      ()
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$gen/codes")
+      centroids.write.mode("overwrite").parquet(s"$gen/meta_centroids")
+      perm.write.mode("overwrite").parquet(s"$gen/meta_perm")
+      codebooks.write.mode("overwrite").parquet(s"$gen/meta_codebooks")
+      commitGeneration(fs, path, currentGen(fs, path) + 1)
     }
   }
 
@@ -720,10 +813,13 @@ object Similarity {
     // between this append's meta read and its codes write
     graft.streaming.GraftLog.withTopicLock(indexPath, conf) {
       val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
-      recoverRetrain(fs, indexPath)
-      val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
-      val perm = spark.read.parquet(s"$indexPath/meta_perm")
-      val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
+      recoverGenerations(fs, indexPath)
+      val cur = currentGen(fs, indexPath)
+      require(cur > 0, s"index at $indexPath has no committed generation to append to")
+      val gen = genDir(indexPath, cur)
+      val centroids = spark.read.parquet(s"$gen/meta_centroids")
+      val perm = spark.read.parquet(s"$gen/meta_perm")
+      val codebooks = spark.read.parquet(s"$gen/meta_codebooks")
       // one file per cell per append (repartition by cell): a reader
       // either sees a whole appended file or none of it, so no vector is
       // ever visible with a partial code set; a reader can only miss the
@@ -731,47 +827,47 @@ object Similarity {
       opqEncodeCells(newVectors, centroids, permSources(perm, m, subDim),
         pqCentersOf(codebooks), idCol, vecCol, m, subDim)
         .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+        .write.mode("append").partitionBy("cell").parquet(s"$gen/codes")
     }
   }
 
   /** Compact a persisted index's codes tier: repeated [[opqIvfPqAppend]]
     * batches leave one small file per (cell, append, task); compaction
     * rewrites each inverted list as ONE file (a `repartition(cell)`
-    * pass) and swaps it in via the backup-then-rename protocol the
-    * digest store uses — no crash point loses the tier (a dead run
-    * leaves either the old codes, the old codes + a staging dir, or
-    * the new codes + a backup; every state readable or resumable).
-    * Serialized against appends and other compactors under the same
-    * index lock. Serving between the two swap renames can observe a
-    * transient missing-path (single-maintainer contract, as for the
-    * digest store) — schedule compaction off the serving path.
+    * pass). Generation-addressed like retrain: the compacted codes land
+    * in the NEXT generation alongside byte-copies of the current
+    * quantizer sidecars, committed by pointer flip — so a concurrent
+    * serve never observes a missing or half-rewritten path (the old
+    * generation stays intact until the commit after this one prunes
+    * it). Serialized against appends/retrains/other compactors under
+    * the index lock; a dead run's partial staging is invisible (the
+    * pointer never moved) and discarded by the next maintenance op.
     */
   def opqIvfPqCompact(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     graft.streaming.GraftLog.withTopicLock(indexPath, conf) {
-      val live = new Path(s"$indexPath/codes")
-      val stg = new Path(s"$indexPath/codes_staging")
-      val bak = new Path(s"$indexPath/codes_backup")
-      val fs = live.getFileSystem(conf)
-      recoverRetrain(fs, indexPath)
-      // resume/cleanup of a dead run's leftovers
-      if (fs.exists(bak) && fs.exists(live)) { fs.delete(bak, true); () }
-      if (fs.exists(bak) && !fs.exists(live)) require(fs.rename(bak, live),
-        s"index compact: cannot restore $bak -> $live")
-      if (fs.exists(stg)) { fs.delete(stg, true); () }
+      val fs = new Path(indexPath).getFileSystem(conf)
+      recoverGenerations(fs, indexPath)
+      val cur = currentGen(fs, indexPath)
+      require(cur > 0, s"index at $indexPath has no committed generation to compact")
+      val src = genDir(indexPath, cur)
+      val dst = genDir(indexPath, cur + 1)
+      // quantizers are unchanged by compaction — byte-copy the KB-scale
+      // sidecars into the new generation (no re-encode, no value drift)
+      Seq("meta_centroids", "meta_perm", "meta_codebooks").foreach { n =>
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/$n"),
+            fs, new Path(s"$dst/$n"), false, true, conf))
+          throw new java.io.IOException(s"index compact: cannot copy $src/$n -> $dst/$n")
+      }
       // cell values round-trip the directory-name inference exactly
       // because persist validates integral cell ids — the rewrite
       // re-materializes the same directories it read
-      spark.read.parquet(live.toString)
+      spark.read.parquet(s"$src/codes")
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(stg.toString)
-      require(fs.rename(live, bak), s"index compact: cannot back up $live")
-      require(fs.rename(stg, live), s"index compact: cannot swap in $stg")
-      fs.delete(bak, true)
-      ()
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dst/codes")
+      commitGeneration(fs, indexPath, cur + 1)
     }
   }
 
@@ -783,8 +879,11 @@ object Similarity {
     */
   def opqIvfPqStats(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
-    requireNoPendingRetrain(spark, indexPath)
-    spark.read.parquet(s"$indexPath/codes")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = currentGenForRead(fs, indexPath)
+    require(cur > 0, s"index at $indexPath has no committed generation")
+    spark.read.parquet(s"${genDir(indexPath, cur)}/codes")
       .groupBy("cell")
       .agg(countDistinct("id").as("vectors"), count(lit(1)).as("code_rows"))
   }
@@ -803,10 +902,17 @@ object Similarity {
       qidCol: String, vecCol: String, k: Int, nProbe: Int,
       m: Int, subDim: Int, roundTo: Int = 6): DataFrame = {
     val spark = queries.sparkSession
-    requireNoPendingRetrain(spark, indexPath)
-    val centroids = spark.read.parquet(s"$indexPath/meta_centroids")
-    val perm = spark.read.parquet(s"$indexPath/meta_perm")
-    val codebooks = spark.read.parquet(s"$indexPath/meta_codebooks")
+    // resolve the committed generation ONCE — every path below belongs
+    // to it, so a retrain committing concurrently can neither block
+    // this serve nor mix its quantizers with these codes
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = currentGenForRead(fs, indexPath)
+    require(cur > 0, s"index at $indexPath has no committed generation")
+    val gen = genDir(indexPath, cur)
+    val centroids = spark.read.parquet(s"$gen/meta_centroids")
+    val perm = spark.read.parquet(s"$gen/meta_perm")
+    val codebooks = spark.read.parquet(s"$gen/meta_codebooks")
     val srcs = permSources(perm, m, subDim)
     val centers = centersOf(centroids)
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
@@ -822,7 +928,7 @@ object Similarity {
     // the directory-name inference round-trips exactly and the cast
     // only bridges integer WIDTH (int dirs vs a long quantizer column)
     val cellType = centers.schema("cell").dataType
-    val enc = spark.read.parquet(s"$indexPath/codes")
+    val enc = spark.read.parquet(s"$gen/codes")
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast(cellType))
     opqServeAdc(enc, probes, centroids, srcs, pqCentersOf(codebooks),

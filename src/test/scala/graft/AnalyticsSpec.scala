@@ -162,7 +162,8 @@ class AnalyticsSpec extends SparkSpec {
         Similarity.opqIvfPqAppend(delta, a, "vec_id", "embedding", 4, 16)
         // every vector (base + appended) carries exactly m codes — the
         // append landed in the layout, none doubled, none dropped
-        assert(spark.read.parquet(s"$a/codes").count() === e.count() * 4)
+        assert(spark.read.parquet(
+          s"${Similarity.liveGenDir(spark, a)}/codes").count() === e.count() * 4)
         graft.util.Scratch.withDir("opqappB") { b =>
           // one-shot persist of the UNION under the SAME (base-trained)
           // quantizers — the append path must be indistinguishable
@@ -186,7 +187,8 @@ class AnalyticsSpec extends SparkSpec {
         "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
         .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
       def filesPerCell(dir: String): Map[String, Int] =
-        new java.io.File(s"$dir/codes").listFiles().filter(_.getName.startsWith("cell="))
+        new java.io.File(s"${Similarity.liveGenDir(spark, dir)}/codes").listFiles()
+          .filter(_.getName.startsWith("cell="))
           .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
       graft.util.Scratch.withDir("opqcompactspec") { idx =>
         Similarity.opqIvfPqPersist(
@@ -197,21 +199,28 @@ class AnalyticsSpec extends SparkSpec {
           e.filter($"vec_id" % 3 === 2), idx, "vec_id", "embedding", 4, 16)
         val before = serve(idx)
         assert(filesPerCell(idx).values.max > 1, "appends should leave multiple files per cell")
-        // a dead compactor's staging leftover must not poison the next run
-        new java.io.File(s"$idx/codes_staging").mkdirs()
+        // a dead compactor's partial staged generation (pointer never
+        // moved, no commit marker) must not poison the next run — it is
+        // pre-commit garbage and gets discarded
+        val genBefore = Similarity.liveGenDir(spark, idx)
+        val strayGen = genBefore.replaceAll("gen-(\\d+)$", "gen-99999")
+        new java.io.File(s"$strayGen/codes").mkdirs()
         Similarity.opqIvfPqCompact(spark, idx)
+        assert(!new java.io.File(strayGen).exists(),
+          "pre-commit staged generation should be discarded by the next maintenance op")
         assert(filesPerCell(idx).values.forall(_ == 1),
           s"compaction should leave ONE file per inverted list: ${filesPerCell(idx)}")
-        assert(!new java.io.File(s"$idx/codes_backup").exists())
-        assert(!new java.io.File(s"$idx/codes_staging").exists())
         assert(serve(idx) === before, "compaction changed the serve result")
-        // crash window: backup exists, live missing — the next compact restores
-        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
-          spark.sessionState.newHadoopConf())
-        assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/codes"),
-          new org.apache.hadoop.fs.Path(s"$idx/codes_backup")))
+        // compaction committed a NEW generation; the pre-compaction one
+        // survives until the next commit (the in-flight-reader window)
+        assert(Similarity.liveGenDir(spark, idx) !== genBefore)
+        assert(new java.io.File(genBefore).exists(),
+          "previous generation should survive one commit for in-flight readers")
+        // ... and the commit after that prunes it
         Similarity.opqIvfPqCompact(spark, idx)
-        assert(serve(idx) === before, "restore-then-compact changed the serve result")
+        assert(!new java.io.File(genBefore).exists(),
+          "generation two commits back should be pruned")
+        assert(serve(idx) === before, "second compaction changed the serve result")
       }
     }
     it("streaming serve restart adds nothing: same checkpoint + store converge once") {
@@ -267,47 +276,119 @@ class AnalyticsSpec extends SparkSpec {
         assert(db.length === after1 + 10L)
       }
     }
-    it("crashed retrain rolls forward; readers fail loudly on the pending marker") {
+    it("crashed retrain: readers keep serving the committed generation; maintenance rolls the commit forward") {
       val sf = "/root/testdata/sf0.001"
       val e = spark.read.parquet(s"$sf/embeddings.parquet")
       val base = e.filter($"vec_id" % 2 === 0)
-      val delta = e.filter($"vec_id" % 2 === 1)
       val q = e.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
-      val cents = Similarity.centroids(
-        base.select($"label", graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
-        "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
-      val perm = Similarity.opqPermutation(base, cents, "vec_id", "embedding", 4, 16)
-      val cb = Similarity.opqResidualPqCodebooks(
-        base, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      def quantizers(train: org.apache.spark.sql.DataFrame) = {
+        val c = Similarity.centroids(
+          train.select($"label",
+            graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+          "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+        val p = Similarity.opqPermutation(train, c, "vec_id", "embedding", 4, 16)
+        val b = Similarity.opqResidualPqCodebooks(
+          train, c, p, "vec_id", "embedding", 4, 16, signBits = 6)
+        (c, p, b)
+      }
       def serve(dir: String) = Similarity.opqIvfPqTopKPersisted(dir, q,
         "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
         .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
       val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
         spark.sessionState.newHadoopConf())
-      graft.util.Scratch.withDir("opqcrashA") { a =>
-        graft.util.Scratch.withDir("opqcrashB") { b =>
-          Similarity.opqIvfPqPersist(base, cents, perm, cb, "vec_id", "embedding", 4, 16, a)
-          Similarity.opqIvfPqAppend(delta, a, "vec_id", "embedding", 4, 16)
-          val expected = serve(a)
-          // simulate a retrain of index B that died right after the
-          // marker: a COMPLETE staged generation, nothing swapped yet
-          Similarity.opqIvfPqPersist(base, cents, perm, cb, "vec_id", "embedding", 4, 16, b)
-          Seq("codes", "meta_centroids", "meta_perm", "meta_codebooks").foreach { n =>
-            assert(fs.rename(new org.apache.hadoop.fs.Path(s"$b/$n"),
-              new org.apache.hadoop.fs.Path(s"$b/${n}_staging")))
-          }
-          fs.create(new org.apache.hadoop.fs.Path(s"$b/_retrain_pending"), true).close()
-          // a reader must refuse the torn index LOUDLY, not serve garbage
-          val ex = intercept[IllegalArgumentException](serve(b))
-          assert(ex.getMessage.contains("unfinished retrain"))
-          val ex2 = intercept[IllegalArgumentException](
-            Similarity.opqIvfPqStats(spark, b).collect())
-          assert(ex2.getMessage.contains("unfinished retrain"))
-          // ANY later maintenance op rolls the dead retrain forward
-          Similarity.opqIvfPqAppend(delta, b, "vec_id", "embedding", 4, 16)
-          assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/_retrain_pending")))
-          assert(serve(b) === expected)
+      graft.util.Scratch.withDir("opqcrash") { b =>
+        val (c1, p1, cb1) = quantizers(base)
+        Similarity.opqIvfPqPersist(base, c1, p1, cb1, "vec_id", "embedding", 4, 16, b)
+        val expected1 = serve(b)
+        // a RETRAIN with different quantizers commits generation 2
+        val (c2, p2, cb2) = quantizers(e)
+        Similarity.opqIvfPqPersist(e, c2, p2, cb2, "vec_id", "embedding", 4, 16, b)
+        val expected2 = serve(b)
+        assert(expected2 !== expected1, "retrain should change the serve result")
+        // manufacture the crash state "marker written, pointer not yet
+        // flipped": the staged generation is complete by protocol
+        def write(p: String, v: String): Unit = {
+          val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+          try out.write(v.getBytes("UTF-8")) finally out.close()
         }
+        write(s"$b/_current", "1")
+        write(s"$b/_commit_pending", "2")
+        // readers are NOT blocked and NOT mixed: they serve the
+        // committed generation (1) consistently — quantizers AND codes
+        assert(serve(b) === expected1, "reader should serve the committed generation during a pending commit")
+        assert(Similarity.opqIvfPqStats(spark, b).collect().nonEmpty)
+        // ANY later maintenance op rolls the commit forward (the marker
+        // means generation 2 is complete); compaction preserves content
+        Similarity.opqIvfPqCompact(spark, b)
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/_commit_pending")))
+        assert(serve(b) === expected2)
+        // pre-marker crash: a PARTIAL staged generation above the
+        // pointer, no marker — discarded, readers never saw it
+        val stray = new java.io.File(s"$b/gen-99998/codes")
+        stray.mkdirs()
+        assert(serve(b) === expected2)
+        Similarity.opqIvfPqCompact(spark, b)
+        assert(!new java.io.File(s"$b/gen-99998").exists())
+        assert(serve(b) === expected2)
+      }
+    }
+
+    it("zero-downtime retrain: concurrent serves never fail and never mix generations") {
+      val sf = "/root/testdata/sf0.001"
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val base = e.filter($"vec_id" % 2 === 0)
+      val q = e.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+      def quantizers(train: org.apache.spark.sql.DataFrame) = {
+        val c = Similarity.centroids(
+          train.select($"label",
+            graft.functions.VectorFunctions.l2Normalize($"embedding").as("nv")),
+          "label", "nv").select($"group", $"i", round($"c", 6).as("c"))
+        val p = Similarity.opqPermutation(train, c, "vec_id", "embedding", 4, 16)
+        val b = Similarity.opqResidualPqCodebooks(
+          train, c, p, "vec_id", "embedding", 4, 16, signBits = 6)
+        (c, p, b)
+      }
+      def serve(dir: String) = Similarity.opqIvfPqTopKPersisted(dir, q,
+        "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+      graft.util.Scratch.withDir("opqzerodt") { idx =>
+        val (c1, p1, cb1) = quantizers(base)
+        val (c2, p2, cb2) = quantizers(e)
+        Similarity.opqIvfPqPersist(base, c1, p1, cb1, "vec_id", "embedding", 4, 16, idx)
+        val expected1 = serve(idx)
+        // the retrain's expected output, computed on a sibling index so
+        // the membership check below is exact
+        val expected2 = graft.util.Scratch.withDir("opqzerodtref") { ref =>
+          Similarity.opqIvfPqPersist(e, c2, p2, cb2, "vec_id", "embedding", 4, 16, ref)
+          serve(ref)
+        }
+        assert(expected2 !== expected1)
+        // serve CONCURRENTLY with the retrain: every result must be one
+        // complete generation's answer — the old or the new, never an
+        // error, never a quantizer/codes mixture (a mixture would match
+        // neither expected set)
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long, Int)]]()
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val retrainDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          while (!retrainDone.get()) {
+            try results.add(serve(idx))
+            catch { case t: Throwable => failures.add(t) }
+          }
+        }, "zero-downtime-reader")
+        reader.start()
+        try Similarity.opqIvfPqPersist(e, c2, p2, cb2, "vec_id", "embedding", 4, 16, idx)
+        finally retrainDone.set(true)
+        reader.join(120000)
+        assert(failures.isEmpty, s"concurrent serve failed during retrain: ${failures.peek()}")
+        import scala.jdk.CollectionConverters._
+        val seen = results.asScala.toList
+        assert(seen.nonEmpty, "reader thread never completed a serve")
+        seen.foreach { r =>
+          assert(r === expected1 || r === expected2,
+            "a concurrent serve returned a result matching NEITHER generation (mixed state)")
+        }
+        assert(serve(idx) === expected2, "post-retrain serve should see the new generation")
       }
     }
 
