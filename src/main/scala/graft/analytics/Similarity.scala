@@ -916,12 +916,17 @@ object Similarity {
     val srcs = permSources(perm, m, subDim)
     val centers = centersOf(centroids)
     val q0 = queries.select(col(qidCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-    // ONE probe job: the eagerly-materialized probe set (queries ×
-    // nProbe rows — tiny) feeds both the driver-side pruning literal
-    // and the serve tail, instead of re-running the probe ranking in
-    // each
-    val probes = probeCells(q0, centers, nProbe).localCheckpoint(true)
-    val cells = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
+    // ONE probe job: collect the tiny (queries × nProbe) probe set and
+    // re-embed it as a LOCAL relation — it feeds both the driver-side
+    // pruning literal and the serve tail without re-running the probe
+    // ranking, and (unlike a localCheckpoint) pins no executor storage
+    // blocks for the session
+    val probed = probeCells(q0, centers, nProbe)
+    val probeRows = probed.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probed.schema)
+    val cellIdx = probed.schema.fieldIndex("cell")
+    val cells = probeRows.map(_.get(cellIdx)).distinct.toSeq
     // filter BEFORE the type-bridging cast: the isin must land on the
     // raw partition column for static pruning (a cast on the column
     // side would defeat it). Persist validates integral cell ids, so

@@ -598,9 +598,10 @@ object CorpusQueries {
           qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
           m = 4, subDim = 16)
           .select("qid", "id").orderBy("qid", "id")
-          // materialize INSIDE the index's lifetime — the scratch dir
-          // is released when this block returns
-          .localCheckpoint(true)
+          // materialize INSIDE the index's lifetime — DISK-backed (a
+          // scratch parquet dropped at per-query teardown), so a long
+          // session never pins result blocks in executor storage memory
+          .transform(graft.util.Scratch.materialize)
       }
     }),
 
@@ -637,7 +638,7 @@ object CorpusQueries {
           qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
           m = 4, subDim = 16)
           .select("qid", "id").orderBy("qid", "id")
-          .localCheckpoint(true)
+          .transform(graft.util.Scratch.materialize)
       }
     }),
 
@@ -672,7 +673,7 @@ object CorpusQueries {
           qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
           m = 4, subDim = 16)
           .select("qid", "id").orderBy("qid", "id")
-          .localCheckpoint(true)
+          .transform(graft.util.Scratch.materialize)
       }
     }),
 
@@ -725,7 +726,7 @@ object CorpusQueries {
               map(lit("id"), col("id").cast("double"),
                 lit("rank"), col("rank").cast("double"))
                 .as(graft.model.Point.FieldsCol))
-            db.insertDFIdempotent(pts.localCheckpoint(true), f"annserve-b$batchId%012d")
+            db.insertDFIdempotent(graft.util.Scratch.materialize(pts), f"annserve-b$batchId%012d")
             ()
           }
           .start()
@@ -735,7 +736,7 @@ object CorpusQueries {
             element_at(col(graft.model.Point.TagsCol), "qid").cast("bigint").as("qid"),
             element_at(col(graft.model.Point.FieldsCol), "id").cast("bigint").as("id"))
           .orderBy("qid", "id")
-          .localCheckpoint(true)
+          .transform(graft.util.Scratch.materialize)
       }
     }),
 
@@ -762,8 +763,75 @@ object CorpusQueries {
           .select(col("cell").cast("int").as("cell"),
             col("vectors"), col("code_rows"))
           .orderBy("cell")
-          .localCheckpoint(true)
+          .transform(graft.util.Scratch.materialize)
       }
+    }),
+
+    // TRAINED COARSE QUANTIZER for the persisted serving tier — the
+    // FAISS `train()` step wired end to end: three Lloyd rounds (the
+    // q100 k-means refinement, 6dp-rounded means each round) refine
+    // the label-seeded centroids, and the WHOLE persisted OPQ-IVF+PQ
+    // lifecycle (permutation, codebooks, persist, serve) trains and
+    // probes against the refined cells. Probe coverage is the binding
+    // recall lever (BENCH_NOTES (nProbe, R) sweep), and better cells
+    // raise it at zero serve cost: recall@10 is 0.300/0.210 vs q178's
+    // 0.260/0.200 at sf0.001/sf0.1 — strictly above at identical
+    // bytes, floor-pinned in AnalyticsSpec. The oracle replays the
+    // q100 CTE chain (three assign→mean rounds) composed with q178's
+    // full OPQ chain, so the trained quantizer is itself under the
+    // hash gate.
+    "q186_ann_opq_lloyd_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val seed = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      graft.util.Scratch.withDir("opqlloyd") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
+        Similarity.opqIvfPqTopKPersisted(idx,
+          queries = e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
+          m = 4, subDim = 16)
+          .select("qid", "id").orderBy("qid", "id")
+          .transform(graft.util.Scratch.materialize)
+      }
+    }),
+
+    // the HIGH-RECALL serving operating point, gated: R=100/nProbe=5
+    // exact re-rank over the OPQ residual IVF+PQ tier — the best row
+    // of the (nProbe, R) sweep (recall@10 0.700/0.460 at
+    // sf0.001/sf0.1), hash-pinned so the quality config a production
+    // user would actually run is itself under the oracle, not just
+    // measured. Same plan shape as q180 (no corpus shuffle, broadcast
+    // shortlist, bounded top-k); the oracle is the q180 replay with
+    // the probe widened to 5 cells and the shortlist to 100.
+    "q187_ann_rerank_hi" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val shortlist = Similarity.opqResidualIvfPqTopK(
+        corpus = e, queries = queries,
+        centroids = cents, perm = perm, codebooks = cb,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 100, nProbe = 5,
+        m = 4, subDim = 16)
+      Similarity.exactRerank(e, queries, shortlist,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
+        .select("qid", "id").orderBy("qid", "id")
     }),
 
     // the END-TO-END curation pipeline as ONE gated query — the shape a
@@ -1151,8 +1219,8 @@ object CorpusQueries {
       // store files its lazy plan would otherwise re-list (the real
       // pipeline ships each day's output before the next maintenance
       // window, so eager here IS the production shape)
-      val surv2 = Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store,
-        useSidecar = true).localCheckpoint(true)
+      val surv2 = graft.util.Scratch.materialize(
+        Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store, useSidecar = true))
       Dedup.appendDigestStore(day2, Seq("text"), store, batchTag = 2L, sidecar = true)
       Dedup.compactDigestStore(s, store)
       val surv3 = Dedup.dedupAgainstStore(day3, Seq("text"), "doc_id", store,
@@ -1372,6 +1440,133 @@ object CorpusQueries {
       |SELECT qid, id FROM (
       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
       |  FROM adc) WHERE rn <= 10 ORDER BY qid, id""".stripMargin
+
+  /** q178's replay widened to an R-candidate shortlist at `nProbe`
+    * probed cells, then the refine stage: exact cosine (normalized
+    * dot, 6dp round) computed for shortlist candidates only, re-ranked
+    * (cosine DESC, id). q180 gates the (nProbe=2, R=50) point; q187
+    * gates the high-recall (nProbe=5, R=100) operating point.
+    */
+  private def opqRerankSql(nProbe: Int, r: Int): String =
+    s"""WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+      |un AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
+      |       FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
+      |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2),
+      |ccf AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
+      |dpf AS (SELECT un.vec_id, cent.cell, sum(un.x * cent.c) AS dp
+      |        FROM un JOIN cent ON un.i = cent.i GROUP BY 1, 2),
+      |ddf AS (SELECT dpf.vec_id, dpf.cell, ccf.cc - 2*dpf.dp AS cdist
+      |        FROM dpf JOIN ccf USING (cell)),
+      |assign AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+      |  FROM ddf) WHERE rn = 1),
+      |probe AS (SELECT vec_id AS qid, cell FROM (
+      |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+      |  FROM ddf WHERE vec_id < 3) WHERE rn <= $nProbe),
+      |res AS (SELECT un.vec_id, un.label, un.i, un.x - cent.c AS x
+      |        FROM un JOIN assign a ON a.vec_id = un.vec_id
+      |        JOIN cent ON cent.cell = a.cell AND cent.i = un.i),
+      |pvar AS (SELECT i, round(avg(x*x) - avg(x)*avg(x), 9) AS v FROM res GROUP BY 1),
+      |perm AS (SELECT i,
+      |         CASE WHEN ((r // 4) % 2) = 0 THEN r % 4 ELSE 3 - (r % 4) END AS sub,
+      |         r // 4 AS j
+      |         FROM (SELECT i, row_number() OVER (ORDER BY v DESC, i) - 1 AS r FROM pvar)),
+      |us AS (SELECT res.vec_id, CAST(perm.sub AS INT) AS sub, perm.j, res.x
+      |       FROM res JOIN perm ON perm.i = res.i),
+      |orth AS (SELECT vec_id, sub,
+      |         CAST(sum(CASE WHEN j < 6 AND x >= 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS INT) AS code
+      |         FROM us GROUP BY 1, 2),
+      |pcent AS (SELECT us.sub, o.code, us.j, round(avg(us.x), 6) AS c
+      |          FROM us JOIN orth o ON o.vec_id = us.vec_id AND o.sub = us.sub
+      |          GROUP BY 1, 2, 3),
+      |pcc AS (SELECT sub, code, sum(c*c) AS cc FROM pcent GROUP BY 1, 2),
+      |pdp AS (SELECT us.vec_id, pcent.sub, pcent.code, sum(us.x * pcent.c) AS dp
+      |        FROM us JOIN pcent ON us.sub = pcent.sub AND us.j = pcent.j GROUP BY 1, 2, 3),
+      |sd AS (SELECT pdp.vec_id, pdp.sub, pdp.code, pcc.cc - 2*pdp.dp AS sdist
+      |       FROM pdp JOIN pcc ON pcc.sub = pdp.sub AND pcc.code = pdp.code),
+      |enc AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sdist, code) AS rn
+      |  FROM sd) WHERE rn = 1),
+      |qres AS (SELECT p.qid, p.cell, un.i, un.x - cent.c AS x
+      |         FROM probe p JOIN un ON un.vec_id = p.qid
+      |         JOIN cent ON cent.cell = p.cell AND cent.i = un.i),
+      |qrr AS (SELECT qid, cell, sum(x*x) AS qrr FROM qres GROUP BY 1, 2),
+      |qus AS (SELECT qres.qid, qres.cell, CAST(perm.sub AS INT) AS sub, perm.j, qres.x
+      |        FROM qres JOIN perm ON perm.i = qres.i),
+      |qdp AS (SELECT qus.qid, qus.cell, pcent.sub, pcent.code, sum(qus.x * pcent.c) AS dp
+      |        FROM qus JOIN pcent ON qus.sub = pcent.sub AND qus.j = pcent.j
+      |        GROUP BY 1, 2, 3, 4),
+      |qsd AS (SELECT qdp.qid, qdp.cell, qdp.sub, qdp.code, pcc.cc - 2*qdp.dp AS qdist
+      |        FROM qdp JOIN pcc ON pcc.sub = qdp.sub AND pcc.code = qdp.code),
+      |adc AS (SELECT q.qid, a.vec_id AS id,
+      |          round(sum(q.qdist) + any_value(r.qrr), 6) AS adc
+      |        FROM probe p
+      |        JOIN assign a ON a.cell = p.cell
+      |        JOIN enc e ON e.vec_id = a.vec_id
+      |        JOIN qsd q ON q.qid = p.qid AND q.cell = p.cell
+      |                  AND q.sub = e.sub AND q.code = e.code
+      |        JOIN qrr r ON r.qid = p.qid AND r.cell = p.cell
+      |        GROUP BY 1, 2),
+      |short AS (SELECT qid, id FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+      |  FROM adc) WHERE rn <= $r),
+      |ex AS (SELECT s.qid, s.id, round(sum(qu.x * cu.x), 6) AS cosine
+      |       FROM short s JOIN un qu ON qu.vec_id = s.qid
+      |       JOIN un cu ON cu.vec_id = s.id AND cu.i = qu.i
+      |       GROUP BY 1, 2)
+      |SELECT qid, id FROM (
+      |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
+      |  FROM ex) WHERE rn <= 10 ORDER BY qid, id""".stripMargin
+
+  /** The label-mean `cent` CTE every label-quantizer replay starts
+    * from — swapped out for the Lloyd chain in [[OpqLloydSql]].
+    */
+  private val LabelCentCte: String =
+    "cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2)"
+
+  /** q186's replay: the q100 Lloyd-refinement CTE chain (three
+    * assign-to-nearest → 6dp-rounded mean rounds from the label seed)
+    * composed with q178's full OPQ chain — the final refined table
+    * takes the `cent` role, and the ENTIRE tail (assignment, probes,
+    * residuals, permutation, codebooks, codes, ADC ranks) is q178's
+    * verbatim. Gates the trained-quantizer persisted serve end to end.
+    */
+  private val OpqLloydSql: String = {
+    val lloydCtes =
+      """cent0 AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2),
+      |cc0 AS (SELECT cell, sum(c*c) AS cc FROM cent0 GROUP BY 1),
+      |dp0l AS (SELECT un.vec_id, cent0.cell, sum(un.x * cent0.c) AS dp
+      |         FROM un JOIN cent0 ON un.i = cent0.i GROUP BY 1, 2),
+      |la0 AS (SELECT vec_id, cell FROM (
+      |  SELECT dp0l.vec_id, dp0l.cell,
+      |    row_number() OVER (PARTITION BY dp0l.vec_id ORDER BY cc0.cc - 2*dp0l.dp, dp0l.cell) AS rn
+      |  FROM dp0l JOIN cc0 USING (cell)) WHERE rn = 1),
+      |cent1 AS (SELECT la0.cell, un.i, round(avg(un.x), 6) AS c
+      |          FROM la0 JOIN un ON un.vec_id = la0.vec_id GROUP BY 1, 2),
+      |cc1 AS (SELECT cell, sum(c*c) AS cc FROM cent1 GROUP BY 1),
+      |dp1l AS (SELECT un.vec_id, cent1.cell, sum(un.x * cent1.c) AS dp
+      |         FROM un JOIN cent1 ON un.i = cent1.i GROUP BY 1, 2),
+      |la1 AS (SELECT vec_id, cell FROM (
+      |  SELECT dp1l.vec_id, dp1l.cell,
+      |    row_number() OVER (PARTITION BY dp1l.vec_id ORDER BY cc1.cc - 2*dp1l.dp, dp1l.cell) AS rn
+      |  FROM dp1l JOIN cc1 USING (cell)) WHERE rn = 1),
+      |cent2 AS (SELECT la1.cell, un.i, round(avg(un.x), 6) AS c
+      |          FROM la1 JOIN un ON un.vec_id = la1.vec_id GROUP BY 1, 2),
+      |cc2 AS (SELECT cell, sum(c*c) AS cc FROM cent2 GROUP BY 1),
+      |dp2l AS (SELECT un.vec_id, cent2.cell, sum(un.x * cent2.c) AS dp
+      |         FROM un JOIN cent2 ON un.i = cent2.i GROUP BY 1, 2),
+      |la2 AS (SELECT vec_id, cell FROM (
+      |  SELECT dp2l.vec_id, dp2l.cell,
+      |    row_number() OVER (PARTITION BY dp2l.vec_id ORDER BY cc2.cc - 2*dp2l.dp, dp2l.cell) AS rn
+      |  FROM dp2l JOIN cc2 USING (cell)) WHERE rn = 1),
+      |cent AS (SELECT la2.cell AS cell, un.i, round(avg(un.x), 6) AS c
+      |         FROM la2 JOIN un ON un.vec_id = la2.vec_id GROUP BY 1, 2)""".stripMargin
+    val composed = OpqResidualIvfPqSql.replace(LabelCentCte, lloydCtes)
+    require(composed != OpqResidualIvfPqSql, "Lloyd cent splice failed")
+    composed
+  }
 
   // q182's replay: the q178 chain with the TRAIN/ENCODE split of
   // incremental maintenance — every quantizer (coarse centroids,
@@ -1987,6 +2182,9 @@ object CorpusQueries {
     // the persisted index must serve BIT-IDENTICAL results to the
     // in-query computation — its oracle IS q178's replay, verbatim
     "q181_ann_opq_persisted" -> OpqResidualIvfPqSql,
+    // trained coarse quantizer: the q100 Lloyd chain composed with the
+    // q178 replay (same tail verbatim; only the cent CTE differs)
+    "q186_ann_opq_lloyd_persisted" -> OpqLloydSql,
     // incremental maintenance: train on evens, append odds encoded
     // with the frozen quantizers — the oracle replays that split
     "q182_ann_opq_append" -> OpqAppendSql,
@@ -2019,78 +2217,10 @@ object CorpusQueries {
     // q178's replay widened to a 50-candidate shortlist, then the
     // refine stage: exact cosine (normalized dot, 6dp round) computed
     // for shortlist candidates only, re-ranked (cosine DESC, id)
-    "q180_ann_rerank" ->
-      """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-        |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
-        |un AS (SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS x
-        |       FROM v JOIN nrm ON nrm.vec_id = v.vec_id),
-        |cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2),
-        |ccf AS (SELECT cell, sum(c*c) AS cc FROM cent GROUP BY 1),
-        |dpf AS (SELECT un.vec_id, cent.cell, sum(un.x * cent.c) AS dp
-        |        FROM un JOIN cent ON un.i = cent.i GROUP BY 1, 2),
-        |ddf AS (SELECT dpf.vec_id, dpf.cell, ccf.cc - 2*dpf.dp AS cdist
-        |        FROM dpf JOIN ccf USING (cell)),
-        |assign AS (SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
-        |  FROM ddf) WHERE rn = 1),
-        |probe AS (SELECT vec_id AS qid, cell FROM (
-        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
-        |  FROM ddf WHERE vec_id < 3) WHERE rn <= 2),
-        |res AS (SELECT un.vec_id, un.label, un.i, un.x - cent.c AS x
-        |        FROM un JOIN assign a ON a.vec_id = un.vec_id
-        |        JOIN cent ON cent.cell = a.cell AND cent.i = un.i),
-        |pvar AS (SELECT i, round(avg(x*x) - avg(x)*avg(x), 9) AS v FROM res GROUP BY 1),
-        |perm AS (SELECT i,
-        |         CASE WHEN ((r // 4) % 2) = 0 THEN r % 4 ELSE 3 - (r % 4) END AS sub,
-        |         r // 4 AS j
-        |         FROM (SELECT i, row_number() OVER (ORDER BY v DESC, i) - 1 AS r FROM pvar)),
-        |us AS (SELECT res.vec_id, CAST(perm.sub AS INT) AS sub, perm.j, res.x
-        |       FROM res JOIN perm ON perm.i = res.i),
-        |orth AS (SELECT vec_id, sub,
-        |         CAST(sum(CASE WHEN j < 6 AND x >= 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS INT) AS code
-        |         FROM us GROUP BY 1, 2),
-        |pcent AS (SELECT us.sub, o.code, us.j, round(avg(us.x), 6) AS c
-        |          FROM us JOIN orth o ON o.vec_id = us.vec_id AND o.sub = us.sub
-        |          GROUP BY 1, 2, 3),
-        |pcc AS (SELECT sub, code, sum(c*c) AS cc FROM pcent GROUP BY 1, 2),
-        |pdp AS (SELECT us.vec_id, pcent.sub, pcent.code, sum(us.x * pcent.c) AS dp
-        |        FROM us JOIN pcent ON us.sub = pcent.sub AND us.j = pcent.j GROUP BY 1, 2, 3),
-        |sd AS (SELECT pdp.vec_id, pdp.sub, pdp.code, pcc.cc - 2*pdp.dp AS sdist
-        |       FROM pdp JOIN pcc ON pcc.sub = pdp.sub AND pcc.code = pdp.code),
-        |enc AS (SELECT vec_id, sub, code FROM (
-        |  SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sdist, code) AS rn
-        |  FROM sd) WHERE rn = 1),
-        |qres AS (SELECT p.qid, p.cell, un.i, un.x - cent.c AS x
-        |         FROM probe p JOIN un ON un.vec_id = p.qid
-        |         JOIN cent ON cent.cell = p.cell AND cent.i = un.i),
-        |qrr AS (SELECT qid, cell, sum(x*x) AS qrr FROM qres GROUP BY 1, 2),
-        |qus AS (SELECT qres.qid, qres.cell, CAST(perm.sub AS INT) AS sub, perm.j, qres.x
-        |        FROM qres JOIN perm ON perm.i = qres.i),
-        |qdp AS (SELECT qus.qid, qus.cell, pcent.sub, pcent.code, sum(qus.x * pcent.c) AS dp
-        |        FROM qus JOIN pcent ON qus.sub = pcent.sub AND qus.j = pcent.j
-        |        GROUP BY 1, 2, 3, 4),
-        |qsd AS (SELECT qdp.qid, qdp.cell, qdp.sub, qdp.code, pcc.cc - 2*qdp.dp AS qdist
-        |        FROM qdp JOIN pcc ON pcc.sub = qdp.sub AND pcc.code = qdp.code),
-        |adc AS (SELECT q.qid, a.vec_id AS id,
-        |          round(sum(q.qdist) + any_value(r.qrr), 6) AS adc
-        |        FROM probe p
-        |        JOIN assign a ON a.cell = p.cell
-        |        JOIN enc e ON e.vec_id = a.vec_id
-        |        JOIN qsd q ON q.qid = p.qid AND q.cell = p.cell
-        |                  AND q.sub = e.sub AND q.code = e.code
-        |        JOIN qrr r ON r.qid = p.qid AND r.cell = p.cell
-        |        GROUP BY 1, 2),
-        |short AS (SELECT qid, id FROM (
-        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
-        |  FROM adc) WHERE rn <= 50),
-        |ex AS (SELECT s.qid, s.id, round(sum(qu.x * cu.x), 6) AS cosine
-        |       FROM short s JOIN un qu ON qu.vec_id = s.qid
-        |       JOIN un cu ON cu.vec_id = s.id AND cu.i = qu.i
-        |       GROUP BY 1, 2)
-        |SELECT qid, id FROM (
-        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
-        |  FROM ex) WHERE rn <= 10 ORDER BY qid, id""".stripMargin,
+    "q180_ann_rerank" -> opqRerankSql(nProbe = 2, r = 50),
+    // the high-recall operating point: the same replay widened to
+    // 5 probed cells and a 100-candidate shortlist
+    "q187_ann_rerank_hi" -> opqRerankSql(nProbe = 5, r = 100),
     "q111_ann_ivfpq" ->
       """WITH v AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
         |           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

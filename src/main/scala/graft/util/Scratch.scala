@@ -88,4 +88,18 @@ object Scratch {
     val d = dir(prefix)
     try body(d) finally release(d)
   }
+
+  /** Materialize `df` to a scratch parquet dir and read it back — the
+    * DISK-backed analogue of `localCheckpoint(eager = true)` for a
+    * result that must outlive the state it was computed from (e.g. an
+    * index inside a [[withDir]] block). Unlike a local checkpoint, the
+    * materialized result pins no executor storage memory for the
+    * session: the backing files are plain scratch parquet, released at
+    * the harness's per-query teardown like any other scratch dir.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = dir("mat")
+    df.write.mode("overwrite").parquet(d)
+    df.sparkSession.read.parquet(d)
+  }
 }

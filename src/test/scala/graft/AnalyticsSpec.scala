@@ -392,6 +392,22 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
 
+    it("persisted-serve entries pin no executor storage memory after teardown") {
+      // the q181-style entries materialize DISK-backed (scratch parquet,
+      // dropped at per-query teardown) and the serve's probe set rides a
+      // local relation — so a long session accumulates ZERO MEMORY_AND_
+      // DISK blocks from them, which this pins exactly
+      val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+      val mark = graft.util.Scratch.marker()
+      val res = graft.entries.CorpusQueries.queries("q181_ann_opq_persisted")(
+        spark, "/root/testdata/sf0.001")
+      assert(res.count() === 30L)
+      graft.util.Scratch.releaseSince(mark)
+      val leaked = spark.sparkContext.getRDDStorageInfo.filterNot(i => before.contains(i.id))
+      assert(leaked.isEmpty,
+        s"entry left storage blocks pinned: ${leaked.map(i => s"rdd${i.id}=${i.memSize}B").mkString(", ")}")
+    }
+
     it("persist rejects non-integral cell ids (directory inference cannot round-trip them)") {
       val sf = "/root/testdata/sf0.001"
       val e = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -570,6 +586,36 @@ class AnalyticsSpec extends SparkSpec {
       val dupRefined = pairs(graft.analytics.Similarity.exactRerank(
         e, q, short50.unionAll(short50), "vec_id", "embedding", "qid", 10))
       assert(dupRefined === refined, "duplicated shortlist changed the refined result")
+
+      // Lloyd-TRAINED coarse quantizer (q186): three k-means rounds
+      // refine the label seed before the OPQ chain trains — the trained
+      // cells must BEAT the label cells at identical bytes (measured
+      // 0.30 vs 0.26 here; 0.21 vs 0.20 at sf0.1), the whole point of
+      // wiring the trainer into the serving tier
+      val lcents = graft.analytics.Similarity.lloydRefine(
+        e, cents, "vec_id", "embedding", iters = 3)
+      val lperm = graft.analytics.Similarity.opqPermutation(
+        e, lcents, "vec_id", "embedding", 4, 16)
+      val locb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, lcents, lperm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val lloyd = recall(pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, lcents, lperm, locb, "vec_id", "embedding", "qid", 10,
+        nProbe = 2, m = 4, subDim = 16)))
+      info(s"recall@10: lloyd=$lloyd")
+      assert(lloyd > opq, s"Lloyd-trained quantizer ($lloyd) should beat label cells ($opq)")
+      assert(lloyd >= 0.28, s"Lloyd-trained recall dropped: $lloyd") // measured 0.30
+
+      // the HIGH-RECALL operating point (q187): R=100/nProbe=5 re-rank
+      // — must dominate the default q180 point (wider probe AND wider
+      // shortlist) and hold its measured level (0.70 here; 0.46 at sf0.1)
+      val short187 = graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, cents, perm, ocb, "vec_id", "embedding", "qid", 100,
+        nProbe = 5, m = 4, subDim = 16)
+      val hi = recall(pairs(graft.analytics.Similarity.exactRerank(
+        e, q, short187, "vec_id", "embedding", "qid", 10)))
+      info(s"recall@10: hi-rerank=$hi")
+      assert(hi > rer, s"high-recall config ($hi) should beat the R=50/nProbe=2 point ($rer)")
+      assert(hi >= 0.65, s"high-recall re-rank dropped: $hi") // measured 0.70
 
       // the permutation is a bijection over the 64 dims, split 16/16/16/16
       val pRows = perm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
