@@ -88,6 +88,44 @@ object EndureProbe {
     val expect = (nBatches + 1).toLong * rowsPerBatch
     println(s"rows=$rows expected=$expect bounded=${deltaFiles() <= ParquetStorage.DefaultAutoCompactFiles}")
     require(rows == expect, s"endurance lost rows: $rows != $expect")
+
+    // ---- retention cost probe: O(dropped), not O(store) ----
+    // Two compacted stores, one twice the other's size, each dropping
+    // the SAME five days: retain cost must track the dropped data (and
+    // the no-op must be metadata-speed), while the remove() equivalent
+    // pays the full O(store) rewrite — the gap is the feature.
+    val retainDays = sys.env.getOrElse("SPARK_GRAFT_RETAIN_DAYS", "30").toInt
+    val rowsPerDay = sys.env.getOrElse("SPARK_GRAFT_RETAIN_ROWS", "10000").toInt
+    def buildStore(days: Int): GraftDB = {
+      val d2 = java.nio.file.Files.createTempDirectory("graftretainprobe").toString
+      val s2 = GraftDB.atPath(spark, d2)
+      (0 until days).foreach { day =>
+        s2.insertDF(spark.createDataset((0 until rowsPerDay).map { i =>
+          Point(base.plusSeconds(day * 86400L + i), "endure",
+            Map("host" -> s"h${i % 5}"), Map("v" -> (i % 100).toDouble))
+        }).toDF().drop(Point.SeqCol).localCheckpoint(true))
+      }
+      s2.compact()
+      s2
+    }
+    def timed(body: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = body; (n, (System.nanoTime() - t0) / 1e9)
+    }
+    println("| store days | rows | op | removed | seconds |")
+    println("|---|---|---|---|---|")
+    Seq(retainDays, retainDays * 2).foreach { days =>
+      val s2 = buildStore(days)
+      val total = days.toLong * rowsPerDay
+      val (n0, t0s) = timed(s2.retain(base))
+      println(f"| $days | $total | retain no-op | $n0 | $t0s%.3f |")
+      val (n5, t5s) = timed(s2.retain(base.plusSeconds(5L * 86400L)))
+      println(f"| $days | $total | retain 5 days | $n5 | $t5s%.3f |")
+      require(n5 == 5L * rowsPerDay, s"retention dropped $n5 of expected ${5L * rowsPerDay}")
+    }
+    // the O(store) comparison point: the same 5-day drop as a remove()
+    val sRm = buildStore(retainDays)
+    val (nRm, tRm) = timed(sRm.remove(TimeQuery() < base.plusSeconds(5L * 86400L)))
+    println(f"| $retainDays | ${retainDays.toLong * rowsPerDay} | remove() equivalent | $nRm | $tRm%.3f |")
     spark.stop()
   }
 }

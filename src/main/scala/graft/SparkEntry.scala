@@ -185,6 +185,44 @@ object SparkEntry {
       db.insert(graft.model.Point(Instant.parse("2024-01-10T12:00:00Z"), "synthetic",
         Map("user" -> "7"), Map("value" -> 123.45)))
       flat(db.searchDF(q)).orderBy("ts_us", "event_id")
+    }),
+
+    // TIME-BASED RETENTION on the persistent store — the InfluxDB
+    // retention-policy shape ("expire data older than t") as an
+    // O(dropped + straddling) layout operation, NOT an O(store)
+    // rewrite: whole p_date partitions and whole delta files drop by
+    // directory listing + parquet footer time stats; only files
+    // straddling the cutoff pay a filtered rewrite (StorageSpec pins
+    // that kept files are not rewritten). The lifecycle below drives
+    // every path — partition drop, straddling-partition rewrite, delta
+    // whole-file drop, delta straddle, delta keep — across two
+    // successive cutoffs, and the surviving store must equal the
+    // oracle's filtered replay exactly.
+    "q188_retain" -> ((s, dir) => {
+      val p = pts(s, dir).drop(Point.SeqCol)
+      val tUs = unix_micros(col(Point.TimeCol))
+      def us(iso: String) = Instant.parse(iso).getEpochSecond * 1000000L
+      val db = GraftDB.atPath(s, graft.util.Scratch.dir("retainstore") + "/db")
+      // main tier: everything before 01-03, folded into p_date partitions
+      db.insertDF(p.filter(tUs < us("2024-01-03T00:00:00Z")))
+      db.compact()
+      // delta tier: one wholly-old file, one straddling the second
+      // cutoff, one wholly-new
+      db.insertDF(p.filter(tUs >= us("2024-01-03T00:00:00Z") && tUs < us("2024-01-04T00:00:00Z")))
+      db.insertDF(p.filter(tUs >= us("2024-01-04T00:00:00Z") && tUs < us("2024-01-06T00:00:00Z")))
+      db.insertDF(p.filter(tUs >= us("2024-01-06T00:00:00Z")))
+      // cutoff 1 falls INSIDE partition 2024-01-02: drops p_date=01-01
+      // whole, rewrites only the straddling 01-02 partition
+      db.retain(Instant.parse("2024-01-02T12:00:00Z"))
+      // cutoff 2 exercises the delta tier: 01-03 file drops whole,
+      // the 01-04..01-06 file straddles, the ≥01-06 file is untouched
+      db.retain(Instant.parse("2024-01-05T12:00:00Z"))
+      db.df.select(
+        unix_micros(col(Point.TimeCol)).as("ts_us"),
+        col(Point.MeasurementCol).as("measurement"),
+        element_at(col(Point.TagsCol), "user").as("usr"),
+        element_at(col(Point.FieldsCol), "value").as("value"))
+        .orderBy("ts_us", "measurement", "usr", "value")
     })
   )
 
@@ -270,6 +308,14 @@ object SparkEntry {
         |  SELECT CAST(35184372088832 AS BIGINT) AS event_id,
         |    epoch_us(TIMESTAMP '2024-01-10 12:00:00') AS ts_us,
         |    'synthetic' AS measurement, CAST(123.45 AS DOUBLE) AS value
-        |) ORDER BY ts_us, event_id""".stripMargin
+        |) ORDER BY ts_us, event_id""".stripMargin,
+    // retention == the filtered replay: retain(t) must equal
+    // remove(time < t) in result, however many partition drops /
+    // footer drops / straddler rewrites produced it
+    "q188_retain" ->
+      """SELECT epoch_us(ts) AS ts_us, event_type AS measurement,
+        |  CAST(user_id AS VARCHAR) AS usr, value
+        |FROM events WHERE NOT (ts < TIMESTAMP '2024-01-05 12:00:00')
+        |ORDER BY ts_us, measurement, usr, value""".stripMargin
   ) ++ graft.entries.RelationalQueries.oracleSql ++ graft.entries.CorpusQueries.oracleSql
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Point
-import graft.query.{IndexedLayout, Noop, Q, QueryCompiler, TimeBounds}
+import graft.query.{IndexedLayout, Noop, Q, QueryCompiler, TimeBounds, TimeQuery}
 
 /** The engine facade — every core operator of the reference database
   * (SURVEY.md §2.1 ops 1-24; reference: tinyflux/database.py) expressed
@@ -728,6 +728,34 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     storage match {
       case p: ParquetStorage => p.compact()
       case _                 => ()
+    }
+  }
+
+  /** TIME-BASED RETENTION — remove every point with time < `olderThan`
+    * (the InfluxDB retention-policy shape the reference's data model
+    * mimics: "expire data older than 90 days"). NULL times are kept,
+    * matching the DSL's missing→False contract, so `retain(t)` always
+    * equals `remove(TimeQuery() < t)` in RESULT. In COST they differ
+    * completely on the parquet backend: [[ParquetStorage.retainBefore]]
+    * drops whole time partitions and whole delta files by directory
+    * listing + parquet footer stats — O(dropped + straddling), never
+    * O(store) — with a filtered rewrite only for files straddling the
+    * cutoff. Other backends fall back to the remove() COW rewrite.
+    * Returns the number of points removed.
+    */
+  def retain(olderThan: Instant): Long = {
+    guardOpen()
+    storage match {
+      case p: ParquetStorage =>
+        val micros = Math.addExact(
+          Math.multiplyExact(olderThan.getEpochSecond, 1000000L),
+          olderThan.getNano / 1000L)
+        val removed = p.retainBefore(micros)
+        // same index treatment as remove(): subtract the dropped range
+        // from the live view (or invalidate past the patch budget)
+        if (removed > 0) patchIndexAfterRemove(TimeQuery() < olderThan)
+        removed
+      case _ => remove(TimeQuery() < olderThan)
     }
   }
 

@@ -332,6 +332,16 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private val versionsPath = s"$root/_versions"
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Parquet INT96 — Spark's legacy default timestamp encoding — carries
+  // NO column statistics, which silently voids both row-group pruning
+  // on time predicates and the footer-stat retention fast path. This
+  // storage layer's layout contract is stats-bearing time-sorted files,
+  // so pin the standard micros encoding for this session's writes.
+  // (Reads handle either encoding; a pre-existing INT96 file is treated
+  // as boundary-straddling by [[retainBefore]], whose filtered rewrite
+  // re-encodes it with stats — self-healing.)
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   recover()
 
   // ---- multi-handle commit protocol (beyond-reference: the reference is
@@ -498,6 +508,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     if (!exists(deltaPath) && exists(backupDeltaPath) && stagingDeltaPresent)
       renameOrThrow(backupDeltaPath, deltaPath)
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
+    // a retention straddler-rewrite that died mid-commit rolls forward
+    // (or its pre-commit staging is dropped) — see [[recoverRetain]]
+    recoverRetain()
     if (exists(root)) {
       val staging = fs.listStatus(new Path(root))
         .filter(_.getPath.getName.startsWith(".staging-"))
@@ -880,6 +893,250 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         deleteOrThrow(backupDeltaPath)
       }
     }
+  }
+
+  // ---- time-based retention --------------------------------------------
+  //
+  // "Expire data older than t" is the retention-policy shape every TSDB
+  // user hits; an O(store) remove(TimeQuery < t) rewrite would be a
+  // scale-killer at 100 TB. The layout already pays for the fast path:
+  // p_date partition directories bound each file's dates, and files are
+  // time-sorted with footer min/max stats — so whole partitions and
+  // whole files DROP by listing + footer metadata alone, and only files
+  // actually straddling the cutoff pay a filtered rewrite.
+
+  private def retainMarker = new Path(s"$root/.retain-commit")
+
+  /** (rows, Some((min µs, max µs, nulls))) for a parquet file, from the
+    * FOOTER alone (no data IO). Row count is always present; the time
+    * summary is None when the footer carries no usable statistics for
+    * the time column (INT96 legacy encoding, withheld stats).
+    */
+  private def footerTimeSummary(p: Path): (Long, Option[(Long, Long, Long)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration))
+    try {
+      var rows = 0L; var nulls = 0L
+      var min = Long.MaxValue; var max = Long.MinValue
+      var usable = true
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.find(_.getPath.toDotString == Point.TimeCol) match {
+          case Some(c) =>
+            val toMicros: Long => Long = c.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+                  case _ => null // NANOS: not produced by any Spark write path here
+                }
+              case _ => null // INT96 or unannotated: stats unusable
+            }
+            val st = c.getStatistics
+            if (toMicros == null || st == null || st.getNumNulls < 0) usable = false
+            else {
+              val nn = st.getNumNulls
+              if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  nulls += nn
+                  min = math.min(min, toMicros(mn)); max = math.max(max, toMicros(mx))
+                case _ => usable = false
+              }
+              // no recorded values: genuine only if the whole chunk is null
+              else if (nn == c.getValueCount) nulls += nn
+              else usable = false
+            }
+          case None => usable = false
+        }
+      }
+      (rows, if (usable) Some((min, max, nulls)) else None)
+    } finally reader.close()
+  }
+
+  private def dataFilesIn(dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+
+  /** TIME-BASED RETENTION: remove every point whose time is strictly
+    * before `cutoffMicros` (epoch µs). NULL times are KEPT — a missing
+    * time cannot be proven old, the same missing→False contract as the
+    * query DSL. Returns the number of points removed.
+    *
+    * Cost is O(dropped + straddling), never O(store):
+    *   - `p_date` partition directories whose whole day could precede
+    *     the cutoff (session-timezone day arithmetic, widened by a 48 h
+    *     margin so timezone drift between writer and retainer can only
+    *     RETAIN extra, never over-delete) are candidate-pruned by NAME;
+    *     everything newer costs zero IO;
+    *   - candidate files drop/keep WHOLE by parquet footer time stats
+    *     alone (max < cutoff and no nulls → drop; min ≥ cutoff → keep);
+    *   - only files actually straddling the cutoff (or stat-less INT96
+    *     legacy files) pay a filtered COW rewrite, staged then
+    *     committed via a roll-forward marker: the `.retain-commit` plan
+    *     is published atomically AFTER staging completes, so a crash at
+    *     any point re-converges in [[recover]] (delete-plan + move-plan
+    *     are both idempotent). A reader racing the swap window can
+    *     transiently miss the straddlers' surviving rows — the same
+    *     read-vs-maintenance contract as delta compaction; the
+    *     CONVERGED state is exact.
+    *
+    * Serialized via the version chain like every other mutation.
+    */
+  def retainBefore(cutoffMicros: Long): Long = synchronized {
+    committed(requireObserved = false) {
+      var removed = 0L
+      val straddlers = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Path]]
+
+      // classify the files of one directory; returns true when the dir
+      // ends empty with nothing staged back into it
+      def sweepDir(dir: Path): Boolean = {
+        var keptAny = false
+        var straddled = false
+        dataFilesIn(dir).foreach { f =>
+          footerTimeSummary(f) match {
+            case (rows, Some((_, max, nulls))) if nulls == 0L && rows > 0L && max < cutoffMicros =>
+              removed += rows
+              if (!fs.delete(f, false))
+                throw new java.io.IOException(s"retention: delete failed: $f")
+            case (rows, Some((min, _, nulls))) if rows == 0L || nulls == rows || min >= cutoffMicros =>
+              keptAny = true // wholly kept (nulls ride along)
+            case _ =>
+              straddled = true
+              straddlers(dir.toString) = straddlers.getOrElse(dir.toString, Vector.empty) :+ f
+          }
+        }
+        !keptAny && !straddled
+      }
+
+      if (exists(dataPath)) {
+        if (partitioned) {
+          val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+          val cutoff = java.time.Instant.EPOCH.plus(cutoffMicros, java.time.temporal.ChronoUnit.MICROS)
+          val horizon = cutoff.plus(48, java.time.temporal.ChronoUnit.HOURS)
+          fs.listStatus(new Path(dataPath)).filter(_.isDirectory).foreach { m =>
+            fs.listStatus(m.getPath).filter(_.isDirectory).foreach { pd =>
+              val v = pd.getPath.getName.stripPrefix("p_date=")
+              val candidate = scala.util.Try(java.time.LocalDate.parse(v)).toOption
+                // null-date partition (__HIVE_DEFAULT_PARTITION__): null
+                // times are kept, skip without reading anything
+                .exists(_.atStartOfDay(zone).toInstant.isBefore(horizon))
+              if (candidate && sweepDir(pd.getPath)) {
+                if (!fs.delete(pd.getPath, true))
+                  throw new java.io.IOException(s"retention: delete failed: ${pd.getPath}")
+              }
+            }
+          }
+        } else { sweepDir(new Path(dataPath)); () }
+      }
+      if (exists(deltaPath)) { sweepDir(new Path(deltaPath)); () }
+
+      removed += rewriteStraddlers(straddlers.toMap, cutoffMicros)
+      // an emptied tier must GO AWAY entirely: a directory tree with
+      // zero data files (only _SUCCESS markers / empty partition dirs)
+      // fails Spark's schema inference on the next load
+      pruneIfNoData(new Path(dataPath))
+      pruneIfNoData(new Path(deltaPath))
+      deltaFileEstimate = -1 // dropped delta files: re-list lazily
+      removed
+    }
+  }
+
+  /** Delete `dir` when it holds no data files at any depth (dot/_
+    * marker files don't count); empties subtrees bottom-up. Returns
+    * true when the dir is gone.
+    */
+  private def pruneIfNoData(dir: Path): Boolean = {
+    if (!fs.exists(dir)) return true
+    val keep = fs.listStatus(dir).map { e =>
+      if (e.isDirectory) !pruneIfNoData(e.getPath)
+      else {
+        val n = e.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      }
+    }.exists(identity)
+    if (!keep) { deleteOrThrow(dir.toString); true } else false
+  }
+
+  /** Filtered COW rewrite of the straddling files, one staged output
+    * per source directory, committed via the `.retain-commit`
+    * roll-forward plan (see [[retainBefore]]).
+    */
+  private def rewriteStraddlers(byDir: Map[String, Seq[Path]], cutoffMicros: Long): Long = {
+    if (byDir.isEmpty) return 0L
+    var removed = 0L
+    val token = UUID.randomUUID().toString.take(8)
+    val stagingRoot = s"$root/.retain-staging-$token"
+    val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    byDir.toSeq.zipWithIndex.foreach { case ((dir, files), i) =>
+      val before = files.map(f => footerTimeSummary(f)._1).sum
+      val sub = s"$stagingRoot/$i"
+      spark.read.parquet(files.map(_.toString): _*)
+        .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
+        .sortWithinPartitions(Point.TimeCol)
+        .write.mode(SaveMode.Overwrite).parquet(sub)
+      val staged = dataFilesIn(new Path(sub))
+      removed += before - staged.map(f => footerTimeSummary(f)._1).sum
+      staged.zipWithIndex.foreach { case (f, j) =>
+        moves += f.toString -> s"$dir/retain-$token-$i-$j${f.getName.dropWhile(_ != '.')}"
+      }
+      dels ++= files.map(_.toString)
+    }
+    // publish the complete plan atomically, then execute it; recover()
+    // re-executes the same plan after a crash (both halves idempotent)
+    val body = (dels.map(d => s"D $d") ++ moves.map { case (s, t) => s"M $s $t" })
+      .mkString("\n")
+    val tmp = new Path(s"$root/..retain-commit.inprogress")
+    val out = fs.create(tmp, true)
+    try { out.write(body.getBytes("UTF-8")); out.hsync() } finally out.close()
+    if (fs.exists(retainMarker)) { fs.delete(retainMarker, false); () }
+    renameOrThrow(tmp.toString, retainMarker.toString)
+    executeRetainPlan(dels.toSeq, moves.toSeq)
+    deleteOrThrow(stagingRoot)
+    fs.delete(retainMarker, false)
+    removed
+  }
+
+  private def executeRetainPlan(dels: Seq[String], moves: Seq[(String, String)]): Unit = {
+    dels.foreach { d =>
+      val p = new Path(d)
+      if (fs.exists(p) && !fs.delete(p, false))
+        throw new java.io.IOException(s"retention: delete failed: $d")
+    }
+    moves.foreach { case (s, t) =>
+      if (fs.exists(new Path(s))) renameOrThrow(s, t)
+    }
+  }
+
+  /** Roll a crashed straddler rewrite forward: the marker only ever
+    * exists with staging COMPLETE, so re-running its plan converges.
+    * Without a marker, `.retain-staging-*` dirs are pre-commit garbage.
+    */
+  private def recoverRetain(): Unit = {
+    if (fs.exists(retainMarker)) {
+      val in = fs.open(retainMarker)
+      val body = try {
+        val buf = new Array[Byte](fs.getFileStatus(retainMarker).getLen.toInt)
+        in.readFully(0, buf); new String(buf, "UTF-8")
+      } finally in.close()
+      val lines = body.split("\n").filter(_.nonEmpty)
+      val dels = lines.filter(_.startsWith("D ")).map(_.drop(2)).toSeq
+      val moves = lines.filter(_.startsWith("M ")).map { l =>
+        val rest = l.drop(2); val cut = rest.indexOf(' ')
+        rest.take(cut) -> rest.drop(cut + 1)
+      }.toSeq
+      executeRetainPlan(dels, moves)
+      fs.delete(retainMarker, false)
+      ()
+    }
+    if (exists(root)) fs.listStatus(new Path(root))
+      .filter(_.getPath.getName.startsWith(".retain-staging-"))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Destructive replace: claims the version chain exclusively AND

@@ -458,4 +458,121 @@ class StorageSpec extends SparkSpec {
       assert(db.all().map(_.fields("v")) == Seq(1.0, 2.0))
     }
   }
+
+  describe("time-based retention") {
+    def pt(ts: String, v: Double) = Point(t(ts), "m", Map("k" -> "x"), Map("v" -> v))
+    def vals(db: GraftDB): Seq[Double] = db.all().map(_.fields("v").doubleValue()).sorted
+
+    it("drops whole partitions/files by metadata, rewrites only straddlers, matches the filtered replay") {
+      val dir = Files.createTempDirectory("graftretain").toString
+      val db = GraftDB.atPath(spark, dir)
+      // main tier: 24 hourly points on 01-01 (v 0..23) + 24 on 01-02 (v 100..123)
+      db.insertMultiple((0 until 24).map(h => pt(f"2024-01-01T$h%02d:30:00Z", h)) ++
+        (0 until 24).map(h => pt(f"2024-01-02T$h%02d:30:00Z", 100.0 + h)))
+      db.compact()
+      // delta tier: one wholly-old file, one straddling, one wholly-new
+      db.insertMultiple((0 until 4).map(h => pt(f"2024-01-03T$h%02d:00:00Z", 200.0 + h)))
+      db.insertMultiple(Seq(pt("2024-01-04T06:00:00Z", 300.0), pt("2024-01-05T06:00:00Z", 301.0),
+        pt("2024-01-05T18:00:00Z", 302.0), pt("2024-01-06T06:00:00Z", 303.0)))
+      db.insertMultiple((0 until 4).map(h => pt(f"2024-01-07T$h%02d:00:00Z", 400.0 + h)))
+      import org.apache.spark.sql.functions.{col, element_at, input_file_name}
+      val keepUri = spark.read.parquet(s"$dir/delta")
+        .filter(element_at(col(Point.FieldsCol), "v") === 400.0)
+        .select(input_file_name()).head().getString(0) // the 01-07 batch's file
+      val keepPath = java.nio.file.Paths.get(new java.net.URI(keepUri))
+      val keepMtime = Files.getLastModifiedTime(keepPath)
+
+      // cutoff 1 inside 01-02: p_date=01-01 drops WHOLE (by dir+footer),
+      // 01-02 is the only straddler
+      assert(db.retain(t("2024-01-02T12:00:00Z")) === 24L + 12L)
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "measurement=m", "p_date=2024-01-01")),
+        "wholly-old partition directory should be deleted")
+      assert(vals(db) === ((12 until 24).map(100.0 + _) ++ (200 until 204).map(_.toDouble)
+        ++ Seq(300.0, 301.0, 302.0, 303.0) ++ (400 until 404).map(_.toDouble)))
+
+      // cutoff 2 in the delta tier: the 01-03 file drops whole, the
+      // 01-04..01-06 file straddles (301.0 survives? no: 01-05T06 < 12:00
+      // drops; 302/303 survive), the 01-07 file must NOT be rewritten
+      assert(db.retain(t("2024-01-05T12:00:00Z")) === 12L + 4L + 2L)
+      assert(vals(db) === (Seq(302.0, 303.0) ++ (400 until 404).map(_.toDouble)))
+      assert(Files.exists(keepPath) && Files.getLastModifiedTime(keepPath) == keepMtime,
+        "a wholly-kept delta file must not be rewritten by retention")
+
+      // idempotent: a third retain at the same cutoff removes nothing
+      assert(db.retain(t("2024-01-05T12:00:00Z")) === 0L)
+      // and a fresh handle sees the identical converged state
+      assert(vals(GraftDB.atPath(spark, dir)) === (Seq(302.0, 303.0) ++ (400 until 404).map(_.toDouble)))
+    }
+
+    it("a crashed straddler rewrite rolls forward at the next handle open") {
+      val dir = Files.createTempDirectory("graftretaincrash").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple(Seq(pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-02T06:00:00Z", 2.0)))
+      db.close()
+      val orig = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(orig.length === 1)
+      // manufacture the crash state "staging complete, marker published,
+      // nothing executed": filtered replacement staged + the D/M plan
+      val staging = s"$dir/.retain-staging-test/0"
+      spark.read.parquet(orig.head)
+        .filter(org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col(Point.TimeCol)) >=
+          t("2024-01-02T00:00:00Z").getEpochSecond * 1000000L)
+        .coalesce(1).write.parquet(staging)
+      val staged = Files.list(java.nio.file.Paths.get(staging)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter { p => val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") }
+        .map(_.toString)
+      assert(staged.length === 1)
+      val target = s"$dir/delta/retain-test-0-0.snappy.parquet"
+      Files.write(java.nio.file.Paths.get(dir, ".retain-commit"),
+        s"D ${orig.head}\nM ${staged.head} $target".getBytes("UTF-8"))
+      // handle open = recovery point: the plan rolls FORWARD
+      val again = GraftDB.atPath(spark, dir)
+      assert(vals(again) === Seq(2.0), "roll-forward should leave exactly the filtered rows")
+      assert(!Files.exists(java.nio.file.Paths.get(orig.head)))
+      assert(Files.exists(java.nio.file.Paths.get(target)))
+      assert(!Files.exists(java.nio.file.Paths.get(dir, ".retain-commit")))
+      assert(!Files.exists(java.nio.file.Paths.get(dir, ".retain-staging-test")))
+    }
+
+    it("pre-commit retention staging (no marker) is discarded; originals survive") {
+      val dir = Files.createTempDirectory("graftretainpre").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple(Seq(pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-02T06:00:00Z", 2.0)))
+      db.close()
+      Files.createDirectories(java.nio.file.Paths.get(dir, ".retain-staging-dead", "0"))
+      val again = GraftDB.atPath(spark, dir)
+      assert(vals(again) === Seq(1.0, 2.0))
+      assert(!Files.exists(java.nio.file.Paths.get(dir, ".retain-staging-dead")))
+    }
+
+    it("stat-less INT96 legacy files fall back to the straddler rewrite and come back stats-bearing") {
+      val dir = Files.createTempDirectory("graftretain96").toString
+      val db = GraftDB.atPath(spark, dir) // constructor pins TIMESTAMP_MICROS...
+      try {
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        db.insertMultiple(Seq(pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-03T06:00:00Z", 2.0)))
+      } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val orig = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      // INT96 carries no stats: even though every row is ≥ the cutoff,
+      // the file cannot be proven keepable and pays ONE rewrite —
+      // after which it is micros-encoded and provable
+      assert(db.retain(t("2024-01-01T00:00:00Z")) === 0L)
+      val after = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(after.toSet !== orig.toSet, "legacy file should have been rewritten")
+      assert(vals(db) === Seq(1.0, 2.0))
+      // now provable: the same no-op retain touches nothing
+      assert(db.retain(t("2024-01-01T00:00:00Z")) === 0L)
+      assert(Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet === after.toSet)
+      // and a real cutoff now drops/filters exactly
+      assert(db.retain(t("2024-01-02T00:00:00Z")) === 1L)
+      assert(vals(db) === Seq(2.0))
+    }
+  }
 }
