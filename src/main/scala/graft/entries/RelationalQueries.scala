@@ -950,6 +950,42 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // MULTI-TOPIC FAN-IN under the oracle — Kafka's subscribe-to-many
+    // over MIXED topic kinds: a PLAIN topic "alpha" (values [0, 900))
+    // and a PARTITIONED topic "beta" (values [900, 1500) split v % 2
+    // across two sub-logs) union as ONE streaming query; Spark's
+    // offset log keeps each unioned source's offset separately inside
+    // the single checkpoint, and the per-batch token protocol holds
+    // for the union — so the converged store is a pure function of
+    // the two ranges, independent of interleaving, budget cuts, or
+    // partition routing. The kill/resume form (stop mid-drain, forced
+    // replay, resume on the union's per-topic offsets) is pinned in
+    // LogSourceSpec.
+    "q189_stream_multi_topic" -> ((s, dir) => {
+      import graft.streaming.{GraftLog, GraftLogProducer, StreamingIngest}
+      val base = graft.util.Scratch.dir("graftmtq")
+      val alpha = s"$base/alpha"
+      val beta = s"$base/beta"
+      val pa = new GraftLogProducer(alpha)
+      (0 until 900).grouped(250).foreach(g => pa.publish(g.map(_.toString)))
+      (0 until 2).foreach { part =>
+        val prod = new GraftLogProducer(GraftLog.partitionDir(beta, part))
+        (900 until 1500).filter(_ % 2 == part).grouped(200)
+          .foreach(g => prod.publish(g.map(_.toString)))
+      }
+      val db = graft.engine.GraftDB.atPath(s, graft.util.Scratch.dir("graftmtqdb"))
+      StreamingIngest.drainTopics(s, db,
+        Seq(alpha -> false, beta -> true),
+        maxRecordsPerTrigger = 400L, graft.util.Scratch.dir("graftmtqckpt"))
+      db.allDF()
+        .groupBy(
+          element_at(col(graft.model.Point.TagsCol), "topic").as("topic"),
+          element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"))
+        .orderBy("topic", "sensor")
+    }),
+
     // KMV set algebra — theta-sketch-style union/intersection/Jaccard
     // estimates from two COORDINATED bottom-k samples ("how many
     // distinct users did BOTH signup and purchase" from two KB
@@ -1553,6 +1589,15 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(value % 70) AS BIGINT) AS sum_v
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // multi-topic fan-in: alpha carries [0, 900), beta [900, 1500);
+    // the mlog transform tags (topic, sensor='s'||v%4) with field v%50
+    "q189_stream_multi_topic" ->
+      """WITH v AS (SELECT unnest(range(0, 1500)) AS value)
+        |SELECT CASE WHEN value < 900 THEN 'alpha' ELSE 'beta' END AS topic,
+        |  's' || CAST(value % 4 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 50) AS BIGINT) AS sum_v
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q172_stream_socket_ingest" ->
       """WITH v AS (SELECT unnest(range(0, 1500)) AS value)
         |SELECT 's' || CAST(value % 6 AS VARCHAR) AS sensor,

@@ -627,6 +627,73 @@ class LogSourceSpec extends SparkSpec {
       assert(db.allDF().select(graft.model.Point.TimeCol).distinct().count() === 330L)
     }
 
+    it("multi-topic kill + resume with a forced replay is exactly-once across the union's per-topic offsets") {
+      val ta = tmp("graftmtkra")
+      val tb = tmp("graftmtkrb")
+      val ckpt = tmp("graftmtkrck")
+      val root = tmp("graftmtkrdb")
+      val pa = new GraftLogProducer(ta)
+      (0 until 600).grouped(150).foreach(g => pa.publish(g.map(_.toString)))
+      val pbs = (0 until 2).map(p => new GraftLogProducer(GraftLog.partitionDir(tb, p)))
+      (0 until 2).foreach { p =>
+        (600 until 1200).filter(_ % 2 == p).grouped(150)
+          .foreach(g => pbs(p).publish(g.map(_.toString)))
+      }
+      val topics = Seq(ta -> false, tb -> true)
+      val db = GraftDB.atPath(spark, root)
+      // kill MID-drain: a small per-topic budget forces several batches
+      val q1 = StreamingIngest.startExactlyOnce(
+        StreamingIngest.multiTopicPointsSource(spark, topics, 100L),
+        db, ckpt, "mtkill")
+      try {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (db.length < 200L && System.currentTimeMillis() < deadline)
+          Thread.sleep(25L)
+        assert(db.length >= 200L, "first run never landed a batch")
+      } finally { q1.stop(); q1.awaitTermination() }
+      // force the worst crash window on a clean boundary: store append
+      // landed, engine commit record didn't — the replayed batch must
+      // re-plan the SAME per-topic offset ranges across the union
+      def ids(d: String): Seq[Long] = {
+        val fs = new java.io.File(s"$ckpt/$d").listFiles()
+        if (fs == null) Nil
+        else fs.map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted.toSeq
+      }
+      var snap = (ids("offsets"), ids("commits"))
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(200L)
+        val next = (ids("offsets"), ids("commits"))
+        if (next == snap) stable += 1 else stable = 0
+        snap = next
+      }
+      if (snap._1.lastOption == snap._2.lastOption && snap._2.nonEmpty) {
+        val cp = new org.apache.hadoop.fs.Path(s"$ckpt/commits/${snap._2.last}")
+        cp.getFileSystem(new Configuration()).delete(cp, false)
+        info(s"forced replay of batch ${snap._2.last}")
+      } else info(s"natural replay pending for batch ${snap._1.last}")
+      // BOTH topics keep growing while the consumer is down
+      pa.publish((1200 until 1350).map(_.toString))
+      (0 until 2).foreach { p =>
+        pbs(p).publish((1350 until 1500).filter(_ % 2 == p).map(_.toString))
+      }
+      val db2 = GraftDB.atPath(spark, root)
+      val q2 = StreamingIngest.startExactlyOnce(
+        StreamingIngest.multiTopicPointsSource(spark, topics, 100L),
+        db2, ckpt, "mtkill")
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (db2.length < 1500L && q2.exception.isEmpty &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(25L)
+        assert(q2.exception.isEmpty, s"resumed query failed: ${q2.exception}")
+      } finally q2.stop()
+      // exactly once across the whole union: 1500 rows, all values
+      // distinct (time = epoch + v·1000 and values are disjoint by topic)
+      assert(db2.length === 1500L)
+      assert(db2.allDF().select(graft.model.Point.TimeCol).distinct().count() === 1500L)
+    }
+
     it("two independent consumer groups drain one topic, each exactly-once") {
       val topic = tmp("graftploggrp")
       (0 until 2).foreach { p =>
