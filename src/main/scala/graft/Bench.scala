@@ -69,24 +69,27 @@ object Bench {
     * re-run at HEAD (VERDICT r8 "Bench adjudication"), updated each
     * round in BENCH_NOTES ("analytics rolling medians" table).
     */
+  // REBASE AUDIT RULE: whenever this table is refreshed, the values it
+  // REPLACED and the evidence for the shift (same-box re-measure of the
+  // previous round's HEAD, or the final quiet bench it was copied from)
+  // are recorded in BENCH_NOTES ("analytics rolling medians" history) —
+  // otherwise a real regression of rebase size would be absorbed
+  // silently and the drift attribution would be unauditable.
   private val AnalyticsExpected: Map[String, Double] = Map(
-    // r11 quiet-window levels (loadavg 0.16; BENCH_NOTES "r11 drift
-    // adjudication"): the box's throughput tier shifted ~+30% vs the
-    // r9-era table while the parity tier IMPROVED ~20% — r10's HEAD
-    // re-measured on the same box sits at or above these values, so
-    // the shift is machine state, not code. Medians refreshed so the
-    // 1.5× trigger guards against real drift from TODAY's levels.
-    "q30_agg_pricing" -> 0.24,
-    "q32_join_multiway" -> 0.95,
-    "q33_window_rank" -> 0.45,
-    "q34_topk" -> 0.25,
-    "q40_window_tumbling" -> 0.26,
-    "q41_asof_join" -> 0.16,
-    "q50_dedup_exact" -> 0.16,
+    // r12 rebase: copied from r11's FINAL quiet bench at HEAD (commit
+    // 054be48, loadavg < 1, flagged []), which is both rounds' agreed
+    // quiet level — see BENCH_NOTES r12 for the replaced r11 values.
+    "q30_agg_pricing" -> 0.27,
+    "q32_join_multiway" -> 0.75,
+    "q33_window_rank" -> 0.33,
+    "q34_topk" -> 0.20,
+    "q40_window_tumbling" -> 0.20,
+    "q41_asof_join" -> 0.19,
+    "q50_dedup_exact" -> 0.17,
     "q57_minhash_pairs" -> 0.56,
-    "q58_embedding_near_dup" -> 0.60,
-    "q59_ann_topk" -> 0.70,
-    "q159_excise_spans" -> 0.19)
+    "q58_embedding_near_dup" -> 0.58,
+    "q59_ann_topk" -> 0.55,
+    "q159_excise_spans" -> 0.23)
 
   /** Previous round's driver-recorded medians (BENCH_r10, sf0.1) — the
     * round-over-round delta is computed INLINE into the bench JSON
@@ -98,31 +101,32 @@ object Bench {
     * re-measure trigger is now 1.5×.
     */
   private val PrevMedians: Map[String, Double] = Map(
-    "point_lookup_tag_eq" -> 0.024507,
+    // r11 final quiet bench at HEAD (commit 054be48, flagged [])
+    "point_lookup_tag_eq" -> 0.020682,
     "time_range_1h" -> 3e-06,
-    "time_range_1h_populated" -> 0.02093,
-    "field_filter_half" -> 0.031013,
-    "complex_2field_tag" -> 0.028882,
-    "count_filtered" -> 0.013288,
-    "csv_point_lookup_tag_eq" -> 0.038126,
+    "time_range_1h_populated" -> 0.018278,
+    "field_filter_half" -> 0.026494,
+    "complex_2field_tag" -> 0.019656,
+    "count_filtered" -> 0.012895,
+    "csv_point_lookup_tag_eq" -> 0.036023,
     "csv_time_range_1h" -> 2e-06,
-    "csv_field_filter_half" -> 0.037062,
-    "csv_complex_2field_tag" -> 0.035174,
-    "insert_10k_memory" -> 0.002914,
-    "insert_10k_parquet" -> 0.108764,
-    "insert_10k_csv" -> 0.072366,
-    "stream_ingest_drain" -> 2.73391,
-    "q30_agg_pricing" -> 0.219532,
-    "q32_join_multiway" -> 0.779368,
-    "q33_window_rank" -> 0.334488,
-    "q34_topk" -> 0.28555,
-    "q40_window_tumbling" -> 0.259799,
-    "q41_asof_join" -> 0.185524,
-    "q50_dedup_exact" -> 0.209406,
-    "q57_minhash_pairs" -> 0.542829,
-    "q58_embedding_near_dup" -> 0.588307,
-    "q59_ann_topk" -> 0.557299,
-    "q159_excise_spans" -> 0.184896)
+    "csv_field_filter_half" -> 0.047398,
+    "csv_complex_2field_tag" -> 0.036906,
+    "insert_10k_memory" -> 0.003242,
+    "insert_10k_parquet" -> 0.118119,
+    "insert_10k_csv" -> 0.092015,
+    "stream_ingest_drain" -> 2.620464,
+    "q30_agg_pricing" -> 0.270251,
+    "q32_join_multiway" -> 0.748891,
+    "q33_window_rank" -> 0.330244,
+    "q34_topk" -> 0.196865,
+    "q40_window_tumbling" -> 0.201141,
+    "q41_asof_join" -> 0.186528,
+    "q50_dedup_exact" -> 0.173051,
+    "q57_minhash_pairs" -> 0.562356,
+    "q58_embedding_near_dup" -> 0.575414,
+    "q59_ann_topk" -> 0.550154,
+    "q159_excise_spans" -> 0.226034)
 
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(

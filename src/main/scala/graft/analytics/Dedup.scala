@@ -77,14 +77,31 @@ object Dedup {
     val digests = df
       .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .distinct()
-    // fingerprint of the store the current sidecar (if any) describes —
+    // listing of the store the current sidecar (if any) describes —
     // captured BEFORE the append so the incremental sidecar merge can
     // prove the old sidecar was current up to exactly this batch
-    val preFp = if (sidecar) storeFingerprint(df.sparkSession, path) else ""
+    val preListing = if (sidecar) storeListing(df.sparkSession, path) else Seq.empty
     digests
       .withColumn("__batch_tag", lit(batchTag))
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
-    if (sidecar) updateDigestSidecar(df.sparkSession, path, digests, preFp, sidecarBits)
+    if (sidecar) {
+      // fingerprint EXACTLY the file set this append produced: the
+      // pre-append listing + the files that appeared since. Re-listing
+      // the live directory instead would race a concurrent appender —
+      // its files would enter the fingerprint with their digests absent
+      // from the bloom, and a later reader trusting that sidecar could
+      // false-negative-skip a real collision. With the constructed
+      // fingerprint the race degrades SAFELY: the recorded value then
+      // differs from the live listing at read time, readSidecar treats
+      // the sidecar as stale, and the guard falls back to the exact
+      // anti-join. (Same-name overwrites by a racer are outside the
+      // append-only store contract, as for compactDigestStore.)
+      val preNames = preListing.map(_._1).toSet
+      val added = storeListing(df.sparkSession, path).filterNot(e => preNames(e._1))
+      val postFp = fingerprintOf(preListing ++ added)
+      updateDigestSidecar(df.sparkSession, path, digests,
+        fingerprintOf(preListing), postFp, sidecarBits)
+    }
   }
 
   // ---- digest-store lifecycle ----
@@ -114,21 +131,25 @@ object Dedup {
     * the exact anti-join instead of risking a bloom false NEGATIVE
     * (a skipped scan that lets duplicates through).
     */
-  private def storeFingerprint(spark: SparkSession, path: String): String = {
+  private def storeListing(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) ""
-    else {
-      val listing = fs.listStatus(p)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-          !s.getPath.getName.startsWith("_"))
-        .map(s => s"${s.getPath.getName}:${s.getLen}")
-        .sorted.mkString("\n")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(listing.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    }
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.getName, s.getLen))
   }
+
+  private def fingerprintOf(entries: Seq[(String, Long)]): String =
+    if (entries.isEmpty) ""
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.map { case (n, l) => s"$n:$l" }.sorted.mkString("\n")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def storeFingerprint(spark: SparkSession, path: String): String =
+    fingerprintOf(storeListing(spark, path))
 
   /** One combined key per store row (stores may hold composite-key
     * digests as several `__k_*` columns).
@@ -166,6 +187,11 @@ object Dedup {
   def rebuildDigestSidecar(spark: SparkSession, path: String,
       bits: Int = SidecarBits): Unit = {
     requireSidecarBits(bits)
+    // listing BEFORE the scan: the fingerprint must cover at most the
+    // files the rebuild read (a post-scan listing could include a
+    // racer's files the bits don't) — a file landing between listing
+    // and scan only widens the bits, never the claimed coverage
+    val listing = storeListing(spark, path)
     val store = spark.read.parquet(path)
     val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
     val pos = store
@@ -174,7 +200,7 @@ object Dedup {
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](bits / 64)
     pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
-    writeSidecar(spark, path, bits, words)
+    writeSidecar(spark, path, bits, words, fingerprintOf(listing))
   }
 
   /** Fold a batch's digests into the existing sidecar — blooms merge
@@ -188,7 +214,7 @@ object Dedup {
     * rebuild from the full store once.
     */
   private def updateDigestSidecar(spark: SparkSession, path: String,
-      batchDigests: DataFrame, preAppendFp: String,
+      batchDigests: DataFrame, preAppendFp: String, postAppendFp: String,
       wantBits: Int = SidecarBits): Unit = {
     requireSidecarBits(wantBits)
     readSidecarRaw(spark, path) match {
@@ -200,7 +226,10 @@ object Dedup {
             bloomPos(h, storeRowKey(keyCols), bits)): _*)).as("p"))
           .distinct().collect().map(_.getLong(0))
         pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
-        writeSidecar(spark, path, bits, words)
+        // record the CALLER-CONSTRUCTED post-append fingerprint (pre
+        // listing + this append's files), never a fresh live listing —
+        // see the appendDigestStore race note
+        writeSidecar(spark, path, bits, words, postAppendFp)
       case _ => rebuildDigestSidecar(spark, path, wantBits)
     }
   }
@@ -208,11 +237,15 @@ object Dedup {
   // The sidecar records the store fingerprint it was built against
   // (post-write state — callers write the store first, then the
   // sidecar), so a reader can prove the sidecar still describes the
-  // store before trusting a skip decision.
+  // store before trusting a skip decision. The fingerprint is the
+  // CALLER's statement of which file set the bits cover (the rebuild
+  // passes the listing it read; the incremental merge constructs
+  // pre + appended) — under any race it can only mismatch the live
+  // listing, which reads as "stale" and falls back to the exact path.
   private def writeSidecar(spark: SparkSession, path: String, bits: Int,
-      words: Array[Long]): Unit = {
+      words: Array[Long], fp: String): Unit = {
     import spark.implicits._
-    Seq((bits, SidecarK, words.toSeq, storeFingerprint(spark, path)))
+    Seq((bits, SidecarK, words.toSeq, fp))
       .toDF("bits", "k", "words", "store_fp")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -321,8 +321,27 @@ object GraftLog {
     }, s"graft-topic-lock-heartbeat-$v")
     beat.setDaemon(true)
     beat.start()
-    try body
-    finally {
+    // fencing-token check: true once a waiter has force-sealed this
+    // claim (lease takeover of a holder suspended past the lease) —
+    // the usurper may be mutating concurrently, so the resumed holder
+    // must NOT report success. Cheap: one listing + one exists.
+    def fenced(): Boolean =
+      fs.exists(new Path(md, s"$v.done")) || head() != v
+    try {
+      val result = body
+      // check BEFORE reporting success (the "at least before sealing"
+      // fence): a suspended-then-resumed holder whose lease was taken
+      // over surfaces a retriable error instead of silently interleaved
+      // completion. The residual window — a takeover landing between
+      // this check and the caller consuming the result — is the
+      // irreducible lease-protocol gap; every maintenance step stays
+      // individually idempotent/resumable for exactly that reason.
+      if (fenced())
+        throw new java.io.IOException(
+          s"topic maintenance lease at $dir was taken over during the critical " +
+            "section (holder suspended past the lease); state is resumable — retry")
+      result
+    } finally {
       stop.set(true); beat.interrupt()
       // seal even on failure (every step is resumable; a surviving
       // sibling must not deadlock behind a dead claim), prune below head
@@ -430,11 +449,19 @@ object GraftLog {
       backlogs.map { case (p, b) =>
         p -> (BigInt(budget) * b / total).toLong }: _*)
     var rem = budget - floors.values.sum
-    backlogs.foreach { case (p, b) =>
-      if (rem > 0 && floors(p) < b) {
-        val extra = math.min(b - floors(p), rem)
-        floors(p) += extra; rem -= extra
+    // deal the remainder ONE SLOT PER PARTITION per round, in partition
+    // order, skipping partitions already at their backlog — the
+    // documented round-robin fairness (the remainder can reach
+    // nPartitions − 1 slots, so lumping it onto the first partition
+    // with headroom would skew small-budget triggers). Floors leave
+    // each partition's headroom ≥ its proportional fraction, so this
+    // terminates within two rounds.
+    while (rem > 0) {
+      var progressed = false
+      backlogs.foreach { case (p, b) =>
+        if (rem > 0 && floors(p) < b) { floors(p) += 1; rem -= 1; progressed = true }
       }
+      if (!progressed) rem = 0 // unreachable when total > budget; belt-and-braces
     }
     floors.toMap
   }
