@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 10, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 12, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -402,6 +402,48 @@ object Explain {
         .option("partitioned", "true").load()
         .select(org.apache.spark.sql.functions.col("payload"))
       a.unionAll(b)
+    }
+
+    section("q186 Lloyd-trained persisted OPQ-IVF+PQ serve (round 12)",
+      "The q181 serve shape under TRAINED cells (three Lloyd rounds refine " +
+        "the label seed before the whole lifecycle trains against them): the " +
+        "codes scan still lists ONLY the probed generation-dir partitions " +
+        "(static `cell IN (...)` pruning on the raw partition column — the " +
+        "generation indirection adds one pointer read, zero plan change), " +
+        "quantizers ride broadcast, the reduction is the bounded TopK. " +
+        "Training cost is paid at persist time, not serve time — which is " +
+        "why better cells lift recall at zero serve cost.") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nv = graft.functions.VectorFunctions.l2Normalize(
+        org.apache.spark.sql.functions.col("embedding"))
+      val cents0 = graft.analytics.Similarity.centroids(
+        e.select(org.apache.spark.sql.functions.col("label"), nv.as("nv")), "label", "nv")
+        .select(org.apache.spark.sql.functions.col("group"),
+          org.apache.spark.sql.functions.col("i"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("c"), 6).as("c"))
+      val cents = graft.analytics.Similarity.lloydRefine(e, cents0, "vec_id", "embedding", 3)
+      val perm = graft.analytics.Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val idx = graft.util.Scratch.dir("explainlloyd")
+      graft.analytics.Similarity.opqIvfPqPersist(e, cents, perm, cb,
+        "vec_id", "embedding", 4, 16, idx)
+      graft.analytics.Similarity.opqIvfPqTopKPersisted(idx,
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+            org.apache.spark.sql.functions.col("embedding")),
+        "qid", "embedding", k = 10, nProbe = 2, m = 4, subDim = 16)
+    }
+
+    section("q187 high-recall re-rank, R=100/nProbe=5 (round 12)",
+      "The q180 refine shape at the QUALITY operating point: the wider " +
+        "shortlist (queries x 100 rows — still tiny) broadcasts into the " +
+        "corpus scan exactly as R=50 did; only shortlist survivors are " +
+        "normalized; the final cut is the bounded TopK. Raising nProbe/R " +
+        "moves recall (0.70 vs 0.38) without adding any corpus-sized " +
+        "shuffle — the plan is the proof.") {
+      SparkEntry.queries("q187_ann_rerank_hi")(spark, sfDir)
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),

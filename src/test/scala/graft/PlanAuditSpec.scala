@@ -441,6 +441,19 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("high-recall re-rank (q187): wider probe/shortlist adds no corpus shuffle") {
+      // the R=100/nProbe=5 operating point must keep q180's plan
+      // contract: shortlist + queries ride broadcast joins, the exact
+      // cosine touches only shortlist survivors, the cut is the bounded
+      // TopK — recall is bought with probe width, never with a
+      // corpus-sized SortMergeJoin/cartesian
+      val res = SparkEntry.queries("q187_ann_rerank_hi")(spark, sf)
+      val p = plan(res)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(res.count() > 0)
+    }
+
     it("scalable global ranking keeps the big-table window out of a single partition") {
       import graft.analytics.Ranking
       val orders = spark.read.parquet(s"$sf/orders.parquet")
