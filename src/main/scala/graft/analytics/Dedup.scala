@@ -77,30 +77,55 @@ object Dedup {
     val digests = df
       .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .distinct()
-    // listing of the store the current sidecar (if any) describes —
-    // captured BEFORE the append so the incremental sidecar merge can
-    // prove the old sidecar was current up to exactly this batch
-    val preListing = if (sidecar) storeListing(df.sparkSession, path) else Seq.empty
-    digests
-      .withColumn("__batch_tag", lit(batchTag))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
-    if (sidecar) {
-      // fingerprint EXACTLY the file set this append produced: the
-      // pre-append listing + the files that appeared since. Re-listing
-      // the live directory instead would race a concurrent appender —
-      // its files would enter the fingerprint with their digests absent
-      // from the bloom, and a later reader trusting that sidecar could
-      // false-negative-skip a real collision. With the constructed
-      // fingerprint the race degrades SAFELY: the recorded value then
-      // differs from the live listing at read time, readSidecar treats
-      // the sidecar as stale, and the guard falls back to the exact
-      // anti-join. (Same-name overwrites by a racer are outside the
-      // append-only store contract, as for compactDigestStore.)
-      val preNames = preListing.map(_._1).toSet
-      val added = storeListing(df.sparkSession, path).filterNot(e => preNames(e._1))
-      val postFp = fingerprintOf(preListing ++ added)
-      updateDigestSidecar(df.sparkSession, path, digests,
-        fingerprintOf(preListing), postFp, sidecarBits)
+    val spark = df.sparkSession
+    if (!sidecar) {
+      digests
+        .withColumn("__batch_tag", lit(batchTag))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    } else {
+      // listing of the store the current sidecar (if any) describes —
+      // captured BEFORE the append so the incremental sidecar merge can
+      // prove the old sidecar was current up to exactly this batch
+      val preListing = storeListing(spark, path)
+      // Stage-then-rename so THIS append's file set is known EXACTLY —
+      // a plain `mode(Append)` + post-listing diff would race a
+      // concurrent appender (its files would enter the fingerprint
+      // with their digests absent from the bloom, and a later reader
+      // trusting that sidecar could false-negative-skip a real
+      // collision). With the staged names the fingerprint covers
+      // precisely pre + ours; a racer's files make the recorded value
+      // differ from the live listing at read time, so readSidecar
+      // treats the sidecar as stale and the guard falls back to the
+      // exact anti-join — the race degrades SAFELY in every order.
+      val token = java.util.UUID.randomUUID().toString.take(12)
+      val staging = path.stripSuffix("/") + s".append-staging-$token"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        digests
+          .withColumn("__batch_tag", lit(batchTag))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+          fs.mkdirs(new org.apache.hadoop.fs.Path(path)); ()
+        }
+        val ours = staged.zipWithIndex.map { case (f, i) =>
+          val name = s"app-$token-$i.parquet"
+          if (!fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$name")))
+            throw new java.io.IOException(s"digest append: rename failed for $name")
+          (name, f.getLen)
+        }.toSeq
+        val postFp = fingerprintOf(preListing ++ ours)
+        updateDigestSidecar(spark, path, digests,
+          fingerprintOf(preListing), postFp, sidecarBits)
+      } finally {
+        if (fs.exists(new org.apache.hadoop.fs.Path(staging))) {
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true); ()
+        }
+      }
     }
   }
 

@@ -642,22 +642,11 @@ object Similarity {
 
   private def readLongFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[Long] =
-    if (!fs.exists(p)) None
-    else scala.util.Try {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, "UTF-8").trim.toLong
-    }.toOption
+    graft.util.AtomicFiles.readLong(fs, p)
 
   private def writeLongFile(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, v: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.inprogress")
-    val out = fs.create(tmp, true)
-    try { out.write(v.toString.getBytes("UTF-8")); out.hsync() } finally out.close()
-    if (fs.exists(p)) { fs.delete(p, false); () }
-    require(fs.rename(tmp, p), s"pointer rename failed: $tmp -> $p")
-  }
+      p: org.apache.hadoop.fs.Path, v: Long): Unit =
+    graft.util.AtomicFiles.writeLong(fs, p, v)
 
   private def listGens(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String): Seq[Long] = {
@@ -739,8 +728,9 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(genDir(indexPath, g)), true)
     }
 
-  /** The live generation's directory — the same resolve every reader
-    * performs (observability/spec hook).
+  /** The live generation's directory — THE reader resolve (stats and
+    * the persisted serve both route through here, as do the specs, so
+    * the retry/fallback protocol cannot fork between readers).
     */
   private[graft] def liveGenDir(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): String = {
@@ -767,7 +757,10 @@ object Similarity {
     graft.streaming.GraftLog.withTopicLock(path, conf) {
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
       recoverGenerations(fs, path)
-      val gen = genDir(path, currentGen(fs, path) + 1)
+      // bind ONCE: the staged directory and the committed pointer value
+      // must name the same generation
+      val newGen = currentGen(fs, path) + 1
+      val gen = genDir(path, newGen)
       // stage the full new generation — codes repartitioned so every
       // vector's m rows land in ONE file per cell (a reader never
       // observes a partial code set for a vector) — then commit by
@@ -779,7 +772,7 @@ object Similarity {
       centroids.write.mode("overwrite").parquet(s"$gen/meta_centroids")
       perm.write.mode("overwrite").parquet(s"$gen/meta_perm")
       codebooks.write.mode("overwrite").parquet(s"$gen/meta_codebooks")
-      commitGeneration(fs, path, currentGen(fs, path) + 1)
+      commitGeneration(fs, path, newGen)
     }
   }
 
@@ -878,15 +871,10 @@ object Similarity {
     * scan, one partial agg.
     */
   def opqIvfPqStats(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = currentGenForRead(fs, indexPath)
-    require(cur > 0, s"index at $indexPath has no committed generation")
-    spark.read.parquet(s"${genDir(indexPath, cur)}/codes")
+      indexPath: String): DataFrame =
+    spark.read.parquet(s"${liveGenDir(spark, indexPath)}/codes")
       .groupBy("cell")
       .agg(countDistinct("id").as("vectors"), count(lit(1)).as("code_rows"))
-  }
 
   /** Probe a persisted OPQ-IVF+PQ index ([[opqIvfPqPersist]] layout).
     * Like [[ivfTopKPersisted]], the probed cell set (queries × nProbe
@@ -905,11 +893,7 @@ object Similarity {
     // resolve the committed generation ONCE — every path below belongs
     // to it, so a retrain committing concurrently can neither block
     // this serve nor mix its quantizers with these codes
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = currentGenForRead(fs, indexPath)
-    require(cur > 0, s"index at $indexPath has no committed generation")
-    val gen = genDir(indexPath, cur)
+    val gen = liveGenDir(spark, indexPath)
     val centroids = spark.read.parquet(s"$gen/meta_centroids")
     val perm = spark.read.parquet(s"$gen/meta_perm")
     val codebooks = spark.read.parquet(s"$gen/meta_codebooks")

@@ -336,10 +336,20 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // NO column statistics, which silently voids both row-group pruning
   // on time predicates and the footer-stat retention fast path. This
   // storage layer's layout contract is stats-bearing time-sorted files,
-  // so pin the standard micros encoding for this session's writes.
-  // (Reads handle either encoding; a pre-existing INT96 file is treated
-  // as boundary-straddling by [[retainBefore]], whose filtered rewrite
-  // re-encodes it with stats — self-healing.)
+  // so pin the standard micros encoding.
+  //
+  // DOCUMENTED SESSION-SCOPE TRADE-OFF: outputTimestampType has no
+  // per-write form (ParquetOptions exposes only compression/
+  // mergeSchema), so the pin is session-wide — every parquet write in
+  // this SparkSession, not just this store's, becomes TIMESTAMP_MICROS
+  // from handle open. That is the standards-track encoding and what
+  // any engine (DuckDB, Arrow, Trino) prefers to read; an application
+  // that must keep writing INT96 elsewhere (a legacy Impala/Hive
+  // consumer) should route those writes through a separate session.
+  // Nothing here depends on the pin for CORRECTNESS: reads handle
+  // either encoding, and a stat-less INT96 file is simply treated as
+  // boundary-straddling by [[retainBefore]], whose filtered rewrite
+  // re-encodes it with stats — self-healing.
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   recover()
@@ -990,7 +1000,10 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   def retainBefore(cutoffMicros: Long): Long = synchronized {
     committed(requireObserved = false) {
       var removed = 0L
-      val straddlers = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Path]]
+      // straddler files per source dir, with the row count the
+      // classification footer read already produced (so the rewrite
+      // never re-opens a footer it has seen)
+      val straddlers = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Path, Long)]]
 
       // classify the files of one directory; returns true when the dir
       // ends empty with nothing staged back into it
@@ -1005,13 +1018,22 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
                 throw new java.io.IOException(s"retention: delete failed: $f")
             case (rows, Some((min, _, nulls))) if rows == 0L || nulls == rows || min >= cutoffMicros =>
               keptAny = true // wholly kept (nulls ride along)
-            case _ =>
+            case (rows, _) =>
               straddled = true
-              straddlers(dir.toString) = straddlers.getOrElse(dir.toString, Vector.empty) :+ f
+              straddlers(dir.toString) =
+                straddlers.getOrElse(dir.toString, Vector.empty) :+ ((f, rows))
           }
         }
         !keptAny && !straddled
       }
+
+      // emptied-dir pruning is TARGETED at what the sweep touched — a
+      // tree-wide walk would be O(store) metadata per retain tick and
+      // void the cost contract. An emptied tier must still go away
+      // entirely (a dir with zero data files fails schema inference).
+      val emptiedParents = scala.collection.mutable.LinkedHashSet.empty[Path]
+      var dataTierEmptied = false
+      var deltaTierEmptied = false
 
       if (exists(dataPath)) {
         if (partitioned) {
@@ -1028,19 +1050,31 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
               if (candidate && sweepDir(pd.getPath)) {
                 if (!fs.delete(pd.getPath, true))
                   throw new java.io.IOException(s"retention: delete failed: ${pd.getPath}")
+                emptiedParents += m.getPath
               }
             }
           }
-        } else { sweepDir(new Path(dataPath)); () }
+        } else dataTierEmptied = sweepDir(new Path(dataPath))
       }
-      if (exists(deltaPath)) { sweepDir(new Path(deltaPath)); () }
+      if (exists(deltaPath)) deltaTierEmptied = sweepDir(new Path(deltaPath))
 
       removed += rewriteStraddlers(straddlers.toMap, cutoffMicros)
-      // an emptied tier must GO AWAY entirely: a directory tree with
-      // zero data files (only _SUCCESS markers / empty partition dirs)
-      // fails Spark's schema inference on the next load
-      pruneIfNoData(new Path(dataPath))
-      pruneIfNoData(new Path(deltaPath))
+      // prune ONLY dirs the sweep emptied (each check is one local
+      // listing): measurement dirs whose partitions all dropped, then
+      // the tier roots when nothing beneath them survived
+      var measurementDeleted = false
+      emptiedParents.foreach { m =>
+        if (fs.exists(m) && !fs.listStatus(m).exists(_.isDirectory)) {
+          if (pruneIfNoData(m)) measurementDeleted = true
+        }
+      }
+      if (dataTierEmptied ||
+          (measurementDeleted &&
+            fs.exists(new Path(dataPath)) &&
+            !fs.listStatus(new Path(dataPath)).exists(_.isDirectory))) {
+        pruneIfNoData(new Path(dataPath)); ()
+      }
+      if (deltaTierEmptied) { pruneIfNoData(new Path(deltaPath)); () }
       deltaFileEstimate = -1 // dropped delta files: re-list lazily
       removed
     }
@@ -1066,7 +1100,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * per source directory, committed via the `.retain-commit`
     * roll-forward plan (see [[retainBefore]]).
     */
-  private def rewriteStraddlers(byDir: Map[String, Seq[Path]], cutoffMicros: Long): Long = {
+  private def rewriteStraddlers(byDir: Map[String, Seq[(Path, Long)]],
+      cutoffMicros: Long): Long = {
     if (byDir.isEmpty) return 0L
     var removed = 0L
     val token = UUID.randomUUID().toString.take(8)
@@ -1074,9 +1109,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val dels = scala.collection.mutable.ArrayBuffer.empty[String]
     val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     byDir.toSeq.zipWithIndex.foreach { case ((dir, files), i) =>
-      val before = files.map(f => footerTimeSummary(f)._1).sum
+      val before = files.map(_._2).sum // rows, carried from classification
       val sub = s"$stagingRoot/$i"
-      spark.read.parquet(files.map(_.toString): _*)
+      spark.read.parquet(files.map(_._1.toString): _*)
         .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
         .sortWithinPartitions(Point.TimeCol)
         .write.mode(SaveMode.Overwrite).parquet(sub)
@@ -1085,17 +1120,17 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       staged.zipWithIndex.foreach { case (f, j) =>
         moves += f.toString -> s"$dir/retain-$token-$i-$j${f.getName.dropWhile(_ != '.')}"
       }
-      dels ++= files.map(_.toString)
+      dels ++= files.map(_._1.toString)
     }
     // publish the complete plan atomically, then execute it; recover()
-    // re-executes the same plan after a crash (both halves idempotent)
-    val body = (dels.map(d => s"D $d") ++ moves.map { case (s, t) => s"M $s $t" })
-      .mkString("\n")
-    val tmp = new Path(s"$root/..retain-commit.inprogress")
-    val out = fs.create(tmp, true)
-    try { out.write(body.getBytes("UTF-8")); out.hsync() } finally out.close()
-    if (fs.exists(retainMarker)) { fs.delete(retainMarker, false); () }
-    renameOrThrow(tmp.toString, retainMarker.toString)
+    // re-executes the same plan after a crash (both halves idempotent).
+    // Paths are URL-encoded in the plan: a space-containing store path
+    // split on raw ' ' would mis-parse during recovery and the
+    // roll-forward could silently skip a move.
+    def enc(p: String) = java.net.URLEncoder.encode(p, "UTF-8")
+    val body = (dels.map(d => s"D ${enc(d)}") ++
+      moves.map { case (s, t) => s"M ${enc(s)} ${enc(t)}" }).mkString("\n")
+    graft.util.AtomicFiles.writeString(fs, retainMarker, body)
     executeRetainPlan(dels.toSeq, moves.toSeq)
     deleteOrThrow(stagingRoot)
     fs.delete(retainMarker, false)
@@ -1118,17 +1153,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * Without a marker, `.retain-staging-*` dirs are pre-commit garbage.
     */
   private def recoverRetain(): Unit = {
-    if (fs.exists(retainMarker)) {
-      val in = fs.open(retainMarker)
-      val body = try {
-        val buf = new Array[Byte](fs.getFileStatus(retainMarker).getLen.toInt)
-        in.readFully(0, buf); new String(buf, "UTF-8")
-      } finally in.close()
+    graft.util.AtomicFiles.readString(fs, retainMarker).foreach { body =>
+      def dec(p: String) = java.net.URLDecoder.decode(p, "UTF-8")
       val lines = body.split("\n").filter(_.nonEmpty)
-      val dels = lines.filter(_.startsWith("D ")).map(_.drop(2)).toSeq
+      val dels = lines.filter(_.startsWith("D ")).map(l => dec(l.drop(2))).toSeq
       val moves = lines.filter(_.startsWith("M ")).map { l =>
         val rest = l.drop(2); val cut = rest.indexOf(' ')
-        rest.take(cut) -> rest.drop(cut + 1)
+        dec(rest.take(cut)) -> dec(rest.drop(cut + 1))
       }.toSeq
       executeRetainPlan(dels, moves)
       fs.delete(retainMarker, false)

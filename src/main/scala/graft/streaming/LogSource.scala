@@ -413,16 +413,8 @@ object GraftLog {
       // leaves a marker with no sink segments — harmless, re-deleted next
       // run. MONOTONE: never write a value below the current low-water
       // (belt-and-braces — the lock already serializes writers).
-      if (epoch > compactedThrough(dir, conf)) {
-        val tmp = new Path(p, "._sink_compacted_through.inprogress")
-        val out = fs.create(tmp, true)
-        try { out.write(epoch.toString.getBytes("UTF-8")); out.hsync() }
-        finally out.close()
-        val dst = new Path(p, "_sink_compacted_through")
-        if (fs.exists(dst)) { fs.delete(dst, false); () }
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException("compacted-through marker rename failed")
-      }
+      if (epoch > compactedThrough(dir, conf))
+        graft.util.AtomicFiles.writeLong(fs, new Path(p, "_sink_compacted_through"), epoch)
       fs.delete(new Path(p, s"_epoch-$epoch.committed"), false)
       removed += 1
     }

@@ -527,8 +527,9 @@ class StorageSpec extends SparkSpec {
         .map(_.toString)
       assert(staged.length === 1)
       val target = s"$dir/delta/retain-test-0-0.snappy.parquet"
+      def enc(p: String) = java.net.URLEncoder.encode(p, "UTF-8")
       Files.write(java.nio.file.Paths.get(dir, ".retain-commit"),
-        s"D ${orig.head}\nM ${staged.head} $target".getBytes("UTF-8"))
+        s"D ${enc(orig.head)}\nM ${enc(staged.head)} ${enc(target)}".getBytes("UTF-8"))
       // handle open = recovery point: the plan rolls FORWARD
       val again = GraftDB.atPath(spark, dir)
       assert(vals(again) === Seq(2.0), "roll-forward should leave exactly the filtered rows")
