@@ -504,6 +504,23 @@ class StorageSpec extends SparkSpec {
       assert(vals(GraftDB.atPath(spark, dir)) === (Seq(302.0, 303.0) ++ (400 until 404).map(_.toDouble)))
     }
 
+    it("retain patches a live index like remove(): post-retention reads serve the filtered view") {
+      val dir = Files.createTempDirectory("graftretainidx").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple((0 until 12).map(h => pt(f"2024-01-01T$h%02d:00:00Z", h)) ++
+        (0 until 12).map(h => pt(f"2024-01-03T$h%02d:00:00Z", 100.0 + h)))
+      db.compact()
+      db.reindex() // live columnar view — retention must subtract, not corrupt
+      assert(db.length === 24L)
+      assert(db.retain(t("2024-01-02T00:00:00Z")) === 12L)
+      // all read paths agree with the filtered replay through the
+      // patched index (count fast path, predicate search, full scan)
+      assert(db.length === 12L)
+      assert(db.count(FieldQuery("v") >= 100.0) === 12L)
+      assert(db.count(FieldQuery("v") < 100.0) === 0L)
+      assert(vals(db) === (100 until 112).map(_.toDouble))
+    }
+
     it("a crashed straddler rewrite rolls forward at the next handle open") {
       val dir = Files.createTempDirectory("graftretaincrash").toString
       val db = GraftDB.atPath(spark, dir)
