@@ -232,4 +232,21 @@ object Examples {
       "vec_id", "embedding", "qid", k)
     (e.count(), shortlist.count(), refined)
   }
+
+  /** Example 9 — the nightly RETENTION TICK: expire every point older
+    * than the watermark as a LAYOUT operation (whole time partitions
+    * and whole delta files drop by directory listing + parquet footer
+    * stats; only cutoff-straddling files pay a filtered rewrite) —
+    * never the O(store) scan-and-rewrite `remove(TimeQuery() < t)`
+    * costs. The compact first folds the delta tier so history sits in
+    * droppable `p_date` partitions — the production cadence: compact
+    * on ingest quiesce, retain on the policy schedule.
+    * Returns (points before, points expired, points after).
+    */
+  def retentionTick(db: GraftDB, olderThan: Instant): (Long, Long, Long) = {
+    db.compact()
+    val before = db.length
+    val removed = db.retain(olderThan)
+    (before, removed, db.length)
+  }
 }

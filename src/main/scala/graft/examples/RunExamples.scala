@@ -89,6 +89,13 @@ object RunExamples {
     println(s"[example 8] ANN lifecycle corpus=$corpusN -> shortlist=$shortN " +
       s"-> refined top-10 rows=${refined.count()}")
 
+    // 9: the retention-policy tick — expire pre-watermark points as a
+    // layout operation (partition/footer drops, not a store rewrite)
+    val (before9, removed9, after9) = Examples.retentionTick(
+      db, Instant.parse("2024-01-15T00:00:00Z"))
+    println(s"[example 9] retention expired $removed9 of $before9 points " +
+      s"older than the watermark; $after9 remain")
+
     graft.util.Scratch.releaseSince(mark)
     spark.stop()
   }

@@ -187,4 +187,15 @@ class ExamplesSpec extends SparkSpec {
       assert(self.forall { case (q, id) => q == id })
     }
   }
+
+  it("example 9: the retention tick expires exactly the pre-watermark points") {
+    val db = Examples.loading(spark, sf, graft.util.Scratch.dir("ex9db"))
+    val watermark = Instant.parse("2024-01-15T00:00:00Z")
+    val expected = db.count(graft.query.TimeQuery() < watermark)
+    assert(expected > 0L, "fixture should hold pre-watermark points")
+    val (before, removed, after) = Examples.retentionTick(db, watermark)
+    assert(removed === expected && after === before - removed)
+    assert(db.count(graft.query.TimeQuery() < watermark) === 0L)
+    assert(db.count(graft.query.TimeQuery() >= watermark) === after)
+  }
 }
