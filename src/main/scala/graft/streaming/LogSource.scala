@@ -566,6 +566,31 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     GraftLog.withTopicLock(dir, conf) { truncateBeforeLocked(offset) }
   }
 
+  /** TIME-based retention — Kafka's `retention.ms`: delete every sealed
+    * segment whose SEAL TIME (file modification time, stamped when
+    * publish() renamed the segment in — an upper bound on every
+    * contained record's arrival) is older than `maxAgeMs`. Segment-
+    * granular exactly like Kafka: a segment drops only when its NEWEST
+    * record is past the horizon, so records may outlive the horizon by
+    * up to one segment's span but are never dropped early; and the cut
+    * stops at the FIRST fresh segment so the retained suffix stays
+    * contiguous (a clock wobble can only RETAIN more, never truncate
+    * out of order). Executes as a [[truncateBefore]] at the cut — same
+    * prefix-only offset semantics, same `_log_start` low-water, same
+    * maintenance lock — so consumers see the standard
+    * earliest-offset-advanced contract. Returns deleted segment count.
+    */
+  def truncateOlderThanMs(maxAgeMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Int = synchronized {
+    require(maxAgeMs >= 0L, "maxAgeMs must be >= 0")
+    GraftLog.withTopicLock(dir, conf) {
+      val horizon = nowMs - maxAgeMs
+      val prefix = GraftLog.listSegments(dir, conf).takeWhile(s =>
+        fs.getFileStatus(new Path(s.path)).getModificationTime < horizon)
+      prefix.lastOption.fold(0)(last => truncateBeforeLocked(last.base + last.count))
+    }
+  }
+
   private def truncateBeforeLocked(offset: Long): Int = {
     val segs = GraftLog.listSegments(dir, conf)
     val doomed = segs.filter(s => s.base + s.count <= offset)

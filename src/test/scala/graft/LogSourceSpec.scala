@@ -108,6 +108,35 @@ class LogSourceSpec extends SparkSpec {
         Seq((501L, "r501")))
     }
 
+    it("time-based retention (retention.ms): drops whole aged segments, never early, contiguous cut") {
+      val dir = tmp("graftlogtret")
+      val p = new GraftLogProducer(dir)
+      (0 until 4).foreach(s => p.publish((s * 100 until (s + 1) * 100).map(_.toString)))
+      val segs = GraftLog.listSegments(dir, new Configuration())
+      assert(segs.size === 4)
+      val now = System.currentTimeMillis()
+      // age the first two segments past a 60 s horizon; leave the rest fresh
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(new Configuration())
+      Seq(0, 1).foreach(i =>
+        hfs.setTimes(new org.apache.hadoop.fs.Path(segs(i).path), now - 120000L, -1L))
+      assert(p.truncateOlderThanMs(60000L, now) === 2)
+      assert(GraftLog.earliestOffset(dir, new Configuration()) === 200L)
+      assert(GraftLog.latestOffset(dir, new Configuration()) === 400L)
+      // surviving records keep their global offsets
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.head === ((200L, "200")) && got.length === 200)
+      // never early: everything left is fresh — a second tick is a no-op
+      assert(p.truncateOlderThanMs(60000L, now) === 0)
+      // contiguous cut: an aged segment BEHIND a fresh one is retained
+      // (the cut stops at the first fresh segment — out-of-order mtimes
+      // can only retain more, never punch a hole in the offset range)
+      val segs2 = GraftLog.listSegments(dir, new Configuration())
+      hfs.setTimes(new org.apache.hadoop.fs.Path(segs2.last.path), now - 120000L, -1L)
+      assert(p.truncateOlderThanMs(60000L, now) === 0)
+      assert(GraftLog.earliestOffset(dir, new Configuration()) === 200L)
+    }
+
     it("a fresh consumer on a truncated topic starts at the retained head") {
       val dir = tmp("graftlogret2")
       val p = new GraftLogProducer(dir)
