@@ -1056,7 +1056,15 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           }
         } else dataTierEmptied = sweepDir(new Path(dataPath))
       }
-      if (exists(deltaPath)) deltaTierEmptied = sweepDir(new Path(deltaPath))
+      if (exists(deltaPath)) {
+        // purge record-less tok-* leftovers BEFORE the sweep can delete
+        // or rename them: a straddler rewrite would fold a crashed
+        // append's rows into an anonymous retain-* file the token replay
+        // can no longer find, and the re-append would duplicate them
+        // permanently — same contract as compact()/compactDelta()
+        purgeUncommittedTokenFiles()
+        deltaTierEmptied = sweepDir(new Path(deltaPath))
+      }
 
       removed += rewriteStraddlers(straddlers.toMap, cutoffMicros)
       // prune ONLY dirs the sweep emptied (each check is one local

@@ -350,6 +350,31 @@ class StorageSpec extends SparkSpec {
       assert(db.count(FieldQuery("v") === 2.0) == 1)
     }
 
+    it("retention purges uncommitted token files so a replay cannot double-append") {
+      val dir = Files.createTempDirectory("grafttokretain").toString
+      val st = new ParquetStorage(spark, dir)
+      import spark.implicits._
+      // tokA's batch STRADDLES the retention cutoff: without the purge,
+      // the straddler rewrite renames the orphan into retain-<token>-*
+      // and the replay re-appends the whole batch — duplicating the
+      // surviving row permanently
+      def straddleBatch() = Seq(
+        (t("2024-01-01T00:00:00Z"), "m", Map.empty[String, String], Map("v" -> 1.0)),
+        (t("2024-01-03T00:00:00Z"), "m", Map.empty[String, String], Map("v" -> 2.0)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      assert(st.appendIdempotent(straddleBatch(), "tokA"))
+      // crash between the data rename and the commit record
+      assert(new java.io.File(s"$dir/_ingest_commits/tokA").delete())
+      val db = GraftDB.atPath(spark, dir)
+      db.retain(t("2024-01-02T00:00:00Z"))
+      // the replay repairs and lands the batch exactly once; retention
+      // then owes the old row's removal on the converged state
+      assert(st.appendIdempotent(straddleBatch(), "tokA"))
+      assert(db.retain(t("2024-01-02T00:00:00Z")) === 1L)
+      assert(db.length == 1, "orphan renamed by retention + replay = duplicate rows")
+      assert(db.count(FieldQuery("v") === 2.0) == 1)
+    }
+
     it("reopening seals an orphaned claim from a dead writer; crash recovery unregressed") {
       val (db, dir) = seeded()
       db.compact()
