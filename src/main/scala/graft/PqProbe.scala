@@ -135,6 +135,22 @@ object PqProbe {
       "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
     println(f"| Lloyd-trained OPQ residual IVF+PQ (q186) | 3 Lloyd iters, nProbe=2, m=4x16 | ${recall(lloyd)}%.3f |")
 
+    // q190: TRAINED PQ subspace codebooks — per-subspace Lloyd rounds
+    // over the orthant seed, composed with the Lloyd coarse quantizer
+    // (q186's cells): the last untrained quantizer in the stack gets
+    // its k-means step. The claim is a strictly higher number than the
+    // q186 row at identical bytes (gated iters=3: 0.320/0.230 vs
+    // 0.300/0.210 at sf0.001/sf0.1); the sweep shows the trajectory.
+    // iters=1 reads higher at sf0.1 (0.240) but BELOW q186 at sf0.001
+    // (0.270 vs 0.300) — iters=3 is the dominant point at both scales.
+    for (it <- Seq(1, 2, 3)) {
+      val tcb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, lcents, lperm, locb, "vec_id", "embedding", 4, 16, iters = it)
+      val tr = pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, lperm, tcb,
+        "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
+      println(f"| PQ-train iter sweep (q190) | pqIters=$it, 3 Lloyd cell iters, nProbe=2 | ${recall(tr)}%.3f |")
+    }
+
     // q187: the HIGH-RECALL serving operating point — R=100/nProbe=5
     // re-rank over the label-quantizer OPQ tier (the sweep's best row,
     // gated so the quality config is hash-pinned, not just swept)

@@ -516,6 +516,61 @@ object Similarity {
       .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
   }
 
+  /** TRAINED PQ subspace codebooks — per-subspace Lloyd refinement of
+    * a seed codebook (FAISS trains every `PQy` codebook by k-means;
+    * the orthant means of [[opqResidualPqCodebooks]] are the
+    * deterministic SEED here, not the final product). Per round, each
+    * rotated residual subvector re-assigns to its nearest code within
+    * its own subspace (the same cc − 2·sv·c metric and struct-min
+    * (sdist, code) tie-break as [[pqEncode]], so training and encoding
+    * can never disagree about "nearest") and each (sub, code) entry
+    * becomes its members' mean, rounded to `roundTo` — the identical
+    * portability contract as [[lloydRefine]], which makes every round
+    * SQL-replayable. A code that loses all members simply drops from
+    * the table (no re-seeding heuristic — determinism over occupancy).
+    *
+    * Plan shape per round mirrors [[lloydRefine]]: broadcast of the
+    * m×codes codebook against the corpus scan, one (id, sub) struct-min
+    * partial agg, one (sub, code, j) mean whose reduce width is the
+    * codebook size regardless of corpus size; the per-round codebook
+    * is eagerly checkpointed so rounds never compose into one deep
+    * re-entrant plan. Output shape (sub, code, j, c) — drop-in for
+    * every consumer of [[opqResidualPqCodebooks]].
+    */
+  def opqPqLloydRefine(corpus: DataFrame, centroids: DataFrame, perm: DataFrame,
+      seed: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, iters: Int, roundTo: Int = 6): DataFrame = {
+    requireIntegralId(corpus, idCol, "opqPqLloydRefine")
+    require(iters >= 1, "iters must be >= 1")
+    val srcs = permSources(perm, m, subDim)
+    val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
+    // rotated residual subvectors (id, sub, sv) — rebuilt lazily per
+    // round from the corpus scan (the lloydRefine cost contract: one
+    // scan per round, nothing corpus-sized materializes)
+    def subvecs: DataFrame = residualVecs(keyed, centroids, "__rid", vecCol)
+      .withColumn("rv", applyPerm(col("rv"), srcs))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("rv"), s * subDim + 1, lit(subDim)))))
+      .select(col("id"), col("pos").cast("int").as("sub"), col("col").as("sv"))
+    var cb = seed
+    (1 to iters).foreach { _ =>
+      cb = subvecs.join(broadcast(pqCentersOf(cb)), "sub")
+        .select(col("id"), col("sub"), col("sv"),
+          struct((col("cc") - lit(2.0) * dot(col("sv"), col("center"))).as("sdist"),
+            col("code")).as("sc"))
+        .groupBy("id", "sub")
+        // sv is constant within the (id, sub) group — first() carries
+        // it through the argmin without a second corpus-side join
+        .agg(min(col("sc")).getField("code").as("code"), first(col("sv")).as("sv"))
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .select(col("sub"), col("code"), col("pos").as("j"),
+          col("col").cast("double").as("x"))
+        .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
+        .localCheckpoint(eager = true)
+    }
+    cb
+  }
+
   /** [[residualIvfPqTopK]] with the OPQ rotation applied to both the
     * corpus residuals and the per-(query, cell) query residuals — the
     * rotation is orthogonal, so ||qr||² and the ADC expansion are

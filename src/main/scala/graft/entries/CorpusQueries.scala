@@ -804,6 +804,46 @@ object CorpusQueries {
       }
     }),
 
+    // TRAINED PQ SUBSPACE CODEBOOKS — the FAISS `PQy` k-means training
+    // step, completing the trained index: the coarse quantizer is
+    // Lloyd-refined (q186's config) AND each subspace codebook is
+    // Lloyd-refined from its orthant seed (opqPqLloydRefine: per-round
+    // assign-to-nearest-code → 6dp-rounded means, within each rotated
+    // subspace), so every quantizer in the serving stack is now
+    // TRAINED at identical bytes per vector. Codebook quality was the
+    // binding recall lever after q186/q187 (probe coverage and
+    // shortlist width already addressed); recall@10 at the gated
+    // iters=3 is 0.320/0.230 vs q186's 0.300/0.210 at sf0.001/sf0.1 —
+    // strictly above at both scales, floor-pinned in AnalyticsSpec
+    // and dashboarded in PqProbe. The oracle replays the
+    // q186 chain with the per-subspace assign→mean rounds spliced
+    // over the orthant-seed codebook CTE.
+    "q190_ann_pq_trained_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val seed = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
+        m = 4, subDim = 16, iters = PqTrainIters)
+      graft.util.Scratch.withDir("opqtrained") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
+        Similarity.opqIvfPqTopKPersisted(idx,
+          queries = e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          qidCol = "qid", vecCol = "embedding", k = 10, nProbe = 2,
+          m = 4, subDim = 16)
+          .select("qid", "id").orderBy("qid", "id")
+          .transform(graft.util.Scratch.materialize)
+      }
+    }),
+
     // the HIGH-RECALL serving operating point, gated: R=100/nProbe=5
     // exact re-rank over the OPQ residual IVF+PQ tier — the best row
     // of the (nProbe, R) sweep (recall@10 0.700/0.460 at
@@ -1568,6 +1608,54 @@ object CorpusQueries {
     composed
   }
 
+  /** Gated PQ-codebook training rounds (q190) — shared between the
+    * Spark entry and the oracle splice so they cannot drift.
+    */
+  private[entries] val PqTrainIters: Int = 3
+
+  /** The orthant-seed codebook CTE every PQ replay trains from —
+    * swapped out for the per-subspace Lloyd chain in [[OpqPqLloydSql]].
+    */
+  private val OrthantPcentCte: String =
+    """pcent AS (SELECT us.sub, o.code, us.j, round(avg(us.x), 6) AS c
+      |          FROM us JOIN orth o ON o.vec_id = us.vec_id AND o.sub = us.sub
+      |          GROUP BY 1, 2, 3)""".stripMargin
+
+  /** q190's replay: [[OpqLloydSql]] (trained coarse quantizer) with
+    * the orthant codebook CTE replaced by `iters` per-subspace Lloyd
+    * rounds — each round assigns every rotated residual subvector to
+    * its nearest code (cc − 2·x·c, (sdist, code) tie-break, the exact
+    * metric the encode step uses) and re-means per (sub, code, j) at
+    * 6dp, mirroring [[Similarity.opqPqLloydRefine]] bit-for-bit. The
+    * serve tail is q178's verbatim.
+    */
+  private def opqPqLloydSql(iters: Int): String = {
+    val seed = OrthantPcentCte.replace("pcent AS", "pcent0 AS")
+    val rounds = (0 until iters).map { r =>
+      val next = if (r == iters - 1) "pcent" else s"pcent${r + 1}"
+      s"""pcc$r AS (SELECT sub, code, sum(c*c) AS cc FROM pcent$r GROUP BY 1, 2),
+         |pdp$r AS (SELECT us.vec_id, p.sub, p.code, sum(us.x * p.c) AS dp
+         |          FROM us JOIN pcent$r p ON us.sub = p.sub AND us.j = p.j GROUP BY 1, 2, 3),
+         |pa$r AS (SELECT vec_id, sub, code FROM (
+         |  SELECT d.vec_id, d.sub, d.code,
+         |    row_number() OVER (PARTITION BY d.vec_id, d.sub ORDER BY c.cc - 2*d.dp, d.code) AS rn
+         |  FROM pdp$r d JOIN pcc$r c ON c.sub = d.sub AND c.code = d.code) WHERE rn = 1),
+         |$next AS (SELECT us.sub, a.code, us.j, round(avg(us.x), 6) AS c
+         |          FROM us JOIN pa$r a ON a.vec_id = us.vec_id AND a.sub = us.sub
+         |          GROUP BY 1, 2, 3)""".stripMargin
+    }
+    val composed = OpqLloydSql.replace(OrthantPcentCte,
+      (seed +: rounds).mkString(",\n"))
+    require(composed != OpqLloydSql, "trained pcent splice failed")
+    // Materialize every CTE: the training rounds reference the shared
+    // subvector table once per round, and DuckDB's default CTE inlining
+    // re-expands the whole upstream chain at each reference — scan
+    // count (and parquet file handles) grow EXPONENTIALLY with rounds
+    // and blow the fd limit. AS MATERIALIZED is pure execution
+    // strategy (same results), making the replay linear in rounds.
+    composed.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   // q182's replay: the q178 chain with the TRAIN/ENCODE split of
   // incremental maintenance — every quantizer (coarse centroids,
   // variance permutation, residual codebooks) trains on the EVEN
@@ -2185,6 +2273,7 @@ object CorpusQueries {
     // trained coarse quantizer: the q100 Lloyd chain composed with the
     // q178 replay (same tail verbatim; only the cent CTE differs)
     "q186_ann_opq_lloyd_persisted" -> OpqLloydSql,
+    "q190_ann_pq_trained_persisted" -> opqPqLloydSql(PqTrainIters),
     // incremental maintenance: train on evens, append odds encoded
     // with the frozen quantizers — the oracle replays that split
     "q182_ann_opq_append" -> OpqAppendSql,

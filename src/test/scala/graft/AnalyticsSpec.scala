@@ -605,6 +605,21 @@ class AnalyticsSpec extends SparkSpec {
       assert(lloyd > opq, s"Lloyd-trained quantizer ($lloyd) should beat label cells ($opq)")
       assert(lloyd >= 0.28, s"Lloyd-trained recall dropped: $lloyd") // measured 0.30
 
+      // TRAINED PQ subspace codebooks (q190): per-subspace Lloyd rounds
+      // over the orthant seed, on the q186 trained cells — the last
+      // untrained quantizer gets its k-means step, and must BEAT the
+      // orthant codebooks at identical bytes (measured 0.32 vs 0.30
+      // here at iters=3, 0.23 vs 0.21 at sf0.1; see the PqProbe sweep)
+      val tcb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, lcents, lperm, locb, "vec_id", "embedding", 4, 16, iters = 3)
+      val trainedPq = recall(pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, lcents, lperm, tcb, "vec_id", "embedding", "qid", 10,
+        nProbe = 2, m = 4, subDim = 16)))
+      info(s"recall@10: trained-pq=$trainedPq")
+      assert(trainedPq > lloyd,
+        s"trained PQ codebooks ($trainedPq) should beat the orthant seed ($lloyd)")
+      assert(trainedPq >= 0.30, s"trained-PQ recall dropped: $trainedPq") // measured 0.32
+
       // the HIGH-RECALL operating point (q187): R=100/nProbe=5 re-rank
       // — must dominate the default q180 point (wider probe AND wider
       // shortlist) and hold its measured level (0.70 here; 0.46 at sf0.1)
