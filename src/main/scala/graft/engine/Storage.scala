@@ -336,21 +336,27 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // NO column statistics, which silently voids both row-group pruning
   // on time predicates and the footer-stat retention fast path. This
   // storage layer's layout contract is stats-bearing time-sorted files,
-  // so pin the standard micros encoding.
-  //
-  // DOCUMENTED SESSION-SCOPE TRADE-OFF: outputTimestampType has no
-  // per-write form (ParquetOptions exposes only compression/
-  // mergeSchema), so the pin is session-wide — every parquet write in
-  // this SparkSession, not just this store's, becomes TIMESTAMP_MICROS
-  // from handle open. That is the standards-track encoding and what
-  // any engine (DuckDB, Arrow, Trino) prefers to read; an application
-  // that must keep writing INT96 elsewhere (a legacy Impala/Hive
-  // consumer) should route those writes through a separate session.
-  // Nothing here depends on the pin for CORRECTNESS: reads handle
-  // either encoding, and a stat-less INT96 file is simply treated as
-  // boundary-straddling by [[retainBefore]], whose filtered rewrite
-  // re-encodes it with stats — self-healing.
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  // so every write THIS STORE makes pins the standard micros encoding —
+  // scoped set/restore around the write ([[withMicrosTimestamps]]),
+  // because outputTimestampType has no per-write form (ParquetOptions
+  // exposes only compression/mergeSchema) and a library must not
+  // mutate the whole SparkSession's parquet encoding as a side effect
+  // of opening a handle (an application with legacy INT96 consumers
+  // keeps its own writes unchanged). Nothing here depends on the pin
+  // for CORRECTNESS: reads handle either encoding, and a stat-less
+  // INT96 file is simply treated as boundary-straddling by
+  // [[retainBefore]], whose filtered rewrite re-encodes it with stats
+  // — self-healing.
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   recover()
 
@@ -472,9 +478,17 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * path: on success the sealed version becomes this handle's observed
     * version (the caller now holds exactly the state it just committed).
     */
-  private def committed[T](requireObserved: Boolean, adoptVersion: Boolean = false)(body: => T): T = {
+  private def committed[T](requireObserved: Boolean, adoptVersion: Boolean = false)(body: => T): T =
+    committedVersioned(requireObserved, adoptVersion)(_ => body)
+
+  /** [[committed]] with the claimed version number in scope — the
+    * snapshot-plan maintenance ops name their `_snapmeta/<v>` entry
+    * after the version their commit seals.
+    */
+  private def committedVersioned[T](requireObserved: Boolean,
+      adoptVersion: Boolean = false)(body: Long => T): T = {
     val v = claimVersion(requireObserved)
-    try { val r = body; sealVersion(v); if (adoptVersion) observedVersion = v; r }
+    try { val r = body(v); sealVersion(v); if (adoptVersion) observedVersion = v; r }
     catch {
       case e: Throwable =>
         try { recover(); sealVersion(v) } catch { case _: Throwable => () }
@@ -521,6 +535,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // a retention straddler-rewrite that died mid-commit rolls forward
     // (or its pre-commit staging is dropped) — see [[recoverRetain]]
     recoverRetain()
+    // a maintenance snapshot commit that died after publishing its
+    // `_snapmeta/<v>` plan but before (or during) its renames rolls
+    // FORWARD here: moves are exists-checked and idempotent, and the
+    // meta only ever publishes with staging complete. Metas themselves
+    // stay (their drops still fence readers) until a later maintenance
+    // commit's prune phase.
+    readSnapMetas().foreach(executeSnapMoves)
     if (exists(root)) {
       val staging = fs.listStatus(new Path(root))
         .filter(_.getPath.getName.startsWith(".staging-"))
@@ -537,30 +558,48 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     if (head > 0 && !isSealed(head)) sealVersion(head)
   }
 
-  // ignoreMissingFiles: maintenance (delta compaction, idempotent-token
-  // repair) atomically REPLACES visible files; a reader that listed just
-  // before the swap must degrade to "skip the vanished file" (its rows
-  // reappear in the replacement on the next read), not die with
-  // FILE_NOT_EXIST mid-scan — the standard LSM read-vs-maintenance
-  // contract. Genuine loss still surfaces: the rows are absent from
-  // every subsequent read, which the crash-recovery specs assert on.
-  private def read(path: String): Option[DataFrame] =
-    if (exists(path)) Some(spark.read.option("ignoreMissingFiles", "true")
-      .parquet(path).select(Point.columns.map(col): _*))
-    else None
+  // ignoreMissingFiles: USER rewrites ([[overwrite]]) and
+  // idempotent-token repair still atomically REPLACE visible files; a
+  // reader that listed just before such a swap must degrade to "skip
+  // the vanished file", not die with FILE_NOT_EXIST mid-scan.
+  // MAINTENANCE (compaction/retention) no longer unlinks a live
+  // reader's files at all — see the snapshot-plan protocol below.
+  private def readFiles(files: Seq[String], basePath: Option[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else {
+      val r = spark.read.option("ignoreMissingFiles", "true")
+      Some(basePath.fold(r)(b => r.option("basePath", b))
+        .parquet(files: _*).select(Point.columns.map(col): _*))
+    }
 
   override def load(): DataFrame = {
-    observedVersion = latestSealed()
-    // Lock-free reads vs atomic-swap maintenance: between this exists()
-    // check and Spark's eager path resolution, a compaction can rename
-    // a whole tier away for a few ms — retry the resolution instead of
-    // surfacing PATH_NOT_FOUND for a state that is already consistent
-    // again by the next beat (vanished FILES inside a surviving dir are
-    // the read option's job; a vanished DIR is this loop's).
+    // Lock-free reads vs atomic-swap user rewrites: between the listing
+    // and Spark's eager footer resolution, an overwrite can rename a
+    // whole tier away for a few ms — retry instead of surfacing a
+    // missing path for a state that is consistent again by the next
+    // beat. (Maintenance can no longer cause this: its commits never
+    // unlink files a reader resolved — snapshot-plan protocol below.)
     var attempt = 0
     while (true) {
       try {
-        return (read(dataPath), read(deltaPath)) match {
+        // SNAPSHOT READ — order matters: resolve the version head, THEN
+        // list, THEN read the snapshot metas. Any maintenance-staged
+        // file that surfaced in the listing has its meta published
+        // (meta lands strictly before its renames), so "adds newer than
+        // my head" are always identifiable; "drops at or below my head"
+        // are still on disk (deletion defers one further maintenance
+        // commit), so subtracting them yields the exact head-time state.
+        val h = latestSealed()
+        observedVersion = h
+        val dataListed = listFilesRec(new Path(dataPath)).map(_.toString)
+        val deltaListed = listFilesRec(new Path(deltaPath)).map(_.toString)
+        val metas = readSnapMetas()
+        val addsAbove = metas.filter(_.ver > h).flatMap(_.moves.map(_._2)).toSet
+        val dropsBelow = metas.filter(_.ver <= h).flatMap(_.drops).toSet
+        def snap(listed: Seq[String]) =
+          listed.filterNot(addsAbove).filterNot(dropsBelow)
+        return (readFiles(snap(dataListed), Some(dataPath)),
+            readFiles(snap(deltaListed), None)) match {
           case (Some(d), Some(x)) => d.unionByName(x)
           case (Some(d), None)    => d
           case (None, Some(x))    => x
@@ -568,8 +607,10 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
         }
       } catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getMessage).exists(_.contains("PATH_NOT_FOUND")) && attempt < 40 =>
+        case e: Exception
+            if attempt < 40 && (e.isInstanceOf[java.io.FileNotFoundException] ||
+              (e.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+                Option(e.getMessage).exists(_.contains("PATH_NOT_FOUND")))) =>
           attempt += 1
           Thread.sleep(25L)
       }
@@ -583,7 +624,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       .withColumn("p_date", to_date(col(Point.TimeCol)))
       .sortWithinPartitions(Point.TimeCol)
       .write.mode(mode)
-    (if (partitioned) w.partitionBy(Point.MeasurementCol, "p_date") else w).parquet(path)
+    withMicrosTimestamps {
+      (if (partitioned) w.partitionBy(Point.MeasurementCol, "p_date") else w).parquet(path)
+    }
   }
 
   override def append(batch: DataFrame): Unit = { appendDelta(batch); () }
@@ -612,13 +655,15 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
             ((est + splitBytes - 1) / splitBytes).toLong)).toInt
           val stamped = withSeq(batch.coalesce(nOut))
-          stamped
-            .sortWithinPartitions(Point.TimeCol)
-            // Delta tier optimizes append latency: snappy encodes ~3× faster
-            // than Spark 4's zstd default; compaction rewrites with the
-            // read-optimized default codec.
-            .write.option("compression", "snappy")
-            .mode(SaveMode.Append).parquet(deltaPath)
+          withMicrosTimestamps {
+            stamped
+              .sortWithinPartitions(Point.TimeCol)
+              // Delta tier optimizes append latency: snappy encodes ~3× faster
+              // than Spark 4's zstd default; compaction rewrites with the
+              // read-optimized default codec.
+              .write.option("compression", "snappy")
+              .mode(SaveMode.Append).parquet(deltaPath)
+          }
           noteDeltaFiles(nOut)
           // same plan, same source partitioning → monotonically_increasing_id
           // reproduces the written _seq values on re-evaluation
@@ -685,10 +730,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val tmp = new Path(s"$deltaPath/.$name.inprogress")
     val file = new Path(s"$deltaPath/$name")
     try {
-      Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
-        sorted.iterator.map { case (r, seq) =>
-          new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
-        })
+      withMicrosTimestamps {
+        Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
+          sorted.iterator.map { case (r, seq) =>
+            new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
+          })
+      }
       if (!fs.rename(tmp, file))
         throw new java.io.IOException(s"rename failed: $tmp -> $file")
     } catch {
@@ -742,10 +789,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
     val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-    withSeq(batch.coalesce(nOut))
-      .sortWithinPartitions(Point.TimeCol)
-      .write.option("compression", "snappy")
-      .mode(SaveMode.Overwrite).parquet(staging)
+    withMicrosTimestamps {
+      withSeq(batch.coalesce(nOut))
+        .sortWithinPartitions(Point.TimeCol)
+        .write.option("compression", "snappy")
+        .mode(SaveMode.Overwrite).parquet(staging)
+    }
     val files = fs.listStatus(new Path(staging)).filter(f =>
       f.isFile && !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
     if (!exists(deltaPath)) { fs.mkdirs(new Path(deltaPath)); () }
@@ -821,13 +870,48 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   /** Fold the delta tier into the partitioned main store. Run after
     * bulk ingest (or on a schedule) so reads regain full partition
     * pruning; appends stay cheap regardless.
+    *
+    * Snapshot-plan commit (see the protocol notes below): the folded
+    * state stages invisibly, lands via published renames, and the old
+    * tiers' files become deferred drops — a reader mid-scan keeps its
+    * resolved files; the next maintenance commit deletes them.
     */
   def compact(): Unit = synchronized {
     // content-preserving: serialize via the chain (no append can land
-    // inside the fold-and-swap) but skip the staleness check — the
-    // input is read INSIDE the claim, so it cannot be stale
-    committed(requireObserved = false) {
-      if (exists(deltaPath)) { purgeUncommittedTokenFiles(); overwriteInner(load()) }
+    // inside the fold) but skip the staleness check — the input is
+    // read INSIDE the claim, so it cannot be stale
+    committedVersioned(requireObserved = false) { v =>
+      purgeUncommittedTokenFiles()
+      val liveDelta = liveFilesUnderClaim(deltaPath)
+      if (liveDelta.isEmpty) publishTickIfAgingNeeded(v)
+      else {
+        val liveData = liveFilesUnderClaim(dataPath)
+        val full = (readFiles(liveData, Some(dataPath)), readFiles(liveDelta, None)) match {
+          case (Some(d), Some(x)) => d.unionByName(x)
+          case (Some(d), None)    => d
+          case (None, Some(x))    => x
+          case (None, None)       => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+        }
+        val staging = s"$root/.staging-fold-${UUID.randomUUID()}"
+        writePartitioned(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite)
+        // staged → data tier, partition subpaths preserved; file names
+        // are Spark part-UUIDs, collision-free against surviving files
+        val stagingQ = qual(staging)
+        val moves = listFilesRec(new Path(staging)).map { f =>
+          val rel = qual(f.toString).stripPrefix(stagingQ).stripPrefix("/")
+          f.toString -> s"$dataPath/$rel"
+        }
+        publishAndExecuteSnapshot(v, moves, liveData ++ liveDelta)
+        deleteOrThrow(staging)
+      }
+      // prune phase at the END, after this commit's own meta is the
+      // newest: deletes the drops of every OLDER meta — so a reader's
+      // resolved snapshot survives until the end of the SECOND
+      // maintenance commit after it resolved (the index tier's
+      // keep-predecessor grace), and pending-drop garbage is bounded
+      // by one commit's replaced set
+      pruneSnapDrops()
     }
     deltaFileEstimate = 0
   }
@@ -837,11 +921,17 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // the per-append compaction check costs no filesystem listing.
   private var deltaFileEstimate: Int = -1
 
+  /** Test hook: the delta tier's LIVE file count (pending snapshot
+    * drops excluded) — what the auto-compaction policy actually bounds.
+    */
+  private[graft] def liveDeltaFileCount(): Int = listedDeltaFileCount()
+
   private def listedDeltaFileCount(): Int =
+    // LIVE files only: pending snapshot drops (replaced delta files
+    // awaiting physical deletion) must not re-trigger the compaction
+    // they were just produced by
     if (!exists(deltaPath)) 0
-    else fs.listStatus(new Path(deltaPath))
-      .count(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !s.getPath.getName.startsWith("_"))
+    else liveFilesUnderClaim(deltaPath).size
 
   private def noteDeltaFiles(n: Int): Unit = {
     if (deltaFileEstimate < 0) deltaFileEstimate = listedDeltaFileCount()
@@ -865,43 +955,47 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // regain partition pruning, and the fold-at-doubling schedule
       // bounds total rewrite cost at O(N log N) over any ingest
       // history. Below that, merge delta files in place (O(delta)).
-      if (duBytes(deltaPath) >= duBytes(dataPath)) compact()
+      if (liveBytes(deltaPath) >= liveBytes(dataPath)) compact()
       else compactDelta()
       deltaFileEstimate = listedDeltaFileCount()
     }
   }
 
-  private def duBytes(p: String): Long =
-    if (!exists(p)) 0L
-    else fs.getContentSummary(new Path(p)).getLength
-
   /** Merge the delta tier's many small files into few split-sized ones
-    * IN PLACE (data tier untouched): read delta, write merged files to
-    * a staging dir, then swap via the backup-rename protocol scoped to
-    * the delta dir alone. Crash-safe: the `.staging-delta-` marker
-    * disambiguates this swap's crash states from [[overwrite]]'s in
-    * [[recover]]. `_seq` rides through unchanged, so insertion order
-    * and the generation counter are unaffected.
+    * (data tier untouched): read the live delta files, write merged
+    * replacements to a staging dir, then commit via the snapshot plan —
+    * merged files rename in beside the originals, the originals become
+    * deferred drops. A reader that resolved the old files keeps
+    * scanning them intact; the next maintenance commit deletes them.
+    * `_seq` rides through unchanged, so insertion order and the
+    * generation counter are unaffected.
     */
   private[engine] def compactDelta(): Unit = synchronized {
-    committed(requireObserved = false) {
-      if (exists(deltaPath)) {
-        purgeUncommittedTokenFiles()
-        val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
-        val delta = spark.read.parquet(deltaPath).select(Point.columns.map(col): _*)
-        // merged file count by data volume, same sizing rule as appends
-        val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-        val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
-        val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-          ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-        delta.coalesce(nOut)
-          .sortWithinPartitions(Point.TimeCol)
-          .write.option("compression", "snappy")
-          .mode(SaveMode.Overwrite).parquet(staging)
-        renameOrThrow(deltaPath, backupDeltaPath)
-        renameOrThrow(staging, deltaPath)
-        deleteOrThrow(backupDeltaPath)
+    committedVersioned(requireObserved = false) { v =>
+      purgeUncommittedTokenFiles()
+      val live = liveFilesUnderClaim(deltaPath)
+      if (live.isEmpty) publishTickIfAgingNeeded(v)
+      else {
+          val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
+          val delta = spark.read.parquet(live: _*).select(Point.columns.map(col): _*)
+          // merged file count by data volume, same sizing rule as appends
+          val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+          val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
+          val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+            ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+          withMicrosTimestamps {
+            delta.coalesce(nOut)
+              .sortWithinPartitions(Point.TimeCol)
+              .write.option("compression", "snappy")
+              .mode(SaveMode.Overwrite).parquet(staging)
+          }
+          val moves = listFilesRec(new Path(staging)).zipWithIndex.map { case (f, i) =>
+            f.toString -> s"$deltaPath/merge-$v-$i${f.getName.dropWhile(_ != '.')}"
+          }
+          publishAndExecuteSnapshot(v, moves, live)
+          deleteOrThrow(staging)
       }
+      pruneSnapDrops() // end-of-commit prune: see [[compact]]
     }
   }
 
@@ -987,53 +1081,48 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     *     alone (max < cutoff and no nulls → drop; min ≥ cutoff → keep);
     *   - only files actually straddling the cutoff (or stat-less INT96
     *     legacy files) pay a filtered COW rewrite, staged then
-    *     committed via a roll-forward marker: the `.retain-commit` plan
-    *     is published atomically AFTER staging completes, so a crash at
-    *     any point re-converges in [[recover]] (delete-plan + move-plan
-    *     are both idempotent). A reader racing the swap window can
-    *     transiently miss the straddlers' surviving rows — the same
-    *     read-vs-maintenance contract as delta compaction; the
-    *     CONVERGED state is exact.
+    *     committed via the snapshot plan (the `_snapmeta/<v>`
+    *     roll-forward marker is published atomically AFTER staging
+    *     completes, so a crash at any point re-converges in
+    *     [[recover]]; renames are idempotent).
     *
-    * Serialized via the version chain like every other mutation.
+    * SNAPSHOT-CONSISTENT vs readers: dropped whole files and replaced
+    * straddlers are NOT unlinked — they become the commit's deferred
+    * drops, invisible to any read that resolves a head ≥ this commit
+    * but intact on disk for a reader mid-scan; the next maintenance
+    * commit's prune phase deletes them (and the partition directories
+    * they empty out). Serialized via the version chain like every
+    * other mutation.
     */
   def retainBefore(cutoffMicros: Long): Long = synchronized {
-    committed(requireObserved = false) {
+    committedVersioned(requireObserved = false) { v =>
+      val pendingDrops = readSnapMetas().flatMap(_.drops).toSet
+      val drops = scala.collection.mutable.ArrayBuffer.empty[String]
       var removed = 0L
       // straddler files per source dir, with the row count the
       // classification footer read already produced (so the rewrite
       // never re-opens a footer it has seen)
       val straddlers = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Path, Long)]]
 
-      // classify the files of one directory; returns true when the dir
-      // ends empty with nothing staged back into it
-      def sweepDir(dir: Path): Boolean = {
-        var keptAny = false
-        var straddled = false
-        dataFilesIn(dir).foreach { f =>
-          footerTimeSummary(f) match {
-            case (rows, Some((_, max, nulls))) if nulls == 0L && rows > 0L && max < cutoffMicros =>
-              removed += rows
-              if (!fs.delete(f, false))
-                throw new java.io.IOException(s"retention: delete failed: $f")
-            case (rows, Some((min, _, nulls))) if rows == 0L || nulls == rows || min >= cutoffMicros =>
-              keptAny = true // wholly kept (nulls ride along)
-            case (rows, _) =>
-              straddled = true
-              straddlers(dir.toString) =
-                straddlers.getOrElse(dir.toString, Vector.empty) :+ ((f, rows))
+      // classify the LIVE files of one directory (pending drops from
+      // earlier commits are someone else's rows — not re-counted, not
+      // re-classified); whole-drops defer via the snapshot plan
+      def sweepDir(dir: Path): Unit = {
+        dataFilesIn(dir)
+          .filterNot(f => pendingDrops.contains(f.toString))
+          .foreach { f =>
+            footerTimeSummary(f) match {
+              case (rows, Some((_, max, nulls))) if nulls == 0L && rows > 0L && max < cutoffMicros =>
+                removed += rows
+                drops += f.toString
+              case (rows, Some((min, _, nulls))) if rows == 0L || nulls == rows || min >= cutoffMicros =>
+                () // wholly kept (nulls ride along)
+              case (rows, _) =>
+                straddlers(dir.toString) =
+                  straddlers.getOrElse(dir.toString, Vector.empty) :+ ((f, rows))
+            }
           }
-        }
-        !keptAny && !straddled
       }
-
-      // emptied-dir pruning is TARGETED at what the sweep touched — a
-      // tree-wide walk would be O(store) metadata per retain tick and
-      // void the cost contract. An emptied tier must still go away
-      // entirely (a dir with zero data files fails schema inference).
-      val emptiedParents = scala.collection.mutable.LinkedHashSet.empty[Path]
-      var dataTierEmptied = false
-      var deltaTierEmptied = false
 
       if (exists(dataPath)) {
         if (partitioned) {
@@ -1047,42 +1136,32 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
                 // null-date partition (__HIVE_DEFAULT_PARTITION__): null
                 // times are kept, skip without reading anything
                 .exists(_.atStartOfDay(zone).toInstant.isBefore(horizon))
-              if (candidate && sweepDir(pd.getPath)) {
-                if (!fs.delete(pd.getPath, true))
-                  throw new java.io.IOException(s"retention: delete failed: ${pd.getPath}")
-                emptiedParents += m.getPath
-              }
+              if (candidate) sweepDir(pd.getPath)
             }
           }
-        } else dataTierEmptied = sweepDir(new Path(dataPath))
+        } else sweepDir(new Path(dataPath))
       }
       if (exists(deltaPath)) {
-        // purge record-less tok-* leftovers BEFORE the sweep can delete
+        // purge record-less tok-* leftovers BEFORE the sweep can drop
         // or rename them: a straddler rewrite would fold a crashed
         // append's rows into an anonymous retain-* file the token replay
         // can no longer find, and the re-append would duplicate them
         // permanently — same contract as compact()/compactDelta()
         purgeUncommittedTokenFiles()
-        deltaTierEmptied = sweepDir(new Path(deltaPath))
+        sweepDir(new Path(deltaPath))
       }
 
-      removed += rewriteStraddlers(straddlers.toMap, cutoffMicros)
-      // prune ONLY dirs the sweep emptied (each check is one local
-      // listing): measurement dirs whose partitions all dropped, then
-      // the tier roots when nothing beneath them survived
-      var measurementDeleted = false
-      emptiedParents.foreach { m =>
-        if (fs.exists(m) && !fs.listStatus(m).exists(_.isDirectory)) {
-          if (pruneIfNoData(m)) measurementDeleted = true
-        }
-      }
-      if (dataTierEmptied ||
-          (measurementDeleted &&
-            fs.exists(new Path(dataPath)) &&
-            !fs.listStatus(new Path(dataPath)).exists(_.isDirectory))) {
-        pruneIfNoData(new Path(dataPath)); ()
-      }
-      if (deltaTierEmptied) { pruneIfNoData(new Path(deltaPath)); () }
+      // straddler rewrite: stage filtered replacements, then commit
+      // drops (whole-dropped files + straddler originals) and renames
+      // as ONE snapshot plan. Emptied partition/measurement/tier dirs
+      // are pruned when a later commit physically deletes their files
+      // (pruneSnapDrops walks up from each emptied dir).
+      val (strRemoved, moves, stagingRoot) = stageStraddlers(v, straddlers.toMap, cutoffMicros)
+      removed += strRemoved
+      drops ++= straddlers.valuesIterator.flatten.map(_._1.toString)
+      publishAndExecuteSnapshot(v, moves, drops.toSeq)
+      stagingRoot.foreach(deleteOrThrow)
+      pruneSnapDrops() // end-of-commit prune: see [[compact]]
       deltaFileEstimate = -1 // dropped delta files: re-list lazily
       removed
     }
@@ -1105,44 +1184,33 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   }
 
   /** Filtered COW rewrite of the straddling files, one staged output
-    * per source directory, committed via the `.retain-commit`
-    * roll-forward plan (see [[retainBefore]]).
+    * per source directory. STAGES ONLY — returns (rows removed, move
+    * plan, staging root); the caller folds the moves and the original
+    * files' drops into its snapshot plan, so a whole retention tick
+    * commits atomically under one `_snapmeta/<v>` roll-forward marker.
     */
-  private def rewriteStraddlers(byDir: Map[String, Seq[(Path, Long)]],
-      cutoffMicros: Long): Long = {
-    if (byDir.isEmpty) return 0L
+  private def stageStraddlers(v: Long, byDir: Map[String, Seq[(Path, Long)]],
+      cutoffMicros: Long): (Long, Seq[(String, String)], Option[String]) = {
+    if (byDir.isEmpty) return (0L, Seq.empty, None)
     var removed = 0L
-    val token = UUID.randomUUID().toString.take(8)
-    val stagingRoot = s"$root/.retain-staging-$token"
-    val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stagingRoot = s"$root/.retain-staging-${UUID.randomUUID().toString.take(8)}"
     val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     byDir.toSeq.zipWithIndex.foreach { case ((dir, files), i) =>
       val before = files.map(_._2).sum // rows, carried from classification
       val sub = s"$stagingRoot/$i"
-      spark.read.parquet(files.map(_._1.toString): _*)
-        .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
-        .sortWithinPartitions(Point.TimeCol)
-        .write.mode(SaveMode.Overwrite).parquet(sub)
+      withMicrosTimestamps {
+        spark.read.parquet(files.map(_._1.toString): _*)
+          .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
+          .sortWithinPartitions(Point.TimeCol)
+          .write.mode(SaveMode.Overwrite).parquet(sub)
+      }
       val staged = dataFilesIn(new Path(sub))
       removed += before - staged.map(f => footerTimeSummary(f)._1).sum
       staged.zipWithIndex.foreach { case (f, j) =>
-        moves += f.toString -> s"$dir/retain-$token-$i-$j${f.getName.dropWhile(_ != '.')}"
+        moves += f.toString -> s"$dir/retain-$v-$i-$j${f.getName.dropWhile(_ != '.')}"
       }
-      dels ++= files.map(_._1.toString)
     }
-    // publish the complete plan atomically, then execute it; recover()
-    // re-executes the same plan after a crash (both halves idempotent).
-    // Paths are URL-encoded in the plan: a space-containing store path
-    // split on raw ' ' would mis-parse during recovery and the
-    // roll-forward could silently skip a move.
-    def enc(p: String) = java.net.URLEncoder.encode(p, "UTF-8")
-    val body = (dels.map(d => s"D ${enc(d)}") ++
-      moves.map { case (s, t) => s"M ${enc(s)} ${enc(t)}" }).mkString("\n")
-    graft.util.AtomicFiles.writeString(fs, retainMarker, body)
-    executeRetainPlan(dels.toSeq, moves.toSeq)
-    deleteOrThrow(stagingRoot)
-    fs.delete(retainMarker, false)
-    removed
+    (removed, moves.toSeq, Some(stagingRoot))
   }
 
   private def executeRetainPlan(dels: Seq[String], moves: Seq[(String, String)]): Unit = {
@@ -1178,6 +1246,195 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       .foreach(s => fs.delete(s.getPath, true))
   }
 
+  // ---- snapshot-consistent maintenance (the index tier's generation
+  //      pattern, applied at FILE granularity) --------------------------
+  //
+  // Maintenance used to REPLACE visible files in place (dir swap,
+  // delete + rename), so a lock-free reader that had resolved its file
+  // set could transiently miss surviving rows mid-scan — the
+  // documented read-vs-maintenance window. The index tier closed the
+  // same window with immutable generation DIRS; the data tiers can't
+  // version wholesale (retention would pay O(store) re-linking kept
+  // files into each new generation), so the generation discipline
+  // lands at file granularity instead: a maintenance mutation NEVER
+  // unlinks a file a reader may hold. It stages its outputs invisibly
+  // (dot-prefixed), publishes an atomic plan under `_snapmeta/<v>` —
+  // `M src dst` lines (staged files to rename into the live dirs) and
+  // `D path` lines (files this commit supersedes: left ON DISK,
+  // excluded from reads at head ≥ v, physically deleted by a LATER
+  // maintenance commit's prune phase, which always spares the newest
+  // meta's drops) — then executes the renames and seals version v.
+  //
+  // A reader resolves the version head ONCE, lists the tier dirs, and
+  // subtracts: adds of commits NEWER than its head (the meta is
+  // published BEFORE its renames execute, so any staged file that has
+  // already surfaced in a listing is provably declared in a readable
+  // meta) and drops of commits AT OR BELOW its head. That is a
+  // consistent snapshot at the resolved head: a maintenance commit
+  // landing mid-read neither removes the snapshot's files (deletion is
+  // deferred past one further maintenance commit) nor leaks its new
+  // files in (version-fenced) — the same "materialize before two
+  // further maintenance commits" retention contract as the index
+  // generations. Crash anywhere: the meta IS the roll-forward marker
+  // (renames are exists-checked and idempotent), re-executed at handle
+  // open. USER rewrites ([[overwrite]]: update/remove/insert-rewrite)
+  // keep the backup-rename dir swap — they replace the logical store
+  // content wholesale and stay on the reference's single-writer
+  // contract; it is the background MAINTENANCE ops (compaction ticks,
+  // retention ticks) that must never race a serving read.
+
+  // def, not val: recover() runs in the constructor BEFORE this class
+  // body's vals would initialize
+  private def snapMetaPath = s"$root/_snapmeta"
+
+  private case class SnapMeta(ver: Long, moves: Seq[(String, String)], drops: Seq[String])
+
+  private def qual(p: String): String = fs.makeQualified(new Path(p)).toString
+
+  private def readSnapMetas(): Seq[SnapMeta] =
+    if (!exists(snapMetaPath)) Seq.empty
+    else fs.listStatus(new Path(snapMetaPath)).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
+      .flatMap { v =>
+        graft.util.AtomicFiles.readString(fs, new Path(s"$snapMetaPath/$v")).map { body =>
+          def dec(p: String) = java.net.URLDecoder.decode(p, "UTF-8")
+          val lines = body.split("\n").filter(_.nonEmpty)
+          val moves = lines.filter(_.startsWith("M ")).map { l =>
+            val rest = l.drop(2); val cut = rest.indexOf(' ')
+            dec(rest.take(cut)) -> dec(rest.drop(cut + 1))
+          }.toSeq
+          val drops = lines.filter(_.startsWith("D ")).map(l => dec(l.drop(2))).toSeq
+          SnapMeta(v, moves, drops)
+        }
+      }
+
+  /** Publish commit `v`'s plan atomically, then execute its renames.
+    * Paths are qualified (listing-comparable) and URL-encoded (spaces
+    * survive the line format — same rationale as the retention plan).
+    */
+  private def publishAndExecuteSnapshot(v: Long,
+      moves: Seq[(String, String)], drops: Seq[String]): Unit = {
+    if (moves.isEmpty && drops.isEmpty) { publishTickIfAgingNeeded(v); return }
+    def enc(p: String) = java.net.URLEncoder.encode(qual(p), "UTF-8")
+    if (!exists(snapMetaPath)) { fs.mkdirs(new Path(snapMetaPath)); () }
+    val body = (moves.map { case (s, t) => s"M ${enc(s)} ${enc(t)}" } ++
+      drops.map(d => s"D ${enc(d)}")).mkString("\n")
+    graft.util.AtomicFiles.writeString(fs, new Path(s"$snapMetaPath/$v"), body)
+    executeSnapMoves(SnapMeta(v, moves.map { case (s, t) => (qual(s), qual(t)) },
+      drops.map(qual)))
+  }
+
+  /** A maintenance commit that dropped nothing still advances the meta
+    * chain with an EMPTY meta when older metas exist — otherwise a
+    * quiescent store would never age the last commit's deferred drops
+    * out (the prune phase always spares the newest meta). Fully-clean
+    * stores (no metas) write nothing.
+    */
+  private def publishTickIfAgingNeeded(v: Long): Unit =
+    if (readSnapMetas().nonEmpty) {
+      if (!exists(snapMetaPath)) { fs.mkdirs(new Path(snapMetaPath)); () }
+      graft.util.AtomicFiles.writeString(fs, new Path(s"$snapMetaPath/$v"), "")
+    }
+
+  private def executeSnapMoves(m: SnapMeta): Unit =
+    m.moves.foreach { case (src, dst) =>
+      val s = new Path(src)
+      if (fs.exists(s)) {
+        val parent = new Path(dst).getParent
+        if (parent != null && !fs.exists(parent)) { fs.mkdirs(parent); () }
+        renameOrThrow(src, dst)
+      }
+    }
+
+  /** The prune phase every maintenance commit ENDS with (after its own
+    * meta/tick is the newest): physically delete the drops of every
+    * OLDER snapshot meta — whose in-flight readers have now had one
+    * full maintenance commit of grace, the index tier's
+    * keep-predecessor contract — then prune the dirs those deletes
+    * emptied (this is where retention's partition-directory removal
+    * now happens, one commit deferred). Runs inside a maintenance
+    * claim; all listed metas are sealed commits whose renames have
+    * executed (crashed ones roll forward at handle open).
+    */
+  // Minimum age a superseded file set must reach before physical
+  // deletion, ON TOP of the commit-count grace: commit counting alone
+  // is hollow when maintenance ticks land back-to-back (two commits
+  // can seal within one slow scan), so the prune also requires the
+  // superseding meta to be older than this floor. At production scale
+  // maintenance ticks are minutes apart and this floor is invisible;
+  // tests that assert physical aging set it to 0.
+  private def dropGraceMs: Long =
+    spark.conf.getOption("graft.storage.snapshotDropGraceMs")
+      .map(_.toLong).getOrElse(ParquetStorage.DefaultSnapshotDropGraceMs)
+
+  private def pruneSnapDrops(): Unit = {
+    val metas = readSnapMetas()
+    if (metas.size <= 1) return
+    val ageCutoff = System.currentTimeMillis() - dropGraceMs
+    val touched = scala.collection.mutable.LinkedHashSet.empty[Path]
+    metas.dropRight(1).foreach { m =>
+      val metaFile = new Path(s"$snapMetaPath/${m.ver}")
+      val oldEnough = scala.util.Try(
+        fs.getFileStatus(metaFile).getModificationTime <= ageCutoff).getOrElse(true)
+      if (oldEnough) {
+        m.drops.foreach { d =>
+          val p = new Path(d)
+          if (fs.exists(p)) {
+            if (!fs.delete(p, false))
+              throw new java.io.IOException(s"snapshot prune: delete failed: $d")
+            Option(p.getParent).foreach { par => touched += par; () }
+          }
+        }
+        fs.delete(metaFile, false)
+        ()
+      }
+    }
+    // deferred empty-dir pruning, targeted at what the deletes touched:
+    // walk up from each emptied dir (partition dir → measurement dir →
+    // tier root), never past the store root
+    val stop = qual(root)
+    touched.toSeq.foreach { dir =>
+      var d = dir
+      while (d != null && qual(d.toString) != stop &&
+          fs.exists(d) && pruneIfNoData(d))
+        d = d.getParent
+    }
+  }
+
+  private def listFilesRecStatus(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+      else if (s.isDirectory) listFilesRecStatus(s.getPath)
+      else Seq(s)
+    }
+  }
+
+  private def listFilesRec(dir: Path): Seq[Path] = listFilesRecStatus(dir).map(_.getPath)
+
+  /** A tier's LIVE files as seen from inside a maintenance claim: the
+    * listing minus every pending drop (all metas are ≤ the claimed
+    * version there). Maintenance must read through this view — a raw
+    * dir read would resurrect rows a previous commit already dropped.
+    */
+  private def liveFilesUnderClaim(dir: String): Seq[String] = {
+    val drops = readSnapMetas().flatMap(_.drops).toSet
+    listFilesRec(new Path(dir)).map(_.toString).filterNot(drops)
+  }
+
+  /** Live data bytes of a tier (pending drops excluded) — the
+    * compaction tier-choice heuristic; raw `getContentSummary` would
+    * double-count a tier right after its own compaction replaced files.
+    */
+  private def liveBytes(dir: String): Long = {
+    val drops = readSnapMetas().flatMap(_.drops).toSet
+    listFilesRecStatus(new Path(dir))
+      .filterNot(s => drops.contains(s.getPath.toString))
+      .map(_.getLen).sum
+  }
+
   /** Destructive replace: claims the version chain exclusively AND
     * fails loudly ([[java.util.ConcurrentModificationException]]) when
     * any commit landed since this handle's last [[load]] — `full` was
@@ -1210,4 +1467,10 @@ object ParquetStorage {
     * footer reads O(32) instead of O(batches-ever).
     */
   val DefaultAutoCompactFiles = 32
+
+  /** Minimum age of a superseded file set before its deferred physical
+    * deletion — the time floor under the snapshot prune's commit-count
+    * grace (see [[ParquetStorage]]'s snapshot-plan protocol notes).
+    */
+  val DefaultSnapshotDropGraceMs = 60000L
 }

@@ -12,6 +12,11 @@ import graft.query._
   */
 class StorageSpec extends SparkSpec {
 
+  // deterministic physical aging for the deferred-drop specs: the
+  // production time floor (snapshot prune grace) is off here; the
+  // hammer spec raises it locally to model a slow concurrent reader
+  spark.conf.set("graft.storage.snapshotDropGraceMs", "0")
+
   private def t(s: String): Instant = Instant.parse(s)
 
   private def seeded(): (GraftDB, String) = {
@@ -52,8 +57,12 @@ class StorageSpec extends SparkSpec {
       val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
       db.compact()
       assert(Files.exists(java.nio.file.Paths.get(dir, "data")))
-      assert(!Files.exists(java.nio.file.Paths.get(dir, "delta")))
       assert(db.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
+      // the folded delta files are DEFERRED drops (a reader mid-scan
+      // keeps its snapshot); one further maintenance tick ages them out
+      // and prunes the emptied delta dir
+      db.compact()
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "delta")))
       // appends after compaction go back to the delta tier and unify
       db.insert(Point(t("2024-01-04T01:00:00Z"), "cpu", Map("host" -> "b"), Map("load" -> 0.9)))
       assert(db.length == 4)
@@ -78,21 +87,24 @@ class StorageSpec extends SparkSpec {
 
     it("auto-compaction bounds the delta tier's file count under sustained appends") {
       val dir = Files.createTempDirectory("graftautocompact").toString
-      val db = new GraftDB(new ParquetStorage(spark, dir, partitioned = true,
-        autoCompactFiles = 8))
+      val st = new ParquetStorage(spark, dir, partitioned = true,
+        autoCompactFiles = 8)
+      val db = new GraftDB(st)
       (1 to 20).foreach { i =>
         db.insert(Point(t(f"2024-01-${i}%02dT00:00:00Z"), "m",
           Map("host" -> s"h${i % 3}"), Map("v" -> i.toDouble)))
       }
+      // one delta file per append without the policy would leave 20;
+      // the threshold-8 policy compacts at every 8th, so ≤ 8 LIVE remain
+      val files = st.liveDeltaFileCount()
+      assert(files <= 8, s"delta holds $files live files after 20 appends")
+      // superseded files awaiting their deferred physical delete are
+      // bounded too: at most the last compaction's replaced set
       val delta = new java.io.File(s"$dir/delta")
-      // a full compact (delta rivals the main store) may have removed
-      // the delta dir entirely — that also satisfies the bound
-      val files = if (!delta.exists) 0
+      val raw = if (!delta.exists) 0
         else delta.listFiles.count(f =>
           f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      // one delta file per append without the policy would leave 20;
-      // the threshold-8 policy compacts at every 8th, so ≤ 8 remain
-      assert(files <= 8, s"delta holds $files files after 20 appends")
+      assert(raw <= 16, s"delta holds $raw raw files (pending-drop garbage unbounded?)")
       // nothing lost, insertion order intact through both compactions
       assert(db.length == 20)
       val seqs = db.all(sorted = false).map(_._seq)
@@ -233,8 +245,9 @@ class StorageSpec extends SparkSpec {
       (0 until 6).foreach(i => assert(st.appendIdempotent(batch(i), f"b$i%04d")))
       // retention only drops records whose token files have been folded
       // away — compact first (the no-compaction case is covered by the
-      // prune-keeps-live-tokens spec)
-      st.compact()
+      // prune-keeps-live-tokens spec); the fold's drops are deferred,
+      // so one further tick ages the tok files out physically
+      st.compact(); st.compact()
       st.pruneIngestCommits(keepLast = 2)
       // recent tokens still dedup; pruned history no longer does
       assert(!st.appendIdempotent(batch(5), "b0005"))
@@ -282,7 +295,9 @@ class StorageSpec extends SparkSpec {
       assert(st.appendIdempotent(batch(9.0), "s-b9"))
       assert(st.appendIdempotent(batch(10.0), "s-b10"))
       assert(st.appendIdempotent(batch(11.0), "s-b11"))
-      st.compact() // fold token files so retention may act
+      // fold token files so retention may act (+ one tick: the fold's
+      // drops are deferred and must age out physically first)
+      st.compact(); st.compact()
       st.pruneIngestCommits(keepLast = 2)
       assert(!st.appendIdempotent(batch(10.0), "s-b10"), "recent b10 must still dedup")
       assert(!st.appendIdempotent(batch(11.0), "s-b11"), "recent b11 must still dedup")
@@ -303,10 +318,12 @@ class StorageSpec extends SparkSpec {
       st.pruneIngestCommits(keepLast = 1)
       (0 until 4).foreach(i =>
         assert(!st.appendIdempotent(batch(i), f"t$i%02d"), s"t$i re-admitted while live"))
-      st.compact() // folds tok files away; rows preserved
+      // folds tok files away (+ one tick for the deferred physical
+      // delete); rows preserved
+      st.compact(); st.compact()
       assert(GraftDB.atPath(spark, dir).length == 4,
         "committed rows lost across prune + compaction")
-      // with the delta tier folded, retention can finally drop history
+      // with the delta tier folded AND aged out, retention drops history
       st.pruneIngestCommits(keepLast = 1)
       assert(st.appendIdempotent(batch(0), "t00"), "pruned token should re-admit")
       assert(!st.appendIdempotent(batch(3), "t03"), "newest token must survive")
@@ -484,6 +501,65 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  describe("snapshot-consistent reads vs maintenance") {
+    def pt(ts: String, v: Double) = Point(t(ts), "m", Map("k" -> "x"), Map("v" -> v))
+
+    it("reads hammered concurrently with retention and compaction always see a consistent snapshot") {
+      val dir = Files.createTempDirectory("graftsnapham").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple((0 until 24).map(h => pt(f"2024-01-01T$h%02d:00:00Z", h)) ++
+        (0 until 24).map(h => pt(f"2024-01-02T$h%02d:00:00Z", 100.0 + h)))
+      db.compact()
+      db.insertMultiple((0 until 4).map(h => pt(f"2024-01-03T$h%02d:00:00Z", 200.0 + h)))
+      db.insertMultiple(Seq(pt("2024-01-04T06:00:00Z", 300.0), pt("2024-01-05T06:00:00Z", 301.0),
+        pt("2024-01-05T18:00:00Z", 302.0), pt("2024-01-06T06:00:00Z", 303.0)))
+      // retention progresses through NESTED states; every concurrent
+      // read must be EXACTLY one of them — a maintenance swap that
+      // unlinked a reader's file would surface as a partial set (rows
+      // of one vanished file missing), a double-visible rewrite as
+      // duplicates; both are ≠ every S_i. Interleaved compactions are
+      // content-preserving and must be invisible.
+      val s0: Seq[Double] = ((0 until 24).map(_.toDouble) ++ (0 until 24).map(100.0 + _) ++
+        (0 until 4).map(200.0 + _) ++ Seq(300.0, 301.0, 302.0, 303.0)).sorted
+      val s1 = s0.filter(_ >= 100.0)
+      val s2 = s1.filter(_ >= 200.0)
+      val s3 = s2.filter(_ >= 300.0)
+      val s4 = s3.filter(_ >= 302.0)
+      val allowed = Set(s0, s1, s2, s3, s4)
+      val reader = GraftDB.atPath(spark, dir) // independent lock-free handle
+      // model a slow reader against back-to-back maintenance ticks: the
+      // time floor keeps superseded files on disk through the whole run
+      spark.conf.set("graft.storage.snapshotDropGraceMs", "600000")
+      @volatile var failure: Option[String] = None
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val rt = new Thread(() => {
+        try {
+          while (!stop.get && failure.isEmpty) {
+            val got = reader.all().map(_.fields("v").doubleValue()).sorted
+            if (!allowed.contains(got))
+              failure = Some(s"inconsistent snapshot (${got.size} rows): $got")
+          }
+        } catch { case e: Throwable => failure = Some(s"reader died: $e") }
+      })
+      rt.start()
+      try {
+        db.retain(t("2024-01-02T00:00:00Z")); Thread.sleep(50)
+        db.compact(); Thread.sleep(50)
+        db.retain(t("2024-01-03T00:00:00Z")); Thread.sleep(50)
+        db.compact(); Thread.sleep(50)
+        db.retain(t("2024-01-04T00:00:00Z")); Thread.sleep(50)
+        db.compact(); Thread.sleep(50)
+        db.retain(t("2024-01-05T12:00:00Z")); Thread.sleep(50)
+        db.compact()
+      } finally {
+        stop.set(true); rt.join(60000)
+        spark.conf.set("graft.storage.snapshotDropGraceMs", "0")
+      }
+      assert(failure.isEmpty, failure.getOrElse(""))
+      assert(reader.all().map(_.fields("v").doubleValue()).sorted == s4)
+    }
+  }
+
   describe("time-based retention") {
     def pt(ts: String, v: Double) = Point(t(ts), "m", Map("k" -> "x"), Map("v" -> v))
     def vals(db: GraftDB): Seq[Double] = db.all().map(_.fields("v").doubleValue()).sorted
@@ -508,10 +584,10 @@ class StorageSpec extends SparkSpec {
       val keepMtime = Files.getLastModifiedTime(keepPath)
 
       // cutoff 1 inside 01-02: p_date=01-01 drops WHOLE (by dir+footer),
-      // 01-02 is the only straddler
+      // 01-02 is the only straddler. The drop is LOGICAL immediately
+      // (reads exclude it) and physical one maintenance tick later — a
+      // reader mid-scan keeps its resolved snapshot intact.
       assert(db.retain(t("2024-01-02T12:00:00Z")) === 24L + 12L)
-      assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "measurement=m", "p_date=2024-01-01")),
-        "wholly-old partition directory should be deleted")
       assert(vals(db) === ((12 until 24).map(100.0 + _) ++ (200 until 204).map(_.toDouble)
         ++ Seq(300.0, 301.0, 302.0, 303.0) ++ (400 until 404).map(_.toDouble)))
 
@@ -523,8 +599,12 @@ class StorageSpec extends SparkSpec {
       assert(Files.exists(keepPath) && Files.getLastModifiedTime(keepPath) == keepMtime,
         "a wholly-kept delta file must not be rewritten by retention")
 
-      // idempotent: a third retain at the same cutoff removes nothing
+      // idempotent: a third retain at the same cutoff removes nothing —
+      // and as a further maintenance tick it ages out the FIRST tick's
+      // deferred drops: the wholly-old partition dir is now physically gone
       assert(db.retain(t("2024-01-05T12:00:00Z")) === 0L)
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "measurement=m", "p_date=2024-01-01")),
+        "wholly-old partition directory should be physically pruned after a further tick")
       // and a fresh handle sees the identical converged state
       assert(vals(GraftDB.atPath(spark, dir)) === (Seq(302.0, 303.0) ++ (400 until 404).map(_.toDouble)))
     }
@@ -594,25 +674,45 @@ class StorageSpec extends SparkSpec {
 
     it("stat-less INT96 legacy files fall back to the straddler rewrite and come back stats-bearing") {
       val dir = Files.createTempDirectory("graftretain96").toString
-      val db = GraftDB.atPath(spark, dir) // constructor pins TIMESTAMP_MICROS...
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple(Seq(pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-03T06:00:00Z", 2.0)))
+      // manufacture the legacy encoding OUTSIDE the store (its own
+      // writes scope-pin TIMESTAMP_MICROS): rewrite the delta file
+      // INT96, as an older writer or an external importer would have
+      val fresh = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      val legacyDir = Files.createTempDirectory("graftretain96legacy").toString
       try {
         spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
-        db.insertMultiple(Seq(pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-03T06:00:00Z", 2.0)))
-      } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        spark.read.parquet(fresh: _*).coalesce(1)
+          .write.mode("overwrite").parquet(legacyDir)
+      } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      fresh.foreach(f => Files.delete(java.nio.file.Paths.get(f)))
+      val legacyFile = Files.list(java.nio.file.Paths.get(legacyDir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find { p => val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") }.get
+      Files.move(legacyFile,
+        java.nio.file.Paths.get(dir, "delta", "part-legacy-int96.snappy.parquet"))
       val orig = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
         .filter(_.endsWith(".parquet"))
       // INT96 carries no stats: even though every row is ≥ the cutoff,
       // the file cannot be proven keepable and pays ONE rewrite —
-      // after which it is micros-encoded and provable
+      // after which it is micros-encoded and provable. The original
+      // stays on disk as the commit's deferred drop.
       assert(db.retain(t("2024-01-01T00:00:00Z")) === 0L)
       val after = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
         .filter(_.endsWith(".parquet"))
-      assert(after.toSet !== orig.toSet, "legacy file should have been rewritten")
+      val rewritten = after.filterNot(orig.toSet)
+      assert(rewritten.nonEmpty, "legacy file should have been rewritten")
       assert(vals(db) === Seq(1.0, 2.0))
-      // now provable: the same no-op retain touches nothing
+      // now provable: the same no-op retain leaves the rewritten file
+      // untouched (its tick only ages out the first commit's deferred
+      // drop — the stat-less original is physically gone afterwards)
       assert(db.retain(t("2024-01-01T00:00:00Z")) === 0L)
-      assert(Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSet === after.toSet)
+      val afterNoop = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(afterNoop.toSet === rewritten.toSet)
       // and a real cutoff now drops/filters exactly
       assert(db.retain(t("2024-01-02T00:00:00Z")) === 1L)
       assert(vals(db) === Seq(2.0))
