@@ -127,6 +127,39 @@ object SparkEntry {
       ids(db.df)
     }),
 
+    // op 2's LAZY iteration (reference __iter__, database.py:157-171)
+    // driven end to end: toLocalIterator pulls partitions on demand in
+    // `_seq` order; the gate re-materializes exactly what the iterator
+    // yielded, so ordering, completeness and field access all sit under
+    // the cross-engine hash
+    "q191_iterate" -> ((s, dir) => {
+      import s.implicits._
+      rdb(s, dir).iterator.map(p => (p._seq,
+          java.time.temporal.ChronoUnit.MICROS.between(Instant.EPOCH, p.time),
+          p.measurement, p.fields.get("value").map(_.doubleValue)))
+        .toSeq.toDF("event_id", "ts_us", "measurement", "value")
+        .orderBy("ts_us", "event_id")
+    }),
+
+    // op 12 `update_all` (database.py:1049-1062): the persisting path —
+    // every point gains field k, then the store is read back
+    "q192_update_all" -> ((s, dir) => {
+      val db = rdb(s, dir)
+      db.updateAll(fields = Map("k" -> 1.0))
+      db.df.select(col(Point.SeqCol).as("event_id"),
+          element_at(col(Point.FieldsCol), "k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // op 14 `remove_all` (database.py:727-738): persisting truncate;
+    // the read-back must be empty through every read path
+    "q193_remove_all" -> ((s, dir) => {
+      import s.implicits._
+      val db = rdb(s, dir)
+      db.removeAll()
+      Seq(db.length).toDF("n")
+    }),
+
     "q16_drop_measurement" -> ((s, dir) => {
       val db = rdb(s, dir)
       db.dropMeasurement("error")
@@ -276,6 +309,13 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q15_remove" ->
       "SELECT event_id FROM events WHERE NOT (value < 10) ORDER BY event_id",
+    "q191_iterate" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type AS measurement, value
+        |FROM events ORDER BY ts_us, event_id""".stripMargin,
+    "q192_update_all" ->
+      "SELECT event_id, 1.0 AS k FROM events ORDER BY event_id",
+    "q193_remove_all" ->
+      "SELECT count(*) AS n FROM events WHERE 1 = 0",
     "q16_drop_measurement" ->
       "SELECT event_id FROM events WHERE event_type <> 'error' ORDER BY event_id",
     "q17_not_missing_key" ->
