@@ -591,6 +591,35 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     }
   }
 
+  /** SIZE-based retention — Kafka's `retention.bytes`: delete whole
+    * OLDEST sealed segments while the topic's total segment bytes
+    * exceed `maxBytes`. Segment-granular and never early, exactly like
+    * Kafka: a topic may exceed the budget by up to one segment (a
+    * segment drops only when the topic is still over budget WITHOUT
+    * it), and the NEWEST segment always survives (Kafka's
+    * active-segment rule — a budget of 0 truncates history, not the
+    * head). The cut is a contiguous prefix by construction, and it
+    * executes as a [[truncateBefore]] — same prefix-only offset
+    * semantics, same `_log_start` low-water advance, same maintenance
+    * lock — so consumers see the standard earliest-offset-advanced
+    * contract. Returns the number of segments deleted.
+    */
+  def truncateToMaxBytes(maxBytes: Long): Int = synchronized {
+    require(maxBytes >= 0L, "maxBytes must be >= 0")
+    GraftLog.withTopicLock(dir, conf) {
+      val segs = GraftLog.listSegments(dir, conf)
+      val sizes = segs.map(s => fs.getFileStatus(new Path(s.path)).getLen)
+      var total = sizes.sum
+      var cut = 0
+      while (total > maxBytes && cut < segs.size - 1) {
+        total -= sizes(cut)
+        cut += 1
+      }
+      if (cut == 0) 0
+      else { val last = segs(cut - 1); truncateBeforeLocked(last.base + last.count) }
+    }
+  }
+
   private def truncateBeforeLocked(offset: Long): Int = {
     val segs = GraftLog.listSegments(dir, conf)
     val doomed = segs.filter(s => s.base + s.count <= offset)

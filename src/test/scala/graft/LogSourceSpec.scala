@@ -137,6 +137,41 @@ class LogSourceSpec extends SparkSpec {
       assert(GraftLog.earliestOffset(dir, new Configuration()) === 200L)
     }
 
+    it("size-based retention (retention.bytes): drops oldest whole segments past the budget, keeps the head") {
+      val dir = tmp("graftlogbret")
+      val p = new GraftLogProducer(dir)
+      (0 until 4).foreach(s => p.publish((s * 100 until (s + 1) * 100).map(_.toString)))
+      val conf = new Configuration()
+      val segs = GraftLog.listSegments(dir, conf)
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      val sizes = segs.map(s => hfs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s.path)).getLen)
+      // never early: a budget covering everything deletes nothing
+      assert(p.truncateToMaxBytes(sizes.sum) === 0)
+      // budget for the newest two segments: the oldest two drop WHOLE,
+      // survivors keep their global offsets, low water advances
+      assert(p.truncateToMaxBytes(sizes.drop(2).sum) === 2)
+      assert(GraftLog.earliestOffset(dir, conf) === 200L)
+      assert(GraftLog.latestOffset(dir, conf) === 400L)
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.head === ((200L, "200")) && got.length === 200)
+      // idempotent at the same budget
+      assert(p.truncateToMaxBytes(sizes.drop(2).sum) === 0)
+      // a consumer whose checkpoint points before the head fails loudly
+      intercept[IllegalArgumentException] {
+        GraftLog.slices(GraftLog.listSegments(dir, conf), 100L, 300L)
+      }
+      // the newest segment is never deleted, even at budget 0 —
+      // retention bounds history, it must not truncate the head
+      assert(p.truncateToMaxBytes(0L) === 1)
+      assert(GraftLog.earliestOffset(dir, conf) === 300L)
+      assert(GraftLog.latestOffset(dir, conf) === 400L)
+      // publishing continues from the same high water
+      p.publish(Seq("r400"))
+      assert(GraftLog.latestOffset(dir, conf) === 401L)
+    }
+
     it("a fresh consumer on a truncated topic starts at the retained head") {
       val dir = tmp("graftlogret2")
       val p = new GraftLogProducer(dir)
