@@ -742,7 +742,14 @@ object Similarity {
           }
       }
     }
-    0L
+    // Generation dirs exist but neither the pointer nor the commit
+    // marker was readable through the whole retry budget — a filesystem
+    // stall wedged inside the flip window. Fail RETRIABLY and loudly:
+    // returning "no committed generation" here would serve an EMPTY
+    // index as if that were the answer.
+    throw new java.io.IOException(
+      s"index at $indexPath: generation pointer unreadable after retries " +
+        "(pointer flip in flight or filesystem stall) — retry the read")
   }
 
   /** Finish a crashed commit and discard pre-commit staging (call with
@@ -751,12 +758,25 @@ object Similarity {
     * the (possibly just-advanced) pointer are pre-marker leftovers of a
     * crashed stage and are deleted.
     */
+  /** Superseded generations kept beyond the committed one: 1 (the
+    * default) keeps the predecessor, so a serve that resolved just
+    * before a flip survives one further maintenance commit — raise it
+    * (`graft.index.genKeepDepth`) when long lock-free serves overlap
+    * rapid retrain/compaction cadences; a pruned-generation race then
+    * costs disk instead of a mid-scan failure.
+    */
+  private def genKeepDepth(spark: org.apache.spark.sql.SparkSession): Int = {
+    val d = spark.conf.getOption("graft.index.genKeepDepth").map(_.toInt).getOrElse(1)
+    require(d >= 1, "graft.index.genKeepDepth must be >= 1")
+    d
+  }
+
   private def recoverGenerations(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String): Unit = {
+      indexPath: String, keepDepth: Int = 1): Unit = {
     readLongFile(fs, commitMarker(indexPath)).foreach { staged =>
       writeLongFile(fs, currentPtr(indexPath), staged)
       fs.delete(commitMarker(indexPath), false)
-      pruneGens(fs, indexPath, staged)
+      pruneGens(fs, indexPath, staged, keepDepth)
     }
     val cur = currentGen(fs, indexPath)
     listGens(fs, indexPath).filter(_ > cur).foreach { g =>
@@ -765,21 +785,21 @@ object Similarity {
   }
 
   /** Commit a COMPLETELY staged generation: marker → pointer flip →
-    * marker delete → prune (keep the new generation and its
-    * predecessor). Crash anywhere after the marker lands → the next
+    * marker delete → prune (keep the new generation and `keepDepth`
+    * predecessors). Crash anywhere after the marker lands → the next
     * maintenance op rolls the commit forward.
     */
   private def commitGeneration(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String, newGen: Long): Unit = {
+      indexPath: String, newGen: Long, keepDepth: Int = 1): Unit = {
     writeLongFile(fs, commitMarker(indexPath), newGen)
     writeLongFile(fs, currentPtr(indexPath), newGen)
     fs.delete(commitMarker(indexPath), false)
-    pruneGens(fs, indexPath, newGen)
+    pruneGens(fs, indexPath, newGen, keepDepth)
   }
 
   private def pruneGens(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String, keepFrom: Long): Unit =
-    listGens(fs, indexPath).filter(_ <= keepFrom - 2).foreach { g =>
+      indexPath: String, keepFrom: Long, keepDepth: Int = 1): Unit =
+    listGens(fs, indexPath).filter(_ <= keepFrom - 1 - keepDepth).foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(genDir(indexPath, g)), true)
     }
 
@@ -799,7 +819,7 @@ object Similarity {
   def opqIvfPqPersist(corpus: DataFrame,
       centroids: DataFrame, perm: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int,
-      path: String): Unit = {
+      path: String, nProbe: Int = 2, rerankR: Int = 50): Unit = {
     requireIntegralId(corpus, idCol, "opqIvfPqPersist")
     requireIntegralCells(centroids, "opqIvfPqPersist")
     val srcs = permSources(perm, m, subDim)
@@ -811,7 +831,7 @@ object Similarity {
     // generation until the pointer flips to this one.
     graft.streaming.GraftLog.withTopicLock(path, conf) {
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      recoverGenerations(fs, path)
+      recoverGenerations(fs, path, genKeepDepth(spark))
       // bind ONCE: the staged directory and the committed pointer value
       // must name the same generation
       val newGen = currentGen(fs, path) + 1
@@ -827,8 +847,47 @@ object Similarity {
       centroids.write.mode("overwrite").parquet(s"$gen/meta_centroids")
       perm.write.mode("overwrite").parquet(s"$gen/meta_perm")
       codebooks.write.mode("overwrite").parquet(s"$gen/meta_codebooks")
-      commitGeneration(fs, path, newGen)
+      writeIndexConfig(fs, gen, IndexConfig(m, subDim, nProbe, rerankR))
+      commitGeneration(fs, path, newGen, genKeepDepth(spark))
     }
+  }
+
+  /** Serving configuration persisted WITH the generation — so an
+    * operator serves an index at the configuration it was validated at
+    * (the q187 operating point) without out-of-band knowledge, and can
+    * never mis-decode codes with a wrong subspace split: `m`/`subDim`
+    * are STRUCTURAL (codes are gibberish under any other split),
+    * `nProbe`/`rerankR` are the recommended quality point.
+    */
+  final case class IndexConfig(m: Int, subDim: Int, nProbe: Int, rerankR: Int)
+
+  private def writeIndexConfig(fs: org.apache.hadoop.fs.FileSystem,
+      gen: String, cfg: IndexConfig): Unit =
+    graft.util.AtomicFiles.writeString(fs,
+      new org.apache.hadoop.fs.Path(s"$gen/meta_config"),
+      s"m=${cfg.m}\nsubDim=${cfg.subDim}\nnProbe=${cfg.nProbe}\nrerankR=${cfg.rerankR}")
+
+  private def readIndexConfigAt(fs: org.apache.hadoop.fs.FileSystem,
+      gen: String): Option[IndexConfig] =
+    graft.util.AtomicFiles.readString(fs,
+      new org.apache.hadoop.fs.Path(s"$gen/meta_config")).map { body =>
+      val kv = body.split("\n").filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toInt }.toMap
+      IndexConfig(kv("m"), kv("subDim"), kv("nProbe"), kv("rerankR"))
+    }
+
+  /** The live generation's persisted [[IndexConfig]] — loud when absent
+    * (an index persisted before configs existed must be re-persisted or
+    * served with explicit parameters).
+    */
+  def indexConfig(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): IndexConfig = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    readIndexConfigAt(fs, liveGenDir(spark, indexPath)).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexPath has no persisted meta_config — " +
+          "re-persist it or serve with explicit parameters"))
   }
 
   /** Incremental index maintenance — the FAISS `add()` analog: encode
@@ -861,10 +920,17 @@ object Similarity {
     // between this append's meta read and its codes write
     graft.streaming.GraftLog.withTopicLock(indexPath, conf) {
       val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
-      recoverGenerations(fs, indexPath)
+      recoverGenerations(fs, indexPath, genKeepDepth(spark))
       val cur = currentGen(fs, indexPath)
       require(cur > 0, s"index at $indexPath has no committed generation to append to")
       val gen = genDir(indexPath, cur)
+      // the persisted config pins the structural split: an append with a
+      // mismatched m/subDim would write codes no serve can decode
+      readIndexConfigAt(fs, gen).foreach { cfg =>
+        require(cfg.m == m && cfg.subDim == subDim,
+          s"append with (m=$m, subDim=$subDim) against an index persisted at " +
+            s"(m=${cfg.m}, subDim=${cfg.subDim})")
+      }
       val centroids = spark.read.parquet(s"$gen/meta_centroids")
       val perm = spark.read.parquet(s"$gen/meta_perm")
       val codebooks = spark.read.parquet(s"$gen/meta_codebooks")
@@ -897,14 +963,17 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     graft.streaming.GraftLog.withTopicLock(indexPath, conf) {
       val fs = new Path(indexPath).getFileSystem(conf)
-      recoverGenerations(fs, indexPath)
+      recoverGenerations(fs, indexPath, genKeepDepth(spark))
       val cur = currentGen(fs, indexPath)
       require(cur > 0, s"index at $indexPath has no committed generation to compact")
       val src = genDir(indexPath, cur)
       val dst = genDir(indexPath, cur + 1)
-      // quantizers are unchanged by compaction — byte-copy the KB-scale
-      // sidecars into the new generation (no re-encode, no value drift)
-      Seq("meta_centroids", "meta_perm", "meta_codebooks").foreach { n =>
+      // quantizers (and the serving config) are unchanged by compaction
+      // — byte-copy the KB-scale sidecars into the new generation (no
+      // re-encode, no value drift; meta_config is absent on
+      // pre-config indexes and skipped)
+      (Seq("meta_centroids", "meta_perm", "meta_codebooks") ++
+        Seq("meta_config").filter(n => fs.exists(new Path(s"$src/$n")))).foreach { n =>
         if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$src/$n"),
             fs, new Path(s"$dst/$n"), false, true, conf))
           throw new java.io.IOException(s"index compact: cannot copy $src/$n -> $dst/$n")
@@ -915,7 +984,7 @@ object Similarity {
       spark.read.parquet(s"$src/codes")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dst/codes")
-      commitGeneration(fs, indexPath, cur + 1)
+      commitGeneration(fs, indexPath, cur + 1, genKeepDepth(spark))
     }
   }
 
@@ -949,6 +1018,31 @@ object Similarity {
     // to it, so a retrain committing concurrently can neither block
     // this serve nor mix its quantizers with these codes
     val gen = liveGenDir(spark, indexPath)
+    opqServeGen(gen, queries, qidCol, vecCol, k, nProbe, m, subDim, roundTo)
+  }
+
+  /** Serve at the index's OWN persisted configuration (the operating
+    * point it was validated at) — no out-of-band m/subDim/nProbe. The
+    * generation resolves ONCE and both the config and the serve bind to
+    * it, so a concurrent retrain cannot split them.
+    */
+  def opqIvfPqTopKPersistedDefaults(indexPath: String, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val gen = liveGenDir(spark, indexPath)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cfg = readIndexConfigAt(fs, gen).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexPath has no persisted meta_config — " +
+          "re-persist it or serve with explicit parameters"))
+    opqServeGen(gen, queries, qidCol, vecCol, k, cfg.nProbe, cfg.m, cfg.subDim, roundTo)
+  }
+
+  private def opqServeGen(gen: String, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int,
+      m: Int, subDim: Int, roundTo: Int): DataFrame = {
+    val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$gen/meta_centroids")
     val perm = spark.read.parquet(s"$gen/meta_perm")
     val codebooks = spark.read.parquet(s"$gen/meta_codebooks")

@@ -171,6 +171,24 @@ class AnalyticsSpec extends SparkSpec {
           assert(serve(a) === serve(b))
           assert(serve(a).nonEmpty)
         }
+        // persisted serving config: the generation carries the operating
+        // point it was validated at — defaults round-trip, the
+        // defaults-serve equals the explicit-parameter serve, appends
+        // with a mismatched structural split are refused, and compaction
+        // carries the config into the next generation
+        val cfg = Similarity.indexConfig(spark, a)
+        assert(cfg === Similarity.IndexConfig(m = 4, subDim = 16, nProbe = 2, rerankR = 50))
+        val byDefaults = Similarity.opqIvfPqTopKPersistedDefaults(a, q,
+          "qid", "embedding", k = 10)
+          .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+        assert(byDefaults === serve(a))
+        val mis = intercept[IllegalArgumentException] {
+          Similarity.opqIvfPqAppend(delta, a, "vec_id", "embedding", m = 8, subDim = 8)
+        }
+        assert(mis.getMessage.contains("persisted at"))
+        Similarity.opqIvfPqCompact(spark, a)
+        assert(Similarity.indexConfig(spark, a) === cfg,
+          "compaction must carry the serving config into the new generation")
       }
     }
     it("index compaction: one file per inverted list, identical serve, dead-run leftovers recovered") {
@@ -221,6 +239,30 @@ class AnalyticsSpec extends SparkSpec {
         assert(!new java.io.File(genBefore).exists(),
           "generation two commits back should be pruned")
         assert(serve(idx) === before, "second compaction changed the serve result")
+        // keep-depth is configurable for long lock-free serves against
+        // rapid maintenance cadences: with genKeepDepth=2, the commit
+        // after next still spares the two previous generations
+        val genKept = Similarity.liveGenDir(spark, idx)
+        spark.conf.set("graft.index.genKeepDepth", "2")
+        try {
+          Similarity.opqIvfPqCompact(spark, idx)
+          Similarity.opqIvfPqCompact(spark, idx)
+          assert(new java.io.File(genKept).exists(),
+            "genKeepDepth=2 should spare a generation two commits back")
+        } finally spark.conf.unset("graft.index.genKeepDepth")
+        // an FS stall wedged in the flip window (pointer AND marker
+        // unreadable, generations present) must fail RETRIABLY, not
+        // serve an empty index as if that were the answer
+        val curGen = Similarity.liveGenDir(spark, idx)
+          .replaceAll(".*gen-0*", "").toLong
+        assert(new java.io.File(s"$idx/_current").delete())
+        val ex = intercept[java.io.IOException] { Similarity.liveGenDir(spark, idx) }
+        assert(ex.getMessage.contains("retry the read"))
+        // once the stall clears (pointer visible again), the same read
+        // serves the committed generation unchanged
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(idx, "_current"), curGen.toString)
+        assert(serve(idx) === before, "recovered index changed the serve result")
       }
     }
     it("streaming serve restart adds nothing: same checkpoint + store converge once") {
