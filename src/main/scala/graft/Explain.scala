@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 12, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 13, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -444,6 +444,43 @@ object Explain {
         "moves recall (0.70 vs 0.38) without adding any corpus-sized " +
         "shuffle — the plan is the proof.") {
       SparkEntry.queries("q187_ann_rerank_hi")(spark, sfDir)
+    }
+
+    section("q190 trained-PQ-codebook persisted serve (round 13)",
+      "The q186 serve shape with the LAST quantizer trained: per-subspace " +
+        "Lloyd rounds refine the orthant-seed codebooks at persist time " +
+        "(each round is one broadcast of the m x 64 codebook against the " +
+        "corpus scan + one (id, sub) struct-min partial agg + one " +
+        "codebook-width mean, checkpointed per round — the lloydRefine " +
+        "shape within each rotated subspace). The SERVE plan is " +
+        "bit-identical to q186's: static cell pruning, broadcast " +
+        "quantizers, bounded TopK — recall moved (0.320/0.230 vs " +
+        "0.300/0.210) with zero serve-time cost, which is the whole point " +
+        "of training the codebooks offline.") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nv = graft.functions.VectorFunctions.l2Normalize(
+        org.apache.spark.sql.functions.col("embedding"))
+      val cents0 = graft.analytics.Similarity.centroids(
+        e.select(org.apache.spark.sql.functions.col("label"), nv.as("nv")), "label", "nv")
+        .select(org.apache.spark.sql.functions.col("group"),
+          org.apache.spark.sql.functions.col("i"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("c"), 6).as("c"))
+      val cents = graft.analytics.Similarity.lloydRefine(e, cents0, "vec_id", "embedding", 3)
+      val perm = graft.analytics.Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb0 = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val cb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, cents, perm, cb0, "vec_id", "embedding", 4, 16, iters = 3)
+      val idx = graft.util.Scratch.dir("explaintrained")
+      graft.analytics.Similarity.opqIvfPqPersist(e, cents, perm, cb,
+        "vec_id", "embedding", 4, 16, idx)
+      // serve at the index's own persisted config — the defaults path
+      graft.analytics.Similarity.opqIvfPqTopKPersistedDefaults(idx,
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+            org.apache.spark.sql.functions.col("embedding")),
+        "qid", "embedding", k = 10)
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),

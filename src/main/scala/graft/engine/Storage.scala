@@ -1402,14 +1402,26 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     }
   }
 
+  // ONE recursive enumeration (fs.listFiles(recursive) maps to a single
+  // paged LIST on object stores) instead of per-directory listStatus
+  // recursion — at 100 TB the data tier holds thousands of partition
+  // dirs and the per-dir form would pay one round trip each. Hidden
+  // path COMPONENTS (dot/underscore — staging dirs, Spark _temporary,
+  // marker files) are filtered from the relative path, matching what
+  // Spark's own file index skips.
   private def listFilesRecStatus(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith(".") || n.startsWith("_")) Seq.empty
-      else if (s.isDirectory) listFilesRecStatus(s.getPath)
-      else Seq(s)
+    val base = dir.toUri.getPath.stripSuffix("/") + "/"
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(base)
+      if (rel.split("/").forall(c =>
+          c.nonEmpty && !c.startsWith(".") && !c.startsWith("_")))
+        out += s
     }
+    out.result()
   }
 
   private def listFilesRec(dir: Path): Seq[Path] = listFilesRecStatus(dir).map(_.getPath)
