@@ -76,22 +76,22 @@ object Bench {
   // otherwise a real regression of rebase size would be absorbed
   // silently and the drift attribution would be unauditable.
   private val AnalyticsExpected: Map[String, Double] = Map(
-    // r12 rebase: copied from r11's FINAL quiet bench at HEAD (commit
-    // 054be48, loadavg < 1, flagged []), which is both rounds' agreed
-    // quiet level — see BENCH_NOTES r12 for the replaced r11 values.
+    // r13 rebase: copied from r12's committed driver bench (bench.json at
+    // commit fa6fb76, flagged []) — the replaced r11-quiet values are
+    // tabled in BENCH_NOTES ("analytics rolling medians" history).
     "q30_agg_pricing" -> 0.27,
-    "q32_join_multiway" -> 0.75,
-    "q33_window_rank" -> 0.33,
-    "q34_topk" -> 0.20,
-    "q40_window_tumbling" -> 0.20,
-    "q41_asof_join" -> 0.19,
-    "q50_dedup_exact" -> 0.17,
-    "q57_minhash_pairs" -> 0.56,
-    "q58_embedding_near_dup" -> 0.58,
-    "q59_ann_topk" -> 0.55,
-    "q159_excise_spans" -> 0.23)
+    "q32_join_multiway" -> 0.93,
+    "q33_window_rank" -> 0.32,
+    "q34_topk" -> 0.19,
+    "q40_window_tumbling" -> 0.21,
+    "q41_asof_join" -> 0.15,
+    "q50_dedup_exact" -> 0.15,
+    "q57_minhash_pairs" -> 0.54,
+    "q58_embedding_near_dup" -> 0.62,
+    "q59_ann_topk" -> 0.61,
+    "q159_excise_spans" -> 0.18)
 
-  /** Previous round's driver-recorded medians (BENCH_r10, sf0.1) — the
+  /** Previous round's driver-recorded medians (r12 bench.json, sf0.1) — the
     * round-over-round delta is computed INLINE into the bench JSON
     * (`delta_vs_prev`: ratio current/previous per shared metric) so a
     * drift reads directly off the artifact instead of needing a manual
@@ -101,32 +101,32 @@ object Bench {
     * re-measure trigger is now 1.5×.
     */
   private val PrevMedians: Map[String, Double] = Map(
-    // r11 final quiet bench at HEAD (commit 054be48, flagged [])
-    "point_lookup_tag_eq" -> 0.020682,
-    "time_range_1h" -> 3e-06,
-    "time_range_1h_populated" -> 0.018278,
-    "field_filter_half" -> 0.026494,
-    "complex_2field_tag" -> 0.019656,
-    "count_filtered" -> 0.012895,
-    "csv_point_lookup_tag_eq" -> 0.036023,
+    // r12 committed driver bench (bench.json at commit fa6fb76, flagged [])
+    "point_lookup_tag_eq" -> 0.020593,
+    "time_range_1h" -> 2e-06,
+    "time_range_1h_populated" -> 0.019454,
+    "field_filter_half" -> 0.031986,
+    "complex_2field_tag" -> 0.017997,
+    "count_filtered" -> 0.012142,
+    "csv_point_lookup_tag_eq" -> 0.033712,
     "csv_time_range_1h" -> 2e-06,
-    "csv_field_filter_half" -> 0.047398,
-    "csv_complex_2field_tag" -> 0.036906,
-    "insert_10k_memory" -> 0.003242,
-    "insert_10k_parquet" -> 0.118119,
-    "insert_10k_csv" -> 0.092015,
-    "stream_ingest_drain" -> 2.620464,
-    "q30_agg_pricing" -> 0.270251,
-    "q32_join_multiway" -> 0.748891,
-    "q33_window_rank" -> 0.330244,
-    "q34_topk" -> 0.196865,
-    "q40_window_tumbling" -> 0.201141,
-    "q41_asof_join" -> 0.186528,
-    "q50_dedup_exact" -> 0.173051,
-    "q57_minhash_pairs" -> 0.562356,
-    "q58_embedding_near_dup" -> 0.575414,
-    "q59_ann_topk" -> 0.550154,
-    "q159_excise_spans" -> 0.226034)
+    "csv_field_filter_half" -> 0.043121,
+    "csv_complex_2field_tag" -> 0.034743,
+    "insert_10k_memory" -> 0.003275,
+    "insert_10k_parquet" -> 0.13206,
+    "insert_10k_csv" -> 0.072579,
+    "stream_ingest_drain" -> 2.564134,
+    "q30_agg_pricing" -> 0.266457,
+    "q32_join_multiway" -> 0.926522,
+    "q33_window_rank" -> 0.316317,
+    "q34_topk" -> 0.186198,
+    "q40_window_tumbling" -> 0.210509,
+    "q41_asof_join" -> 0.147582,
+    "q50_dedup_exact" -> 0.14875,
+    "q57_minhash_pairs" -> 0.544536,
+    "q58_embedding_near_dup" -> 0.617994,
+    "q59_ann_topk" -> 0.606708,
+    "q159_excise_spans" -> 0.182119)
 
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(
