@@ -876,6 +876,13 @@ object Similarity {
       IndexConfig(kv("m"), kv("subDim"), kv("nProbe"), kv("rerankR"))
     }
 
+  private def requireIndexConfigAt(fs: org.apache.hadoop.fs.FileSystem,
+      gen: String, indexPath: String): IndexConfig =
+    readIndexConfigAt(fs, gen).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexPath has no persisted meta_config — " +
+          "re-persist it or serve with explicit parameters"))
+
   /** The live generation's persisted [[IndexConfig]] — loud when absent
     * (an index persisted before configs existed must be re-persisted or
     * served with explicit parameters).
@@ -884,10 +891,7 @@ object Similarity {
       indexPath: String): IndexConfig = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    readIndexConfigAt(fs, liveGenDir(spark, indexPath)).getOrElse(
-      throw new IllegalStateException(
-        s"index at $indexPath has no persisted meta_config — " +
-          "re-persist it or serve with explicit parameters"))
+    requireIndexConfigAt(fs, liveGenDir(spark, indexPath), indexPath)
   }
 
   /** Incremental index maintenance — the FAISS `add()` analog: encode
@@ -1021,10 +1025,12 @@ object Similarity {
     opqServeGen(gen, queries, qidCol, vecCol, k, nProbe, m, subDim, roundTo)
   }
 
-  /** Serve at the index's OWN persisted configuration (the operating
-    * point it was validated at) — no out-of-band m/subDim/nProbe. The
-    * generation resolves ONCE and both the config and the serve bind to
-    * it, so a concurrent retrain cannot split them.
+  /** The ADC STAGE at the index's own persisted configuration — no
+    * out-of-band m/subDim/nProbe. The generation resolves ONCE and both
+    * the config and the serve bind to it, so a concurrent retrain
+    * cannot split them. This is the codes-only stage; the persisted
+    * `rerankR` is consumed by [[opqIvfPqTopKPersistedRerank]], which
+    * needs the raw corpus for the refine pass.
     */
   def opqIvfPqTopKPersistedDefaults(indexPath: String, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
@@ -1032,11 +1038,29 @@ object Similarity {
     val gen = liveGenDir(spark, indexPath)
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val cfg = readIndexConfigAt(fs, gen).getOrElse(
-      throw new IllegalStateException(
-        s"index at $indexPath has no persisted meta_config — " +
-          "re-persist it or serve with explicit parameters"))
+    val cfg = requireIndexConfigAt(fs, gen, indexPath)
     opqServeGen(gen, queries, qidCol, vecCol, k, cfg.nProbe, cfg.m, cfg.subDim, roundTo)
+  }
+
+  /** The FULL validated operating point from the persisted config —
+    * ADC shortlist of `rerankR` candidates at `nProbe` probed cells,
+    * exact-rerank refine against the raw corpus (the q187 quality
+    * point, served without out-of-band knowledge). The corpus is a
+    * parameter because the index stores m-byte codes only — the refine
+    * stage is exactly the read of R raw vectors per query the operator
+    * opted into by validating at that point.
+    */
+  def opqIvfPqTopKPersistedRerank(indexPath: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, qidCol: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val gen = liveGenDir(spark, indexPath)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cfg = requireIndexConfigAt(fs, gen, indexPath)
+    val shortlist = opqServeGen(gen, queries, qidCol, vecCol,
+      cfg.rerankR, cfg.nProbe, cfg.m, cfg.subDim, roundTo)
+    exactRerank(corpus, queries, shortlist, idCol, vecCol, qidCol, k)
   }
 
   private def opqServeGen(gen: String, queries: DataFrame,

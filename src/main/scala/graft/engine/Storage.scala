@@ -347,16 +347,25 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // INT96 file is simply treated as boundary-straddling by
   // [[retainBefore]], whose filtered rewrite re-encodes it with stats
   // — self-healing.
-  private def withMicrosTimestamps[T](body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  // The set/restore is serialized across ALL ParquetStorage handles in
+  // the JVM (the conf key is session-global; two stores' unsynchronized
+  // set/restore pairs could leave one store's write running under the
+  // INT96 default after the other's finally fired). The application's
+  // OWN concurrent parquet writes can still observe the pin for the
+  // duration of one store write — inherent to a session-global knob,
+  // but now a bounded window instead of a permanent handle-open
+  // mutation.
+  private def withMicrosTimestamps[T](body: => T): T =
+    ParquetStorage.WriteConfLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
 
   recover()
 
@@ -882,10 +891,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // read INSIDE the claim, so it cannot be stale
     committedVersioned(requireObserved = false) { v =>
       purgeUncommittedTokenFiles()
-      val liveDelta = liveFilesUnderClaim(deltaPath)
-      if (liveDelta.isEmpty) publishTickIfAgingNeeded(v)
+      val metas = readSnapMetas()
+      val pendingDrops = metas.flatMap(_.drops).toSet
+      val liveDelta = liveFilesUnderClaim(deltaPath, pendingDrops)
+      if (liveDelta.isEmpty) publishTickIfAgingNeeded(v, metas)
       else {
-        val liveData = liveFilesUnderClaim(dataPath)
+        val liveData = liveFilesUnderClaim(dataPath, pendingDrops)
         val full = (readFiles(liveData, Some(dataPath)), readFiles(liveDelta, None)) match {
           case (Some(d), Some(x)) => d.unionByName(x)
           case (Some(d), None)    => d
@@ -955,7 +966,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // regain partition pruning, and the fold-at-doubling schedule
       // bounds total rewrite cost at O(N log N) over any ingest
       // history. Below that, merge delta files in place (O(delta)).
-      if (liveBytes(deltaPath) >= liveBytes(dataPath)) compact()
+      val pendingDrops = readSnapMetas().flatMap(_.drops).toSet
+      if (liveBytes(deltaPath, pendingDrops) >= liveBytes(dataPath, pendingDrops)) compact()
       else compactDelta()
       deltaFileEstimate = listedDeltaFileCount()
     }
@@ -973,8 +985,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private[engine] def compactDelta(): Unit = synchronized {
     committedVersioned(requireObserved = false) { v =>
       purgeUncommittedTokenFiles()
-      val live = liveFilesUnderClaim(deltaPath)
-      if (live.isEmpty) publishTickIfAgingNeeded(v)
+      val metas = readSnapMetas()
+      val live = liveFilesUnderClaim(deltaPath, metas.flatMap(_.drops).toSet)
+      if (live.isEmpty) publishTickIfAgingNeeded(v, metas)
       else {
           val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
           val delta = spark.read.parquet(live: _*).select(Point.columns.map(col): _*)
@@ -1096,7 +1109,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     */
   def retainBefore(cutoffMicros: Long): Long = synchronized {
     committedVersioned(requireObserved = false) { v =>
-      val pendingDrops = readSnapMetas().flatMap(_.drops).toSet
+      val snapMetas = readSnapMetas()
+      val pendingDrops = snapMetas.flatMap(_.drops).toSet
       val drops = scala.collection.mutable.ArrayBuffer.empty[String]
       var removed = 0L
       // straddler files per source dir, with the row count the
@@ -1159,7 +1173,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       val (strRemoved, moves, stagingRoot) = stageStraddlers(v, straddlers.toMap, cutoffMicros)
       removed += strRemoved
       drops ++= straddlers.valuesIterator.flatten.map(_._1.toString)
-      publishAndExecuteSnapshot(v, moves, drops.toSeq)
+      if (moves.isEmpty && drops.isEmpty) publishTickIfAgingNeeded(v, snapMetas)
+      else publishAndExecuteSnapshot(v, moves, drops.toSeq)
       stagingRoot.foreach(deleteOrThrow)
       pruneSnapDrops() // end-of-commit prune: see [[compact]]
       deltaFileEstimate = -1 // dropped delta files: re-list lazily
@@ -1315,7 +1330,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     */
   private def publishAndExecuteSnapshot(v: Long,
       moves: Seq[(String, String)], drops: Seq[String]): Unit = {
-    if (moves.isEmpty && drops.isEmpty) { publishTickIfAgingNeeded(v); return }
+    if (moves.isEmpty && drops.isEmpty) { publishTickIfAgingNeeded(v, readSnapMetas()); return }
     def enc(p: String) = java.net.URLEncoder.encode(qual(p), "UTF-8")
     if (!exists(snapMetaPath)) { fs.mkdirs(new Path(snapMetaPath)); () }
     val body = (moves.map { case (s, t) => s"M ${enc(s)} ${enc(t)}" } ++
@@ -1326,13 +1341,15 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   }
 
   /** A maintenance commit that dropped nothing still advances the meta
-    * chain with an EMPTY meta when older metas exist — otherwise a
-    * quiescent store would never age the last commit's deferred drops
-    * out (the prune phase always spares the newest meta). Fully-clean
-    * stores (no metas) write nothing.
+    * chain with an EMPTY meta when deferred drops are pending — so a
+    * quiescent store ages the last commit's drops out (the prune phase
+    * always spares the newest meta). Gated on pending DROPS, not mere
+    * meta presence, and paired with the prune phase's drain of
+    * fence-nothing metas — otherwise the chain would perpetuate itself
+    * through its own ticks forever.
     */
-  private def publishTickIfAgingNeeded(v: Long): Unit =
-    if (readSnapMetas().nonEmpty) {
+  private def publishTickIfAgingNeeded(v: Long, metas: Seq[SnapMeta]): Unit =
+    if (metas.exists(_.drops.nonEmpty)) {
       if (!exists(snapMetaPath)) { fs.mkdirs(new Path(snapMetaPath)); () }
       graft.util.AtomicFiles.writeString(fs, new Path(s"$snapMetaPath/$v"), "")
     }
@@ -1370,25 +1387,39 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
 
   private def pruneSnapDrops(): Unit = {
     val metas = readSnapMetas()
-    if (metas.size <= 1) return
+    if (metas.isEmpty) return
     val ageCutoff = System.currentTimeMillis() - dropGraceMs
     val touched = scala.collection.mutable.LinkedHashSet.empty[Path]
     metas.dropRight(1).foreach { m =>
       val metaFile = new Path(s"$snapMetaPath/${m.ver}")
-      val oldEnough = scala.util.Try(
-        fs.getFileStatus(metaFile).getModificationTime <= ageCutoff).getOrElse(true)
-      if (oldEnough) {
-        m.drops.foreach { d =>
-          val p = new Path(d)
-          if (fs.exists(p)) {
-            if (!fs.delete(p, false))
-              throw new java.io.IOException(s"snapshot prune: delete failed: $d")
-            Option(p.getParent).foreach { par => touched += par; () }
+      // a meta with nothing to defer and nothing to version-fence (an
+      // aged-out tick) is droppable regardless of age
+      if (m.drops.isEmpty && m.moves.isEmpty) { fs.delete(metaFile, false); () }
+      else {
+        val oldEnough = scala.util.Try(
+          fs.getFileStatus(metaFile).getModificationTime <= ageCutoff).getOrElse(true)
+        if (oldEnough) {
+          m.drops.foreach { d =>
+            val p = new Path(d)
+            if (fs.exists(p)) {
+              if (!fs.delete(p, false))
+                throw new java.io.IOException(s"snapshot prune: delete failed: $d")
+              Option(p.getParent).foreach { par => touched += par; () }
+            }
           }
+          fs.delete(metaFile, false)
+          ()
         }
-        fs.delete(metaFile, false)
-        ()
       }
+    }
+    // drain: a lone surviving meta that fences nothing (no deferred
+    // drops, no adds) ends the chain — without this the tick metas
+    // would keep each other alive forever, and every load() would pay
+    // a meta read for a store with zero pending maintenance garbage
+    readSnapMetas() match {
+      case Seq(last) if last.drops.isEmpty && last.moves.isEmpty =>
+        fs.delete(new Path(s"$snapMetaPath/${last.ver}"), false); ()
+      case _ => ()
     }
     // deferred empty-dir pruning, targeted at what the deletes touched:
     // walk up from each emptied dir (partition dir → measurement dir →
@@ -1431,21 +1462,20 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * version there). Maintenance must read through this view — a raw
     * dir read would resurrect rows a previous commit already dropped.
     */
-  private def liveFilesUnderClaim(dir: String): Seq[String] = {
-    val drops = readSnapMetas().flatMap(_.drops).toSet
+  private def liveFilesUnderClaim(dir: String): Seq[String] =
+    liveFilesUnderClaim(dir, readSnapMetas().flatMap(_.drops).toSet)
+
+  private def liveFilesUnderClaim(dir: String, drops: Set[String]): Seq[String] =
     listFilesRec(new Path(dir)).map(_.toString).filterNot(drops)
-  }
 
   /** Live data bytes of a tier (pending drops excluded) — the
     * compaction tier-choice heuristic; raw `getContentSummary` would
     * double-count a tier right after its own compaction replaced files.
     */
-  private def liveBytes(dir: String): Long = {
-    val drops = readSnapMetas().flatMap(_.drops).toSet
+  private def liveBytes(dir: String, drops: Set[String]): Long =
     listFilesRecStatus(new Path(dir))
       .filterNot(s => drops.contains(s.getPath.toString))
       .map(_.getLen).sum
-  }
 
   /** Destructive replace: claims the version chain exclusively AND
     * fails loudly ([[java.util.ConcurrentModificationException]]) when
@@ -1485,4 +1515,9 @@ object ParquetStorage {
     * grace (see [[ParquetStorage]]'s snapshot-plan protocol notes).
     */
   val DefaultSnapshotDropGraceMs = 60000L
+
+  /** Serializes the scoped TIMESTAMP_MICROS set/restore across every
+    * handle in the JVM — see [[ParquetStorage.withMicrosTimestamps]].
+    */
+  private[engine] val WriteConfLock = new Object
 }

@@ -874,6 +874,37 @@ object CorpusQueries {
         .select("qid", "id").orderBy("qid", "id")
     }),
 
+    // the PERSISTED-CONFIG full serve — the operating point rides WITH
+    // the index: persist writes (nProbe=2, rerankR=50) into the
+    // generation's meta_config, and opqIvfPqTopKPersistedRerank serves
+    // the complete shortlist+refine composition reading every parameter
+    // from the index itself (no out-of-band m/subDim/nProbe/R). The
+    // result must be bit-identical to the in-query q180 computation, so
+    // the oracle is the q180 replay verbatim — gating that the config
+    // round-trip changes NOTHING about the math.
+    "q194_ann_persisted_config_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      graft.util.Scratch.withDir("opqcfgserve") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx,
+          nProbe = 2, rerankR = 50)
+        Similarity.opqIvfPqTopKPersistedRerank(idx, corpus = e,
+          queries = e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
+          .select("qid", "id").orderBy("qid", "id")
+          .transform(graft.util.Scratch.materialize)
+      }
+    }),
+
     // the END-TO-END curation pipeline as ONE gated query — the shape a
     // reference user actually ships: exact dedup -> language filter ->
     // model-quality filter -> source mixture -> token-budget selection.
@@ -2274,6 +2305,7 @@ object CorpusQueries {
     // q178 replay (same tail verbatim; only the cent CTE differs)
     "q186_ann_opq_lloyd_persisted" -> OpqLloydSql,
     "q190_ann_pq_trained_persisted" -> opqPqLloydSql(PqTrainIters),
+    "q194_ann_persisted_config_rerank" -> opqRerankSql(nProbe = 2, r = 50),
     // incremental maintenance: train on evens, append odds encoded
     // with the frozen quantizers — the oracle replays that split
     "q182_ann_opq_append" -> OpqAppendSql,

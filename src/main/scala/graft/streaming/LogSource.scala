@@ -611,7 +611,12 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
       val sizes = segs.map(s => fs.getFileStatus(new Path(s.path)).getLen)
       var total = sizes.sum
       var cut = 0
-      while (total > maxBytes && cut < segs.size - 1) {
+      // Kafka's rule exactly: a segment is deleted only when the topic
+      // would STILL be at-or-over budget without it (remaining-after-
+      // delete ≥ maxBytes) — "total > maxBytes" alone would drop a
+      // segment whose removal lands the topic UNDER budget, deleting
+      // earlier than the documented never-early contract
+      while (cut < segs.size - 1 && total - sizes(cut) >= maxBytes) {
         total -= sizes(cut)
         cut += 1
       }

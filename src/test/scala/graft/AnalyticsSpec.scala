@@ -189,6 +189,19 @@ class AnalyticsSpec extends SparkSpec {
         Similarity.opqIvfPqCompact(spark, a)
         assert(Similarity.indexConfig(spark, a) === cfg,
           "compaction must carry the serving config into the new generation")
+        // the FULL persisted operating point: shortlist at the persisted
+        // rerankR/nProbe, exact-rerank refine — must equal the same
+        // composition spelled out with explicit parameters
+        val viaConfig = Similarity.opqIvfPqTopKPersistedRerank(
+          a, e, q, "vec_id", "embedding", "qid", k = 10)
+          .select("qid", "id").as[(Long, Long)].collect().toSet
+        val explicit = Similarity.exactRerank(e, q,
+          Similarity.opqIvfPqTopKPersisted(a, q, "qid", "embedding",
+            k = cfg.rerankR, nProbe = cfg.nProbe, m = cfg.m, subDim = cfg.subDim),
+          "vec_id", "embedding", "qid", k = 10)
+          .select("qid", "id").as[(Long, Long)].collect().toSet
+        assert(viaConfig === explicit,
+          "persisted-config rerank serve must equal the explicit composition")
       }
     }
     it("index compaction: one file per inverted list, identical serve, dead-run leftovers recovered") {

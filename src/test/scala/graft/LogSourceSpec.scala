@@ -148,6 +148,10 @@ class LogSourceSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(s.path)).getLen)
       // never early: a budget covering everything deletes nothing
       assert(p.truncateToMaxBytes(sizes.sum) === 0)
+      // never early, Kafka's exact rule: over budget WITH the oldest
+      // segment but under budget WITHOUT it → the segment survives
+      // (delete only when the remainder would still be >= the budget)
+      assert(p.truncateToMaxBytes(sizes.sum - 1) === 0)
       // budget for the newest two segments: the oldest two drop WHOLE,
       // survivors keep their global offsets, low water advances
       assert(p.truncateToMaxBytes(sizes.drop(2).sum) === 2)
