@@ -31,7 +31,8 @@ object StreamProbe {
 
     val pointData = Tables.eventsAsPoints(spark, sfDir)
       .limit(100000).as[Point].collect().toSeq
-    val chunks = pointData.grouped(math.max(100, pointData.size / 20)).toSeq
+    val nChunks = sys.env.getOrElse("SPARK_GRAFT_PROBE_CHUNKS", "20").toInt
+    val chunks = pointData.grouped(math.max(100, pointData.size / nChunks)).toSeq
     println(s"PROBE chunks=${chunks.size} rows=${pointData.size}")
 
     // (b) direct insertDF loop — storage cost only, no streaming engine
@@ -55,13 +56,30 @@ object StreamProbe {
     }
 
     // (a) the real streaming drain, exactly as Bench runs it
+    if (sys.env.contains("SPARK_GRAFT_PROBE_PIN96"))
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     (1 to 2).foreach { round =>
       val src = MemoryStream[Point](spark)
       val stream = src.toDS().toDF().drop(Point.SeqCol)
       val ckpt = java.nio.file.Files.createTempDirectory("probe-ckpt").toString
       val dest = java.nio.file.Files.createTempDirectory("probe-stream").toString
       val sdb = GraftDB.atPath(spark, dest)
-      val q = graft.streaming.StreamingIngest.start(stream, sdb, ckpt)
+      // StreamingIngest.start's exact graph, instrumented per batch:
+      // checkpoint vs append vs (total − sum) = engine overhead
+      val q = stream.withWatermark(Point.TimeCol, "10 minutes").writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val b0 = System.nanoTime()
+          val ck = batch.localCheckpoint(true)
+          val b1 = System.nanoTime()
+          sdb.insertDF(ck)
+          val b2 = System.nanoTime()
+          System.err.println(
+            f"PROBE drain batch ck=${(b1 - b0) / 1e9}%.3f append=${(b2 - b1) / 1e9}%.3f")
+        }
+        .start()
       src.addData(chunks.head)
       q.processAllAvailable()
       val t0 = System.nanoTime()

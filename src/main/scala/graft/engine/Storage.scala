@@ -627,7 +627,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     throw new IllegalStateException("unreachable")
   }
 
-  /** Write in the partitioned main-store layout. */
+  /** Write in the partitioned main-store layout. (Deliberately no
+    * cluster-by-partition-keys shuffle before partitionBy: measured at
+    * bench scale, the exchange costs more than the task×dir small-file
+    * fan-out it prevents — ~1 s shuffle vs ~0.3 s of extra renames on a
+    * 100k-row fold. At cluster scale an operator folding terabytes
+    * should repartition the input by (measurement, date) upstream.)
+    */
   private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
     val w = df
       .withColumn("p_date", to_date(col(Point.TimeCol)))
@@ -1433,26 +1439,40 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     }
   }
 
-  // ONE recursive enumeration (fs.listFiles(recursive) maps to a single
-  // paged LIST on object stores) instead of per-directory listStatus
-  // recursion — at 100 TB the data tier holds thousands of partition
-  // dirs and the per-dir form would pay one round trip each. Hidden
-  // path COMPONENTS (dot/underscore — staging dirs, Spark _temporary,
-  // marker files) are filtered from the relative path, matching what
-  // Spark's own file index skips.
+  // Scheme-split listing. Object stores: ONE recursive enumeration —
+  // fs.listFiles(recursive) maps to a single paged LIST, where the
+  // per-dir form would pay one round trip per partition dir (thousands
+  // at 100 TB). Local filesystems: per-directory listStatus recursion —
+  // there listFiles() returns LocatedFileStatus and the
+  // ChecksumFileSystem computes block locations PER FILE (~6 ms each;
+  // measured 1.5 s for a 244-file fold, 3x-ing the whole compaction),
+  // while plain listStatus is microseconds. Hidden path COMPONENTS
+  // (dot/underscore — staging dirs, Spark _temporary, marker files)
+  // are filtered either way, matching what Spark's own file index
+  // skips.
   private def listFilesRecStatus(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    def local(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap { s =>
+        if (hidden(s.getPath.getName)) Seq.empty
+        else if (s.isDirectory) local(s.getPath)
+        else Seq(s)
+      }
     if (!fs.exists(dir)) return Seq.empty
-    val base = dir.toUri.getPath.stripSuffix("/") + "/"
-    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val s = it.next()
-      val rel = s.getPath.toUri.getPath.stripPrefix(base)
-      if (rel.split("/").forall(c =>
-          c.nonEmpty && !c.startsWith(".") && !c.startsWith("_")))
-        out += s
+    val scheme = Option(dir.toUri.getScheme).getOrElse(fs.getScheme)
+    if (scheme == "file") local(dir)
+    else {
+      val base = dir.toUri.getPath.stripSuffix("/") + "/"
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toUri.getPath.stripPrefix(base)
+        if (rel.split("/").forall(c => c.nonEmpty && !hidden(c)))
+          out += s
+      }
+      out.result()
     }
-    out.result()
   }
 
   private def listFilesRec(dir: Path): Seq[Path] = listFilesRecStatus(dir).map(_.getPath)
