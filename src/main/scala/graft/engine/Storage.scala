@@ -355,15 +355,24 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // duration of one store write — inherent to a session-global knob,
   // but now a bounded window instead of a permanent handle-open
   // mutation.
-  private def withMicrosTimestamps[T](body: => T): T =
+  // `sessions`: a write reads the conf of the DATAFRAME'S session, not
+  // this handle's — and a Structured Streaming foreachBatch hands the
+  // store batches bound to the stream's CLONED session, whose conf this
+  // handle never pinned. Every write site passes the writing frame's
+  // session (plus this handle's, for the local-writer path that reads
+  // `spark.sessionState.conf` directly); missing that pin would land
+  // the PRIMARY INGEST PATH's files stat-less INT96 until a compaction
+  // happens to rewrite them.
+  private def withMicrosTimestamps[T](sessions: SparkSession*)(body: => T): T =
     ParquetStorage.WriteConfLock.synchronized {
       val key = "spark.sql.parquet.outputTimestampType"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "TIMESTAMP_MICROS")
+      val targets = (spark +: sessions).distinct
+      val prevs = targets.map(s => s -> s.conf.getOption(key))
+      targets.foreach(_.conf.set(key, "TIMESTAMP_MICROS"))
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      finally prevs.foreach {
+        case (s, Some(v)) => s.conf.set(key, v)
+        case (s, None)    => s.conf.unset(key)
       }
     }
 
@@ -639,7 +648,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       .withColumn("p_date", to_date(col(Point.TimeCol)))
       .sortWithinPartitions(Point.TimeCol)
       .write.mode(mode)
-    withMicrosTimestamps {
+    withMicrosTimestamps(df.sparkSession) {
       (if (partitioned) w.partitionBy(Point.MeasurementCol, "p_date") else w).parquet(path)
     }
   }
@@ -670,7 +679,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
             ((est + splitBytes - 1) / splitBytes).toLong)).toInt
           val stamped = withSeq(batch.coalesce(nOut))
-          withMicrosTimestamps {
+          withMicrosTimestamps(stamped.sparkSession) {
             stamped
               .sortWithinPartitions(Point.TimeCol)
               // Delta tier optimizes append latency: snappy encodes ~3× faster
@@ -745,7 +754,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val tmp = new Path(s"$deltaPath/.$name.inprogress")
     val file = new Path(s"$deltaPath/$name")
     try {
-      withMicrosTimestamps {
+      withMicrosTimestamps(batch.sparkSession) {
         Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
           sorted.iterator.map { case (r, seq) =>
             new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
@@ -804,7 +813,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
     val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-    withMicrosTimestamps {
+    withMicrosTimestamps(batch.sparkSession) {
       withSeq(batch.coalesce(nOut))
         .sortWithinPartitions(Point.TimeCol)
         .write.option("compression", "snappy")
@@ -1002,7 +1011,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
           val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
             ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-          withMicrosTimestamps {
+          withMicrosTimestamps(delta.sparkSession) {
             delta.coalesce(nOut)
               .sortWithinPartitions(Point.TimeCol)
               .write.option("compression", "snappy")
@@ -1219,7 +1228,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     byDir.toSeq.zipWithIndex.foreach { case ((dir, files), i) =>
       val before = files.map(_._2).sum // rows, carried from classification
       val sub = s"$stagingRoot/$i"
-      withMicrosTimestamps {
+      withMicrosTimestamps() {
         spark.read.parquet(files.map(_._1.toString): _*)
           .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
           .sortWithinPartitions(Point.TimeCol)

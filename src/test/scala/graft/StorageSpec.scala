@@ -672,6 +672,37 @@ class StorageSpec extends SparkSpec {
       assert(!Files.exists(java.nio.file.Paths.get(dir, ".retain-staging-dead")))
     }
 
+    it("a batch arriving on a CLONED session (the foreachBatch shape) still writes stats-bearing files") {
+      // Structured Streaming hands foreachBatch frames bound to the
+      // stream's cloned session, whose conf carries Spark's INT96
+      // default — the write pin must land on the WRITING frame's
+      // session, or the primary ingest path's files arrive stat-less.
+      // Evidence: a wholly-old file with usable footer time stats
+      // whole-drops with NO straddler rewrite; a stat-less one would
+      // pay a rewrite (leaving a retain-* replacement).
+      val dir = Files.createTempDirectory("graftclonesess").toString
+      val st = new ParquetStorage(spark, dir)
+      val clone = spark.newSession()
+      import clone.implicits._
+      val batch = Seq(
+        (t("2024-01-01T06:00:00Z"), "m", Map.empty[String, String], Map("v" -> 1.0)),
+        (t("2024-01-01T18:00:00Z"), "m", Map.empty[String, String], Map("v" -> 2.0)))
+        .toDF(Point.TimeCol, Point.MeasurementCol, Point.TagsCol, Point.FieldsCol)
+      assert(batch.sparkSession ne spark)
+      // force the DISTRIBUTED write path — the local WAL writer reads
+      // the handle session's conf and was never exposed; the cloned
+      // session's conf only reaches distributed DataFrame writes
+      spark.conf.set("graft.storage.localAppendMaxRows", "0")
+      try st.append(batch)
+      finally spark.conf.unset("graft.storage.localAppendMaxRows")
+      val db = GraftDB.atPath(spark, dir)
+      assert(db.retain(t("2024-01-02T00:00:00Z")) === 2L)
+      assert(db.length === 0L)
+      assert(!Files.list(java.nio.file.Paths.get(dir, "delta")).toArray
+        .map(_.toString).exists(_.contains("/retain-")),
+        "a stats-bearing whole-drop must not pay a straddler rewrite")
+    }
+
     it("stat-less INT96 legacy files fall back to the straddler rewrite and come back stats-bearing") {
       val dir = Files.createTempDirectory("graftretain96").toString
       val db = GraftDB.atPath(spark, dir)
