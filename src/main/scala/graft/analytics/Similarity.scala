@@ -542,34 +542,51 @@ object Similarity {
       m: Int, subDim: Int, iters: Int, roundTo: Int = 6): DataFrame = {
     requireIntegralId(corpus, idCol, "opqPqLloydRefine")
     require(iters >= 1, "iters must be >= 1")
+    var cb = seed
+    (1 to iters).foreach { _ =>
+      // rotated residual subvectors rebuilt lazily per round from the
+      // corpus scan (the lloydRefine cost contract: one scan per round,
+      // nothing corpus-sized materializes); the k×subDim round output
+      // checkpoints eagerly so rounds never compose into one deep plan
+      cb = opqPqLloydRound(
+        opqRotatedSubvecs(corpus, centroids, perm, idCol, vecCol, m, subDim),
+        cb, roundTo).localCheckpoint(eager = true)
+    }
+    cb
+  }
+
+  /** Rotated residual subvectors (id, sub, sv) — the training rows of
+    * the per-subspace codebook refinement. */
+  private[graft] def opqRotatedSubvecs(corpus: DataFrame, centroids: DataFrame,
+      perm: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
     val srcs = permSources(perm, m, subDim)
     val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
-    // rotated residual subvectors (id, sub, sv) — rebuilt lazily per
-    // round from the corpus scan (the lloydRefine cost contract: one
-    // scan per round, nothing corpus-sized materializes)
-    def subvecs: DataFrame = residualVecs(keyed, centroids, "__rid", vecCol)
+    residualVecs(keyed, centroids, "__rid", vecCol)
       .withColumn("rv", applyPerm(col("rv"), srcs))
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("rv"), s * subDim + 1, lit(subDim)))))
       .select(col("id"), col("pos").cast("int").as("sub"), col("col").as("sv"))
-    var cb = seed
-    (1 to iters).foreach { _ =>
-      cb = subvecs.join(broadcast(pqCentersOf(cb)), "sub")
-        .select(col("id"), col("sub"), col("sv"),
-          struct((col("cc") - lit(2.0) * dot(col("sv"), col("center"))).as("sdist"),
-            col("code")).as("sc"))
-        .groupBy("id", "sub")
-        // sv is constant within the (id, sub) group — first() carries
-        // it through the argmin without a second corpus-side join
-        .agg(min(col("sc")).getField("code").as("code"), first(col("sv")).as("sv"))
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .select(col("sub"), col("code"), col("pos").as("j"),
-          col("col").cast("double").as("x"))
-        .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
-        .localCheckpoint(eager = true)
-    }
-    cb
   }
+
+  /** ONE codebook refinement round (assign-to-nearest-code →
+    * per-(sub, code, j) rounded means) — test-visible so PlanAudit can
+    * pin the round's plan shape (the refine loop checkpoints each
+    * round, which would hide it).
+    */
+  private[graft] def opqPqLloydRound(subvecs: DataFrame, cb: DataFrame,
+      roundTo: Int): DataFrame =
+    subvecs.join(broadcast(pqCentersOf(cb)), "sub")
+      .select(col("id"), col("sub"), col("sv"),
+        struct((col("cc") - lit(2.0) * dot(col("sv"), col("center"))).as("sdist"),
+          col("code")).as("sc"))
+      .groupBy("id", "sub")
+      // sv is constant within the (id, sub) group — first() carries
+      // it through the argmin without a second corpus-side join
+      .agg(min(col("sc")).getField("code").as("code"), first(col("sv")).as("sv"))
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .select(col("sub"), col("code"), col("pos").as("j"),
+        col("col").cast("double").as("x"))
+      .groupBy("sub", "code", "j").agg(round(avg("x"), roundTo).as("c"))
 
   /** [[residualIvfPqTopK]] with the OPQ rotation applied to both the
     * corpus residuals and the per-(query, cell) query residuals — the

@@ -454,6 +454,32 @@ class PlanAuditSpec extends SparkSpec {
       assert(res.count() > 0)
     }
 
+    it("PQ codebook training round (q190): broadcast codebook, no corpus self-join, no window") {
+      // one per-subspace Lloyd round = corpus scan x broadcast of the
+      // m x 64 codebook + two partial aggs — recall is bought at train
+      // time with rounds, never with a corpus-sized SortMergeJoin,
+      // cartesian, or a per-vector window
+      import graft.analytics.Similarity
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val cents = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val seed = Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      // one ROUND's un-checkpointed plan (the refine loop checkpoints
+      // each round, which would hide the shape under a LogicalRDD)
+      val trained = Similarity.opqPqLloydRound(
+        Similarity.opqRotatedSubvecs(e, cents, perm, "vec_id", "embedding", 4, 16),
+        seed, roundTo = 6)
+      val p = plan(trained)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+      assert(!p.contains("Window"), p)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+      assert(trained.count() > 0)
+    }
+
     it("scalable global ranking keeps the big-table window out of a single partition") {
       import graft.analytics.Ranking
       val orders = spark.read.parquet(s"$sf/orders.parquet")
