@@ -55,8 +55,11 @@ object StreamProbe {
       println(f"PROBE direct_round$round $total%.3f s rate=${rows / total}%.0f rows/s")
     }
 
-    // (a) the real streaming drain, exactly as Bench runs it
-    if (sys.env.contains("SPARK_GRAFT_PROBE_PIN96"))
+    // (a) the real streaming drain, exactly as Bench runs it.
+    // SPARK_GRAFT_PROBE_PIN_MICROS re-applies the OLD session-wide
+    // TIMESTAMP_MICROS pin (pre-r13 behavior) for A/B timing of the
+    // scoped per-write pin — it does NOT select INT96.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_PIN_MICROS"))
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     (1 to 2).foreach { round =>
       val src = MemoryStream[Point](spark)

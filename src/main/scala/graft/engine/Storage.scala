@@ -347,14 +347,16 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // INT96 file is simply treated as boundary-straddling by
   // [[retainBefore]], whose filtered rewrite re-encodes it with stats
   // — self-healing.
-  // The set/restore is serialized across ALL ParquetStorage handles in
-  // the JVM (the conf key is session-global; two stores' unsynchronized
-  // set/restore pairs could leave one store's write running under the
-  // INT96 default after the other's finally fired). The application's
-  // OWN concurrent parquet writes can still observe the pin for the
-  // duration of one store write — inherent to a session-global knob,
-  // but now a bounded window instead of a permanent handle-open
-  // mutation.
+  // Cross-handle safety comes from a JVM-global REFERENCE-COUNTED pin
+  // per session ([[ParquetStorage.pinMicros]]): the first pin records
+  // the true previous value, the last unpin restores it, and the
+  // bookkeeping lock is held only for the set/restore — so overlapping
+  // store writes never leave a session on the wrong encoding AND never
+  // serialize each other's (potentially multi-second) write jobs. The
+  // application's OWN concurrent parquet writes can still observe the
+  // pin for the duration of a store write — inherent to a
+  // session-global knob, but a bounded window instead of a permanent
+  // handle-open mutation.
   // `sessions`: a write reads the conf of the DATAFRAME'S session, not
   // this handle's — and a Structured Streaming foreachBatch hands the
   // store batches bound to the stream's CLONED session, whose conf this
@@ -363,18 +365,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // `spark.sessionState.conf` directly); missing that pin would land
   // the PRIMARY INGEST PATH's files stat-less INT96 until a compaction
   // happens to rewrite them.
-  private def withMicrosTimestamps[T](sessions: SparkSession*)(body: => T): T =
-    ParquetStorage.WriteConfLock.synchronized {
-      val key = "spark.sql.parquet.outputTimestampType"
-      val targets = (spark +: sessions).distinct
-      val prevs = targets.map(s => s -> s.conf.getOption(key))
-      targets.foreach(_.conf.set(key, "TIMESTAMP_MICROS"))
-      try body
-      finally prevs.foreach {
-        case (s, Some(v)) => s.conf.set(key, v)
-        case (s, None)    => s.conf.unset(key)
-      }
-    }
+  private def withMicrosTimestamps[T](sessions: SparkSession*)(body: => T): T = {
+    val targets = (spark +: sessions).distinct
+    ParquetStorage.pinMicros(targets)
+    try body
+    finally ParquetStorage.unpinMicros(targets)
+  }
 
   recover()
 
@@ -550,16 +546,24 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     if (!exists(deltaPath) && exists(backupDeltaPath) && stagingDeltaPresent)
       renameOrThrow(backupDeltaPath, deltaPath)
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
-    // a retention straddler-rewrite that died mid-commit rolls forward
-    // (or its pre-commit staging is dropped) — see [[recoverRetain]]
-    recoverRetain()
     // a maintenance snapshot commit that died after publishing its
     // `_snapmeta/<v>` plan but before (or during) its renames rolls
     // FORWARD here: moves are exists-checked and idempotent, and the
     // meta only ever publishes with staging complete. Metas themselves
     // stay (their drops still fence readers) until a later maintenance
-    // commit's prune phase.
+    // commit's prune phase. MUST run before [[recoverRetain]]'s
+    // `.retain-staging-*` cleanup: the snapshot-plan retention path
+    // stages its straddler replacements under `.retain-staging-*` and
+    // publishes ONLY a `_snapmeta/<v>` plan (never the legacy
+    // `.retain-commit` marker), so sweeping staging dirs first would
+    // destroy the staged replacement files of a published-but-
+    // unexecuted commit — the meta's drops would still fence the
+    // straddler originals and every surviving row would be lost.
     readSnapMetas().foreach(executeSnapMoves)
+    // a LEGACY-marker straddler-rewrite that died mid-commit rolls
+    // forward (and only then is remaining `.retain-staging-*` content
+    // provably pre-commit garbage, safe to drop) — see [[recoverRetain]]
+    recoverRetain()
     if (exists(root)) {
       val staging = fs.listStatus(new Path(root))
         .filter(_.getPath.getName.startsWith(".staging-"))
@@ -1411,8 +1415,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // aged-out tick) is droppable regardless of age
       if (m.drops.isEmpty && m.moves.isEmpty) { fs.delete(metaFile, false); () }
       else {
+        // a FAILED stat must not count as "old enough": defaulting to
+        // true would let a transient stat error physically delete a
+        // superseded file set immediately, defeating the dropGraceMs
+        // time floor that protects slow concurrent readers — skip this
+        // meta now, a later tick retries
         val oldEnough = scala.util.Try(
-          fs.getFileStatus(metaFile).getModificationTime <= ageCutoff).getOrElse(true)
+          fs.getFileStatus(metaFile).getModificationTime <= ageCutoff).getOrElse(false)
         if (oldEnough) {
           m.drops.foreach { d =>
             val p = new Path(d)
@@ -1545,8 +1554,45 @@ object ParquetStorage {
     */
   val DefaultSnapshotDropGraceMs = 60000L
 
-  /** Serializes the scoped TIMESTAMP_MICROS set/restore across every
-    * handle in the JVM — see [[ParquetStorage.withMicrosTimestamps]].
+  /** Reference-counted TIMESTAMP_MICROS pins, per SparkSession — see
+    * [[ParquetStorage.withMicrosTimestamps]]. The bookkeeping lock is
+    * held only for the set/restore itself, never across the write job:
+    * overlapping store writes (same or different sessions) no longer
+    * serialize; the FIRST pin on a session records the true previous
+    * value and the LAST unpin restores it, so two handles' overlapping
+    * pin windows can't leave a session stuck on the wrong encoding.
     */
-  private[engine] val WriteConfLock = new Object
+  private val TsKey = "spark.sql.parquet.outputTimestampType"
+  private val PinLock = new Object
+  private val pinned =
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, (Int, Option[String])]
+
+  private[engine] def pinMicros(targets: Seq[org.apache.spark.sql.SparkSession]): Unit =
+    PinLock.synchronized {
+      targets.foreach { s =>
+        Option(pinned.get(s)) match {
+          case Some((n, prev)) => pinned.put(s, (n + 1, prev)); ()
+          case None =>
+            val prev = s.conf.getOption(TsKey)
+            s.conf.set(TsKey, "TIMESTAMP_MICROS")
+            pinned.put(s, (1, prev)); ()
+        }
+      }
+    }
+
+  private[engine] def unpinMicros(targets: Seq[org.apache.spark.sql.SparkSession]): Unit =
+    PinLock.synchronized {
+      targets.foreach { s =>
+        Option(pinned.get(s)) match {
+          case Some((1, prev)) =>
+            pinned.remove(s)
+            prev match {
+              case Some(v) => s.conf.set(TsKey, v)
+              case None    => s.conf.unset(TsKey)
+            }
+          case Some((n, prev)) => pinned.put(s, (n - 1, prev)); ()
+          case None            => () // unbalanced unpin: nothing to restore
+        }
+      }
+    }
 }

@@ -661,6 +661,58 @@ class StorageSpec extends SparkSpec {
       assert(!Files.exists(java.nio.file.Paths.get(dir, ".retain-staging-test")))
     }
 
+    it("a snapshot-plan retention commit crashed between meta publish and move execution rolls forward without losing straddler rows") {
+      // The dangerous window: stageStraddlers completed (replacement
+      // staged under .retain-staging-*), publishAndExecuteSnapshot
+      // published _snapmeta/<v>, and the process died before (or
+      // during) executeSnapMoves. Recovery MUST replay the snapmeta
+      // moves BEFORE sweeping .retain-staging-* dirs — sweeping first
+      // destroys the staged replacement while the meta's drops still
+      // fence the straddler original, permanently losing every
+      // surviving (>= cutoff) row of the straddled file.
+      val dir = Files.createTempDirectory("graftsnapcrash").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple(Seq(pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-02T06:00:00Z", 2.0)))
+      db.close()
+      val orig = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(orig.length === 1)
+      // staged filtered replacement, exactly as stageStraddlers leaves it
+      val staging = s"$dir/.retain-staging-crash/0"
+      spark.read.parquet(orig.head)
+        .filter(org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col(Point.TimeCol)) >=
+          t("2024-01-02T00:00:00Z").getEpochSecond * 1000000L)
+        .coalesce(1).write.parquet(staging)
+      val staged = Files.list(java.nio.file.Paths.get(staging)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter { p => val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") }
+        .map(_.toString)
+      assert(staged.length === 1)
+      // the commit's version = the sealed head (retention seals v at
+      // commit end; the crash window leaves v claimed — recovery's
+      // orphan-seal makes it the head either way)
+      val head = Files.list(java.nio.file.Paths.get(dir, "_versions")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.endsWith(".done")).map(_.stripSuffix(".done").toLong).max
+      val target = s"$dir/delta/retain-$head-0-0.snappy.parquet"
+      // the published-but-unexecuted plan, in snapmeta's qualified form
+      def enc(p: String) = java.net.URLEncoder.encode("file:" + p, "UTF-8")
+      Files.createDirectories(java.nio.file.Paths.get(dir, "_snapmeta"))
+      Files.write(java.nio.file.Paths.get(dir, "_snapmeta", head.toString),
+        s"M ${enc(staged.head)} ${enc(target)}\nD ${enc(orig.head)}".getBytes("UTF-8"))
+      // handle open = recovery point: moves replay FIRST, then staging sweep
+      val again = GraftDB.atPath(spark, dir)
+      assert(vals(again) === Seq(2.0),
+        "the straddler's surviving rows must not be lost to the staging sweep")
+      assert(Files.exists(java.nio.file.Paths.get(target)))
+      assert(!Files.exists(java.nio.file.Paths.get(dir, ".retain-staging-crash")))
+      // the original is fenced by the meta's drop (still on disk until a
+      // later maintenance commit prunes it) — reads already exclude it
+      assert(Files.exists(java.nio.file.Paths.get(orig.head)))
+    }
+
     it("pre-commit retention staging (no marker) is discarded; originals survive") {
       val dir = Files.createTempDirectory("graftretainpre").toString
       val db = GraftDB.atPath(spark, dir)
