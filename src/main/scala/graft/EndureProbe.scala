@@ -126,6 +126,75 @@ object EndureProbe {
     val sRm = buildStore(retainDays)
     val (nRm, tRm) = timed(sRm.remove(TimeQuery() < base.plusSeconds(5L * 86400L)))
     println(f"| $retainDays | ${retainDays.toLong * rowsPerDay} | remove() equivalent | $nRm | $tRm%.3f |")
+
+    // ---- snapshot-meta chain endurance: hundreds of maintenance ticks
+    // on one live store. Every tick is a maintenance commit (alternating
+    // compaction and retention, with fresh appends so retention always
+    // has straddlers to rewrite); the protocol's health invariants are
+    //   - the `_snapmeta` chain DRAINS (ticks must not keep each other
+    //     alive — the r13 drain rule),
+    //   - on-disk file count stays BOUNDED (deferred drops are pruned,
+    //     no leak), and
+    //   - `load()` cost stays FLAT (the read resolves one head + one
+    //     listing + the chain — a growing chain would show up here).
+    // dropGraceMs=0 exercises the prune/drain logic every tick (the
+    // production floor only defers, never changes, what gets deleted).
+    val ticks = sys.env.getOrElse("SPARK_GRAFT_ENDURE_TICKS", "500").toInt
+    spark.conf.set("graft.storage.snapshotDropGraceMs", "0")
+    val d4 = java.nio.file.Files.createTempDirectory("graftsnapchain").toString
+    val s4 = GraftDB.atPath(spark, d4)
+    def snapMetas(): Int = {
+      val d = new java.io.File(s"$d4/_snapmeta")
+      if (!d.exists) 0 else d.listFiles.count(_.isFile)
+    }
+    def diskFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile) { if (f.getName.startsWith(".") || f.getName.startsWith("_")) 0 else 1 }
+        else if (f.isDirectory && !f.getName.startsWith(".") &&
+          f.getName != "_versions" && f.getName != "_snapmeta" && f.getName != "_commits")
+          Option(f.listFiles).fold(0)(_.map(walk).sum)
+        else 0
+      walk(new java.io.File(d4))
+    }
+    def loadP50(): Double = {
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        s4.allDF(sorted = false).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(2)
+    }
+    val tickRows = 200
+    val keepHours = 10L
+    println(s"snapshot-chain endurance: $ticks ticks, dropGraceMs=0")
+    println("| tick | snap metas | disk files | rows | load p50 (s) |")
+    println("|---|---|---|---|---|")
+    val tickEvery = math.max(1, ticks / 10)
+    (1 to ticks).foreach { t =>
+      s4.insertDF(spark.createDataset((0 until tickRows).map { i =>
+        Point(base.plusSeconds(t * 3600L + i), "chain",
+          Map("host" -> s"h${i % 3}"), Map("v" -> i.toDouble))
+      }).toDF().drop(Point.SeqCol).localCheckpoint(true))
+      if (t % 2 == 0) s4.compact()
+      else s4.retain(base.plusSeconds(math.max(0L, t - keepHours) * 3600L))
+      if (t % tickEvery == 0)
+        println(f"| $t | ${snapMetas()} | ${diskFiles()} | ${s4.length} | ${loadP50()}%.4f |")
+    }
+    // quiesce: two content-free maintenance ticks age the final drops
+    // out and the drain rule must empty the chain entirely
+    s4.compact(); s4.compact()
+    val finalMetas = snapMetas()
+    val finalFiles = diskFiles()
+    println(s"final: snap metas=$finalMetas disk files=$finalFiles rows=${s4.length}")
+    require(finalMetas == 0, s"snapshot chain failed to drain: $finalMetas metas remain")
+    // exact survivors: the LAST retention tick (largest odd t) cut
+    // batches below t - keepHours; everything from that batch through
+    // the final tick's insert survives
+    val lastRetain = if (ticks % 2 == 1) ticks else ticks - 1
+    val firstKept = math.max(1, lastRetain - keepHours.toInt)
+    val expectRows = (ticks - firstKept + 1).toLong * tickRows
+    require(s4.length == expectRows,
+      s"chain store rows ${s4.length} != expected $expectRows")
     spark.stop()
   }
 }

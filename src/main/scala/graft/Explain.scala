@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 13, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 14, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -481,6 +481,113 @@ object Explain {
           .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
             org.apache.spark.sql.functions.col("embedding")),
         "qid", "embedding", k = 10)
+    }
+
+    section("q194 persisted-config full serve (round 13)",
+      "The complete shortlist+refine composition with every parameter (m, subDim, nProbe, rerankR) read from the generation's `meta_config` — zero out-of-band knowledge. Plan = the q180 rerank shape: static `cell IN (...)` pruning on the codes scan, broadcast quantizers and shortlist, bounded TopK aggregate for both stages, no corpus-wide shuffle.") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nv = graft.functions.VectorFunctions.l2Normalize(
+        org.apache.spark.sql.functions.col("embedding"))
+      val cents = graft.analytics.Similarity.centroids(
+        e.select(org.apache.spark.sql.functions.col("label"), nv.as("nv")), "label", "nv")
+        .select(org.apache.spark.sql.functions.col("group"),
+          org.apache.spark.sql.functions.col("i"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("c"), 6).as("c"))
+      val perm = graft.analytics.Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val idx = graft.util.Scratch.dir("explaincfg")
+      graft.analytics.Similarity.opqIvfPqPersist(e, cents, perm, cb,
+        "vec_id", "embedding", 4, 16, idx, nProbe = 2, rerankR = 50)
+      graft.analytics.Similarity.opqIvfPqTopKPersistedRerank(idx, e,
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+            org.apache.spark.sql.functions.col("embedding")),
+        "vec_id", "embedding", "qid", k = 10)
+    }
+
+    section("snapshot-consistent main-store read (round 13)",
+      "`load()` after appends + a compaction with a live `_snapmeta` chain: the reader resolves the version head ONCE, lists the tier dirs, and subtracts adds of newer commits / drops at-or-below its head — so the scan below is an EXPLICIT-FILE parquet read of exactly the head-time snapshot (superseded files are still on disk, excluded here, deleted by a later maintenance commit's prune). No locks anywhere on the read path; `ignoreMissingFiles` degrades a racing USER rewrite to a skip, and maintenance can no longer unlink a resolved file at all.") {
+      val dir = graft.util.Scratch.dir("explainsnap")
+      val db = GraftDB.atPath(spark, dir)
+      import spark.implicits._
+      db.insertDF(Seq(
+        (java.time.Instant.parse("2024-01-01T00:00:00Z"), "m",
+          Map.empty[String, String], Map("v" -> 1.0)),
+        (java.time.Instant.parse("2024-01-02T00:00:00Z"), "m",
+          Map.empty[String, String], Map("v" -> 2.0)))
+        .toDF(graft.model.Point.TimeCol, graft.model.Point.MeasurementCol,
+          graft.model.Point.TagsCol, graft.model.Point.FieldsCol))
+      db.compact()
+      db.insertDF(Seq(
+        (java.time.Instant.parse("2024-01-03T00:00:00Z"), "m",
+          Map.empty[String, String], Map("v" -> 3.0)))
+        .toDF(graft.model.Point.TimeCol, graft.model.Point.MeasurementCol,
+          graft.model.Point.TagsCol, graft.model.Point.FieldsCol))
+      db.allDF()
+    }
+
+    section("q195 FLAGSHIP trained serve (round 14)",
+      "The configuration a production user deploys (FAISS `IVFx,PQy + refine`): Lloyd-trained cells + Lloyd-trained PQ codebooks persisted with the grid-validated high-recall config (nProbe=7, rerankR=150 — the persist DEFAULT), served via the persisted-config path. recall@10 0.930/0.730 at sf0.001/sf0.1 vs the untrained-codebook composition's 0.770/0.600. The SERVE plan is the q194 shape with wider probe/shortlist constants — training cost lives at persist time, zero serve-time delta.") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nv = graft.functions.VectorFunctions.l2Normalize(
+        org.apache.spark.sql.functions.col("embedding"))
+      val cents0 = graft.analytics.Similarity.centroids(
+        e.select(org.apache.spark.sql.functions.col("label"), nv.as("nv")), "label", "nv")
+        .select(org.apache.spark.sql.functions.col("group"),
+          org.apache.spark.sql.functions.col("i"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("c"), 6).as("c"))
+      val cents = graft.analytics.Similarity.lloydRefine(e, cents0, "vec_id", "embedding", 3)
+      val perm = graft.analytics.Similarity.opqPermutation(e, cents, "vec_id", "embedding", 4, 16)
+      val cb0 = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val cb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, cents, perm, cb0, "vec_id", "embedding", 4, 16, iters = 3)
+      val idx = graft.util.Scratch.dir("explainflagship")
+      graft.analytics.Similarity.opqIvfPqPersist(e, cents, perm, cb,
+        "vec_id", "embedding", 4, 16, idx) // flagship defaults: nProbe=7, R=150
+      graft.analytics.Similarity.opqIvfPqTopKPersistedRerank(idx, e,
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+            org.apache.spark.sql.functions.col("embedding")),
+        "vec_id", "embedding", "qid", k = 10)
+    }
+
+    section("q196 swap-trained OPQ rotation (round 14)",
+      "Real OPQ's rotate step on the permutation subgroup: greedy cross-subspace dimension swaps balance per-subspace residual variance on INTEGER variance units (round(v*1e9) — bit-reproducible across engines, so the DuckDB oracle replays the exact swap trajectory). The permutation itself is d=64 rows computed driver-side; the SERVE plan below is the unchanged q178/q190 ADC shape — broadcast quantizers, one encode shuffle, bounded TopK.") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nv = graft.functions.VectorFunctions.l2Normalize(
+        org.apache.spark.sql.functions.col("embedding"))
+      val cents0 = graft.analytics.Similarity.centroids(
+        e.select(org.apache.spark.sql.functions.col("label"), nv.as("nv")), "label", "nv")
+        .select(org.apache.spark.sql.functions.col("group"),
+          org.apache.spark.sql.functions.col("i"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("c"), 6).as("c"))
+      val cents = graft.analytics.Similarity.lloydRefine(e, cents0, "vec_id", "embedding", 3)
+      val perm = graft.analytics.Similarity.opqSwapRefine(
+        e, cents, "vec_id", "embedding", 4, 16, iters = 2)
+      val cb0 = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val cb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, cents, perm, cb0, "vec_id", "embedding", 4, 16, iters = 3)
+      graft.analytics.Similarity.opqResidualIvfPqTopK(e,
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+            org.apache.spark.sql.functions.col("embedding")),
+        cents, perm, cb, "vec_id", "embedding", "qid", 10, nProbe = 2,
+        m = 4, subDim = 16)
+    }
+
+    section("q197 compacted graft-log read (round 14)",
+      "A batch read over a log-compacted topic (Kafka `cleanup.policy=compact`): compacted segments keep their seq/base/SPAN so offset arithmetic and every checkpoint stay valid; surviving records carry explicit offset deltas and the reader filters by delta range — one input partition per touched segment, exactly the uncompacted plan shape, just fewer rows out.") {
+      val log = graft.util.Scratch.dir("explaincmplog")
+      val p = new graft.streaming.GraftLogProducer(log)
+      (0 until 3).foreach(s => p.publish((s * 100 until s * 100 + 150).map(_.toString)))
+      p.compactTopic()
+      spark.read.format("graft-log").option("path", log).load()
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),

@@ -168,6 +168,43 @@ object PqProbe {
       "vec_id", "embedding", "qid", k))
     println(f"| Lloyd + high-recall re-rank | 3 Lloyd iters, R=100, nProbe=5 | ${recall(lhi)}%.3f |")
 
+    // q195 FLAGSHIP: every quantizer trained (3 Lloyd cell rounds + 3
+    // per-subspace PQ rounds) + the high-recall refine — the composed
+    // stack a production user deploys, gated end-to-end through the
+    // persisted-config serve (persist defaults nProbe=5/R=100)
+    // the grid that selected the flagship config: trained codebooks
+    // sharpen the ADC shortlist but need a refine wider than q187's
+    // R=100 to dominate at sf0.1 — (pqIters=3, R=150, nProbe=7) is the
+    // dominant row at both scales (0.930/0.730 vs the r13 headline's
+    // 0.770/0.600) and is the gated q195 / persist-default config
+    val ftcb = graft.analytics.Similarity.opqPqLloydRefine(
+      e, lcents, lperm, locb, "vec_id", "embedding", 4, 16, iters = 3)
+    for ((np, r) <- Seq((5, 100), (5, 150), (7, 100), (7, 150))) {
+      val fshort = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, lperm, ftcb,
+        "vec_id", "embedding", "qid", k = r, nProbe = np, m = 4, subDim = 16)
+      val fl = pairs(graft.analytics.Similarity.exactRerank(e, q, fshort,
+        "vec_id", "embedding", "qid", k))
+      val tag = if (np == 7 && r == 150) "FLAGSHIP (q195, gated)" else "flagship sweep"
+      println(f"| $tag | pqIters=3, R=$r, nProbe=$np | ${recall(fl)}%.3f |")
+    }
+
+    // q196: SWAP-TRAINED rotation — greedy cross-subspace dimension
+    // swaps balancing per-subspace residual variance (the OPQ rotate
+    // step on the permutation subgroup), composed with the trained
+    // cells + trained PQ codebooks at the q190 serve point; sweep shows
+    // the iteration trajectory (0 = snake-deal seed = the q190 row)
+    for (it <- Seq(0, 2, 4, 8, 16)) {
+      val sperm = graft.analytics.Similarity.opqSwapRefine(
+        e, lcents, "vec_id", "embedding", 4, 16, iters = it)
+      val scb0 = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, lcents, sperm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val scb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, lcents, sperm, scb0, "vec_id", "embedding", 4, 16, iters = 3)
+      val sr = pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, sperm, scb,
+        "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
+      println(f"| swap-train sweep (q196) | swapIters=$it, pqIters=3, 3 Lloyd iters, nProbe=2 | ${recall(sr)}%.3f |")
+    }
+
     // the original compression sweep: recall across subspace splits
     for ((m, sd) <- Seq((4, 16), (8, 8), (16, 4), (32, 2))) {
       val cbs = graft.analytics.Similarity.pqCodebooks(e, "label", "embedding", m, sd)

@@ -468,6 +468,92 @@ object Similarity {
         (col("r") / m).cast("int").as("j"))
   }
 
+  /** SWAP-TRAINED OPQ permutation — the alternating-minimization step
+    * of real OPQ (Ge et al.) restricted to the permutation subgroup:
+    * starting from the [[opqPermutation]] snake-deal, `iters` greedy
+    * rounds each apply the single cross-subspace dimension SWAP that
+    * most reduces the per-subspace variance imbalance
+    * Σ_s (S_s − μ)², where S_s is subspace s's summed residual
+    * variance (swapping dims i∈A, i'∈B with δ = v_i' − v_i changes the
+    * objective by Δ = 2δ(S_A − S_B) + 2δ² — apply the (Δ, i, i')-min
+    * pair iff Δ < 0, else the round is a no-op and the refinement has
+    * converged). All arithmetic runs on INTEGER variance units
+    * (round(v·10⁹) of the 9dp-rounded per-dim variance), so the greedy
+    * trajectory is bit-reproducible across engines regardless of
+    * summation order — the property that lets the DuckDB oracle replay
+    * the exact same swaps CTE-round by CTE-round (q196). In-subspace
+    * positions are re-derived by (variance desc, dim) after the swaps,
+    * so the sign-orthant bits stay on each subspace's most informative
+    * dims; at iters where no swap improves, the output equals the
+    * snake-deal exactly. The variance table is d rows — the greedy
+    * loop is driver-side arithmetic on 64 integers, not a Spark job.
+    */
+  def opqSwapRefine(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, iters: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "opqSwapRefine")
+    require(iters >= 0, "iters must be >= 0")
+    val d = m * subDim
+    val spark = corpus.sparkSession
+    val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
+    // per-dim residual variance, the exact [[opqPermutation]] aggregate
+    val vrows = residualVecs(keyed, centroids, "__rid", vecCol)
+      .select(posexplode(col("rv")))
+      .select((col("pos") + 1).as("i"), col("col").cast("double").as("x"))
+      .groupBy("i")
+      .agg(round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 9).as("v"))
+      .collect().map(r => r.getAs[Number]("i").intValue -> r.getAs[Double]("v"))
+    require(vrows.length == d, s"variance table covers ${vrows.length} of $d dims")
+    // integer variance units: w strictly preserves the 9dp order, and
+    // every downstream sum/compare is exact 64-bit arithmetic
+    val w = vrows.map { case (i, v) => i -> math.round(v * 1e9) }.toMap
+    // snake-deal seed, identical to opqPermutation's rank arithmetic
+    // (ranked on w, whose order equals the 9dp variance order exactly)
+    val sub = scala.collection.mutable.HashMap.empty[Int, Int]
+    vrows.map(_._1).sortBy(i => (-w(i), i)).zipWithIndex.foreach {
+      case (i, r) => sub(i) = if ((r / m) % 2 == 0) r % m else m - 1 - (r % m)
+    }
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val sums = Array.fill(m)(0L)
+      sub.foreach { case (i, s) => sums(s) += w(i) }
+      // first minimal Δ in (ia, ib) iteration order == the SQL replay's
+      // row_number() OVER (ORDER BY delta, ia, ib) = 1
+      var bestDelta = 0L
+      var bestA = 0
+      var bestB = 0
+      var found = false
+      var ia = 1
+      while (ia <= d) {
+        var ib = ia + 1
+        while (ib <= d) {
+          val sa = sub(ia); val sb = sub(ib)
+          if (sa != sb) {
+            val dd = w(ib) - w(ia)
+            val delta = 2L * dd * (sums(sa) - sums(sb)) + 2L * dd * dd
+            if (!found || delta < bestDelta) {
+              found = true; bestDelta = delta; bestA = ia; bestB = ib
+            }
+          }
+          ib += 1
+        }
+        ia += 1
+      }
+      if (found && bestDelta < 0L) {
+        val t = sub(bestA); sub(bestA) = sub(bestB); sub(bestB) = t
+      } else converged = true
+      it += 1
+    }
+    // in-subspace positions: (variance desc, dim) within each subspace
+    // — generalizes the snake-deal's j (identical when no swap applied)
+    val out = (0 until m).flatMap { s =>
+      (1 to d).filter(sub(_) == s).sortBy(i => (-w(i), i)).zipWithIndex
+        .map { case (i, j) => (i, s, j) }
+    }
+    import spark.implicits._
+    out.toDF("i", "sub", "j")
+  }
+
   /** Collect a permutation table to its positional form: entry p of
     * the result is the 1-based SOURCE dimension that lands at rotated
     * position p = sub·subDim + j. Tiny (d rows) — broadcast as array
@@ -833,10 +919,21 @@ object Similarity {
     genDir(indexPath, cur)
   }
 
+  /** Persist the OPQ-IVF+PQ index as a new immutable generation. The
+    * default serving config written to `meta_config` is the FLAGSHIP
+    * operating point (nProbe=7, rerankR=150) — the q195-gated
+    * high-recall composition (FAISS's standard `IVFx,PQy + refine`
+    * deployment shape; recall@10 0.930/0.730 at sf0.001/sf0.1, the
+    * dominant row of the PqProbe (pqIters, nProbe, R) grid — trained
+    * codebooks sharpen the ADC shortlist ordering but need the wider
+    * refine to beat the untrained stack at scale). Pass explicit
+    * values to validate a cheaper point (q194 gates nProbe=2/
+    * rerankR=50).
+    */
   def opqIvfPqPersist(corpus: DataFrame,
       centroids: DataFrame, perm: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int,
-      path: String, nProbe: Int = 2, rerankR: Int = 50): Unit = {
+      path: String, nProbe: Int = 7, rerankR: Int = 150): Unit = {
     requireIntegralId(corpus, idCol, "opqIvfPqPersist")
     requireIntegralCells(centroids, "opqIvfPqPersist")
     val srcs = permSources(perm, m, subDim)

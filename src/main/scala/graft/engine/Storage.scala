@@ -992,6 +992,21 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     }
   }
 
+  // Maintenance-tick phase timings (operator observability): set
+  // `graft.storage.maintenanceTimings=true` on the session to log each
+  // phase of a compaction/retention tick to stderr — the dial behind
+  // the FoldProbe breakdowns in BENCH_NOTES. Zero cost when unset.
+  private def maintTimings: Boolean =
+    spark.conf.getOption("graft.storage.maintenanceTimings").exists(_.toBoolean)
+  private def timedPhase[T](phase: String)(body: => T): T =
+    if (!maintTimings) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[graft-maint] $phase%-14s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Merge the delta tier's many small files into few split-sized ones
     * (data tier untouched): read the live delta files, write merged
     * replacements to a staging dir, then commit via the snapshot plan —
@@ -1003,31 +1018,38 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     */
   private[engine] def compactDelta(): Unit = synchronized {
     committedVersioned(requireObserved = false) { v =>
-      purgeUncommittedTokenFiles()
-      val metas = readSnapMetas()
-      val live = liveFilesUnderClaim(deltaPath, metas.flatMap(_.drops).toSet)
+      timedPhase("purge-tokens")(purgeUncommittedTokenFiles())
+      val metas = timedPhase("read-metas")(readSnapMetas())
+      val live = timedPhase("list-live")(
+        liveFilesUnderClaim(deltaPath, metas.flatMap(_.drops).toSet))
       if (live.isEmpty) publishTickIfAgingNeeded(v, metas)
       else {
           val staging = s"$root/.staging-delta-${UUID.randomUUID()}"
-          val delta = spark.read.parquet(live: _*).select(Point.columns.map(col): _*)
-          // merged file count by data volume, same sizing rule as appends
-          val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-          val est = delta.queryExecution.optimizedPlan.stats.sizeInBytes
-          val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-            ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-          withMicrosTimestamps(delta.sparkSession) {
-            delta.coalesce(nOut)
-              .sortWithinPartitions(Point.TimeCol)
-              .write.option("compression", "snappy")
-              .mode(SaveMode.Overwrite).parquet(staging)
+          val (delta, nOut) = timedPhase("plan") {
+            val d = spark.read.parquet(live: _*).select(Point.columns.map(col): _*)
+            // merged file count by data volume, same sizing rule as appends
+            val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+            val est = d.queryExecution.optimizedPlan.stats.sizeInBytes
+            (d, math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+              ((est + splitBytes - 1) / splitBytes).toLong)).toInt)
           }
-          val moves = listFilesRec(new Path(staging)).zipWithIndex.map { case (f, i) =>
-            f.toString -> s"$deltaPath/merge-$v-$i${f.getName.dropWhile(_ != '.')}"
+          timedPhase("write") {
+            withMicrosTimestamps(delta.sparkSession) {
+              delta.coalesce(nOut)
+                .sortWithinPartitions(Point.TimeCol)
+                .write.option("compression", "snappy")
+                .mode(SaveMode.Overwrite).parquet(staging)
+            }
           }
-          publishAndExecuteSnapshot(v, moves, live)
-          deleteOrThrow(staging)
+          timedPhase("publish") {
+            val moves = listFilesRec(new Path(staging)).zipWithIndex.map { case (f, i) =>
+              f.toString -> s"$deltaPath/merge-$v-$i${f.getName.dropWhile(_ != '.')}"
+            }
+            publishAndExecuteSnapshot(v, moves, live)
+            deleteOrThrow(staging)
+          }
       }
-      pruneSnapDrops() // end-of-commit prune: see [[compact]]
+      timedPhase("prune")(pruneSnapDrops()) // end-of-commit prune: see [[compact]]
     }
   }
 

@@ -905,6 +905,86 @@ object CorpusQueries {
       }
     }),
 
+    // the FLAGSHIP serving stack, gated END TO END — the configuration
+    // a production user actually deploys (FAISS `IVFx,PQy + refine`):
+    // Lloyd-trained coarse cells (q186) + Lloyd-trained PQ subspace
+    // codebooks (q190) + an exact re-rank at the grid-validated
+    // high-recall point R=150/nProbe=7, persisted as the generation's
+    // meta_config (the persist DEFAULT since this round) and served
+    // via the persisted-config path with ZERO out-of-band knowledge —
+    // the serve reads every parameter (m, subDim, nProbe, rerankR)
+    // from the index itself. recall@10 0.930/0.730 at sf0.001/sf0.1 —
+    // the best numbers in the repo, strictly above the
+    // untrained-codebook Lloyd+rerank composition (0.770/0.600, the
+    // r13 dashboard headline) at BOTH scales; floors pinned in
+    // AnalyticsSpec. The (pqIters, nProbe, R) grid showed trained
+    // codebooks sharpen the shortlist but need a refine wider than
+    // q187's R=100 to dominate at scale — R=150/nProbe=7 is the
+    // dominant row at both scales at identical index bytes. The
+    // oracle splices the q186 Lloyd-cell CTEs AND the q190
+    // PQ-training CTEs into the q187-style rerank replay, so the full
+    // trained+refined composition is under the hash gate.
+    "q195_ann_flagship_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val seed = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
+        m = 4, subDim = 16, iters = PqTrainIters)
+      graft.util.Scratch.withDir("opqflagship") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
+        Similarity.opqIvfPqTopKPersistedRerank(idx, corpus = e,
+          queries = e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
+          .select("qid", "id").orderBy("qid", "id")
+          .transform(graft.util.Scratch.materialize)
+      }
+    }),
+
+    // SWAP-TRAINED OPQ ROTATION — real OPQ's alternating-minimization
+    // step on the permutation subgroup (Ge et al. learn a dense
+    // orthogonal R by alternating encode/rotate; here the rotate step
+    // is a greedy sequence of cross-subspace dimension SWAPS minimizing
+    // per-subspace variance imbalance, which keeps the rotation a
+    // permutation — exactly replayable in SQL, unlike an
+    // eigendecomposition). Composed with the full trained stack
+    // (q186 Lloyd cells + q190 trained PQ codebooks) at identical
+    // bytes: 30-query recall@10 0.317/0.267 at sf0.001/sf0.1 —
+    // strictly above the snake-deal q190 point (0.313/0.250) at both
+    // scales (PqProbe sweep; floors pinned in AnalyticsSpec). The
+    // greedy trajectory runs on integer variance units so the oracle
+    // replays the EXACT swaps CTE-round by CTE-round.
+    "q196_ann_opq_swap_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val seed = Similarity.centroids(
+        e.select(col("label"), nv.as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
+      val perm = Similarity.opqSwapRefine(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16, iters = SwapTrainIters)
+      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
+        m = 4, subDim = 16, iters = PqTrainIters)
+      Similarity.opqResidualIvfPqTopK(
+        corpus = e,
+        queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        centroids = cents, perm = perm, codebooks = cb,
+        idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10, nProbe = 2,
+        m = 4, subDim = 16)
+        .select("qid", "id").orderBy("qid", "id")
+    }),
+
     // the END-TO-END curation pipeline as ONE gated query — the shape a
     // reference user actually ships: exact dedup -> language filter ->
     // model-quality filter -> source mixture -> token-budget selection.
@@ -1597,15 +1677,12 @@ object CorpusQueries {
   private val LabelCentCte: String =
     "cent AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2)"
 
-  /** q186's replay: the q100 Lloyd-refinement CTE chain (three
-    * assign-to-nearest → 6dp-rounded mean rounds from the label seed)
-    * composed with q178's full OPQ chain — the final refined table
-    * takes the `cent` role, and the ENTIRE tail (assignment, probes,
-    * residuals, permutation, codebooks, codes, ADC ranks) is q178's
-    * verbatim. Gates the trained-quantizer persisted serve end to end.
+  /** The three Lloyd-refinement rounds (q100's k-means chain from the
+    * label seed) in CTE form, ending at the `cent` table every OPQ
+    * replay consumes — spliced over [[LabelCentCte]] by [[OpqLloydSql]]
+    * and the flagship composition ([[opqFlagshipSql]]).
     */
-  private val OpqLloydSql: String = {
-    val lloydCtes =
+  private val LloydCentCtes: String =
       """cent0 AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2),
       |cc0 AS (SELECT cell, sum(c*c) AS cc FROM cent0 GROUP BY 1),
       |dp0l AS (SELECT un.vec_id, cent0.cell, sum(un.x * cent0.c) AS dp
@@ -1634,7 +1711,15 @@ object CorpusQueries {
       |  FROM dp2l JOIN cc2 USING (cell)) WHERE rn = 1),
       |cent AS (SELECT la2.cell AS cell, un.i, round(avg(un.x), 6) AS c
       |         FROM la2 JOIN un ON un.vec_id = la2.vec_id GROUP BY 1, 2)""".stripMargin
-    val composed = OpqResidualIvfPqSql.replace(LabelCentCte, lloydCtes)
+
+  /** q186's replay: [[LloydCentCtes]] composed with q178's full OPQ
+    * chain — the final refined table takes the `cent` role, and the
+    * ENTIRE tail (assignment, probes, residuals, permutation,
+    * codebooks, codes, ADC ranks) is q178's verbatim. Gates the
+    * trained-quantizer persisted serve end to end.
+    */
+  private val OpqLloydSql: String = {
+    val composed = OpqResidualIvfPqSql.replace(LabelCentCte, LloydCentCtes)
     require(composed != OpqResidualIvfPqSql, "Lloyd cent splice failed")
     composed
   }
@@ -1643,6 +1728,67 @@ object CorpusQueries {
     * Spark entry and the oracle splice so they cannot drift.
     */
   private[entries] val PqTrainIters: Int = 3
+
+  /** Gated greedy swap-refinement rounds for the OPQ permutation
+    * (q196) — shared between the Spark entry and the oracle splice.
+    * iters=2 is the dominant point of the PqProbe sweep at BOTH scales
+    * (30-query recall@10 0.317/0.267 vs the snake-deal's 0.313/0.250
+    * at sf0.001/sf0.1); deeper refinement over-balances (the greedy
+    * objective stops tracking recall once subspace sums are near-even).
+    */
+  private[entries] val SwapTrainIters: Int = 2
+
+  /** The snake-deal permutation CTE every OPQ replay rotates by —
+    * swapped out for the greedy swap-refinement chain in
+    * [[swapPermCtes]] (q196).
+    */
+  private val SnakePermCte: String =
+    """perm AS (SELECT i,
+      |         CASE WHEN ((r // 4) % 2) = 0 THEN r % 4 ELSE 3 - (r % 4) END AS sub,
+      |         r // 4 AS j
+      |         FROM (SELECT i, row_number() OVER (ORDER BY v DESC, i) - 1 AS r FROM pvar))""".stripMargin
+
+  /** The q196 swap-trained permutation in CTE form — replays
+    * [[Similarity.opqSwapRefine]]'s greedy trajectory round by round:
+    * integer variance units (`w` = round(v·10⁹), exact 64-bit
+    * arithmetic, so summation order can't fork the trajectory between
+    * engines), the snake-deal seed as `asg0`, then per round the
+    * single cross-subspace swap minimizing Δ = 2δ(S_A − S_B) + 2δ²
+    * with the (Δ, ia, ib) tie-break, applied iff Δ < 0 (scalar
+    * subqueries over an empty best-swap CTE fall through to the
+    * unchanged assignment — the converged no-op round). Final
+    * in-subspace positions by (w desc, i) within each subspace.
+    */
+  private def swapPermCtes(m: Int, iters: Int): String = {
+    val header =
+      s"""w AS (SELECT i, CAST(round(v * 1000000000) AS BIGINT) AS w FROM pvar),
+         |asg0 AS (SELECT i,
+         |         CASE WHEN ((r // $m) % 2) = 0 THEN r % $m ELSE ${m - 1} - (r % $m) END AS sub
+         |         FROM (SELECT i, row_number() OVER (ORDER BY w DESC, i) - 1 AS r FROM w))""".stripMargin
+    val rounds = (0 until iters).map { t =>
+      s"""ss$t AS (SELECT sub, sum(w.w) AS s FROM asg$t JOIN w USING (i) GROUP BY 1),
+         |bst$t AS (SELECT ia, ib FROM (
+         |  SELECT a.i AS ia, b.i AS ib,
+         |    2*(wb.w - wa.w)*(sa.s - sb.s) + 2*(wb.w - wa.w)*(wb.w - wa.w) AS delta,
+         |    row_number() OVER (ORDER BY 2*(wb.w - wa.w)*(sa.s - sb.s) + 2*(wb.w - wa.w)*(wb.w - wa.w), a.i, b.i) AS rn
+         |  FROM asg$t a JOIN asg$t b ON a.sub <> b.sub AND a.i < b.i
+         |  JOIN w wa ON wa.i = a.i JOIN w wb ON wb.i = b.i
+         |  JOIN ss$t sa ON sa.sub = a.sub JOIN ss$t sb ON sb.sub = b.sub)
+         |  WHERE rn = 1 AND delta < 0),
+         |asg${t + 1} AS (SELECT g.i,
+         |  CASE WHEN g.i = (SELECT ia FROM bst$t)
+         |         THEN (SELECT x.sub FROM asg$t x JOIN bst$t ON x.i = bst$t.ib)
+         |       WHEN g.i = (SELECT ib FROM bst$t)
+         |         THEN (SELECT x.sub FROM asg$t x JOIN bst$t ON x.i = bst$t.ia)
+         |       ELSE g.sub END AS sub
+         |  FROM asg$t g)""".stripMargin
+    }
+    val fin =
+      s"""perm AS (SELECT g.i, CAST(g.sub AS INT) AS sub,
+         |         CAST(row_number() OVER (PARTITION BY g.sub ORDER BY w.w DESC, g.i) - 1 AS INT) AS j
+         |         FROM asg$iters g JOIN w ON w.i = g.i)""".stripMargin
+    ((header +: rounds) :+ fin).mkString(",\n")
+  }
 
   /** The orthant-seed codebook CTE every PQ replay trains from —
     * swapped out for the per-subspace Lloyd chain in [[OpqPqLloydSql]].
@@ -1660,7 +1806,13 @@ object CorpusQueries {
     * 6dp, mirroring [[Similarity.opqPqLloydRefine]] bit-for-bit. The
     * serve tail is q178's verbatim.
     */
-  private def opqPqLloydSql(iters: Int): String = {
+  /** The `iters` per-subspace Lloyd training rounds over the orthant
+    * seed in CTE form, ending at the `pcent` table the encode/serve
+    * tail consumes — spliced over [[OrthantPcentCte]] by
+    * [[opqPqLloydSql]] and the flagship composition
+    * ([[opqFlagshipSql]]).
+    */
+  private def pqTrainCtes(iters: Int): String = {
     val seed = OrthantPcentCte.replace("pcent AS", "pcent0 AS")
     val rounds = (0 until iters).map { r =>
       val next = if (r == iters - 1) "pcent" else s"pcent${r + 1}"
@@ -1675,16 +1827,54 @@ object CorpusQueries {
          |          FROM us JOIN pa$r a ON a.vec_id = us.vec_id AND a.sub = us.sub
          |          GROUP BY 1, 2, 3)""".stripMargin
     }
-    val composed = OpqLloydSql.replace(OrthantPcentCte,
-      (seed +: rounds).mkString(",\n"))
+    (seed +: rounds).mkString(",\n")
+  }
+
+  // Materialize every CTE (the `.replace(" AS (", " AS MATERIALIZED (")`
+  // below): the training rounds reference shared upstream tables once
+  // per round, and DuckDB's default CTE inlining re-expands the whole
+  // upstream chain at each reference — scan count (and parquet file
+  // handles) grow EXPONENTIALLY with rounds and blow the fd limit.
+  // AS MATERIALIZED is pure execution strategy (same results), making
+  // the replay linear in rounds.
+  private def opqPqLloydRaw(iters: Int): String = {
+    val composed = OpqLloydSql.replace(OrthantPcentCte, pqTrainCtes(iters))
     require(composed != OpqLloydSql, "trained pcent splice failed")
-    // Materialize every CTE: the training rounds reference the shared
-    // subvector table once per round, and DuckDB's default CTE inlining
-    // re-expands the whole upstream chain at each reference — scan
-    // count (and parquet file handles) grow EXPONENTIALLY with rounds
-    // and blow the fd limit. AS MATERIALIZED is pure execution
-    // strategy (same results), making the replay linear in rounds.
+    composed
+  }
+
+  private def opqPqLloydSql(iters: Int): String =
+    opqPqLloydRaw(iters).replace(" AS (", " AS MATERIALIZED (")
+
+  /** q196's replay: the full q190 trained chain with the snake-deal
+    * permutation CTE replaced by the [[swapPermCtes]] greedy
+    * swap-refinement rounds — every quantizer trained AND the rotation
+    * itself trained, all under the hash gate.
+    */
+  private def opqSwapTrainedSql(pqIters: Int, swapIters: Int): String = {
+    val base = opqPqLloydRaw(pqIters)
+    val composed = base.replace(SnakePermCte, swapPermCtes(4, swapIters))
+    require(composed != base, "swap perm splice failed")
     composed.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** q195's replay — the FLAGSHIP serving stack: the q187 rerank chain
+    * (ADC shortlist of `r` candidates at `nProbe` probed cells, exact
+    * cosine refine) with BOTH training splices applied — the q186
+    * Lloyd coarse-quantizer rounds over [[LabelCentCte]] and the q190
+    * per-subspace PQ training rounds over [[OrthantPcentCte]] — so the
+    * one configuration a production user would deploy (every quantizer
+    * trained + the high-recall refine, persisted as the generation's
+    * meta_config) is itself under the hash gate. Materialized CTEs for
+    * the same fd-limit reason as [[opqPqLloydSql]].
+    */
+  private def opqFlagshipSql(nProbe: Int, r: Int, iters: Int): String = {
+    val base = opqRerankSql(nProbe, r)
+    val withCells = base.replace(LabelCentCte, LloydCentCtes)
+    require(withCells != base, "flagship Lloyd cent splice failed")
+    val withPq = withCells.replace(OrthantPcentCte, pqTrainCtes(iters))
+    require(withPq != withCells, "flagship trained pcent splice failed")
+    withPq.replace(" AS (", " AS MATERIALIZED (")
   }
 
   // q182's replay: the q178 chain with the TRAIN/ENCODE split of
@@ -2306,6 +2496,8 @@ object CorpusQueries {
     "q186_ann_opq_lloyd_persisted" -> OpqLloydSql,
     "q190_ann_pq_trained_persisted" -> opqPqLloydSql(PqTrainIters),
     "q194_ann_persisted_config_rerank" -> opqRerankSql(nProbe = 2, r = 50),
+    "q195_ann_flagship_serve" -> opqFlagshipSql(nProbe = 7, r = 150, iters = PqTrainIters),
+    "q196_ann_opq_swap_trained" -> opqSwapTrainedSql(PqTrainIters, SwapTrainIters),
     // incremental maintenance: train on evens, append odds encoded
     // with the frozen quantizers — the oracle replays that split
     "q182_ann_opq_append" -> OpqAppendSql,

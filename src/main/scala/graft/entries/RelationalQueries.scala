@@ -833,6 +833,39 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // COMPACTED-TOPIC drain — Kafka's cleanup.policy=compact completes
+    // the retention triple beside retention.ms/retention.bytes:
+    // overlapping publishes write each value in [0, 900) one to four
+    // times across five segments; compactTopic() keeps only each
+    // record's LATEST occurrence (keyless records: the record is its
+    // own key — pure idempotent dedup), never rewrites the newest
+    // segment, and preserves surviving offsets with gaps — then the
+    // UNCHANGED q171 exactly-once ingest graph drains the compacted
+    // topic and converges to exactly one point per value. A failed
+    // drop (duplicates) or an over-drop both shift the per-sensor
+    // counts, so the compaction semantics are under the hash gate.
+    "q197_stream_log_compacted" -> ((s, dir) => {
+      import graft.streaming.{GraftLogProducer, StreamingIngest}
+      val log = graft.util.Scratch.dir("graftlogcmp")
+      val producer = new GraftLogProducer(log)
+      // segments 0..3 overlap their successors by 100 values; the
+      // newest segment repeats [800, 900) once more
+      (0 until 4).foreach(seg =>
+        producer.publish((seg * 200 until seg * 200 + 300).map(_.toString)))
+      producer.publish((800 until 900).map(_.toString))
+      producer.compactTopic()
+      val db = graft.engine.GraftDB.atPath(s, graft.util.Scratch.dir("graftlogcmpdb"))
+      StreamingIngest.drainLog(s, db, log, maxRecordsPerTrigger = 700L,
+        graft.util.Scratch.dir("graftlogcmpckpt"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"),
+          unix_millis(min(col(graft.model.Point.TimeCol))).as("min_ts_ms"),
+          unix_millis(max(col(graft.model.Point.TimeCol))).as("max_ts_ms"))
+        .orderBy("sensor")
+    }),
+
     // SOCKET ingest under the oracle (was suite-only): an in-process
     // line server pushes the deterministic prefix [0, 1500) over TCP
     // and Spark's socket source drives the SAME checkpointed ingest
@@ -1559,6 +1592,17 @@ object RelationalQueries {
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q171_stream_log_ingest" ->
       """WITH v AS (SELECT unnest(range(0, 2400)) AS value)
+        |SELECT 's' || CAST(value % 5 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 90) AS BIGINT) AS sum_v,
+        |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
+        |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction keeps exactly one occurrence of each value in [0, 900):
+    // the converged ingest is the same closed form as q171 over the
+    // deduplicated value set
+    "q197_stream_log_compacted" ->
+      """WITH v AS (SELECT unnest(range(0, 900)) AS value)
         |SELECT 's' || CAST(value % 5 AS VARCHAR) AS sensor,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(value % 90) AS BIGINT) AS sum_v,

@@ -102,8 +102,19 @@ object GraftLog {
 
   private val SegmentName = """(\d{12})-(\d+)\.seg""".r
   private val BasedSegmentName = """(\d{12})-b(\d+)-(\d+)\.seg""".r
+  // A log-COMPACTED segment (Kafka cleanup.policy=compact output): same
+  // seq and base as the segment it replaces, count = the ORIGINAL span
+  // (offset arithmetic over segment boundaries never changes), `g<v>` =
+  // the compaction version (each pass that rewrites a segment bumps it
+  // — renames are create-only, so versions make re-compaction atomic).
+  // Lines inside carry explicit "<offsetDelta>\t<record>" pairs because
+  // surviving offsets have gaps.
+  private val CompactedSegmentName = """(\d{12})-b(\d+)-(\d+)-g(\d+)\.seg""".r
   private val SinkSegmentName = """s(\d{12})-p(\d{4})-(\d+)\.seg""".r
   private val StagedSinkName = """\.sink-e(\d{12})-p\d{4}-t\d+\.staged""".r
+
+  private[streaming] def isCompactedName(name: String): Boolean =
+    name.matches("""\d{12}-b\d+-\d+-g\d+\.seg""")
 
   /** Sweep dead attempts' invisible `.sink-*.staged` leftovers in `dir`.
     * A task KILL skips `DataWriter.abort`, so a crashed attempt's
@@ -166,22 +177,31 @@ object GraftLog {
     // base offset in the name (what makes RETENTION safe — deleting a
     // prefix cannot shift anyone's offsets); legacy/sink segments
     // derive bases from the running cumulative sum.
+    // (seq, explicitBase, count, path, compactionVersion): a seq that
+    // appears in several forms (the original plus one or more
+    // compacted rewrites — superseded forms persist one pass for
+    // reader grace) resolves to its HIGHEST compaction version; the
+    // original counts as version 0. Compacted counts are the original
+    // SPAN, so the running-offset arithmetic is version-blind.
     val raw = entries.toSeq.flatMap { st =>
       st.getPath.getName match {
+        case CompactedSegmentName(seq, base, count, gver) if st.isFile =>
+          Some((seq.toLong, Some(base.toLong), count.toLong, st.getPath.toString,
+            gver.toLong))
         case BasedSegmentName(seq, base, count) if st.isFile =>
-          Some((seq.toLong, Some(base.toLong), count.toLong, st.getPath.toString))
+          Some((seq.toLong, Some(base.toLong), count.toLong, st.getPath.toString, 0L))
         case SegmentName(seq, count) if st.isFile =>
-          Some((seq.toLong, None, count.toLong, st.getPath.toString))
+          Some((seq.toLong, None, count.toLong, st.getPath.toString, 0L))
         case SinkSegmentName(epoch, pid, count)
             if st.isFile && committedEpochs.contains(epoch.toLong) =>
           // epoch-major, partition-minor order; caps documented on the sink
           Some((epoch.toLong * 10000L + pid.toLong, None, count.toLong,
-            st.getPath.toString))
+            st.getPath.toString, 0L))
         case _ => None
       }
-    }.sortBy(_._1)
+    }.groupBy(_._1).valuesIterator.map(_.maxBy(_._5)).toSeq.sortBy(_._1)
     var cum = 0L
-    raw.map { case (seq, explicit, count, path) =>
+    raw.map { case (seq, explicit, count, path, _) =>
       val base = explicit.getOrElse(cum)
       require(base >= cum,
         s"segment $path declares base $base below the running offset $cum (corrupt log)")
@@ -476,7 +496,16 @@ object GraftLog {
       val lo = math.max(start, s.base)
       val hi = math.min(end, s.base + s.count)
       if (lo < hi) {
-        out += GraftLogSlice(s.path, lo - s.base, hi - s.base, lo)
+        // a log-COMPACTED segment addresses records by explicit offset
+        // delta (its offsets have gaps): the slice bounds become DELTA
+        // bounds, baseOffset the segment base, and the reader filters —
+        // "covered" counts the offset RANGE (span semantics are
+        // compaction-blind; a range read of a compacted region simply
+        // yields fewer rows, exactly Kafka's contract)
+        if (GraftLog.isCompactedName(new Path(s.path).getName))
+          out += GraftLogSlice(s.path, lo - s.base, hi - s.base, s.base, gapped = true)
+        else
+          out += GraftLogSlice(s.path, lo - s.base, hi - s.base, lo)
         covered += hi - lo
       }
     }
@@ -625,6 +654,132 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     }
   }
 
+  /** LOG COMPACTION — Kafka's `cleanup.policy=compact`: keep only the
+    * LATEST record per key across the sealed log, offsets preserved
+    * with gaps, low-water unchanged. A record's key is its text up to
+    * the first TAB (no TAB → the whole record is its own key — pure
+    * idempotent dedup); a record that is exactly "key\t" (empty value)
+    * is a TOMBSTONE. Kafka's rules, exactly:
+    *
+    *   - the NEWEST sealed segment is never rewritten (the
+    *     active-segment rule) — its records all survive, and a
+    *     tombstone there stays visible to consumers;
+    *   - in the compactable head, a record survives iff its offset is
+    *     the key's GLOBAL latest (a newer write anywhere — including
+    *     the newest segment — supersedes it);
+    *   - a tombstone in the compactable head is dropped even when
+    *     latest (its delete has been readable for at least one full
+    *     pass — the delete.retention analog), removing the key
+    *     entirely;
+    *   - surviving records keep their exact offsets: a compacted
+    *     segment keeps its seq, base, and SPAN, and stores explicit
+    *     "<delta>\t<record>" lines, so `earliest`/`latest` offsets and
+    *     every consumer checkpoint stay valid — a range read just
+    *     returns fewer rows.
+    *
+    * Concurrency: runs under the topic maintenance lock (serialized
+    * against retention and marker compaction); each rewritten segment
+    * publishes as the next `-g<v>` compaction VERSION by create-only
+    * rename, and the superseded form is left on disk until the NEXT
+    * pass sweeps it — a lock-free reader that planned against the old
+    * form mid-pass still finds its file, the same one-commit grace as
+    * the parquet store's snapshot protocol. Returns records removed.
+    */
+  def compactTopic(): Int = synchronized {
+    GraftLog.withTopicLock(dir, conf) { compactTopicLocked() }
+  }
+
+  private def keyOf(r: String): String = {
+    val i = r.indexOf('\t')
+    if (i < 0) r else r.substring(0, i)
+  }
+
+  private def isTombstone(r: String): Boolean = {
+    val i = r.indexOf('\t')
+    i >= 0 && i == r.length - 1
+  }
+
+  private def seqGver(name: String): Option[(String, Long)] = {
+    val m = """(\d{12})-b\d+-\d+(?:-g(\d+))?\.seg""".r
+    name match {
+      case m(seq, gver) => Some((seq, Option(gver).map(_.toLong).getOrElse(0L)))
+      case _            => None
+    }
+  }
+
+  /** Read every surviving (offsetDelta, record) of a sealed segment. */
+  private def readSegmentRecords(s: GraftLog.Segment): Vector[(Long, String)] = {
+    val gapped = GraftLog.isCompactedName(new Path(s.path).getName)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new Path(s.path)), "UTF-8"))
+    try {
+      val out = Vector.newBuilder[(Long, String)]
+      var idx = 0L
+      var l = in.readLine()
+      while (l != null) {
+        if (gapped) {
+          val t = l.indexOf('\t')
+          out += ((l.substring(0, t).toLong, l.substring(t + 1)))
+        } else {
+          out += ((idx, l))
+          idx += 1
+        }
+        l = in.readLine()
+      }
+      out.result()
+    } finally in.close()
+  }
+
+  private def compactTopicLocked(): Int = {
+    // sweep forms superseded by an EARLIER pass (deferred one pass so a
+    // reader that planned mid-pass still found its file), then list
+    val bySeq = fs.listStatus(dirPath).toSeq
+      .filter(_.isFile)
+      .flatMap(st => seqGver(st.getPath.getName).map { case (seq, v) =>
+        (seq, v, st.getPath) })
+      .groupBy(_._1)
+    bySeq.valuesIterator.filter(_.size > 1).foreach { forms =>
+      val keepV = forms.map(_._2).max
+      forms.filter(_._2 < keepV).foreach { case (_, _, p) =>
+        fs.delete(p, false)
+        val idx = new Path(p.toString + ".idx")
+        if (fs.exists(idx)) { fs.delete(idx, false); () }
+      }
+    }
+    val segs = GraftLog.listSegments(dir, conf)
+    require(segs.forall(s => seqGver(new Path(s.path).getName).isDefined),
+      "compactTopic requires base-offset producer segments " +
+        "(sink topics: run compactSinkEpochs first)")
+    if (segs.size <= 1) return 0
+    // the key's global latest offset: segments ascend and deltas ascend
+    // within each, so a plain forward scan's last write wins
+    val latest = scala.collection.mutable.HashMap.empty[String, Long]
+    segs.foreach { s =>
+      readSegmentRecords(s).foreach { case (d, r) => latest(keyOf(r)) = s.base + d }
+    }
+    var removed = 0
+    segs.init.foreach { s =>
+      val recs = readSegmentRecords(s)
+      val keep = recs.filter { case (d, r) =>
+        latest(keyOf(r)) == s.base + d && !isTombstone(r)
+      }
+      if (keep.size < recs.size) {
+        val Some((seq, gver)) = seqGver(new Path(s.path).getName)
+        val name = s"$seq-b${s.base}-${s.count}-g${gver + 1}.seg"
+        val tmp = new Path(dirPath, s".$name.inprogress")
+        val out = fs.create(tmp, true)
+        try {
+          keep.foreach { case (d, r) => out.write(s"$d\t$r\n".getBytes("UTF-8")) }
+          out.hsync()
+        } finally out.close()
+        if (!fs.rename(tmp, new Path(dirPath, name)))
+          throw new java.io.IOException(s"compacted segment seal failed: $name")
+        removed += recs.size - keep.size
+      }
+    }
+    removed
+  }
+
   private def truncateBeforeLocked(offset: Long): Int = {
     val segs = GraftLog.listSegments(dir, conf)
     val doomed = segs.filter(s => s.base + s.count <= offset)
@@ -633,14 +788,20 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     // (producer/compacted form — the first based survivor re-anchors the
     // running sum for any still-markered sink segments after it)
     def based(s: GraftLog.Segment): Boolean =
-      new Path(s.path).getName.matches("""\d{12}-b\d+-\d+\.seg""")
+      new Path(s.path).getName.matches("""\d{12}-b\d+-\d+(-g\d+)?\.seg""")
     require(doomed.forall(based) && segs.drop(doomed.size).headOption.forall(based),
       "truncateBefore needs base-offset segment names at and after the cut " +
         "(producer topics, or sink topics past marker compaction)")
-    doomed.foreach { s =>
-      fs.delete(new Path(s.path), false)
-      val idx = new Path(s.path + ".idx")
-      if (fs.exists(idx)) { fs.delete(idx, false); () }
+    // delete EVERY on-disk form of a doomed seq: a compacted seq keeps
+    // its superseded original around for one pass of reader grace, and
+    // retention must not resurrect it
+    val doomedSeqs = doomed.map(s => new Path(s.path).getName.take(12)).toSet
+    if (doomedSeqs.nonEmpty) fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.length >= 12 && doomedSeqs.contains(n.take(12)) &&
+          (n.endsWith(".seg") || n.endsWith(".seg.idx"))) {
+        fs.delete(st.getPath, false); ()
+      }
     }
     val newStart = math.max(GraftLog.logStart(dir, conf),
       doomed.lastOption.fold(0L)(s => s.base + s.count))
@@ -892,7 +1053,7 @@ final class GraftLogPartitionedScan(path: String, maxPerTrigger: Option[Long])
         val lo = segs.headOption.fold(0L)(_.base)
         val hi = segs.lastOption.fold(0L)(s => s.base + s.count)
         GraftLog.slices(segs, lo, hi)
-          .map(sl => GraftLogPartSlice(p, sl.file, sl.startLine, sl.endLine, sl.baseOffset))
+          .map(sl => GraftLogPartSlice(p, sl.file, sl.startLine, sl.endLine, sl.baseOffset, sl.gapped))
       }.toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLogReaderFactory()
@@ -971,7 +1132,7 @@ final class GraftLogPartitionedMicroBatchStream(path: String, maxPerTrigger: Opt
       val fromP = s.getOrElse(p, GraftLog.earliestOffset(dir, conf))
       if (fromP >= to) Nil
       else GraftLog.slices(GraftLog.listSegments(dir, conf), fromP, to)
-        .map(sl => GraftLogPartSlice(p, sl.file, sl.startLine, sl.endLine, sl.baseOffset))
+        .map(sl => GraftLogPartSlice(p, sl.file, sl.startLine, sl.endLine, sl.baseOffset, sl.gapped))
     }.toArray[InputPartition]
   }
 
@@ -1242,21 +1403,62 @@ final class GraftLogWriterFactory(path: String) extends StreamingDataWriterFacto
 /** One segment slice: lines [startLine, endLine) of `file`, carrying
   * global offsets starting at `baseOffset`.
   */
+/** `gapped` = a log-compacted segment: `startLine`/`endLine` are
+  * OFFSET-DELTA bounds (lines carry explicit "<delta>\t<record>" pairs,
+  * ascending with gaps) and `baseOffset` is the segment base; otherwise
+  * they are line bounds and `baseOffset` is the first emitted offset.
+  */
 final case class GraftLogSlice(file: String, startLine: Long, endLine: Long,
-    baseOffset: Long) extends InputPartition
+    baseOffset: Long, gapped: Boolean = false) extends InputPartition
 
 /** A slice of one TOPIC-PARTITION's segment: same line addressing, rows
   * additionally carry the partition id ((partition, offset) identity).
   */
 final case class GraftLogPartSlice(partition: Int, file: String,
-    startLine: Long, endLine: Long, baseOffset: Long) extends InputPartition
+    startLine: Long, endLine: Long, baseOffset: Long,
+    gapped: Boolean = false) extends InputPartition
 
 final class GraftLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val (slice, partId) = partition match {
       case s: GraftLogSlice => (s, None)
       case s: GraftLogPartSlice =>
-        (GraftLogSlice(s.file, s.startLine, s.endLine, s.baseOffset), Some(s.partition))
+        (GraftLogSlice(s.file, s.startLine, s.endLine, s.baseOffset, s.gapped),
+          Some(s.partition))
+    }
+    if (slice.gapped) return new PartitionReader[InternalRow] {
+      // log-compacted segment: lines are "<delta>\t<record>" with
+      // ascending, GAPPED deltas; the slice bounds are delta bounds.
+      // No .idx (compacted segments are already small); EOF inside the
+      // range is NORMAL — compaction removed the tail records.
+      private val p = new Path(slice.file)
+      private val fs = p.getFileSystem(new Configuration())
+      private val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      private var delta: Long = -1L
+      private var rec: String = _
+      private var done = false
+      override def next(): Boolean = {
+        if (done) return false
+        var l = in.readLine()
+        while (l != null) {
+          val t = l.indexOf('\t')
+          val d = l.substring(0, t).toLong
+          if (d >= slice.endLine) { done = true; return false }
+          if (d >= slice.startLine) { delta = d; rec = l.substring(t + 1); return true }
+          l = in.readLine()
+        }
+        done = true
+        false
+      }
+      override def get(): InternalRow = {
+        val payload = UTF8String.fromString(rec)
+        partId match {
+          case Some(pid) => InternalRow(pid, slice.baseOffset + delta, payload)
+          case None      => InternalRow(slice.baseOffset + delta, payload)
+        }
+      }
+      override def close(): Unit = in.close()
     }
     new PartitionReader[InternalRow] {
       private val p = new Path(slice.file)

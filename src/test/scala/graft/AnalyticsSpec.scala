@@ -177,11 +177,17 @@ class AnalyticsSpec extends SparkSpec {
         // with a mismatched structural split are refused, and compaction
         // carries the config into the next generation
         val cfg = Similarity.indexConfig(spark, a)
-        assert(cfg === Similarity.IndexConfig(m = 4, subDim = 16, nProbe = 2, rerankR = 50))
+        // the persist DEFAULT is the flagship operating point (q195):
+        // nProbe=7 / rerankR=150 — a default persist validates at the
+        // high-recall config unless the operator opts down explicitly
+        assert(cfg === Similarity.IndexConfig(m = 4, subDim = 16, nProbe = 7, rerankR = 150))
         val byDefaults = Similarity.opqIvfPqTopKPersistedDefaults(a, q,
           "qid", "embedding", k = 10)
           .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
-        assert(byDefaults === serve(a))
+        assert(byDefaults === Similarity.opqIvfPqTopKPersisted(a, q,
+          "qid", "embedding", k = 10, nProbe = cfg.nProbe, m = 4, subDim = 16)
+          .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet)
+        assert(byDefaults.nonEmpty)
         val mis = intercept[IllegalArgumentException] {
           Similarity.opqIvfPqAppend(delta, a, "vec_id", "embedding", m = 8, subDim = 8)
         }
@@ -686,6 +692,51 @@ class AnalyticsSpec extends SparkSpec {
       info(s"recall@10: hi-rerank=$hi")
       assert(hi > rer, s"high-recall config ($hi) should beat the R=50/nProbe=2 point ($rer)")
       assert(hi >= 0.65, s"high-recall re-rank dropped: $hi") // measured 0.70
+
+      // the FLAGSHIP composition (q195): trained cells + trained PQ
+      // codebooks + exact re-rank at the grid-validated R=150/nProbe=7
+      // point — must beat the best single-trained composition (the
+      // untrained-codebook Lloyd + q187-style rerank, the r13
+      // dashboard headline) and hold a floor just under its measured
+      // level (0.93/0.73 at sf0.001/sf0.1 on real data; this synthetic
+      // corpus measures its own levels, pinned below)
+      val fshort = graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, lcents, lperm, tcb, "vec_id", "embedding", "qid", 150,
+        nProbe = 7, m = 4, subDim = 16)
+      val flagship = recall(pairs(graft.analytics.Similarity.exactRerank(
+        e, q, fshort, "vec_id", "embedding", "qid", 10)))
+      val lhishort = graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, lcents, lperm, locb, "vec_id", "embedding", "qid", 100,
+        nProbe = 5, m = 4, subDim = 16)
+      val lhi = recall(pairs(graft.analytics.Similarity.exactRerank(
+        e, q, lhishort, "vec_id", "embedding", "qid", 10)))
+      info(s"recall@10: flagship=$flagship lloyd+rerank=$lhi")
+      assert(flagship > lhi,
+        s"flagship ($flagship) should beat the untrained-codebook Lloyd+rerank point ($lhi)")
+      assert(flagship >= hi,
+        s"flagship ($flagship) should not fall below the label-cell high-recall point ($hi)")
+
+      // SWAP-TRAINED rotation (q196): the greedy variance-balancing
+      // swaps must never degrade the trained stack below its q190
+      // floor at identical bytes (the gated swapIters=2 point —
+      // dominant at both scales in the 30-query PqProbe sweep)
+      val sperm = graft.analytics.Similarity.opqSwapRefine(
+        e, lcents, "vec_id", "embedding", 4, 16, iters = 2)
+      val scb0 = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, lcents, sperm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val scb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, lcents, sperm, scb0, "vec_id", "embedding", 4, 16, iters = 3)
+      val swapped = recall(pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, lcents, sperm, scb, "vec_id", "embedding", "qid", 10,
+        nProbe = 2, m = 4, subDim = 16)))
+      info(s"recall@10: swap-trained=$swapped (trained-pq=$trainedPq)")
+      assert(swapped >= 0.28, s"swap-trained recall dropped: $swapped")
+      // zero swap rounds reproduce the snake-deal exactly
+      val seedPerm = graft.analytics.Similarity.opqSwapRefine(
+        e, lcents, "vec_id", "embedding", 4, 16, iters = 0)
+      assert(seedPerm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet ===
+        lperm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet,
+        "opqSwapRefine(iters=0) must equal the snake-deal permutation")
 
       // the permutation is a bijection over the 64 dims, split 16/16/16/16
       val pRows = perm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))

@@ -176,6 +176,90 @@ class LogSourceSpec extends SparkSpec {
       assert(GraftLog.latestOffset(dir, conf) === 401L)
     }
 
+    it("log compaction (cleanup.policy=compact): latest-wins per key, offsets preserved with gaps, newest segment untouched") {
+      val dir = tmp("graftlogcompact")
+      val p = new GraftLogProducer(dir)
+      val conf = new Configuration()
+      // 4 segments x 10 records; key = offset % 7 (every key overwritten
+      // across segments), value carries the offset so latest is provable
+      (0 until 4).foreach(s =>
+        p.publish((s * 10 until (s + 1) * 10).map(o => s"k${o % 7}\tv$o")))
+      // keys mod 7 of offsets 30..39 = {2,3,4,5,6,0,1,2,3,4} — every
+      // key's global latest lands in the newest segment, so the whole
+      // 30-record head is superseded
+      assert(p.compactTopic() === 30)
+      // offsets, spans, and low/high water unchanged
+      assert(GraftLog.earliestOffset(dir, conf) === 0L)
+      assert(GraftLog.latestOffset(dir, conf) === 40L)
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // newest segment [30,40) survives whole, exact offsets intact
+      assert(got === (30 until 40).map(o => (o.toLong, s"k${o % 7}\tv$o")))
+      // a range read over a fully-compacted region returns zero rows but
+      // covers the range (Kafka's contract — no coverage error)
+      val headSlices = GraftLog.slices(GraftLog.listSegments(dir, conf), 0L, 30L)
+      assert(headSlices.nonEmpty && headSlices.forall(_.gapped))
+      // compaction is idempotent once clean
+      assert(p.compactTopic() === 0)
+      // publishing continues from the same high water
+      p.publish(Seq("k0\tv40"))
+      assert(GraftLog.latestOffset(dir, conf) === 41L)
+    }
+
+    it("log compaction: survivors in the head keep exact offsets; tombstones delete; repeated passes re-compact") {
+      val dir = tmp("graftlogcompact2")
+      val p = new GraftLogProducer(dir)
+      val conf = new Configuration()
+      // segment 0: keys a,b,c,d; segment 1: overwrite a, tombstone b;
+      // segment 2 (newest, never rewritten): overwrite c + tombstone d
+      p.publish(Seq("a\t1", "b\t2", "c\t3", "d\t4"))
+      p.publish(Seq("a\t5", "b\t"))
+      p.publish(Seq("c\t6", "d\t"))
+      // head = segments 0,1. Survivors: a@4 (global latest, in head).
+      // b's latest IS the head tombstone @5 -> key deleted entirely;
+      // all of segment 0 (a@0,b@1,c@2,d@3) is superseded. The newest
+      // segment (c@6 + d's tombstone @7) is untouched.
+      assert(p.compactTopic() === 5)
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((4L, "a\t5"), (6L, "c\t6"), (7L, "d\t")))
+      // roll the log forward: the old newest becomes compactable, its
+      // tombstone ages out on the next pass; a@4 still the latest a
+      p.publish(Seq("e\t9"))
+      assert(p.compactTopic() === 1) // only d's tombstone @7 ages out
+      val got2 = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got2 === Seq((4L, "a\t5"), (6L, "c\t6"), (8L, "e\t9")))
+      // retention composes with compaction: truncating before offset 6
+      // drops the (already gapped) prefix segments without offset shift
+      assert(p.truncateBefore(6L) === 2)
+      val got3 = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got3 === Seq((6L, "c\t6"), (8L, "e\t9")))
+    }
+
+    it("log compaction: a reader planned against the pre-compaction form still reads it (one-pass grace)") {
+      val dir = tmp("graftlogcompact3")
+      val p = new GraftLogProducer(dir)
+      val conf = new Configuration()
+      (0 until 3).foreach(s =>
+        p.publish((s * 10 until (s + 1) * 10).map(o => s"k${o % 4}\tv$o")))
+      // plan slices against the CURRENT (uncompacted) listing — the
+      // mid-scan reader's view
+      val planned = GraftLog.slices(GraftLog.listSegments(dir, conf), 0L, 30L)
+      assert(planned.forall(!_.gapped))
+      assert(p.compactTopic() > 0)
+      // the superseded originals are still on disk (swept next pass), so
+      // the planned read completes with the ORIGINAL records
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      planned.foreach(sl =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(sl.file)), s"planned file vanished: ${sl.file}"))
+      // and the NEXT pass sweeps them
+      assert(p.compactTopic() === 0)
+      planned.take(2).foreach(sl => // head segments were rewritten -> originals swept
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(sl.file)), s"superseded form not swept: ${sl.file}"))
+    }
+
     it("a fresh consumer on a truncated topic starts at the retained head") {
       val dir = tmp("graftlogret2")
       val p = new GraftLogProducer(dir)
