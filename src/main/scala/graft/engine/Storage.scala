@@ -330,6 +330,30 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private val backupDataPath = s"$root/.backup-data"
   private val backupDeltaPath = s"$root/.backup-delta"
   private val versionsPath = s"$root/_versions"
+
+  // ---- fold generations: `fold-<v>` sibling dirs of the data tier ----
+  // A compaction fold commits its ENTIRE output as ONE directory rename
+  // (staging → fold-<v>) instead of one rename per staged file — the
+  // graft-log sink's marker-flip shape applied to the main store. The
+  // version in the NAME is the visibility fence: a reader that resolved
+  // head h skips any fold-<w> dir with w > h wholesale (no per-file add
+  // declarations needed), and the publish order (meta with the drops
+  // lands strictly before the dir rename) keeps every crash window
+  // roll-forward-able exactly like file moves. Each fold dir is its own
+  // partition-discovery root (basePath = the fold dir), so the
+  // partitioned layout inside is identical to the legacy data tier's.
+  private def foldPath(v: Long) = s"$root/fold-$v"
+  private val FoldDirName = """fold-(\d+)""".r
+
+  /** Committed fold generations (ver, path), version-ascending. */
+  private def foldDirs(): Seq[(Long, String)] =
+    if (!exists(root)) Seq.empty
+    else fs.listStatus(new Path(root)).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case FoldDirName(v) if s.isDirectory => Some((v.toLong, s.getPath.toString))
+        case _ => None
+      }
+    }.sortBy(_._1)
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // Parquet INT96 — Spark's legacy default timestamp encoding — carries
@@ -513,7 +537,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   private def exists(p: String): Boolean = fs.exists(new Path(p))
 
   // A fresh directory needs no max(_seq) seeding scan.
-  override protected def knownEmpty: Boolean = !exists(dataPath) && !exists(deltaPath)
+  override protected def knownEmpty: Boolean =
+    !exists(dataPath) && !exists(deltaPath) && foldDirs().isEmpty
 
   /** Crash recovery: if the primary is missing but backups exist, the
     * previous overwrite died mid-swap — restore the backups. If the
@@ -530,11 +555,20 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       throw new java.io.IOException(s"delete failed: $p")
 
   private def recover(): Unit = {
-    if (!exists(dataPath) && exists(backupDataPath)) {
+    // An overwrite's staging→data rename is the commit point: data
+    // PRESENT means the swap completed (any backups are stale
+    // leftovers); data ABSENT means a pre-swap crash, and every tier
+    // the dying overwrite moved aside (primary, delta, fold
+    // generations) comes back from its backup. The delta restore must
+    // NOT require a data backup: a delta-only store (rows inserted,
+    // never compacted, no data dir yet) that crashed pre-swap leaves
+    // ONLY a delta backup — keying its restore on the data backup
+    // would delete the store's entire contents below.
+    val preData = exists(dataPath)
+    if (!preData && exists(backupDataPath))
       renameOrThrow(backupDataPath, dataPath)
-      if (!exists(deltaPath) && exists(backupDeltaPath))
-        renameOrThrow(backupDeltaPath, deltaPath)
-    }
+    if (!preData && !exists(deltaPath) && exists(backupDeltaPath))
+      renameOrThrow(backupDeltaPath, deltaPath)
     // Delta-compaction crash (see [[compactDelta]]): a `.staging-delta-`
     // dir is written ONLY by compactDelta, so delta missing + delta
     // backup present + that marker present can only mean a crash between
@@ -545,6 +579,17 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       .exists(_.getPath.getName.startsWith(".staging-delta-"))
     if (!exists(deltaPath) && exists(backupDeltaPath) && stagingDeltaPresent)
       renameOrThrow(backupDeltaPath, deltaPath)
+    // fold-generation backups follow the same commit-point verdict: a
+    // pre-swap crash restores them beside the primary; a completed
+    // swap's leftovers are stale (their rows live in the new primary)
+    if (exists(root)) fs.listStatus(new Path(root))
+      .filter(_.getPath.getName.startsWith(".backup-fold-"))
+      .foreach { s =>
+        val orig = s"$root/${s.getPath.getName.stripPrefix(".backup-")}"
+        if (!preData && !exists(orig))
+          renameOrThrow(s.getPath.toString, orig)
+        else deleteOrThrow(s.getPath.toString)
+      }
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
     // a maintenance snapshot commit that died after publishing its
     // `_snapmeta/<v>` plan but before (or during) its renames rolls
@@ -614,19 +659,27 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         val h = latestSealed()
         observedVersion = h
         val dataListed = listFilesRec(new Path(dataPath)).map(_.toString)
+        // fold generations fence WHOLESALE by the version in their
+        // name: a fold-<w> dir with w > h is a newer commit's output
+        // (its meta landed before the dir rename, so the drops it
+        // fences are readable) — skip it without listing a file
+        val foldGroups = foldDirs().filter(_._1 <= h)
+          .map { case (_, dir) => dir -> listFilesRec(new Path(dir)).map(_.toString) }
         val deltaListed = listFilesRec(new Path(deltaPath)).map(_.toString)
         val metas = readSnapMetas()
         val addsAbove = metas.filter(_.ver > h).flatMap(_.moves.map(_._2)).toSet
         val dropsBelow = metas.filter(_.ver <= h).flatMap(_.drops).toSet
         def snap(listed: Seq[String]) =
           listed.filterNot(addsAbove).filterNot(dropsBelow)
-        return (readFiles(snap(dataListed), Some(dataPath)),
-            readFiles(snap(deltaListed), None)) match {
-          case (Some(d), Some(x)) => d.unionByName(x)
-          case (Some(d), None)    => d
-          case (None, Some(x))    => x
-          case (None, None)       => spark.createDataFrame(
+        val groups =
+          (readFiles(snap(dataListed), Some(dataPath)) ::
+            foldGroups.map { case (dir, listed) =>
+              readFiles(snap(listed), Some(dir)) }.toList :::
+            readFiles(snap(deltaListed), None) :: Nil).flatten
+        return groups match {
+          case Nil => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+          case head :: tail => tail.foldLeft(head)(_.unionByName(_))
         }
       } catch {
         case e: Exception
@@ -909,31 +962,41 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // inside the fold) but skip the staleness check — the input is
     // read INSIDE the claim, so it cannot be stale
     committedVersioned(requireObserved = false) { v =>
-      purgeUncommittedTokenFiles()
-      val metas = readSnapMetas()
+      timedPhase("purge-tokens")(purgeUncommittedTokenFiles())
+      val metas = timedPhase("read-metas")(readSnapMetas())
       val pendingDrops = metas.flatMap(_.drops).toSet
-      val liveDelta = liveFilesUnderClaim(deltaPath, pendingDrops)
+      val liveDelta = timedPhase("list-live")(
+        liveFilesUnderClaim(deltaPath, pendingDrops))
       if (liveDelta.isEmpty) publishTickIfAgingNeeded(v, metas)
       else {
+        // the fold input spans the legacy data tier AND every committed
+        // fold generation (inside a claim, all fold dirs are committed)
         val liveData = liveFilesUnderClaim(dataPath, pendingDrops)
-        val full = (readFiles(liveData, Some(dataPath)), readFiles(liveDelta, None)) match {
-          case (Some(d), Some(x)) => d.unionByName(x)
-          case (Some(d), None)    => d
-          case (None, Some(x))    => x
-          case (None, None)       => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+        val foldInputs = foldDirs()
+          .map { case (_, dir) => dir -> liveFilesUnderClaim(dir, pendingDrops) }
+        val full = timedPhase("plan") {
+          val groups =
+            (readFiles(liveData, Some(dataPath)) ::
+              foldInputs.map { case (dir, fls) => readFiles(fls, Some(dir)) }.toList :::
+              readFiles(liveDelta, None) :: Nil).flatten
+          groups match {
+            case Nil => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+            case head :: tail => tail.foldLeft(head)(_.unionByName(_))
+          }
         }
         val staging = s"$root/.staging-fold-${UUID.randomUUID()}"
-        writePartitioned(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite)
-        // staged → data tier, partition subpaths preserved; file names
-        // are Spark part-UUIDs, collision-free against surviving files
-        val stagingQ = qual(staging)
-        val moves = listFilesRec(new Path(staging)).map { f =>
-          val rel = qual(f.toString).stripPrefix(stagingQ).stripPrefix("/")
-          f.toString -> s"$dataPath/$rel"
+        timedPhase("write")(
+          writePartitioned(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite))
+        // O(1)-rename commit: the whole staged output flips live as ONE
+        // directory rename to the version-named fold dir (fenced by
+        // name for readers at older heads); the fold's inputs become
+        // this commit's deferred drops
+        timedPhase("publish") {
+          publishAndExecuteSnapshot(v, Seq.empty,
+            liveData ++ foldInputs.flatMap(_._2) ++ liveDelta,
+            dirMoves = Seq(staging -> foldPath(v)))
         }
-        publishAndExecuteSnapshot(v, moves, liveData ++ liveDelta)
-        deleteOrThrow(staging)
       }
       // prune phase at the END, after this commit's own meta is the
       // newest: deletes the drops of every OLDER meta — so a reader's
@@ -941,7 +1004,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // maintenance commit after it resolved (the index tier's
       // keep-predecessor grace), and pending-drop garbage is bounded
       // by one commit's replaced set
-      pruneSnapDrops()
+      timedPhase("prune")(pruneSnapDrops())
     }
     deltaFileEstimate = 0
   }
@@ -986,7 +1049,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // bounds total rewrite cost at O(N log N) over any ingest
       // history. Below that, merge delta files in place (O(delta)).
       val pendingDrops = readSnapMetas().flatMap(_.drops).toSet
-      if (liveBytes(deltaPath, pendingDrops) >= liveBytes(dataPath, pendingDrops)) compact()
+      val dataBytes = liveBytes(dataPath, pendingDrops) +
+        foldDirs().map { case (_, d) => liveBytes(d, pendingDrops) }.sum
+      if (liveBytes(deltaPath, pendingDrops) >= dataBytes) compact()
       else compactDelta()
       deltaFileEstimate = listedDeltaFileCount()
     }
@@ -1179,12 +1244,15 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           }
       }
 
-      if (exists(dataPath)) {
+      // the data tier spans the legacy dir plus every committed fold
+      // generation — each is its own identically-shaped partition root
+      val dataRoots = (dataPath +: foldDirs().map(_._2)).filter(exists)
+      dataRoots.foreach { rootDir =>
         if (partitioned) {
           val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
           val cutoff = java.time.Instant.EPOCH.plus(cutoffMicros, java.time.temporal.ChronoUnit.MICROS)
           val horizon = cutoff.plus(48, java.time.temporal.ChronoUnit.HOURS)
-          fs.listStatus(new Path(dataPath)).filter(_.isDirectory).foreach { m =>
+          fs.listStatus(new Path(rootDir)).filter(_.isDirectory).foreach { m =>
             fs.listStatus(m.getPath).filter(_.isDirectory).foreach { pd =>
               val v = pd.getPath.getName.stripPrefix("p_date=")
               val candidate = scala.util.Try(java.time.LocalDate.parse(v)).toOption
@@ -1194,7 +1262,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
               if (candidate) sweepDir(pd.getPath)
             }
           }
-        } else sweepDir(new Path(dataPath))
+        } else sweepDir(new Path(rootDir))
       }
       if (exists(deltaPath)) {
         // purge record-less tok-* leftovers BEFORE the sweep can drop
@@ -1343,7 +1411,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // body's vals would initialize
   private def snapMetaPath = s"$root/_snapmeta"
 
-  private case class SnapMeta(ver: Long, moves: Seq[(String, String)], drops: Seq[String])
+  /** `moves` = per-file renames (`M src dst` lines); `dirMoves` =
+    * whole-DIRECTORY renames (`R src dst` — a fold commit's single
+    * staging→fold-<v> flip); `drops` = files this commit supersedes.
+    */
+  private case class SnapMeta(ver: Long, moves: Seq[(String, String)],
+      drops: Seq[String], dirMoves: Seq[(String, String)] = Seq.empty)
 
   private def qual(p: String): String = fs.makeQualified(new Path(p)).toString
 
@@ -1356,12 +1429,14 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         graft.util.AtomicFiles.readString(fs, new Path(s"$snapMetaPath/$v")).map { body =>
           def dec(p: String) = java.net.URLDecoder.decode(p, "UTF-8")
           val lines = body.split("\n").filter(_.nonEmpty)
-          val moves = lines.filter(_.startsWith("M ")).map { l =>
+          def pair(l: String) = {
             val rest = l.drop(2); val cut = rest.indexOf(' ')
             dec(rest.take(cut)) -> dec(rest.drop(cut + 1))
-          }.toSeq
+          }
+          val moves = lines.filter(_.startsWith("M ")).map(pair).toSeq
+          val dirMoves = lines.filter(_.startsWith("R ")).map(pair).toSeq
           val drops = lines.filter(_.startsWith("D ")).map(l => dec(l.drop(2))).toSeq
-          SnapMeta(v, moves, drops)
+          SnapMeta(v, moves, drops, dirMoves)
         }
       }
 
@@ -1370,15 +1445,19 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * survive the line format — same rationale as the retention plan).
     */
   private def publishAndExecuteSnapshot(v: Long,
-      moves: Seq[(String, String)], drops: Seq[String]): Unit = {
-    if (moves.isEmpty && drops.isEmpty) { publishTickIfAgingNeeded(v, readSnapMetas()); return }
+      moves: Seq[(String, String)], drops: Seq[String],
+      dirMoves: Seq[(String, String)] = Seq.empty): Unit = {
+    if (moves.isEmpty && drops.isEmpty && dirMoves.isEmpty) {
+      publishTickIfAgingNeeded(v, readSnapMetas()); return
+    }
     def enc(p: String) = java.net.URLEncoder.encode(qual(p), "UTF-8")
     if (!exists(snapMetaPath)) { fs.mkdirs(new Path(snapMetaPath)); () }
-    val body = (moves.map { case (s, t) => s"M ${enc(s)} ${enc(t)}" } ++
+    val body = (dirMoves.map { case (s, t) => s"R ${enc(s)} ${enc(t)}" } ++
+      moves.map { case (s, t) => s"M ${enc(s)} ${enc(t)}" } ++
       drops.map(d => s"D ${enc(d)}")).mkString("\n")
     graft.util.AtomicFiles.writeString(fs, new Path(s"$snapMetaPath/$v"), body)
     executeSnapMoves(SnapMeta(v, moves.map { case (s, t) => (qual(s), qual(t)) },
-      drops.map(qual)))
+      drops.map(qual), dirMoves.map { case (s, t) => (qual(s), qual(t)) }))
   }
 
   /** A maintenance commit that dropped nothing still advances the meta
@@ -1395,7 +1474,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       graft.util.AtomicFiles.writeString(fs, new Path(s"$snapMetaPath/$v"), "")
     }
 
-  private def executeSnapMoves(m: SnapMeta): Unit =
+  private def executeSnapMoves(m: SnapMeta): Unit = {
+    // dir flips first (a fold commit's single rename; idempotent — a
+    // missing src with the dst in place is an already-executed move)
+    m.dirMoves.foreach { case (src, dst) =>
+      if (fs.exists(new Path(src))) renameOrThrow(src, dst)
+    }
     m.moves.foreach { case (src, dst) =>
       val s = new Path(src)
       if (fs.exists(s)) {
@@ -1404,6 +1488,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         renameOrThrow(src, dst)
       }
     }
+  }
 
   /** The prune phase every maintenance commit ENDS with (after its own
     * meta/tick is the newest): physically delete the drops of every
@@ -1435,7 +1520,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       val metaFile = new Path(s"$snapMetaPath/${m.ver}")
       // a meta with nothing to defer and nothing to version-fence (an
       // aged-out tick) is droppable regardless of age
-      if (m.drops.isEmpty && m.moves.isEmpty) { fs.delete(metaFile, false); () }
+      if (m.drops.isEmpty && m.moves.isEmpty && m.dirMoves.isEmpty) {
+        fs.delete(metaFile, false); ()
+      }
       else {
         // a FAILED stat must not count as "old enough": defaulting to
         // true would let a transient stat error physically delete a
@@ -1463,7 +1550,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // would keep each other alive forever, and every load() would pay
     // a meta read for a store with zero pending maintenance garbage
     readSnapMetas() match {
-      case Seq(last) if last.drops.isEmpty && last.moves.isEmpty =>
+      case Seq(last) if last.drops.isEmpty && last.moves.isEmpty &&
+          last.dirMoves.isEmpty =>
         fs.delete(new Path(s"$snapMetaPath/${last.ver}"), false); ()
       case _ => ()
     }
@@ -1552,10 +1640,21 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // Materialize BEFORE touching the primary: `full` may read from it.
     writePartitioned(full.select(Point.columns.map(col): _*), staging, SaveMode.Overwrite)
     if (exists(dataPath)) renameOrThrow(dataPath, backupDataPath)
+    // fold generations were part of `full`'s input — they move aside
+    // with the primary (same backup-rename swap, restored together on
+    // a crash) or their rows would duplicate the rewritten store
+    val foldsAside = foldDirs().map { case (v, dir) =>
+      val bak = s"$root/.backup-fold-$v"
+      renameOrThrow(dir, bak)
+      bak
+    }
     if (exists(deltaPath)) renameOrThrow(deltaPath, backupDeltaPath)
     renameOrThrow(staging, dataPath)
     // only after the new primary is verifiably in place:
-    Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
+    (Seq(backupDataPath, backupDeltaPath) ++ foldsAside).foreach(deleteOrThrow)
+    // the rewrite subsumed every fold input and pending drop: the
+    // snapshot chain's fenced paths are gone with the swapped dirs
+    if (exists(snapMetaPath)) deleteOrThrow(snapMetaPath)
     resetGen()
     deltaFileEstimate = 0 // delta folded into the rewritten primary
   }

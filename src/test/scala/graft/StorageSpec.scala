@@ -50,38 +50,53 @@ class StorageSpec extends SparkSpec {
   }
 
   describe("delta tier + compaction") {
-    it("appends land in delta/, compact folds them into data/, contents unchanged") {
+    it("appends land in delta/, compact folds them into a fold generation as ONE dir rename, contents unchanged") {
       val (db, dir) = seeded()
       assert(Files.exists(java.nio.file.Paths.get(dir, "delta")))
       assert(!Files.exists(java.nio.file.Paths.get(dir, "data")))
+      def folds() = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("fold-\\d+")).toSeq
       val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
       db.compact()
-      assert(Files.exists(java.nio.file.Paths.get(dir, "data")))
+      // the fold commits as one version-named directory (O(1) renames),
+      // never a per-file rename into data/
+      assert(folds().size == 1)
       assert(db.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
       // the folded delta files are DEFERRED drops (a reader mid-scan
       // keeps its snapshot); one further maintenance tick ages them out
       // and prunes the emptied delta dir
       db.compact()
       assert(!Files.exists(java.nio.file.Paths.get(dir, "delta")))
-      // appends after compaction go back to the delta tier and unify
+      assert(folds().size == 1)
+      // appends after compaction go back to the delta tier and unify;
+      // a SECOND fold subsumes the first generation
       db.insert(Point(t("2024-01-04T01:00:00Z"), "cpu", Map("host" -> "b"), Map("load" -> 0.9)))
       assert(db.length == 4)
       assert(Files.exists(java.nio.file.Paths.get(dir, "delta")))
+      val gen1 = folds().head.getName
+      db.compact()
+      db.compact() // age the superseded generation's drops out
+      assert(folds().size == 1 && folds().head.getName != gen1,
+        "a re-fold must supersede and prune the previous generation")
+      assert(db.length == 4)
     }
     it("recovers from a crash mid-swap (primary renamed to backup, staging orphaned)") {
       val (db, dir) = seeded()
       db.compact()
       val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
-      // simulate the crash window inside overwrite(): primary moved to
-      // backup, replacement never renamed into place
-      val data = java.nio.file.Paths.get(dir, "data")
-      val backup = java.nio.file.Paths.get(dir, ".backup-data")
-      java.nio.file.Files.move(data, backup)
+      // simulate the crash window inside overwrite(): tiers moved to
+      // backups (post-compact the store lives in a fold generation),
+      // replacement never renamed into place
+      val fold = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("fold-\\d+")).head.getName
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, fold),
+        java.nio.file.Paths.get(dir, s".backup-$fold"))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, ".staging-dead"))
-      // reopening runs recover(): backup restored, staging dropped
+      // reopening runs recover(): backups restored, staging dropped
       val again = GraftDB.atPath(spark, dir)
       assert(again.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
-      assert(!java.nio.file.Files.exists(backup))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s".backup-$fold")))
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".staging-dead")))
     }
 
@@ -110,6 +125,41 @@ class StorageSpec extends SparkSpec {
       val seqs = db.all(sorted = false).map(_._seq)
       assert(seqs == seqs.sorted && seqs.distinct.size == 20)
       assert(db.count(FieldQuery("v") === 20.0) == 1)
+    }
+
+    it("a fold commit crashed between meta publish and the dir-rename flip rolls forward") {
+      // the O(1)-rename fold's only crash window: staging complete,
+      // _snapmeta/<v> published (drops + the R dir-move line), process
+      // died before the single staging→fold-<v> rename. Recovery must
+      // execute the dir move FIRST (it is the commit's visibility
+      // flip), or the generic .staging-* sweep would destroy the
+      // entire folded store while the meta's drops still fence the
+      // old delta files.
+      val (db, dir) = seeded()
+      val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
+      db.close()
+      val deltaFiles = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      assert(deltaFiles.nonEmpty)
+      // manufacture the window: stage a fold output, publish the plan
+      val staging = s"$dir/.staging-fold-dead"
+      spark.read.parquet(deltaFiles: _*)
+        .coalesce(1).write.parquet(staging)
+      val head = Files.list(java.nio.file.Paths.get(dir, "_versions")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.endsWith(".done")).map(_.stripSuffix(".done").toLong).max
+      def enc(p: String) = java.net.URLEncoder.encode("file:" + p, "UTF-8")
+      Files.createDirectories(java.nio.file.Paths.get(dir, "_snapmeta"))
+      Files.write(java.nio.file.Paths.get(dir, "_snapmeta", head.toString),
+        (s"R ${enc(staging)} ${enc(s"$dir/fold-$head")}\n" +
+          deltaFiles.map(f => s"D ${enc(f)}").mkString("\n")).getBytes("UTF-8"))
+      // handle open = recovery point: the dir move executes, the fold
+      // generation is live, no rows lost
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before,
+        "the folded rows must survive the staging sweep")
+      assert(Files.exists(java.nio.file.Paths.get(dir, s"fold-$head")))
+      assert(!Files.exists(java.nio.file.Paths.get(dir, ".staging-fold-dead")))
     }
 
     it("recovers the delta tier from a crash mid-delta-compaction") {
@@ -403,9 +453,11 @@ class StorageSpec extends SparkSpec {
         .map(_.getName.stripSuffix(".done")).filter(_.forall(_.isDigit))
         .map(_.toLong).foldLeft(0L)(math.max)
       assert(new java.io.File(s"$dir/_versions/${head + 1}").createNewFile())
+      val foldName = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("fold-\\d+")).head.getName
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(dir, "data"),
-        java.nio.file.Paths.get(dir, ".backup-data"))
+        java.nio.file.Paths.get(dir, foldName),
+        java.nio.file.Paths.get(dir, s".backup-$foldName"))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, ".staging-dead"))
       val again = GraftDB.atPath(spark, dir)
       assert(again.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
