@@ -26,6 +26,7 @@ object StreamProbe {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("graft.storage.maintenanceTimings", "true")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
