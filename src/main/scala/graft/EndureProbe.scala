@@ -36,10 +36,12 @@ object EndureProbe {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("graft.storage.maintenanceTimings", "true")
     import spark.implicits._
 
     val dir = java.nio.file.Files.createTempDirectory("graftendure").toString
-    val db = GraftDB.atPath(spark, dir) // default autoCompactFiles = 32
+    val st = new ParquetStorage(spark, dir) // default autoCompactFiles = 32
+    val db = new GraftDB(st)
     val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
 
     def mkBatch(b: Int) = spark.createDataset((0 until rowsPerBatch).map { i =>
@@ -48,7 +50,12 @@ object EndureProbe {
         Map("host" -> s"h${v % 5}"), Map("v" -> (v % 100).toDouble))
     }).toDF().drop(Point.SeqCol).localCheckpoint(true)
 
-    def deltaFiles(): Int = {
+    // LIVE = what the auto-compaction policy bounds (listing minus the
+    // snapshot plans' deferred drops); RAW additionally counts
+    // superseded files inside their dropGraceMs retention window —
+    // bounded by (grace / tick cadence) sets, pruned at ticks
+    def liveDelta(): Int = st.liveDeltaFileCount()
+    def rawDelta(): Int = {
       val d = new java.io.File(s"$dir/delta")
       if (!d.exists) 0
       else d.listFiles.count(f => f.isFile && !f.getName.startsWith(".") &&
@@ -70,8 +77,8 @@ object EndureProbe {
 
     db.insertDF(mkBatch(-1)) // warm the writer path (untimed)
     val sampleEvery = math.max(1, nBatches / 10)
-    println("| batches | delta files | p50 read (s) | append p50 (s) |")
-    println("|---|---|---|---|")
+    println("| batches | live delta files | raw (live+deferred) | p50 read (s) | append p50 (s) |")
+    println("|---|---|---|---|---|")
     var appendTimes = List.empty[Double]
     (0 until nBatches).foreach { b =>
       val batch = mkBatch(b)
@@ -80,13 +87,15 @@ object EndureProbe {
       appendTimes ::= (System.nanoTime() - t0) / 1e9
       if ((b + 1) % sampleEvery == 0) {
         val ap50 = appendTimes.sorted.apply(appendTimes.size / 2)
-        println(f"| ${b + 1} | ${deltaFiles()} | ${readP50()}%.4f | $ap50%.4f |")
+        println(f"| ${b + 1} | ${liveDelta()} | ${rawDelta()} | ${readP50()}%.4f | $ap50%.4f |")
         appendTimes = Nil
       }
     }
     val rows = db.length
     val expect = (nBatches + 1).toLong * rowsPerBatch
-    println(s"rows=$rows expected=$expect bounded=${deltaFiles() <= ParquetStorage.DefaultAutoCompactFiles}")
+    println(s"rows=$rows expected=$expect bounded=${liveDelta() <= ParquetStorage.DefaultAutoCompactFiles}")
+    require(liveDelta() <= ParquetStorage.DefaultAutoCompactFiles,
+      s"live delta unbounded: ${liveDelta()}")
     require(rows == expect, s"endurance lost rows: $rows != $expect")
 
     // ---- retention cost probe: O(dropped), not O(store) ----

@@ -1041,6 +1041,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     */
   private[engine] def maybeCompactDelta(): Unit = synchronized {
     if (deltaFileEstimate < 0) deltaFileEstimate = listedDeltaFileCount()
+    if (maintTimings)
+      System.err.println(s"[graft-maint] auto-compact check est=$deltaFileEstimate thr=$autoCompactFiles")
     if (deltaFileEstimate >= autoCompactFiles) {
       // Choose the compaction tier at trigger time (one size listing
       // each — paid per compaction, never per append): once the delta
