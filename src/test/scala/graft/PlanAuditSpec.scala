@@ -454,6 +454,58 @@ class PlanAuditSpec extends SparkSpec {
       assert(res.count() > 0)
     }
 
+    it("flagship persisted-config serve (q195): pruned codes scan, broadcast tables, no corpus shuffle") {
+      // the deployable composition — trained cells + trained codebooks
+      // persisted at the flagship default (nProbe=7/R=150), served via
+      // the persisted-config rerank path — must keep every plan
+      // contract of its parts: static cell pruning on the codes scan,
+      // broadcast quantizers/shortlist, bounded top-k; never an SMJ,
+      // cartesian, or per-query corpus window
+      import graft.analytics.Similarity
+      import graft.functions.VectorFunctions.l2Normalize
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val seed = Similarity.centroids(
+        emb.select(col("label"), l2Normalize(col("embedding")).as("nv")), "label", "nv")
+        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+      val cents = Similarity.lloydRefine(emb, seed, "vec_id", "embedding", iters = 3)
+      val perm = Similarity.opqPermutation(emb, cents, "vec_id", "embedding", 4, 16)
+      val cb0 = Similarity.opqResidualPqCodebooks(
+        emb, cents, perm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val cb = Similarity.opqPqLloydRefine(
+        emb, cents, perm, cb0, "vec_id", "embedding", 4, 16, iters = 3)
+      graft.util.Scratch.withDir("flagshipaudit") { dir =>
+        Similarity.opqIvfPqPersist(emb, cents, perm, cb,
+          "vec_id", "embedding", 4, 16, dir) // flagship defaults
+        val qs = emb.filter(col("vec_id") < 2)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val res = Similarity.opqIvfPqTopKPersistedRerank(dir, emb, qs,
+          "vec_id", "embedding", "qid", k = 10)
+        val p = plan(res)
+        assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+        assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+        assert(!p.contains("Window"), p)
+        assert(p.contains("BroadcastHashJoin"), p)
+        assert(res.count() > 0)
+      }
+    }
+
+    it("compacted graft-log batch read (q197): one scan, no exchange") {
+      // a log-compacted topic reads through the same DSv2 batch plan as
+      // an uncompacted one — one input partition per touched segment,
+      // delta-filtered inside the reader, zero shuffles introduced
+      val log = graft.util.Scratch.dir("cmplogaudit")
+      val producer = new graft.streaming.GraftLogProducer(log)
+      (0 until 3).foreach(s =>
+        producer.publish((s * 50 until s * 50 + 80).map(_.toString)))
+      producer.compactTopic()
+      val res = spark.read.format("graft-log").option("path", log).load()
+      val p = plan(res)
+      assert(exchanges(p) == 0, p)
+      assert(p.contains("BatchScan") || p.contains("Scan graft-log"), p)
+      // gaps preserved: distinct values [0, 180), each exactly once
+      assert(res.count() === 180)
+    }
+
     it("PQ codebook training round (q190): broadcast codebook, no corpus self-join, no window") {
       // one per-subspace Lloyd round = corpus scan x broadcast of the
       // m x 64 codebook + two partial aggs — recall is bought at train
