@@ -226,9 +226,14 @@ object Examples {
     Similarity.opqIvfPqAppend(rest, indexDir,
       "vec_id", "embedding", 4, 16)                     // add() the rest, frozen quantizers
     val queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+    // an explicit cheaper shortlist point (the knobs stay available)...
     val shortlist = Similarity.opqIvfPqTopKPersisted(indexDir, queries,
       "qid", "embedding", k = shortlistR, nProbe = 2, m = 4, subDim = 16)
-    val refined = Similarity.exactRerank(e, queries, shortlist,
+    // ...and the ZERO-KNOB serve: the full shortlist+refine composition
+    // at the index's own persisted config (the q195 flagship default,
+    // nProbe=7/rerankR=150) — an operator deploys with no out-of-band
+    // parameters at all
+    val refined = Similarity.opqIvfPqTopKPersistedRerank(indexDir, e, queries,
       "vec_id", "embedding", "qid", k)
     (e.count(), shortlist.count(), refined)
   }
