@@ -175,8 +175,9 @@ object PqProbe {
     // the grid that selected the flagship config: trained codebooks
     // sharpen the ADC shortlist but need a refine wider than q187's
     // R=100 to dominate at sf0.1 — (pqIters=3, R=150, nProbe=7) is the
-    // dominant row at both scales (0.930/0.730 vs the r13 headline's
-    // 0.770/0.600) and is the gated q195 / persist-default config
+    // dominant row at both scales (10-query grid 0.930/0.730; the
+    // canonical 30-query measurement 0.917/0.757 vs 0.780/0.560
+    // untrained) and is the gated q195 / persist-default config
     val ftcb = graft.analytics.Similarity.opqPqLloydRefine(
       e, lcents, lperm, locb, "vec_id", "embedding", 4, 16, iters = 3)
     for ((np, r) <- Seq((5, 100), (5, 150), (7, 100), (7, 150))) {

@@ -923,8 +923,10 @@ object Similarity {
     * default serving config written to `meta_config` is the FLAGSHIP
     * operating point (nProbe=7, rerankR=150) — the q195-gated
     * high-recall composition (FAISS's standard `IVFx,PQy + refine`
-    * deployment shape; recall@10 0.930/0.730 at sf0.001/sf0.1, the
-    * dominant row of the PqProbe (pqIters, nProbe, R) grid — trained
+    * deployment shape; recall@10 0.917/0.757 at sf0.001/sf0.1 on the
+    * canonical 30-query PqProbe measurement — the dominant row of the
+    * (pqIters, nProbe, R) grid, which at 10 queries reads
+    * 0.930/0.730 — trained
     * codebooks sharpen the ADC shortlist ordering but need the wider
     * refine to beat the untrained stack at scale). Pass explicit
     * values to validate a cheaper point (q194 gates nProbe=2/

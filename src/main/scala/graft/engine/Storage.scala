@@ -639,6 +639,17 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         .parquet(files: _*).select(Point.columns.map(col): _*))
     }
 
+  /** Union the tier read groups (legacy data, fold generations, delta)
+    * into one frame — shared by [[load]] and [[compact]]'s input so the
+    * read path and the fold input can never drift.
+    */
+  private def unionGroups(groups: List[Option[DataFrame]]): DataFrame =
+    groups.flatten match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
+      case head :: tail => tail.foldLeft(head)(_.unionByName(_))
+    }
+
   override def load(): DataFrame = {
     // Lock-free reads vs atomic-swap user rewrites: between the listing
     // and Spark's eager footer resolution, an overwrite can rename a
@@ -671,16 +682,11 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         val dropsBelow = metas.filter(_.ver <= h).flatMap(_.drops).toSet
         def snap(listed: Seq[String]) =
           listed.filterNot(addsAbove).filterNot(dropsBelow)
-        val groups =
-          (readFiles(snap(dataListed), Some(dataPath)) ::
+        return unionGroups(
+          readFiles(snap(dataListed), Some(dataPath)) ::
             foldGroups.map { case (dir, listed) =>
               readFiles(snap(listed), Some(dir)) }.toList :::
-            readFiles(snap(deltaListed), None) :: Nil).flatten
-        return groups match {
-          case Nil => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
-          case head :: tail => tail.foldLeft(head)(_.unionByName(_))
-        }
+            readFiles(snap(deltaListed), None) :: Nil)
       } catch {
         case e: Exception
             if attempt < 40 && (e.isInstanceOf[java.io.FileNotFoundException] ||
@@ -975,15 +981,10 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         val foldInputs = foldDirs()
           .map { case (_, dir) => dir -> liveFilesUnderClaim(dir, pendingDrops) }
         val full = timedPhase("plan") {
-          val groups =
-            (readFiles(liveData, Some(dataPath)) ::
+          unionGroups(
+            readFiles(liveData, Some(dataPath)) ::
               foldInputs.map { case (dir, fls) => readFiles(fls, Some(dir)) }.toList :::
-              readFiles(liveDelta, None) :: Nil).flatten
-          groups match {
-            case Nil => spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Point.schema)
-            case head :: tail => tail.foldLeft(head)(_.unionByName(_))
-          }
+              readFiles(liveDelta, None) :: Nil)
         }
         val staging = s"$root/.staging-fold-${UUID.randomUUID()}"
         timedPhase("write")(

@@ -913,10 +913,12 @@ object CorpusQueries {
     // meta_config (the persist DEFAULT since this round) and served
     // via the persisted-config path with ZERO out-of-band knowledge —
     // the serve reads every parameter (m, subDim, nProbe, rerankR)
-    // from the index itself. recall@10 0.930/0.730 at sf0.001/sf0.1 —
-    // the best numbers in the repo, strictly above the
-    // untrained-codebook Lloyd+rerank composition (0.770/0.600, the
-    // r13 dashboard headline) at BOTH scales; floors pinned in
+    // from the index itself. recall@10 0.917/0.757 at sf0.001/sf0.1
+    // (canonical 30-query PqProbe; the 10-query grid row reads
+    // 0.930/0.730) — the best numbers in the repo, strictly above the
+    // untrained-codebook Lloyd+rerank composition (0.780/0.560 at 30
+    // queries; 0.770/0.600 was the r13 10-query headline) at BOTH
+    // scales; floors pinned in
     // AnalyticsSpec. The (pqIters, nProbe, R) grid showed trained
     // codebooks sharpen the shortlist but need a refine wider than
     // q187's R=100 to dominate at scale — R=150/nProbe=7 is the

@@ -101,20 +101,38 @@ object GraftLog {
   }
 
   private val SegmentName = """(\d{12})-(\d+)\.seg""".r
-  private val BasedSegmentName = """(\d{12})-b(\d+)-(\d+)\.seg""".r
+  private[streaming] val BasedSegmentName = """(\d{12})-b(\d+)-(\d+)\.seg""".r
   // A log-COMPACTED segment (Kafka cleanup.policy=compact output): same
   // seq and base as the segment it replaces, count = the ORIGINAL span
   // (offset arithmetic over segment boundaries never changes), `g<v>` =
   // the compaction version (each pass that rewrites a segment bumps it
-  // — renames are create-only, so versions make re-compaction atomic).
+  // — renames are create-only, so versions make re-compaction atomic),
+  // `n<rows>` = the SURVIVING record count (statistics only — span
+  // stays the offset-math currency; optional for early-format names).
   // Lines inside carry explicit "<offsetDelta>\t<record>" pairs because
-  // surviving offsets have gaps.
-  private val CompactedSegmentName = """(\d{12})-b(\d+)-(\d+)-g(\d+)\.seg""".r
+  // surviving offsets have gaps. THE ONE GRAMMAR: every consumer
+  // (listing, reader dispatch, retention's based() check, the
+  // producer's seqGver) matches through these shared regexes.
+  private[streaming] val CompactedSegmentName =
+    """(\d{12})-b(\d+)-(\d+)-g(\d+)(?:-n(\d+))?\.seg""".r
+
   private val SinkSegmentName = """s(\d{12})-p(\d{4})-(\d+)\.seg""".r
   private val StagedSinkName = """\.sink-e(\d{12})-p\d{4}-t\d+\.staged""".r
 
-  private[streaming] def isCompactedName(name: String): Boolean =
-    name.matches("""\d{12}-b\d+-\d+-g\d+\.seg""")
+  private[streaming] def isCompactedName(name: String): Boolean = name match {
+    case CompactedSegmentName(_, _, _, _, _) => true
+    case _                                   => false
+  }
+
+  /** Surviving record count of a segment — the statistics currency
+    * (span = `count` stays the offset currency): compacted names carry
+    * it as `-n<rows>`; everything else has rows == span.
+    */
+  def segmentLiveRows(s: Segment): Long = new Path(s.path).getName match {
+    case CompactedSegmentName(_, _, span, _, n) =>
+      Option(n).map(_.toLong).getOrElse(span.toLong)
+    case _ => s.count
+  }
 
   /** Sweep dead attempts' invisible `.sink-*.staged` leftovers in `dir`.
     * A task KILL skips `DataWriter.abort`, so a crashed attempt's
@@ -185,7 +203,7 @@ object GraftLog {
     // SPAN, so the running-offset arithmetic is version-blind.
     val raw = entries.toSeq.flatMap { st =>
       st.getPath.getName match {
-        case CompactedSegmentName(seq, base, count, gver) if st.isFile =>
+        case CompactedSegmentName(seq, base, count, gver, _) if st.isFile =>
           Some((seq.toLong, Some(base.toLong), count.toLong, st.getPath.toString,
             gver.toLong))
         case BasedSegmentName(seq, base, count) if st.isFile =>
@@ -699,12 +717,10 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     i >= 0 && i == r.length - 1
   }
 
-  private def seqGver(name: String): Option[(String, Long)] = {
-    val m = """(\d{12})-b\d+-\d+(?:-g(\d+))?\.seg""".r
-    name match {
-      case m(seq, gver) => Some((seq, Option(gver).map(_.toLong).getOrElse(0L)))
-      case _            => None
-    }
+  private def seqGver(name: String): Option[(String, Long)] = name match {
+    case GraftLog.CompactedSegmentName(seq, _, _, gver, _) => Some((seq, gver.toLong))
+    case GraftLog.BasedSegmentName(seq, _, _)              => Some((seq, 0L))
+    case _                                                 => None
   }
 
   /** Read every surviving (offsetDelta, record) of a sealed segment. */
@@ -751,29 +767,48 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
       "compactTopic requires base-offset producer segments " +
         "(sink topics: run compactSinkEpochs first)")
     if (segs.size <= 1) return 0
-    // the key's global latest offset: segments ascend and deltas ascend
-    // within each, so a plain forward scan's last write wins
-    val latest = scala.collection.mutable.HashMap.empty[String, Long]
+    // the key's global latest offset, keyed by a 16-byte MD5
+    // FINGERPRINT (Kafka's cleaner offset map does the same): memory is
+    // O(distinct keys × 16 B) regardless of key length. Segments ascend
+    // and deltas ascend within each, so a plain forward scan's last
+    // write wins. The pass reads each segment twice (offset-map build,
+    // then the rewrite) — the same two-phase shape as Kafka's cleaner;
+    // caching record payloads to save the second read would make the
+    // producer's heap O(topic).
+    def fp(r: String): (Long, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(keyOf(r).getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.wrap(d)
+      (bb.getLong, bb.getLong)
+    }
+    val latest = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
     segs.foreach { s =>
-      readSegmentRecords(s).foreach { case (d, r) => latest(keyOf(r)) = s.base + d }
+      readSegmentRecords(s).foreach { case (d, r) => latest(fp(r)) = s.base + d }
     }
     var removed = 0
     segs.init.foreach { s =>
       val recs = readSegmentRecords(s)
       val keep = recs.filter { case (d, r) =>
-        latest(keyOf(r)) == s.base + d && !isTombstone(r)
+        latest(fp(r)) == s.base + d && !isTombstone(r)
       }
       if (keep.size < recs.size) {
         val Some((seq, gver)) = seqGver(new Path(s.path).getName)
-        val name = s"$seq-b${s.base}-${s.count}-g${gver + 1}.seg"
+        val name = s"$seq-b${s.base}-${s.count}-g${gver + 1}-n${keep.size}.seg"
         val tmp = new Path(dirPath, s".$name.inprogress")
         val out = fs.create(tmp, true)
         try {
           keep.foreach { case (d, r) => out.write(s"$d\t$r\n".getBytes("UTF-8")) }
           out.hsync()
         } finally out.close()
-        if (!fs.rename(tmp, new Path(dirPath, name)))
+        val dst = new Path(dirPath, name)
+        if (!fs.rename(tmp, dst))
           throw new java.io.IOException(s"compacted segment seal failed: $name")
+        // CARRY THE SEAL TIME FORWARD: time-based retention ages
+        // segments by file mtime, and a rewrite stamped "now" would
+        // stop retention.ms from ever expiring a repeatedly-compacted
+        // segment — Kafka's cleaner preserves timestamps across
+        // cleaning for exactly this reason
+        fs.setTimes(dst, fs.getFileStatus(new Path(s.path)).getModificationTime, -1)
         removed += recs.size - keep.size
       }
     }
@@ -787,8 +822,14 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     // segments and the FIRST survivor must carry explicit base offsets
     // (producer/compacted form — the first based survivor re-anchors the
     // running sum for any still-markered sink segments after it)
-    def based(s: GraftLog.Segment): Boolean =
-      new Path(s.path).getName.matches("""\d{12}-b\d+-\d+(-g\d+)?\.seg""")
+    def based(s: GraftLog.Segment): Boolean = {
+      val n = new Path(s.path).getName
+      n match {
+        case GraftLog.BasedSegmentName(_, _, _) => true
+        case _ if GraftLog.isCompactedName(n)   => true
+        case _                                  => false
+      }
+    }
     require(doomed.forall(based) && segs.drop(doomed.size).headOption.forall(based),
       "truncateBefore needs base-offset segment names at and after the cut " +
         "(producer topics, or sink topics past marker compaction)")
@@ -883,7 +924,10 @@ final class GraftLogScan(path: String, maxPerTrigger: Option[Long])
   override def estimateStatistics(): Statistics = {
     val conf = new Configuration()
     val segs = GraftLog.listSegments(path, conf)
-    val rows = segs.map(_.count).sum
+    // live rows, not offset span: a compacted segment's name carries
+    // its surviving count — a heavily compacted topic must not report
+    // its pre-compaction cardinality to the CBO
+    val rows = segs.map(GraftLog.segmentLiveRows).sum
     val bytes =
       if (segs.isEmpty) 0L
       else {
@@ -1034,7 +1078,7 @@ final class GraftLogPartitionedScan(path: String, maxPerTrigger: Option[Long])
     val (rows, bytes) = GraftLog.listPartitions(path, conf).map { p =>
       val segs = GraftLog.listSegments(GraftLog.partitionDir(path, p), conf)
       val fs = new Path(path).getFileSystem(conf)
-      (segs.map(_.count).sum, segs.map(s =>
+      (segs.map(GraftLog.segmentLiveRows).sum, segs.map(s =>
         try fs.getFileStatus(new Path(s.path)).getLen
         catch { case _: java.io.FileNotFoundException => 0L }).sum)
     }.foldLeft((0L, 0L)) { case ((r, b), (r2, b2)) => (r + r2, b + b2) }

@@ -698,8 +698,9 @@ class AnalyticsSpec extends SparkSpec {
       // point — must beat the best single-trained composition (the
       // untrained-codebook Lloyd + q187-style rerank, the r13
       // dashboard headline) and hold a floor just under its measured
-      // level (0.93/0.73 at sf0.001/sf0.1 on real data; this synthetic
-      // corpus measures its own levels, pinned below)
+      // level (0.917/0.757 at sf0.001/sf0.1 on real data, 30-query
+      // PqProbe; this synthetic corpus measures its own levels,
+      // pinned below)
       val fshort = graft.analytics.Similarity.opqResidualIvfPqTopK(
         e, q, lcents, lperm, tcb, "vec_id", "embedding", "qid", 150,
         nProbe = 7, m = 4, subDim = 16)

@@ -238,6 +238,28 @@ class LogSourceSpec extends SparkSpec {
       assert(got3 === Seq((6L, "c\t6"), (8L, "e\t9")))
     }
 
+    it("log compaction preserves segment seal times, so retention.ms still expires compacted data") {
+      // truncateOlderThanMs ages segments by file mtime; a compaction
+      // rewrite stamped "now" would keep refreshing the oldest
+      // segment's age and retention.ms would never expire it (Kafka's
+      // cleaner preserves timestamps across cleaning for this reason)
+      val dir = tmp("graftcmpret")
+      val p = new GraftLogProducer(dir)
+      val conf = new Configuration()
+      (0 until 3).foreach(s =>
+        p.publish((s * 10 until (s + 1) * 10).map(o => s"k${o % 4}\tv$o")))
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      val sealMs = System.currentTimeMillis() - 100000L
+      GraftLog.listSegments(dir, conf).foreach(s =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(s.path), sealMs, -1))
+      assert(p.compactTopic() > 0) // rewrites the head segments
+      // every segment (including the compacted rewrites) is older than
+      // the horizon — the whole log expires; a fresh-stamped rewrite
+      // would stop the contiguous cut at segment 0 and expire nothing
+      assert(p.truncateOlderThanMs(50000L) === 3)
+      assert(GraftLog.earliestOffset(dir, conf) === 30L)
+    }
+
     it("log compaction: a reader planned against the pre-compaction form still reads it (one-pass grace)") {
       val dir = tmp("graftlogcompact3")
       val p = new GraftLogProducer(dir)
