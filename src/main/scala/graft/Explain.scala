@@ -529,7 +529,7 @@ object Explain {
     }
 
     section("q195 FLAGSHIP trained serve (round 14)",
-      "The configuration a production user deploys (FAISS `IVFx,PQy + refine`): Lloyd-trained cells + Lloyd-trained PQ codebooks persisted with the grid-validated high-recall config (nProbe=7, rerankR=150 — the persist DEFAULT), served via the persisted-config path. recall@10 0.930/0.730 at sf0.001/sf0.1 vs the untrained-codebook composition's 0.770/0.600. The SERVE plan is the q194 shape with wider probe/shortlist constants — training cost lives at persist time, zero serve-time delta.") {
+      "The configuration a production user deploys (FAISS `IVFx,PQy + refine`): Lloyd-trained cells + Lloyd-trained PQ codebooks persisted with the grid-validated high-recall config (nProbe=7, rerankR=200 — the persist DEFAULT; the r15 grid's dominant row, and the grid where the swap-trained rotation lost to the snake-deal at every rerank point), served via the persisted-config path. recall@10 0.923/0.800 at sf0.001/sf0.1 (30 queries) vs the untrained-codebook composition's 0.780/0.560. The SERVE plan is the q194 shape with wider probe/shortlist constants — training cost lives at persist time, zero serve-time delta.") {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nv = graft.functions.VectorFunctions.l2Normalize(
         org.apache.spark.sql.functions.col("embedding"))
@@ -547,7 +547,7 @@ object Explain {
         e, cents, perm, cb0, "vec_id", "embedding", 4, 16, iters = 3)
       val idx = graft.util.Scratch.dir("explainflagship")
       graft.analytics.Similarity.opqIvfPqPersist(e, cents, perm, cb,
-        "vec_id", "embedding", 4, 16, idx) // flagship defaults: nProbe=7, R=150
+        "vec_id", "embedding", 4, 16, idx) // flagship defaults: nProbe=7, R=200
       graft.analytics.Similarity.opqIvfPqTopKPersistedRerank(idx, e,
         e.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
           .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
@@ -588,6 +588,39 @@ object Explain {
       (0 until 3).foreach(s => p.publish((s * 100 until s * 100 + 150).map(_.toString)))
       p.compactTopic()
       spark.read.format("graft-log").option("path", log).load()
+    }
+
+    section("q198 compact,delete composed read (round 15)",
+      "Kafka's combined `cleanup.policy=compact,delete` on one topic: compaction rewrites carry their source segment's SEAL TIME forward, so retention.ms still expires the oldest compacted segments; the surviving read is the identical one-input-partition-per-segment shape over the gapped suffix, earliest offset advanced by the `_log_start` low-water — no plan difference, just the composed lifecycle's smaller file set.") {
+      val log = graft.util.Scratch.dir("explaincmpdel")
+      val p = new graft.streaming.GraftLogProducer(log)
+      (0 until 5).foreach(s => p.publish((s * 100 until s * 100 + 200).map(_.toString)))
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val hfs = new org.apache.hadoop.fs.Path(log).getFileSystem(hconf)
+      val t0 = 1704067200000L
+      graft.streaming.GraftLog.listSegments(log, hconf).zipWithIndex.foreach {
+        case (seg, i) =>
+          hfs.setTimes(new org.apache.hadoop.fs.Path(seg.path), t0 + i * 1000000L, -1)
+      }
+      p.compactTopic()
+      p.truncateOlderThanMs(maxAgeMs = 8500000L, nowMs = t0 + 10000000L)
+      spark.read.format("graft-log").option("path", log).load()
+    }
+
+    section("q199 per-partition compacted read (round 15)",
+      "A partitioned topic after GraftLog.compactPartitions (Kafka's cleaner runs per partition, each under its own sub-log lock): the partitioned batch read plans one input partition per touched segment per topic-partition over the compacted (gapped) forms — partition parallelism and composite offsets identical to the uncompacted read; only the row count shrinks.") {
+      val topic = graft.util.Scratch.dir("explainpcmp")
+      (0 until 3).foreach { pid =>
+        val prod = new graft.streaming.GraftLogProducer(
+          graft.streaming.GraftLog.partitionDir(topic, pid))
+        val vs = (0 until 300).filter(_ % 3 == pid).map(_.toString)
+        prod.publish(vs.slice(0, 50)); prod.publish(vs.slice(25, 75))
+        prod.publish(vs.slice(75, 100))
+      }
+      graft.streaming.GraftLog.compactPartitions(topic,
+        spark.sparkContext.hadoopConfiguration)
+      spark.read.format("graft-log").option("path", topic)
+        .option("partitioned", "true").load()
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),

@@ -171,21 +171,21 @@ object PqProbe {
     // q195 FLAGSHIP: every quantizer trained (3 Lloyd cell rounds + 3
     // per-subspace PQ rounds) + the high-recall refine — the composed
     // stack a production user deploys, gated end-to-end through the
-    // persisted-config serve (persist defaults nProbe=5/R=100)
-    // the grid that selected the flagship config: trained codebooks
+    // persisted-config serve (persist defaults nProbe=7/rerankR=200).
+    // The grid that selected the flagship config: trained codebooks
     // sharpen the ADC shortlist but need a refine wider than q187's
-    // R=100 to dominate at sf0.1 — (pqIters=3, R=150, nProbe=7) is the
-    // dominant row at both scales (10-query grid 0.930/0.730; the
-    // canonical 30-query measurement 0.917/0.757 vs 0.780/0.560
-    // untrained) and is the gated q195 / persist-default config
+    // R=100 to dominate at sf0.1 — the r15 grid moved the dominant
+    // row from (R=150, nProbe=7) [30-query 0.917/0.757] to (R=200,
+    // nProbe=7) [0.923/0.800], identical index bytes, R serve-time
+    // only; that is the gated q195 / persist-default config
     val ftcb = graft.analytics.Similarity.opqPqLloydRefine(
       e, lcents, lperm, locb, "vec_id", "embedding", 4, 16, iters = 3)
-    for ((np, r) <- Seq((5, 100), (5, 150), (7, 100), (7, 150))) {
+    for ((np, r) <- Seq((5, 100), (5, 150), (7, 100), (7, 150), (7, 200))) {
       val fshort = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, lperm, ftcb,
         "vec_id", "embedding", "qid", k = r, nProbe = np, m = 4, subDim = 16)
       val fl = pairs(graft.analytics.Similarity.exactRerank(e, q, fshort,
         "vec_id", "embedding", "qid", k))
-      val tag = if (np == 7 && r == 150) "FLAGSHIP (q195, gated)" else "flagship sweep"
+      val tag = if (np == 7 && r == 200) "FLAGSHIP (q195, gated)" else "flagship sweep"
       println(f"| $tag | pqIters=3, R=$r, nProbe=$np | ${recall(fl)}%.3f |")
     }
 
@@ -204,6 +204,32 @@ object PqProbe {
       val sr = pairs(graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, sperm, scb,
         "vec_id", "embedding", "qid", k, nProbe = 2, m = 4, subDim = 16))
       println(f"| swap-train sweep (q196) | swapIters=$it, pqIters=3, 3 Lloyd iters, nProbe=2 | ${recall(sr)}%.3f |")
+    }
+
+    // FLAGSHIP × SWAP grid (r15): the swap-trained rotation composed
+    // with the FULL trained stack AT THE RERANK OPERATING POINTS —
+    // the grid that decided the persisted default's rotation.
+    // VERDICT (30 queries): swap LOSES at every rerank point at both
+    // scales (sf0.001: 0.913/0.900 vs 0.917 at (7,150); sf0.1: 0.720/
+    // 0.733 vs 0.757) — the refine recovers the ADC quantization error
+    // the rotation reduces, so rotation quality stops binding once R
+    // is wide — and it surfaced (7,200) as the new dominant snake-deal
+    // row (0.923/0.800), promoted to the q195/persist default
+    // (swapIters=0 == the snake-deal == the flagship rows above)
+    for (si <- Seq(0, 2, 4)) {
+      val gperm = graft.analytics.Similarity.opqSwapRefine(
+        e, lcents, "vec_id", "embedding", 4, 16, iters = si)
+      val gcb0 = graft.analytics.Similarity.opqResidualPqCodebooks(
+        e, lcents, gperm, "vec_id", "embedding", 4, 16, signBits = 6)
+      val gcb = graft.analytics.Similarity.opqPqLloydRefine(
+        e, lcents, gperm, gcb0, "vec_id", "embedding", 4, 16, iters = 3)
+      for ((np, r) <- Seq((5, 100), (7, 150), (7, 200))) {
+        val gshort = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, lcents, gperm, gcb,
+          "vec_id", "embedding", "qid", k = r, nProbe = np, m = 4, subDim = 16)
+        val gl = pairs(graft.analytics.Similarity.exactRerank(e, q, gshort,
+          "vec_id", "embedding", "qid", k))
+        println(f"| flagship x swap grid | swapIters=$si, pqIters=3, R=$r, nProbe=$np | ${recall(gl)}%.3f |")
+      }
     }
 
     // the original compression sweep: recall across subspace splits

@@ -481,7 +481,14 @@ object Similarity {
     * (round(v·10⁹) of the 9dp-rounded per-dim variance), so the greedy
     * trajectory is bit-reproducible across engines regardless of
     * summation order — the property that lets the DuckDB oracle replay
-    * the exact same swaps CTE-round by CTE-round (q196). In-subspace
+    * the exact same swaps CTE-round by CTE-round (q196). The Δ products
+    * run 128-bit wide on BOTH engines (BigInt here, HUGEINT casts in
+    * the SQL replay — Scala Long would wrap SILENTLY on high-variance
+    * unnormalized embeddings while DuckDB BIGINT raises, forking the
+    * engines), and the per-dim variance is loudly bounded at 10⁶ (far
+    * above any residual variance of real embedding data; L2-normalized
+    * vectors sit below 1) so the 128-bit products can never saturate
+    * either engine's width. In-subspace
     * positions are re-derived by (variance desc, dim) after the swaps,
     * so the sign-orthant bits stay on each subspace's most informative
     * dims; at iters where no swap improves, the output equals the
@@ -504,7 +511,16 @@ object Similarity {
       .collect().map(r => r.getAs[Number]("i").intValue -> r.getAs[Double]("v"))
     require(vrows.length == d, s"variance table covers ${vrows.length} of $d dims")
     // integer variance units: w strictly preserves the 9dp order, and
-    // every downstream sum/compare is exact 64-bit arithmetic
+    // every downstream sum/compare is exact integer arithmetic. The
+    // bound keeps |w| ≤ 10¹⁵: subspace sums then fit Long (≤ d·10¹⁵)
+    // and every Δ product fits 128 bits on both engines — and it fails
+    // LOUDLY instead of letting math.round saturate where the SQL
+    // replay's BIGINT cast would raise (engine fork on wild data)
+    vrows.foreach { case (i, v) =>
+      require(math.abs(v) <= 1e6,
+        s"opqSwapRefine: residual variance of dim $i is $v — beyond the " +
+          "10⁶ integer-unit bound; rescale the vectors (e.g. l2Normalize)")
+    }
     val w = vrows.map { case (i, v) => i -> math.round(v * 1e9) }.toMap
     // snake-deal seed, identical to opqPermutation's rank arithmetic
     // (ranked on w, whose order equals the 9dp variance order exactly)
@@ -518,8 +534,11 @@ object Similarity {
       val sums = Array.fill(m)(0L)
       sub.foreach { case (i, s) => sums(s) += w(i) }
       // first minimal Δ in (ia, ib) iteration order == the SQL replay's
-      // row_number() OVER (ORDER BY delta, ia, ib) = 1
-      var bestDelta = 0L
+      // row_number() OVER (ORDER BY delta, ia, ib) = 1. Δ in BigInt:
+      // 2·δ·(S_A−S_B) can exceed Long even at bounded units (|δ| ≤
+      // 2·10¹⁵, |S_A−S_B| ≤ d·10¹⁵) — the replay computes it in
+      // HUGEINT, and both stay exact under the 10⁶ variance bound
+      var bestDelta = BigInt(0)
       var bestA = 0
       var bestB = 0
       var found = false
@@ -529,8 +548,8 @@ object Similarity {
         while (ib <= d) {
           val sa = sub(ia); val sb = sub(ib)
           if (sa != sb) {
-            val dd = w(ib) - w(ia)
-            val delta = 2L * dd * (sums(sa) - sums(sb)) + 2L * dd * dd
+            val dd = BigInt(w(ib) - w(ia))
+            val delta = 2 * dd * (sums(sa) - sums(sb)) + 2 * dd * dd
             if (!found || delta < bestDelta) {
               found = true; bestDelta = delta; bestA = ia; bestB = ib
             }
@@ -539,7 +558,7 @@ object Similarity {
         }
         ia += 1
       }
-      if (found && bestDelta < 0L) {
+      if (found && bestDelta < 0) {
         val t = sub(bestA); sub(bestA) = sub(bestB); sub(bestB) = t
       } else converged = true
       it += 1
@@ -921,21 +940,27 @@ object Similarity {
 
   /** Persist the OPQ-IVF+PQ index as a new immutable generation. The
     * default serving config written to `meta_config` is the FLAGSHIP
-    * operating point (nProbe=7, rerankR=150) — the q195-gated
+    * operating point (nProbe=7, rerankR=200) — the q195-gated
     * high-recall composition (FAISS's standard `IVFx,PQy + refine`
-    * deployment shape; recall@10 0.917/0.757 at sf0.001/sf0.1 on the
+    * deployment shape; recall@10 0.923/0.800 at sf0.001/sf0.1 on the
     * canonical 30-query PqProbe measurement — the dominant row of the
-    * (pqIters, nProbe, R) grid, which at 10 queries reads
-    * 0.930/0.730 — trained
-    * codebooks sharpen the ADC shortlist ordering but need the wider
-    * refine to beat the untrained stack at scale). Pass explicit
-    * values to validate a cheaper point (q194 gates nProbe=2/
+    * r15 (rotation, nProbe, R) grid at identical index bytes, strictly
+    * above the r14 default (7, 150)'s 0.917/0.757 at both scales; R is
+    * a serve-time knob, so the widening costs 50 extra exact dot
+    * products per query and zero bytes). The grid also settled the
+    * ROTATION: the swap-trained [[opqSwapRefine]] permutation, which
+    * dominates at the cheap ADC point (q196), LOSES to the snake-deal
+    * at every rerank point (0.913/0.720 at (7,150), 0.930 tie/0.777 at
+    * (7,200)) — once the refine stage recovers the ADC quantization
+    * error, rotation quality stops binding and coarse-probe coverage +
+    * R do — so the persisted default keeps [[opqPermutation]]. Pass
+    * explicit values to validate a cheaper point (q194 gates nProbe=2/
     * rerankR=50).
     */
   def opqIvfPqPersist(corpus: DataFrame,
       centroids: DataFrame, perm: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int,
-      path: String, nProbe: Int = 7, rerankR: Int = 150): Unit = {
+      path: String, nProbe: Int = 7, rerankR: Int = 200): Unit = {
     requireIntegralId(corpus, idCol, "opqIvfPqPersist")
     requireIntegralCells(centroids, "opqIvfPqPersist")
     val srcs = permSources(perm, m, subDim)

@@ -179,8 +179,13 @@ object Storage {
     val sc = spark.sessionState.conf
     hc.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
       sc.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
+    // the store's layout contract pins stats-bearing MICROS directly in
+    // this writer's own Hadoop conf — the session's encoding (which an
+    // INT96 application may have chosen for ITS writes) is neither read
+    // nor touched, mirroring the distributed path's dedicated pinned
+    // write session
     hc.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      sc.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString)
+      SQLConf.ParquetOutputTimestampType.TIMESTAMP_MICROS.toString)
     hc.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
       sc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
     hc.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
@@ -360,41 +365,35 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // NO column statistics, which silently voids both row-group pruning
   // on time predicates and the footer-stat retention fast path. This
   // storage layer's layout contract is stats-bearing time-sorted files,
-  // so every write THIS STORE makes pins the standard micros encoding —
-  // scoped set/restore around the write ([[withMicrosTimestamps]]),
-  // because outputTimestampType has no per-write form (ParquetOptions
-  // exposes only compression/mergeSchema) and a library must not
-  // mutate the whole SparkSession's parquet encoding as a side effect
-  // of opening a handle (an application with legacy INT96 consumers
-  // keeps its own writes unchanged). Nothing here depends on the pin
-  // for CORRECTNESS: reads handle either encoding, and a stat-less
-  // INT96 file is simply treated as boundary-straddling by
-  // [[retainBefore]], whose filtered rewrite re-encodes it with stats
-  // — self-healing.
-  // Cross-handle safety comes from a JVM-global REFERENCE-COUNTED pin
-  // per session ([[ParquetStorage.pinMicros]]): the first pin records
-  // the true previous value, the last unpin restores it, and the
-  // bookkeeping lock is held only for the set/restore — so overlapping
-  // store writes never leave a session on the wrong encoding AND never
-  // serialize each other's (potentially multi-second) write jobs. The
-  // application's OWN concurrent parquet writes can still observe the
-  // pin for the duration of a store write — inherent to a
-  // session-global knob, but a bounded window instead of a permanent
-  // handle-open mutation.
-  // `sessions`: a write reads the conf of the DATAFRAME'S session, not
-  // this handle's — and a Structured Streaming foreachBatch hands the
-  // store batches bound to the stream's CLONED session, whose conf this
-  // handle never pinned. Every write site passes the writing frame's
-  // session (plus this handle's, for the local-writer path that reads
-  // `spark.sessionState.conf` directly); missing that pin would land
-  // the PRIMARY INGEST PATH's files stat-less INT96 until a compaction
-  // happens to rewrite them.
-  private def withMicrosTimestamps[T](sessions: SparkSession*)(body: => T): T = {
-    val targets = (spark +: sessions).distinct
-    ParquetStorage.pinMicros(targets)
-    try body
-    finally ParquetStorage.unpinMicros(targets)
-  }
+  // so every write THIS STORE makes must resolve the standard micros
+  // encoding — but outputTimestampType has no per-write form
+  // (ParquetUtils.prepareWrite copies it from the SESSION conf of the
+  // frame being written, unconditionally), and a library must not
+  // mutate the application's session encoding even transiently (an
+  // application with legacy INT96 consumers writing its OWN parquet
+  // concurrently with a store ingest batch must never observe the
+  // store's pin — the leak window the r14 refcounted scoped pin still
+  // had). The fix is a DEDICATED WRITE SESSION: one `newSession()` per
+  // application session per JVM ([[ParquetStorage.microsWriteSession]]),
+  // pinned to TIMESTAMP_MICROS exactly once at creation, and every
+  // outgoing frame re-bound to it at the last moment ([[rebound]] —
+  // the frame's compiled RDD[InternalRow] becomes a LogicalRDD on the
+  // pinned session, zero per-row conversion, all transforms and their
+  // timezone/conf semantics already resolved under the ORIGINAL
+  // session). The application session's conf is never touched, there
+  // is no window, and there is no restore bookkeeping to get wrong.
+  // Works uniformly for frames from the app session, this handle's
+  // session, and Structured Streaming foreachBatch CLONED sessions
+  // (same SparkContext, which in-process frames always share). The
+  // driver-local writer path ([[Storage.writeParquetLocal]]) builds
+  // its own Hadoop conf and pins MICROS there directly — no session
+  // involved. Nothing here depends on the pin for CORRECTNESS: reads
+  // handle either encoding, and a stat-less INT96 file is simply
+  // treated as boundary-straddling by [[retainBefore]], whose filtered
+  // rewrite re-encodes it with stats — self-healing.
+  private def rebound(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSessionBridge.rebind(
+      df, ParquetStorage.microsWriteSession(spark))
 
   recover()
 
@@ -565,6 +564,15 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // ONLY a delta backup — keying its restore on the data backup
     // would delete the store's entire contents below.
     val preData = exists(dataPath)
+    // data present + any backup present is the POST-swap overwrite
+    // signature (backups are created only by overwriteInner's swap, and
+    // the staging→data rename is its commit point): the dying overwrite
+    // subsumed every fold input and pending drop, so the snapshot-meta
+    // chain it did not live to delete is stale — detected HERE, before
+    // the backups (the signature) are cleaned up below
+    val postSwapOverwrite = preData && (exists(backupDataPath) ||
+      exists(backupDeltaPath) || (exists(root) && fs.listStatus(new Path(root))
+        .exists(_.getPath.getName.startsWith(".backup-fold-"))))
     if (!preData && exists(backupDataPath))
       renameOrThrow(backupDataPath, dataPath)
     if (!preData && !exists(deltaPath) && exists(backupDeltaPath))
@@ -591,6 +599,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         else deleteOrThrow(s.getPath.toString)
       }
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
+    // clear the stale chain of a post-swap overwrite crash BEFORE the
+    // roll-forward below would replay it (the replay is exists-checked
+    // and thus inert against destroyed dirs, but the chain would linger
+    // — every load() paying its meta reads — until a much later
+    // maintenance tick drained it)
+    if (postSwapOverwrite && exists(snapMetaPath)) deleteOrThrow(snapMetaPath)
     // a maintenance snapshot commit that died after publishing its
     // `_snapmeta/<v>` plan but before (or during) its renames rolls
     // FORWARD here: moves are exists-checked and idempotent, and the
@@ -707,13 +721,13 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     * should repartition the input by (measurement, date) upstream.)
     */
   private def writePartitioned(df: DataFrame, path: String, mode: SaveMode): Unit = {
-    val w = df
+    // p_date derives BEFORE the re-bind, so the application session's
+    // timezone semantics govern the partition date exactly as before
+    val w = rebound(df
       .withColumn("p_date", to_date(col(Point.TimeCol)))
-      .sortWithinPartitions(Point.TimeCol)
+      .sortWithinPartitions(Point.TimeCol))
       .write.mode(mode)
-    withMicrosTimestamps(df.sparkSession) {
-      (if (partitioned) w.partitionBy(Point.MeasurementCol, "p_date") else w).parquet(path)
-    }
+    (if (partitioned) w.partitionBy(Point.MeasurementCol, "p_date") else w).parquet(path)
   }
 
   override def append(batch: DataFrame): Unit = { appendDelta(batch); () }
@@ -742,15 +756,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
             ((est + splitBytes - 1) / splitBytes).toLong)).toInt
           val stamped = withSeq(batch.coalesce(nOut))
-          withMicrosTimestamps(stamped.sparkSession) {
-            stamped
-              .sortWithinPartitions(Point.TimeCol)
-              // Delta tier optimizes append latency: snappy encodes ~3× faster
-              // than Spark 4's zstd default; compaction rewrites with the
-              // read-optimized default codec.
-              .write.option("compression", "snappy")
-              .mode(SaveMode.Append).parquet(deltaPath)
-          }
+          rebound(stamped.sortWithinPartitions(Point.TimeCol))
+            // Delta tier optimizes append latency: snappy encodes ~3× faster
+            // than Spark 4's zstd default; compaction rewrites with the
+            // read-optimized default codec.
+            .write.option("compression", "snappy")
+            .mode(SaveMode.Append).parquet(deltaPath)
           noteDeltaFiles(nOut)
           // same plan, same source partitioning → monotonically_increasing_id
           // reproduces the written _seq values on re-evaluation
@@ -817,12 +828,10 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val tmp = new Path(s"$deltaPath/.$name.inprogress")
     val file = new Path(s"$deltaPath/$name")
     try {
-      withMicrosTimestamps(batch.sparkSession) {
-        Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
-          sorted.iterator.map { case (r, seq) =>
-            new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
-          })
-      }
+      Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
+        sorted.iterator.map { case (r, seq) =>
+          new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
+        })
       if (!fs.rename(tmp, file))
         throw new java.io.IOException(s"rename failed: $tmp -> $file")
     } catch {
@@ -876,12 +885,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
     val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       ((est + splitBytes - 1) / splitBytes).toLong)).toInt
-    withMicrosTimestamps(batch.sparkSession) {
-      withSeq(batch.coalesce(nOut))
-        .sortWithinPartitions(Point.TimeCol)
-        .write.option("compression", "snappy")
-        .mode(SaveMode.Overwrite).parquet(staging)
-    }
+    rebound(withSeq(batch.coalesce(nOut)).sortWithinPartitions(Point.TimeCol))
+      .write.option("compression", "snappy")
+      .mode(SaveMode.Overwrite).parquet(staging)
     val files = fs.listStatus(new Path(staging)).filter(f =>
       f.isFile && !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
     if (!exists(deltaPath)) { fs.mkdirs(new Path(deltaPath)); () }
@@ -1102,12 +1108,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
               ((est + splitBytes - 1) / splitBytes).toLong)).toInt)
           }
           timedPhase("write") {
-            withMicrosTimestamps(delta.sparkSession) {
-              delta.coalesce(nOut)
-                .sortWithinPartitions(Point.TimeCol)
-                .write.option("compression", "snappy")
-                .mode(SaveMode.Overwrite).parquet(staging)
-            }
+            rebound(delta.coalesce(nOut).sortWithinPartitions(Point.TimeCol))
+              .write.option("compression", "snappy")
+              .mode(SaveMode.Overwrite).parquet(staging)
           }
           timedPhase("publish") {
             val moves = listFilesRec(new Path(staging)).zipWithIndex.map { case (f, i) =>
@@ -1277,18 +1280,25 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
         sweepDir(new Path(deltaPath))
       }
 
-      // straddler rewrite: stage filtered replacements, then commit
-      // drops (whole-dropped files + straddler originals) and renames
-      // as ONE snapshot plan. Emptied partition/measurement/tier dirs
-      // are pruned when a later commit physically deletes their files
+      // straddler rewrite: stage the filtered replacements as ONE
+      // partitioned directory and commit it as this version's fold
+      // generation — a single `R staging → fold-<v>` rename beside the
+      // drops (whole-dropped files + straddler originals) in one
+      // snapshot plan, the same O(1)-rename commit shape [[compact]]
+      // uses (on an object store: one metadata op, not one copy per
+      // staged file). Emptied partition/measurement/tier dirs are
+      // pruned when a later commit physically deletes their files
       // (pruneSnapDrops walks up from each emptied dir).
-      val (strRemoved, moves, stagingRoot) = stageStraddlers(v, straddlers.toMap, cutoffMicros)
+      val (strRemoved, stagingOpt) =
+        timedPhase("stage-straddle")(stageStraddlers(straddlers.toMap, cutoffMicros))
       removed += strRemoved
       drops ++= straddlers.valuesIterator.flatten.map(_._1.toString)
-      if (moves.isEmpty && drops.isEmpty) publishTickIfAgingNeeded(v, snapMetas)
-      else publishAndExecuteSnapshot(v, moves, drops.toSeq)
-      stagingRoot.foreach(deleteOrThrow)
-      pruneSnapDrops() // end-of-commit prune: see [[compact]]
+      timedPhase("publish") {
+        if (stagingOpt.isEmpty && drops.isEmpty) publishTickIfAgingNeeded(v, snapMetas)
+        else publishAndExecuteSnapshot(v, Seq.empty, drops.toSeq,
+          dirMoves = stagingOpt.map(st => st -> foldPath(v)).toSeq)
+      }
+      timedPhase("prune")(pruneSnapDrops()) // end-of-commit prune: see [[compact]]
       deltaFileEstimate = -1 // dropped delta files: re-list lazily
       removed
     }
@@ -1310,34 +1320,42 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     if (!keep) { deleteOrThrow(dir.toString); true } else false
   }
 
-  /** Filtered COW rewrite of the straddling files, one staged output
-    * per source directory. STAGES ONLY — returns (rows removed, move
-    * plan, staging root); the caller folds the moves and the original
-    * files' drops into its snapshot plan, so a whole retention tick
-    * commits atomically under one `_snapmeta/<v>` roll-forward marker.
+  /** Filtered COW rewrite of the straddling files as ONE staged
+    * partitioned directory — the caller commits it with a single
+    * `R staging → fold-<v>` rename in its snapshot plan (the
+    * [[compact]] fold shape; the r14 per-file `M` move list paid one
+    * rename — one COPY on an object store — per staged file every
+    * retention tick). Straddlers read through their TIER ROOT so the
+    * Hive partition columns (measurement, p_date) survive into the
+    * rewrite; delta straddlers carry all columns inline and simply fold
+    * into the new generation with them. One Spark write job for the
+    * whole tick instead of one per touched directory. STAGES ONLY —
+    * returns (rows removed, staging root or None when nothing
+    * straddled or every straddler row expired).
     */
-  private def stageStraddlers(v: Long, byDir: Map[String, Seq[(Path, Long)]],
-      cutoffMicros: Long): (Long, Seq[(String, String)], Option[String]) = {
-    if (byDir.isEmpty) return (0L, Seq.empty, None)
-    var removed = 0L
+  private def stageStraddlers(byDir: Map[String, Seq[(Path, Long)]],
+      cutoffMicros: Long): (Long, Option[String]) = {
+    if (byDir.isEmpty) return (0L, None)
+    val before = byDir.valuesIterator.flatten.map(_._2).sum
+    val tierRoots = dataPath +: foldDirs().map(_._2)
+    def inTier(dir: String, tier: String) = dir == tier || dir.startsWith(tier + "/")
+    val groups: List[Option[DataFrame]] =
+      tierRoots.toList.map { tier =>
+        val fls = byDir.collect { case (d, fs) if inTier(d, tier) => fs }
+          .flatten.map(_._1.toString).toSeq
+        readFiles(fls, Some(tier))
+      } :+ readFiles(
+        byDir.collect { case (d, fs) if inTier(d, deltaPath) => fs }
+          .flatten.map(_._1.toString).toSeq, None)
+    val kept = unionGroups(groups)
+      .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
     val stagingRoot = s"$root/.retain-staging-${UUID.randomUUID().toString.take(8)}"
-    val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    byDir.toSeq.zipWithIndex.foreach { case ((dir, files), i) =>
-      val before = files.map(_._2).sum // rows, carried from classification
-      val sub = s"$stagingRoot/$i"
-      withMicrosTimestamps() {
-        spark.read.parquet(files.map(_._1.toString): _*)
-          .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
-          .sortWithinPartitions(Point.TimeCol)
-          .write.mode(SaveMode.Overwrite).parquet(sub)
-      }
-      val staged = dataFilesIn(new Path(sub))
-      removed += before - staged.map(f => footerTimeSummary(f)._1).sum
-      staged.zipWithIndex.foreach { case (f, j) =>
-        moves += f.toString -> s"$dir/retain-$v-$i-$j${f.getName.dropWhile(_ != '.')}"
-      }
-    }
-    (removed, moves.toSeq, Some(stagingRoot))
+    writePartitioned(kept.select(Point.columns.map(col): _*), stagingRoot, SaveMode.Overwrite)
+    val staged = listFilesRec(new Path(stagingRoot))
+    if (staged.isEmpty) { // every straddler row expired: drops suffice
+      deleteOrThrow(stagingRoot)
+      (before, None)
+    } else (before - staged.map(f => footerTimeSummary(f)._1).sum, Some(stagingRoot))
   }
 
   private def executeRetainPlan(dels: Seq[String], moves: Seq[(String, String)]): Unit = {
@@ -1653,11 +1671,15 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     }
     if (exists(deltaPath)) renameOrThrow(deltaPath, backupDeltaPath)
     renameOrThrow(staging, dataPath)
-    // only after the new primary is verifiably in place:
-    (Seq(backupDataPath, backupDeltaPath) ++ foldsAside).foreach(deleteOrThrow)
-    // the rewrite subsumed every fold input and pending drop: the
-    // snapshot chain's fenced paths are gone with the swapped dirs
+    // only after the new primary is verifiably in place. The snapshot
+    // chain goes FIRST: the rewrite subsumed every fold input and
+    // pending drop, so the metas are stale the instant the swap lands —
+    // and deleting them while the backups still exist means a crash
+    // anywhere in this cleanup leaves the self-identifying post-swap
+    // signature (data present + backups present) that [[recover]] uses
+    // to clear a chain this line never reached
     if (exists(snapMetaPath)) deleteOrThrow(snapMetaPath)
+    (Seq(backupDataPath, backupDeltaPath) ++ foldsAside).foreach(deleteOrThrow)
     resetGen()
     deltaFileEstimate = 0 // delta folded into the rewritten primary
   }
@@ -1678,45 +1700,28 @@ object ParquetStorage {
     */
   val DefaultSnapshotDropGraceMs = 60000L
 
-  /** Reference-counted TIMESTAMP_MICROS pins, per SparkSession — see
-    * [[ParquetStorage.withMicrosTimestamps]]. The bookkeeping lock is
-    * held only for the set/restore itself, never across the write job:
-    * overlapping store writes (same or different sessions) no longer
-    * serialize; the FIRST pin on a session records the true previous
-    * value and the LAST unpin restores it, so two handles' overlapping
-    * pin windows can't leave a session stuck on the wrong encoding.
+  /** The dedicated TIMESTAMP_MICROS write session for `parent` — ONE
+    * per application session per JVM, created lazily on the first store
+    * write and pinned exactly once at creation. It shares the parent's
+    * SparkContext and SharedState (newSession), so jobs, cache, and
+    * Hadoop conf are the same world; only the SQLConf differs, and only
+    * writes explicitly re-bound to it ([[ParquetStorage.rebound]]) ever
+    * see the pin. Replaces the r14 refcounted scoped pin, whose
+    * set/restore window could still expose the application's own
+    * concurrent parquet writes to MICROS mid-store-write.
     */
-  private val TsKey = "spark.sql.parquet.outputTimestampType"
-  private val PinLock = new Object
-  private val pinned =
-    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, (Int, Option[String])]
+  private val writeSessions =
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]
 
-  private[engine] def pinMicros(targets: Seq[org.apache.spark.sql.SparkSession]): Unit =
-    PinLock.synchronized {
-      targets.foreach { s =>
-        Option(pinned.get(s)) match {
-          case Some((n, prev)) => pinned.put(s, (n + 1, prev)); ()
-          case None =>
-            val prev = s.conf.getOption(TsKey)
-            s.conf.set(TsKey, "TIMESTAMP_MICROS")
-            pinned.put(s, (1, prev)); ()
-        }
-      }
-    }
-
-  private[engine] def unpinMicros(targets: Seq[org.apache.spark.sql.SparkSession]): Unit =
-    PinLock.synchronized {
-      targets.foreach { s =>
-        Option(pinned.get(s)) match {
-          case Some((1, prev)) =>
-            pinned.remove(s)
-            prev match {
-              case Some(v) => s.conf.set(TsKey, v)
-              case None    => s.conf.unset(TsKey)
-            }
-          case Some((n, prev)) => pinned.put(s, (n - 1, prev)); ()
-          case None            => () // unbalanced unpin: nothing to restore
-        }
+  private[engine] def microsWriteSession(
+      parent: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    writeSessions.synchronized {
+      Option(writeSessions.get(parent)).getOrElse {
+        val ws = parent.newSession()
+        ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        writeSessions.put(parent, ws)
+        ws
       }
     }
 }

@@ -909,23 +909,26 @@ object CorpusQueries {
     // a production user actually deploys (FAISS `IVFx,PQy + refine`):
     // Lloyd-trained coarse cells (q186) + Lloyd-trained PQ subspace
     // codebooks (q190) + an exact re-rank at the grid-validated
-    // high-recall point R=150/nProbe=7, persisted as the generation's
-    // meta_config (the persist DEFAULT since this round) and served
-    // via the persisted-config path with ZERO out-of-band knowledge —
-    // the serve reads every parameter (m, subDim, nProbe, rerankR)
-    // from the index itself. recall@10 0.917/0.757 at sf0.001/sf0.1
-    // (canonical 30-query PqProbe; the 10-query grid row reads
-    // 0.930/0.730) — the best numbers in the repo, strictly above the
-    // untrained-codebook Lloyd+rerank composition (0.780/0.560 at 30
-    // queries; 0.770/0.600 was the r13 10-query headline) at BOTH
-    // scales; floors pinned in
-    // AnalyticsSpec. The (pqIters, nProbe, R) grid showed trained
-    // codebooks sharpen the shortlist but need a refine wider than
-    // q187's R=100 to dominate at scale — R=150/nProbe=7 is the
-    // dominant row at both scales at identical index bytes. The
-    // oracle splices the q186 Lloyd-cell CTEs AND the q190
-    // PQ-training CTEs into the q187-style rerank replay, so the full
-    // trained+refined composition is under the hash gate.
+    // high-recall point R=200/nProbe=7, persisted as the generation's
+    // meta_config (the persist DEFAULT) and served via the
+    // persisted-config path with ZERO out-of-band knowledge — the
+    // serve reads every parameter (m, subDim, nProbe, rerankR) from
+    // the index itself. recall@10 0.923/0.800 at sf0.001/sf0.1
+    // (canonical 30-query PqProbe) — the best numbers in the repo,
+    // strictly above the r14 default (7, 150)'s 0.917/0.757 at both
+    // scales at identical index bytes (R is serve-time only), and far
+    // above the untrained-codebook Lloyd+rerank composition
+    // (0.780/0.560); dominance pinned in AnalyticsSpec. The r15
+    // (rotation × nProbe × R) grid ALSO adjudicated the rotation: the
+    // swap-trained opqSwapRefine permutation (q196) loses to the
+    // snake-deal at every rerank point (0.913/0.720 at (7,150),
+    // 0.930/0.777 at (7,200)) — the refine stage recovers the ADC
+    // quantization error the rotation would reduce, so coarse-probe
+    // coverage and R bind, not rotation quality — and the flagship
+    // deliberately keeps the snake-deal. The oracle splices the q186
+    // Lloyd-cell CTEs AND the q190 PQ-training CTEs into the
+    // q187-style rerank replay, so the full trained+refined
+    // composition is under the hash gate.
     "q195_ann_flagship_serve" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
@@ -1752,7 +1755,8 @@ object CorpusQueries {
 
   /** The q196 swap-trained permutation in CTE form — replays
     * [[Similarity.opqSwapRefine]]'s greedy trajectory round by round:
-    * integer variance units (`w` = round(v·10⁹), exact 64-bit
+    * integer variance units (`w` = round(v·10⁹); the Δ products run in
+    * HUGEINT to mirror the Scala side's BigInt — exact integer
     * arithmetic, so summation order can't fork the trajectory between
     * engines), the snake-deal seed as `asg0`, then per round the
     * single cross-subspace swap minimizing Δ = 2δ(S_A − S_B) + 2δ²
@@ -1771,8 +1775,8 @@ object CorpusQueries {
       s"""ss$t AS (SELECT sub, sum(w.w) AS s FROM asg$t JOIN w USING (i) GROUP BY 1),
          |bst$t AS (SELECT ia, ib FROM (
          |  SELECT a.i AS ia, b.i AS ib,
-         |    2*(wb.w - wa.w)*(sa.s - sb.s) + 2*(wb.w - wa.w)*(wb.w - wa.w) AS delta,
-         |    row_number() OVER (ORDER BY 2*(wb.w - wa.w)*(sa.s - sb.s) + 2*(wb.w - wa.w)*(wb.w - wa.w), a.i, b.i) AS rn
+         |    2*(CAST(wb.w AS HUGEINT) - wa.w)*(sa.s - sb.s) + 2*(CAST(wb.w AS HUGEINT) - wa.w)*(CAST(wb.w AS HUGEINT) - wa.w) AS delta,
+         |    row_number() OVER (ORDER BY 2*(CAST(wb.w AS HUGEINT) - wa.w)*(sa.s - sb.s) + 2*(CAST(wb.w AS HUGEINT) - wa.w)*(CAST(wb.w AS HUGEINT) - wa.w), a.i, b.i) AS rn
          |  FROM asg$t a JOIN asg$t b ON a.sub <> b.sub AND a.i < b.i
          |  JOIN w wa ON wa.i = a.i JOIN w wb ON wb.i = b.i
          |  JOIN ss$t sa ON sa.sub = a.sub JOIN ss$t sb ON sb.sub = b.sub)
@@ -2498,7 +2502,7 @@ object CorpusQueries {
     "q186_ann_opq_lloyd_persisted" -> OpqLloydSql,
     "q190_ann_pq_trained_persisted" -> opqPqLloydSql(PqTrainIters),
     "q194_ann_persisted_config_rerank" -> opqRerankSql(nProbe = 2, r = 50),
-    "q195_ann_flagship_serve" -> opqFlagshipSql(nProbe = 7, r = 150, iters = PqTrainIters),
+    "q195_ann_flagship_serve" -> opqFlagshipSql(nProbe = 7, r = 200, iters = PqTrainIters),
     "q196_ann_opq_swap_trained" -> opqSwapTrainedSql(PqTrainIters, SwapTrainIters),
     // incremental maintenance: train on evens, append odds encoded
     // with the frozen quantizers — the oracle replays that split

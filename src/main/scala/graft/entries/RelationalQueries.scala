@@ -866,6 +866,80 @@ object RelationalQueries {
         .orderBy("sensor")
     }),
 
+    // COMPACT,DELETE composition — Kafka's combined
+    // `cleanup.policy=compact,delete`, the common production setting,
+    // gated as ONE topic lifecycle: overlapping publishes write each
+    // value in [0, 600) once or twice across five segments (seg s =
+    // [s*100, s*100+200)); compactTopic() keeps each value's LATEST
+    // occurrence (seal times carried forward — the r14 fix this entry
+    // puts under the hash gate); then retention.ms
+    // (truncateOlderThanMs at deterministic seal stamps) expires the
+    // two oldest COMPACTED segments; the unchanged q171 exactly-once
+    // graph drains the remainder. Survivors = values whose latest
+    // occurrence sits at offset >= 400 = exactly [200, 600) — an
+    // under-carried seal time (retention expiring nothing, extra
+    // rows) or an over-drop (missing rows) both shift the closed form.
+    "q198_stream_log_compact_delete" -> ((s, dir) => {
+      import graft.streaming.{GraftLog, GraftLogProducer, StreamingIngest}
+      val log = graft.util.Scratch.dir("graftlogcmpdel")
+      val producer = new GraftLogProducer(log)
+      (0 until 5).foreach(seg =>
+        producer.publish((seg * 100 until seg * 100 + 200).map(_.toString)))
+      // deterministic seal times: segment i sealed at t0 + i minutes-ish
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(log).getFileSystem(conf)
+      val t0 = 1704067200000L
+      GraftLog.listSegments(log, conf).zipWithIndex.foreach { case (seg, i) =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(seg.path), t0 + i * 1000000L, -1)
+      }
+      producer.compactTopic()
+      // horizon t0+1.5e6 lands between segment 1 and segment 2's seal
+      // stamps — the COMPACTED rewrites must still carry them
+      producer.truncateOlderThanMs(maxAgeMs = 8500000L, nowMs = t0 + 10000000L)
+      val db = graft.engine.GraftDB.atPath(s, graft.util.Scratch.dir("graftlogcmpdeldb"))
+      StreamingIngest.drainLog(s, db, log, maxRecordsPerTrigger = 700L,
+        graft.util.Scratch.dir("graftlogcmpdelckpt"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"),
+          unix_millis(min(col(graft.model.Point.TimeCol))).as("min_ts_ms"),
+          unix_millis(max(col(graft.model.Point.TimeCol))).as("max_ts_ms"))
+        .orderBy("sensor")
+    }),
+
+    // PER-PARTITION compaction — Kafka's cleaner runs per partition:
+    // three p-NNNN sub-logs each publish their residue class of
+    // [0, 900) with overlapping segments (each value once or twice),
+    // GraftLog.compactPartitions dedups each sub-log independently
+    // under its OWN maintenance lock, and the PARTITIONED source
+    // drains the union through the exactly-once graph — converging to
+    // exactly one point per value. Cross-partition interference (one
+    // partition's pass dropping another's records) or a failed
+    // per-partition dedup both shift the closed form.
+    "q199_stream_log_partitioned_compacted" -> ((s, dir) => {
+      import graft.streaming.{GraftLog, GraftLogProducer, StreamingIngest}
+      val topic = graft.util.Scratch.dir("graftplogcmp")
+      (0 until 3).foreach { p =>
+        val prod = new GraftLogProducer(GraftLog.partitionDir(topic, p))
+        val vs = (0 until 900).filter(_ % 3 == p).map(_.toString)
+        prod.publish(vs.slice(0, 150))
+        prod.publish(vs.slice(100, 250)) // re-publishes 50 overlap values
+        prod.publish(vs.slice(200, 300)) // newest: 50 more overlaps
+      }
+      GraftLog.compactPartitions(topic, s.sparkContext.hadoopConfiguration)
+      val db = graft.engine.GraftDB.atPath(s, graft.util.Scratch.dir("graftplogcmpdb"))
+      StreamingIngest.drainPartitionedLog(s, db, topic,
+        maxRecordsPerTrigger = 500L, graft.util.Scratch.dir("graftplogcmpckpt"))
+      db.allDF()
+        .groupBy(element_at(col(graft.model.Point.TagsCol), "sensor").as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col(graft.model.Point.FieldsCol), "v")).cast("long").as("sum_v"),
+          unix_millis(min(col(graft.model.Point.TimeCol))).as("min_ts_ms"),
+          unix_millis(max(col(graft.model.Point.TimeCol))).as("max_ts_ms"))
+        .orderBy("sensor")
+    }),
+
     // SOCKET ingest under the oracle (was suite-only): an in-process
     // line server pushes the deterministic prefix [0, 1500) over TCP
     // and Spark's socket source drives the SAME checkpointed ingest
@@ -1606,6 +1680,27 @@ object RelationalQueries {
         |SELECT 's' || CAST(value % 5 AS VARCHAR) AS sensor,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(value % 90) AS BIGINT) AS sum_v,
+        |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
+        |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compact,delete: survivors are the values whose LATEST occurrence
+    // has offset >= 400 (the retention cut) — closed form [200, 600)
+    "q198_stream_log_compact_delete" ->
+      """WITH v AS (SELECT unnest(range(200, 600)) AS value)
+        |SELECT 's' || CAST(value % 5 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 90) AS BIGINT) AS sum_v,
+        |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
+        |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-partition compaction keeps exactly one occurrence of each
+    // value in [0, 900) across the three residue-class sub-logs; the
+    // partitioned drain's transform (s'||v%6, v%70) over the union
+    "q199_stream_log_partitioned_compacted" ->
+      """WITH v AS (SELECT unnest(range(0, 900)) AS value)
+        |SELECT 's' || CAST(value % 6 AS VARCHAR) AS sensor,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value % 70) AS BIGINT) AS sum_v,
         |  CAST(min(1704067200000 + value * 1000) AS BIGINT) AS min_ts_ms,
         |  CAST(max(1704067200000 + value * 1000) AS BIGINT) AS max_ts_ms
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -459,6 +459,302 @@ object GraftLog {
     removed
   }
 
+  // ---- log compaction (cleanup.policy=compact) -------------------------
+
+  /** Cleaned-through offset — Kafka's cleaner checkpoint
+    * (`cleaner-offset-checkpoint`): every sealed segment ENTIRELY below
+    * it is CLEAN (globally deduplicated against the whole log as of the
+    * pass that wrote the point, carrying a `.keys` fingerprint sidecar);
+    * everything at or above it is the DIRTY suffix the next pass builds
+    * its offset map from. Written LAST by a pass — after every rewrite
+    * and sidecar — so its presence proves the pass completed; a crash
+    * anywhere leaves a stale (lower) point and the next pass simply
+    * rescans more (never a wrong answer). 0 when absent.
+    */
+  private[graft] def cleanerPoint(dir: String, conf: Configuration): Long =
+    graft.util.AtomicFiles.readLong(
+      new Path(dir).getFileSystem(conf), new Path(dir, "_cleaner_point")).getOrElse(0L)
+
+  /** Segment-data opens since JVM start — test instrumentation proving
+    * the incremental cleaner's IO bound (a pass over a mostly-clean
+    * topic opens only the dirty suffix plus flagged clean segments).
+    */
+  private[graft] val segmentDataOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[streaming] def keyOf(r: String): String = {
+    val i = r.indexOf('\t')
+    if (i < 0) r else r.substring(0, i)
+  }
+
+  private[streaming] def isTombstone(r: String): Boolean = {
+    val i = r.indexOf('\t')
+    i >= 0 && i == r.length - 1
+  }
+
+  /** 16-byte MD5 key fingerprint — the offset map's key (Kafka's
+    * cleaner uses the same trick): memory O(distinct keys × 16 B)
+    * regardless of key length, and the `.keys` sidecars store the same
+    * currency so clean segments are overlap-checkable without opening
+    * their data.
+    */
+  private def fp(r: String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyOf(r).getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(d)
+    (bb.getLong, bb.getLong)
+  }
+
+  private def seqGver(name: String): Option[(String, Long)] = name match {
+    case CompactedSegmentName(seq, _, _, gver, _) => Some((seq, gver.toLong))
+    case BasedSegmentName(seq, _, _)              => Some((seq, 0L))
+    case _                                        => None
+  }
+
+  /** Read every surviving (offsetDelta, record) of a sealed segment. */
+  private def readSegmentRecords(fs: FileSystem, s: Segment): Vector[(Long, String)] = {
+    val gapped = isCompactedName(new Path(s.path).getName)
+    segmentDataOpens.incrementAndGet()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new Path(s.path)), "UTF-8"))
+    try {
+      val out = Vector.newBuilder[(Long, String)]
+      var idx = 0L
+      var l = in.readLine()
+      while (l != null) {
+        if (gapped) {
+          val t = l.indexOf('\t')
+          out += ((l.substring(0, t).toLong, l.substring(t + 1)))
+        } else {
+          out += ((idx, l))
+          idx += 1
+        }
+        l = in.readLine()
+      }
+      out.result()
+    } finally in.close()
+  }
+
+  /** A clean segment's key summary: its records' distinct key
+    * fingerprints plus how many of them are tombstones — everything a
+    * later pass needs to decide "does this segment need a rewrite?"
+    * without opening the data. Written beside the segment the pass that
+    * made it clean; ~34 B per record. A missing sidecar (old-format
+    * topic, crash between the rewrite and the sidecar write) just
+    * degrades that segment to a conservative data read.
+    */
+  private final case class KeySummary(tombs: Long, fps: Set[(Long, Long)])
+
+  private def keysPath(segPath: String) = new Path(segPath + ".keys")
+
+  private def readKeySummary(fs: FileSystem, segPath: String): Option[KeySummary] =
+    graft.util.AtomicFiles.readString(fs, keysPath(segPath)).flatMap { body =>
+      val lines = body.split("\n").filter(_.nonEmpty)
+      if (lines.isEmpty || !lines.head.startsWith("tombs=")) None
+      else scala.util.Try {
+        KeySummary(lines.head.stripPrefix("tombs=").toLong,
+          lines.tail.map { h =>
+            (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+              java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16))
+          }.toSet)
+      }.toOption
+    }
+
+  private def writeKeySummary(fs: FileSystem, segPath: String,
+      recs: Seq[(Long, String)]): Unit = {
+    val body = new StringBuilder(s"tombs=${recs.count(r => isTombstone(r._2))}\n")
+    recs.foreach { case (_, r) =>
+      val (a, b) = fp(r)
+      body ++= f"$a%016x$b%016x\n"
+    }
+    graft.util.AtomicFiles.writeString(fs, keysPath(segPath), body.toString)
+  }
+
+  /** LOG COMPACTION — Kafka's `cleanup.policy=compact`: keep only the
+    * LATEST record per key across the sealed log, offsets preserved
+    * with gaps, low-water unchanged. A record's key is its text up to
+    * the first TAB (no TAB → the whole record is its own key — pure
+    * idempotent dedup); a record that is exactly "key\t" (empty value)
+    * is a TOMBSTONE. Kafka's rules, exactly:
+    *
+    *   - the NEWEST sealed segment is never rewritten (the
+    *     active-segment rule) — its records all survive, and a
+    *     tombstone there stays visible to consumers;
+    *   - in the compactable region, a record survives iff its offset is
+    *     the key's GLOBAL latest (a newer write anywhere — including
+    *     the newest segment — supersedes it);
+    *   - a LATEST tombstone survives the pass that first cleans it and
+    *     is dropped by the NEXT pass — so the delete is readable for at
+    *     least one full pass before the key vanishes entirely (Kafka's
+    *     `delete.retention.ms` deferral, in passes instead of millis);
+    *   - surviving records keep their exact offsets: a compacted
+    *     segment keeps its seq, base, and SPAN, and stores explicit
+    *     "<delta>\t<record>" lines, so `earliest`/`latest` offsets and
+    *     every consumer checkpoint stay valid — a range read just
+    *     returns fewer rows.
+    *
+    * INCREMENTAL — the Kafka cleaner-point shape: the [[cleanerPoint]]
+    * marker splits the log into a CLEAN head (already globally
+    * deduplicated; at most one record per key below the point) and the
+    * DIRTY suffix sealed since the last pass. The offset map builds
+    * from the dirty suffix ONLY (a clean record can only be superseded
+    * by a dirty one — offsets ascend), dirty segments get the standard
+    * two-phase read (map build + rewrite, Kafka's cleaner shape —
+    * caching payloads between phases would make the pass's heap
+    * O(topic)), and a CLEAN segment's data is opened only when its
+    * `.keys` sidecar shows a key superseded in the dirty suffix or an
+    * aged tombstone to drop (or the sidecar is missing — conservative
+    * fallback). A topic with nothing sealed since the last pass is
+    * O(listing + sidecar reads): zero segment-data opens
+    * ([[segmentDataOpens]] proves the bound in LogSourceSpec). At a
+    * 100×-segment topic this turns every pass from O(topic) reads into
+    * O(dirty + affected-clean) — the difference between a cleaner that
+    * can keep up and one that reads 99 clean segments to clean 1.
+    *
+    * `minDirtyRatio` (Kafka's `min.cleanable.dirty.ratio`): skip the
+    * pass entirely (listing-only) while dirty records are less than
+    * this fraction of the log's records — 0.0 compacts whenever
+    * anything is dirty.
+    *
+    * Concurrency: runs under the topic maintenance lock (serialized
+    * against retention and marker compaction); each rewritten segment
+    * publishes as the next `-g<v>` compaction VERSION by create-only
+    * rename, and the superseded form is left on disk until the NEXT
+    * pass sweeps it — a lock-free reader that planned against the old
+    * form mid-pass still finds its file, the same one-commit grace as
+    * the parquet store's snapshot protocol. Returns records removed.
+    */
+  def compactTopic(dir: String, conf: Configuration,
+      minDirtyRatio: Double = 0.0): Int =
+    withTopicLock(dir, conf) { compactTopicLocked(dir, conf, minDirtyRatio) }
+
+  /** Compact every `p-NNNN` partition sub-log of a partitioned topic —
+    * Kafka's cleaner runs per partition; each sub-log pass serializes
+    * under its OWN maintenance lock (so it can run concurrently with
+    * producers and maintenance on other partitions, and two processes
+    * can split the partitions between them). Returns records removed
+    * across all partitions.
+    */
+  def compactPartitions(dir: String, conf: Configuration,
+      minDirtyRatio: Double = 0.0): Int =
+    listPartitions(dir, conf)
+      .map(p => compactTopic(partitionDir(dir, p), conf, minDirtyRatio)).sum
+
+  private[streaming] def compactTopicLocked(dir: String, conf: Configuration,
+      minDirtyRatio: Double = 0.0): Int = {
+    require(minDirtyRatio >= 0.0 && minDirtyRatio <= 1.0, "minDirtyRatio in [0, 1]")
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    // sweep forms superseded by an EARLIER pass (deferred one pass so a
+    // reader that planned mid-pass still found its file), then list
+    val bySeq = fs.listStatus(dirPath).toSeq
+      .filter(_.isFile)
+      .flatMap(st => seqGver(st.getPath.getName).map { case (seq, v) =>
+        (seq, v, st.getPath) })
+      .groupBy(_._1)
+    bySeq.valuesIterator.filter(_.size > 1).foreach { forms =>
+      val keepV = forms.map(_._2).max
+      forms.filter(_._2 < keepV).foreach { case (_, _, p) =>
+        fs.delete(p, false)
+        Seq(".idx", ".keys").foreach { suf =>
+          val side = new Path(p.toString + suf)
+          if (fs.exists(side)) { fs.delete(side, false); () }
+        }
+      }
+    }
+    val segs = listSegments(dir, conf)
+    require(segs.forall(s => seqGver(new Path(s.path).getName).isDefined),
+      "compactTopic requires base-offset producer segments " +
+        "(sink topics: run compactSinkEpochs first)")
+    if (segs.size <= 1) return 0
+    val cp = cleanerPoint(dir, conf)
+    val compactable = segs.init
+    val cleanSegs = compactable.filter(s => s.base + s.count <= cp)
+    val dirtySegs = segs.filter(s => s.base + s.count > cp) // incl. the newest
+    val dirtyCompactable = compactable.filter(s => s.base + s.count > cp)
+    // dirty-ratio trigger policy (record counts come from the NAMES —
+    // listing-only): a log whose dirty fraction is below the threshold
+    // skips the pass entirely
+    if (minDirtyRatio > 0.0) {
+      val total = segs.map(segmentLiveRows).sum
+      val dirty = dirtySegs.map(segmentLiveRows).sum
+      if (total > 0 && dirty.toDouble / total < minDirtyRatio) return 0
+    }
+    // nothing sealed since the last pass (the point already covers
+    // everything below the newest segment): the previous pass applied
+    // the newest segment's map to every clean segment, so no clean key
+    // can be superseded — the only possible work is aging out clean
+    // tombstones, which the sidecars report without a data open
+    val quiescent = dirtyCompactable.isEmpty && cp >= segs.last.base
+    val cleanSummaries: Map[String, Option[KeySummary]] =
+      cleanSegs.map(s => s.path -> readKeySummary(fs, s.path)).toMap
+    if (quiescent &&
+        cleanSegs.forall(s => cleanSummaries(s.path).exists(_.tombs == 0L)))
+      return 0
+    // the key's latest offset in the DIRTY SUFFIX, keyed by fingerprint.
+    // Segments ascend and deltas ascend within each, so a plain forward
+    // scan's last write wins. Quiescent passes skip the build: the map
+    // could only re-derive supersessions the previous pass already
+    // applied.
+    val latest = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    if (!quiescent) dirtySegs.foreach { s =>
+      readSegmentRecords(fs, s).foreach { case (d, r) => latest(fp(r)) = s.base + d }
+    }
+    var removed = 0
+    def rewrite(s: Segment, keep: Vector[(Long, String)], recs: Int): Unit = {
+      val Some((seq, gver)) = seqGver(new Path(s.path).getName)
+      val name = s"$seq-b${s.base}-${s.count}-g${gver + 1}-n${keep.size}.seg"
+      val tmp = new Path(dirPath, s".$name.inprogress")
+      val out = fs.create(tmp, true)
+      try {
+        keep.foreach { case (d, r) => out.write(s"$d\t$r\n".getBytes("UTF-8")) }
+        out.hsync()
+      } finally out.close()
+      val dst = new Path(dirPath, name)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"compacted segment seal failed: $name")
+      // CARRY THE SEAL TIME FORWARD: time-based retention ages
+      // segments by file mtime, and a rewrite stamped "now" would
+      // stop retention.ms from ever expiring a repeatedly-compacted
+      // segment — Kafka's cleaner preserves timestamps across
+      // cleaning for exactly this reason
+      fs.setTimes(dst, fs.getFileStatus(new Path(s.path)).getModificationTime, -1)
+      writeKeySummary(fs, dst.toString, keep)
+      removed += recs - keep.size
+    }
+    // DIRTY compactable segments: latest-in-map wins; a latest tombstone
+    // is KEPT (it just became clean — the next pass drops it)
+    dirtyCompactable.foreach { s =>
+      val recs = readSegmentRecords(fs, s)
+      val keep = recs.filter { case (d, r) => latest(fp(r)) == s.base + d }
+      if (keep.size < recs.size) rewrite(s, keep, recs.size)
+      else writeKeySummary(fs, s.path, recs) // clean as-is; sidecar makes it skippable
+    }
+    // CLEAN segments: data opened only when the sidecar (or its absence)
+    // says there is work — a key superseded in the dirty suffix, or a
+    // tombstone that has now been readable for a full pass
+    cleanSegs.foreach { s =>
+      val needsWork = cleanSummaries(s.path) match {
+        case Some(ks) => ks.tombs > 0L || ks.fps.exists(latest.contains)
+        case None     => true // no sidecar: conservative data read below
+      }
+      if (needsWork) {
+        val recs = readSegmentRecords(fs, s)
+        val keep = recs.filter { case (_, r) =>
+          !latest.contains(fp(r)) && !isTombstone(r)
+        }
+        if (keep.size < recs.size) rewrite(s, keep, recs.size)
+        else writeKeySummary(fs, s.path, recs) // sidecar was missing; restore it
+      }
+    }
+    // the cleaner point advances LAST — its presence proves every
+    // rewrite and sidecar above completed (a crash before this line
+    // leaves a stale point; the next pass rescans more, never less)
+    val newCp = compactable.last.base + compactable.last.count
+    if (newCp > cp)
+      graft.util.AtomicFiles.writeLong(fs, new Path(dirPath, "_cleaner_point"), newCp)
+    removed
+  }
+
   /** Split a ReadMaxRows budget across topic-partitions PROPORTIONALLY
     * to backlog: floor shares first, then the remainder one slot at a
     * time in partition order to partitions with backlog left. Pure and
@@ -672,148 +968,17 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     }
   }
 
-  /** LOG COMPACTION — Kafka's `cleanup.policy=compact`: keep only the
-    * LATEST record per key across the sealed log, offsets preserved
-    * with gaps, low-water unchanged. A record's key is its text up to
-    * the first TAB (no TAB → the whole record is its own key — pure
-    * idempotent dedup); a record that is exactly "key\t" (empty value)
-    * is a TOMBSTONE. Kafka's rules, exactly:
-    *
-    *   - the NEWEST sealed segment is never rewritten (the
-    *     active-segment rule) — its records all survive, and a
-    *     tombstone there stays visible to consumers;
-    *   - in the compactable head, a record survives iff its offset is
-    *     the key's GLOBAL latest (a newer write anywhere — including
-    *     the newest segment — supersedes it);
-    *   - a tombstone in the compactable head is dropped even when
-    *     latest (its delete has been readable for at least one full
-    *     pass — the delete.retention analog), removing the key
-    *     entirely;
-    *   - surviving records keep their exact offsets: a compacted
-    *     segment keeps its seq, base, and SPAN, and stores explicit
-    *     "<delta>\t<record>" lines, so `earliest`/`latest` offsets and
-    *     every consumer checkpoint stay valid — a range read just
-    *     returns fewer rows.
-    *
-    * Concurrency: runs under the topic maintenance lock (serialized
-    * against retention and marker compaction); each rewritten segment
-    * publishes as the next `-g<v>` compaction VERSION by create-only
-    * rename, and the superseded form is left on disk until the NEXT
-    * pass sweeps it — a lock-free reader that planned against the old
-    * form mid-pass still finds its file, the same one-commit grace as
-    * the parquet store's snapshot protocol. Returns records removed.
+  /** LOG COMPACTION — Kafka's `cleanup.policy=compact` on this
+    * producer's topic: delegates to [[GraftLog.compactTopic]] (the full
+    * semantics — latest-wins per key, offsets preserved with gaps,
+    * tombstone deferral, the incremental cleaner point — are documented
+    * there; partitioned topics compact per sub-log via
+    * [[GraftLog.compactPartitions]]). Returns records removed.
     */
-  def compactTopic(): Int = synchronized {
-    GraftLog.withTopicLock(dir, conf) { compactTopicLocked() }
+  def compactTopic(minDirtyRatio: Double = 0.0): Int = synchronized {
+    GraftLog.compactTopic(dir, conf, minDirtyRatio)
   }
 
-  private def keyOf(r: String): String = {
-    val i = r.indexOf('\t')
-    if (i < 0) r else r.substring(0, i)
-  }
-
-  private def isTombstone(r: String): Boolean = {
-    val i = r.indexOf('\t')
-    i >= 0 && i == r.length - 1
-  }
-
-  private def seqGver(name: String): Option[(String, Long)] = name match {
-    case GraftLog.CompactedSegmentName(seq, _, _, gver, _) => Some((seq, gver.toLong))
-    case GraftLog.BasedSegmentName(seq, _, _)              => Some((seq, 0L))
-    case _                                                 => None
-  }
-
-  /** Read every surviving (offsetDelta, record) of a sealed segment. */
-  private def readSegmentRecords(s: GraftLog.Segment): Vector[(Long, String)] = {
-    val gapped = GraftLog.isCompactedName(new Path(s.path).getName)
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(new Path(s.path)), "UTF-8"))
-    try {
-      val out = Vector.newBuilder[(Long, String)]
-      var idx = 0L
-      var l = in.readLine()
-      while (l != null) {
-        if (gapped) {
-          val t = l.indexOf('\t')
-          out += ((l.substring(0, t).toLong, l.substring(t + 1)))
-        } else {
-          out += ((idx, l))
-          idx += 1
-        }
-        l = in.readLine()
-      }
-      out.result()
-    } finally in.close()
-  }
-
-  private def compactTopicLocked(): Int = {
-    // sweep forms superseded by an EARLIER pass (deferred one pass so a
-    // reader that planned mid-pass still found its file), then list
-    val bySeq = fs.listStatus(dirPath).toSeq
-      .filter(_.isFile)
-      .flatMap(st => seqGver(st.getPath.getName).map { case (seq, v) =>
-        (seq, v, st.getPath) })
-      .groupBy(_._1)
-    bySeq.valuesIterator.filter(_.size > 1).foreach { forms =>
-      val keepV = forms.map(_._2).max
-      forms.filter(_._2 < keepV).foreach { case (_, _, p) =>
-        fs.delete(p, false)
-        val idx = new Path(p.toString + ".idx")
-        if (fs.exists(idx)) { fs.delete(idx, false); () }
-      }
-    }
-    val segs = GraftLog.listSegments(dir, conf)
-    require(segs.forall(s => seqGver(new Path(s.path).getName).isDefined),
-      "compactTopic requires base-offset producer segments " +
-        "(sink topics: run compactSinkEpochs first)")
-    if (segs.size <= 1) return 0
-    // the key's global latest offset, keyed by a 16-byte MD5
-    // FINGERPRINT (Kafka's cleaner offset map does the same): memory is
-    // O(distinct keys × 16 B) regardless of key length. Segments ascend
-    // and deltas ascend within each, so a plain forward scan's last
-    // write wins. The pass reads each segment twice (offset-map build,
-    // then the rewrite) — the same two-phase shape as Kafka's cleaner;
-    // caching record payloads to save the second read would make the
-    // producer's heap O(topic).
-    def fp(r: String): (Long, Long) = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(keyOf(r).getBytes("UTF-8"))
-      val bb = java.nio.ByteBuffer.wrap(d)
-      (bb.getLong, bb.getLong)
-    }
-    val latest = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
-    segs.foreach { s =>
-      readSegmentRecords(s).foreach { case (d, r) => latest(fp(r)) = s.base + d }
-    }
-    var removed = 0
-    segs.init.foreach { s =>
-      val recs = readSegmentRecords(s)
-      val keep = recs.filter { case (d, r) =>
-        latest(fp(r)) == s.base + d && !isTombstone(r)
-      }
-      if (keep.size < recs.size) {
-        val Some((seq, gver)) = seqGver(new Path(s.path).getName)
-        val name = s"$seq-b${s.base}-${s.count}-g${gver + 1}-n${keep.size}.seg"
-        val tmp = new Path(dirPath, s".$name.inprogress")
-        val out = fs.create(tmp, true)
-        try {
-          keep.foreach { case (d, r) => out.write(s"$d\t$r\n".getBytes("UTF-8")) }
-          out.hsync()
-        } finally out.close()
-        val dst = new Path(dirPath, name)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"compacted segment seal failed: $name")
-        // CARRY THE SEAL TIME FORWARD: time-based retention ages
-        // segments by file mtime, and a rewrite stamped "now" would
-        // stop retention.ms from ever expiring a repeatedly-compacted
-        // segment — Kafka's cleaner preserves timestamps across
-        // cleaning for exactly this reason
-        fs.setTimes(dst, fs.getFileStatus(new Path(s.path)).getModificationTime, -1)
-        removed += recs.size - keep.size
-      }
-    }
-    removed
-  }
 
   private def truncateBeforeLocked(offset: Long): Int = {
     val segs = GraftLog.listSegments(dir, conf)
@@ -840,7 +1005,7 @@ final class GraftLogProducer(dir: String, conf: Configuration = new Configuratio
     if (doomedSeqs.nonEmpty) fs.listStatus(dirPath).foreach { st =>
       val n = st.getPath.getName
       if (st.isFile && n.length >= 12 && doomedSeqs.contains(n.take(12)) &&
-          (n.endsWith(".seg") || n.endsWith(".seg.idx"))) {
+          (n.endsWith(".seg") || n.endsWith(".seg.idx") || n.endsWith(".seg.keys"))) {
         fs.delete(st.getPath, false); ()
       }
     }

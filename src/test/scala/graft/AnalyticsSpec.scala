@@ -178,9 +178,10 @@ class AnalyticsSpec extends SparkSpec {
         // carries the config into the next generation
         val cfg = Similarity.indexConfig(spark, a)
         // the persist DEFAULT is the flagship operating point (q195):
-        // nProbe=7 / rerankR=150 — a default persist validates at the
-        // high-recall config unless the operator opts down explicitly
-        assert(cfg === Similarity.IndexConfig(m = 4, subDim = 16, nProbe = 7, rerankR = 150))
+        // nProbe=7 / rerankR=200 (the r15 grid's dominant row) — a
+        // default persist validates at the high-recall config unless
+        // the operator opts down explicitly
+        assert(cfg === Similarity.IndexConfig(m = 4, subDim = 16, nProbe = 7, rerankR = 200))
         val byDefaults = Similarity.opqIvfPqTopKPersistedDefaults(a, q,
           "qid", "embedding", k = 10)
           .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
@@ -694,18 +695,28 @@ class AnalyticsSpec extends SparkSpec {
       assert(hi >= 0.65, s"high-recall re-rank dropped: $hi") // measured 0.70
 
       // the FLAGSHIP composition (q195): trained cells + trained PQ
-      // codebooks + exact re-rank at the grid-validated R=150/nProbe=7
-      // point — must beat the best single-trained composition (the
+      // codebooks + exact re-rank at the grid-validated R=200/nProbe=7
+      // point (the r15 grid's dominant row: 0.923/0.800 at
+      // sf0.001/sf0.1 on real data, 30-query PqProbe, vs 0.917/0.757
+      // for the r14 (7,150) default at identical index bytes) — must
+      // beat the best single-trained composition (the
       // untrained-codebook Lloyd + q187-style rerank, the r13
-      // dashboard headline) and hold a floor just under its measured
-      // level (0.917/0.757 at sf0.001/sf0.1 on real data, 30-query
-      // PqProbe; this synthetic corpus measures its own levels,
-      // pinned below)
+      // dashboard headline) AND not fall below the r14 operating
+      // point it replaced (this synthetic corpus measures its own
+      // levels, pinned below)
       val fshort = graft.analytics.Similarity.opqResidualIvfPqTopK(
-        e, q, lcents, lperm, tcb, "vec_id", "embedding", "qid", 150,
+        e, q, lcents, lperm, tcb, "vec_id", "embedding", "qid", 200,
         nProbe = 7, m = 4, subDim = 16)
       val flagship = recall(pairs(graft.analytics.Similarity.exactRerank(
         e, q, fshort, "vec_id", "embedding", "qid", 10)))
+      val fshort150 = graft.analytics.Similarity.opqResidualIvfPqTopK(
+        e, q, lcents, lperm, tcb, "vec_id", "embedding", "qid", 150,
+        nProbe = 7, m = 4, subDim = 16)
+      val flagship150 = recall(pairs(graft.analytics.Similarity.exactRerank(
+        e, q, fshort150, "vec_id", "embedding", "qid", 10)))
+      assert(flagship >= flagship150,
+        s"widening the refine (R=200: $flagship) must not lose to the " +
+          s"r14 point (R=150: $flagship150) — rerank recall is monotone in R")
       val lhishort = graft.analytics.Similarity.opqResidualIvfPqTopK(
         e, q, lcents, lperm, locb, "vec_id", "embedding", "qid", 100,
         nProbe = 5, m = 4, subDim = 16)

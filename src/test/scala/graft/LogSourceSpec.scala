@@ -206,7 +206,7 @@ class LogSourceSpec extends SparkSpec {
       assert(GraftLog.latestOffset(dir, conf) === 41L)
     }
 
-    it("log compaction: survivors in the head keep exact offsets; tombstones delete; repeated passes re-compact") {
+    it("log compaction: survivors keep exact offsets; a latest tombstone survives exactly one pass before the key vanishes") {
       val dir = tmp("graftlogcompact2")
       val p = new GraftLogProducer(dir)
       val conf = new Configuration()
@@ -215,27 +215,113 @@ class LogSourceSpec extends SparkSpec {
       p.publish(Seq("a\t1", "b\t2", "c\t3", "d\t4"))
       p.publish(Seq("a\t5", "b\t"))
       p.publish(Seq("c\t6", "d\t"))
-      // head = segments 0,1. Survivors: a@4 (global latest, in head).
-      // b's latest IS the head tombstone @5 -> key deleted entirely;
-      // all of segment 0 (a@0,b@1,c@2,d@3) is superseded. The newest
+      // compactable = segments 0,1. All of segment 0 (a@0,b@1,c@2,d@3)
+      // is superseded → 4 removed. Survivors: a@4 (global latest) AND
+      // b's tombstone @5 — a latest tombstone is NOT dropped on the
+      // pass that first cleans it (the delete must stay readable for
+      // one full pass — Kafka's delete.retention deferral); the newest
       // segment (c@6 + d's tombstone @7) is untouched.
-      assert(p.compactTopic() === 5)
+      assert(p.compactTopic() === 4)
       val got = spark.read.format("graft-log").option("path", dir).load()
         .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      assert(got === Seq((4L, "a\t5"), (6L, "c\t6"), (7L, "d\t")))
-      // roll the log forward: the old newest becomes compactable, its
-      // tombstone ages out on the next pass; a@4 still the latest a
+      assert(got === Seq((4L, "a\t5"), (5L, "b\t"), (6L, "c\t6"), (7L, "d\t")))
+      // roll the log forward: b's tombstone has now been readable for a
+      // full pass → ages out of the clean head; d's tombstone just
+      // became clean (its segment left the newest slot this pass) and
+      // gets ITS one-pass grace
       p.publish(Seq("e\t9"))
-      assert(p.compactTopic() === 1) // only d's tombstone @7 ages out
+      assert(p.compactTopic() === 1) // only b's aged tombstone @5
       val got2 = spark.read.format("graft-log").option("path", dir).load()
         .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      assert(got2 === Seq((4L, "a\t5"), (6L, "c\t6"), (8L, "e\t9")))
+      assert(got2 === Seq((4L, "a\t5"), (6L, "c\t6"), (7L, "d\t"), (8L, "e\t9")))
       // retention composes with compaction: truncating before offset 6
       // drops the (already gapped) prefix segments without offset shift
       assert(p.truncateBefore(6L) === 2)
       val got3 = spark.read.format("graft-log").option("path", dir).load()
         .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      assert(got3 === Seq((6L, "c\t6"), (8L, "e\t9")))
+      assert(got3 === Seq((6L, "c\t6"), (7L, "d\t"), (8L, "e\t9")))
+      // one more roll: d's tombstone completes its grace and vanishes
+      p.publish(Seq("f\t1"))
+      assert(p.compactTopic() === 1)
+      val got4 = spark.read.format("graft-log").option("path", dir).load()
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got4 === Seq((6L, "c\t6"), (8L, "e\t9"), (9L, "f\t1")))
+    }
+
+    it("incremental cleaner: a pass opens only the dirty suffix; a quiescent pass opens nothing") {
+      val dir = tmp("graftlogcleaner")
+      val p = new GraftLogProducer(dir)
+      val conf = new Configuration()
+      // three sealed segments of fully distinct keys
+      p.publish((0 until 10).map(i => s"a$i\tv"))
+      p.publish((0 until 10).map(i => s"b$i\tv"))
+      p.publish((0 until 10).map(i => s"c$i\tv"))
+      // pass 1: nothing superseded; segments 0,1 become CLEAN (keyed
+      // sidecars written, cleaner point at offset 20)
+      assert(p.compactTopic() === 0)
+      assert(GraftLog.cleanerPoint(dir, conf) === 20L)
+      // seal a fourth segment of fresh keys — the only dirty data
+      p.publish((0 until 10).map(i => s"d$i\tv"))
+      val opens0 = GraftLog.segmentDataOpens.get()
+      assert(p.compactTopic() === 0)
+      // the pass read the DIRTY SUFFIX only: segment 2 + the newest
+      // segment for the offset map, segment 2 again for its own
+      // processing (Kafka's two-phase cleaner shape) — the two CLEAN
+      // segments were answered by their sidecars, zero data opens
+      assert(GraftLog.segmentDataOpens.get() - opens0 === 3L,
+        "pass must not re-read clean segments whose sidecars show no work")
+      assert(GraftLog.cleanerPoint(dir, conf) === 30L)
+      // quiescent pass (nothing sealed since): O(listing) — zero opens
+      val opens1 = GraftLog.segmentDataOpens.get()
+      assert(p.compactTopic() === 0)
+      assert(GraftLog.segmentDataOpens.get() - opens1 === 0L,
+        "a clean topic's pass must be listing-only")
+      // a dirty write that SUPERSEDES a clean key: only the one clean
+      // segment whose sidecar overlaps is re-opened and rewritten
+      p.publish(Seq("a3\tv2"))
+      val opens2 = GraftLog.segmentDataOpens.get()
+      assert(p.compactTopic() === 1) // a3@3 superseded by a3@40
+      // map build: segment 3 + newest (2 opens); segment 3 processing
+      // (1); the overlapping clean segment 0 (1); segments 1,2 clean
+      // and untouched
+      assert(GraftLog.segmentDataOpens.get() - opens2 === 4L)
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(!got.contains((3L, "a3\tv")) && got.contains((40L, "a3\tv2")))
+      assert(got.size === 40) // 41 published, 1 superseded
+      // the dirty-ratio trigger policy: 1 dirty record of 40 is below a
+      // 50% threshold — the pass is skipped outright (listing-only)
+      p.publish(Seq("b4\tv2"))
+      val opens3 = GraftLog.segmentDataOpens.get()
+      assert(p.compactTopic(minDirtyRatio = 0.5) === 0)
+      assert(GraftLog.segmentDataOpens.get() - opens3 === 0L)
+      assert(p.compactTopic() === 1) // default ratio 0: b4@4 superseded
+    }
+
+    it("per-partition compaction: each p-NNNN sub-log compacts independently under its own lock") {
+      val dir = tmp("graftlogpartcmp")
+      val conf = new Configuration()
+      // two partitions, each with overlapping keys ACROSS ITS OWN
+      // segments; the same key string in different partitions must NOT
+      // interfere (Kafka compacts per partition)
+      val p0 = new GraftLogProducer(GraftLog.partitionDir(dir, 0))
+      val p1 = new GraftLogProducer(GraftLog.partitionDir(dir, 1))
+      p0.publish(Seq("k0\tp0v0", "k1\tp0v0"))
+      p0.publish(Seq("k0\tp0v1"))
+      p0.publish(Seq("x\t1")) // newest, never rewritten
+      p1.publish(Seq("k0\tp1v0", "k2\tp1v0"))
+      p1.publish(Seq("y\t1")) // newest
+      // partition 0 drops k0@0 (superseded by k0@2); partition 1 drops
+      // nothing — its k0 is a DIFFERENT partition's key space
+      assert(GraftLog.compactPartitions(dir, conf) === 1)
+      val got = spark.read.format("graft-log")
+        .option("path", dir).option("partitioned", "true").load()
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === Set(
+        (0, 1L, "k1\tp0v0"), (0, 2L, "k0\tp0v1"), (0, 3L, "x\t1"),
+        (1, 0L, "k0\tp1v0"), (1, 1L, "k2\tp1v0"), (1, 2L, "y\t1")))
+      // idempotent per partition once clean
+      assert(GraftLog.compactPartitions(dir, conf) === 0)
     }
 
     it("log compaction preserves segment seal times, so retention.ms still expires compacted data") {

@@ -456,7 +456,7 @@ class PlanAuditSpec extends SparkSpec {
 
     it("flagship persisted-config serve (q195): pruned codes scan, broadcast tables, no corpus shuffle") {
       // the deployable composition — trained cells + trained codebooks
-      // persisted at the flagship default (nProbe=7/R=150), served via
+      // persisted at the flagship default (nProbe=7/R=200), served via
       // the persisted-config rerank path — must keep every plan
       // contract of its parts: static cell pruning on the codes scan,
       // broadcast quantizers/shortlist, bounded top-k; never an SMJ,

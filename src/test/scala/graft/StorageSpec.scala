@@ -100,6 +100,31 @@ class StorageSpec extends SparkSpec {
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".staging-dead")))
     }
 
+    it("clears a stale snapshot-meta chain left by a post-swap overwrite crash") {
+      val (db, dir) = seeded()
+      // an overwrite (any user rewrite) commits: data/ present, chain gone
+      db.update(MeasurementQuery() === "cpu", fields = Map("load" -> 0.7))
+      val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
+      // simulate the crash window AFTER the staging→data commit point
+      // but BEFORE the cleanup finished: a backup still on disk (the
+      // post-swap signature) and the pre-overwrite snapshot chain never
+      // deleted — its fenced paths died with the swapped-out dirs
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, ".backup-data"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "_snapmeta"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_snapmeta", "3"),
+        s"D ${java.net.URLEncoder.encode(s"file:$dir/delta/long-gone.parquet", "UTF-8")}\n"
+          .getBytes("UTF-8"))
+      // reopen: recover() sees data present + backup present → the
+      // overwrite had committed, so the stale chain must drain NOW (not
+      // linger as per-load meta reads until some later maintenance tick)
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_snapmeta")),
+        "stale post-overwrite snapshot chain must be cleared at recovery")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".backup-data")))
+    }
+
     it("auto-compaction bounds the delta tier's file count under sustained appends") {
       val dir = Files.createTempDirectory("graftautocompact").toString
       val st = new ParquetStorage(spark, dir, partitioned = true,
@@ -765,6 +790,89 @@ class StorageSpec extends SparkSpec {
       assert(Files.exists(java.nio.file.Paths.get(orig.head)))
     }
 
+    it("a retention tick's straddler rewrite commits as ONE fold-generation dir rename") {
+      val dir = Files.createTempDirectory("graftretainfold").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple(Seq(
+        pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-02T06:00:00Z", 2.0),
+        pt("2024-01-03T06:00:00Z", 3.0)))
+      // one delta file straddles the cutoff: rows 2.0/3.0 survive
+      assert(db.retain(t("2024-01-02T00:00:00Z")) === 1L)
+      assert(vals(db) === Seq(2.0, 3.0))
+      // the replacement landed as a version-named fold generation (one
+      // staged-dir rename, the compact() commit shape) — NOT as
+      // per-file retain-* renames into the live dirs
+      val folds = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("fold-\\d+"))
+      assert(folds.length === 1, "straddler replacement must commit as a fold generation")
+      def filesUnder(d: java.io.File): Seq[java.io.File] = {
+        val (dirs, fs) = d.listFiles().toSeq.partition(_.isDirectory)
+        fs ++ dirs.flatMap(filesUnder)
+      }
+      val perFile = filesUnder(new java.io.File(dir))
+        .filter(f => f.getName.startsWith("retain-") && f.getName.endsWith(".parquet"))
+      assert(perFile.isEmpty, s"per-file retention renames found: $perFile")
+      // no leftover staging, and the state survives a reopen
+      assert(!new java.io.File(dir).listFiles()
+        .exists(_.getName.startsWith(".retain-staging-")))
+      assert(vals(GraftDB.atPath(spark, dir)) === Seq(2.0, 3.0))
+    }
+
+    it("store writes never touch the application session's parquet encoding (dedicated pinned write session)") {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(tsKey)
+      try {
+        // the APPLICATION chooses legacy INT96 for its own writes; the
+        // store must neither observe it in its files nor ever flip it
+        spark.conf.set(tsKey, "INT96")
+        val (db, dir) = seeded()
+        db.compact() // distributed fold write through the pinned session
+        assert(spark.conf.get(tsKey) === "INT96",
+          "store writes must never mutate the application session's encoding")
+        // the fold's files still honor the store's layout contract:
+        // INT64 micros with column statistics (INT96 would be stat-less)
+        val fold = new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("fold-\\d+")).head
+        def filesUnder(d: java.io.File): Seq[java.io.File] = {
+          val (dirs, fs) = d.listFiles().toSeq.partition(_.isDirectory)
+          fs ++ dirs.flatMap(filesUnder)
+        }
+        val pq = filesUnder(fold).filter(f =>
+          f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(pq.toString),
+            spark.sparkContext.hadoopConfiguration))
+        try {
+          val timeType = footer.getFooter.getFileMetaData.getSchema
+            .getType(Array(Point.TimeCol): _*).asPrimitiveType()
+          assert(timeType.getPrimitiveTypeName ===
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64,
+            s"store file wrote ${timeType.getPrimitiveTypeName} — the app's INT96 leaked in")
+        } finally footer.close()
+        // and the application's own write made RIGHT AFTER a store write
+        // really is INT96 — the conf it chose is fully in effect
+        val appOut = Files.createTempDirectory("graftappint96").toString + "/p"
+        import spark.implicits._
+        Seq(java.sql.Timestamp.from(t("2024-01-01T00:00:00Z")))
+          .toDF("ts").write.parquet(appOut)
+        val appPq = new java.io.File(appOut).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+        val appFooter = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(appPq.toString),
+            spark.sparkContext.hadoopConfiguration))
+        try {
+          assert(appFooter.getFooter.getFileMetaData.getSchema
+            .getType(Array("ts"): _*).asPrimitiveType().getPrimitiveTypeName ===
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+        } finally appFooter.close()
+      } finally prev match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
+      }
+    }
+
     it("pre-commit retention staging (no marker) is discarded; originals survive") {
       val dir = Files.createTempDirectory("graftretainpre").toString
       val db = GraftDB.atPath(spark, dir)
@@ -832,23 +940,36 @@ class StorageSpec extends SparkSpec {
       val orig = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
         .filter(_.endsWith(".parquet"))
       // INT96 carries no stats: even though every row is ≥ the cutoff,
-      // the file cannot be proven keepable and pays ONE rewrite —
-      // after which it is micros-encoded and provable. The original
-      // stays on disk as the commit's deferred drop.
+      // the file cannot be proven keepable and pays ONE rewrite — after
+      // which it is micros-encoded and provable. The replacement lands
+      // as the tick's FOLD GENERATION (the one-dir-rename commit); the
+      // original stays in delta as the commit's deferred drop.
       assert(db.retain(t("2024-01-01T00:00:00Z")) === 0L)
-      val after = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet"))
-      val rewritten = after.filterNot(orig.toSet)
-      assert(rewritten.nonEmpty, "legacy file should have been rewritten")
+      def foldFiles(): Set[String] = {
+        def walk(d: java.io.File): Seq[java.io.File] = {
+          val (dirs, fs) = d.listFiles().toSeq.partition(_.isDirectory)
+          fs ++ dirs.flatMap(walk)
+        }
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("fold-\\d+"))
+          .flatMap(walk).map(_.toString)
+          .filter(n => n.endsWith(".parquet") && !n.contains("/.")).toSet
+      }
+      val rewritten = foldFiles()
+      assert(rewritten.nonEmpty, "legacy file should have been rewritten into a fold generation")
       assert(vals(db) === Seq(1.0, 2.0))
       // now provable: the same no-op retain leaves the rewritten file
       // untouched (its tick only ages out the first commit's deferred
       // drop — the stat-less original is physically gone afterwards)
       assert(db.retain(t("2024-01-01T00:00:00Z")) === 0L)
-      val afterNoop = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet"))
-      assert(afterNoop.toSet === rewritten.toSet)
-      // and a real cutoff now drops/filters exactly
+      assert(foldFiles() === rewritten)
+      val afterNoop: Seq[String] =
+        if (!Files.exists(java.nio.file.Paths.get(dir, "delta"))) Seq.empty
+        else Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.toSeq
+          .map(_.toString).filter(_.endsWith(".parquet"))
+      assert(afterNoop.isEmpty, "the stat-less original should have aged out of delta")
+      // and a real cutoff now drops/filters exactly (another straddle:
+      // the provable file pays a NEW fold rewrite, old generation drops)
       assert(db.retain(t("2024-01-02T00:00:00Z")) === 1L)
       assert(vals(db) === Seq(2.0))
     }
