@@ -66,9 +66,15 @@ object Dedup {
     * digest was seen with. `sidecar = true` additionally folds the
     * batch's digests into the bloom sidecar so
     * [[dedupAgainstStore]]'s skip guard stays current; `sidecarBits`
-    * sizes it — the default 64 KB is right up to ~10^5 digests, and a
-    * store headed past that should size for ~5 bits/digest (measure
-    * with [[sidecarMightHitRate]]; a mismatched existing sidecar is
+    * sizes it. SIZING IS BATCH-SIZE-AWARE (r15 BloomProbe): the guard
+    * skips only when the WHOLE batch is ruled out, so a B-row clean
+    * batch needs per-digest FPR ≪ 1/B — ~14+ bits/digest at B=500,
+    * not the textbook ~5 (which yields low per-row rates but almost
+    * never a whole-batch skip). The default 64 KB is right up to
+    * ~3·10^4 digests at B=500; the 2^24 cap makes the zero-scan fast
+    * path a ≤ ~10^6-digest-store feature, beyond which the guard
+    * degrades to always-scan by design (measure with
+    * [[sidecarMightHitRate]]; a mismatched existing sidecar is
     * rebuilt at the requested size).
     */
   def appendDigestStore(df: DataFrame, keyCols: Seq[String], path: String,
