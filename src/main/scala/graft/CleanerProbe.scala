@@ -25,7 +25,7 @@ object CleanerProbe {
     val passes = sys.env.getOrElse("SPARK_GRAFT_CLEANER_PASSES", "10").toInt
     val dir = java.nio.file.Files.createTempDirectory("cleanerprobe").toString
     val conf = new Configuration()
-    val p = new GraftLogProducer(dir)
+    val p = new GraftLogProducer(dir, conf)
     (0 until segs).foreach(s => p.publish((0 until per).map(i => s"k${s}_$i\tv$s")))
     println(s"CLEANERPROBE segs=$segs rowsPerSeg=$per (${segs * per} records)")
     println("| pass | removed | dataOpens | wall_ms |")

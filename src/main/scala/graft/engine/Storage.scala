@@ -374,8 +374,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // concurrently with a store ingest batch must never observe the
   // store's pin — the leak window the r14 refcounted scoped pin still
   // had). The fix is a DEDICATED WRITE SESSION: one `newSession()` per
-  // application session per JVM ([[ParquetStorage.microsWriteSession]]),
-  // pinned to TIMESTAMP_MICROS exactly once at creation, and every
+  // application session per JVM ([[ParquetStorage.syncedMicrosWriteSession]]),
+  // conf-mirrored from the parent and re-pinned at every use, and every
   // outgoing frame re-bound to it at the last moment ([[rebound]] —
   // the frame's compiled RDD[InternalRow] becomes a LogicalRDD on the
   // pinned session, zero per-row conversion, all transforms and their
@@ -393,7 +393,7 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   // rewrite re-encodes it with stats — self-healing.
   private def rebound(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftSessionBridge.rebind(
-      df, ParquetStorage.microsWriteSession(spark))
+      df, ParquetStorage.syncedMicrosWriteSession(spark))
 
   recover()
 
@@ -1702,11 +1702,18 @@ object ParquetStorage {
 
   /** The dedicated TIMESTAMP_MICROS write session for `parent` — ONE
     * per application session per JVM, created lazily on the first store
-    * write and pinned exactly once at creation. It shares the parent's
-    * SparkContext and SharedState (newSession), so jobs, cache, and
-    * Hadoop conf are the same world; only the SQLConf differs, and only
-    * writes explicitly re-bound to it ([[ParquetStorage.rebound]]) ever
-    * see the pin. Replaces the r14 refcounted scoped pin, whose
+    * write. It shares the parent's SparkContext and SharedState
+    * (newSession), so jobs, cache, and Hadoop conf are the same world,
+    * and every use first MIRRORS the parent's live session conf (a
+    * `newSession` seeds only from the initial SparkConf — runtime
+    * `spark.conf.set` calls like a datetime rebase mode, legacy list
+    * encoding, or a compression codec would otherwise silently not
+    * apply to the store's distributed writes while
+    * [[Storage.writeParquetLocal]] honors them) and then re-asserts
+    * the pin — so the two sessions genuinely differ in EXACTLY ONE
+    * key, `spark.sql.parquet.outputTimestampType`, and only writes
+    * explicitly re-bound to it ([[ParquetStorage.rebound]]) ever see
+    * the pin. Replaces the r14 refcounted scoped pin, whose
     * set/restore window could still expose the application's own
     * concurrent parquet writes to MICROS mid-store-write.
     */
@@ -1714,14 +1721,28 @@ object ParquetStorage {
     new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.SparkSession]
 
-  private[engine] def microsWriteSession(
+  private val TsKey = "spark.sql.parquet.outputTimestampType"
+
+  private[engine] def syncedMicrosWriteSession(
       parent: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     writeSessions.synchronized {
-      Option(writeSessions.get(parent)).getOrElse {
-        val ws = parent.newSession()
-        ws.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        writeSessions.put(parent, ws)
-        ws
+      val ws = Option(writeSessions.get(parent)).getOrElse {
+        val s = parent.newSession()
+        writeSessions.put(parent, s)
+        s
       }
+      // live mirror: copy changed keys, drop keys the parent unset
+      // (static/immutable entries throw on set — skip them, they are
+      // identical across sessions of one context by construction)
+      val parentAll = parent.conf.getAll
+      parentAll.foreach { case (k, v) =>
+        if (k != TsKey && !ws.conf.getOption(k).contains(v))
+          scala.util.Try(ws.conf.set(k, v))
+      }
+      ws.conf.getAll.keysIterator
+        .filter(k => k != TsKey && !parentAll.contains(k)).toSeq
+        .foreach(k => scala.util.Try(ws.conf.unset(k)))
+      ws.conf.set(TsKey, "TIMESTAMP_MICROS")
+      ws
     }
 }

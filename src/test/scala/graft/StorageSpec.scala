@@ -873,6 +873,57 @@ class StorageSpec extends SparkSpec {
       }
     }
 
+    it("the pinned write session mirrors the app session's runtime confs (pin is the ONLY divergence)") {
+      val codecKey = "spark.sql.parquet.compression.codec"
+      val prev = spark.conf.getOption(codecKey)
+      try {
+        // a RUNTIME conf change on the app session (newSession seeds
+        // only from the initial SparkConf) must still govern the
+        // store's distributed writes — the r14 scoped pin honored it,
+        // and the dedicated session must not silently stop
+        spark.conf.set(codecKey, "gzip")
+        val (db, dir) = seeded()
+        db.compact() // fold write through the (mirrored) pinned session
+        def filesUnder(d: java.io.File): Seq[java.io.File] = {
+          val (dirs, fs) = d.listFiles().toSeq.partition(_.isDirectory)
+          fs ++ dirs.flatMap(filesUnder)
+        }
+        val fold = new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("fold-\\d+")).head
+        val names = filesUnder(fold).map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        assert(names.nonEmpty && names.forall(_.endsWith(".gz.parquet")),
+          s"runtime codec conf not mirrored into the write session: $names")
+        // ...while the one deliberate divergence still holds: MICROS
+        val pq = filesUnder(fold).filter(f =>
+          f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(pq.toString),
+            spark.sparkContext.hadoopConfiguration))
+        try assert(footer.getFooter.getFileMetaData.getSchema
+          .getType(Array(Point.TimeCol): _*).asPrimitiveType().getPrimitiveTypeName ===
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+        finally footer.close()
+        // and unsetting on the app session propagates too (back to the
+        // zstd default on the next store write)
+        spark.conf.unset(codecKey)
+        db.insert(graft.model.Point(t("2024-02-01T00:00:00Z"), "m2",
+          Map.empty, Map("v" -> 1.0)))
+        db.compact()
+        val fold2 = new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("fold-\\d+"))
+          .maxBy(_.getName.stripPrefix("fold-").toLong)
+        val names2 = filesUnder(fold2).map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        assert(names2.nonEmpty && names2.forall(!_.endsWith(".gz.parquet")),
+          s"unset codec conf not mirrored out of the write session: $names2")
+      } finally prev match {
+        case Some(v) => spark.conf.set(codecKey, v)
+        case None    => spark.conf.unset(codecKey)
+      }
+    }
+
     it("pre-commit retention staging (no marker) is discarded; originals survive") {
       val dir = Files.createTempDirectory("graftretainpre").toString
       val db = GraftDB.atPath(spark, dir)
