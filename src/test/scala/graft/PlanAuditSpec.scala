@@ -274,6 +274,32 @@ class PlanAuditSpec extends SparkSpec {
       assert(df.count() === 60L)
     }
 
+    it("per-partition compacted topic read (q199): segment-level parallelism, no exchange") {
+      // compaction must not degrade the partitioned read plan: the
+      // compacted (gapped) forms still plan one input partition per
+      // touched segment per topic-partition — a 1000-executor cluster
+      // drains a compacted backlog with the same parallelism as an
+      // uncompacted one, and no shuffle is introduced
+      import graft.streaming.{GraftLog, GraftLogProducer}
+      val topic = java.nio.file.Files.createTempDirectory("graftplogcmpaudit").toString
+      (0 until 3).foreach { part =>
+        val prod = new GraftLogProducer(GraftLog.partitionDir(topic, part))
+        prod.publish((0 until 10).map(v => s"k$v\tv0"))
+        prod.publish((0 until 10).map(v => s"k$v\tv1")) // supersedes seg 0
+        prod.publish((0 until 5).map(v => s"x$v\t1"))   // newest, untouched
+        ()
+      }
+      assert(GraftLog.compactPartitions(topic,
+        new org.apache.hadoop.conf.Configuration()) === 30)
+      val df = spark.read.format("graft-log")
+        .option("path", topic).option("partitioned", "true").load()
+      // 3 partitions x 3 segments (seg 0 now an empty compacted form,
+      // still a planned slice covering its span) = 9 input partitions
+      assert(df.rdd.getNumPartitions === 9)
+      assert(df.count() === 45L) // 10 survivors + 5 newest, per partition
+      assert(exchanges(plan(df)) == 0, plan(df))
+    }
+
     it("perceptual image dedup: banded bucket join, never a cross join over assets") {
       import graft.multimodal.Multimodal
       import spark.implicits._
