@@ -68,18 +68,25 @@ object RunExamples {
       .mkString(" -> ")} keptFrames=${kept.count()}")
 
     // 7: broker-shaped topic (graft-log) drained with exactly-once appends,
-    // across a PARTITIONED 3-producer topic
+    // across a PARTITIONED 3-producer topic — each producer re-publishes
+    // an overlapping slice (at-least-once upstream, the MQTT reality)
+    // and per-partition LOG COMPACTION dedups each sub-log before the
+    // drain, so the store converges to exactly one point per value
     val topic = graft.util.Scratch.dir("ex7topic")
     (0 until 3).foreach { p =>
       val prod = new GraftLogProducer(GraftLog.partitionDir(topic, p))
-      prod.publish((0 until 900).filter(_ % 3 == p).map(_.toString))
+      val vs = (0 until 900).filter(_ % 3 == p).map(_.toString)
+      prod.publish(vs.take(200))
+      prod.publish(vs.drop(150)) // 50 values re-delivered
       ()
     }
+    val compacted = GraftLog.compactPartitions(topic,
+      spark.sparkContext.hadoopConfiguration)
     val brokerDb = graft.engine.GraftDB.atPath(spark, graft.util.Scratch.dir("ex7db"))
     graft.streaming.StreamingIngest.drainPartitionedLog(spark, brokerDb, topic,
       maxRecordsPerTrigger = 400L, graft.util.Scratch.dir("ex7ckpt"))
-    println(s"[example 7] drained ${brokerDb.length} records from a 3-partition " +
-      "topic, exactly once")
+    println(s"[example 7] compacted $compacted re-delivered records, drained " +
+      s"${brokerDb.length} from a 3-partition topic, exactly once")
 
     // 8: the ANN serving lifecycle — train once on a sample, persist the
     // index, append the rest with frozen quantizers, serve from disk,
