@@ -231,7 +231,7 @@ object Examples {
       "qid", "embedding", k = shortlistR, nProbe = 2, m = 4, subDim = 16)
     // ...and the ZERO-KNOB serve: the full shortlist+refine composition
     // at the index's own persisted config (the q195 flagship default,
-    // nProbe=7/rerankR=150) — an operator deploys with no out-of-band
+    // nProbe=7/rerankR=200) — an operator deploys with no out-of-band
     // parameters at all
     val refined = Similarity.opqIvfPqTopKPersistedRerank(indexDir, e, queries,
       "vec_id", "embedding", "qid", k)
