@@ -573,8 +573,16 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val postSwapOverwrite = preData && (exists(backupDataPath) ||
       exists(backupDeltaPath) || (exists(root) && fs.listStatus(new Path(root))
         .exists(_.getPath.getName.startsWith(".backup-fold-"))))
-    if (!preData && exists(backupDataPath))
-      renameOrThrow(backupDataPath, dataPath)
+    // PRE-SWAP RESTORE ORDER: delta and fold backups come back BEFORE
+    // the primary. The data restore is the restore's own commit point —
+    // a crash anywhere inside THIS recovery re-enters with preData
+    // still false and keeps restoring, and once data is back no
+    // pre-swap backup can remain on disk. That ordering is what makes
+    // the post-swap signature above SOUND: restoring data first would
+    // let a crash-between-restores leave "data present + delta/fold
+    // backups present", which the next recovery would misread as a
+    // completed swap — deleting a LIVE snapshot-meta chain and the
+    // still-unrestored backups with it.
     if (!preData && !exists(deltaPath) && exists(backupDeltaPath))
       renameOrThrow(backupDeltaPath, deltaPath)
     // Delta-compaction crash (see [[compactDelta]]): a `.staging-delta-`
@@ -598,6 +606,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
           renameOrThrow(s.getPath.toString, orig)
         else deleteOrThrow(s.getPath.toString)
       }
+    // the primary comes back LAST (see the ordering note above)
+    if (!preData && exists(backupDataPath))
+      renameOrThrow(backupDataPath, dataPath)
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
     // clear the stale chain of a post-swap overwrite crash BEFORE the
     // roll-forward below would replay it (the replay is exists-checked
@@ -1337,15 +1348,31 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       cutoffMicros: Long): (Long, Option[String]) = {
     if (byDir.isEmpty) return (0L, None)
     val before = byDir.valuesIterator.flatten.map(_._2).sum
-    val tierRoots = dataPath +: foldDirs().map(_._2)
-    def inTier(dir: String, tier: String) = dir == tier || dir.startsWith(tier + "/")
+    // QUALIFY both sides of the tier match: byDir keys arrive in two
+    // forms — partition dirs come scheme-qualified from fs.listStatus
+    // (`file:/...`), tier roots and the delta dir are constructed
+    // unqualified strings — and a raw prefix compare would silently
+    // assign a qualified data-tier straddler to NO read group (its
+    // surviving rows would vanish from the staged fold while the
+    // original still entered the drops: data loss, caught by the
+    // partitioned-straddler-after-overwrite spec)
+    val tierRoots = (dataPath +: foldDirs().map(_._2)).map(qual)
+    def inTier(dir: String, tier: String) = {
+      val q = qual(dir)
+      q == tier || q.startsWith(tier + "/")
+    }
+    val qualifiedDelta = qual(deltaPath)
+    val grouped = byDir.keysIterator.filter(d =>
+      inTier(d, qualifiedDelta) || tierRoots.exists(inTier(d, _))).toSet
+    require(grouped == byDir.keySet,
+      s"retention straddler dirs outside every tier: ${byDir.keySet -- grouped}")
     val groups: List[Option[DataFrame]] =
       tierRoots.toList.map { tier =>
         val fls = byDir.collect { case (d, fs) if inTier(d, tier) => fs }
           .flatten.map(_._1.toString).toSeq
         readFiles(fls, Some(tier))
       } :+ readFiles(
-        byDir.collect { case (d, fs) if inTier(d, deltaPath) => fs }
+        byDir.collect { case (d, fs) if inTier(d, qualifiedDelta) => fs }
           .flatten.map(_._1.toString).toSeq, None)
     val kept = unionGroups(groups)
       .filter(col(Point.TimeCol).isNull || unix_micros(col(Point.TimeCol)) >= cutoffMicros)
@@ -1717,8 +1744,15 @@ object ParquetStorage {
     * set/restore window could still expose the application's own
     * concurrent parquet writes to MICROS mid-store-write.
     */
+  // WEAK keys: a JVM that churns through short-lived application
+  // sessions (test harnesses, notebook servers) must not retain every
+  // parent session — and its dedicated child SessionState — forever.
+  // SparkSession has identity equals, so WeakHashMap's equality IS
+  // identity here; the child session holds the shared context but not
+  // the parent session, so the entry is collectable once the
+  // application drops the parent. All access is synchronized below.
   private val writeSessions =
-    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.SparkSession]
 
   private val TsKey = "spark.sql.parquet.outputTimestampType"

@@ -873,6 +873,61 @@ class StorageSpec extends SparkSpec {
       }
     }
 
+    it("a PARTITIONED data-tier straddler keeps its surviving rows through retention (post-overwrite store)") {
+      // the state after any user rewrite: the store lives in the
+      // partitioned data/ tier (not fold generations), whose partition
+      // dirs list back scheme-QUALIFIED from the filesystem while the
+      // tier root is a constructed unqualified string — the straddler
+      // grouping must match them anyway (an unmatched straddler's
+      // surviving rows would silently vanish: the original enters the
+      // drops while the replacement fold never receives its rows)
+      val dir = Files.createTempDirectory("graftretainpart").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertMultiple(Seq(
+        pt("2024-01-01T06:00:00Z", 1.0), pt("2024-01-02T06:00:00Z", 2.0),
+        pt("2024-01-02T18:00:00Z", 3.0)))
+      // force the data/ tier via a user rewrite (update -> overwrite)
+      db.update(FieldQuery("v") === 1.0, fields = Map("v" -> 1.5))
+      assert(Files.exists(java.nio.file.Paths.get(dir, "data")))
+      assert(vals(db) === Seq(1.5, 2.0, 3.0))
+      // an INTRADAY cutoff: the p_date=2024-01-02 file (2.0@06:00,
+      // 3.0@18:00) STRADDLES it — the 01-01 file whole-drops, 2.0 is
+      // filtered out by the rewrite, 3.0 must survive
+      assert(db.retain(t("2024-01-02T12:00:00Z")) === 2L)
+      assert(vals(db) === Seq(3.0),
+        "surviving rows of a partitioned data-tier straddler were lost")
+      // and the state survives a reopen (the fold commit is durable)
+      assert(vals(GraftDB.atPath(spark, dir)) === Seq(3.0))
+    }
+
+    it("a crash in the middle of a pre-swap restore re-enters cleanly (data restores LAST)") {
+      // recovery's own crash window: the previous recovery restored the
+      // delta backup and died before the data backup. Re-entry must
+      // finish the restore AND must not misread the intermediate state
+      // as a completed swap (which would delete a live _snapmeta chain
+      // and the still-unrestored backups)
+      val (db, dir) = seeded()
+      db.compact() // store lives in fold-1; delta emptied next tick
+      val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
+      val fold = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("fold-\\d+")).head.getName
+      // manufacture: pre-swap overwrite crash (fold moved aside), then
+      // a FIRST recovery that died after restoring nothing — plus a
+      // live _snapmeta chain from the compact tick
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, fold),
+        java.nio.file.Paths.get(dir, s".backup-$fold"))
+      assert(Files.exists(java.nio.file.Paths.get(dir, "_snapmeta")),
+        "precondition: the compact tick left a live snapshot chain")
+      val metasBefore = new java.io.File(s"$dir/_snapmeta").listFiles().map(_.getName).toSet
+      // re-entry: restores the fold, keeps the chain
+      val again = GraftDB.atPath(spark, dir)
+      assert(again.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
+      assert(new java.io.File(s"$dir/_snapmeta").listFiles().map(_.getName).toSet
+        === metasBefore,
+        "a pre-swap restore must not drain the live snapshot-meta chain")
+    }
+
     it("the pinned write session mirrors the app session's runtime confs (pin is the ONLY divergence)") {
       val codecKey = "spark.sql.parquet.compression.codec"
       val prev = spark.conf.getOption(codecKey)
