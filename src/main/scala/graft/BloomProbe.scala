@@ -47,8 +47,49 @@ object BloomProbe {
         val rate = Dedup.sidecarMightHitRate(clean, Seq("text"), dir).getOrElse(-1.0)
         val plan = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", dir,
           useSidecar = true).queryExecution.executedPlan.toString
-        val skipped = !plan.contains("store")
+        // match the store's full path, not the bare substring "store":
+        // unrelated plan text (operator names, codecs, other paths)
+        // containing "store" must not read as a spurious non-skip
+        val skipped = !plan.contains(dir)
         println(f"| $n | $bits | $rate%.4f | $skipped |")
+      }
+    }
+
+    // r16: the PREFIX-PARTITIONED layout past the flat ceiling. Bulk
+    // load (append without the incremental merge, then ONE distributed
+    // sidecar rebuild — the bulk-load shape), then measure a clean
+    // 500-row batch: per-prefix might-hit rate, whether the plan scans
+    // the store at all, how many of the 256 partitions a 1-duplicate
+    // batch scans, and the batch's wall time — the O(batch) claim is
+    // that wall stays flat from 10^6 to 10^7 store digests where the
+    // flat layout above has already saturated to always-full-scan.
+    println()
+    println("| store digests | per-prefix bits | might-hit | clean skips store | dirty(1 dup) partitions scanned / 256 | clean dedup wall_s |")
+    println("|---|---|---|---|---|---|")
+    for (n <- Seq(1000000, 10000000)) {
+      for (bits <- Seq(Dedup.SidecarBits, 1 << 21)) {
+        val dir = java.nio.file.Files.createTempDirectory(s"bloomprobep$n").toString + "/store"
+        val store = spark.range(n).select(concat(lit("doc-"), col("id")).as("text"))
+        Dedup.appendDigestStore(store, Seq("text"), dir, batchTag = 1L, prefixLen = 2)
+        Dedup.rebuildDigestSidecar(spark, dir, bits = bits)
+        val clean = spark.range(500)
+          .select(concat(lit("fresh-"), col("id")).as("text"), col("id").as("doc_id"))
+        val rate = Dedup.sidecarMightHitRate(clean, Seq("text"), dir).getOrElse(-1.0)
+        val t0 = System.nanoTime()
+        val g = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", dir, useSidecar = true)
+        val survivors = g.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        require(survivors == 500L, s"clean batch lost rows: $survivors")
+        val skipped = !g.queryExecution.executedPlan.toString.contains(dir)
+        val dirty = clean.union(spark.range(1)
+          .select(lit("doc-424242").as("text"), lit(999999999L).as("doc_id")))
+        val gd = Dedup.dedupAgainstStore(dirty, Seq("text"), "doc_id", dir, useSidecar = true)
+        val scanned = gd.queryExecution.sparkPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.endsWith(dir)) => f
+        }.map(_.selectedPartitions.partitionCount).maxOption.getOrElse(0)
+        require(gd.count() == 500L, "dirty batch must drop exactly the duplicate")
+        println(f"| $n | $bits | $rate%.4f | $skipped | $scanned | $wall%.2f |")
       }
     }
     spark.stop()

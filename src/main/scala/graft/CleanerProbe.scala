@@ -28,14 +28,20 @@ object CleanerProbe {
     val p = new GraftLogProducer(dir, conf)
     (0 until segs).foreach(s => p.publish((0 until per).map(i => s"k${s}_$i\tv$s")))
     println(s"CLEANERPROBE segs=$segs rowsPerSeg=$per (${segs * per} records)")
-    println("| pass | removed | dataOpens | wall_ms |")
-    println("|---|---|---|---|")
+    // sidecarReads: per-segment `.keys` GETs — r16's `_keys_manifest`
+    // collapses the steady/quiescent tier to ~0 (one manifest read
+    // replaces O(clean segments) sidecar reads; only never-manifested
+    // segments fall back)
+    println("| pass | removed | dataOpens | sidecarReads | wall_ms |")
+    println("|---|---|---|---|---|")
     def tick(kind: String, removed: => Int): Unit = {
       val o0 = GraftLog.segmentDataOpens.get()
+      val k0 = GraftLog.keySidecarReads.get()
       val t0 = System.nanoTime()
       val r = removed
       val ms = (System.nanoTime() - t0) / 1e6
-      println(f"| $kind | $r | ${GraftLog.segmentDataOpens.get() - o0} | $ms%.1f |")
+      println(f"| $kind | $r | ${GraftLog.segmentDataOpens.get() - o0} | " +
+        f"${GraftLog.keySidecarReads.get() - k0} | $ms%.1f |")
     }
     // one-time first pass: no cleaner point yet — the full O(topic) scan
     tick("first-pass (full scan, one-time)", p.compactTopic())

@@ -286,6 +286,25 @@ object Explain {
         useSidecar = true)
     }
 
+    section("prefix-partitioned digest store: pruned anti-join (round 16)",
+      "The 100 TB incremental-dedup layout: the store is hive-partitioned on " +
+        "the digest's leading hex chars (`__kp`), so the anti-join's store side " +
+        "carries a STATIC `__kp IN (...)` PartitionFilter over only the batch's " +
+        "touched prefixes — per-batch cost O(batch + touched partitions), never " +
+        "an O(store) scan+exchange. With the per-prefix bloom sidecars the " +
+        "prefix list shrinks further (a fully clean batch plans NO store scan; " +
+        "here the batch collides on one digest, so exactly that prefix's " +
+        "partition survives in the scan).") {
+      import spark.implicits._
+      val store = graft.util.Scratch.dir("explaindigpfx") + "/digests"
+      graft.analytics.Dedup.appendDigestStore(
+        spark.range(2000).selectExpr("concat('h-', id) AS text"), Seq("text"),
+        store, batchTag = 1L, sidecar = true, prefixLen = 2)
+      graft.analytics.Dedup.dedupAgainstStore(
+        Seq((1L, "h-42"), (2L, "novel")).toDF("doc_id", "text"),
+        Seq("text"), "doc_id", store, useSidecar = true)
+    }
+
     section("graft-log broker ingest (round 10)",
       "The custom DataSourceV2 source appears as a BatchScan over segment " +
         "slices (shown here through the batch read path; the streaming plan " +
@@ -529,7 +548,7 @@ object Explain {
     }
 
     section("q195 FLAGSHIP trained serve (round 14)",
-      "The configuration a production user deploys (FAISS `IVFx,PQy + refine`): Lloyd-trained cells + Lloyd-trained PQ codebooks persisted with the grid-validated high-recall config (nProbe=7, rerankR=200 — the persist DEFAULT; the r15 grid's dominant row, and the grid where the swap-trained rotation lost to the snake-deal at every rerank point), served via the persisted-config path. recall@10 0.923/0.800 at sf0.001/sf0.1 (30 queries) vs the untrained-codebook composition's 0.780/0.560. The SERVE plan is the q194 shape with wider probe/shortlist constants — training cost lives at persist time, zero serve-time delta.") {
+      "The configuration a production user deploys (FAISS `IVFx,PQy + refine`): Lloyd-trained cells + Lloyd-trained PQ codebooks persisted with the grid-validated high-recall config (nProbe=7, rerankR=200 — the persist DEFAULT; the r15 grid's dominant row, and the grid where the swap-trained rotation lost to the snake-deal at every sf0.1 rerank point while roughly tying at sf0.001), served via the persisted-config path. recall@10 0.923/0.800 at sf0.001/sf0.1 (30 queries) vs the untrained-codebook composition's 0.780/0.560. The SERVE plan is the q194 shape with wider probe/shortlist constants — training cost lives at persist time, zero serve-time delta.") {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nv = graft.functions.VectorFunctions.l2Normalize(
         org.apache.spark.sql.functions.col("embedding"))

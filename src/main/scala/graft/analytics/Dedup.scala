@@ -72,22 +72,49 @@ object Dedup {
     * not the textbook ~5 (which yields low per-row rates but almost
     * never a whole-batch skip). The default 64 KB is right up to
     * ~3·10^4 digests at B=500; the 2^24 cap makes the zero-scan fast
-    * path a ≤ ~10^6-digest-store feature, beyond which the guard
-    * degrades to always-scan by design (measure with
+    * path a ≤ ~10^6-digest-store feature on a FLAT store, beyond which
+    * the guard degrades to always-scan by design (measure with
     * [[sidecarMightHitRate]]; a mismatched existing sidecar is
     * rebuilt at the requested size).
+    *
+    * `prefixLen > 0` selects the PREFIX-PARTITIONED layout (see the
+    * layout note above [[digestStoreLayout]]): rows land in 16^len
+    * hive partitions on the digest's leading hex chars, the sidecar is
+    * per-prefix (`sidecarBits` sizes EACH prefix's bit array, and the
+    * batch-size rule divides by the split: a B-row batch spreads
+    * ~B/16^len digests per prefix, so per-prefix skip needs FPR ≪
+    * 16^len/B — the default 2^19 bits carries ~10^5 digests PER PREFIX
+    * ≈ 2.6·10^7 total at len=2 before skips fade, and the anti-join
+    * stays partition-pruned regardless). The default `AutoPrefixLen`
+    * adopts the store's existing layout (flat when new); an explicit
+    * value must match an existing store's — layouts never mix.
     */
   def appendDigestStore(df: DataFrame, keyCols: Seq[String], path: String,
       batchTag: Long = 0L, sidecar: Boolean = false,
-      sidecarBits: Int = SidecarBits): Unit = {
-    val digests = df
+      sidecarBits: Int = SidecarBits, prefixLen: Int = AutoPrefixLen): Unit = {
+    val spark = df.sparkSession
+    val existing = digestStoreLayout(spark, path)
+    val pl = prefixLen match {
+      case AutoPrefixLen => existing.getOrElse(0)
+      case p =>
+        require(p >= 0 && p <= MaxPrefixLen,
+          s"prefixLen must be in [0, $MaxPrefixLen] (0 = flat) or AutoPrefixLen; got $p")
+        existing.foreach(e => require(e == p,
+          s"digest store at $path has prefixLen=$e; appending with prefixLen=$p " +
+            "would mix layouts in one store"))
+        p
+    }
+    val storeKeyCols = keyCols.map(c => s"__k_$c")
+    val base = df
       .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
       .distinct()
-    val spark = df.sparkSession
+    val digests = if (pl == 0) base
+      else base.withColumn("__kp", prefixOf(storeKeyCols, pl))
     if (!sidecar) {
-      digests
+      val w = digests
         .withColumn("__batch_tag", lit(batchTag))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+      (if (pl == 0) w else w.partitionBy("__kp")).parquet(path)
     } else {
       // listing of the store the current sidecar (if any) describes —
       // captured BEFORE the append so the incremental sidecar merge can
@@ -108,24 +135,32 @@ object Dedup {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       try {
-        digests
+        val w = digests
           .withColumn("__batch_tag", lit(batchTag))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-        val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
-          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-            !s.getPath.getName.startsWith("_"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        (if (pl == 0) w else w.partitionBy("__kp")).parquet(staging)
+        // partitioned stagings nest files one level down — renames
+        // preserve each file's partition dir, and the fingerprint
+        // entries carry the partition-relative name
+        val staged = relDataFiles(fs, new org.apache.hadoop.fs.Path(staging))
         if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
           fs.mkdirs(new org.apache.hadoop.fs.Path(path)); ()
         }
-        val ours = staged.zipWithIndex.map { case (f, i) =>
+        val ours = staged.zipWithIndex.map { case ((sub, f), i) =>
           val name = s"app-$token-$i.parquet"
+          val destDir =
+            if (sub.isEmpty) path.stripSuffix("/")
+            else s"${path.stripSuffix("/")}/$sub"
+          if (sub.nonEmpty) { fs.mkdirs(new org.apache.hadoop.fs.Path(destDir)); () }
           if (!fs.rename(f.getPath,
-              new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$name")))
+              new org.apache.hadoop.fs.Path(s"$destDir/$name")))
             throw new java.io.IOException(s"digest append: rename failed for $name")
-          (name, f.getLen)
-        }.toSeq
+          (if (sub.isEmpty) name else s"$sub/$name", f.getLen)
+        }
         val postFp = fingerprintOf(preListing ++ ours)
-        updateDigestSidecar(spark, path, digests,
+        if (pl == 0) updateDigestSidecar(spark, path, digests,
+          fingerprintOf(preListing), postFp, sidecarBits)
+        else updatePrefixSidecar(spark, path, digests,
           fingerprintOf(preListing), postFp, sidecarBits)
       } finally {
         if (fs.exists(new org.apache.hadoop.fs.Path(staging))) {
@@ -166,10 +201,9 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !s.getPath.getName.startsWith("_"))
-      .map(s => (s.getPath.getName, s.getLen))
+    else relDataFiles(fs, p).map { case (sub, f) =>
+      (if (sub.isEmpty) f.getPath.getName else s"$sub/${f.getPath.getName}", f.getLen)
+    }
   }
 
   private def fingerprintOf(entries: Seq[(String, Long)]): String =
@@ -187,6 +221,91 @@ object Dedup {
     */
   private def storeRowKey(cols: Seq[String]): Column =
     concat_ws("", cols.map(col): _*)
+
+  // ---- prefix-partitioned layout ----
+  //
+  // A FLAT digest store is re-scanned in full by every batch's
+  // anti-join: at 10^9+ digests (the 100 TB corpus shape) each ingest
+  // batch pays an O(store) scan + exchange, and the whole-store bloom
+  // sidecar stops helping past ~10^6 digests (the 2^24 plan-literal
+  // cap). The PREFIX-PARTITIONED layout fixes both bounds at once:
+  // rows land in hive partitions `__kp=p<hex>` keyed by the first
+  // `prefixLen` hex chars of the (combined) digest — a uniform 16^len
+  // way split, since sha-256 output is uniform — and
+  //   - [[dedupAgainstStore]] prunes the store side to the batch's
+  //     TOUCHED prefixes with a static `__kp IN (...)` partition
+  //     filter: per-batch cost is O(batch + touched-partition bytes),
+  //     never O(store);
+  //   - the sidecar becomes PER-PREFIX (one bit array per partition,
+  //     shipped to the guard as a broadcast relation, not a plan
+  //     literal — the 2^24 cap no longer applies to the store, only
+  //     to each prefix), and the skip decision is per-prefix: a clean
+  //     batch skips every prefix independently, so capacity scales to
+  //     16^len × the flat capacity and a single collision no longer
+  //     forces a whole-store scan — only that prefix's partition.
+  //
+  // The partition value carries a literal 'p' ("p1f", not "1f") so
+  // Spark's partition-type inference can never read an all-digit
+  // prefix as an integer and fold "07" into 7 — a silent value rewrite
+  // that would break `IN`-pruning and let real duplicates through.
+
+  /** Sentinel for [[appendDigestStore]]'s `prefixLen`: adopt the
+    * store's existing layout (flat for a new store).
+    */
+  val AutoPrefixLen: Int = -1
+
+  /** Largest accepted digest-prefix length (16^3 = 4096 partitions —
+    * past that the per-partition files are too small to be worth
+    * listing; at 10^10 digests prefer wider per-prefix sidecars over
+    * deeper prefixes).
+    */
+  val MaxPrefixLen: Int = 3
+
+  // sha-256 hex is uniform, so substring(1, len) splits the store
+  // 16^len ways evenly; the combined key's leading chars belong to the
+  // FIRST key column's digest (the control-char separator sits between
+  // columns), so len ≤ 3 never crosses a column boundary
+  private def prefixOf(storeKeyCols: Seq[String], prefixLen: Int): Column =
+    concat(lit("p"), substring(storeRowKey(storeKeyCols), 1, prefixLen))
+
+  /** The store's layout: None = store absent/empty, Some(0) = flat,
+    * Some(n) = prefix-partitioned with n-hex-char prefixes. Detected
+    * from the directory shape so every reader/maintainer follows the
+    * layout the store was created with.
+    */
+  private[graft] def digestStoreLayout(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val entries = fs.listStatus(p).toSeq
+      val parts = entries.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("__kp=p"))
+      if (parts.nonEmpty) Some(parts.head.getPath.getName.stripPrefix("__kp=p").length)
+      else if (entries.exists(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))) Some(0)
+      else None
+    }
+  }
+
+  /** Data files of the store (or a staging dir) with their partition
+    * subdir: ("", file) for flat rows, ("__kp=pXX", file) for
+    * partitioned ones. Dot/underscore names are write-protocol
+    * artifacts, never data — EXCEPT `__kp=` partition dirs, which the
+    * flat filter would otherwise drop.
+    */
+  private def relDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("__kp="))
+        fs.listStatus(s.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+          .map(f => (n, f))
+      else if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) Seq(("", s))
+      else Nil
+    }
 
   private def bloomPos(h: Int, key: Column, bits: Int): Column =
     conv(substring(md5(concat(lit(s"dsb$h:"), key)), 1, 8), 16, 10)
@@ -212,8 +331,9 @@ object Dedup {
       s"sidecarBits must be in [2^10, 2^24] and a multiple of 64; got $bits")
 
   /** Rebuild the sidecar from the full store (run at compaction; also
-    * the fallback when no sidecar exists yet). `bits` sizes the new
-    * sidecar.
+    * the fallback when no sidecar exists yet) — per-prefix bit arrays
+    * for a partitioned store, one global array for a flat one. `bits`
+    * sizes the new sidecar (EACH prefix's array when partitioned).
     */
   def rebuildDigestSidecar(spark: SparkSession, path: String,
       bits: Int = SidecarBits): Unit = {
@@ -225,14 +345,47 @@ object Dedup {
     val listing = storeListing(spark, path)
     val store = spark.read.parquet(path)
     val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
-    val pos = store
-      .select(explode(array((1 to SidecarK).map(h =>
-        bloomPos(h, storeRowKey(keyCols), bits)): _*)).as("p"))
-      .distinct().collect().map(_.getLong(0))
-    val words = new Array[Long](bits / 64)
-    pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
-    writeSidecar(spark, path, bits, words, fingerprintOf(listing))
+    if (digestStoreLayout(spark, path).exists(_ > 0)) {
+      // DISTRIBUTED word fold (bit_or per (prefix, word)), so the
+      // driver collect is bounded by the sidecar's own size
+      // (≤ prefixes × bits/64 rows), never the store's digest count —
+      // the flat path's distinct-positions collect would be O(store×k)
+      // here before saturation
+      val byPrefix = foldWordRows(prefixWordAgg(store, keyCols, bits), bits)
+      writePrefixSidecar(spark, path, bits, byPrefix, fingerprintOf(listing))
+    } else {
+      val pos = store
+        .select(explode(array((1 to SidecarK).map(h =>
+          bloomPos(h, storeRowKey(keyCols), bits)): _*)).as("p"))
+        .distinct().collect().map(_.getLong(0))
+      val words = new Array[Long](bits / 64)
+      pos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+      writeSidecar(spark, path, bits, words, fingerprintOf(listing))
+    }
   }
+
+  /** Per-(prefix, word-index) OR-folded sidecar words of `digests`
+    * (which must carry `__kp`) — the distributed construction both the
+    * partitioned rebuild and the partitioned incremental merge share.
+    * Output rows ≤ min(digests × k, prefixes × bits/64).
+    */
+  private def prefixWordAgg(digests: DataFrame, keyCols: Seq[String],
+      bits: Int): Array[org.apache.spark.sql.Row] =
+    digests
+      .select(col("__kp"), explode(array((1 to SidecarK).map(h =>
+        bloomPos(h, storeRowKey(keyCols), bits)): _*)).as("p"))
+      .select(col("__kp"), (col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast("int")).as("b"))
+      .groupBy("__kp", "w").agg(expr("bit_or(b)").as("word"))
+      .collect()
+
+  private def foldWordRows(rows: Array[org.apache.spark.sql.Row],
+      bits: Int): Seq[(String, Array[Long])] =
+    rows.groupBy(_.getString(0)).map { case (pfx, rs) =>
+      val words = new Array[Long](bits / 64)
+      rs.foreach(r => words(r.getInt(1)) |= r.getLong(2))
+      pfx -> words
+    }.toSeq.sortBy(_._1)
 
   /** Fold a batch's digests into the existing sidecar — blooms merge
     * by OR, so the append path touches only the BATCH (one position
@@ -265,6 +418,29 @@ object Dedup {
     }
   }
 
+  /** [[updateDigestSidecar]] for the prefix-partitioned layout: the
+    * batch's digests (carrying `__kp`) OR into their prefixes' bit
+    * arrays; prefixes the store has never seen get fresh arrays. Same
+    * `preAppendFp` soundness contract; same rebuild-once fallback.
+    */
+  private def updatePrefixSidecar(spark: SparkSession, path: String,
+      batchDigests: DataFrame, preAppendFp: String, postAppendFp: String,
+      wantBits: Int = SidecarBits): Unit = {
+    requireSidecarBits(wantBits)
+    readPrefixSidecarRaw(spark, path) match {
+      case Some((bits, k, byPrefix, Some(fp)))
+          if bits == wantBits && k == SidecarK && fp == preAppendFp =>
+        val keyCols = batchDigests.columns.filter(_.startsWith("__k_")).toSeq
+        val merged = scala.collection.mutable.Map[String, Array[Long]]() ++ byPrefix
+        prefixWordAgg(batchDigests, keyCols, bits).foreach { r =>
+          val words = merged.getOrElseUpdate(r.getString(0), new Array[Long](bits / 64))
+          words(r.getInt(1)) |= r.getLong(2)
+        }
+        writePrefixSidecar(spark, path, bits, merged.toSeq.sortBy(_._1), postAppendFp)
+      case _ => rebuildDigestSidecar(spark, path, wantBits)
+    }
+  }
+
   // The sidecar records the store fingerprint it was built against
   // (post-write state — callers write the store first, then the
   // sidecar), so a reader can prove the sidecar still describes the
@@ -283,8 +459,27 @@ object Dedup {
       .parquet(sidecarPath(path))
   }
 
+  /** A partitioned store's sidecar: one row PER PREFIX, each carrying
+    * the shared (bits, k, store_fp) header. Same file as the flat
+    * sidecar; the `prefix` column is what distinguishes the two
+    * schemas, and each reader rejects the other's (a flat reader
+    * treating one prefix's words as the whole store would
+    * false-negative-skip real collisions).
+    */
+  private def writePrefixSidecar(spark: SparkSession, path: String, bits: Int,
+      byPrefix: Seq[(String, Array[Long])], fp: String): Unit = {
+    import spark.implicits._
+    byPrefix.map { case (pfx, words) => (bits, SidecarK, words.toSeq, fp, pfx) }
+      .toDF("bits", "k", "words", "store_fp", "prefix")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(sidecarPath(path))
+  }
+
   /** Sidecar as stored, fingerprint included, no validation. Pre-upgrade
-    * sidecars (no `store_fp` column) read as fp = None.
+    * sidecars (no `store_fp` column) read as fp = None; a PARTITIONED
+    * store's sidecar (has `prefix`) reads as None — it is not a
+    * whole-store bit array.
     */
   private def readSidecarRaw(spark: SparkSession,
       path: String): Option[(Int, Int, Array[Long], Option[String])] = {
@@ -293,11 +488,54 @@ object Dedup {
     if (!fs.exists(p)) None
     else {
       val sc = spark.read.parquet(sidecarPath(path))
-      val r = sc.head()
-      val fp = if (sc.columns.contains("store_fp")) Some(r.getString(3)) else None
-      Some((r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, fp))
+      if (sc.columns.contains("prefix")) None
+      else {
+        val r = sc.head()
+        val fp = if (sc.columns.contains("store_fp")) Some(r.getString(3)) else None
+        Some((r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, fp))
+      }
     }
   }
+
+  /** [[readSidecarRaw]] for the per-prefix schema; a flat sidecar (no
+    * `prefix` column) or any (bits, k, fp) disagreement between rows
+    * reads as None.
+    */
+  private def readPrefixSidecarRaw(spark: SparkSession, path: String)
+      : Option[(Int, Int, Map[String, Array[Long]], Option[String])] = {
+    val p = new org.apache.hadoop.fs.Path(sidecarPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val sc = spark.read.parquet(sidecarPath(path))
+      if (!sc.columns.contains("prefix") || !sc.columns.contains("store_fp")) None
+      else {
+        val rows = sc.select("bits", "k", "words", "store_fp", "prefix").collect()
+        if (rows.isEmpty) None
+        else {
+          val bits = rows.head.getInt(0)
+          val k = rows.head.getInt(1)
+          val fp = rows.head.getString(3)
+          if (!rows.forall(r => r.getInt(0) == bits && r.getInt(1) == k &&
+            r.getString(3) == fp)) None
+          else Some((bits, k,
+            rows.map(r => r.getString(4) -> r.getSeq[Long](2).toArray).toMap,
+            Option(fp)))
+        }
+      }
+    }
+  }
+
+  /** Per-prefix sidecar ONLY when it provably matches the store's
+    * current contents (same fingerprint contract as [[readSidecar]]).
+    */
+  private def readPrefixSidecar(spark: SparkSession,
+      path: String): Option[(Int, Int, Map[String, Array[Long]])] =
+    readPrefixSidecarRaw(spark, path) match {
+      case Some((bits, k, byPrefix, Some(fp))) if fp == storeFingerprint(spark, path) =>
+        Some((bits, k, byPrefix))
+      case _ => None
+    }
 
   /** Returns the sidecar ONLY when it provably matches the store's
     * current contents: the recorded fingerprint must equal the store's
@@ -322,6 +560,9 @@ object Dedup {
     */
   def compactDigestStore(spark: SparkSession, path: String,
       retainMinTag: Option[Long] = None): Unit = {
+    // backup-then-swap commits by directory rename (below)
+    graft.util.FsContract.requireAtomicRename(spark, path,
+      "digest store compaction (backup-then-swap renames)")
     val store = spark.read.parquet(path)
     val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
     val tagged =
@@ -332,7 +573,18 @@ object Dedup {
       .agg(max("__batch_tag").as("__batch_tag"))
     val kept = retainMinTag.fold(folded)(t => folded.filter(col("__batch_tag") >= t))
     val staging = path.stripSuffix("/") + s".staging-${java.util.UUID.randomUUID()}"
-    kept.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    // layout-preserving: a partitioned store compacts to ~one file per
+    // prefix (the fold dropped the partition column, so re-derive it);
+    // a flat one to a single file
+    digestStoreLayout(spark, path) match {
+      case Some(pl) if pl > 0 =>
+        kept.withColumn("__kp", prefixOf(keyCols, pl))
+          .repartition(col("__kp"))
+          .write.partitionBy("__kp")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+      case _ =>
+        kept.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    }
     // Backup-then-swap (same protocol as ParquetStorage.compactDelta):
     // the live store is renamed aside BEFORE the staging rename lands,
     // so no crash point loses both copies — a delete-then-rename window
@@ -350,8 +602,11 @@ object Dedup {
     if (!fs.delete(new org.apache.hadoop.fs.Path(backup), true))
       throw new java.io.IOException(s"digest store compact: backup cleanup failed: $backup")
     // rebuild at the size the operator chose for this store (the
-    // pre-compaction sidecar's), defaulting for stores that had none
-    val keepBits = readSidecarRaw(spark, path).map(_._1).getOrElse(SidecarBits)
+    // pre-compaction sidecar's, whichever schema), defaulting for
+    // stores that had none
+    val keepBits = readSidecarRaw(spark, path).map(_._1)
+      .orElse(readPrefixSidecarRaw(spark, path).map(_._1))
+      .getOrElse(SidecarBits)
     rebuildDigestSidecar(spark, path, keepBits)
   }
 
@@ -369,6 +624,19 @@ object Dedup {
     * returned plan contains NO store scan at all. The result is
     * identical either way — the sidecar decides only whether the
     * anti-join is provably unnecessary.
+    *
+    * Against a PREFIX-PARTITIONED store the anti-join's store side is
+    * ALWAYS pruned to the batch's touched prefixes (a static
+    * `__kp IN (...)` partition filter — per-batch cost O(batch +
+    * touched-partition bytes), never O(store)), and the sidecar guard
+    * upgrades from whole-batch to PER-PREFIX: each prefix the bit
+    * arrays rule out drops from the scan list independently (a prefix
+    * with no sidecar row holds no store digests at all — the validated
+    * fingerprint covers the whole store), so one collision costs one
+    * partition's scan, not the store's. The guard's bit arrays ride a
+    * broadcast relation, not a plan literal — no 2^24 cap on the
+    * store's total sidecar. Guard + prefix discovery run two
+    * batch-sized driver jobs at plan-construction time.
     */
   def dedupAgainstStore(newBatch: DataFrame, keyCols: Seq[String], idCol: String,
       path: String, useSidecar: Boolean = false): DataFrame = {
@@ -378,22 +646,59 @@ object Dedup {
     val inBatch = newBatch.select((digests :+ col(idCol)): _*)
       .groupBy(storeKeyCols.map(col): _*)
       .agg(min(idCol).as(idCol))
-    val skip = useSidecar && readSidecar(spark, path).exists { case (bits, k, words) =>
-      val bitset = lit(words)
-      def bitTest(p: Column): Column =
-        call_function("shiftright",
-          element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
-          .bitwiseAND(lit(1L)) === 1L
-      val mightHit = (1 to k)
-        .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
-        .reduce(_ && _)
-      inBatch.filter(mightHit).limit(1).isEmpty
+    digestStoreLayout(spark, path) match {
+      case Some(pl) if pl > 0 =>
+        val batchP = inBatch.withColumn("__kp", prefixOf(storeKeyCols, pl))
+        val touched = batchP.select("__kp").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        val scanPrefixes: Seq[String] =
+          if (!useSidecar) touched
+          else readPrefixSidecar(spark, path) match {
+            case None => touched
+            case Some((bits, k, byPrefix)) =>
+              import spark.implicits._
+              val sideDf = broadcast(
+                byPrefix.toSeq.map { case (pfx, w) => (pfx, w.toSeq) }
+                  .toDF("__kp", "__words"))
+              def bitTest(p: Column): Column =
+                call_function("shiftright",
+                  element_at(col("__words"), (p / 64).cast("int") + 1),
+                  pmod(p, lit(64)).cast("int"))
+                  .bitwiseAND(lit(1L)) === 1L
+              // null __words (prefix absent from the store) → null
+              // tests → coalesce(false): provably clean, skipped
+              val mightHit = coalesce((1 to k)
+                .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
+                .reduce(_ && _), lit(false))
+              batchP.join(sideDf, Seq("__kp"), "left")
+                .filter(mightHit).select("__kp").distinct()
+                .collect().map(_.getString(0)).toSeq.sorted
+          }
+        if (scanPrefixes.isEmpty) inBatch.select(idCol)
+        else batchP
+          .join(spark.read.parquet(path)
+              .filter(col("__kp").isin(scanPrefixes: _*))
+              .select(storeKeyCols.map(col): _*),
+            storeKeyCols, "left_anti")
+          .select(idCol)
+      case _ =>
+        val skip = useSidecar && readSidecar(spark, path).exists { case (bits, k, words) =>
+          val bitset = lit(words)
+          def bitTest(p: Column): Column =
+            call_function("shiftright",
+              element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
+              .bitwiseAND(lit(1L)) === 1L
+          val mightHit = (1 to k)
+            .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
+            .reduce(_ && _)
+          inBatch.filter(mightHit).limit(1).isEmpty
+        }
+        if (skip) inBatch.select(idCol)
+        else inBatch
+          .join(spark.read.parquet(path).select(storeKeyCols.map(col): _*),
+            storeKeyCols, "left_anti")
+          .select(idCol)
     }
-    if (skip) inBatch.select(idCol)
-    else inBatch
-      .join(spark.read.parquet(path).select(storeKeyCols.map(col): _*),
-        storeKeyCols, "left_anti")
-      .select(idCol)
   }
 
   /** Observability for the sidecar skip guard: the fraction of the
@@ -407,23 +712,46 @@ object Dedup {
   def sidecarMightHitRate(newBatch: DataFrame, keyCols: Seq[String],
       path: String): Option[Double] = {
     val spark = newBatch.sparkSession
-    readSidecar(spark, path).map { case (bits, k, words) =>
-      val storeKeyCols = keyCols.map(c => s"__k_$c")
-      val inBatch = newBatch
-        .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
-        .distinct()
-      val bitset = lit(words)
-      def bitTest(p: Column): Column =
-        call_function("shiftright",
-          element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
-          .bitwiseAND(lit(1L)) === 1L
-      val mightHit = (1 to k)
-        .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
-        .reduce(_ && _)
-      val agg = inBatch.select(
+    val storeKeyCols = keyCols.map(c => s"__k_$c")
+    val inBatch = newBatch
+      .select(keyCols.map(c => sha2(col(c).cast("string"), 256).as(s"__k_$c")): _*)
+      .distinct()
+    def rateOf(tested: DataFrame, mightHit: Column): Double = {
+      val agg = tested.select(
         count(lit(1)).as("n"),
         sum(when(mightHit, 1L).otherwise(0L)).as("h")).head()
       if (agg.getLong(0) == 0L) 0.0 else agg.getLong(1).toDouble / agg.getLong(0)
+    }
+    digestStoreLayout(spark, path) match {
+      case Some(pl) if pl > 0 =>
+        readPrefixSidecar(spark, path).map { case (bits, k, byPrefix) =>
+          import spark.implicits._
+          val sideDf = broadcast(
+            byPrefix.toSeq.map { case (pfx, w) => (pfx, w.toSeq) }
+              .toDF("__kp", "__words"))
+          def bitTest(p: Column): Column =
+            call_function("shiftright",
+              element_at(col("__words"), (p / 64).cast("int") + 1),
+              pmod(p, lit(64)).cast("int"))
+              .bitwiseAND(lit(1L)) === 1L
+          val mightHit = coalesce((1 to k)
+            .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
+            .reduce(_ && _), lit(false))
+          rateOf(inBatch.withColumn("__kp", prefixOf(storeKeyCols, pl))
+            .join(sideDf, Seq("__kp"), "left"), mightHit)
+        }
+      case _ =>
+        readSidecar(spark, path).map { case (bits, k, words) =>
+          val bitset = lit(words)
+          def bitTest(p: Column): Column =
+            call_function("shiftright",
+              element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
+              .bitwiseAND(lit(1L)) === 1L
+          val mightHit = (1 to k)
+            .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
+            .reduce(_ && _)
+          rateOf(inBatch, mightHit)
+        }
     }
   }
 

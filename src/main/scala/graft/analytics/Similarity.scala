@@ -949,11 +949,14 @@ object Similarity {
     * a serve-time knob, so the widening costs 50 extra exact dot
     * products per query and zero bytes). The grid also settled the
     * ROTATION: the swap-trained [[opqSwapRefine]] permutation, which
-    * dominates at the cheap ADC point (q196), LOSES to the snake-deal
-    * at every rerank point (0.913/0.720 at (7,150), 0.930 tie/0.777 at
-    * (7,200)) — once the refine stage recovers the ADC quantization
-    * error, rotation quality stops binding and coarse-probe coverage +
-    * R do — so the persisted default keeps [[opqPermutation]]. Pass
+    * dominates at the cheap ADC point (q196), LOSES AT SCALE (sf0.1)
+    * at every rerank point — 0.720 at (7,150) and 0.777 at (7,200) vs
+    * the snake-deal's 0.757/0.800 — while roughly tying at sf0.001
+    * (0.913 at (7,150); 0.930 vs 0.923 at (7,200), a within-noise edge
+    * at 30 queries). Once the refine stage recovers the ADC
+    * quantization error, rotation quality stops binding and
+    * coarse-probe coverage + R do — so the persisted default keeps
+    * [[opqPermutation]] on the sf0.1 evidence. Pass
     * explicit values to validate a cheaper point (q194 gates nProbe=2/
     * rerankR=50).
     */

@@ -330,6 +330,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     autoCompactFiles: Int = ParquetStorage.DefaultAutoCompactFiles)
     extends Storage {
 
+  // every commit protocol below (overwrite swap, fold publish,
+  // _versions claim/seal, snapshot-meta moves) reads rename as an
+  // atomic+exclusive transition — refuse schemes where it isn't
+  graft.util.FsContract.requireAtomicRename(spark, root,
+    "graft parquet store (COW commits, fold publishes, version claims)")
+
   private val dataPath = s"$root/data"
   private val deltaPath = s"$root/delta"
   private val backupDataPath = s"$root/.backup-data"
@@ -595,6 +601,17 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       .exists(_.getPath.getName.startsWith(".staging-delta-"))
     if (!exists(deltaPath) && exists(backupDeltaPath) && stagingDeltaPresent)
       renameOrThrow(backupDeltaPath, deltaPath)
+    // clear the stale chain of a post-swap overwrite crash BEFORE the
+    // snap-meta roll-forward below would replay it (the replay is
+    // exists-checked and thus inert against destroyed dirs, but the
+    // chain would linger — every load() paying its meta reads — until a
+    // much later maintenance tick drained it). This runs BEFORE any
+    // backup is deleted, mirroring overwriteInner's cleanup order: the
+    // backups ARE the post-swap signature, so a crash anywhere in the
+    // cleanup below re-enters with the signature intact and reaches
+    // this line again — deleting backups first could leave a
+    // signature-less stale chain that lingers instead.
+    if (postSwapOverwrite && exists(snapMetaPath)) deleteOrThrow(snapMetaPath)
     // fold-generation backups follow the same commit-point verdict: a
     // pre-swap crash restores them beside the primary; a completed
     // swap's leftovers are stale (their rows live in the new primary)
@@ -610,12 +627,6 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     if (!preData && exists(backupDataPath))
       renameOrThrow(backupDataPath, dataPath)
     Seq(backupDataPath, backupDeltaPath).foreach(deleteOrThrow)
-    // clear the stale chain of a post-swap overwrite crash BEFORE the
-    // roll-forward below would replay it (the replay is exists-checked
-    // and thus inert against destroyed dirs, but the chain would linger
-    // — every load() paying its meta reads — until a much later
-    // maintenance tick drained it)
-    if (postSwapOverwrite && exists(snapMetaPath)) deleteOrThrow(snapMetaPath)
     // a maintenance snapshot commit that died after publishing its
     // `_snapmeta/<v>` plan but before (or during) its renames rolls
     // FORWARD here: moves are exists-checked and idempotent, and the

@@ -920,12 +920,15 @@ object CorpusQueries {
     // above the untrained-codebook Lloyd+rerank composition
     // (0.780/0.560); dominance pinned in AnalyticsSpec. The r15
     // (rotation × nProbe × R) grid ALSO adjudicated the rotation: the
-    // swap-trained opqSwapRefine permutation (q196) loses to the
-    // snake-deal at every rerank point (0.913/0.720 at (7,150),
-    // 0.930/0.777 at (7,200)) — the refine stage recovers the ADC
-    // quantization error the rotation would reduce, so coarse-probe
-    // coverage and R bind, not rotation quality — and the flagship
-    // deliberately keeps the snake-deal. The oracle splices the q186
+    // swap-trained opqSwapRefine permutation (q196) loses AT SCALE
+    // (sf0.1) at every rerank point — 0.720 at (7,150) and 0.777 at
+    // (7,200) vs the snake-deal's 0.757/0.800 — while roughly tying at
+    // sf0.001 (0.913 at (7,150); at (7,200) it edges ahead, 0.930 vs
+    // 0.923, inside one query's worth of noise at 30 queries). The
+    // refine stage recovers the ADC quantization error the rotation
+    // would reduce, so coarse-probe coverage and R bind, not rotation
+    // quality — and the flagship deliberately keeps the snake-deal on
+    // the sf0.1 evidence, the scale-relevant point. The oracle splices the q186
     // Lloyd-cell CTEs AND the q190 PQ-training CTEs into the
     // q187-style rerank replay, so the full trained+refined
     // composition is under the hash gate.
@@ -1362,14 +1365,20 @@ object CorpusQueries {
     // only whether the anti-join is provably unnecessary — results are
     // the same exact set algebra as q169, which is what lets DuckDB
     // replay a run whose physical plan may have skipped the store
-    // entirely.
+    // entirely. r16: the store is PREFIX-PARTITIONED (prefixLen=2 —
+    // the 100 TB layout: `__kp IN (...)`-pruned anti-joins and
+    // per-prefix sidecars, Dedup.scala's digestStoreLayout note), so
+    // the scale path's appends, per-prefix guard, layout-preserving
+    // compaction and pruned scans all sit under this hash gate; q169
+    // keeps the flat layout gated.
     "q173_incremental_dedup_lifecycle" -> ((s, dir) => {
       val d = docs(s, dir)
       val day1 = d.filter(col("doc_id") % 3 === 0)
       val day2 = d.filter(col("doc_id") % 3 === 1)
       val day3 = d.filter(col("doc_id") % 3 === 2)
       val store = graft.util.Scratch.dir("graftdiglc") + "/digests"
-      Dedup.appendDigestStore(day1, Seq("text"), store, batchTag = 1L, sidecar = true)
+      Dedup.appendDigestStore(day1, Seq("text"), store, batchTag = 1L, sidecar = true,
+        prefixLen = 2)
       val surv1 = Dedup.exactSurvivorIds(day1, Seq("text"), "doc_id")
       // materialize day-2's survivors BEFORE compaction rewrites the
       // store files its lazy plan would otherwise re-list (the real

@@ -480,6 +480,9 @@ object GraftLog {
     * topic opens only the dirty suffix plus flagged clean segments).
     */
   private[graft] val segmentDataOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+  // probe counter: per-segment `.keys` sidecar reads — the small-GET
+  // tier the `_keys_manifest` exists to collapse to one read per pass
+  private[graft] val keySidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[streaming] def keyOf(r: String): String = {
     val i = r.indexOf('\t')
@@ -546,7 +549,8 @@ object GraftLog {
 
   private def keysPath(segPath: String) = new Path(segPath + ".keys")
 
-  private def readKeySummary(fs: FileSystem, segPath: String): Option[KeySummary] =
+  private def readKeySummary(fs: FileSystem, segPath: String): Option[KeySummary] = {
+    keySidecarReads.incrementAndGet()
     graft.util.AtomicFiles.readString(fs, keysPath(segPath)).flatMap { body =>
       val lines = body.split("\n").filter(_.nonEmpty)
       if (lines.isEmpty || !lines.head.startsWith("tombs=")) None
@@ -558,15 +562,72 @@ object GraftLog {
           }.toSet)
       }.toOption
     }
+  }
 
   private def writeKeySummary(fs: FileSystem, segPath: String,
-      recs: Seq[(Long, String)]): Unit = {
-    val body = new StringBuilder(s"tombs=${recs.count(r => isTombstone(r._2))}\n")
+      recs: Seq[(Long, String)]): KeySummary = {
+    val tombs = recs.count(r => isTombstone(r._2))
+    val body = new StringBuilder(s"tombs=$tombs\n")
     recs.foreach { case (_, r) =>
       val (a, b) = fp(r)
       body ++= f"$a%016x$b%016x\n"
     }
     graft.util.AtomicFiles.writeString(fs, keysPath(segPath), body.toString)
+    KeySummary(tombs, recs.map(r => fp(r._2)).toSet)
+  }
+
+  // ---- per-topic keys MANIFEST ----
+  //
+  // The per-segment `.keys` sidecars make clean segments skippable
+  // without a data open, but a steady/quiescent pass still paid one
+  // small sidecar READ per clean segment — O(segments) GETs per pass on
+  // an object-store-shaped deployment (the r15 CleanerProbe's residual
+  // 0.5–1.4 s at 500–2000 segments). The manifest merges every clean
+  // segment's summary into ONE `_keys_manifest` file read at pass
+  // start. Entries are keyed by segment NAME, which is immutable →
+  // content-immutable (every rewrite bumps the `g<ver>` in the name and
+  // publishes create-only), so the manifest needs no invalidation
+  // protocol: a renamed/removed segment simply misses, and the miss
+  // falls back to its `.keys` sidecar (which stays the durable
+  // per-segment source — losing the manifest costs one slow pass, never
+  // correctness). Rewritten at pass end only when its content changed,
+  // so a fully-steady pass is listing + one read + zero writes.
+
+  private def manifestPath(dirPath: Path) = new Path(dirPath, "_keys_manifest")
+
+  private def readKeysManifest(fs: FileSystem,
+      dirPath: Path): Map[String, KeySummary] =
+    graft.util.AtomicFiles.readString(fs, manifestPath(dirPath)).map { body =>
+      val out = Map.newBuilder[String, KeySummary]
+      var name: String = null
+      var tombs = 0L
+      var fps = Set.newBuilder[(Long, Long)]
+      def flush(): Unit = if (name != null) out += name -> KeySummary(tombs, fps.result())
+      body.split("\n").filter(_.nonEmpty).foreach { line =>
+        if (line.startsWith("#seg ")) {
+          flush()
+          val parts = line.stripPrefix("#seg ").split(" tombs=")
+          name = parts(0)
+          tombs = scala.util.Try(parts(1).toLong).getOrElse(0L)
+          fps = Set.newBuilder[(Long, Long)]
+        } else if (name != null && line.length == 32) {
+          scala.util.Try((java.lang.Long.parseUnsignedLong(line.substring(0, 16), 16),
+            java.lang.Long.parseUnsignedLong(line.substring(16, 32), 16)))
+            .foreach(fps += _)
+        }
+      }
+      flush()
+      out.result()
+    }.getOrElse(Map.empty)
+
+  private def writeKeysManifest(fs: FileSystem, dirPath: Path,
+      entries: Map[String, KeySummary]): Unit = {
+    val body = new StringBuilder
+    entries.toSeq.sortBy(_._1).foreach { case (name, ks) =>
+      body ++= s"#seg $name tombs=${ks.tombs}\n"
+      ks.fps.toSeq.sorted.foreach { case (a, b) => body ++= f"$a%016x$b%016x\n" }
+    }
+    graft.util.AtomicFiles.writeString(fs, manifestPath(dirPath), body.toString)
   }
 
   /** LOG COMPACTION — Kafka's `cleanup.policy=compact`: keep only the
@@ -624,8 +685,11 @@ object GraftLog {
     * the parquet store's snapshot protocol. Returns records removed.
     */
   def compactTopic(dir: String, conf: Configuration,
-      minDirtyRatio: Double = 0.0): Int =
+      minDirtyRatio: Double = 0.0): Int = {
+    graft.util.FsContract.requireAtomicRename(conf, dir,
+      "graft-log compaction (create-only generation renames)")
     withTopicLock(dir, conf) { compactTopicLocked(dir, conf, minDirtyRatio) }
+  }
 
   /** Compact every `p-NNNN` partition sub-log of a partitioned topic —
     * Kafka's cleaner runs per partition; each sub-log pass serializes
@@ -685,8 +749,19 @@ object GraftLog {
     // can be superseded — the only possible work is aging out clean
     // tombstones, which the sidecars report without a data open
     val quiescent = dirtyCompactable.isEmpty && cp >= segs.last.base
+    // ONE manifest read answers every clean segment's summary; only a
+    // segment the manifest has never seen falls back to its sidecar
+    val manifest = readKeysManifest(fs, dirPath)
     val cleanSummaries: Map[String, Option[KeySummary]] =
-      cleanSegs.map(s => s.path -> readKeySummary(fs, s.path)).toMap
+      cleanSegs.map { s =>
+        s.path -> manifest.get(new Path(s.path).getName)
+          .orElse(readKeySummary(fs, s.path))
+      }.toMap
+    // summaries of every compactable segment as of THIS pass's end,
+    // keyed by (immutable) segment name — becomes the next manifest
+    val passSummaries = scala.collection.mutable.Map.empty[String, KeySummary]
+    def note(segPath: String, ks: KeySummary): Unit =
+      passSummaries(new Path(segPath).getName) = ks
     if (quiescent &&
         cleanSegs.forall(s => cleanSummaries(s.path).exists(_.tombs == 0L)))
       return 0
@@ -718,7 +793,7 @@ object GraftLog {
       // segment — Kafka's cleaner preserves timestamps across
       // cleaning for exactly this reason
       fs.setTimes(dst, fs.getFileStatus(new Path(s.path)).getModificationTime, -1)
-      writeKeySummary(fs, dst.toString, keep)
+      note(dst.toString, writeKeySummary(fs, dst.toString, keep))
       removed += recs - keep.size
     }
     // DIRTY compactable segments: latest-in-map wins; a latest tombstone
@@ -727,11 +802,12 @@ object GraftLog {
       val recs = readSegmentRecords(fs, s)
       val keep = recs.filter { case (d, r) => latest(fp(r)) == s.base + d }
       if (keep.size < recs.size) rewrite(s, keep, recs.size)
-      else writeKeySummary(fs, s.path, recs) // clean as-is; sidecar makes it skippable
+      // clean as-is; sidecar makes it skippable
+      else note(s.path, writeKeySummary(fs, s.path, recs))
     }
-    // CLEAN segments: data opened only when the sidecar (or its absence)
-    // says there is work — a key superseded in the dirty suffix, or a
-    // tombstone that has now been readable for a full pass
+    // CLEAN segments: data opened only when the summary (or its
+    // absence) says there is work — a key superseded in the dirty
+    // suffix, or a tombstone that has now been readable for a full pass
     cleanSegs.foreach { s =>
       val needsWork = cleanSummaries(s.path) match {
         case Some(ks) => ks.tombs > 0L || ks.fps.exists(latest.contains)
@@ -743,9 +819,18 @@ object GraftLog {
           !latest.contains(fp(r)) && !isTombstone(r)
         }
         if (keep.size < recs.size) rewrite(s, keep, recs.size)
-        else writeKeySummary(fs, s.path, recs) // sidecar was missing; restore it
-      }
+        // sidecar was missing; restore it
+        else note(s.path, writeKeySummary(fs, s.path, recs))
+      } else note(s.path, cleanSummaries(s.path).get) // untouched: carry forward
     }
+    // refresh the manifest to exactly this pass's compactable segments
+    // (full replace — superseded names fall out instead of accreting).
+    // Written only when the content changed, so a steady pass is
+    // read-only here; ordered before the cleaner point like the
+    // sidecars, but the manifest is a pure cache either way — a crash
+    // between the two costs sidecar-read fallbacks, never correctness.
+    if (passSummaries.toMap != manifest)
+      writeKeysManifest(fs, dirPath, passSummaries.toMap)
     // the cleaner point advances LAST — its presence proves every
     // rewrite and sidecar above completed (a crash before this line
     // leaves a stale point; the next pass rescans more, never less)
@@ -841,6 +926,10 @@ object GraftLog {
   * seal rename (the name already exists), never silently interleave.
   */
 final class GraftLogProducer(dir: String, conf: Configuration = new Configuration()) {
+  // segment seals, sparse indexes and compaction generations commit by
+  // rename — refuse schemes where rename isn't atomic+exclusive
+  graft.util.FsContract.requireAtomicRename(conf, dir,
+    "graft-log topic (segment seals, compaction generations)")
   private val dirPath = new Path(dir)
   private val fs: FileSystem = dirPath.getFileSystem(conf)
   if (!fs.exists(dirPath)) { fs.mkdirs(dirPath); () }

@@ -1,0 +1,87 @@
+package graft.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+
+/** The engine's STORAGE CONTRACT, enforced at open.
+  *
+  * Every durable commit protocol in this engine uses `FileSystem
+  * .rename` as its commit point, and its crash-safety proofs assume
+  * HDFS rename semantics — ATOMIC (all-or-nothing, including for
+  * directories) and EXCLUSIVE (rename onto an existing destination
+  * fails rather than overwrites). Concretely:
+  *
+  *   - the parquet store's overwrite swap (`staging → data` with
+  *     backup-renames as the crash signature, `Storage.overwriteInner`)
+  *     and its recovery's verdicts ("data present ⇒ swap completed")
+  *     read rename as a transition that either fully happened or
+  *     didn't;
+  *   - retention/compaction FOLD publishes commit an entire
+  *     generation as ONE directory rename (`staging → fold-<v>`);
+  *   - the `_versions` claim/seal chain and the graft-log's
+  *     compaction-generation segment names rely on create-ONLY rename
+  *     for mutual exclusion (two committers cannot both win);
+  *   - the graft-log's segment seals, sparse indexes, cleaner points
+  *     and streaming-sink epoch markers publish via
+  *     `tmp → final-name` renames whose visibility must be
+  *     all-or-nothing;
+  *   - the digest store's compaction uses the same backup-then-swap
+  *     directory renames.
+  *
+  * True on: local file, HDFS (and viewfs federation), Azure
+  * ABFS/ABFSS (directory-atomic on hierarchical namespaces), WASB.
+  * FALSE on S3-style object stores (s3/s3a/s3n, GCS `gs`, OSS, COS,
+  * Swift): "rename" there is a non-atomic copy+delete per object, a
+  * directory rename can land partially, and nothing is exclusive —
+  * a crash mid-commit can be misread by recovery as a COMPLETED
+  * commit and silently drop data.
+  *
+  * So stores and topics refuse to open on a scheme that is not known
+  * to provide atomic rename. A deployment that layers atomicity on
+  * top of an object store (HDFS-over-S3 gateways, a consistent
+  * rename-capable connector, single-writer dev setups that accept
+  * the risk) opts in explicitly with
+  * `graft.storage.assumeAtomicRename=true` — on the Spark conf for
+  * SparkSession-scoped opens, or the Hadoop `Configuration` for
+  * producer/maintenance entry points. The override is a statement
+  * about the STORE's filesystem, not a safety toggle: with it set on
+  * a genuinely non-atomic store, every crash-window proof in the
+  * protocols above is void.
+  */
+object FsContract {
+
+  /** Config key accepting non-allowlisted schemes (value "true"). */
+  val OverrideKey = "graft.storage.assumeAtomicRename"
+
+  /** Schemes providing HDFS-style atomic + exclusive rename. */
+  val AtomicRenameSchemes: Set[String] = Set(
+    "file", "local", "hdfs", "viewfs", "webhdfs", "hftp",
+    "abfs", "abfss", "wasb", "wasbs", "ofs", "o3fs", "alluxio")
+
+  /** Scheme of `path` (absent/opaque → "file": bare local paths). */
+  def schemeOf(path: String): String =
+    (try Option(new java.net.URI(path).getScheme)
+    catch { case _: java.net.URISyntaxException => None })
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+
+  def requireAtomicRename(root: String, overrideAccepted: Boolean,
+      what: String): Unit = {
+    val scheme = schemeOf(root)
+    require(overrideAccepted || AtomicRenameSchemes(scheme),
+      s"$what at '$root': filesystem scheme '$scheme' is not known to provide " +
+        "ATOMIC+EXCLUSIVE rename, which every commit protocol here uses as its " +
+        "commit point (see graft.util.FsContract). On S3-style object stores a " +
+        "crash mid-commit can be misread as a completed commit and lose data. " +
+        s"If this store's filesystem does guarantee atomic rename, set " +
+        s"$OverrideKey=true (Spark conf or Hadoop conf) to accept it.")
+  }
+
+  def requireAtomicRename(spark: SparkSession, root: String, what: String): Unit =
+    requireAtomicRename(root,
+      spark.conf.get(OverrideKey, "false").equalsIgnoreCase("true") ||
+        spark.sparkContext.hadoopConfiguration.getBoolean(OverrideKey, false),
+      what)
+
+  def requireAtomicRename(conf: Configuration, root: String, what: String): Unit =
+    requireAtomicRename(root, conf.getBoolean(OverrideKey, false), what)
+}

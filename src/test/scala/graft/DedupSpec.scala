@@ -195,6 +195,175 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("prefix-partitioned digest store") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+
+    // the store's scans in the (pre-AQE) physical plan, for counting
+    // which partitions survived pruning
+    def storeScans(df: org.apache.spark.sql.DataFrame,
+        store: String): Seq[FileSourceScanExec] =
+      df.queryExecution.sparkPlan.collectLeaves().collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.endsWith(store)) => f
+      }
+
+    it("full lifecycle parity with the flat layout (appends, sidecar, compact, retention)") {
+      val base = java.nio.file.Files.createTempDirectory("graftdigpfx").toString
+      val flat = s"$base/flat"
+      val part = s"$base/part"
+      val day1 = spark.range(40).selectExpr("id AS doc_id", "concat('d1-', id % 30) AS text")
+      val day2 = spark.range(40, 80)
+        .selectExpr("id AS doc_id", "concat('d1-', id % 45) AS text")
+      val day3 = spark.range(80, 120)
+        .selectExpr("id AS doc_id", "concat('d1-', id % 60) AS text")
+      def run(store: String, prefixLen: Int): Seq[Set[Long]] = {
+        Dedup.appendDigestStore(day1, Seq("text"), store,
+          batchTag = 1L, sidecar = true, prefixLen = prefixLen)
+        val s2 = Dedup.dedupAgainstStore(day2, Seq("text"), "doc_id", store,
+          useSidecar = true).as[Long].collect().toSet
+        Dedup.appendDigestStore(day2, Seq("text"), store, batchTag = 2L, sidecar = true)
+        Dedup.compactDigestStore(spark, store)
+        val s3 = Dedup.dedupAgainstStore(day3, Seq("text"), "doc_id", store,
+          useSidecar = true).as[Long].collect().toSet
+        Dedup.compactDigestStore(spark, store, retainMinTag = Some(2L))
+        val s3b = Dedup.dedupAgainstStore(day3, Seq("text"), "doc_id", store,
+          useSidecar = true).as[Long].collect().toSet
+        Seq(s2, s3, s3b)
+      }
+      assert(run(part, prefixLen = 1) == run(flat, prefixLen = 0))
+      // the layouts really are what we asked for
+      assert(new java.io.File(part).listFiles().exists(_.getName.startsWith("__kp=p")))
+      assert(!new java.io.File(flat).listFiles().exists(_.getName.startsWith("__kp=")))
+    }
+
+    it("anti-join store side is pruned to the batch's touched prefixes") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigprune")
+        .toString + "/digests"
+      // enough digests that all 16 len-1 prefixes are populated
+      val hist = spark.range(2000).selectExpr("concat('h-', id) AS text")
+      Dedup.appendDigestStore(hist, Seq("text"), store, batchTag = 1L, prefixLen = 1)
+      assert(new java.io.File(store).listFiles()
+        .count(_.getName.startsWith("__kp=p")) == 16)
+      // a one-row batch touches exactly one prefix — WITHOUT a sidecar
+      // the scan must still read only that partition
+      val one = Seq((0L, "h-7")).toDF("doc_id", "text")
+      val df = Dedup.dedupAgainstStore(one, Seq("text"), "doc_id", store)
+      val scans = storeScans(df, store)
+      assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+      assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+        s"expected 1 scanned partition of 16: ${scans.map(_.selectedPartitions.partitionCount)}")
+      assert(df.as[Long].collect().isEmpty) // it IS a duplicate
+      // the pruning is a static partition filter, visible in the plan
+      assert("PartitionFilters: \\[[^\\]]*__kp".r
+        .findFirstIn(df.queryExecution.executedPlan.toString).isDefined ||
+        df.queryExecution.sparkPlan.toString.contains("__kp"),
+        df.queryExecution.sparkPlan.toString)
+    }
+
+    it("per-prefix sidecar: clean batch scans nothing; one collision scans one partition") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigppsc")
+        .toString + "/digests"
+      val hist = spark.range(2000).selectExpr("concat('h-', id) AS text")
+      Dedup.appendDigestStore(hist, Seq("text"), store,
+        batchTag = 1L, sidecar = true, prefixLen = 1)
+      // clean batch spanning many prefixes: every prefix ruled out →
+      // the returned plan contains NO store scan at all
+      val clean = spark.range(200)
+        .selectExpr("id AS doc_id", "concat('novel-', id) AS text")
+      val g = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(storeScans(g, store).isEmpty,
+        "clean batch against per-prefix sidecars must skip the store entirely")
+      assert(g.as[Long].collect().length == 200)
+      assert(Dedup.sidecarMightHitRate(clean, Seq("text"), store).contains(0.0))
+      // one real duplicate: the scan comes back but only for the
+      // colliding digest's prefix — the other 15 partitions stay pruned
+      val dirty = clean.union(Seq((999L, "h-42")).toDF("doc_id", "text"))
+      val g2 = Dedup.dedupAgainstStore(dirty, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      // Catalyst may push the anti-join below the batch's Union and
+      // clone the store scan per branch — every clone must still be
+      // pruned to the single colliding prefix
+      val scans = storeScans(g2, store)
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.selectedPartitions.partitionCount == 1),
+        s"one collision must scan one partition per store scan: " +
+          s"${scans.map(_.selectedPartitions.partitionCount)}")
+      assert(g2.as[Long].collect().length == 200) // h-42 dropped
+    }
+
+    it("layout mismatch on append fails loudly; auto adopts the existing layout") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigmix")
+        .toString + "/digests"
+      Dedup.appendDigestStore(Seq((0L, "alpha")).toDF("doc_id", "text"),
+        Seq("text"), store, prefixLen = 2)
+      intercept[IllegalArgumentException] {
+        Dedup.appendDigestStore(Seq((1L, "beta")).toDF("doc_id", "text"),
+          Seq("text"), store, prefixLen = 0)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.appendDigestStore(Seq((1L, "beta")).toDF("doc_id", "text"),
+          Seq("text"), store, prefixLen = 1)
+      }
+      // AutoPrefixLen follows the store's own layout
+      Dedup.appendDigestStore(Seq((1L, "beta")).toDF("doc_id", "text"),
+        Seq("text"), store)
+      assert(Dedup.dedupAgainstStore(
+        Seq((2L, "alpha"), (3L, "beta"), (4L, "novel")).toDF("doc_id", "text"),
+        Seq("text"), "doc_id", store).as[Long].collect().toSet == Set(4L))
+      // out-of-range lengths rejected
+      intercept[IllegalArgumentException] {
+        Dedup.appendDigestStore(Seq((5L, "x")).toDF("doc_id", "text"),
+          Seq("text"), java.nio.file.Files.createTempDirectory("graftdigbadp")
+            .toString + "/d", prefixLen = 4)
+      }
+    }
+
+    it("a stale per-prefix sidecar voids the skip but keeps the prefix pruning") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigppstale")
+        .toString + "/digests"
+      Dedup.appendDigestStore(Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 1L, sidecar = true, prefixLen = 1)
+      // un-sidecarred append: fingerprint mismatch voids the guard
+      Dedup.appendDigestStore(Seq((2L, "gamma")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 2L, sidecar = false)
+      val probe = Seq((10L, "gamma"), (11L, "novel")).toDF("doc_id", "text")
+      val out = Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      // the guard fell back — but the scan is STILL pruned to the
+      // batch's touched prefixes, never the whole store
+      val scans = storeScans(out, store)
+      assert(scans.nonEmpty, "stale sidecar must fall back to the anti-join")
+      assert(scans.forall(_.selectedPartitions.partitionCount <= 2))
+      assert(out.as[Long].collect().toSet == Set(11L))
+      assert(Dedup.sidecarMightHitRate(probe, Seq("text"), store).isEmpty)
+      // a sidecar-refreshing append rebuilds trust (covers gamma too)
+      Dedup.appendDigestStore(Seq((3L, "delta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 3L, sidecar = true)
+      val clean = Seq((20L, "epsilon")).toDF("doc_id", "text")
+      val g = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(storeScans(g, store).isEmpty)
+      assert(g.as[Long].collect().toSet == Set(20L))
+      // and gamma (absorbed by the rebuild) now dedups under the guard
+      assert(Dedup.dedupAgainstStore(Seq((30L, "gamma")).toDF("doc_id", "text"),
+        Seq("text"), "doc_id", store, useSidecar = true)
+        .as[Long].collect().isEmpty)
+    }
+
+    it("composite keys partition on the combined digest and stay correct") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigpck")
+        .toString + "/digests"
+      val d1 = Seq((0L, "a", "x"), (1L, "a", "y")).toDF("doc_id", "t1", "t2")
+      Dedup.appendDigestStore(d1, Seq("t1", "t2"), store,
+        batchTag = 1L, sidecar = true, prefixLen = 2)
+      val probe = Seq((10L, "a", "x"), (11L, "b", "x"), (12L, "a", "z"))
+        .toDF("doc_id", "t1", "t2")
+      assert(Dedup.dedupAgainstStore(probe, Seq("t1", "t2"), "doc_id", store,
+        useSidecar = true).as[Long].collect().toSet == Set(11L, 12L))
+    }
+  }
+
   describe("block-level span dedup") {
     it("first occurrence (min doc, then min position) survives; later copies don't") {
       val spans = Seq(

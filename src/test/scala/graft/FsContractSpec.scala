@@ -1,0 +1,93 @@
+package graft
+
+import graft.analytics.Dedup
+import graft.engine.GraftDB
+import graft.streaming.{GraftLog, GraftLogProducer}
+import graft.util.FsContract
+
+/** A stub FileSystem with a scheme the atomic-rename allowlist has
+  * never heard of — it RESOLVES fine (it's local disk underneath), so
+  * any open that proceeds past the contract gate works end-to-end.
+  * The gate must refuse it anyway: the contract is a scheme allowlist
+  * (rename SEMANTICS can't be probed), not a reachability check.
+  */
+class NonAtomicStubFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  // RawLocal directly (not the LocalFileSystem checksum wrapper): the
+  // wrapper's inner raw fs would checkPath against file:/// and reject
+  // graftnar: paths
+  override def getScheme: String = "graftnar"
+  override def getUri: java.net.URI = java.net.URI.create("graftnar:///")
+}
+
+/** The storage contract of VERDICT r15 "what's missing #2": every
+  * commit protocol here uses rename as its commit point, so stores and
+  * topics must refuse to open on filesystems that don't provide
+  * HDFS-style atomic+exclusive rename — loudly, at open, not as a
+  * silent crash-window at the first unlucky power cut.
+  */
+class FsContractSpec extends SparkSpec {
+
+  private def expectRefusal(f: => Any): Unit = {
+    val e = intercept[IllegalArgumentException](f)
+    assert(e.getMessage.contains("ATOMIC+EXCLUSIVE rename"), e.getMessage)
+    assert(e.getMessage.contains(FsContract.OverrideKey), e.getMessage)
+  }
+
+  describe("atomic-rename storage contract") {
+    it("every rename-committing surface refuses S3-style schemes at open") {
+      // gate fires BEFORE any fs access — no s3a connector is on the
+      // classpath, so reaching the filesystem would throw a different,
+      // far less actionable error
+      expectRefusal(GraftDB.atPath(spark, "s3a://bucket/db"))
+      expectRefusal(new GraftLogProducer("s3://bucket/topic"))
+      expectRefusal(GraftLog.compactTopic("s3n://bucket/topic",
+        spark.sparkContext.hadoopConfiguration))
+      expectRefusal(Dedup.compactDigestStore(spark, "gs://bucket/digests"))
+    }
+
+    it("an unknown scheme is refused even when its FileSystem resolves") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      hconf.set("fs.graftnar.impl", classOf[NonAtomicStubFs].getName)
+      val base = java.nio.file.Files.createTempDirectory("graftnar").toString
+      expectRefusal(GraftDB.atPath(spark, s"graftnar://$base/db"))
+    }
+
+    it("the override opts in explicitly; the graft-log works end-to-end on the stub") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      hconf.set("fs.graftnar.impl", classOf[NonAtomicStubFs].getName)
+      // Spark-conf form: the exact check the ParquetStorage constructor
+      // runs passes with the override set and re-arms on unset. (A full
+      // parquet store on the stub scheme dies deep inside Hadoop's
+      // local-permission loader, which hard-requires file: URIs — a
+      // stub artifact, not a contract behavior.)
+      spark.conf.set(FsContract.OverrideKey, "true")
+      try {
+        FsContract.requireAtomicRename(spark, "graftnar:///tmp/x", "t")
+      } finally spark.conf.unset(FsContract.OverrideKey)
+      val base = java.nio.file.Files.createTempDirectory("graftnarok").toString
+      expectRefusal(GraftDB.atPath(spark, s"graftnar://$base/db2"))
+      // the Hadoop-conf form arms producer/maintenance entry points —
+      // and the topic really works END-TO-END on the stub scheme:
+      // publish (create + hsync + rename seal) then batch-read back
+      val topicBase = java.nio.file.Files.createTempDirectory("graftnartp").toString
+      val c2 = new org.apache.hadoop.conf.Configuration(hconf)
+      c2.setBoolean(FsContract.OverrideKey, true)
+      val topic = s"graftnar://$topicBase/topic"
+      val prod = new GraftLogProducer(topic, c2)
+      assert(prod.publish(Seq("r0", "r1")) == 2L)
+      assert(GraftLog.latestOffset(topic, c2) == 2L)
+      assert(spark.read.format("graft-log").option("path", topic).load()
+        .collect().map(_.getString(1)).sorted.toSeq == Seq("r0", "r1"))
+    }
+
+    it("bare local paths and explicit hdfs-style schemes pass the gate") {
+      FsContract.requireAtomicRename("/tmp/x", overrideAccepted = false, "t")
+      FsContract.requireAtomicRename("file:/tmp/x", overrideAccepted = false, "t")
+      FsContract.requireAtomicRename("hdfs://nn:8020/x", overrideAccepted = false, "t")
+      FsContract.requireAtomicRename("abfss://c@a.dfs.core.windows.net/x",
+        overrideAccepted = false, "t")
+      expectRefusal(FsContract.requireAtomicRename("s3a://b/x",
+        overrideAccepted = false, "t"))
+    }
+  }
+}

@@ -298,6 +298,52 @@ class LogSourceSpec extends SparkSpec {
       assert(p.compactTopic() === 1) // default ratio 0: b4@4 superseded
     }
 
+    it("keys-manifest: steady/quiescent passes answer clean segments from ONE merged read") {
+      val dir = tmp("graftlogmanifest")
+      val p = new GraftLogProducer(dir)
+      val conf = new Configuration()
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      def manifest = new org.apache.hadoop.fs.Path(dir, "_keys_manifest")
+      (0 until 20).foreach(s => p.publish((0 until 10).map(i => s"s${s}k$i\tv")))
+      // first pass: sidecars written per segment AND merged into the manifest
+      assert(p.compactTopic() === 0)
+      assert(hfs.exists(manifest))
+      // quiescent pass: zero data opens AND zero per-segment sidecar
+      // reads — the listing + one manifest read is the whole pass
+      val k0 = GraftLog.keySidecarReads.get()
+      val o0 = GraftLog.segmentDataOpens.get()
+      assert(p.compactTopic() === 0)
+      assert(GraftLog.keySidecarReads.get() - k0 === 0L,
+        "quiescent pass must not read per-segment sidecars")
+      assert(GraftLog.segmentDataOpens.get() - o0 === 0L)
+      // steady pass (one fresh segment sealed): every CLEAN segment is
+      // still answered by the manifest, not O(segments) sidecar GETs
+      p.publish((0 until 10).map(i => s"fresh$i\tv"))
+      val k1 = GraftLog.keySidecarReads.get()
+      assert(p.compactTopic() === 0)
+      assert(GraftLog.keySidecarReads.get() - k1 === 0L,
+        "steady pass must answer clean segments from the manifest")
+      // manifest lost: the pass falls back to sidecars (one slow pass,
+      // correctness unchanged) and re-merges a fresh manifest
+      hfs.delete(manifest, false)
+      p.publish(Seq("s3k1\tv2")) // supersede a clean key in segment 3
+      val k2 = GraftLog.keySidecarReads.get()
+      assert(p.compactTopic() === 1)
+      assert(GraftLog.keySidecarReads.get() - k2 > 0L,
+        "without a manifest, sidecars are the fallback source")
+      assert(hfs.exists(manifest))
+      // the rewritten segment's NEW g<ver> name is in the refreshed
+      // manifest — the next pass is back to zero sidecar reads
+      val k3 = GraftLog.keySidecarReads.get()
+      assert(p.compactTopic() === 0)
+      assert(GraftLog.keySidecarReads.get() - k3 === 0L)
+      // read view reflects exactly the one supersession
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(!got.exists(_._2 == "s3k1\tv") && got.exists(_._2 == "s3k1\tv2"))
+      assert(got.size === 210) // 211 published, 1 superseded
+    }
+
     it("per-partition compaction: each p-NNNN sub-log compacts independently under its own lock") {
       val dir = tmp("graftlogpartcmp")
       val conf = new Configuration()

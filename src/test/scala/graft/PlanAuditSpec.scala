@@ -88,6 +88,49 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("sha2"), p)
     }
 
+    it("prefix-partitioned digest store: the anti-join's store scan is partition-pruned, never O(store)") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graftdigaudit").toString
+      val store = s"$base/digests"
+      Dedup.appendDigestStore(docs.filter(col("doc_id") % 2 === 0), Seq("text"), store,
+        batchTag = 1L, sidecar = true, prefixLen = 2)
+      // a small batch touches few of the 256 prefixes: the store side
+      // of the anti-join must carry a STATIC `__kp IN (...)` partition
+      // filter — O(batch + touched partitions), not a full store scan
+      val batch = docs.filter(col("doc_id") % 20 === 1)
+      val df = Dedup.dedupAgainstStore(batch, Seq("text"), "doc_id", store)
+      val p = plan(df)
+      assert("PartitionFilters: \\[[^\\]]*__kp".r.findFirstIn(p).isDefined, p)
+      // and the scan honors it: every store scan node reads at most the
+      // batch's touched-prefix count, strictly fewer than the store's
+      // partition count
+      val nStorePartitions = new java.io.File(store).listFiles()
+        .count(_.getName.startsWith("__kp=p"))
+      val touched = batch.select(
+        substring(sha2(col("text").cast("string"), 256), 1, 2)).distinct().count()
+      val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.endsWith(store)) => f
+      }
+      assert(scans.nonEmpty, p)
+      scans.foreach { f =>
+        assert(f.selectedPartitions.partitionCount <= touched &&
+          f.selectedPartitions.partitionCount < nStorePartitions,
+          s"store scan reads ${f.selectedPartitions.partitionCount} of " +
+            s"$nStorePartitions partitions for a $touched-prefix batch")
+      }
+      // with the per-prefix sidecar consulted, a clean batch's plan has
+      // NO store scan at all — the zero-scan path survives partitioning
+      val clean = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", concat(lit("fresh:"), col("text")))
+      val g = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(g.queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.endsWith(store)) => f
+      }.isEmpty, "clean batch must skip the partitioned store entirely")
+    }
+
     it("repeated-span excision shuffles digests, never span text") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
       val p = plan(Dedup.exciseRepeatedSpans(docs, "doc_id", "text", spanLen = 10))
