@@ -545,21 +545,41 @@ object GraftLog {
     * topic, crash between the rewrite and the sidecar write) just
     * degrades that segment to a conservative data read.
     */
-  private final case class KeySummary(tombs: Long, fps: Set[(Long, Long)])
+  /** A segment's key summary, kept LAZY: `block` is the raw 32-hex
+    * fp-per-line text exactly as it sits on disk. At a 2000-segment
+    * topic the manifest body is tens of MB — eagerly parsing a million
+    * fp lines into boxed tuples (and re-rendering them at write time)
+    * would dominate a steady pass's wall, so membership tests scan the
+    * fixed-width lines against pre-rendered hex keys and serialization
+    * is verbatim block concatenation.
+    */
+  private final case class KeySummary(tombs: Long, block: String) {
+    /** Does any fp line appear in `hexKeys` (32-hex-rendered)? */
+    def hitsAny(hexKeys: java.util.HashSet[String]): Boolean = {
+      if (hexKeys.isEmpty) return false
+      var start = 0
+      while (start < block.length) {
+        val nl = block.indexOf('\n', start)
+        val end = if (nl < 0) block.length else nl
+        if (end - start == 32 && hexKeys.contains(block.substring(start, end)))
+          return true
+        start = end + 1
+      }
+      false
+    }
+  }
+
+  private def hexOf(fpv: (Long, Long)): String = f"${fpv._1}%016x${fpv._2}%016x"
 
   private def keysPath(segPath: String) = new Path(segPath + ".keys")
 
   private def readKeySummary(fs: FileSystem, segPath: String): Option[KeySummary] = {
     keySidecarReads.incrementAndGet()
     graft.util.AtomicFiles.readString(fs, keysPath(segPath)).flatMap { body =>
-      val lines = body.split("\n").filter(_.nonEmpty)
-      if (lines.isEmpty || !lines.head.startsWith("tombs=")) None
+      val nl = body.indexOf('\n')
+      if (nl < 0 || !body.startsWith("tombs=")) None
       else scala.util.Try {
-        KeySummary(lines.head.stripPrefix("tombs=").toLong,
-          lines.tail.map { h =>
-            (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
-              java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16))
-          }.toSet)
+        KeySummary(body.substring(6, nl).toLong, body.substring(nl + 1))
       }.toOption
     }
   }
@@ -567,13 +587,13 @@ object GraftLog {
   private def writeKeySummary(fs: FileSystem, segPath: String,
       recs: Seq[(Long, String)]): KeySummary = {
     val tombs = recs.count(r => isTombstone(r._2))
-    val body = new StringBuilder(s"tombs=$tombs\n")
-    recs.foreach { case (_, r) =>
-      val (a, b) = fp(r)
-      body ++= f"$a%016x$b%016x\n"
+    val block = {
+      val sb = new StringBuilder
+      recs.foreach { case (_, r) => sb ++= hexOf(fp(r)) += '\n' }
+      sb.toString
     }
-    graft.util.AtomicFiles.writeString(fs, keysPath(segPath), body.toString)
-    KeySummary(tombs, recs.map(r => fp(r._2)).toSet)
+    graft.util.AtomicFiles.writeString(fs, keysPath(segPath), s"tombs=$tombs\n" + block)
+    KeySummary(tombs, block)
   }
 
   // ---- per-topic keys MANIFEST ----
@@ -595,37 +615,42 @@ object GraftLog {
 
   private def manifestPath(dirPath: Path) = new Path(dirPath, "_keys_manifest")
 
+  // Parse only the `#seg <name> tombs=<t>` headers; each entry's fp
+  // block is a verbatim substring slice of the body — zero per-fp work
+  // at read time (a quiescent pass touches only `tombs`).
   private def readKeysManifest(fs: FileSystem,
       dirPath: Path): Map[String, KeySummary] =
     graft.util.AtomicFiles.readString(fs, manifestPath(dirPath)).map { body =>
       val out = Map.newBuilder[String, KeySummary]
-      var name: String = null
-      var tombs = 0L
-      var fps = Set.newBuilder[(Long, Long)]
-      def flush(): Unit = if (name != null) out += name -> KeySummary(tombs, fps.result())
-      body.split("\n").filter(_.nonEmpty).foreach { line =>
-        if (line.startsWith("#seg ")) {
-          flush()
-          val parts = line.stripPrefix("#seg ").split(" tombs=")
-          name = parts(0)
-          tombs = scala.util.Try(parts(1).toLong).getOrElse(0L)
-          fps = Set.newBuilder[(Long, Long)]
-        } else if (name != null && line.length == 32) {
-          scala.util.Try((java.lang.Long.parseUnsignedLong(line.substring(0, 16), 16),
-            java.lang.Long.parseUnsignedLong(line.substring(16, 32), 16)))
-            .foreach(fps += _)
+      var pos = if (body.startsWith("#seg ")) 0
+        else { val i = body.indexOf("\n#seg "); if (i < 0) body.length else i + 1 }
+      while (pos < body.length) {
+        val hdrEnd = body.indexOf('\n', pos)
+        val end = {
+          val n = body.indexOf("\n#seg ", pos)
+          if (n < 0) body.length else n + 1
+        }
+        if (hdrEnd < 0 || hdrEnd >= end) pos = body.length
+        else {
+          val hdr = body.substring(pos + 5, hdrEnd) // after "#seg "
+          val ti = hdr.lastIndexOf(" tombs=")
+          if (ti > 0) scala.util.Try(hdr.substring(ti + 7).toLong).foreach { t =>
+            out += hdr.substring(0, ti) -> KeySummary(t, body.substring(hdrEnd + 1, end))
+          }
+          pos = end
         }
       }
-      flush()
       out.result()
     }.getOrElse(Map.empty)
 
+  // verbatim block concatenation — tens of MB of fp lines are copied,
+  // never re-rendered
   private def writeKeysManifest(fs: FileSystem, dirPath: Path,
       entries: Map[String, KeySummary]): Unit = {
     val body = new StringBuilder
     entries.toSeq.sortBy(_._1).foreach { case (name, ks) =>
-      body ++= s"#seg $name tombs=${ks.tombs}\n"
-      ks.fps.toSeq.sorted.foreach { case (a, b) => body ++= f"$a%016x$b%016x\n" }
+      body ++= s"#seg $name tombs=${ks.tombs}\n" ++= ks.block
+      if (!ks.block.endsWith("\n") && ks.block.nonEmpty) body += '\n'
     }
     graft.util.AtomicFiles.writeString(fs, manifestPath(dirPath), body.toString)
   }
@@ -808,9 +833,13 @@ object GraftLog {
     // CLEAN segments: data opened only when the summary (or its
     // absence) says there is work — a key superseded in the dirty
     // suffix, or a tombstone that has now been readable for a full pass
+    // latest keys rendered once to the sidecar/manifest hex form — the
+    // membership probe below is a fixed-width scan, no fp parsing
+    val hexLatest = new java.util.HashSet[String]()
+    latest.keysIterator.foreach(k => hexLatest.add(hexOf(k)))
     cleanSegs.foreach { s =>
       val needsWork = cleanSummaries(s.path) match {
-        case Some(ks) => ks.tombs > 0L || ks.fps.exists(latest.contains)
+        case Some(ks) => ks.tombs > 0L || ks.hitsAny(hexLatest)
         case None     => true // no sidecar: conservative data read below
       }
       if (needsWork) {
