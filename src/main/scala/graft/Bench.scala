@@ -76,22 +76,23 @@ object Bench {
   // otherwise a real regression of rebase size would be absorbed
   // silently and the drift attribution would be unauditable.
   private val AnalyticsExpected: Map[String, Double] = Map(
-    // r13 rebase: copied from r12's committed driver bench (bench.json at
-    // commit fa6fb76, flagged []) — the replaced r11-quiet values are
+    // r16 rebase: the r15 committed quiet closing bench (f0410cf,
+    // flagged [], loadavg 0.26) — the r13-era values it replaces are
     // tabled in BENCH_NOTES ("analytics rolling medians" history).
-    "q30_agg_pricing" -> 0.27,
-    "q32_join_multiway" -> 0.93,
+    "q30_agg_pricing" -> 0.28,
+    "q32_join_multiway" -> 0.87,
     "q33_window_rank" -> 0.32,
-    "q34_topk" -> 0.19,
-    "q40_window_tumbling" -> 0.21,
-    "q41_asof_join" -> 0.15,
-    "q50_dedup_exact" -> 0.15,
-    "q57_minhash_pairs" -> 0.54,
-    "q58_embedding_near_dup" -> 0.62,
-    "q59_ann_topk" -> 0.61,
-    "q159_excise_spans" -> 0.18)
+    "q34_topk" -> 0.20,
+    "q40_window_tumbling" -> 0.22,
+    "q41_asof_join" -> 0.19,
+    "q50_dedup_exact" -> 0.19,
+    "q57_minhash_pairs" -> 0.57,
+    "q58_embedding_near_dup" -> 0.58,
+    "q59_ann_topk" -> 0.62,
+    "q159_excise_spans" -> 0.21)
 
-  /** Previous round's driver-recorded medians (r12 bench.json, sf0.1) — the
+  /** Previous round's committed quiet-bench medians (r15 bench.json at
+    * f0410cf, sf0.1) — the
     * round-over-round delta is computed INLINE into the bench JSON
     * (`delta_vs_prev`: ratio current/previous per shared metric) so a
     * drift reads directly off the artifact instead of needing a manual
@@ -101,32 +102,33 @@ object Bench {
     * re-measure trigger is now 1.5×.
     */
   private val PrevMedians: Map[String, Double] = Map(
-    // r12 committed driver bench (bench.json at commit fa6fb76, flagged [])
-    "point_lookup_tag_eq" -> 0.020593,
-    "time_range_1h" -> 2e-06,
-    "time_range_1h_populated" -> 0.019454,
-    "field_filter_half" -> 0.031986,
-    "complex_2field_tag" -> 0.017997,
-    "count_filtered" -> 0.012142,
-    "csv_point_lookup_tag_eq" -> 0.033712,
-    "csv_time_range_1h" -> 2e-06,
-    "csv_field_filter_half" -> 0.043121,
-    "csv_complex_2field_tag" -> 0.034743,
-    "insert_10k_memory" -> 0.003275,
-    "insert_10k_parquet" -> 0.13206,
-    "insert_10k_csv" -> 0.072579,
-    "stream_ingest_drain" -> 2.564134,
-    "q30_agg_pricing" -> 0.266457,
-    "q32_join_multiway" -> 0.926522,
-    "q33_window_rank" -> 0.316317,
-    "q34_topk" -> 0.186198,
-    "q40_window_tumbling" -> 0.210509,
-    "q41_asof_join" -> 0.147582,
-    "q50_dedup_exact" -> 0.14875,
-    "q57_minhash_pairs" -> 0.544536,
-    "q58_embedding_near_dup" -> 0.617994,
-    "q59_ann_topk" -> 0.606708,
-    "q159_excise_spans" -> 0.182119)
+    // r15 committed quiet closing bench (bench.json at commit f0410cf,
+    // flagged [], start loadavg 0.26)
+    "point_lookup_tag_eq" -> 0.024277,
+    "time_range_1h" -> 3e-06,
+    "time_range_1h_populated" -> 0.018503,
+    "field_filter_half" -> 0.029206,
+    "complex_2field_tag" -> 0.025889,
+    "count_filtered" -> 0.017138,
+    "csv_point_lookup_tag_eq" -> 0.032861,
+    "csv_time_range_1h" -> 1e-06,
+    "csv_field_filter_half" -> 0.05418,
+    "csv_complex_2field_tag" -> 0.03353,
+    "insert_10k_memory" -> 0.002559,
+    "insert_10k_parquet" -> 0.102132,
+    "insert_10k_csv" -> 0.083938,
+    "stream_ingest_drain" -> 3.003864,
+    "q30_agg_pricing" -> 0.278904,
+    "q32_join_multiway" -> 0.872012,
+    "q33_window_rank" -> 0.318535,
+    "q34_topk" -> 0.195681,
+    "q40_window_tumbling" -> 0.217558,
+    "q41_asof_join" -> 0.191555,
+    "q50_dedup_exact" -> 0.194593,
+    "q57_minhash_pairs" -> 0.570705,
+    "q58_embedding_near_dup" -> 0.575161,
+    "q59_ann_topk" -> 0.622689,
+    "q159_excise_spans" -> 0.211695)
 
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(

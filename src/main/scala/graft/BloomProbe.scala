@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   * skipping a B-row batch needs FPR ≪ 1/B (~14+ bits/digest at B=500),
   * and the 2^24-bit plan-literal cap means the zero-scan fast path is a
   * ≤ ~10^6-digest-store feature by design — the operator sizing rule
-  * the probe exists to document. Not part of the driver contract.
+  * the probe exists to document. The SECOND table (r16) measures the
+  * prefix-partitioned layout past that ceiling: per-prefix sidecars
+  * (broadcast, no literal cap) keep the full zero-scan skip at 10^6
+  * on default bits and at 10^7 with 2^21-bit prefixes, and even a
+  * saturated default degrades to scanning the few false-positive
+  * partitions (~1% of the store) — never O(store). Not part of the
+  * driver contract.
   */
 object BloomProbe {
   def main(args: Array[String]): Unit = {

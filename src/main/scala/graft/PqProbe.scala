@@ -259,12 +259,20 @@ object PqProbe {
           e, nce, np2, "vec_id", "embedding", 4, 16, signBits = 6)
         val nb = graft.analytics.Similarity.opqPqLloydRefine(
           e, nce, np2, nb0, "vec_id", "embedding", 4, 16, iters = 3)
-        val nshort = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, nce, np2, nb,
-          "vec_id", "embedding", "qid", k = 200, nProbe = 7, m = 4, subDim = 16)
-        val nfl = pairs(graft.analytics.Similarity.exactRerank(e, q, nshort,
-          "vec_id", "embedding", "qid", k))
-        println(f"| cell-count realism | nCells=$nc, nProbe=7, R=200 " +
-          f"(probes ${700.0 / nc}%.1f%% of cells) | ${recall(nfl)}%.3f |")
+        // two operating points per cell count: the flagship's literal
+        // nProbe=7 (probed fraction collapses with nCells — recall
+        // decays, the expected IVF tradeoff) and nProbe scaled to a
+        // constant 25% probed fraction (recall should ride back toward
+        // the refine ceiling — the knob a production deployment turns
+        // as its index grows)
+        for (np <- Seq(7, math.max(7, nc / 4)).distinct) {
+          val nshort = graft.analytics.Similarity.opqResidualIvfPqTopK(e, q, nce, np2, nb,
+            "vec_id", "embedding", "qid", k = 200, nProbe = np, m = 4, subDim = 16)
+          val nfl = pairs(graft.analytics.Similarity.exactRerank(e, q, nshort,
+            "vec_id", "embedding", "qid", k))
+          println(f"| cell-count realism | nCells=$nc, nProbe=$np, R=200 " +
+            f"(probes ${np * 100.0 / nc}%.1f%% of cells) | ${recall(nfl)}%.3f |")
+        }
       }
     }
 

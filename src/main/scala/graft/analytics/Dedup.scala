@@ -110,6 +110,13 @@ object Dedup {
       .distinct()
     val digests = if (pl == 0) base
       else base.withColumn("__kp", prefixOf(storeKeyCols, pl))
+    if (pl > 0 && existing.isEmpty) {
+      // the explicit layout marker outlives directory shapes the
+      // detection can't read (empty-after-retention, null-key-only)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      writeLayoutMarker(fs, path, pl)
+    }
     if (!sidecar) {
       val w = digests
         .withColumn("__batch_tag", lit(batchTag))
@@ -219,8 +226,14 @@ object Dedup {
   /** One combined key per store row (stores may hold composite-key
     * digests as several `__k_*` columns).
     */
+  // CANONICAL column order (sorted by name): the combined key feeds
+  // bloom positions and the partition prefix, and the store's appender
+  // and a later reader may pass composite keyCols in different orders —
+  // a caller-order key would then probe the wrong bloom bits / prune
+  // the wrong partitions and let real duplicates through silently.
+  // (The anti-join itself joins BY NAME and never cared about order.)
   private def storeRowKey(cols: Seq[String]): Column =
-    concat_ws("", cols.map(col): _*)
+    concat_ws("", cols.sorted.map(col): _*)
 
   // ---- prefix-partitioned layout ----
   //
@@ -269,23 +282,43 @@ object Dedup {
     concat(lit("p"), substring(storeRowKey(storeKeyCols), 1, prefixLen))
 
   /** The store's layout: None = store absent/empty, Some(0) = flat,
-    * Some(n) = prefix-partitioned with n-hex-char prefixes. Detected
-    * from the directory shape so every reader/maintainer follows the
-    * layout the store was created with.
+    * Some(n) = prefix-partitioned with n-hex-char prefixes. A
+    * partitioned store carries an explicit `_layout` marker (written at
+    * creation, re-staged through compaction swaps) so the layout
+    * survives states the directory shape can't answer — a retention
+    * compaction that dropped every row, or a store whose only written
+    * prefix is the null-key `__kp=p` (empty prefix — the dir-shape
+    * fallback takes the MAX prefix length across dirs for the same
+    * reason). Flat stores have no marker (pre-marker back-compat).
     */
   private[graft] def digestStoreLayout(spark: SparkSession, path: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
-      val entries = fs.listStatus(p).toSeq
-      val parts = entries.filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("__kp=p"))
-      if (parts.nonEmpty) Some(parts.head.getPath.getName.stripPrefix("__kp=p").length)
-      else if (entries.exists(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !s.getPath.getName.startsWith("_"))) Some(0)
-      else None
+    else graft.util.AtomicFiles.readLong(fs, layoutMarkerPath(path)) match {
+      case Some(pl) if pl >= 1 && pl <= MaxPrefixLen => Some(pl.toInt)
+      case _ =>
+        val entries = fs.listStatus(p).toSeq
+        val parts = entries.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("__kp=p"))
+        if (parts.nonEmpty)
+          Some(parts.map(_.getPath.getName.stripPrefix("__kp=p").length).max)
+        else if (entries.exists(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))) Some(0)
+        else None
     }
+  }
+
+  private def layoutMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_layout")
+
+  private def writeLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, pl: Int): Unit = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir)); ()
+    }
+    graft.util.AtomicFiles.writeLong(fs,
+      new org.apache.hadoop.fs.Path(s"${dir.stripSuffix("/")}/_layout"), pl.toLong)
   }
 
   /** Data files of the store (or a staging dir) with their partition
@@ -306,6 +339,33 @@ object Dedup {
       else if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) Seq(("", s))
       else Nil
     }
+
+  /** k-hash bloom membership test against `bitset` (an array<long>
+    * column or literal) — the ONE definition of the probe arithmetic,
+    * shared by every skip guard and rate measurement so a fix to the
+    * indexing can never desynchronize them. NULL bitset (a prefix the
+    * store has never seen, under a fingerprint-validated sidecar) tests
+    * null → callers coalesce to false = provably clean.
+    */
+  private def bloomMightHit(bitset: Column, storeKeyCols: Seq[String],
+      bits: Int, k: Int): Column = {
+    def bitTest(p: Column): Column =
+      call_function("shiftright",
+        element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    (1 to k).map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
+      .reduce(_ && _)
+  }
+
+  /** Per-prefix sidecar words as a broadcast relation (never a plan
+    * literal — no size cap ties to the plan).
+    */
+  private def prefixSidecarDf(spark: SparkSession,
+      byPrefix: Map[String, Array[Long]]): DataFrame = {
+    import spark.implicits._
+    broadcast(byPrefix.toSeq.map { case (pfx, w) => (pfx, w.toSeq) }
+      .toDF("__kp", "__words"))
+  }
 
   private def bloomPos(h: Int, key: Column, bits: Int): Column =
     conv(substring(md5(concat(lit(s"dsb$h:"), key)), 1, 8), 16, 10)
@@ -343,6 +403,16 @@ object Dedup {
     // racer's files the bits don't) — a file landing between listing
     // and scan only widens the bits, never the claimed coverage
     val listing = storeListing(spark, path)
+    if (listing.isEmpty) {
+      // a data-less store (retention dropped every row) has no schema
+      // to scan and nothing to summarize — drop any stale sidecar so
+      // readers fall back to the (trivially empty) exact path. MUST not
+      // throw: compaction calls this AFTER its swap committed.
+      val sp = new org.apache.hadoop.fs.Path(sidecarPath(path))
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(sp)) { fs.delete(sp, true); () }
+      return
+    }
     val store = spark.read.parquet(path)
     val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
     if (digestStoreLayout(spark, path).exists(_ > 0)) {
@@ -576,14 +646,19 @@ object Dedup {
     // layout-preserving: a partitioned store compacts to ~one file per
     // prefix (the fold dropped the partition column, so re-derive it);
     // a flat one to a single file
-    digestStoreLayout(spark, path) match {
-      case Some(pl) if pl > 0 =>
-        kept.withColumn("__kp", prefixOf(keyCols, pl))
-          .repartition(col("__kp"))
-          .write.partitionBy("__kp")
-          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-      case _ =>
-        kept.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    val layoutPl = digestStoreLayout(spark, path).getOrElse(0)
+    if (layoutPl > 0) {
+      kept.withColumn("__kp", prefixOf(keyCols, layoutPl))
+        .repartition(col("__kp"))
+        .write.partitionBy("__kp")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+      // the marker rides the swap so the layout survives even a
+      // retention pass that dropped every row (a zero-row partitioned
+      // write leaves no partition dirs to detect from)
+      writeLayoutMarker(new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), staging, layoutPl)
+    } else {
+      kept.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     }
     // Backup-then-swap (same protocol as ParquetStorage.compactDelta):
     // the live store is renamed aside BEFORE the staging rename lands,
@@ -647,6 +722,11 @@ object Dedup {
       .groupBy(storeKeyCols.map(col): _*)
       .agg(min(idCol).as(idCol))
     digestStoreLayout(spark, path) match {
+      // a marker-preserving retention compaction can leave a layout
+      // with ZERO data files — nothing can collide, and a parquet read
+      // would fail schema inference
+      case Some(pl) if pl > 0 && storeListing(spark, path).isEmpty =>
+        inBatch.select(idCol)
       case Some(pl) if pl > 0 =>
         val batchP = inBatch.withColumn("__kp", prefixOf(storeKeyCols, pl))
         val touched = batchP.select("__kp").distinct()
@@ -656,21 +736,11 @@ object Dedup {
           else readPrefixSidecar(spark, path) match {
             case None => touched
             case Some((bits, k, byPrefix)) =>
-              import spark.implicits._
-              val sideDf = broadcast(
-                byPrefix.toSeq.map { case (pfx, w) => (pfx, w.toSeq) }
-                  .toDF("__kp", "__words"))
-              def bitTest(p: Column): Column =
-                call_function("shiftright",
-                  element_at(col("__words"), (p / 64).cast("int") + 1),
-                  pmod(p, lit(64)).cast("int"))
-                  .bitwiseAND(lit(1L)) === 1L
               // null __words (prefix absent from the store) → null
               // tests → coalesce(false): provably clean, skipped
-              val mightHit = coalesce((1 to k)
-                .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
-                .reduce(_ && _), lit(false))
-              batchP.join(sideDf, Seq("__kp"), "left")
+              val mightHit = coalesce(
+                bloomMightHit(col("__words"), storeKeyCols, bits, k), lit(false))
+              batchP.join(prefixSidecarDf(spark, byPrefix), Seq("__kp"), "left")
                 .filter(mightHit).select("__kp").distinct()
                 .collect().map(_.getString(0)).toSeq.sorted
           }
@@ -683,15 +753,8 @@ object Dedup {
           .select(idCol)
       case _ =>
         val skip = useSidecar && readSidecar(spark, path).exists { case (bits, k, words) =>
-          val bitset = lit(words)
-          def bitTest(p: Column): Column =
-            call_function("shiftright",
-              element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
-              .bitwiseAND(lit(1L)) === 1L
-          val mightHit = (1 to k)
-            .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
-            .reduce(_ && _)
-          inBatch.filter(mightHit).limit(1).isEmpty
+          inBatch.filter(bloomMightHit(lit(words), storeKeyCols, bits, k))
+            .limit(1).isEmpty
         }
         if (skip) inBatch.select(idCol)
         else inBatch
@@ -725,32 +788,14 @@ object Dedup {
     digestStoreLayout(spark, path) match {
       case Some(pl) if pl > 0 =>
         readPrefixSidecar(spark, path).map { case (bits, k, byPrefix) =>
-          import spark.implicits._
-          val sideDf = broadcast(
-            byPrefix.toSeq.map { case (pfx, w) => (pfx, w.toSeq) }
-              .toDF("__kp", "__words"))
-          def bitTest(p: Column): Column =
-            call_function("shiftright",
-              element_at(col("__words"), (p / 64).cast("int") + 1),
-              pmod(p, lit(64)).cast("int"))
-              .bitwiseAND(lit(1L)) === 1L
-          val mightHit = coalesce((1 to k)
-            .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
-            .reduce(_ && _), lit(false))
+          val mightHit = coalesce(
+            bloomMightHit(col("__words"), storeKeyCols, bits, k), lit(false))
           rateOf(inBatch.withColumn("__kp", prefixOf(storeKeyCols, pl))
-            .join(sideDf, Seq("__kp"), "left"), mightHit)
+            .join(prefixSidecarDf(spark, byPrefix), Seq("__kp"), "left"), mightHit)
         }
       case _ =>
         readSidecar(spark, path).map { case (bits, k, words) =>
-          val bitset = lit(words)
-          def bitTest(p: Column): Column =
-            call_function("shiftright",
-              element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
-              .bitwiseAND(lit(1L)) === 1L
-          val mightHit = (1 to k)
-            .map(h => bitTest(bloomPos(h, storeRowKey(storeKeyCols), bits)))
-            .reduce(_ && _)
-          rateOf(inBatch, mightHit)
+          rateOf(inBatch, bloomMightHit(lit(words), storeKeyCols, bits, k))
         }
     }
   }

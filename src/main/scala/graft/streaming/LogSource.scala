@@ -413,8 +413,11 @@ object GraftLog {
     * `_sink_compacted_through` low-water and re-admit a compacted
     * epoch's replay). Returns the number of markers removed.
     */
-  def compactSinkEpochs(dir: String, conf: Configuration, keepLast: Int = 32): Int =
+  def compactSinkEpochs(dir: String, conf: Configuration, keepLast: Int = 32): Int = {
+    graft.util.FsContract.requireAtomicRename(conf, dir,
+      "graft-log sink-epoch compaction (create-only based-segment renames)")
     withTopicLock(dir, conf) { compactSinkEpochsLocked(dir, conf, keepLast) }
+  }
 
   /** [[compactSinkEpochs]] body — caller must hold the topic lock. */
   private[streaming] def compactSinkEpochsLocked(dir: String, conf: Configuration,
@@ -554,6 +557,34 @@ object GraftLog {
     * is verbatim block concatenation.
     */
   private final case class KeySummary(tombs: Long, block: String) {
+    /** Structural + hex validity of every fp line. The old eager parser
+      * invalidated the WHOLE summary on any malformed line, forcing a
+      * conservative data open; the lazy representation must keep that
+      * property — a truncated/corrupted block that silently read as
+      * "no hits" would leave a superseded record in the view forever
+      * (the cleaner point advances past it). Empty block = zero
+      * records, valid.
+      */
+    lazy val wellFormed: Boolean = {
+      var i = 0
+      var ok = true
+      while (ok && i < block.length) {
+        val nl = block.indexOf('\n', i)
+        val end = if (nl < 0) block.length else nl
+        if (end - i != 32) ok = false
+        else {
+          var j = i
+          while (ok && j < end) {
+            val c = block.charAt(j)
+            if (!(c >= '0' && c <= '9') && !(c >= 'a' && c <= 'f')) ok = false
+            j += 1
+          }
+        }
+        i = end + 1
+      }
+      ok
+    }
+
     /** Does any fp line appear in `hexKeys` (32-hex-rendered)? */
     def hitsAny(hexKeys: java.util.HashSet[String]): Boolean = {
       if (hexKeys.isEmpty) return false
@@ -788,8 +819,18 @@ object GraftLog {
     def note(segPath: String, ks: KeySummary): Unit =
       passSummaries(new Path(segPath).getName) = ks
     if (quiescent &&
-        cleanSegs.forall(s => cleanSummaries(s.path).exists(_.tombs == 0L)))
+        cleanSegs.forall(s =>
+          cleanSummaries(s.path).exists(ks => ks.wellFormed && ks.tombs == 0L))) {
+      // a quiescent topic must still re-merge a lost/stale manifest —
+      // otherwise every subsequent pass re-pays the O(segments) sidecar
+      // reads the manifest exists to collapse, for as long as nothing
+      // new is sealed ("one slow pass" would quietly become "every
+      // pass")
+      val entries = cleanSegs
+        .map(s => new Path(s.path).getName -> cleanSummaries(s.path).get).toMap
+      if (entries != manifest) writeKeysManifest(fs, dirPath, entries)
       return 0
+    }
     // the key's latest offset in the DIRTY SUFFIX, keyed by fingerprint.
     // Segments ascend and deltas ascend within each, so a plain forward
     // scan's last write wins. Quiescent passes skip the build: the map
@@ -839,8 +880,10 @@ object GraftLog {
     latest.keysIterator.foreach(k => hexLatest.add(hexOf(k)))
     cleanSegs.foreach { s =>
       val needsWork = cleanSummaries(s.path) match {
-        case Some(ks) => ks.tombs > 0L || ks.hitsAny(hexLatest)
-        case None     => true // no sidecar: conservative data read below
+        case Some(ks) if ks.wellFormed => ks.tombs > 0L || ks.hitsAny(hexLatest)
+        // no sidecar, or a malformed block (the old parser's
+        // whole-summary invalidation): conservative data read below
+        case _ => true
       }
       if (needsWork) {
         val recs = readSegmentRecords(fs, s)
@@ -1167,6 +1210,11 @@ final class GraftLogTable(options: CaseInsensitiveStringMap,
           Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // epoch markers and staged-segment publishes commit by rename —
+    // the sink is a rename-committing surface like the producer
+    graft.util.FsContract.requireAtomicRename(
+      org.apache.spark.sql.SparkSession.active, path,
+      "graft-log sink (epoch-marker commits, staged-segment publishes)")
     val s = info.schema()
     val keepMarkers = Option(options.get("compactMarkersAfter")).map(_.toInt).getOrElse(32)
     require(keepMarkers >= 1, "compactMarkersAfter >= 1")

@@ -58,10 +58,16 @@ object FsContract {
     "file", "local", "hdfs", "viewfs", "webhdfs", "hftp",
     "abfs", "abfss", "wasb", "wasbs", "ofs", "o3fs", "alluxio")
 
-  /** Scheme of `path` (absent/opaque → "file": bare local paths). */
+  private val SchemeRx = "^([A-Za-z][A-Za-z0-9+.\\-]*):".r
+
+  /** Scheme of `path` (absent → "file": bare local paths). Extracted
+    * by prefix pattern like Hadoop's Path, NOT java.net.URI — a URI
+    * parse that throws on an s3a path containing a space (or any
+    * URI-illegal char) must read as s3a, not silently fall back to
+    * "file" and bypass the gate while Hadoop happily opens the store.
+    */
   def schemeOf(path: String): String =
-    (try Option(new java.net.URI(path).getScheme)
-    catch { case _: java.net.URISyntaxException => None })
+    SchemeRx.findFirstMatchIn(path).map(_.group(1))
       .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
 
   def requireAtomicRename(root: String, overrideAccepted: Boolean,

@@ -361,6 +361,65 @@ class DedupSpec extends SparkSpec {
         .toDF("doc_id", "t1", "t2")
       assert(Dedup.dedupAgainstStore(probe, Seq("t1", "t2"), "doc_id", store,
         useSidecar = true).as[Long].collect().toSet == Set(11L, 12L))
+      // key ORDER must not matter: the partition prefix and the bloom
+      // positions derive from the name-sorted combined key, so a reader
+      // passing (t2, t1) prunes the same partitions and probes the same
+      // bits — a caller-order key would prune the WRONG partitions and
+      // let the (a, x) duplicate through silently
+      assert(Dedup.dedupAgainstStore(probe, Seq("t2", "t1"), "doc_id", store,
+        useSidecar = true).as[Long].collect().toSet == Set(11L, 12L))
+      assert(Dedup.dedupAgainstStore(probe, Seq("t2", "t1"), "doc_id", store)
+        .as[Long].collect().toSet == Set(11L, 12L))
+    }
+
+    it("null-key digests land in the empty prefix without corrupting layout detection") {
+      val store = java.nio.file.Files.createTempDirectory("graftdignull")
+        .toString + "/digests"
+      val d1 = Seq((0L, "alpha"), (1L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      Dedup.appendDigestStore(d1, Seq("text"), store, batchTag = 1L,
+        sidecar = true, prefixLen = 2)
+      // the null digest writes `__kp=p` (empty prefix) — detection must
+      // still read prefixLen=2, not "flat", or the next auto append
+      // would silently mix layouts
+      assert(Dedup.digestStoreLayout(spark, store).contains(2))
+      Dedup.appendDigestStore(Seq((2L, "beta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 2L, sidecar = true)
+      assert(new java.io.File(store).listFiles()
+        .count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")) == 0, "appends must stay partitioned")
+      // null keys never join (SQL null semantics) — both null rows
+      // survive, real duplicates still drop; same algebra as flat
+      val probe = Seq((10L, "alpha"), (11L, null.asInstanceOf[String]), (12L, "new"))
+        .toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store,
+        useSidecar = true).as[Long].collect().toSet == Set(11L, 12L))
+    }
+
+    it("a retention compaction that drops every row keeps the partitioned layout") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigempty")
+        .toString + "/digests"
+      Dedup.appendDigestStore(Seq((0L, "old")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 1L, sidecar = true, prefixLen = 2)
+      // horizon beyond every tag: the whole store expires — the swap
+      // must still commit, the (empty) rebuild must not throw, and the
+      // LAYOUT must survive via the marker (zero-row partitioned writes
+      // leave no partition dirs to detect from)
+      Dedup.compactDigestStore(spark, store, retainMinTag = Some(99L))
+      assert(Dedup.digestStoreLayout(spark, store).contains(2),
+        "empty compaction must not silently reset the layout to flat")
+      // dedup against the empty store: everything survives, no crash
+      val probe = Seq((10L, "old"), (11L, "new")).toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store,
+        useSidecar = true).as[Long].collect().toSet == Set(10L, 11L))
+      // and the next auto append re-populates PARTITIONED
+      Dedup.appendDigestStore(Seq((20L, "fresh")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 2L, sidecar = true)
+      assert(new java.io.File(store).listFiles().exists(_.getName.startsWith("__kp=p")))
+      assert(Dedup.dedupAgainstStore(
+        Seq((30L, "fresh"), (31L, "other")).toDF("doc_id", "text"),
+        Seq("text"), "doc_id", store, useSidecar = true)
+        .as[Long].collect().toSet == Set(31L))
     }
   }
 

@@ -80,6 +80,37 @@ class FsContractSpec extends SparkSpec {
         .collect().map(_.getString(1)).sorted.toSeq == Seq("r0", "r1"))
     }
 
+    it("URI-illegal characters cannot smuggle an object-store path past the gate") {
+      // java.net.URI throws on the space; Hadoop's Path happily opens
+      // the store anyway — the scheme must come from the prefix
+      // pattern, not a strict URI parse that falls back to "file"
+      expectRefusal(new GraftLogProducer("s3a://bucket/my topic"))
+      expectRefusal(GraftDB.atPath(spark, "s3a://bucket/my data/db"))
+      assert(FsContract.schemeOf("s3a://bucket/my topic") == "s3a")
+      assert(FsContract.schemeOf("/tmp/with space/x") == "file")
+    }
+
+    it("the streaming SINK is a gated surface too (epoch markers commit by rename)") {
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", "s3a://bucket/topic")
+      val table = new graft.streaming.GraftLogTable(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.StringType))))
+      expectRefusal(table.newWriteBuilder(new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "q"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("payload",
+              org.apache.spark.sql.types.StringType)))
+        override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+      }))
+      expectRefusal(GraftLog.compactSinkEpochs("s3a://bucket/topic",
+        spark.sparkContext.hadoopConfiguration))
+    }
+
     it("bare local paths and explicit hdfs-style schemes pass the gate") {
       FsContract.requireAtomicRename("/tmp/x", overrideAccepted = false, "t")
       FsContract.requireAtomicRename("file:/tmp/x", overrideAccepted = false, "t")

@@ -342,6 +342,42 @@ class LogSourceSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(!got.exists(_._2 == "s3k1\tv") && got.exists(_._2 == "s3k1\tv2"))
       assert(got.size === 210) // 211 published, 1 superseded
+      // a QUIESCENT topic that loses its manifest re-merges it on the
+      // very next pass (one slow pass, not "every pass until something
+      // seals") — and the pass after is back to zero sidecar reads
+      hfs.delete(manifest, false)
+      val k4 = GraftLog.keySidecarReads.get()
+      assert(p.compactTopic() === 0)
+      assert(GraftLog.keySidecarReads.get() - k4 > 0L) // the one slow pass
+      assert(hfs.exists(manifest), "quiescent pass must re-merge a lost manifest")
+      val k5 = GraftLog.keySidecarReads.get()
+      assert(p.compactTopic() === 0)
+      assert(GraftLog.keySidecarReads.get() - k5 === 0L)
+    }
+
+    it("a corrupted .keys block reads as needs-work, never as no-hits") {
+      val dir = tmp("graftlogcorrupt")
+      val p = new GraftLogProducer(dir)
+      val conf = new Configuration()
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      p.publish((0 until 10).map(i => s"a$i\tv"))
+      p.publish((0 until 10).map(i => s"b$i\tv"))
+      assert(p.compactTopic() === 0) // seg 0 clean, sidecar + manifest written
+      // corrupt segment 0's sidecar AND drop the manifest: the block is
+      // structurally broken (truncated line), so the lazy scan must
+      // treat the summary as invalid and fall back to a data open — a
+      // "no hits" reading would leave the superseded a3 in the view
+      // FOREVER once the cleaner point advances
+      val seg0keys = hfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath).find(_.getName.endsWith(".keys")).get
+      graft.util.AtomicFiles.writeString(hfs, seg0keys, "tombs=0\ndeadbeef\n")
+      hfs.delete(new org.apache.hadoop.fs.Path(dir, "_keys_manifest"), false)
+      p.publish(Seq("a3\tv2")) // supersedes a key in the corrupted segment
+      assert(p.compactTopic() === 1,
+        "corrupted sidecar must force the conservative data read")
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .collect().map(_.getString(1)).toSet
+      assert(!got.contains("a3\tv") && got.contains("a3\tv2"))
     }
 
     it("per-partition compaction: each p-NNNN sub-log compacts independently under its own lock") {
