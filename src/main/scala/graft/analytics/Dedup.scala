@@ -736,11 +736,16 @@ object Dedup {
           else readPrefixSidecar(spark, path) match {
             case None => touched
             case Some((bits, k, byPrefix)) =>
+              // ship only the TOUCHED prefixes' bit arrays: the guard's
+              // broadcast is O(batch's prefixes × bits/8), not
+              // O(store's prefix count) — at 4096 prefixes a small
+              // batch broadcasts a few arrays, never the whole sidecar
+              val relevant = byPrefix.view.filterKeys(touched.toSet).toMap
               // null __words (prefix absent from the store) → null
               // tests → coalesce(false): provably clean, skipped
               val mightHit = coalesce(
                 bloomMightHit(col("__words"), storeKeyCols, bits, k), lit(false))
-              batchP.join(prefixSidecarDf(spark, byPrefix), Seq("__kp"), "left")
+              batchP.join(prefixSidecarDf(spark, relevant), Seq("__kp"), "left")
                 .filter(mightHit).select("__kp").distinct()
                 .collect().map(_.getString(0)).toSeq.sorted
           }
