@@ -275,9 +275,14 @@ object Dedup {
   val MaxPrefixLen: Int = 3
 
   // sha-256 hex is uniform, so substring(1, len) splits the store
-  // 16^len ways evenly; the combined key's leading chars belong to the
-  // FIRST key column's digest (the control-char separator sits between
-  // columns), so len ≤ 3 never crosses a column boundary
+  // 16^len ways evenly; each key column is a FIXED-WIDTH 64-hex-char
+  // sha-256 digest, so the combined key's first len ≤ 3 chars always
+  // belong to the (name-sorted) first column's digest and never cross
+  // a column boundary. Caveats a future edit must keep: (a) shortening
+  // the stored digests below MaxPrefixLen chars breaks this; (b)
+  // concat_ws SKIPS null columns, so an all-null composite key yields
+  // the empty prefix — partition value "p" (handled everywhere as a
+  // normal prefix; see digestStoreLayout's marker rationale)
   private def prefixOf(storeKeyCols: Seq[String], prefixLen: Int): Column =
     concat(lit("p"), substring(storeRowKey(storeKeyCols), 1, prefixLen))
 
@@ -301,9 +306,18 @@ object Dedup {
         val entries = fs.listStatus(p).toSeq
         val parts = entries.filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("__kp=p"))
-        if (parts.nonEmpty)
-          Some(parts.map(_.getPath.getName.stripPrefix("__kp=p").length).max)
-        else if (entries.exists(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        if (parts.nonEmpty) {
+          val pl = parts.map(_.getPath.getName.stripPrefix("__kp=p").length).max
+          // a stray/corrupt dir (say __kp=pdeadbeef) must not be
+          // ADOPTED as the layout — appends would compute impossible
+          // prefixes while the real data sits under shorter ones,
+          // silently splitting the store. Fail loudly instead.
+          require(pl >= 1 && pl <= MaxPrefixLen,
+            s"digest store at $path: partition dirs imply prefixLen=$pl, " +
+              s"outside [1, $MaxPrefixLen] — corrupt or foreign __kp= " +
+              "directories; refusing to adopt an impossible layout")
+          Some(pl)
+        } else if (entries.exists(s => s.isFile && !s.getPath.getName.startsWith(".") &&
           !s.getPath.getName.startsWith("_"))) Some(0)
         else None
     }
@@ -519,11 +533,25 @@ object Dedup {
   // passes the listing it read; the incremental merge constructs
   // pre + appended) — under any race it can only mismatch the live
   // listing, which reads as "stale" and falls back to the exact path.
+
+  /** Bit-position derivation version stamped into every sidecar. The
+    * fingerprint only proves the bits cover the store's FILES — it says
+    * nothing about HOW key columns fed the hash. When [[storeRowKey]]
+    * canonicalized to name-sorted column order, every composite-key
+    * sidecar written under caller order became silently wrong (its bits
+    * sit at caller-order positions; a sorted-order probe reads
+    * near-random bits, tests negative for digests that ARE stored, and
+    * the guard would falsely skip the anti-join — admitted duplicates).
+    * Readers treat a sidecar whose `key_order` is absent or different
+    * as stale → one rebuild, never a wrong skip.
+    */
+  private val SidecarKeyOrder: String = "name-sorted"
+
   private def writeSidecar(spark: SparkSession, path: String, bits: Int,
       words: Array[Long], fp: String): Unit = {
     import spark.implicits._
-    Seq((bits, SidecarK, words.toSeq, fp))
-      .toDF("bits", "k", "words", "store_fp")
+    Seq((bits, SidecarK, words.toSeq, fp, SidecarKeyOrder))
+      .toDF("bits", "k", "words", "store_fp", "key_order")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sidecarPath(path))
@@ -539,17 +567,20 @@ object Dedup {
   private def writePrefixSidecar(spark: SparkSession, path: String, bits: Int,
       byPrefix: Seq[(String, Array[Long])], fp: String): Unit = {
     import spark.implicits._
-    byPrefix.map { case (pfx, words) => (bits, SidecarK, words.toSeq, fp, pfx) }
-      .toDF("bits", "k", "words", "store_fp", "prefix")
+    byPrefix.map { case (pfx, words) =>
+        (bits, SidecarK, words.toSeq, fp, pfx, SidecarKeyOrder) }
+      .toDF("bits", "k", "words", "store_fp", "prefix", "key_order")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(sidecarPath(path))
   }
 
   /** Sidecar as stored, fingerprint included, no validation. Pre-upgrade
-    * sidecars (no `store_fp` column) read as fp = None; a PARTITIONED
-    * store's sidecar (has `prefix`) reads as None — it is not a
-    * whole-store bit array.
+    * sidecars (no `store_fp` column, or a `key_order` other than the
+    * current [[SidecarKeyOrder]] — bits at positions today's probe
+    * would not read) read as fp = None, which every consumer treats as
+    * stale; a PARTITIONED store's sidecar (has `prefix`) reads as
+    * None — it is not a whole-store bit array.
     */
   private def readSidecarRaw(spark: SparkSession,
       path: String): Option[(Int, Int, Array[Long], Option[String])] = {
@@ -561,35 +592,52 @@ object Dedup {
       if (sc.columns.contains("prefix")) None
       else {
         val r = sc.head()
-        val fp = if (sc.columns.contains("store_fp")) Some(r.getString(3)) else None
-        Some((r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, fp))
+        val fp =
+          if (sc.columns.contains("store_fp") && sc.columns.contains("key_order") &&
+            r.getAs[String]("key_order") == SidecarKeyOrder)
+            Some(r.getAs[String]("store_fp"))
+          else None
+        Some((r.getAs[Int]("bits"), r.getAs[Int]("k"),
+          r.getAs[scala.collection.Seq[Long]]("words").toArray, fp))
       }
     }
   }
 
   /** [[readSidecarRaw]] for the per-prefix schema; a flat sidecar (no
-    * `prefix` column) or any (bits, k, fp) disagreement between rows
-    * reads as None.
+    * `prefix` column), a pre-[[SidecarKeyOrder]] sidecar, or any
+    * (bits, k, fp, key_order) disagreement between rows reads as None.
+    *
+    * `onlyPrefixes` prunes the `words` read to those prefixes' rows —
+    * the read-only guard path never needs the whole store's arrays on
+    * the driver (at MaxPrefixLen=3 / wide bits that is ~GB scale). The
+    * shared header is still validated across ALL rows, via a separate
+    * tiny select that never deserializes the word arrays.
     */
-  private def readPrefixSidecarRaw(spark: SparkSession, path: String)
+  private def readPrefixSidecarRaw(spark: SparkSession, path: String,
+      onlyPrefixes: Option[Seq[String]] = None)
       : Option[(Int, Int, Map[String, Array[Long]], Option[String])] = {
     val p = new org.apache.hadoop.fs.Path(sidecarPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val sc = spark.read.parquet(sidecarPath(path))
-      if (!sc.columns.contains("prefix") || !sc.columns.contains("store_fp")) None
+      if (!sc.columns.contains("prefix") || !sc.columns.contains("store_fp") ||
+        !sc.columns.contains("key_order")) None
       else {
-        val rows = sc.select("bits", "k", "words", "store_fp", "prefix").collect()
-        if (rows.isEmpty) None
+        val headers = sc.select("bits", "k", "store_fp", "key_order")
+          .distinct().collect()
+        if (headers.length != 1 ||
+          headers.head.getAs[String]("key_order") != SidecarKeyOrder) None
         else {
-          val bits = rows.head.getInt(0)
-          val k = rows.head.getInt(1)
-          val fp = rows.head.getString(3)
-          if (!rows.forall(r => r.getInt(0) == bits && r.getInt(1) == k &&
-            r.getString(3) == fp)) None
-          else Some((bits, k,
-            rows.map(r => r.getString(4) -> r.getSeq[Long](2).toArray).toMap,
+          val bits = headers.head.getInt(0)
+          val k = headers.head.getInt(1)
+          val fp = headers.head.getString(2)
+          val wordRows = onlyPrefixes
+            .fold(sc.select("prefix", "words"))(pfxs =>
+              sc.filter(col("prefix").isin(pfxs: _*)).select("prefix", "words"))
+            .collect()
+          Some((bits, k,
+            wordRows.map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap,
             Option(fp)))
         }
       }
@@ -598,10 +646,14 @@ object Dedup {
 
   /** Per-prefix sidecar ONLY when it provably matches the store's
     * current contents (same fingerprint contract as [[readSidecar]]).
+    * `onlyPrefixes` as in [[readPrefixSidecarRaw]] — the validation
+    * still covers the WHOLE sidecar's header + the store's fingerprint,
+    * only the word arrays are pruned.
     */
-  private def readPrefixSidecar(spark: SparkSession,
-      path: String): Option[(Int, Int, Map[String, Array[Long]])] =
-    readPrefixSidecarRaw(spark, path) match {
+  private def readPrefixSidecar(spark: SparkSession, path: String,
+      onlyPrefixes: Option[Seq[String]] = None)
+      : Option[(Int, Int, Map[String, Array[Long]])] =
+    readPrefixSidecarRaw(spark, path, onlyPrefixes) match {
       case Some((bits, k, byPrefix, Some(fp))) if fp == storeFingerprint(spark, path) =>
         Some((bits, k, byPrefix))
       case _ => None
@@ -679,8 +731,10 @@ object Dedup {
     // rebuild at the size the operator chose for this store (the
     // pre-compaction sidecar's, whichever schema), defaulting for
     // stores that had none
+    // only the header's `bits` is needed — prune the words read to
+    // zero prefixes rather than collect every bit array
     val keepBits = readSidecarRaw(spark, path).map(_._1)
-      .orElse(readPrefixSidecarRaw(spark, path).map(_._1))
+      .orElse(readPrefixSidecarRaw(spark, path, Some(Nil)).map(_._1))
       .getOrElse(SidecarBits)
     rebuildDigestSidecar(spark, path, keepBits)
   }
@@ -733,19 +787,19 @@ object Dedup {
           .collect().map(_.getString(0)).toSeq.sorted
         val scanPrefixes: Seq[String] =
           if (!useSidecar) touched
-          else readPrefixSidecar(spark, path) match {
+          // read (and collect to the driver) only the TOUCHED prefixes'
+          // bit arrays — the guard's driver footprint and broadcast are
+          // O(batch's prefixes × bits/8), not O(store's prefix count):
+          // at 4096 wide-bit prefixes the full sidecar is ~GB scale,
+          // which a small batch must never pay at plan construction
+          else readPrefixSidecar(spark, path, Some(touched)) match {
             case None => touched
             case Some((bits, k, byPrefix)) =>
-              // ship only the TOUCHED prefixes' bit arrays: the guard's
-              // broadcast is O(batch's prefixes × bits/8), not
-              // O(store's prefix count) — at 4096 prefixes a small
-              // batch broadcasts a few arrays, never the whole sidecar
-              val relevant = byPrefix.view.filterKeys(touched.toSet).toMap
               // null __words (prefix absent from the store) → null
               // tests → coalesce(false): provably clean, skipped
               val mightHit = coalesce(
                 bloomMightHit(col("__words"), storeKeyCols, bits, k), lit(false))
-              batchP.join(prefixSidecarDf(spark, relevant), Seq("__kp"), "left")
+              batchP.join(prefixSidecarDf(spark, byPrefix), Seq("__kp"), "left")
                 .filter(mightHit).select("__kp").distinct()
                 .collect().map(_.getString(0)).toSeq.sorted
           }
@@ -792,11 +846,16 @@ object Dedup {
     }
     digestStoreLayout(spark, path) match {
       case Some(pl) if pl > 0 =>
-        readPrefixSidecar(spark, path).map { case (bits, k, byPrefix) =>
+        val batchP = inBatch.withColumn("__kp", prefixOf(storeKeyCols, pl))
+        // same touched-prefix pruning as the dedupAgainstStore guard:
+        // the rate only tests the batch's own prefixes
+        val touched = batchP.select("__kp").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        readPrefixSidecar(spark, path, Some(touched)).map { case (bits, k, byPrefix) =>
           val mightHit = coalesce(
             bloomMightHit(col("__words"), storeKeyCols, bits, k), lit(false))
-          rateOf(inBatch.withColumn("__kp", prefixOf(storeKeyCols, pl))
-            .join(prefixSidecarDf(spark, byPrefix), Seq("__kp"), "left"), mightHit)
+          rateOf(batchP.join(prefixSidecarDf(spark, byPrefix), Seq("__kp"), "left"),
+            mightHit)
         }
       case _ =>
         readSidecar(spark, path).map { case (bits, k, words) =>

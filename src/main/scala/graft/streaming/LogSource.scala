@@ -301,23 +301,40 @@ object GraftLog {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) { fs.mkdirs(root); () }
+    // Lock-marker ops bypass the checksum layer: markers are EMPTY
+    // files (a checksum protects nothing), and ChecksumFileSystem's
+    // `.crc` sibling is a real crash surface — its create shells out
+    // to chmod on the sibling, and a holder/contender racing seal +
+    // cleanup of the same claim can delete the sibling inside that
+    // window, surfacing a spurious ExitCodeException ("chmod: cannot
+    // access '.../.<n>.done.crc'") from a CORRECT lock protocol. Raw
+    // ops have no sibling, so the race has nothing to lose.
+    val mfs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     val md = new Path(root, "_maint")
-    if (!fs.exists(md)) { fs.mkdirs(md); () }
-    def head(): Long = fs.listStatus(md)
+    if (!mfs.exists(md)) { mfs.mkdirs(md); () }
+    // versions parse from marker names only — the raw fs also lists
+    // `.<n>[.done].crc` siblings left by pre-upgrade checksum creates,
+    // which must never read as claims (hidden names are skipped here
+    // and swept by the prune below)
+    def head(): Long = mfs.listStatus(md)
+      .filterNot(_.getPath.getName.startsWith("."))
       .flatMap(s => scala.util.Try(
         s.getPath.getName.stripSuffix(".done").toLong).toOption)
       .foldLeft(0L)(math.max)
-    def isSealed(n: Long): Boolean = n == 0L || fs.exists(new Path(md, s"$n.done"))
+    def isSealed(n: Long): Boolean = n == 0L || mfs.exists(new Path(md, s"$n.done"))
     def atomicClaim(p: Path): Boolean = {
       val uri = p.toUri
       if (uri.getScheme == null || uri.getScheme == "file")
         new java.io.File(uri.getPath).createNewFile()
       else
-        try { fs.create(p, false).close(); true }
+        try { mfs.create(p, false).close(); true }
         catch { case _: java.io.IOException => false }
     }
     def touch(p: Path): Unit =
-      try fs.setTimes(p, System.currentTimeMillis(), -1L)
+      try mfs.setTimes(p, System.currentTimeMillis(), -1L)
       catch { case _: Exception =>
         val uri = p.toUri
         if (uri.getScheme == null || uri.getScheme == "file") {
@@ -325,6 +342,23 @@ object GraftLog {
           ()
         }
       }
+    // seal with a short retry: even raw-fs creates can hit transient
+    // local-fs errors under a takeover race; the seal is idempotent
+    // (overwrite of an empty marker), so retrying is always safe
+    def seal(n: Long): Unit = {
+      val p = new Path(md, s"$n.done")
+      var attempt = 0
+      var ok = false
+      while (!ok) {
+        try { mfs.create(p, true).close(); ok = true }
+        catch {
+          case e: java.io.IOException =>
+            attempt += 1
+            if (attempt > 3) throw e
+            Thread.sleep(5L * attempt)
+        }
+      }
+    }
     val deadline = System.currentTimeMillis() + timeoutMs
     var v = -1L
     while (v < 0) {
@@ -335,9 +369,9 @@ object GraftLog {
         // stale-claim takeover: no heartbeat for a full lease period
         // means the claimant died mid-transition
         val age = try System.currentTimeMillis() -
-          fs.getFileStatus(new Path(md, s"$cur")).getModificationTime
+          mfs.getFileStatus(new Path(md, s"$cur")).getModificationTime
         catch { case _: java.io.FileNotFoundException => 0L }
-        if (age > timeoutMs) fs.create(new Path(md, s"$cur.done"), true).close()
+        if (age > timeoutMs) seal(cur)
       }
       if (v < 0) {
         if (System.currentTimeMillis() > deadline)
@@ -364,7 +398,7 @@ object GraftLog {
     // the usurper may be mutating concurrently, so the resumed holder
     // must NOT report success. Cheap: one listing + one exists.
     def fenced(): Boolean =
-      fs.exists(new Path(md, s"$v.done")) || head() != v
+      mfs.exists(new Path(md, s"$v.done")) || head() != v
     try {
       val result = body
       // check BEFORE reporting success (the "at least before sealing"
@@ -383,11 +417,15 @@ object GraftLog {
       stop.set(true); beat.interrupt()
       // seal even on failure (every step is resumable; a surviving
       // sibling must not deadlock behind a dead claim), prune below head
-      fs.create(new Path(md, s"$v.done"), true).close()
-      fs.listStatus(md).foreach { s =>
-        val stem = s.getPath.getName.stripSuffix(".done")
+      seal(v)
+      mfs.listStatus(md).foreach { s =>
+        val n = s.getPath.getName
+        // pre-upgrade `.crc` siblings prune alongside their markers
+        val stem0 =
+          if (n.startsWith(".") && n.endsWith(".crc")) n.drop(1).dropRight(4) else n
+        val stem = stem0.stripSuffix(".done")
         if (scala.util.Try(stem.toLong).toOption.exists(_ < v))
-          fs.delete(s.getPath, false)
+          mfs.delete(s.getPath, false)
       }
     }
   }

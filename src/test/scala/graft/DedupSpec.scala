@@ -132,6 +132,56 @@ class DedupSpec extends SparkSpec {
       assert(g.as[Long].collect().toSet == Set(20L))
     }
 
+    it("a pre-canonicalization sidecar (no key_order stamp) is stale — never trusted for a skip") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigko").toString + "/digests"
+      Dedup.appendDigestStore(Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 1L, sidecar = true)
+      // Simulate a sidecar written BEFORE the key_order stamp existed:
+      // the store_fp is correct (it passes the fingerprint check — that
+      // only proves file coverage), but its bits were set under a
+      // different key-column order. Model the worst case — every probe
+      // tests negative (all-zero words): a guard that trusted it would
+      // skip the anti-join and silently admit the duplicate of "alpha".
+      val sc = spark.read.parquet(store + "_bloom")
+        .select("bits", "k", "words", "store_fp").head()
+      Seq((sc.getInt(0), sc.getInt(1), Seq.fill(sc.getInt(0) / 64)(0L), sc.getString(3)))
+        .toDF("bits", "k", "words", "store_fp")
+        .coalesce(1).write.mode("overwrite").parquet(store + "_bloom")
+      val probe = Seq((10L, "alpha"), (11L, "novel")).toDF("doc_id", "text")
+      val out = Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(out.queryExecution.sparkPlan.toString.contains("digests"),
+        "un-stamped sidecar must read as stale — the guard must scan the store")
+      assert(out.as[Long].collect().toSet == Set(11L))
+    }
+
+    it("a pre-canonicalization PER-PREFIX sidecar is equally stale (prefix pruning survives)") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigkop").toString + "/digests"
+      Dedup.appendDigestStore(Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 1L, sidecar = true, prefixLen = 1)
+      val rows = spark.read.parquet(store + "_bloom")
+        .select("bits", "k", "words", "store_fp", "prefix").collect()
+      rows.map(r => (r.getInt(0), r.getInt(1), Seq.fill(r.getInt(0) / 64)(0L),
+          r.getString(3), r.getString(4))).toSeq
+        .toDF("bits", "k", "words", "store_fp", "prefix")
+        .coalesce(1).write.mode("overwrite").parquet(store + "_bloom")
+      val probe = Seq((10L, "alpha"), (11L, "novel")).toDF("doc_id", "text")
+      val out = Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(out.queryExecution.sparkPlan.toString.contains("digests"),
+        "un-stamped per-prefix sidecar must read as stale — the guard must scan")
+      assert(out.as[Long].collect().toSet == Set(11L))
+    }
+
+    it("dir-shape layout fallback rejects impossible prefix lengths instead of adopting them") {
+      val store = java.nio.file.Files.createTempDirectory("graftdiglay").toString + "/digests"
+      assert(new java.io.File(store + "/__kp=pdeadbeef").mkdirs())
+      val e = intercept[IllegalArgumentException] {
+        Dedup.digestStoreLayout(spark, store)
+      }
+      assert(e.getMessage.contains("impossible layout"))
+    }
+
     it("a sized-up sidecar keeps the skip alive where the default would saturate") {
       // deterministic corpus big enough to exercise sizing without
       // saturating either config outright: 4000 distinct digests
