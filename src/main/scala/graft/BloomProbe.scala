@@ -98,6 +98,41 @@ object BloomProbe {
         println(f"| $n | $bits | $rate%.4f | $skipped | $scanned | $wall%.2f |")
       }
     }
+
+    // r17: prefixLen=3 (4096 partitions) one more decade out. Sizing
+    // arithmetic: 10^8 digests / 4096 prefixes ≈ 24k per prefix — a
+    // 2^19-bit array carries ~21 bits/digest (skip strongly alive); the
+    // fade point is ~10^9–10^10 (≈ 2.4 bits/digest at 10^10, FPR → 1),
+    // where the sizing rule says widen per-prefix bits (2^21 restores
+    // ~8.6 bits/digest at 10^10), not deepen the prefix — the table
+    // records the measurable first half of that curve.
+    println()
+    println("| store digests | prefixLen | per-prefix bits | might-hit | clean skips store | dirty(1 dup) partitions scanned / 4096 | clean dedup wall_s |")
+    println("|---|---|---|---|---|---|---|")
+    for (n <- Seq(10000000, 100000000)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"bloomprobe3x$n").toString + "/store"
+      val store = spark.range(n.toLong).select(concat(lit("doc-"), col("id")).as("text"))
+      Dedup.appendDigestStore(store, Seq("text"), dir, batchTag = 1L, prefixLen = 3)
+      Dedup.rebuildDigestSidecar(spark, dir, bits = Dedup.SidecarBits)
+      val clean = spark.range(500)
+        .select(concat(lit("fresh-"), col("id")).as("text"), col("id").as("doc_id"))
+      val rate = Dedup.sidecarMightHitRate(clean, Seq("text"), dir).getOrElse(-1.0)
+      val t0 = System.nanoTime()
+      val g = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", dir, useSidecar = true)
+      val survivors = g.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      require(survivors == 500L, s"clean batch lost rows: $survivors")
+      val skipped = !g.queryExecution.executedPlan.toString.contains(dir)
+      val dirty = clean.union(spark.range(1)
+        .select(lit("doc-424242").as("text"), lit(999999999L).as("doc_id")))
+      val gd = Dedup.dedupAgainstStore(dirty, Seq("text"), "doc_id", dir, useSidecar = true)
+      val scanned = gd.queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.endsWith(dir)) => f
+      }.map(_.selectedPartitions.partitionCount).maxOption.getOrElse(0)
+      require(gd.count() == 500L, "dirty batch must drop exactly the duplicate")
+      println(f"| $n | 3 | ${Dedup.SidecarBits} | $rate%.4f | $skipped | $scanned | $wall%.2f |")
+    }
     spark.stop()
   }
 }

@@ -31,17 +31,23 @@ object CleanerProbe {
     // sidecarReads: per-segment `.keys` GETs — r16's `_keys_manifest`
     // collapses the steady/quiescent tier to ~0 (one manifest read
     // replaces O(clean segments) sidecar reads; only never-manifested
-    // segments fall back)
-    println("| pass | removed | dataOpens | sidecarReads | wall_ms |")
-    println("|---|---|---|---|---|")
+    // segments fall back). chunkR/W: r17's CHUNKED manifest — a
+    // quiescent pass reads the index only (chunkR 0), a steady pass
+    // rewrites only the touched chunks (chunkW bounded, not O(clean))
+    println("| pass | removed | dataOpens | sidecarReads | chunkR | chunkW | wall_ms |")
+    println("|---|---|---|---|---|---|---|")
     def tick(kind: String, removed: => Int): Unit = {
       val o0 = GraftLog.segmentDataOpens.get()
       val k0 = GraftLog.keySidecarReads.get()
+      val cr0 = GraftLog.manifestChunkReads.get()
+      val cw0 = GraftLog.manifestChunkWrites.get()
       val t0 = System.nanoTime()
       val r = removed
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"| $kind | $r | ${GraftLog.segmentDataOpens.get() - o0} | " +
-        f"${GraftLog.keySidecarReads.get() - k0} | $ms%.1f |")
+        f"${GraftLog.keySidecarReads.get() - k0} | " +
+        f"${GraftLog.manifestChunkReads.get() - cr0} | " +
+        f"${GraftLog.manifestChunkWrites.get() - cw0} | $ms%.1f |")
     }
     // one-time first pass: no cleaner point yet — the full O(topic) scan
     tick("first-pass (full scan, one-time)", p.compactTopic())

@@ -24,7 +24,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new StringBuilder
-    out ++= s"# EXPLAIN — formatted physical plans (round 14, $sfDir)\n\n"
+    out ++= s"# EXPLAIN — formatted physical plans (round 17, $sfDir)\n\n"
     out ++= "Captured with AQE off for stable text; PlanAuditSpec asserts the\n" +
       "same properties (pushdown, broadcast, shuffle counts) in CI.\n"
 
@@ -640,6 +640,32 @@ object Explain {
         spark.sparkContext.hadoopConfiguration)
       spark.read.format("graft-log").option("path", topic)
         .option("partitioned", "true").load()
+    }
+
+    section("q200 manifest-authoritative store read (round 17)",
+      "The object-store commit variant (ManifestStorage): the scan's file list comes from the committed manifest head, never a directory listing — note the relation enumerates exactly the live commit dirs' files (here: ONE dir after compact()+vacuum()), and the planted partial-rename debris directory beside them contributes nothing to the plan. No recovery step exists to misread: an interrupted commit is an unreferenced orphan.") {
+      val root = graft.util.Scratch.dir("explainmanifest") + "/db"
+      val db = graft.engine.GraftDB.atManifest(spark, root)
+      db.insertMultiple(Seq(
+        graft.model.Point(java.time.Instant.parse("2024-01-01T00:00:00Z"),
+          "m", Map("t" -> "1"), Map("v" -> 1.0)),
+        graft.model.Point(java.time.Instant.parse("2024-01-02T00:00:00Z"),
+          "m", Map("t" -> "2"), Map("v" -> 2.0))))
+      db.insert(graft.model.Point(java.time.Instant.parse("2024-01-03T00:00:00Z"),
+        "m", Map("t" -> "3"), Map("v" -> 3.0)))
+      db.compact()
+      db.storage.asInstanceOf[graft.engine.ManifestStorage].vacuum(graceMs = 0L)
+      // debris a listing-trusting reader would trip on
+      val debris = new java.io.File(root, "c-0000-partial-rename-debris")
+      debris.mkdirs()
+      java.nio.file.Files.write(new java.io.File(debris, "part-00000.parquet").toPath,
+        Array[Byte](0x50, 0x41, 0x52))
+      db.df
+    }
+
+    section("q201 production cell-count ANN serve, 256 cells / nProbe=64 (round 17)",
+      "The cell-count-realism operating point under the oracle: 256 Lloyd cells from deterministic spaced-vector seeds, trained PQ, exact refine at R=200 — the persisted-codes scan is statically pruned to the 64 probed cells per query (25% of partitions; at the production sqrt(N)-cell shape the same plan probes a few percent). Same bounded TopK aggregate as the flagship; no corpus shuffle.") {
+      graft.SparkEntry.queries("q201_ann_production_cells")(spark, sfDir)
     }
 
     java.nio.file.Files.write(java.nio.file.Paths.get("EXPLAIN.md"),

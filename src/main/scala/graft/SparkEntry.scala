@@ -256,6 +256,40 @@ object SparkEntry {
         element_at(col(Point.TagsCol), "user").as("usr"),
         element_at(col(Point.FieldsCol), "value").as("value"))
         .orderBy("ts_us", "measurement", "usr", "value")
+    }),
+
+    // MANIFEST-AUTHORITATIVE store lifecycle (the object-store commit
+    // variant, [[graft.engine.ManifestStorage]]): two appends land as
+    // two manifest generations, a persisting update and a remove land
+    // as optimistic-concurrency overwrite commits, compact() folds the
+    // commit list to one dir, and vacuum(0) physically reclaims every
+    // superseded commit — then the read-back (resolved purely through
+    // the manifest head, never a directory listing) must equal the
+    // oracle's filtered replay. The q188 shape re-pointed at the
+    // backend that opens where rename-committing storage refuses
+    // (S3-style schemes); q14 + q15's mutation semantics compose on
+    // top so the manifest overwrite path sits under the hash gate.
+    "q200_manifest_lifecycle" -> ((s, dir) => {
+      val p = pts(s, dir).drop(Point.SeqCol)
+      val tUs = unix_micros(col(Point.TimeCol))
+      val cut = Instant.parse("2024-01-05T00:00:00Z").getEpochSecond * 1000000L
+      val db = GraftDB.atManifest(s, graft.util.Scratch.dir("maniflife") + "/db")
+      db.insertDF(p.filter(tUs < cut))
+      db.insertDF(p.filter(tUs >= cut))
+      // q14's mutation, persisted: k := 0 on user-3 clicks
+      db.update((TagQuery("user") === "3") & (MeasurementQuery() === "click"),
+        fields = Map("k" -> 0.0))
+      // q15's removal through the same manifest overwrite path
+      db.remove(FieldQuery("value") < 10.0)
+      db.compact()
+      db.storage.asInstanceOf[graft.engine.ManifestStorage].vacuum(graceMs = 0L)
+      db.df.select(
+        unix_micros(col(Point.TimeCol)).as("ts_us"),
+        col(Point.MeasurementCol).as("measurement"),
+        element_at(col(Point.TagsCol), "user").as("usr"),
+        element_at(col(Point.FieldsCol), "k").as("k"),
+        element_at(col(Point.FieldsCol), "value").as("value"))
+        .orderBy("ts_us", "measurement", "usr", "value", "k")
     })
   )
 
@@ -356,6 +390,17 @@ object SparkEntry {
       """SELECT epoch_us(ts) AS ts_us, event_type AS measurement,
         |  CAST(user_id AS VARCHAR) AS usr, value
         |FROM events WHERE NOT (ts < TIMESTAMP '2024-01-05 12:00:00')
-        |ORDER BY ts_us, measurement, usr, value""".stripMargin
+        |ORDER BY ts_us, measurement, usr, value""".stripMargin,
+    // the manifest-mode lifecycle == q14's update + q15's removal
+    // replayed over the full table, whatever commit machinery produced
+    // the surviving store
+    "q200_manifest_lifecycle" ->
+      """SELECT epoch_us(ts) AS ts_us, event_type AS measurement,
+        |  CAST(user_id AS VARCHAR) AS usr,
+        |  CASE WHEN user_id = 3 AND event_type = 'click' THEN 0.0
+        |       ELSE CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS k,
+        |  value
+        |FROM events WHERE NOT (value < 10)
+        |ORDER BY ts_us, measurement, usr, value, k""".stripMargin
   ) ++ graft.entries.RelationalQueries.oracleSql ++ graft.entries.CorpusQueries.oracleSql
 }

@@ -117,8 +117,14 @@ object Dedup {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       writeLayoutMarker(fs, path, pl)
     }
+    // partitioned writes cluster by prefix first: without the shuffle a
+    // T-task bulk load writes up to T × 16^len splinter files (32k at
+    // len=3); with it, one file per TOUCHED prefix — and a small batch
+    // shuffles only itself, never the store
+    def clustered(d: DataFrame): DataFrame =
+      if (pl == 0) d else d.repartition(col("__kp"))
     if (!sidecar) {
-      val w = digests
+      val w = clustered(digests)
         .withColumn("__batch_tag", lit(batchTag))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
       (if (pl == 0) w else w.partitionBy("__kp")).parquet(path)
@@ -142,7 +148,7 @@ object Dedup {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       try {
-        val w = digests
+        val w = clustered(digests)
           .withColumn("__batch_tag", lit(batchTag))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         (if (pl == 0) w else w.partitionBy("__kp")).parquet(staging)
@@ -712,30 +718,99 @@ object Dedup {
     } else {
       kept.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     }
-    // Backup-then-swap (same protocol as ParquetStorage.compactDelta):
-    // the live store is renamed aside BEFORE the staging rename lands,
-    // so no crash point loses both copies — a delete-then-rename window
-    // would leave NO store at all (and readers a missing path) if the
-    // process died between the two. Backup is dropped only after the
-    // new store is verifiably in place.
+    backupThenSwap(spark, path, staging, "digest store compact")
+    // rebuild at the size the operator chose for this store (the
+    // pre-compaction sidecar's, whichever schema), defaulting for
+    // stores that had none
+    rebuildDigestSidecar(spark, path, storedSidecarBits(spark, path))
+  }
+
+  /** The store's configured sidecar size (either schema's header),
+    * defaulting for stores that have none. Only the header's `bits` is
+    * read — the words read is pruned to zero prefixes rather than
+    * collecting every bit array.
+    */
+  private def storedSidecarBits(spark: SparkSession, path: String): Int =
+    readSidecarRaw(spark, path).map(_._1)
+      .orElse(readPrefixSidecarRaw(spark, path, Some(Nil)).map(_._1))
+      .getOrElse(SidecarBits)
+
+  // Backup-then-swap (same protocol as ParquetStorage.compactDelta):
+  // the live store is renamed aside BEFORE the staging rename lands,
+  // so no crash point loses both copies — a delete-then-rename window
+  // would leave NO store at all (and readers a missing path) if the
+  // process died between the two. Backup is dropped only after the
+  // new store is verifiably in place.
+  private def backupThenSwap(spark: SparkSession, path: String,
+      staging: String, what: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def renameOrThrow(src: String, dst: String): Unit =
       if (!fs.rename(new org.apache.hadoop.fs.Path(src), new org.apache.hadoop.fs.Path(dst)))
-        throw new java.io.IOException(s"digest store compact: rename failed: $src -> $dst")
+        throw new java.io.IOException(s"$what: rename failed: $src -> $dst")
     val backup = path.stripSuffix("/") + s".backup-${java.util.UUID.randomUUID()}"
     renameOrThrow(path, backup)
     renameOrThrow(staging, path)
     if (!fs.delete(new org.apache.hadoop.fs.Path(backup), true))
-      throw new java.io.IOException(s"digest store compact: backup cleanup failed: $backup")
-    // rebuild at the size the operator chose for this store (the
-    // pre-compaction sidecar's, whichever schema), defaulting for
-    // stores that had none
-    // only the header's `bits` is needed — prune the words read to
-    // zero prefixes rather than collect every bit array
-    val keepBits = readSidecarRaw(spark, path).map(_._1)
-      .orElse(readPrefixSidecarRaw(spark, path, Some(Nil)).map(_._1))
-      .getOrElse(SidecarBits)
+      throw new java.io.IOException(s"$what: backup cleanup failed: $backup")
+  }
+
+  /** One-call layout migration — rewrite the store at `prefixLen`
+    * (1..MaxPrefixLen), typically FLAT → PREFIX-PARTITIONED once a
+    * store outgrows the flat tier (~10^6 digests, where the whole-store
+    * sidecar saturates and every batch's anti-join pays an O(store)
+    * scan). Layouts never mix within a store, so growth past the flat
+    * ceiling requires exactly this rewrite; deepening an already-
+    * partitioned store (len 1 → 2) is the same operation. Idempotent
+    * when the store is already at `prefixLen`.
+    *
+    * One distributed job (same fold as [[compactDigestStore]] — the
+    * rewrite deduplicates to one row per digest, keeping the newest
+    * batch tag), staged invisibly with the `_layout` marker riding the
+    * staging dir, committed by the same backup-then-swap renames, and
+    * the sidecar rebuilt per-prefix via the distributed word fold at
+    * the size the store had configured. A crash before the swap leaves
+    * the flat store untouched (staging is garbage); after it, the
+    * partitioned store is complete including its marker.
+    */
+  def migrateDigestStore(spark: SparkSession, path: String, prefixLen: Int): Unit = {
+    require(prefixLen >= 1 && prefixLen <= MaxPrefixLen,
+      s"migration target prefixLen must be in [1, $MaxPrefixLen]; got $prefixLen " +
+        "(a partitioned store cannot migrate BACK to flat — the flat tier is " +
+        "strictly less capable)")
+    graft.util.FsContract.requireAtomicRename(spark, path,
+      "digest store migration (backup-then-swap renames)")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    digestStoreLayout(spark, path) match {
+      case None =>
+        // absent/empty store: adopt the layout by marker alone — the
+        // next append lands partitioned
+        writeLayoutMarker(fs, path, prefixLen)
+        return
+      case Some(pl) if pl == prefixLen => return // idempotent
+      case Some(_) => () // flat (0) or different depth: rewrite below
+    }
+    // capture the configured sidecar size BEFORE the swap destroys the
+    // old sidecar's context
+    val keepBits = storedSidecarBits(spark, path)
+    val store = spark.read.parquet(path)
+    val keyCols = store.columns.filter(_.startsWith("__k_")).toSeq
+    val tagged =
+      if (store.columns.contains("__batch_tag")) store
+      else store.withColumn("__batch_tag", lit(0L))
+    val folded = tagged
+      .groupBy(keyCols.map(col): _*)
+      .agg(max("__batch_tag").as("__batch_tag"))
+    val staging = path.stripSuffix("/") + s".staging-${java.util.UUID.randomUUID()}"
+    folded.withColumn("__kp", prefixOf(keyCols, prefixLen))
+      .repartition(col("__kp"))
+      .write.partitionBy("__kp")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    // marker rides the swap: the committed store is partitioned from
+    // its first visible instant, whatever its directory shape says
+    writeLayoutMarker(fs, staging, prefixLen)
+    backupThenSwap(spark, path, staging, "digest store migration")
     rebuildDigestSidecar(spark, path, keepBits)
   }
 

@@ -726,8 +726,9 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     guardOpen()
     invalidateIndex()
     storage match {
-      case p: ParquetStorage => p.compact()
-      case _                 => ()
+      case p: ParquetStorage  => p.compact()
+      case m: ManifestStorage => m.compact()
+      case _                  => ()
     }
   }
 
@@ -1002,10 +1003,38 @@ object GraftDB {
   def using[A](db: GraftDB)(f: GraftDB => A): A =
     try f(db) finally db.close()
 
-  /** Parquet-backed persistent database (reference CSVStorage). */
+  /** Parquet-backed persistent database (reference CSVStorage).
+    *
+    * On filesystems WITHOUT atomic+exclusive rename (S3-style object
+    * stores — see [[graft.util.FsContract]]) this opens the
+    * MANIFEST-AUTHORITATIVE backend instead of refusing: readers
+    * resolve a committed manifest rather than directory listings, and
+    * the commit point is one create-only object publish, the primitive
+    * those stores do provide ([[ManifestStorage]]). Deployments that
+    * layered atomic rename on top of an object store and set
+    * `graft.storage.assumeAtomicRename` keep the rename-committing
+    * [[ParquetStorage]] exactly as before.
+    */
   def atPath(spark: SparkSession, root: String, partitioned: Boolean = true,
-      autoIndex: Boolean = false): GraftDB =
-    new GraftDB(new ParquetStorage(spark, root, partitioned), autoIndex)
+      autoIndex: Boolean = false): GraftDB = {
+    val renameSafe = graft.util.FsContract.AtomicRenameSchemes(
+      graft.util.FsContract.schemeOf(root)) ||
+      spark.conf.get(graft.util.FsContract.OverrideKey, "false")
+        .equalsIgnoreCase("true") ||
+      spark.sparkContext.hadoopConfiguration
+        .getBoolean(graft.util.FsContract.OverrideKey, false)
+    if (renameSafe)
+      new GraftDB(new ParquetStorage(spark, root, partitioned), autoIndex)
+    else new GraftDB(new ManifestStorage(spark, root), autoIndex)
+  }
+
+  /** Force the manifest-authoritative backend on any filesystem —
+    * object stores (its reason to exist) or rename-capable ones (where
+    * its publish path uses tmp+exclusive-rename and is airtight; the
+    * mode every [[ManifestStorage]] crash-window spec runs in).
+    */
+  def atManifest(spark: SparkSession, root: String, autoIndex: Boolean = false): GraftDB =
+    new GraftDB(new ManifestStorage(spark, root), autoIndex)
 
   /** Database on a directory of JSON-lines shards — the interchange
     * tier for LLM-data tooling (see [[JsonlStorage]] for the line

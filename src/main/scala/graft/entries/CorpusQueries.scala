@@ -993,6 +993,49 @@ object CorpusQueries {
         .select("qid", "id").orderBy("qid", "id")
     }),
 
+    // PRODUCTION CELL-COUNT serve — the r16 cell-count-realism table's
+    // scaling-law point, hash-gated: the 10-cell label quantizer makes
+    // the flagship's nProbe=7 probe 70% of the corpus, but a corpus-
+    // scale IVF has ~sqrt(N) cells and probes a few percent. 256 Lloyd
+    // cells train from DETERMINISTIC spaced-vector seeds (every
+    // (N/256)-th vec_id — k-means++-ish spread with no randomness, so
+    // the oracle replays the seed selection as arithmetic) and the
+    // flagship's trained-PQ + exact-refine stack serves at nProbe=64 —
+    // the constant-25%-probed-fraction operating point where the probe
+    // measured recall RISING with cell granularity (0.86 at 256 cells/
+    // sf0.1). Served through the persisted layout (per-cell partitioned
+    // codes, static cell pruning) with every parameter read back from
+    // the generation's meta_config.
+    "q201_ann_production_cells" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nCells = 256
+      val step = math.max(1L, e.count() / nCells)
+      val seedIds = (0 until nCells).map(_ * step)
+      val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+      val seed = e.filter(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id").as("group"), posexplode(nv))
+        .select(col("group"), col("pos").as("i"),
+          round(col("col").cast("double"), 6).as("c"))
+      val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
+      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
+        m = 4, subDim = 16, signBits = 6)
+      val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
+        m = 4, subDim = 16, iters = PqTrainIters)
+      graft.util.Scratch.withDir("opqprodcells") { idx =>
+        Similarity.opqIvfPqPersist(e, cents, perm, cb,
+          idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx,
+          nProbe = 64, rerankR = 200)
+        Similarity.opqIvfPqTopKPersistedRerank(idx, corpus = e,
+          queries = e.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          idCol = "vec_id", vecCol = "embedding", qidCol = "qid", k = 10)
+          .select("qid", "id").orderBy("qid", "id")
+          .transform(graft.util.Scratch.materialize)
+      }
+    }),
+
     // the END-TO-END curation pipeline as ONE gated query — the shape a
     // reference user actually ships: exact dedup -> language filter ->
     // model-quality filter -> source mixture -> token-budget selection.
@@ -1725,6 +1768,44 @@ object CorpusQueries {
       |  FROM dp2l JOIN cc2 USING (cell)) WHERE rn = 1),
       |cent AS (SELECT la2.cell AS cell, un.i, round(avg(un.x), 6) AS c
       |         FROM la2 JOIN un ON un.vec_id = la2.vec_id GROUP BY 1, 2)""".stripMargin
+
+  /** [[LloydCentCtes]] re-seeded from SPACED VECTORS instead of label
+    * means (q201): seed cell k = the l2-normalized vector at
+    * `vec_id = k·step`, `step = max(1, N // nCells)` — pure integer
+    * arithmetic on both engines (Scala Long division ↔ DuckDB `//`),
+    * so the seed SET is replayed exactly; the three refinement rounds
+    * after `cent0` are [[LloydCentCtes]]'s verbatim.
+    */
+  private def seededLloydCentCtes(nCells: Int): String = {
+    val labelCent0 =
+      "cent0 AS (SELECT label AS cell, i, round(avg(x), 6) AS c FROM un GROUP BY 1, 2)"
+    val seeded =
+      s"""par AS (SELECT greatest(1, CAST(count(DISTINCT vec_id) AS BIGINT) // $nCells) AS step
+        |       FROM un),
+        |seedsel AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM un) t
+        |            WHERE vec_id % (SELECT step FROM par) = 0
+        |              AND vec_id // (SELECT step FROM par) < $nCells),
+        |cent0 AS (SELECT un.vec_id AS cell, un.i, round(un.x, 6) AS c
+        |          FROM un JOIN seedsel USING (vec_id))""".stripMargin
+    val out = LloydCentCtes.replace(labelCent0, seeded)
+    require(out != LloydCentCtes, "seeded cent0 splice failed")
+    out
+  }
+
+  /** q201's replay: the flagship rerank chain with the SEEDED Lloyd
+    * cells ([[seededLloydCentCtes]]) and the trained-PQ splice — the
+    * production cell-count point (256 cells, nProbe=64, R=200) under
+    * the hash gate.
+    */
+  private def opqProductionCellsSql(nCells: Int, nProbe: Int, r: Int,
+      iters: Int): String = {
+    val base = opqRerankSql(nProbe, r)
+    val withCells = base.replace(LabelCentCte, seededLloydCentCtes(nCells))
+    require(withCells != base, "production-cells Lloyd cent splice failed")
+    val withPq = withCells.replace(OrthantPcentCte, pqTrainCtes(iters))
+    require(withPq != withCells, "production-cells trained pcent splice failed")
+    withPq.replace(" AS (", " AS MATERIALIZED (")
+  }
 
   /** q186's replay: [[LloydCentCtes]] composed with q178's full OPQ
     * chain — the final refined table takes the `cent` role, and the
@@ -2513,6 +2594,8 @@ object CorpusQueries {
     "q194_ann_persisted_config_rerank" -> opqRerankSql(nProbe = 2, r = 50),
     "q195_ann_flagship_serve" -> opqFlagshipSql(nProbe = 7, r = 200, iters = PqTrainIters),
     "q196_ann_opq_swap_trained" -> opqSwapTrainedSql(PqTrainIters, SwapTrainIters),
+    "q201_ann_production_cells" ->
+      opqProductionCellsSql(nCells = 256, nProbe = 64, r = 200, iters = PqTrainIters),
     // incremental maintenance: train on evens, append odds encoded
     // with the frozen quantizers — the oracle replays that split
     "q182_ann_opq_append" -> OpqAppendSql,

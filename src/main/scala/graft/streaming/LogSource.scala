@@ -665,64 +665,221 @@ object GraftLog {
     KeySummary(tombs, block)
   }
 
-  // ---- per-topic keys MANIFEST ----
+  // ---- per-topic keys MANIFEST (chunked) ----
   //
   // The per-segment `.keys` sidecars make clean segments skippable
   // without a data open, but a steady/quiescent pass still paid one
   // small sidecar READ per clean segment — O(segments) GETs per pass on
   // an object-store-shaped deployment (the r15 CleanerProbe's residual
-  // 0.5–1.4 s at 500–2000 segments). The manifest merges every clean
-  // segment's summary into ONE `_keys_manifest` file read at pass
-  // start. Entries are keyed by segment NAME, which is immutable →
-  // content-immutable (every rewrite bumps the `g<ver>` in the name and
-  // publishes create-only), so the manifest needs no invalidation
-  // protocol: a renamed/removed segment simply misses, and the miss
-  // falls back to its `.keys` sidecar (which stays the durable
-  // per-segment source — losing the manifest costs one slow pass, never
-  // correctness). Rewritten at pass end only when its content changed,
-  // so a fully-steady pass is listing + one read + zero writes.
+  // 0.5–1.4 s at 500–2000 segments). The r16 manifest merged every
+  // clean segment's summary into ONE `_keys_manifest` file — which
+  // fixed the GET count but left the TRANSFER bound at O(clean
+  // segments): a single growing blob (~17 KB/segment of fp lines),
+  // re-read and rewritten whole every pass — ~1 GB per pass at a
+  // 50k-segment topic.
+  //
+  // The manifest is now CHUNKED. `_keys_manifest` holds only an INDEX:
+  // one ~50 B line per clean segment — (name, tombstone count, owning
+  // chunk file) — and the fp blocks live in bounded chunk files under
+  // `_keys_chunks/`. Entries stay keyed by segment NAME, which is
+  // immutable → content-immutable (every rewrite bumps the `g<ver>` in
+  // the name and publishes create-only), so neither tier needs an
+  // invalidation protocol: a missing name falls back to its `.keys`
+  // sidecar (the durable per-segment source — losing the manifest
+  // costs one slow pass, never correctness). Per-pass transfer:
+  //   - QUIESCENT pass: the index alone answers "any tombstones to
+  //     age?" — zero chunk reads, zero sidecar reads, zero writes.
+  //   - STEADY pass (k fresh segments sealed): chunk bodies load
+  //     lazily per consulted name, and the pass-end refresh rewrites
+  //     ONLY chunks whose membership changed (names keep their chunk;
+  //     new names pack into the emptiest chunk or a fresh one) plus
+  //     the index — O(dirty + touched chunks + index), never O(clean).
+  //   - a pre-chunking single-blob manifest reads as legacy once and
+  //     is replaced by the chunked layout at that pass's end.
+  // Chunk files publish create-only under unique names and superseded
+  // ones are swept at index write; passes serialize under the topic
+  // lock, so the sweep can never race another manifest reader.
 
   private def manifestPath(dirPath: Path) = new Path(dirPath, "_keys_manifest")
+  private def chunksDirPath(dirPath: Path) = new Path(dirPath, "_keys_chunks")
+  private val ManifestIndexMagic = "graftkidx1"
+
+  /** Segments per chunk for NEW chunk packing (a chunk also absorbs
+    * additions until 2× this size before a fresh one is opened). At
+    * ~500 records/segment a chunk body is ~1 MB — the steady-pass
+    * rewrite unit.
+    */
+  private[streaming] def manifestChunkSegments(conf: Configuration): Int =
+    conf.getInt("graft.log.manifestChunkSegments", 64)
+
+  // probe counters: chunk-file reads/writes per pass — the transfer
+  // bound CleanerProbe records (index reads ride keySidecarReads' old
+  // slot: one per pass)
+  private[graft] val manifestChunkReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val manifestChunkWrites = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The index tier: segment name → (tombs, chunk file name). None =
+    * no index (absent manifest, or a legacy single-blob manifest —
+    * the caller falls back to [[readKeysManifest]]).
+    */
+  private def readKeysIndex(fs: FileSystem,
+      dirPath: Path): Option[Map[String, (Long, String)]] =
+    graft.util.AtomicFiles.readString(fs, manifestPath(dirPath)).flatMap { body =>
+      if (!body.startsWith(ManifestIndexMagic)) None
+      else Some {
+        val out = Map.newBuilder[String, (Long, String)]
+        body.split("\n").iterator.filter(_.startsWith("S ")).foreach { l =>
+          val parts = l.drop(2).split(" ")
+          if (parts.length == 3) scala.util.Try(parts(1).toLong).foreach { t =>
+            out += parts(0) -> ((t, parts(2)))
+          }
+        }
+        out.result()
+      }
+    }
+
+  /** One chunk's entries — the legacy body format, reused verbatim. */
+  private def readKeysChunk(fs: FileSystem, dirPath: Path,
+      chunk: String): Map[String, KeySummary] = {
+    manifestChunkReads.incrementAndGet()
+    graft.util.AtomicFiles.readString(fs, new Path(chunksDirPath(dirPath), chunk))
+      .map(parseManifestBody).getOrElse(Map.empty)
+  }
+
+  /** Rewrite the manifest tiers to exactly `entries`, reusing every
+    * chunk whose membership is unchanged: names keep their previous
+    * chunk; new names pack into the least-full surviving chunk with
+    * room (< 2× the packing size) or fresh chunks; chunks whose member
+    * set changed rewrite under a NEW unique name (create-only publish);
+    * unreferenced chunk files are swept. Writes the index only when
+    * anything changed. Returns true when a write happened.
+    */
+  private def writeKeysManifestChunked(fs: FileSystem, dirPath: Path,
+      entries: Map[String, KeySummary],
+      prevIndex: Map[String, (Long, String)], chunkSegs: Int): Boolean = {
+    val prevByChunk: Map[String, Set[String]] =
+      prevIndex.toSeq.groupBy(_._2._2).map { case (c, es) => c -> es.map(_._1).toSet }
+    // survivors keep their chunk
+    val keptByChunk = scala.collection.mutable.Map.empty[String, List[String]]
+    entries.keysIterator.foreach { n =>
+      prevIndex.get(n).foreach { case (_, c) =>
+        keptByChunk(c) = n :: keptByChunk.getOrElse(c, Nil)
+      }
+    }
+    // chunks whose membership shrank must rewrite; unchanged ones reuse
+    val unchanged = keptByChunk.filter { case (c, kept) =>
+      prevByChunk.get(c).contains(kept.toSet)
+    }.keySet
+    // everything else repacks: new names + members of changed chunks
+    val repack = entries.keysIterator
+      .filter(n => prevIndex.get(n).fold(true)(e => !unchanged(e._2)))
+      .toSeq.sorted
+    // fill the fullest surviving chunk below the absorb cap first so
+    // steady passes converge to few, bounded chunks instead of one
+    // sliver per pass
+    val capacity = scala.collection.mutable.Map.empty[String, Int] ++
+      unchanged.map(c => c -> (2 * chunkSegs - keptByChunk(c).size)).filter(_._2 > 0)
+    val assignments = scala.collection.mutable.Map.empty[String, List[String]] // chunk → names
+    var pending = repack
+    while (pending.nonEmpty) {
+      capacity.filter(_._2 > 0).toSeq.sortBy(-_._2).headOption match {
+        case Some((c, room)) =>
+          val take = pending.take(room)
+          assignments(c) = take.toList
+          capacity(c) = room - take.size
+          pending = pending.drop(room)
+        case None =>
+          val take = pending.take(chunkSegs)
+          assignments(s"c-${java.util.UUID.randomUUID()}") = take.toList
+          pending = pending.drop(chunkSegs)
+      }
+    }
+    // an absorbed-into chunk rewrites (membership grew); its kept
+    // members come along
+    val toWrite: Map[String, Seq[String]] =
+      (keptByChunk.keySet ++ assignments.keySet)
+        .filter(c => !unchanged(c) || assignments.contains(c))
+        .map { c =>
+          val names = keptByChunk.getOrElse(c, Nil) ++ assignments.getOrElse(c, Nil)
+          c -> names.sorted
+        }.toMap
+    val finalAssign: Map[String, String] =
+      (unchanged -- toWrite.keySet).flatMap(c =>
+        keptByChunk(c).map(_ -> c)).toMap ++
+        toWrite.flatMap { case (c, names) => names.map(_ -> c) }
+    val indexUnchanged = toWrite.isEmpty &&
+      prevIndex.keySet == entries.keySet &&
+      entries.forall { case (n, ks) => prevIndex(n)._1 == ks.tombs }
+    if (indexUnchanged) return false
+    val cd = chunksDirPath(dirPath)
+    if (!fs.exists(cd)) { fs.mkdirs(cd); () }
+    // rewritten chunks publish under NEW unique names (a reused name
+    // would mutate a file the index still references if the index
+    // write below dies first) — the index flip is the commit point
+    val renamed: Map[String, String] = toWrite.map { case (c, names) =>
+      val fresh = s"c-${java.util.UUID.randomUUID()}"
+      val body = new StringBuilder
+      names.foreach { n =>
+        val ks = entries(n)
+        body ++= s"#seg $n tombs=${ks.tombs}\n" ++= ks.block
+        if (!ks.block.endsWith("\n") && ks.block.nonEmpty) body += '\n'
+      }
+      manifestChunkWrites.incrementAndGet()
+      graft.util.AtomicFiles.writeString(fs, new Path(cd, fresh), body.toString)
+      c -> fresh
+    }
+    val assign = finalAssign.map { case (n, c) => n -> renamed.getOrElse(c, c) }
+    val indexBody = (ManifestIndexMagic +:
+      assign.toSeq.sortBy(_._1).map { case (n, c) =>
+        s"S $n ${entries(n).tombs} $c"
+      }).mkString("\n")
+    graft.util.AtomicFiles.writeString(fs, manifestPath(dirPath), indexBody)
+    // sweep superseded/unreferenced chunk files (safe: passes serialize
+    // under the topic lock, so no reader holds the old index)
+    val live = assign.values.toSet
+    fs.listStatus(cd).foreach { s =>
+      if (!s.getPath.getName.startsWith(".") && !live(s.getPath.getName))
+        fs.delete(s.getPath, false)
+    }
+    true
+  }
 
   // Parse only the `#seg <name> tombs=<t>` headers; each entry's fp
   // block is a verbatim substring slice of the body — zero per-fp work
-  // at read time (a quiescent pass touches only `tombs`).
+  // at read time (a quiescent pass touches only `tombs`). The format of
+  // every chunk file AND of the legacy single-blob manifest.
+  private def parseManifestBody(body: String): Map[String, KeySummary] = {
+    val out = Map.newBuilder[String, KeySummary]
+    var pos = if (body.startsWith("#seg ")) 0
+      else { val i = body.indexOf("\n#seg "); if (i < 0) body.length else i + 1 }
+    while (pos < body.length) {
+      val hdrEnd = body.indexOf('\n', pos)
+      val end = {
+        val n = body.indexOf("\n#seg ", pos)
+        if (n < 0) body.length else n + 1
+      }
+      if (hdrEnd < 0 || hdrEnd >= end) pos = body.length
+      else {
+        val hdr = body.substring(pos + 5, hdrEnd) // after "#seg "
+        val ti = hdr.lastIndexOf(" tombs=")
+        if (ti > 0) scala.util.Try(hdr.substring(ti + 7).toLong).foreach { t =>
+          out += hdr.substring(0, ti) -> KeySummary(t, body.substring(hdrEnd + 1, end))
+        }
+        pos = end
+      }
+    }
+    out.result()
+  }
+
+  /** The LEGACY pre-chunking manifest: the whole body at
+    * `_keys_manifest` (read once; the pass that reads it publishes the
+    * chunked layout in its place).
+    */
   private def readKeysManifest(fs: FileSystem,
       dirPath: Path): Map[String, KeySummary] =
-    graft.util.AtomicFiles.readString(fs, manifestPath(dirPath)).map { body =>
-      val out = Map.newBuilder[String, KeySummary]
-      var pos = if (body.startsWith("#seg ")) 0
-        else { val i = body.indexOf("\n#seg "); if (i < 0) body.length else i + 1 }
-      while (pos < body.length) {
-        val hdrEnd = body.indexOf('\n', pos)
-        val end = {
-          val n = body.indexOf("\n#seg ", pos)
-          if (n < 0) body.length else n + 1
-        }
-        if (hdrEnd < 0 || hdrEnd >= end) pos = body.length
-        else {
-          val hdr = body.substring(pos + 5, hdrEnd) // after "#seg "
-          val ti = hdr.lastIndexOf(" tombs=")
-          if (ti > 0) scala.util.Try(hdr.substring(ti + 7).toLong).foreach { t =>
-            out += hdr.substring(0, ti) -> KeySummary(t, body.substring(hdrEnd + 1, end))
-          }
-          pos = end
-        }
-      }
-      out.result()
-    }.getOrElse(Map.empty)
-
-  // verbatim block concatenation — tens of MB of fp lines are copied,
-  // never re-rendered
-  private def writeKeysManifest(fs: FileSystem, dirPath: Path,
-      entries: Map[String, KeySummary]): Unit = {
-    val body = new StringBuilder
-    entries.toSeq.sortBy(_._1).foreach { case (name, ks) =>
-      body ++= s"#seg $name tombs=${ks.tombs}\n" ++= ks.block
-      if (!ks.block.endsWith("\n") && ks.block.nonEmpty) body += '\n'
-    }
-    graft.util.AtomicFiles.writeString(fs, manifestPath(dirPath), body.toString)
-  }
+    graft.util.AtomicFiles.readString(fs, manifestPath(dirPath))
+      .filterNot(_.startsWith(ManifestIndexMagic))
+      .map(parseManifestBody).getOrElse(Map.empty)
 
   /** LOG COMPACTION — Kafka's `cleanup.policy=compact`: keep only the
     * LATEST record per key across the sealed log, offsets preserved
@@ -843,32 +1000,41 @@ object GraftLog {
     // can be superseded — the only possible work is aging out clean
     // tombstones, which the sidecars report without a data open
     val quiescent = dirtyCompactable.isEmpty && cp >= segs.last.base
-    // ONE manifest read answers every clean segment's summary; only a
-    // segment the manifest has never seen falls back to its sidecar
-    val manifest = readKeysManifest(fs, dirPath)
+    // manifest tiers: chunked index (name → tombs + chunk) > legacy
+    // single blob > nothing. Chunk bodies load LAZILY per consulted
+    // name; only a segment no tier has seen falls back to its sidecar.
+    val index = readKeysIndex(fs, dirPath)
+    val legacyManifest: Map[String, KeySummary] =
+      if (index.isDefined) Map.empty else readKeysManifest(fs, dirPath)
+    val chunkCache = scala.collection.mutable.Map.empty[String, Map[String, KeySummary]]
+    def manifestGet(segPath: String): Option[KeySummary] = {
+      val segName = new Path(segPath).getName
+      index match {
+        case Some(idx) => idx.get(segName).flatMap { case (_, c) =>
+          chunkCache.getOrElseUpdate(c, readKeysChunk(fs, dirPath, c)).get(segName)
+        }
+        case None => legacyManifest.get(segName)
+      }
+    }
+    // QUIESCENT INDEX FAST PATH: the index alone proves there is no
+    // work — every clean segment is indexed with zero tombstones, and
+    // nothing dirty exists to supersede a clean key. The whole pass is
+    // the listing + ONE index read: zero chunk reads, zero sidecar
+    // reads, zero data opens, zero writes. (A quiescent topic whose
+    // index is stale/missing falls through: the normal flow re-merges
+    // the manifest below — one slow pass, not "every pass".)
+    if (quiescent && index.exists(idx =>
+        cleanSegs.forall(s => idx.get(new Path(s.path).getName).exists(_._1 == 0L))))
+      return 0
     val cleanSummaries: Map[String, Option[KeySummary]] =
       cleanSegs.map { s =>
-        s.path -> manifest.get(new Path(s.path).getName)
-          .orElse(readKeySummary(fs, s.path))
+        s.path -> manifestGet(s.path).orElse(readKeySummary(fs, s.path))
       }.toMap
     // summaries of every compactable segment as of THIS pass's end,
     // keyed by (immutable) segment name — becomes the next manifest
     val passSummaries = scala.collection.mutable.Map.empty[String, KeySummary]
     def note(segPath: String, ks: KeySummary): Unit =
       passSummaries(new Path(segPath).getName) = ks
-    if (quiescent &&
-        cleanSegs.forall(s =>
-          cleanSummaries(s.path).exists(ks => ks.wellFormed && ks.tombs == 0L))) {
-      // a quiescent topic must still re-merge a lost/stale manifest —
-      // otherwise every subsequent pass re-pays the O(segments) sidecar
-      // reads the manifest exists to collapse, for as long as nothing
-      // new is sealed ("one slow pass" would quietly become "every
-      // pass")
-      val entries = cleanSegs
-        .map(s => new Path(s.path).getName -> cleanSummaries(s.path).get).toMap
-      if (entries != manifest) writeKeysManifest(fs, dirPath, entries)
-      return 0
-    }
     // the key's latest offset in the DIRTY SUFFIX, keyed by fingerprint.
     // Segments ascend and deltas ascend within each, so a plain forward
     // scan's last write wins. Quiescent passes skip the build: the map
@@ -934,13 +1100,17 @@ object GraftLog {
       } else note(s.path, cleanSummaries(s.path).get) // untouched: carry forward
     }
     // refresh the manifest to exactly this pass's compactable segments
-    // (full replace — superseded names fall out instead of accreting).
-    // Written only when the content changed, so a steady pass is
-    // read-only here; ordered before the cleaner point like the
-    // sidecars, but the manifest is a pure cache either way — a crash
-    // between the two costs sidecar-read fallbacks, never correctness.
-    if (passSummaries.toMap != manifest)
-      writeKeysManifest(fs, dirPath, passSummaries.toMap)
+    // (logical full replace — superseded names fall out instead of
+    // accreting — but the PHYSICAL write is the chunk diff: unchanged
+    // chunks are reused untouched, so a steady pass rewrites only the
+    // chunks its fresh/rewritten segments touch plus the small index,
+    // and a no-change pass writes nothing). A legacy single-blob
+    // manifest is replaced by the chunked layout here. Ordered before
+    // the cleaner point like the sidecars, but the manifest is a pure
+    // cache either way — a crash between the two costs sidecar-read
+    // fallbacks, never correctness.
+    writeKeysManifestChunked(fs, dirPath, passSummaries.toMap,
+      index.getOrElse(Map.empty), manifestChunkSegments(conf))
     // the cleaner point advances LAST — its presence proves every
     // rewrite and sidecar above completed (a crash before this line
     // leaves a stale point; the next pass rescans more, never less)

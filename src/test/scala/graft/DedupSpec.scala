@@ -173,6 +173,48 @@ class DedupSpec extends SparkSpec {
       assert(out.as[Long].collect().toSet == Set(11L))
     }
 
+    it("migrateDigestStore: a flat store re-homes to the partitioned layout mid-lifecycle") {
+      val store = java.nio.file.Files.createTempDirectory("graftdigmig").toString + "/digests"
+      // q169-shaped flat lifecycle: two sidecar-refreshing appends
+      Dedup.appendDigestStore(Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 1L, sidecar = true)
+      Dedup.appendDigestStore(Seq((2L, "gamma")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 2L, sidecar = true)
+      assert(Dedup.digestStoreLayout(spark, store).contains(0))
+      // one call: flat → prefixLen=2, marker + per-prefix sidecar rebuilt
+      Dedup.migrateDigestStore(spark, store, prefixLen = 2)
+      assert(Dedup.digestStoreLayout(spark, store).contains(2))
+      // survivor-set parity: everything ingested pre-migration still dedups
+      val probe = Seq((10L, "alpha"), (11L, "gamma"), (12L, "novel"))
+        .toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstStore(probe, Seq("text"), "doc_id", store)
+        .as[Long].collect().toSet == Set(12L))
+      // the rebuilt PER-PREFIX sidecar carries the zero-scan skip: a
+      // clean batch's plan contains no store scan at all
+      val clean = Seq((20L, "epsilon")).toDF("doc_id", "text")
+      val g = Dedup.dedupAgainstStore(clean, Seq("text"), "doc_id", store,
+        useSidecar = true)
+      assert(!g.queryExecution.sparkPlan.toString.contains("digests"),
+        "post-migration per-prefix sidecar must restore the zero-scan skip")
+      assert(g.as[Long].collect().toSet == Set(20L))
+      // idempotent at the target layout; deepening is the same call;
+      // migrating BACK to flat is refused (strictly less capable)
+      Dedup.migrateDigestStore(spark, store, prefixLen = 2)
+      assert(Dedup.digestStoreLayout(spark, store).contains(2))
+      intercept[IllegalArgumentException] {
+        Dedup.migrateDigestStore(spark, store, prefixLen = 0)
+      }
+      // post-migration appends + compaction keep the layout and results
+      Dedup.appendDigestStore(Seq((30L, "zeta")).toDF("doc_id", "text"),
+        Seq("text"), store, batchTag = 3L, sidecar = true)
+      Dedup.compactDigestStore(spark, store)
+      assert(Dedup.digestStoreLayout(spark, store).contains(2))
+      assert(Dedup.dedupAgainstStore(
+          Seq((40L, "zeta"), (41L, "eta")).toDF("doc_id", "text"),
+          Seq("text"), "doc_id", store, useSidecar = true)
+        .as[Long].collect().toSet == Set(41L))
+    }
+
     it("dir-shape layout fallback rejects impossible prefix lengths instead of adopting them") {
       val store = java.nio.file.Files.createTempDirectory("graftdiglay").toString + "/digests"
       assert(new java.io.File(store + "/__kp=pdeadbeef").mkdirs())

@@ -37,19 +37,29 @@ class FsContractSpec extends SparkSpec {
     it("every rename-committing surface refuses S3-style schemes at open") {
       // gate fires BEFORE any fs access — no s3a connector is on the
       // classpath, so reaching the filesystem would throw a different,
-      // far less actionable error
-      expectRefusal(GraftDB.atPath(spark, "s3a://bucket/db"))
+      // far less actionable error. (GraftDB.atPath no longer refuses:
+      // it routes these schemes to the manifest-authoritative backend,
+      // which does not rename-commit — see ManifestStorageSpec.)
+      expectRefusal(new graft.engine.ParquetStorage(spark, "s3a://bucket/db"))
       expectRefusal(new GraftLogProducer("s3://bucket/topic"))
       expectRefusal(GraftLog.compactTopic("s3n://bucket/topic",
         spark.sparkContext.hadoopConfiguration))
       expectRefusal(Dedup.compactDigestStore(spark, "gs://bucket/digests"))
+      expectRefusal(Dedup.migrateDigestStore(spark, "gs://bucket/digests", 2))
     }
 
-    it("an unknown scheme is refused even when its FileSystem resolves") {
+    it("an unknown scheme refuses the rename-committing store but OPENS in manifest mode") {
       val hconf = spark.sparkContext.hadoopConfiguration
       hconf.set("fs.graftnar.impl", classOf[NonAtomicStubFs].getName)
       val base = java.nio.file.Files.createTempDirectory("graftnar").toString
-      expectRefusal(GraftDB.atPath(spark, s"graftnar://$base/db"))
+      expectRefusal(new graft.engine.ParquetStorage(spark, s"graftnar://$base/db"))
+      // the safe default: atPath on the unlisted scheme opens the
+      // manifest-authoritative backend — and WORKS end-to-end on it
+      val db = GraftDB.atPath(spark, s"graftnar://$base/db")
+      assert(db.storage.isInstanceOf[graft.engine.ManifestStorage])
+      db.insert(graft.model.Point(java.time.Instant.parse("2024-01-01T00:00:00Z"),
+        "m", Map("t" -> "1"), Map("v" -> 1.0)))
+      assert(db.length == 1)
     }
 
     it("the override opts in explicitly; the graft-log works end-to-end on the stub") {
@@ -65,7 +75,7 @@ class FsContractSpec extends SparkSpec {
         FsContract.requireAtomicRename(spark, "graftnar:///tmp/x", "t")
       } finally spark.conf.unset(FsContract.OverrideKey)
       val base = java.nio.file.Files.createTempDirectory("graftnarok").toString
-      expectRefusal(GraftDB.atPath(spark, s"graftnar://$base/db2"))
+      expectRefusal(new graft.engine.ParquetStorage(spark, s"graftnar://$base/db2"))
       // the Hadoop-conf form arms producer/maintenance entry points —
       // and the topic really works END-TO-END on the stub scheme:
       // publish (create + hsync + rename seal) then batch-read back
@@ -85,7 +95,7 @@ class FsContractSpec extends SparkSpec {
       // the store anyway — the scheme must come from the prefix
       // pattern, not a strict URI parse that falls back to "file"
       expectRefusal(new GraftLogProducer("s3a://bucket/my topic"))
-      expectRefusal(GraftDB.atPath(spark, "s3a://bucket/my data/db"))
+      expectRefusal(new graft.engine.ParquetStorage(spark, "s3a://bucket/my data/db"))
       assert(FsContract.schemeOf("s3a://bucket/my topic") == "s3a")
       assert(FsContract.schemeOf("/tmp/with space/x") == "file")
     }

@@ -355,6 +355,92 @@ class LogSourceSpec extends SparkSpec {
       assert(GraftLog.keySidecarReads.get() - k5 === 0L)
     }
 
+    it("chunked manifest: quiescent passes are index-only; steady passes rewrite only touched chunks") {
+      val dir = tmp("graftlogchunks")
+      val conf = new Configuration()
+      conf.setInt("graft.log.manifestChunkSegments", 4)
+      val p = new GraftLogProducer(dir)
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      def chunkFiles(): Set[String] = {
+        val cd = new org.apache.hadoop.fs.Path(dir, "_keys_chunks")
+        if (!hfs.exists(cd)) Set.empty
+        else hfs.listStatus(cd).map(_.getPath.getName)
+          .filterNot(_.startsWith(".")).toSet
+      }
+      (0 until 16).foreach(s => p.publish((0 until 5).map(i => s"c${s}k$i\tv")))
+      assert(GraftLog.compactTopic(dir, conf) === 0)
+      val chunks0 = chunkFiles()
+      assert(chunks0.size >= 3, s"15 clean segments at chunkSegs=4 must split: $chunks0")
+      val idx = graft.util.AtomicFiles.readString(hfs,
+        new org.apache.hadoop.fs.Path(dir, "_keys_manifest")).get
+      assert(idx.startsWith("graftkidx1"), "manifest head file must be the index tier")
+      // QUIESCENT: the index alone answers the pass — zero chunk reads,
+      // zero chunk writes, zero sidecar reads, zero data opens
+      val (cr0, cw0, k0, o0) = (GraftLog.manifestChunkReads.get(),
+        GraftLog.manifestChunkWrites.get(), GraftLog.keySidecarReads.get(),
+        GraftLog.segmentDataOpens.get())
+      assert(GraftLog.compactTopic(dir, conf) === 0)
+      assert(GraftLog.manifestChunkReads.get() - cr0 === 0L, "quiescent: no chunk reads")
+      assert(GraftLog.manifestChunkWrites.get() - cw0 === 0L, "quiescent: no chunk writes")
+      assert(GraftLog.keySidecarReads.get() - k0 === 0L)
+      assert(GraftLog.segmentDataOpens.get() - o0 === 0L)
+      assert(chunkFiles() == chunks0, "quiescent pass must not churn chunk files")
+      // STEADY: one fresh segment seals → the pass-end refresh rewrites
+      // ONLY the chunk that absorbs the new name (+ the index); every
+      // other chunk file is reused untouched
+      p.publish((0 until 5).map(i => s"fresh$i\tv"))
+      val cw1 = GraftLog.manifestChunkWrites.get()
+      assert(GraftLog.compactTopic(dir, conf) === 0)
+      assert(GraftLog.manifestChunkWrites.get() - cw1 <= 2L,
+        "steady pass must rewrite O(touched) chunks, not O(clean)")
+      val chunks1 = chunkFiles()
+      assert((chunks0 intersect chunks1).size >= chunks0.size - 2,
+        s"untouched chunks must be reused verbatim: $chunks0 -> $chunks1")
+      // supersede one old clean key: the affected segment rewrites to a
+      // new g<ver> name; its chunk (and only its neighborhood) refreshes
+      p.publish(Seq("c3k1\tv2"))
+      val cw2 = GraftLog.manifestChunkWrites.get()
+      assert(GraftLog.compactTopic(dir, conf) === 1)
+      assert(GraftLog.manifestChunkWrites.get() - cw2 <= 3L)
+      // results stay exact through all the layout churn
+      val got = spark.read.format("graft-log").option("path", dir).load()
+        .collect().map(_.getString(1)).toSet
+      assert(!got.contains("c3k1\tv") && got.contains("c3k1\tv2"))
+    }
+
+    it("a legacy single-blob manifest reads once and is replaced by the chunked layout") {
+      val dir = tmp("graftlogleg")
+      val conf = new Configuration()
+      val p = new GraftLogProducer(dir)
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      (0 until 6).foreach(s => p.publish((0 until 4).map(i => s"l${s}k$i\tv")))
+      assert(GraftLog.compactTopic(dir, conf) === 0)
+      // rebuild the PRE-CHUNKING on-disk state: every chunk body
+      // concatenated into one `_keys_manifest` blob, no chunk dir
+      val cd = new org.apache.hadoop.fs.Path(dir, "_keys_chunks")
+      val blob = hfs.listStatus(cd).filterNot(_.getPath.getName.startsWith("."))
+        .map(s => graft.util.AtomicFiles.readString(hfs, s.getPath).get)
+        .sorted.mkString
+      hfs.delete(cd, true)
+      graft.util.AtomicFiles.writeString(hfs,
+        new org.apache.hadoop.fs.Path(dir, "_keys_manifest"), blob)
+      // the next pass answers every clean segment from the legacy blob
+      // (zero sidecar reads) and publishes the chunked layout
+      val k0 = GraftLog.keySidecarReads.get()
+      assert(GraftLog.compactTopic(dir, conf) === 0)
+      assert(GraftLog.keySidecarReads.get() - k0 === 0L,
+        "legacy blob must still answer clean segments during migration")
+      assert(graft.util.AtomicFiles.readString(hfs,
+        new org.apache.hadoop.fs.Path(dir, "_keys_manifest")).get
+        .startsWith("graftkidx1"), "migration must publish the index tier")
+      assert(hfs.exists(cd), "migration must publish chunk files")
+      // and the pass after that is index-only again
+      val (cr1, k1) = (GraftLog.manifestChunkReads.get(), GraftLog.keySidecarReads.get())
+      assert(GraftLog.compactTopic(dir, conf) === 0)
+      assert(GraftLog.manifestChunkReads.get() - cr1 === 0L)
+      assert(GraftLog.keySidecarReads.get() - k1 === 0L)
+    }
+
     it("a corrupted .keys block reads as needs-work, never as no-hits") {
       val dir = tmp("graftlogcorrupt")
       val p = new GraftLogProducer(dir)

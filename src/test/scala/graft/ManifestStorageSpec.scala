@@ -1,0 +1,294 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GraftDB, ManifestStorage, ParquetStorage}
+import graft.model.Point
+import graft.query._
+
+/** A deliberately OBJECT-STORE-SHAPED local filesystem: rename is a
+  * NON-ATOMIC file-at-a-time copy+delete with an injectable crash
+  * point (a directory rename can land partially) and is NON-EXCLUSIVE
+  * (renaming onto an existing destination overwrites). Exactly the
+  * semantics [[graft.util.FsContract]] refuses for the rename-
+  * committing store — what the manifest-authoritative backend must
+  * stay correct on. `create(p, overwrite=false)` is honest (the one
+  * primitive manifest commits need). Registered under scheme `flaky:`.
+  */
+class FlakyRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import FlakyRenameFileSystem._
+
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val s = pathToFile(src)
+    val d = pathToFile(dst)
+    if (!s.exists()) return false
+    if (s.isDirectory) { copyTree(s, d); deleteTree(s) }
+    else {
+      maybeCrash()
+      java.nio.file.Files.createDirectories(d.getParentFile.toPath)
+      java.nio.file.Files.copy(s.toPath, d.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING) // NON-exclusive
+      s.delete()
+    }
+    true
+  }
+
+  private def copyTree(s: java.io.File, d: java.io.File): Unit = {
+    java.nio.file.Files.createDirectories(d.toPath)
+    Option(s.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach { c =>
+      if (c.isDirectory) copyTree(c, new java.io.File(d, c.getName))
+      else {
+        maybeCrash()
+        java.nio.file.Files.copy(c.toPath, new java.io.File(d, c.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(); ()
+  }
+
+  private def maybeCrash(): Unit = {
+    val left = crashAfterFiles.get()
+    if (left >= 0) {
+      if (left == 0)
+        throw new java.io.IOException("simulated crash mid-rename (partial copy landed)")
+      crashAfterFiles.decrementAndGet(); ()
+    }
+  }
+}
+
+object FlakyRenameFileSystem {
+  /** -1 = disabled; n ≥ 0 = throw after n more file copies. */
+  val crashAfterFiles = new java.util.concurrent.atomic.AtomicInteger(-1)
+}
+
+/** The manifest-authoritative commit protocol on a filesystem with NO
+  * atomic rename: lifecycle correctness, crash windows (no state is
+  * ever misread as committed), optimistic concurrency, vacuum.
+  */
+class ManifestStorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.sparkContext.hadoopConfiguration.set("fs.flaky.impl",
+    classOf[FlakyRenameFileSystem].getName)
+
+  private def t(s: String): Instant = Instant.parse(s)
+
+  private def freshRoot(): String =
+    "flaky:" + Files.createTempDirectory("graftmanifest").toString + "/db"
+
+  private def seedPoints(db: GraftDB): Unit =
+    db.insertMultiple(Seq(
+      Point(t("2024-01-01T01:00:00Z"), "therm", Map("room" -> "bed"), Map("temp" -> 70.0)),
+      Point(t("2024-01-02T01:00:00Z"), "therm", Map("room" -> "kit"), Map("temp" -> 68.0)),
+      Point(t("2024-01-03T01:00:00Z"), "cpu", Map("host" -> "a"), Map("load" -> 0.5))))
+
+  describe("the flaky filesystem itself") {
+    it("directory rename genuinely lands partially on a crash (the hazard is real)") {
+      val base = Files.createTempDirectory("flakyfs").toString
+      val fs = new Path("flaky:" + base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val src = new java.io.File(base, "srcdir"); src.mkdirs()
+      (1 to 4).foreach(i => Files.write(new java.io.File(src, s"f$i").toPath,
+        s"payload$i".getBytes("UTF-8")))
+      FlakyRenameFileSystem.crashAfterFiles.set(2)
+      try intercept[java.io.IOException] {
+        fs.rename(new Path("flaky:" + base + "/srcdir"),
+          new Path("flaky:" + base + "/dstdir"))
+      } finally FlakyRenameFileSystem.crashAfterFiles.set(-1)
+      val landed = Option(new java.io.File(base, "dstdir").listFiles())
+        .getOrElse(Array.empty).length
+      assert(landed > 0 && landed < 4,
+        s"expected a PARTIAL destination, got $landed of 4 files")
+      assert(new java.io.File(base, "srcdir").exists(),
+        "source must survive a copy-phase crash (both halves visible at once)")
+    }
+  }
+
+  describe("opening") {
+    it("atPath on a no-atomic-rename scheme routes to the manifest backend; ParquetStorage still refuses") {
+      val db = GraftDB.atPath(spark, freshRoot())
+      assert(db.storage.isInstanceOf[ManifestStorage],
+        "object-store schemes must open in manifest mode, not refuse")
+      intercept[IllegalArgumentException] {
+        new ParquetStorage(spark, freshRoot())
+      }
+      // rename-safe schemes keep the rename-committing backend
+      val local = GraftDB.atPath(spark,
+        Files.createTempDirectory("graftlocal").toString + "/db")
+      assert(local.storage.isInstanceOf[ParquetStorage])
+    }
+  }
+
+  describe("lifecycle on a no-atomic-rename filesystem") {
+    it("insert / read / update / remove / compact / retain round-trip") {
+      val db = GraftDB.atPath(spark, freshRoot())
+      seedPoints(db)
+      assert(db.length == 3)
+      assert(db.count(MeasurementQuery() === "therm") == 2)
+      // update mutates through a manifest overwrite commit
+      assert(db.update(TagQuery("room") === "kit", fields = Map("temp" -> 99.0)) == 1)
+      assert(db.searchDF(FieldQuery("temp") === 99.0).count() == 1)
+      // remove drops through the same commit path
+      assert(db.remove(MeasurementQuery() === "cpu") == 1)
+      assert(db.length == 2)
+      // compact folds the commit list to one dir; contents unchanged
+      val before = db.all().map(p => (p.time, p.measurement, p.tags, p.fields))
+      db.compact()
+      assert(db.all().map(p => (p.time, p.measurement, p.tags, p.fields)) == before)
+      // retention falls back to the COW remove path on this backend
+      assert(db.retain(t("2024-01-02T00:00:00Z")) == 1)
+      assert(db.length == 1)
+      assert(db.all().head.tags("room") == "kit")
+    }
+
+    it("insertion order (_seq) survives appends and folds") {
+      val db = GraftDB.atPath(spark, freshRoot())
+      seedPoints(db)
+      db.insert(Point(t("2024-01-01T00:30:00Z"), "late", Map(), Map("v" -> 1.0)))
+      // the late-inserted point is LAST in _seq order despite its time
+      assert(db.all(sorted = false).map(_.measurement) ==
+        Seq("therm", "therm", "cpu", "late"))
+      db.compact()
+      assert(db.all(sorted = false).map(_.measurement) ==
+        Seq("therm", "therm", "cpu", "late"))
+    }
+  }
+
+  describe("crash windows (no misread commit — the manifest is the only authority)") {
+    it("a commit whose manifest publish never landed is invisible, and vacuum reclaims it") {
+      val root = freshRoot()
+      val db = GraftDB.atPath(spark, root)
+      seedPoints(db)
+      val localRoot = root.stripPrefix("flaky:")
+      def manifests() = new java.io.File(localRoot, "_manifest").listFiles()
+        .filter(!_.getName.startsWith(".")).map(_.getName.toLong).sorted.toSeq
+      def commitDirs() = new java.io.File(localRoot).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("c-")).map(_.getName).toSet
+      val headBefore = manifests().last
+      val dirsBefore = commitDirs()
+      // the dying writer: data dir + _files fully written, process dies
+      // before the manifest publish — simulated by appending and then
+      // deleting the published manifest (bit-identical on-disk state)
+      db.insert(Point(t("2024-01-09T00:00:00Z"), "ghost", Map(), Map("v" -> 1.0)))
+      assert(new java.io.File(s"$localRoot/_manifest/${headBefore + 1}").delete())
+      val orphans = commitDirs() -- dirsBefore
+      assert(orphans.size == 1, "the dead append's commit dir is on disk")
+      // a fresh reader resolves the old head: the orphan is INVISIBLE
+      val reader = GraftDB.atPath(spark, root)
+      assert(reader.length == 3)
+      assert(reader.searchDF(MeasurementQuery() === "ghost").count() == 0)
+      // vacuum (grace 0) reclaims the orphan; live data untouched
+      reader.storage.asInstanceOf[ManifestStorage].vacuum(graceMs = 0L)
+      assert((commitDirs() -- dirsBefore).isEmpty, "orphan commit dir reclaimed")
+      assert(reader.length == 3)
+    }
+
+    it("a partially-landed foreign directory (non-atomic rename debris) is invisible to readers") {
+      val root = freshRoot()
+      val db = GraftDB.atPath(spark, root)
+      seedPoints(db)
+      val localRoot = root.stripPrefix("flaky:")
+      // debris: a half-copied commit-shaped dir with a torn parquet
+      // file and no _files list — a directory-listing reader would
+      // trip on it; a manifest reader never visits it
+      val debris = new java.io.File(localRoot, "c-0000-partial-rename")
+      debris.mkdirs()
+      Files.write(new java.io.File(debris, "part-00000.snappy.parquet").toPath,
+        Array[Byte](0x50, 0x41, 0x52)) // "PAR" — torn, no footer
+      val reader = GraftDB.atPath(spark, root)
+      assert(reader.length == 3)
+      assert(reader.df.agg(sum(element_at(col(Point.FieldsCol), "temp"))).head().getDouble(0)
+        == 138.0)
+    }
+
+    it("a torn manifest (no terminator) is skipped by readers and stepped past by committers") {
+      val root = freshRoot()
+      val db = GraftDB.atPath(spark, root)
+      seedPoints(db)
+      val localRoot = root.stripPrefix("flaky:")
+      val head = new java.io.File(localRoot, "_manifest").listFiles()
+        .filter(!_.getName.startsWith(".")).map(_.getName.toLong).max
+      // a dying writer's torn manifest at head+1: valid-looking C line,
+      // missing terminator
+      Files.write(new java.io.File(s"$localRoot/_manifest/${head + 1}").toPath,
+        "C c-does-not-exist".getBytes("UTF-8"))
+      val reader = GraftDB.atPath(spark, root)
+      assert(reader.length == 3, "torn manifest must not be trusted")
+      // the next committer steps PAST the torn slot instead of stalling
+      reader.insert(Point(t("2024-01-05T00:00:00Z"), "cpu", Map("host" -> "b"),
+        Map("load" -> 0.7)))
+      assert(reader.length == 4)
+      val gens = new java.io.File(localRoot, "_manifest").listFiles()
+        .filter(!_.getName.startsWith(".")).map(_.getName.toLong)
+      assert(gens.max == head + 2, "new commit lands beyond the dead slot")
+    }
+  }
+
+  describe("concurrency") {
+    it("two handles: appends from both land; a stale overwrite fails loudly") {
+      val root = freshRoot()
+      val h1 = GraftDB.atPath(spark, root)
+      val h2 = GraftDB.atPath(spark, root)
+      seedPoints(h1)
+      h1.df.count() // h1 loads (observes the head)
+      val s1 = h1.storage.asInstanceOf[ManifestStorage]
+      val snap = s1.load() // h1 observes the head HERE
+      // h2 commits between h1's load and h1's overwrite
+      h2.insert(Point(t("2024-01-06T00:00:00Z"), "cpu", Map("host" -> "c"),
+        Map("load" -> 0.9)))
+      intercept[java.util.ConcurrentModificationException] {
+        s1.overwrite(snap.limit(0))
+      }
+      // both handles' appends are visible to a fresh read
+      assert(GraftDB.atPath(spark, root).length == 4)
+    }
+
+    it("idempotent appends dedup by token across handles and survive compaction") {
+      val root = freshRoot()
+      val h1 = GraftDB.atPath(spark, root)
+      val batch = Seq((t("2024-01-07T00:00:00Z"), "m")).toDF("a", "b")
+        .select(col("a").as(Point.TimeCol), col("b").as(Point.MeasurementCol),
+          map().cast("map<string,string>").as(Point.TagsCol),
+          map(lit("v"), lit(1.0)).as(Point.FieldsCol))
+      assert(h1.storage.appendIdempotent(batch, "tok-1"))
+      assert(!h1.storage.appendIdempotent(batch, "tok-1"), "replay must no-op")
+      val h2 = GraftDB.atPath(spark, root)
+      assert(!h2.storage.appendIdempotent(batch, "tok-1"),
+        "replay from another handle must see the durable token")
+      h2.compact()
+      assert(!h2.storage.hasIngestCommit("tok-0"))
+      assert(h2.storage.hasIngestCommit("tok-1"), "tokens survive compaction")
+      assert(h2.length == 1)
+    }
+  }
+
+  describe("vacuum") {
+    it("keeps everything referenced by the retained manifest window, drops the rest") {
+      val root = freshRoot()
+      val db = GraftDB.atPath(spark, root)
+      seedPoints(db)
+      db.insert(Point(t("2024-01-08T00:00:00Z"), "cpu", Map(), Map("load" -> 1.0)))
+      db.compact() // supersedes both append commits
+      val localRoot = root.stripPrefix("flaky:")
+      def commitDirs() = new java.io.File(localRoot).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("c-")).map(_.getName).toSet
+      assert(commitDirs().size == 3, "two append dirs + one folded dir before vacuum")
+      // window of 0 older manifests: only the head's dirs survive
+      db.storage.asInstanceOf[ManifestStorage].vacuum(graceMs = 0L, keepManifests = 0)
+      assert(commitDirs().size == 1, "superseded commit dirs reclaimed")
+      assert(db.length == 4, "live data untouched")
+      assert(GraftDB.atPath(spark, root).length == 4)
+    }
+  }
+}
