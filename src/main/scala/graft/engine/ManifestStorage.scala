@@ -35,19 +35,18 @@ import graft.model.Point
   *     commit leaves orphan files (reclaimed by [[vacuum]]), never a
   *     misreadable state.
   *   - The commit point is ONE create-only publish of `_manifest/
-  *     <gen+1>`. On filesystems with atomic rename the publish is
-  *     tmp-write + exclusive rename (airtight even mid-write). On
-  *     object stores it is a single conditional PUT (`create(p,
-  *     overwrite=false)` — S3 If-None-Match, GCS if-generation-match:0,
-  *     ABFS all support it): content visibility is all-or-nothing per
-  *     object, and the create-only condition arbitrates racing
-  *     committers. That single-object exclusive create is the ONLY
-  *     filesystem primitive this backend needs — vastly weaker than
-  *     the atomic+exclusive DIRECTORY rename the swap-based layout
-  *     demands, which is why this backend opens where [[ParquetStorage]]
-  *     refuses. Manifests additionally end in a terminator line, so
-  *     even a torn manifest (a non-atomic streaming fs dying mid-PUT)
-  *     parses as incomplete and is skipped, never misread.
+  *     <gen+1>`: an EXCLUSIVE create claims the slot (O_EXCL locally;
+  *     `create(p, overwrite=false)` on HDFS; a conditional PUT on
+  *     object-store connectors that support it — see [[tryPublish]]
+  *     for the exact per-filesystem contract and the multi-writer
+  *     caveat on connectors without conditional create), then the
+  *     winner alone writes the content, ending in a terminator line —
+  *     a manifest caught before its terminator parses as IN-FLIGHT
+  *     and is skipped, never misread. That single-object exclusive
+  *     create is the ONLY filesystem primitive this backend needs —
+  *     vastly weaker than the atomic+exclusive DIRECTORY rename the
+  *     swap-based layout demands, which is why this backend opens
+  *     where [[ParquetStorage]] refuses.
   *
   * Concurrency: appends retry on a lost manifest race (they commute —
   * the retry re-reads the head and re-links its own already-written
@@ -72,13 +71,6 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   private val manifestDir = s"${root.stripSuffix("/")}/_manifest"
   private def rootQ = root.stripSuffix("/")
 
-  /** Atomic-rename filesystems publish manifests by tmp+exclusive-
-    * rename (complete-or-absent even while streaming); others by
-    * conditional create — see the class doc.
-    */
-  private val renamePublish: Boolean = graft.util.FsContract.AtomicRenameSchemes(
-    graft.util.FsContract.schemeOf(
-      fs.makeQualified(new Path(root)).toString))
 
   /** gen = manifest number; commits = live commit-dir names in commit
     * order; tokens = idempotent-ingest token ring (newest last).
@@ -125,6 +117,67 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
       case Some(m) => m
     }
 
+  /** Age past which a claimed-but-contentless slot is a DEAD
+    * claimant's (the window between claim and content close is
+    * milliseconds of CPU work — only a process death leaves it open
+    * this long). Tests shrink it via
+    * `graft.storage.manifestStalePublishMs`.
+    */
+  private def stalePublishMs: Long =
+    spark.conf.getOption("graft.storage.manifestStalePublishMs")
+      .map(_.toLong).getOrElse(30000L)
+
+  /** Highest slot a committer must claim PAST, waiting out any
+    * in-flight publish first: an invalid newest slot younger than
+    * [[stalePublishMs]] is a live committer between claim and content —
+    * stepping past it immediately would base our manifest on the OLD
+    * head, and the moment ours lands the in-flight commit (which will
+    * complete successfully!) would be silently unlinked. A stale
+    * invalid slot is a dead claimant's: step past it. Returns the slot
+    * number to claim above (0 = none listed).
+    */
+  private def awaitSettledMaxGen(timeoutMs: Long = 60000L): Long = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (true) {
+      val gens = listedGens()
+      if (gens.isEmpty) return 0L
+      val mx = gens.max
+      if (readManifest(mx).isDefined) return mx
+      val age = scala.util.Try(System.currentTimeMillis() -
+        fs.getFileStatus(new Path(s"$manifestDir/$mx")).getModificationTime)
+        .getOrElse(Long.MaxValue)
+      if (age > stalePublishMs) return mx
+      if (System.currentTimeMillis() > deadline)
+        throw new java.io.IOException(
+          s"manifest store at $root: slot $mx has been claimed but contentless " +
+            s"for ${timeoutMs}ms — a wedged (not dead, not publishing) committer")
+      Thread.sleep(2L)
+    }
+    0L // unreachable
+  }
+
+  // LAYOUT GUARD: a path holding a rename-committing ParquetStorage
+  // store must not open here — with no `_manifest` the store would
+  // read as EMPTY (all existing data silently invisible) and appends
+  // would interleave manifest-format commits into the parquet layout.
+  // The reverse guard lives in the ParquetStorage constructor. Typical
+  // trigger: a store written under `assumeAtomicRename=true` opened by
+  // a job that forgot the override (atPath then routes here).
+  {
+    val rp = new Path(root)
+    if (fs.exists(rp) && !fs.exists(new Path(manifestDir))) {
+      val foreign = fs.listStatus(rp).exists { s =>
+        val n = s.getPath.getName
+        n == "data" || n == "delta" || n == "_versions" || n.startsWith("fold-")
+      }
+      require(!foreign,
+        s"path $root holds a rename-committing (ParquetStorage) store layout — " +
+          "opening it as a manifest store would read it as empty. Open it with " +
+          s"${graft.util.FsContract.OverrideKey}=true (its original mode), or " +
+          "migrate by copying through a new manifest-mode path.")
+    }
+  }
+
   /** Manifest head observed at the last [[load]] — what [[overwrite]]'s
     * staleness check compares against (same contract as
     * [[ParquetStorage]]'s `observedVersion`).
@@ -132,30 +185,45 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   @volatile private var observedGen: Long = head().map(_.gen).getOrElse(0L)
 
   /** Publish `m` at its slot; false = another committer won the slot.
-    * This is the commit point — one exclusive single-file create.
+    *
+    * Two-phase on every filesystem — CLAIM then CONTENT:
+    *   1. The slot is claimed by an EXCLUSIVE create of the manifest
+    *      file itself. Local paths use `File.createNewFile` (O_EXCL —
+    *      Hadoop's local `rename` maps to POSIX rename(2), which
+    *      silently REPLACES an existing destination, so a tmp+rename
+    *      publish would let two racers both "win" and one acknowledged
+    *      commit vanish); HDFS-style filesystems use
+    *      `create(p, overwrite=false)` (atomic-exclusive there);
+    *      object stores map the same call to a conditional PUT where
+    *      the connector supports it (S3A `fs.s3a.create.conditional
+    *      .enabled`, GCS `if-generation-match: 0`) — on a connector
+    *      WITHOUT conditional create the claim degrades to
+    *      check-then-PUT, and multi-writer arbitration needs an
+    *      external mutex (the Delta-on-S3 stance); single-writer
+    *      deployments are safe regardless.
+    *   2. The winner alone writes the content into its claimed slot.
+    *      A reader that catches the window between claim and content
+    *      close sees a terminator-less manifest — parsed as IN-FLIGHT,
+    *      never misread — and resolves the previous head; the commit
+    *      is acknowledged only after the content close succeeds. A
+    *      claimant dying inside the window leaves a torn slot that
+    *      readers skip and committers step past.
     */
   private def tryPublish(m: Manifest): Boolean = {
     if (!fs.exists(new Path(manifestDir))) { fs.mkdirs(new Path(manifestDir)); () }
     val target = new Path(s"$manifestDir/${m.gen}")
     if (fs.exists(target)) return false
-    val bytes = render(m).getBytes("UTF-8")
-    if (renamePublish) {
-      val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try { out.write(bytes); out.hsync() } finally out.close()
-      // exclusive rename: false ⇒ the slot was taken while we wrote
-      val won = fs.rename(tmp, target)
-      if (!won && fs.exists(tmp)) { fs.delete(tmp, false); () }
-      won
-    } else {
-      // conditional PUT: content visibility is all-or-nothing per
-      // object; create-only arbitrates the slot
-      try {
-        val out = fs.create(target, false)
-        try { out.write(bytes); out.hsync() } finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
+    val uri = fs.makeQualified(target).toUri
+    val claimed =
+      if (uri.getScheme == null || uri.getScheme == "file")
+        new java.io.File(uri.getPath).createNewFile()
+      else
+        try { fs.create(target, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    if (!claimed) return false
+    val out = fs.create(target, true)
+    try { out.write(render(m).getBytes("UTF-8")); out.hsync() } finally out.close()
+    true
   }
 
   // ---- commit-dir file lists (immutable once referenced → cacheable) ----
@@ -258,13 +326,16 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
     // `full` may read the current files; they outlive this commit
     // (no delete happens here), so no materialization barrier needed
     val dirName = writeCommitDir(full.select(Point.columns.map(col): _*))
+    // wait out in-flight publishes first (ParquetStorage's claimVersion
+    // spins on an unsealed head the same way): an append completing
+    // under us must surface as a staleness conflict, not get unlinked
+    val settled = awaitSettledMaxGen()
     val h = head().getOrElse(Manifest(0L, Seq.empty, Seq.empty))
     if (h.gen != observedGen)
       throw new java.util.ConcurrentModificationException(
         s"manifest store at $root advanced to gen ${h.gen} since this handle " +
           s"loaded gen $observedGen — reload and recompute the mutation")
-    val next = Manifest(math.max(h.gen, listedGens().foldLeft(0L)(math.max)) + 1,
-      Seq(dirName), h.tokens)
+    val next = Manifest(math.max(h.gen, settled) + 1, Seq(dirName), h.tokens)
     if (!tryPublish(next))
       throw new java.util.ConcurrentModificationException(
         s"manifest store at $root: concurrent commit won gen ${next.gen} — " +
@@ -281,13 +352,15 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   def compact(maxAttempts: Int = 3): Unit = synchronized {
     var attempt = 0
     while (attempt < maxAttempts) {
+      val settled = awaitSettledMaxGen()
       val h = head().getOrElse(return)
       if (h.commits.size <= 1) return
       val files = h.commits.flatMap(commitFiles)
       val folded = spark.read.schema(Point.schema).parquet(files: _*)
         .select(Point.columns.map(col): _*)
       val dirName = writeCommitDir(folded)
-      if (tryPublish(Manifest(h.gen + 1, Seq(dirName), h.tokens))) return
+      if (tryPublish(Manifest(math.max(h.gen, settled) + 1, Seq(dirName), h.tokens)))
+        return
       attempt += 1
     }
     throw new java.io.IOException(
@@ -317,7 +390,13 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
     if (fs.exists(new Path(manifestDir)))
       fs.listStatus(new Path(manifestDir)).toSeq.foreach { s =>
         val n = s.getPath.getName
-        val old = scala.util.Try(n.toLong).toOption.exists(_ < floor)
+        // manifests below the floor also respect the grace: a reader
+        // that listed the manifest dir just before newer gens landed
+        // must still be able to read the gen it resolved — deleting
+        // ungraced, its head() would come up empty and the store would
+        // silently read as empty mid-flight
+        val old = scala.util.Try(n.toLong).toOption.exists(_ < floor) &&
+          s.getModificationTime < cutoff
         val agedTmp = n.startsWith(".tmp-") && s.getModificationTime < cutoff
         if (old || agedTmp) { fs.delete(s.getPath, false); () }
       }
@@ -332,13 +411,14 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
       maxAttempts: Int = 50): Unit = {
     var attempt = 0
     while (attempt < maxAttempts) {
+      // settle FIRST (wait out any in-flight publish, step past dead
+      // claims), then read the head the new manifest builds on
+      val settled = awaitSettledMaxGen()
       val h = head().getOrElse(Manifest(0L, Seq.empty, Seq.empty))
       build(h) match {
         case None => return
         case Some(m0) =>
-          // step past torn/invalid slots too — they hold their number
-          val m = m0.copy(gen =
-            math.max(m0.gen, listedGens().foldLeft(0L)(math.max) + 1))
+          val m = m0.copy(gen = math.max(m0.gen, settled + 1))
           if (tryPublish(m)) return
       }
       attempt += 1

@@ -336,6 +336,18 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
   graft.util.FsContract.requireAtomicRename(spark, root,
     "graft parquet store (COW commits, fold publishes, version claims)")
 
+  // LAYOUT GUARD (mirror of ManifestStorage's): a manifest-mode store
+  // opened here would read as empty — its data lives in commit dirs no
+  // rename-layout tier lists — and recover()/appends would start
+  // interleaving the two formats.
+  require({
+    val rp = new Path(root)
+    val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !rfs.exists(new Path(s"$root/_manifest"))
+  }, s"path $root holds a MANIFEST-authoritative store layout — open it with " +
+    "GraftDB.atManifest (or atPath on its original object-store scheme), not " +
+    "the rename-committing backend.")
+
   private val dataPath = s"$root/data"
   private val deltaPath = s"$root/delta"
   private val backupDataPath = s"$root/.backup-data"

@@ -689,11 +689,16 @@ object GraftLog {
   // costs one slow pass, never correctness). Per-pass transfer:
   //   - QUIESCENT pass: the index alone answers "any tombstones to
   //     age?" — zero chunk reads, zero sidecar reads, zero writes.
-  //   - STEADY pass (k fresh segments sealed): chunk bodies load
-  //     lazily per consulted name, and the pass-end refresh rewrites
-  //     ONLY chunks whose membership changed (names keep their chunk;
-  //     new names pack into the emptiest chunk or a fresh one) plus
-  //     the index — O(dirty + touched chunks + index), never O(clean).
+  //   - NON-QUIESCENT pass (something sealed): WRITES are bounded at
+  //     O(touched chunks + index) — names keep their chunk, new names
+  //     pack into the emptiest chunk with room or a fresh one, and
+  //     only chunks whose membership changed rewrite. READS are the
+  //     supersession check's: deciding "does any clean segment hold a
+  //     dirty key?" needs the fp blocks, so chunks holding consulted
+  //     clean names still load (lazily, one GET each) — worst-case
+  //     O(clean chunk bytes), the same read the blob always paid; what
+  //     the chunking removes is the blob's O(clean) REWRITE per pass
+  //     and the quiescent tier's reads entirely.
   //   - a pre-chunking single-blob manifest reads as legacy once and
   //     is replaced by the chunked layout at that pass's end.
   // Chunk files publish create-only under unique names and superseded
@@ -710,7 +715,8 @@ object GraftLog {
     * rewrite unit.
     */
   private[streaming] def manifestChunkSegments(conf: Configuration): Int =
-    conf.getInt("graft.log.manifestChunkSegments", 64)
+    // floored: 0/negative would spin the packing loop forever
+    math.max(1, conf.getInt("graft.log.manifestChunkSegments", 64))
 
   // probe counters: chunk-file reads/writes per pass — the transfer
   // bound CleanerProbe records (index reads ride keySidecarReads' old
@@ -770,10 +776,11 @@ object GraftLog {
     val unchanged = keptByChunk.filter { case (c, kept) =>
       prevByChunk.get(c).contains(kept.toSet)
     }.keySet
-    // everything else repacks: new names + members of changed chunks
-    val repack = entries.keysIterator
-      .filter(n => prevIndex.get(n).fold(true)(e => !unchanged(e._2)))
-      .toSeq.sorted
+    // only NEVER-ASSIGNED names repack: kept members of a shrunken
+    // chunk rewrite with THEIR chunk below (routing them into repack
+    // too would write each of them twice — once into a packed chunk,
+    // once into the shrunken chunk's rewrite — and orphan one copy)
+    val repack = entries.keysIterator.filterNot(prevIndex.contains).toSeq.sorted
     // fill the fullest surviving chunk below the absorb cap first so
     // steady passes converge to few, bounded chunks instead of one
     // sliver per pass

@@ -215,6 +215,9 @@ class ManifestStorageSpec extends SparkSpec {
     it("a torn manifest (no terminator) is skipped by readers and stepped past by committers") {
       val root = freshRoot()
       val db = GraftDB.atPath(spark, root)
+      // the torn slot below is a DEAD claimant's; shrink the in-flight
+      // grace so the committer's step-past is immediate in the test
+      spark.conf.set("graft.storage.manifestStalePublishMs", "1")
       seedPoints(db)
       val localRoot = root.stripPrefix("flaky:")
       val head = new java.io.File(localRoot, "_manifest").listFiles()
@@ -226,8 +229,10 @@ class ManifestStorageSpec extends SparkSpec {
       val reader = GraftDB.atPath(spark, root)
       assert(reader.length == 3, "torn manifest must not be trusted")
       // the next committer steps PAST the torn slot instead of stalling
-      reader.insert(Point(t("2024-01-05T00:00:00Z"), "cpu", Map("host" -> "b"),
-        Map("load" -> 0.7)))
+      try {
+        reader.insert(Point(t("2024-01-05T00:00:00Z"), "cpu", Map("host" -> "b"),
+          Map("load" -> 0.7)))
+      } finally spark.conf.unset("graft.storage.manifestStalePublishMs")
       assert(reader.length == 4)
       val gens = new java.io.File(localRoot, "_manifest").listFiles()
         .filter(!_.getName.startsWith(".")).map(_.getName.toLong)
@@ -273,6 +278,52 @@ class ManifestStorageSpec extends SparkSpec {
     }
   }
 
+  describe("layout guards (mixed-format opens refuse instead of reading empty)") {
+    it("a rename-committing store cannot open as a manifest store, and vice versa") {
+      // parquet-layout store opened in manifest mode → loud refusal
+      // (silently reading as empty would hide ALL existing data)
+      val proot = Files.createTempDirectory("graftmixp").toString + "/db"
+      val pdb = GraftDB.atPath(spark, proot)
+      seedPoints(pdb)
+      val e1 = intercept[IllegalArgumentException] {
+        GraftDB.atManifest(spark, proot)
+      }
+      assert(e1.getMessage.contains("rename-committing"))
+      // manifest-layout store opened by the rename backend → same
+      val mroot = Files.createTempDirectory("graftmixm").toString + "/db"
+      val mdb = GraftDB.atManifest(spark, mroot)
+      seedPoints(mdb)
+      val e2 = intercept[IllegalArgumentException] {
+        new ParquetStorage(spark, mroot)
+      }
+      assert(e2.getMessage.contains("MANIFEST-authoritative"))
+    }
+  }
+
+  describe("publish race (two committers, one slot)") {
+    it("concurrent appends from racing threads all survive — no lost manifest") {
+      val root = freshRoot()
+      // two handles hammer appends concurrently; every appended row
+      // must be in the final state (a tmp+rename publish on local fs
+      // would let both racers of one slot 'win' — POSIX rename
+      // replaces — and silently drop one acknowledged commit)
+      val h1 = GraftDB.atPath(spark, root)
+      val h2 = GraftDB.atPath(spark, root)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def appender(h: GraftDB, tag: String) = new Thread(() => {
+        try (0 until 6).foreach { i =>
+          h.insert(Point(t("2024-01-01T00:00:00Z"), s"$tag$i", Map(), Map("v" -> 1.0)))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      val ts = Seq(appender(h1, "a"), appender(h2, "b"))
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      assert(errs.isEmpty, s"appender failed: ${errs.peek()}")
+      val got = GraftDB.atPath(spark, root).all().map(_.measurement).toSet
+      val want = (0 until 6).flatMap(i => Seq(s"a$i", s"b$i")).toSet
+      assert(got == want, s"lost commits: missing ${want -- got}")
+    }
+  }
+
   describe("vacuum") {
     it("keeps everything referenced by the retained manifest window, drops the rest") {
       val root = freshRoot()
@@ -284,7 +335,16 @@ class ManifestStorageSpec extends SparkSpec {
       def commitDirs() = new java.io.File(localRoot).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("c-")).map(_.getName).toSet
       assert(commitDirs().size == 3, "two append dirs + one folded dir before vacuum")
-      // window of 0 older manifests: only the head's dirs survive
+      // an UNGRACED vacuum must keep everything: a reader that listed
+      // the manifest dir a moment ago may still be reading an old gen
+      def manifests() = new java.io.File(localRoot, "_manifest").listFiles()
+        .filter(!_.getName.startsWith(".")).length
+      val before = manifests()
+      db.storage.asInstanceOf[ManifestStorage]
+        .vacuum(graceMs = 3600000L, keepManifests = 0)
+      assert(manifests() == before, "grace must protect young manifests too")
+      assert(commitDirs().size == 3)
+      // window of 0 older manifests + no grace: only the head survives
       db.storage.asInstanceOf[ManifestStorage].vacuum(graceMs = 0L, keepManifests = 0)
       assert(commitDirs().size == 1, "superseded commit dirs reclaimed")
       assert(db.length == 4, "live data untouched")
