@@ -313,16 +313,27 @@ object Dedup {
         val parts = entries.filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("__kp=p"))
         if (parts.nonEmpty) {
-          val pl = parts.map(_.getPath.getName.stripPrefix("__kp=p").length).max
-          // a stray/corrupt dir (say __kp=pdeadbeef) must not be
-          // ADOPTED as the layout — appends would compute impossible
-          // prefixes while the real data sits under shorter ones,
-          // silently splitting the store. Fail loudly instead.
-          require(pl >= 1 && pl <= MaxPrefixLen,
-            s"digest store at $path: partition dirs imply prefixLen=$pl, " +
-              s"outside [1, $MaxPrefixLen] — corrupt or foreign __kp= " +
-              "directories; refusing to adopt an impossible layout")
-          Some(pl)
+          // the bare null-key dir `__kp=p` (empty prefix — concat_ws
+          // skips null key columns) says "partitioned" but nothing
+          // about the length: EXCLUDE it from inference, or a legacy
+          // marker-less store whose only rows are null-keyed would
+          // read as an impossible pl=0 layout
+          val lens = parts.map(_.getPath.getName.stripPrefix("__kp=p").length)
+            .filter(_ > 0)
+          if (lens.isEmpty) Some(1) // only null-key rows on disk: any
+            // length places them identically; adopt the minimal one
+          else {
+            val pl = lens.max
+            // a stray/corrupt dir (say __kp=pdeadbeef) must not be
+            // ADOPTED as the layout — appends would compute impossible
+            // prefixes while the real data sits under shorter ones,
+            // silently splitting the store. Fail loudly instead.
+            require(pl <= MaxPrefixLen,
+              s"digest store at $path: partition dirs imply prefixLen=$pl, " +
+                s"outside [1, $MaxPrefixLen] — corrupt or foreign __kp= " +
+                "directories; refusing to adopt an impossible layout")
+            Some(pl)
+          }
         } else if (entries.exists(s => s.isFile && !s.getPath.getName.startsWith(".") &&
           !s.getPath.getName.startsWith("_"))) Some(0)
         else None

@@ -432,6 +432,11 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
       unsetTags: Seq[String] = Nil,
       unsetFields: Seq[String] = Nil
   ): Long = {
+    // snapshot token BEFORE planning: this method loads the store twice
+    // (plan + changed-count) — a concurrent append landing between the
+    // loads must fail the overwrite's staleness check, not be adopted
+    // as the baseline by the second load
+    val tok = storage.snapshotToken()
     val c = rawCond(q)
     val (updated, changedCond) = GraftDB.updatePlan(df, c,
       time.map(t => (_: Column) => lit(java.sql.Timestamp.from(t))),
@@ -444,7 +449,7 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
       // index in place instead of discarding it (the reference
       // repositions its entries on update, index.py:504-514, 897-935)
       patchIndexAfterUpdate(q, time, measurement, tags, fields, unsetTags, unsetFields)
-      storage.overwrite(updated)
+      storage.overwriteAt(updated, tok)
     }
     changed
   }
@@ -545,10 +550,11 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
       tags: Option[Column => Column] = None,
       fields: Option[Column => Column] = None
   ): Long = {
+    val tok = storage.snapshotToken() // before planning — see update()
     val c = rawCond(q)
     val (updated, changedCond) = GraftDB.updatePlan(df, c, time, measurement, tags, fields)
     val changed = df.filter(coalesce(c, lit(false)) && changedCond).count()
-    if (changed > 0) { invalidateIndex(); storage.overwrite(updated) }
+    if (changed > 0) { invalidateIndex(); storage.overwriteAt(updated, tok) }
     changed
   }
 
@@ -626,12 +632,13 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
 
   /** op 13 `remove` (database.py:707-725): anti-filter rewrite. */
   def remove(q: Q): Long = {
+    val tok = storage.snapshotToken() // before planning — see update()
     // keep-set negation must coerce null→false first: a bare !c is null
     // (row silently dropped = data loss) for rows where the predicate
     // null-evaluates, e.g. a missing map key
     val c = coalesce(rawCond(q), lit(false))
     val removed = df.filter(c).count()
-    if (removed > 0) { patchIndexAfterRemove(q); storage.overwrite(df.filter(!c)) }
+    if (removed > 0) { patchIndexAfterRemove(q); storage.overwriteAt(df.filter(!c), tok) }
     removed
   }
 
@@ -643,11 +650,12 @@ final class GraftDB(val storage: Storage, val autoIndex: Boolean = false) {
     * flat column on both layouts).
     */
   def dropMeasurement(name: String): Long = {
+    val tok = storage.snapshotToken() // before planning — see update()
     val c = coalesce(col(Point.MeasurementCol) === name, lit(false))
     val removed = df.filter(c).count()
     if (removed > 0) {
       patchIndexAfterRemove(graft.query.MeasurementQuery() === name)
-      storage.overwrite(df.filter(!c))
+      storage.overwriteAt(df.filter(!c), tok)
     }
     removed
   }

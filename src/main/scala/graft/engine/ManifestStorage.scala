@@ -35,24 +35,26 @@ import graft.model.Point
   *     commit leaves orphan files (reclaimed by [[vacuum]]), never a
   *     misreadable state.
   *   - The commit point is ONE create-only publish of `_manifest/
-  *     <gen+1>`: an EXCLUSIVE create claims the slot (O_EXCL locally;
-  *     `create(p, overwrite=false)` on HDFS; a conditional PUT on
-  *     object-store connectors that support it — see [[tryPublish]]
-  *     for the exact per-filesystem contract and the multi-writer
-  *     caveat on connectors without conditional create), then the
-  *     winner alone writes the content, ending in a terminator line —
-  *     a manifest caught before its terminator parses as IN-FLIGHT
-  *     and is skipped, never misread. That single-object exclusive
-  *     create is the ONLY filesystem primitive this backend needs —
-  *     vastly weaker than the atomic+exclusive DIRECTORY rename the
-  *     swap-based layout demands, which is why this backend opens
-  *     where [[ParquetStorage]] refuses.
+  *     <gen+1>` through the engine's shared manifest protocol
+  *     ([[graft.util.ManifestLog]] — claim/content two-phase, torn =
+  *     in-flight, settle before step-past, post-publish lost-ack
+  *     re-link). That single-object exclusive create is the ONLY
+  *     filesystem primitive this backend needs — vastly weaker than
+  *     the atomic+exclusive DIRECTORY rename the swap-based layout
+  *     demands, which is why this backend opens where
+  *     [[ParquetStorage]] refuses. On connectors without conditional
+  *     create the claim degrades to check-then-PUT, so opening a
+  *     WRITER there demands the deployer's explicit attestation
+  *     ([[graft.util.FsContract.requireManifestWritable]]: either the
+  *     connector does conditional create, or the deployment is
+  *     single-writer/externally serialized).
   *
   * Concurrency: appends retry on a lost manifest race (they commute —
   * the retry re-reads the head and re-links its own already-written
   * commit dir); [[overwrite]] is optimistic-concurrency like
   * [[ParquetStorage]] — it requires the head it observed at [[load]]
-  * and fails loudly with `ConcurrentModificationException` when a
+  * (or the [[snapshotToken]] the mutation was planned against) and
+  * fails loudly with `ConcurrentModificationException` when a
   * concurrent commit landed.
   *
   * Scale shape: the manifest lists commit DIRECTORIES, not files —
@@ -71,6 +73,16 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   private val manifestDir = s"${root.stripSuffix("/")}/_manifest"
   private def rootQ = root.stripSuffix("/")
 
+  // multi-writer safety on a non-native-exclusive-create scheme is a
+  // deployment fact the deployer must attest to (see FsContract)
+  graft.util.FsContract.requireManifestWritable(spark, root,
+    "manifest-authoritative store")
+
+  private[graft] val log = new graft.util.ManifestLog(
+    fs, new Path(manifestDir), () => stalePublishMs,
+    graft.util.FsContract.exclusiveCreateNative(
+      graft.util.FsContract.schemeOf(root)) ||
+      graft.util.FsContract.confBool(spark, graft.util.FsContract.ConditionalCreateKey))
 
   /** gen = manifest number; commits = live commit-dir names in commit
     * order; tokens = idempotent-ingest token ring (newest last).
@@ -80,42 +92,19 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  // Body: `C <enc dir>` per commit, `T <enc token>` per token, then
-  // terminator `E <recordCount>` — a manifest without a matching
-  // terminator is in-flight or torn and never trusted.
-  private def render(m: Manifest): String = {
-    val recs = m.commits.map(c => s"C ${enc(c)}") ++ m.tokens.map(t => s"T ${enc(t)}")
-    (recs :+ s"E ${recs.size}").mkString("\n")
-  }
+  // Body: `C <enc dir>` per commit, `T <enc token>` per token (the
+  // terminator is ManifestLog's protocol layer)
+  private def render(m: Manifest): Seq[String] =
+    m.commits.map(c => s"C ${enc(c)}") ++ m.tokens.map(t => s"T ${enc(t)}")
 
-  private def parseManifest(gen: Long, body: String): Option[Manifest] = {
-    val lines = body.split("\n").filter(_.nonEmpty)
-    if (lines.isEmpty || !lines.last.startsWith("E ")) None
-    else if (scala.util.Try(lines.last.drop(2).trim.toInt).toOption
-      .forall(_ != lines.length - 1)) None
-    else Some(Manifest(gen,
-      lines.filter(_.startsWith("C ")).map(l => dec(l.drop(2))).toSeq,
-      lines.filter(_.startsWith("T ")).map(l => dec(l.drop(2))).toSeq))
-  }
-
-  /** Every numeric manifest slot present, VALID OR NOT — the claim
-    * counter must step past a torn manifest, while [[head]] skips it.
-    */
-  private def listedGens(): Seq[Long] =
-    if (!fs.exists(new Path(manifestDir))) Seq.empty
-    else fs.listStatus(new Path(manifestDir)).toSeq
-      .filterNot(_.getPath.getName.startsWith("."))
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-
-  private def readManifest(gen: Long): Option[Manifest] =
-    graft.util.AtomicFiles.readString(fs, new Path(s"$manifestDir/$gen"))
-      .flatMap(parseManifest(gen, _))
+  private def fromRecords(gen: Long, recs: Seq[String]): Manifest =
+    Manifest(gen,
+      recs.filter(_.startsWith("C ")).map(l => dec(l.drop(2))),
+      recs.filter(_.startsWith("T ")).map(l => dec(l.drop(2))))
 
   /** Newest COMPLETE manifest — the one thing readers trust. */
   private def head(): Option[Manifest] =
-    listedGens().sorted.reverse.iterator.map(readManifest).collectFirst {
-      case Some(m) => m
-    }
+    log.head().map { case (g, recs) => fromRecords(g, recs) }
 
   /** Age past which a claimed-but-contentless slot is a DEAD
     * claimant's (the window between claim and content close is
@@ -127,34 +116,14 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
     spark.conf.getOption("graft.storage.manifestStalePublishMs")
       .map(_.toLong).getOrElse(30000L)
 
-  /** Highest slot a committer must claim PAST, waiting out any
-    * in-flight publish first: an invalid newest slot younger than
-    * [[stalePublishMs]] is a live committer between claim and content —
-    * stepping past it immediately would base our manifest on the OLD
-    * head, and the moment ours lands the in-flight commit (which will
-    * complete successfully!) would be silently unlinked. A stale
-    * invalid slot is a dead claimant's: step past it. Returns the slot
-    * number to claim above (0 = none listed).
+  /** Idempotent-token ring capacity — [[ManifestStorage.MaxTokens]]
+    * unless shrunk by the `graft.storage.manifestMaxTokens` test seam
+    * (how the eviction spec exercises the REAL ring without thousands
+    * of commits).
     */
-  private def awaitSettledMaxGen(timeoutMs: Long = 60000L): Long = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (true) {
-      val gens = listedGens()
-      if (gens.isEmpty) return 0L
-      val mx = gens.max
-      if (readManifest(mx).isDefined) return mx
-      val age = scala.util.Try(System.currentTimeMillis() -
-        fs.getFileStatus(new Path(s"$manifestDir/$mx")).getModificationTime)
-        .getOrElse(Long.MaxValue)
-      if (age > stalePublishMs) return mx
-      if (System.currentTimeMillis() > deadline)
-        throw new java.io.IOException(
-          s"manifest store at $root: slot $mx has been claimed but contentless " +
-            s"for ${timeoutMs}ms — a wedged (not dead, not publishing) committer")
-      Thread.sleep(2L)
-    }
-    0L // unreachable
-  }
+  private def maxTokens: Int =
+    spark.conf.getOption("graft.storage.manifestMaxTokens")
+      .map(_.toInt).getOrElse(MaxTokens)
 
   // LAYOUT GUARD: a path holding a rename-committing ParquetStorage
   // store must not open here — with no `_manifest` the store would
@@ -183,48 +152,6 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
     * [[ParquetStorage]]'s `observedVersion`).
     */
   @volatile private var observedGen: Long = head().map(_.gen).getOrElse(0L)
-
-  /** Publish `m` at its slot; false = another committer won the slot.
-    *
-    * Two-phase on every filesystem — CLAIM then CONTENT:
-    *   1. The slot is claimed by an EXCLUSIVE create of the manifest
-    *      file itself. Local paths use `File.createNewFile` (O_EXCL —
-    *      Hadoop's local `rename` maps to POSIX rename(2), which
-    *      silently REPLACES an existing destination, so a tmp+rename
-    *      publish would let two racers both "win" and one acknowledged
-    *      commit vanish); HDFS-style filesystems use
-    *      `create(p, overwrite=false)` (atomic-exclusive there);
-    *      object stores map the same call to a conditional PUT where
-    *      the connector supports it (S3A `fs.s3a.create.conditional
-    *      .enabled`, GCS `if-generation-match: 0`) — on a connector
-    *      WITHOUT conditional create the claim degrades to
-    *      check-then-PUT, and multi-writer arbitration needs an
-    *      external mutex (the Delta-on-S3 stance); single-writer
-    *      deployments are safe regardless.
-    *   2. The winner alone writes the content into its claimed slot.
-    *      A reader that catches the window between claim and content
-    *      close sees a terminator-less manifest — parsed as IN-FLIGHT,
-    *      never misread — and resolves the previous head; the commit
-    *      is acknowledged only after the content close succeeds. A
-    *      claimant dying inside the window leaves a torn slot that
-    *      readers skip and committers step past.
-    */
-  private def tryPublish(m: Manifest): Boolean = {
-    if (!fs.exists(new Path(manifestDir))) { fs.mkdirs(new Path(manifestDir)); () }
-    val target = new Path(s"$manifestDir/${m.gen}")
-    if (fs.exists(target)) return false
-    val uri = fs.makeQualified(target).toUri
-    val claimed =
-      if (uri.getScheme == null || uri.getScheme == "file")
-        new java.io.File(uri.getPath).createNewFile()
-      else
-        try { fs.create(target, false).close(); true }
-        catch { case _: java.io.IOException => false }
-    if (!claimed) return false
-    val out = fs.create(target, true)
-    try { out.write(render(m).getBytes("UTF-8")); out.hsync() } finally out.close()
-    true
-  }
 
   // ---- commit-dir file lists (immutable once referenced → cacheable) ----
 
@@ -287,7 +214,13 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   override def appendDelta(batch: DataFrame,
       compactPrefixes: Option[Boolean]): Option[DataFrame] = synchronized {
     val dirName = writeCommitDir(withSeq(batch))
-    commitRetry(h => Some(Manifest(h.gen + 1, h.commits :+ dirName, h.tokens)))
+    log.commitRetry(
+      build = (_, recs) => {
+        val h = fromRecords(0L, recs)
+        if (h.commits.contains(dirName)) None
+        else Some(render(Manifest(0L, h.commits :+ dirName, h.tokens)))
+      },
+      linked = recs => recs.contains(s"C ${enc(dirName)}"))
     Some(spark.read.schema(Point.schema).parquet(commitFiles(dirName): _*))
   }
 
@@ -305,19 +238,41 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
     if (hasIngestCommit(token)) return false
     val dirName = writeCommitDir(withSeq(batch))
     var applied = true
-    commitRetry { h =>
-      if (h.tokens.contains(token)) { applied = false; None } // raced replay: drop ours
-      else Some(Manifest(h.gen + 1, h.commits :+ dirName,
-        (h.tokens :+ token).takeRight(MaxTokens)))
-    }
+    log.commitRetry(
+      build = (_, recs) => {
+        val h = fromRecords(0L, recs)
+        if (h.commits.contains(dirName)) None // ours landed (re-link confirm path)
+        else if (h.tokens.contains(token)) { applied = false; None } // raced replay
+        else Some(render(Manifest(0L, h.commits :+ dirName,
+          (h.tokens :+ token).takeRight(maxTokens))))
+      },
+      // the token is the representation currency: either our publish
+      // survives (dir + token linked) or a raced replay of the same
+      // token committed the batch once — both satisfy at-most-once
+      linked = recs => recs.contains(s"C ${enc(dirName)}") ||
+        recs.contains(s"T ${enc(token)}"))
     applied
   }
 
   override def hasIngestCommit(token: String): Boolean =
     head().exists(_.tokens.contains(token))
 
+  /** Fresh snapshot token = the current committed gen, resolved NOW —
+    * captured by [[graft.engine.GraftDB]] mutations BEFORE planning
+    * their rewrite, so a concurrent append landing between the plan's
+    * load and a later re-load cannot slip past the [[overwriteAt]]
+    * staleness check (the load-twice window).
+    */
+  override def snapshotToken(): Long = head().map(_.gen).getOrElse(0L)
+
+  override def overwriteAt(full: DataFrame, token: Long): Unit = synchronized {
+    observedGen = token
+    overwrite(full)
+  }
+
   /** Optimistic-concurrency replace, mirroring [[ParquetStorage]]: the
-    * head must still be what this handle [[load]]ed — a concurrent
+    * head must still be what this handle [[load]]ed (or the
+    * [[snapshotToken]] passed through [[overwriteAt]]) — a concurrent
     * commit fails the claim loudly instead of being silently clobbered.
     * The old commit dirs are NOT deleted (readers may hold them);
     * they unlink logically here and physically at the next [[vacuum]].
@@ -329,18 +284,23 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
     // wait out in-flight publishes first (ParquetStorage's claimVersion
     // spins on an unsealed head the same way): an append completing
     // under us must surface as a staleness conflict, not get unlinked
-    val settled = awaitSettledMaxGen()
+    val settled = log.awaitSettledMaxGen()
     val h = head().getOrElse(Manifest(0L, Seq.empty, Seq.empty))
     if (h.gen != observedGen)
       throw new java.util.ConcurrentModificationException(
         s"manifest store at $root advanced to gen ${h.gen} since this handle " +
           s"loaded gen $observedGen — reload and recompute the mutation")
-    val next = Manifest(math.max(h.gen, settled) + 1, Seq(dirName), h.tokens)
-    if (!tryPublish(next))
+    val nextGen = math.max(h.gen, settled) + 1
+    val won = log.tryPublish(nextGen, render(Manifest(nextGen, Seq(dirName), h.tokens)))
+    // overwrites do NOT commute: a stepper that published against the
+    // old head while this publish stalled supersedes us — surface the
+    // conflict loudly instead of acknowledging an unlinked commit
+    if (!won || !log.confirmOrSupersede(nextGen,
+        recs => recs.contains(s"C ${enc(dirName)}")))
       throw new java.util.ConcurrentModificationException(
-        s"manifest store at $root: concurrent commit won gen ${next.gen} — " +
+        s"manifest store at $root: concurrent commit won gen $nextGen — " +
           "reload and recompute the mutation")
-    observedGen = next.gen
+    observedGen = nextGen
     resetGen()
   }
 
@@ -352,14 +312,16 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   def compact(maxAttempts: Int = 3): Unit = synchronized {
     var attempt = 0
     while (attempt < maxAttempts) {
-      val settled = awaitSettledMaxGen()
+      val settled = log.awaitSettledMaxGen()
       val h = head().getOrElse(return)
       if (h.commits.size <= 1) return
       val files = h.commits.flatMap(commitFiles)
       val folded = spark.read.schema(Point.schema).parquet(files: _*)
         .select(Point.columns.map(col): _*)
       val dirName = writeCommitDir(folded)
-      if (tryPublish(Manifest(math.max(h.gen, settled) + 1, Seq(dirName), h.tokens)))
+      val gen = math.max(h.gen, settled) + 1
+      if (log.tryPublish(gen, render(Manifest(gen, Seq(dirName), h.tokens))) &&
+        log.confirmOrSupersede(gen, recs => recs.contains(s"C ${enc(dirName)}")))
         return
       attempt += 1
     }
@@ -378,8 +340,8 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
   def vacuum(graceMs: Long = 3600000L, keepManifests: Int = 3): Unit = synchronized {
     val h = head().getOrElse(return)
     val floor = h.gen - keepManifests
-    val retained = listedGens().filter(g => g >= floor && g <= h.gen)
-      .flatMap(readManifest)
+    val retained = log.listedGens().filter(g => g >= floor && g <= h.gen)
+      .flatMap(g => log.read(g).map(fromRecords(g, _)))
     val referenced = (retained.flatMap(_.commits) ++ h.commits).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(new Path(rootQ)).toSeq.foreach { s =>
@@ -400,32 +362,6 @@ final class ManifestStorage(val spark: SparkSession, root: String) extends Stora
         val agedTmp = n.startsWith(".tmp-") && s.getModificationTime < cutoff
         if (old || agedTmp) { fs.delete(s.getPath, false); () }
       }
-  }
-
-  /** Append-shaped commit with retry: `build` maps the fresh head to
-    * the next manifest (None = abandon — the caller's work is already
-    * represented). Appends commute, so losing the publish race only
-    * costs a re-read + re-publish of an O(commits) text file.
-    */
-  private def commitRetry(build: Manifest => Option[Manifest],
-      maxAttempts: Int = 50): Unit = {
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      // settle FIRST (wait out any in-flight publish, step past dead
-      // claims), then read the head the new manifest builds on
-      val settled = awaitSettledMaxGen()
-      val h = head().getOrElse(Manifest(0L, Seq.empty, Seq.empty))
-      build(h) match {
-        case None => return
-        case Some(m0) =>
-          val m = m0.copy(gen = math.max(m0.gen, settled + 1))
-          if (tryPublish(m)) return
-      }
-      attempt += 1
-      Thread.sleep(2L)
-    }
-    throw new java.io.IOException(
-      s"manifest store at $root: lost the manifest publish race $maxAttempts times")
   }
 }
 

@@ -91,6 +91,25 @@ trait Storage {
   /** Replace the full state (canonical schema WITH `_seq`). */
   def overwrite(full: DataFrame): Unit
 
+  /** Fresh optimistic-concurrency snapshot token: the storage's CURRENT
+    * committed version, resolved now (one listing, no Spark job).
+    * A mutation captures this BEFORE planning its rewrite and passes it
+    * to [[overwriteAt]], which fails loudly if any commit landed since
+    * — closing the window where a mutation that loads the store twice
+    * (plan + changed-count) would otherwise adopt the SECOND load's
+    * version as its staleness baseline and silently drop a concurrent
+    * append that landed between the loads. Backends without
+    * multi-handle versioning (memory, CSV/JSONL single-file) return 0
+    * and [[overwriteAt]] degrades to plain [[overwrite]].
+    */
+  def snapshotToken(): Long = 0L
+
+  /** [[overwrite]] that requires the state to still be at `token`
+    * (from [[snapshotToken]]); versioned backends throw
+    * `ConcurrentModificationException` on a mismatch.
+    */
+  def overwriteAt(full: DataFrame, token: Long): Unit = overwrite(full)
+
   /** op 54 access-mode guards (reference Storage ABC defaults,
     * storages.py:60-84: everything allowed; file-backed stores refuse
     * per their open mode, storages.py:233-261).
@@ -1704,6 +1723,20 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     */
   override def overwrite(full: DataFrame): Unit = synchronized {
     committed(requireObserved = true, adoptVersion = true) { overwriteInner(full) }
+  }
+
+  /** Fresh snapshot token = the largest SEALED version right now — see
+    * [[Storage.snapshotToken]] for why mutations capture this before
+    * planning (the load-twice window).
+    */
+  override def snapshotToken(): Long = synchronized { latestSealed() }
+
+  override def overwriteAt(full: DataFrame, token: Long): Unit = synchronized {
+    // rebase the staleness check on the version the mutation was
+    // PLANNED against, not whatever a later load refreshed to; on a
+    // conflict the caller reloads, which re-derives observedVersion
+    observedVersion = token
+    overwrite(full)
   }
 
   private def overwriteInner(full: DataFrame): Unit = {

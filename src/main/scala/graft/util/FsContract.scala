@@ -58,6 +58,79 @@ object FsContract {
     "file", "local", "hdfs", "viewfs", "webhdfs", "hftp",
     "abfs", "abfss", "wasb", "wasbs", "ofs", "o3fs", "alluxio")
 
+  // ---- the MANIFEST commit contract (the weaker primitive) ----
+  //
+  // Manifest-authoritative backends (ManifestStorage, manifest-mode
+  // graft-log topics) need only ONE filesystem primitive: an ATOMIC
+  // EXCLUSIVE single-object create ("claim this slot iff it does not
+  // exist"). That is strictly weaker than atomic directory rename —
+  // but it is still NOT universal: stock S3A maps
+  // `create(p, overwrite=false)` to a non-atomic check-then-PUT
+  // unless the connector's conditional-create support is enabled
+  // (`fs.s3a.create.conditional.enabled`, Hadoop 3.4.1+ on S3's
+  // If-None-Match). Two concurrent committers racing a check-then-PUT
+  // claim can BOTH believe they won one manifest slot — the loser's
+  // acknowledged commit would be silently unlinked. So multi-writer
+  // safety on a scheme outside [[AtomicRenameSchemes]] (where
+  // create-exclusive is honest) is a DEPLOYMENT fact the engine
+  // cannot detect from the scheme alone, and opening such a scheme
+  // demands an explicit statement from the deployer:
+  //
+  //   - [[ConditionalCreateKey]]=true — "this store's connector maps
+  //     create(overwrite=false) to a genuinely conditional PUT"
+  //     (S3A with conditional create enabled, GCS if-generation-match
+  //     connectors). Claims are then atomic and multi-writer safe.
+  //   - [[SingleWriterKey]]=true — "exactly one writer process at a
+  //     time" (or writers are serialized by an external mutex). The
+  //     check-then-PUT degradation is then unreachable. Readers are
+  //     always safe regardless.
+
+  /** Config key (bool): this store's connector implements
+    * `create(p, overwrite=false)` as an atomic conditional PUT.
+    */
+  val ConditionalCreateKey = "graft.storage.manifestConditionalCreate"
+
+  /** Config key (bool): manifest commits on this store run
+    * single-writer (or externally serialized), so non-atomic claims
+    * cannot race.
+    */
+  val SingleWriterKey = "graft.storage.manifestSingleWriter"
+
+  /** Is the exclusive-create CLAIM primitive trustworthy on `scheme`
+    * without deployment attestation? True exactly for the filesystems
+    * where `create(overwrite=false)` (or local O_EXCL) is atomic.
+    */
+  def exclusiveCreateNative(scheme: String): Boolean = AtomicRenameSchemes(scheme)
+
+  /** Gate for opening a MANIFEST-committing writer: native exclusive
+    * create, or one of the two attestation confs. Readers need no gate.
+    */
+  def requireManifestWritable(root: String, conditionalCreate: Boolean,
+      singleWriter: Boolean, what: String): Unit = {
+    val scheme = schemeOf(root)
+    require(exclusiveCreateNative(scheme) || conditionalCreate || singleWriter,
+      s"$what at '$root': scheme '$scheme' is not known to provide an ATOMIC " +
+        "exclusive create, so a manifest-slot claim degrades to check-then-PUT " +
+        "and two concurrent committers could both win one slot (silent loss of " +
+        "an acknowledged commit). State your deployment explicitly: set " +
+        s"$ConditionalCreateKey=true if the connector supports conditional " +
+        s"create (e.g. S3A fs.s3a.create.conditional.enabled), or " +
+        s"$SingleWriterKey=true for a single-writer/externally-serialized " +
+        "deployment (readers are always safe).")
+  }
+
+  def requireManifestWritable(spark: SparkSession, root: String, what: String): Unit =
+    requireManifestWritable(root,
+      confBool(spark, ConditionalCreateKey), confBool(spark, SingleWriterKey), what)
+
+  def requireManifestWritable(conf: Configuration, root: String, what: String): Unit =
+    requireManifestWritable(root, conf.getBoolean(ConditionalCreateKey, false),
+      conf.getBoolean(SingleWriterKey, false), what)
+
+  private[graft] def confBool(spark: SparkSession, key: String): Boolean =
+    spark.conf.get(key, "false").equalsIgnoreCase("true") ||
+      spark.sparkContext.hadoopConfiguration.getBoolean(key, false)
+
   private val SchemeRx = "^([A-Za-z][A-Za-z0-9+.\\-]*):".r
 
   /** Scheme of `path` (absent → "file": bare local paths). Extracted

@@ -48,18 +48,29 @@ class FsContractSpec extends SparkSpec {
       expectRefusal(Dedup.migrateDigestStore(spark, "gs://bucket/digests", 2))
     }
 
-    it("an unknown scheme refuses the rename-committing store but OPENS in manifest mode") {
+    it("an unknown scheme refuses the rename store; the manifest route demands attestation") {
       val hconf = spark.sparkContext.hadoopConfiguration
       hconf.set("fs.graftnar.impl", classOf[NonAtomicStubFs].getName)
       val base = java.nio.file.Files.createTempDirectory("graftnar").toString
       expectRefusal(new graft.engine.ParquetStorage(spark, s"graftnar://$base/db"))
-      // the safe default: atPath on the unlisted scheme opens the
-      // manifest-authoritative backend — and WORKS end-to-end on it
-      val db = GraftDB.atPath(spark, s"graftnar://$base/db")
-      assert(db.storage.isInstanceOf[graft.engine.ManifestStorage])
-      db.insert(graft.model.Point(java.time.Instant.parse("2024-01-01T00:00:00Z"),
-        "m", Map("t" -> "1"), Map("v" -> 1.0)))
-      assert(db.length == 1)
+      // atPath routes the unlisted scheme to the manifest backend, but
+      // NOT silently: without a conditional-create or single-writer
+      // attestation the claim could be check-then-PUT and two
+      // committers could both win a slot — refuse, naming both keys
+      val e = intercept[IllegalArgumentException] {
+        GraftDB.atPath(spark, s"graftnar://$base/db")
+      }
+      assert(e.getMessage.contains(FsContract.ConditionalCreateKey), e.getMessage)
+      assert(e.getMessage.contains(FsContract.SingleWriterKey), e.getMessage)
+      // with the attestation it opens — and WORKS end-to-end
+      hconf.setBoolean(FsContract.SingleWriterKey, true)
+      try {
+        val db = GraftDB.atPath(spark, s"graftnar://$base/db")
+        assert(db.storage.isInstanceOf[graft.engine.ManifestStorage])
+        db.insert(graft.model.Point(java.time.Instant.parse("2024-01-01T00:00:00Z"),
+          "m", Map("t" -> "1"), Map("v" -> 1.0)))
+        assert(db.length == 1)
+      } finally hconf.unset(FsContract.SingleWriterKey)
     }
 
     it("the override opts in explicitly; the graft-log works end-to-end on the stub") {

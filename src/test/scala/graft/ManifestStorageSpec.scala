@@ -25,6 +25,26 @@ class FlakyRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "flaky"
   override def getUri: java.net.URI = java.net.URI.create("flaky:///")
 
+  // `create(p, overwrite=false)` is a GENUINE conditional create
+  // (O_EXCL claim, then the stream) — the stub models an object store
+  // WITH conditional PUT (S3 If-None-Match, GCS if-generation-match 0),
+  // which is what the spec's ConditionalCreateKey attestation asserts.
+  // RawLocalFileSystem's own overwrite=false path is check-then-create.
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      val file = pathToFile(f)
+      java.nio.file.Files.createDirectories(file.getParentFile.toPath)
+      if (!file.createNewFile())
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"$f already exists (conditional create)")
+    }
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     val s = pathToFile(src)
     val d = pathToFile(dst)
@@ -81,6 +101,11 @@ class ManifestStorageSpec extends SparkSpec {
 
   spark.sparkContext.hadoopConfiguration.set("fs.flaky.impl",
     classOf[FlakyRenameFileSystem].getName)
+  // the deployment attestation a manifest WRITER needs on a scheme
+  // without native exclusive create: the flaky stub's
+  // create(overwrite=false) genuinely IS conditional (see above)
+  spark.sparkContext.hadoopConfiguration.setBoolean(
+    graft.util.FsContract.ConditionalCreateKey, true)
 
   private def t(s: String): Instant = Instant.parse(s)
 
@@ -127,6 +152,29 @@ class ManifestStorageSpec extends SparkSpec {
       val local = GraftDB.atPath(spark,
         Files.createTempDirectory("graftlocal").toString + "/db")
       assert(local.storage.isInstanceOf[ParquetStorage])
+    }
+
+    it("without the deployment attestation, a multi-writer-unsafe scheme refuses loudly") {
+      // stock-S3A stance: no conditional create attested, no
+      // single-writer declaration → a silent check-then-PUT claim
+      // could lose an acknowledged commit, so the open must refuse
+      // and name both attestation keys
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.setBoolean(graft.util.FsContract.ConditionalCreateKey, false)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          GraftDB.atPath(spark, freshRoot())
+        }
+        assert(e.getMessage.contains(graft.util.FsContract.ConditionalCreateKey))
+        assert(e.getMessage.contains(graft.util.FsContract.SingleWriterKey))
+        // either attestation opens it
+        hc.setBoolean(graft.util.FsContract.SingleWriterKey, true)
+        assert(GraftDB.atPath(spark, freshRoot()).storage
+          .isInstanceOf[ManifestStorage])
+      } finally {
+        hc.setBoolean(graft.util.FsContract.ConditionalCreateKey, true)
+        hc.unset(graft.util.FsContract.SingleWriterKey)
+      }
     }
   }
 
@@ -301,6 +349,66 @@ class ManifestStorageSpec extends SparkSpec {
   }
 
   describe("publish race (two committers, one slot)") {
+    it("a committer stalled past the stale window re-links its stepped-past commit (no lost ack)") {
+      val root = freshRoot()
+      val dbA = GraftDB.atPath(spark, root)
+      seedPoints(dbA)
+      // shrink the stale window so the stall is test-sized; the stall
+      // itself stands in for a GC pause / VM freeze between claim and
+      // content close
+      spark.conf.set("graft.storage.manifestStalePublishMs", "50")
+      try {
+        val log = dbA.storage.asInstanceOf[ManifestStorage].log
+        @volatile var stalledGen = -1L
+        log.publishPauseHook = Some { gen =>
+          log.publishPauseHook = None // only the first publish stalls
+          stalledGen = gen
+          Thread.sleep(150) // stall past the 50ms stale window
+          // a second committer now sees a STALE contentless claim,
+          // steps past it, and publishes against the OLD head —
+          // exactly the window that silently unlinked the stalled
+          // commit before the post-publish re-link guard
+          GraftDB.atPath(spark, root).insert(Point(
+            t("2024-02-01T00:00:00Z"), "stepper", Map(), Map("v" -> 1.0)))
+        }
+        dbA.insert(Point(t("2024-02-02T00:00:00Z"), "stalled", Map(), Map("v" -> 2.0)))
+        assert(stalledGen > 0, "the pause hook must have fired")
+      } finally spark.conf.unset("graft.storage.manifestStalePublishMs")
+      val got = GraftDB.atPath(spark, root).all().map(_.measurement).toSet
+      assert(got.contains("stepper"), s"stepper's commit lost: $got")
+      assert(got.contains("stalled"),
+        s"the stalled committer acknowledged success but its commit is unlinked: $got")
+    }
+
+    it("a check-then-PUT clobber is detected by the read-back and the append re-links") {
+      // model a connector WITHOUT conditional create: claims can
+      // double-win; the read-back after content close must detect the
+      // foreign overwrite and report the publish as LOST, and the
+      // commit loop must then re-link at the next slot
+      val dir = new Path("flaky:" + Files.createTempDirectory("graftrb").toString + "/_m")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val log = new graft.util.ManifestLog(fs, dir, () => 30000L,
+        exclusiveClaims = false)
+      assert(log.tryPublish(1L, Seq("C base")), "uncontended publish wins")
+      val localDir = dir.toUri.getPath
+      log.publishedHook = Some { gen =>
+        log.publishedHook = None
+        // the racer's later PUT lands after our content close
+        Files.write(new java.io.File(localDir, gen.toString).toPath,
+          "C racer\nE 1".getBytes("UTF-8"))
+      }
+      assert(!log.tryPublish(2L, Seq("C base", "C ours")),
+        "clobbered slot must read as a LOST publish, not an ack")
+      // the commuting commit loop retries and re-links at slot 3
+      log.commitRetry(
+        build = (_, recs) =>
+          if (recs.contains("C ours")) None else Some(recs :+ "C ours"),
+        linked = _.contains("C ours"))
+      val (g, recs) = log.head().get
+      assert(g == 3L && recs.contains("C ours") && recs.contains("C racer"),
+        s"both the racer's and our commit must survive: gen=$g recs=$recs")
+    }
+
     it("concurrent appends from racing threads all survive — no lost manifest") {
       val root = freshRoot()
       // two handles hammer appends concurrently; every appended row
@@ -344,22 +452,30 @@ class ManifestStorageSpec extends SparkSpec {
       assert(GraftDB.atPath(spark, freshRoot()).length == 0) // unrelated store
     }
 
-    it("the idempotent-token ring evicts beyond MaxTokens (the documented replay window)") {
+    it("the idempotent-token ring evicts beyond the window through the REAL manifest path") {
       val root = freshRoot()
-      val s = GraftDB.atPath(spark, root).storage.asInstanceOf[ManifestStorage]
-      val batch = Seq((t("2024-01-07T00:00:00Z"), "m")).toDF("a", "b")
-        .select(col("a").as(Point.TimeCol), col("b").as(Point.MeasurementCol),
-          map().cast("map<string,string>").as(Point.TagsCol),
-          map(lit("v"), lit(1.0)).as(Point.FieldsCol))
-      assert(s.appendIdempotent(batch, "tok-old"))
-      assert(s.hasIngestCommit("tok-old"))
-      // the ring is a bounded FIFO: hand-publish a manifest whose token
-      // ring is at capacity and confirm the oldest fell out (driving
-      // MaxTokens real appends through Spark would take minutes — the
-      // bound's arithmetic is what's under test)
-      val full = (1 to ManifestStorage.MaxTokens).map(i => s"tok-$i")
-      val kept = (Seq("tok-old") ++ full).takeRight(ManifestStorage.MaxTokens)
-      assert(!kept.contains("tok-old"), "window arithmetic: oldest evicts")
+      // shrink the ring via the conf seam so the eviction exercises the
+      // production render/parse/ring machinery (MaxTokens real appends
+      // through Spark would take minutes; the seam changes ONLY the
+      // window size, not the code path)
+      spark.conf.set("graft.storage.manifestMaxTokens", "3")
+      try {
+        val s = GraftDB.atPath(spark, root).storage.asInstanceOf[ManifestStorage]
+        val batch = Seq((t("2024-01-07T00:00:00Z"), "m")).toDF("a", "b")
+          .select(col("a").as(Point.TimeCol), col("b").as(Point.MeasurementCol),
+            map().cast("map<string,string>").as(Point.TagsCol),
+            map(lit("v"), lit(1.0)).as(Point.FieldsCol))
+        assert(s.appendIdempotent(batch, "tok-old"))
+        assert(s.hasIngestCommit("tok-old"))
+        (1 to 3).foreach(i => assert(s.appendIdempotent(batch, s"tok-$i")))
+        assert(!s.hasIngestCommit("tok-old"),
+          "oldest token must fall out of the published ring")
+        (1 to 3).foreach(i => assert(s.hasIngestCommit(s"tok-$i")))
+        // an OUT-OF-WINDOW replay re-applies — the documented contract
+        // boundary (a checkpointed stream never replays that far back)
+        assert(s.appendIdempotent(batch, "tok-old"))
+        assert(GraftDB.atPath(spark, root).length == 5)
+      } finally spark.conf.unset("graft.storage.manifestMaxTokens")
     }
   }
 
