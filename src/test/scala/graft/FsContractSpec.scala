@@ -51,6 +51,11 @@ class FsContractSpec extends SparkSpec {
     it("an unknown scheme refuses the rename store; the manifest route demands attestation") {
       val hconf = spark.sparkContext.hadoopConfiguration
       hconf.set("fs.graftnar.impl", classOf[NonAtomicStubFs].getName)
+      // the refusal under test is "NO attestation present" — start from
+      // that state explicitly rather than trusting every earlier suite
+      // on the shared session to have cleaned up its own attestations
+      hconf.unset(graft.util.FsContract.ConditionalCreateKey)
+      hconf.unset(graft.util.FsContract.SingleWriterKey)
       val base = java.nio.file.Files.createTempDirectory("graftnar").toString
       expectRefusal(new graft.engine.ParquetStorage(spark, s"graftnar://$base/db"))
       // atPath routes the unlisted scheme to the manifest backend, but

@@ -107,6 +107,16 @@ class ManifestStorageSpec extends SparkSpec {
   spark.sparkContext.hadoopConfiguration.setBoolean(
     graft.util.FsContract.ConditionalCreateKey, true)
 
+  // the session (and its hadoopConfiguration) is shared across suites:
+  // the attestation is THIS suite's deployment statement about the
+  // flaky: stub, not a global fact — leaking it would let later suites'
+  // refusal gates (FsContractSpec) pass schemes they must refuse
+  override def afterAll(): Unit = {
+    spark.sparkContext.hadoopConfiguration.unset(
+      graft.util.FsContract.ConditionalCreateKey)
+    super.afterAll()
+  }
+
   private def t(s: String): Instant = Instant.parse(s)
 
   private def freshRoot(): String =
