@@ -173,6 +173,44 @@ object Storage {
     */
   val LocalAppendMaxRows: Int = 131072
 
+  /** Size of `batch` for append ROUTING (WAL coordinator path vs
+    * distributed write, and the distributed write's file count).
+    *
+    * Catalyst's `stats.sizeInBytes` is correct for scans and local
+    * relations but is a GARBAGE DEFAULT (≈ `defaultSizeInBytes`, i.e.
+    * effectively infinite) for a `localCheckpoint`ed batch whose
+    * lineage had no stats — exactly the shape every streaming
+    * `foreachBatch` hands the store. That mis-estimate routed every
+    * micro-batch append to the distributed path at FULL parallelism:
+    * 32 one-file tasks per ~5 MB batch, delta file count +32 per
+    * append, auto-compaction re-triggering every batch — measured as
+    * the dominant cost of the bench's `stream_ingest_drain` (appends
+    * of 0.7–2.5 s that the WAL path does in ~0.1 s).
+    *
+    * A checkpointed batch, however, is already MATERIALIZED in the
+    * block manager, which knows its true size — so prefer that when
+    * the plan is a fully-cached `LogicalRDD`. (Deserialized cache size
+    * slightly overestimates raw bytes — object headers ride along —
+    * which only errs toward the distributed path: safe.)
+    */
+  private[engine] def appendSizeEstimate(spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame): BigInt = {
+    val plan = batch.queryExecution.optimizedPlan
+    val materialized = plan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          // fully cached only: a partially-evicted RDD's block sizes
+          // would under-report and could mis-route a big batch to the
+          // coordinator (the row cap still backstops that, but don't
+          // lean on it)
+          .filter(i => i.isCached && i.numCachedPartitions >= lr.rdd.getNumPartitions)
+          .map(i => BigInt(math.max(1L, i.memSize + i.diskSize)))
+      case _ => None
+    }
+    materialized.getOrElse(plan.stats.sizeInBytes)
+  }
+
   /** Encode InternalRows into ONE parquet file on the driver, with no
     * Spark job, through Spark's own `ParquetWriteSupport` — so the file
     * is bit-compatible with distributed writes: same spark-schema
@@ -798,7 +836,12 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // parallelism — materialize such batches first (ingest batches
       // normally already are).
       val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-      val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+      // true materialized size for checkpointed (streaming) batches,
+      // Catalyst estimate otherwise — see [[Storage.appendSizeEstimate]]
+      val est = Storage.appendSizeEstimate(spark, batch)
+      if (maintTimings)
+        System.err.println(s"[graft-maint] append est=$est splitBytes=$splitBytes " +
+          s"plan=${batch.queryExecution.optimizedPlan.getClass.getSimpleName}")
       // The byte estimate routes; the ROW-COUNT cap inside
       // appendDeltaLocal backstops it — a mis-estimated wide batch
       // (Catalyst stats are estimates, not measurements) declines the
@@ -806,8 +849,17 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
       // write instead of drive-collecting.
       (if (est <= BigInt(splitBytes / 8L)) appendDeltaLocal(batch) else None)
         .orElse {
+          // Per-task target = the WAL gate (splitBytes/8, 16 MB at
+          // defaults), not a full split: parquet-encoding maps is
+          // CPU-bound (~25 MB/s/task measured), so sizing tasks at
+          // 128 MB single-threads up to ~5 s of encode for a
+          // latency-path append. Files stay ≥ the WAL gate — the delta
+          // merge (compactDelta) re-sizes them for readers — and the
+          // parallelism cap keeps bulk loads at split-sized-or-bigger
+          // files on any real cluster.
+          val perTask = math.max(1L, splitBytes / 8L)
           val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-            ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+            ((est + perTask - 1) / perTask).toLong)).toInt
           val stamped = withSeq(batch.coalesce(nOut))
           rebound(stamped.sortWithinPartitions(Point.TimeCol))
             // Delta tier optimizes append latency: snappy encodes ~3× faster
@@ -853,7 +905,8 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     // cap we return None and the caller takes the distributed path.
     val maxRows = spark.conf.getOption("graft.storage.localAppendMaxRows")
       .map(_.toInt).getOrElse(Storage.LocalAppendMaxRows)
-    val rows = batch.queryExecution.executedPlan.executeTake(maxRows + 1)
+    val rows = timedPhase("wal-collect")(
+      batch.queryExecution.executedPlan.executeTake(maxRows + 1))
     if (rows.length > maxRows) return None
     val gen = nextGen()
     val fullSchema = org.apache.spark.sql.types.StructType(
@@ -869,9 +922,9 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val stamped = rows.zipWithIndex.map { case (r, i) =>
       (r, (gen << Storage.GenShift) + i)
     }
-    val sorted = stamped.sortBy { case (r, _) =>
+    val sorted = timedPhase("wal-sort")(stamped.sortBy { case (r, _) =>
       if (r.isNullAt(tIdx)) Long.MinValue else r.getLong(tIdx)
-    }
+    })
     // Temp-name + rename commit: a crash or exception mid-write must
     // never leave a torn parquet file (no footer) visible to readers
     // scanning deltaPath — Spark's file listing skips dot-prefixed
@@ -881,10 +934,11 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     val tmp = new Path(s"$deltaPath/.$name.inprogress")
     val file = new Path(s"$deltaPath/$name")
     try {
-      Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
-        sorted.iterator.map { case (r, seq) =>
-          new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
-        })
+      timedPhase(s"wal-write(${rows.length})")(
+        Storage.writeParquetLocal(spark, fullSchema, tmp.toString,
+          sorted.iterator.map { case (r, seq) =>
+            new JoinedRow(r, new GenericInternalRow(Array[Any](seq)))
+          }))
       if (!fs.rename(tmp, file))
         throw new java.io.IOException(s"rename failed: $tmp -> $file")
     } catch {
@@ -935,9 +989,15 @@ final class ParquetStorage(val spark: SparkSession, root: String, partitioned: B
     }
     val staging = s"$root/.staging-tok-${UUID.randomUUID()}"
     val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    // same routing honesty as appendDelta: a checkpointed streaming
+    // batch's Catalyst estimate is the garbage default, which sized
+    // nOut at full parallelism — 32 near-empty token files per
+    // micro-batch (see [[Storage.appendSizeEstimate]])
+    val est = Storage.appendSizeEstimate(spark, batch)
+    // same per-task encode target as appendDelta's distributed path
+    val perTask = math.max(1L, splitBytes / 8L)
     val nOut = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      ((est + splitBytes - 1) / splitBytes).toLong)).toInt
+      ((est + perTask - 1) / perTask).toLong)).toInt
     rebound(withSeq(batch.coalesce(nOut)).sortWithinPartitions(Point.TimeCol))
       .write.option("compression", "snappy")
       .mode(SaveMode.Overwrite).parquet(staging)

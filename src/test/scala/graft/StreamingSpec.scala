@@ -142,6 +142,12 @@ class StreamingSpec extends SparkSpec {
 
   describe("sustained ingest endurance (auto-compaction under streaming)") {
     it("bounded delta file count and intact contents after many streamed micro-batches") {
+      // physical aging is asserted below, so the deletion time floor
+      // must be off — own the conf here (save/restore) instead of
+      // depending on StorageSpec having set it on the shared session
+      val prevGrace = spark.conf.getOption("graft.storage.snapshotDropGraceMs")
+      spark.conf.set("graft.storage.snapshotDropGraceMs", "0")
+      try {
       val mem = MemoryStream[(Timestamp, String, String, Double)](spark)
       val dir = java.nio.file.Files.createTempDirectory("graftendure").toString
       val db = new GraftDB(new graft.engine.ParquetStorage(spark, dir,
@@ -157,17 +163,30 @@ class StreamingSpec extends SparkSpec {
         }
       } finally q.stop()
       // one delta file per batch forever without the policy — 60 here;
-      // the threshold-8 auto-compaction must keep the tier bounded
+      // the threshold-8 auto-compaction must keep the tier bounded.
+      // The policy bounds LIVE files (what readers scan); physically
+      // the dir also holds the last merge's replaced originals until
+      // the next maintenance commit prunes them (the keep-predecessor
+      // grace), so the physical bound is threshold + one merge's
+      // inputs + the merged output.
+      val live = db.storage.asInstanceOf[graft.engine.ParquetStorage]
+        .liveDeltaFileCount()
+      assert(live <= 8, s"delta holds $live LIVE files after $nBatches streamed batches")
       val delta = new java.io.File(s"$dir/delta")
       val files = if (!delta.exists) 0
         else delta.listFiles.count(f => f.isFile && !f.getName.startsWith(".") &&
           !f.getName.startsWith("_"))
-      assert(files <= 8, s"delta holds $files files after $nBatches streamed batches")
+      assert(files <= 8 + 8 + 1,
+        s"delta holds $files physical files after $nBatches streamed batches")
       // nothing lost across the repeated compactions, order intact
       assert(db.length == nBatches)
       val seqs = db.all(sorted = false).map(_._seq)
       assert(seqs == seqs.sorted && seqs.distinct.size == nBatches)
       assert(db.getFieldValues("temp").map(_.doubleValue) == (0 until nBatches).map(_.toDouble))
+      } finally prevGrace match {
+        case Some(v) => spark.conf.set("graft.storage.snapshotDropGraceMs", v)
+        case None => spark.conf.unset("graft.storage.snapshotDropGraceMs")
+      }
     }
   }
 
