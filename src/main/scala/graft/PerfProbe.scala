@@ -57,11 +57,19 @@ object PerfProbe {
       case "--explain" +: dir +: rest => (Some(dir), rest)
       case rest => (None, rest)
     }
-    val names = if (names0.nonEmpty) names0 else Seq(
-      "q30_agg_pricing", "q32_join_multiway", "q33_window_rank", "q34_topk",
-      "q40_window_tumbling", "q41_asof_join", "q50_dedup_exact",
-      "q57_minhash_pairs", "q58_embedding_near_dup", "q59_ann_topk",
-      "q159_excise_spans")
+    // --all: triage sweep over every declared query (1 warm + 1 timed,
+    // scratch teardown + cache clear per query like Verify) to rank
+    // where wall time lives across the whole contract surface
+    val sweep = names0.headOption.contains("--all")
+    val names = if (sweep) SparkEntry.queries.keys.toSeq.sorted
+      else if (names0.nonEmpty) names0
+      else Seq(
+        "q30_agg_pricing", "q32_join_multiway", "q33_window_rank", "q34_topk",
+        "q40_window_tumbling", "q41_asof_join", "q50_dedup_exact",
+        "q57_minhash_pairs", "q58_embedding_near_dup", "q59_ann_topk",
+        "q159_excise_spans")
+    val timedRuns = if (sweep) 1 else 3
+    val warmRuns = if (sweep) 1 else 2
 
     val m = new Metrics
     spark.sparkContext.addSparkListener(m)
@@ -85,24 +93,38 @@ object PerfProbe {
           .foreach(mm => mm.invoke(bus))
       }
       spark.sparkContext.setJobDescription(s"perfprobe: $name")
-      (1 to 2).foreach(_ => SparkEntry.queries(name)(spark, sfDir).count())
-      // measured run: median-of-3 wall, with metrics from the LAST run
-      val runs = (1 to 3).map { i =>
+      val mark = graft.util.Scratch.marker()
+      (1 to warmRuns).foreach(_ =>
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Exception =>
+          System.err.println(s"[perfprobe] $name warm failed: ${e.getMessage}") })
+      // measured run: median wall, with metrics from the LAST run
+      val runs = (1 to timedRuns).flatMap { i =>
         // drop listener queue lag before resetting counters
         drainBus()
         m.reset()
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Exception =>
+            System.err.println(s"[perfprobe] $name failed: ${e.getMessage}"); false }
         val t = (System.nanoTime() - t0) / 1e9
         drainBus()
-        (t, m.jobs, m.stages, m.tasks, m.taskTimeMs, m.shuffleReadB, m.shuffleWriteB, m.inputB)
+        if (ok)
+          Some((t, m.jobs, m.stages, m.tasks, m.taskTimeMs, m.shuffleReadB, m.shuffleWriteB, m.inputB))
+        else None
       }
-      val med = runs.sortBy(_._1).apply(1)
+      if (runs.isEmpty) {
+        spark.sparkContext.setJobDescription(null)
+        if (sweep) { graft.util.Scratch.releaseSince(mark); spark.catalog.clearCache() }
+      } else {
+      val med = runs.sortBy(_._1).apply(runs.length / 2)
       println(f"PERFPROBE $name%-28s wall=${med._1}%.3f jobs=${med._2} stages=${med._3} " +
         f"tasks=${med._4} taskTime=${med._5 / 1000.0}%.2fs shufR=${med._6 / 1048576.0}%.1fMB " +
         f"shufW=${med._7 / 1048576.0}%.1fMB input=${med._8 / 1048576.0}%.1fMB " +
         f"walls=${runs.map(r => f"${r._1}%.3f").mkString(",")}")
       spark.sparkContext.setJobDescription(null)
+      if (sweep) { graft.util.Scratch.releaseSince(mark); spark.catalog.clearCache() }
+      }
     }
     spark.stop()
   }

@@ -29,6 +29,7 @@ object Dedup {
     * `files.maxPartitionBytes`) — no RDD conversion, no job.
     */
   private[analytics] def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch sizing is the engine's job
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
@@ -1090,6 +1091,18 @@ object Dedup {
   /** Word n-gram shingles as a distinct array. Empty tokens are dropped
     * before shingling; documents with fewer than `n` words yield an
     * EMPTY array (standard n-gram semantics — no short spurious shingle).
+    *
+    * NOTE on the lambda's `slice(words, ...)`: a HOF lambda inlines its
+    * operand subtree, so `words` (the regex split) re-evaluates once
+    * per shingle — O(len·grams) tokenize per row. Two fixes were
+    * measured: binding via a 1-element `transform(array(words), ...)`
+    * let-trick REMOVED the re-splits but DOUBLED end-to-end wall on
+    * the minhash/jaccard paths (nested-lambda plans cost more in
+    * analysis/eval than the re-splits save at these document sizes);
+    * binding via a projected column (the winnowFingerprints fix) needs
+    * a DataFrame, not a Column. At ~50-word bench docs the re-split
+    * tax is minor; for long-document corpora, project the token array
+    * as a column first and shingle over that.
     */
   def wordShingles(text: Column, n: Int): Column = {
     val words = filter(split(text, "\\s+"), w => w =!= "")
@@ -1202,7 +1215,9 @@ object Dedup {
         .bitwiseAND(lit(1L)) === 1L
     def hit(s: Column): Column =
       (1 to k).map(h => bitTest(posOf(h, s))).reduce(_ && _)
-    corpus
+    // k md5s per shingle over a one-file corpus is single-task without
+    // the spread (measured ~3.5 s serial at sf0.1); no-op at real scale
+    spread(corpus)
       .select(col(idCol).as("id"),
         size(filter(array_distinct(wordShingles(col(textCol), n)), hit _))
           .cast("long").as("n_hits"))
@@ -1288,6 +1303,10 @@ object Dedup {
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int, maxDocFreq: Option[Int] = None): DataFrame = {
+    // (NOT cached: the posting table is consumed several times, but
+    // with the winnowing chain's HOF-binding fix each evaluation is
+    // cheap scan-parallel work — measured, a cache() here built a
+    // columnar copy and halved throughput at bench scale)
     val raw = TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp"))
     if (maxDocFreq.isEmpty) warnIfUnboundedPostings(df, raw, "fp", "winnowOverlapPairs")
