@@ -45,11 +45,22 @@ object VectorFunctions {
   /** L2-normalize once at ingest so pairwise cosine becomes a plain
     * dot product — the right trade at scale (normalize 100 TB once,
     * not per candidate pair).
+    *
+    * The division rides `zip_with` against an `array_repeat` of the
+    * norm, NOT a `transform` whose lambda divides by `n`: a lambda
+    * inlines its operand subtree, so `transform(a, x => x / n)`
+    * re-evaluated the whole norm (an O(d) dot product) once per
+    * element — O(d²) multiply-adds per row, 128× the needed work at
+    * d=128, on every ANN scan. `array_repeat`'s argument is evaluated
+    * once per ROW; values (incl. null/zero-norm semantics — element
+    * null ÷ norm, norm-null array-of-nulls, zero-norm passthrough)
+    * are unchanged.
     */
   def l2Normalize(a: Column): Column = {
+    val ad = a.cast("array<double>")
     val n = norm2(a)
-    when(n === 0.0, a.cast("array<double>"))
-      .otherwise(transform(a, x => x.cast("double") / n))
+    when(n === 0.0, ad)
+      .otherwise(zip_with(ad, array_repeat(n, size(ad)), (x, nn) => x / nn))
   }
 
   /** Sign bits of `bits` random-hyperplane projections — the classic
