@@ -271,9 +271,15 @@ object Similarity {
     */
   private def pqSubDists(df: DataFrame, idCol: String, vecCol: String,
       cb: DataFrame, m: Int, subDim: Int): DataFrame =
-    df.select(col(idCol).as("id"), posexplode(
+    // normalize BOUND as a column before the subspace transform: the
+    // lambda inlines its operand subtree, so slicing
+    // l2Normalize(vec) inline re-normalized the whole vector once per
+    // subspace — m× the needed work per row (same defect class as the
+    // l2Normalize-internal fix; values unchanged)
+    df.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("__nv"))
+      .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
-          s => slice(l2Normalize(col(vecCol)), s * subDim + 1, lit(subDim)))))
+          s => slice(col("__nv"), s * subDim + 1, lit(subDim)))))
       .select(col("id"), col("pos").cast("int").as("sub"), col("col").as("sv"))
       .join(broadcast(cb), "sub")
       .select(col("id"), col("sub"), col("code"),
@@ -1282,11 +1288,16 @@ object Similarity {
     .agg(collect_list(struct(col("i"), col("c"))).as("entries"))
     .select(col("cell"),
       transform(array_sort(col("entries")), e => e.getField("c")).as("center"))
+    // ||c||² once per CELL in the tiny broadcast table — computing it
+    // in cdistTo charged a second d-wide dot to every (row, cell)
+    // pair, doubling assignment/probe FLOPs (identical value, same
+    // double arithmetic on the same array)
+    .withColumn("cc", dot(col("center"), col("center")))
 
   // ||c||² − 2 v·c ranks cells by squared euclidean up to the constant
   // ||v||² (same metric as ivfTopK; see note there)
   private def cdistTo(v: String) =
-    dot(col("center"), col("center")) - lit(2.0) * dot(col(v), col("center"))
+    col("cc") - lit(2.0) * dot(col(v), col("center"))
 
   /** IVF cell assignment: (id, cv, cell) — broadcast of the tiny
     * centroid table + map-side-partial `min(struct(dist, cell))`, one
