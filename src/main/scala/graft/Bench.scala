@@ -76,23 +76,27 @@ object Bench {
   // otherwise a real regression of rebase size would be absorbed
   // silently and the drift attribution would be unauditable.
   private val AnalyticsExpected: Map[String, Double] = Map(
-    // r16 rebase: the r15 committed quiet closing bench (f0410cf,
-    // flagged [], loadavg 0.26) — the r13-era values it replaces are
-    // tabled in BENCH_NOTES ("analytics rolling medians" history).
+    // r18 rebase: the r17 committed quiet closing bench (b09d808,
+    // flagged [], loadavg 0.13), with q58/q59 LOWERED to the r18
+    // optimization round's own quiet medians (the l2-normalization
+    // O(d²)→O(d) fix halved both — keeping the old medians would let a
+    // 2× regression of the fix hide inside the guard). History: the
+    // r16-era values are tabled in BENCH_NOTES ("analytics rolling
+    // medians" history, r18 row).
     "q30_agg_pricing" -> 0.28,
-    "q32_join_multiway" -> 0.87,
-    "q33_window_rank" -> 0.32,
-    "q34_topk" -> 0.20,
+    "q32_join_multiway" -> 0.81,
+    "q33_window_rank" -> 0.40,
+    "q34_topk" -> 0.27,
     "q40_window_tumbling" -> 0.22,
-    "q41_asof_join" -> 0.19,
+    "q41_asof_join" -> 0.16,
     "q50_dedup_exact" -> 0.19,
-    "q57_minhash_pairs" -> 0.57,
-    "q58_embedding_near_dup" -> 0.58,
-    "q59_ann_topk" -> 0.62,
+    "q57_minhash_pairs" -> 0.68,
+    "q58_embedding_near_dup" -> 0.36,
+    "q59_ann_topk" -> 0.31,
     "q159_excise_spans" -> 0.21)
 
-  /** Previous round's committed quiet-bench medians (r15 bench.json at
-    * f0410cf, sf0.1) — the
+  /** Previous round's committed quiet-bench medians (r17 bench.json at
+    * b09d808, sf0.1) — the
     * round-over-round delta is computed INLINE into the bench JSON
     * (`delta_vs_prev`: ratio current/previous per shared metric) so a
     * drift reads directly off the artifact instead of needing a manual
@@ -102,33 +106,34 @@ object Bench {
     * re-measure trigger is now 1.5×.
     */
   private val PrevMedians: Map[String, Double] = Map(
-    // r15 committed quiet closing bench (bench.json at commit f0410cf,
-    // flagged [], start loadavg 0.26)
-    "point_lookup_tag_eq" -> 0.024277,
+    // r17 committed quiet closing bench (bench.json at commit b09d808,
+    // flagged [], start loadavg 0.13) — so this round's delta_vs_prev
+    // reads the optimization round's change against the round-17 close
+    "point_lookup_tag_eq" -> 0.024728,
     "time_range_1h" -> 3e-06,
-    "time_range_1h_populated" -> 0.018503,
-    "field_filter_half" -> 0.029206,
-    "complex_2field_tag" -> 0.025889,
-    "count_filtered" -> 0.017138,
-    "csv_point_lookup_tag_eq" -> 0.032861,
-    "csv_time_range_1h" -> 1e-06,
-    "csv_field_filter_half" -> 0.05418,
-    "csv_complex_2field_tag" -> 0.03353,
-    "insert_10k_memory" -> 0.002559,
-    "insert_10k_parquet" -> 0.102132,
-    "insert_10k_csv" -> 0.083938,
-    "stream_ingest_drain" -> 3.003864,
-    "q30_agg_pricing" -> 0.278904,
-    "q32_join_multiway" -> 0.872012,
-    "q33_window_rank" -> 0.318535,
-    "q34_topk" -> 0.195681,
-    "q40_window_tumbling" -> 0.217558,
-    "q41_asof_join" -> 0.191555,
-    "q50_dedup_exact" -> 0.194593,
-    "q57_minhash_pairs" -> 0.570705,
-    "q58_embedding_near_dup" -> 0.575161,
-    "q59_ann_topk" -> 0.622689,
-    "q159_excise_spans" -> 0.211695)
+    "time_range_1h_populated" -> 0.020265,
+    "field_filter_half" -> 0.027649,
+    "complex_2field_tag" -> 0.01895,
+    "count_filtered" -> 0.012187,
+    "csv_point_lookup_tag_eq" -> 0.03211,
+    "csv_time_range_1h" -> 2e-06,
+    "csv_field_filter_half" -> 0.038313,
+    "csv_complex_2field_tag" -> 0.031448,
+    "insert_10k_memory" -> 0.002329,
+    "insert_10k_parquet" -> 0.101303,
+    "insert_10k_csv" -> 0.0761,
+    "stream_ingest_drain" -> 2.467354,
+    "q30_agg_pricing" -> 0.279354,
+    "q32_join_multiway" -> 0.811097,
+    "q33_window_rank" -> 0.404367,
+    "q34_topk" -> 0.272145,
+    "q40_window_tumbling" -> 0.216035,
+    "q41_asof_join" -> 0.159107,
+    "q50_dedup_exact" -> 0.190569,
+    "q57_minhash_pairs" -> 0.680202,
+    "q58_embedding_near_dup" -> 0.768564,
+    "q59_ann_topk" -> 0.569357,
+    "q159_excise_spans" -> 0.21188)
 
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(

@@ -1208,7 +1208,9 @@ object Dedup {
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](bits / 64)
     epos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
-    val bitset = lit(words)
+    // ONE bound reference to the bits/64-long bitset literal (k inline
+    // copies bloated every plan traversal k-fold for a KB-scale array)
+    val bitset = col("__bloom_bits")
     def bitTest(p: Column): Column =
       call_function("shiftright",
         element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
@@ -1218,6 +1220,7 @@ object Dedup {
     // k md5s per shingle over a one-file corpus is single-task without
     // the spread (measured ~3.5 s serial at sf0.1); no-op at real scale
     spread(corpus)
+      .withColumn("__bloom_bits", lit(words))
       .select(col(idCol).as("id"),
         size(filter(array_distinct(wordShingles(col(textCol), n)), hit _))
           .cast("long").as("n_hits"))
