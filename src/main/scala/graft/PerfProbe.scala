@@ -98,7 +98,8 @@ object PerfProbe {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Exception =>
           System.err.println(s"[perfprobe] $name warm failed: ${e.getMessage}") })
-      // measured run: median wall, with metrics from the LAST run
+      // measured runs: report the median-wall run's wall AND metrics
+      // (counters reset per run; the tuple travels with its run)
       val runs = (1 to timedRuns).flatMap { i =>
         // drop listener queue lag before resetting counters
         drainBus()

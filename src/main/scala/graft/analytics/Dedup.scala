@@ -1208,9 +1208,12 @@ object Dedup {
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](bits / 64)
     epos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
-    // ONE bound reference to the bits/64-long bitset literal (k inline
-    // copies bloated every plan traversal k-fold for a KB-scale array)
-    val bitset = col("__bloom_bits")
+    // the bitset rides as ONE shared Literal node referenced k times
+    // (a projected-column binding does NOT survive here: CollapseProject
+    // treats literals as cheap and re-inlines them — r18's withColumn
+    // indirection was a no-op in the final plan; sharing the node keeps
+    // one ArrayData either way)
+    val bitset = lit(words)
     def bitTest(p: Column): Column =
       call_function("shiftright",
         element_at(bitset, (p / 64).cast("int") + 1), pmod(p, lit(64)).cast("int"))
@@ -1218,12 +1221,20 @@ object Dedup {
     def hit(s: Column): Column =
       (1 to k).map(h => bitTest(posOf(h, s))).reduce(_ && _)
     // k md5s per shingle over a one-file corpus is single-task without
-    // the spread (measured ~3.5 s serial at sf0.1); no-op at real scale
+    // the spread (measured ~3.5 s serial at sf0.1); no-op at real scale.
+    // n_hits is emitted THROUGH a one-element explode: a filter on a
+    // generator output cannot be pushed below the Generate, so the
+    // k-md5-per-shingle evaluation runs exactly ONCE per document, in
+    // the spread stage — the plain `select(...).filter(...)` form let
+    // the optimizer substitute the alias into the predicate and push it
+    // below the spread Exchange, re-evaluating every shingle's md5s a
+    // second time in the single scan task (measured: the whole bloom
+    // pass ran serially there, ~3.7 s of its 4.7 s wall at sf0.1)
     spread(corpus)
-      .withColumn("__bloom_bits", lit(words))
       .select(col(idCol).as("id"),
-        size(filter(array_distinct(wordShingles(col(textCol), n)), hit _))
-          .cast("long").as("n_hits"))
+        explode(array(
+          size(filter(array_distinct(wordShingles(col(textCol), n)), hit _))
+            .cast("long"))).as("n_hits"))
       .filter(col("n_hits") >= minHit)
   }
 

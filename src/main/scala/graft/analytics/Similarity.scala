@@ -108,6 +108,30 @@ object Similarity {
       .select(col("qid"), col("col.id").as("id"), col("col.score").as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
 
+  /** Collect a TINY quantizer/stat table (KB-scale by contract: k×d
+    * centroids, d-row permutations, m×codes×subDim codebooks — bounded
+    * by quantizer geometry, never corpus-sized) into a LOCAL relation.
+    * Every consumer of these tables broadcasts them against the corpus,
+    * and their training plans scan the corpus — left lazy, EACH
+    * consumer re-executes the full training scan (a lifecycle entry
+    * re-derives its centroid table 4–6×), and each broadcast build is
+    * an extra job over RDD blocks. A LocalRelation materializes the
+    * table exactly once and feeds later broadcasts straight from driver
+    * rows — the same pattern as the persisted serve's probe set.
+    * Values are untouched: rows pass through the driver as-is (training
+    * outputs are rounded doubles / ints by the portability contract).
+    */
+  def localizeQuantizer(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    // coalesce(1): a LocalTableScan otherwise parallelizes into
+    // min(rows, defaultParallelism) slices — hundreds of one-row tasks
+    // per tiny aggregate on a real cluster (and 32 micro-tasks per
+    // consumer even locally). One slice is the right shape for a
+    // KB-scale table; consumers broadcast it anyway.
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema).coalesce(1)
+  }
+
   /** Per-group embedding centroids (element-wise mean) — the building
     * block of IVF coarse quantizers, class prototypes, and cluster
     * summaries. Explode to (group, dim, x) then one groupBy(group, dim)
@@ -147,18 +171,18 @@ object Similarity {
     var cents = centroids
     (1 to iters).foreach { _ =>
       val assigned = ivfAssign(corpus, cents, idCol, vecCol)
-      cents = assigned
+      // materialize the k×d centroid table NOW (same defect class as
+      // the PageRank edge cache): left lazy, the rounds compose into
+      // one nested plan whose depth grows with iters and whose final
+      // evaluation re-enters every round's corpus scan as one deep
+      // tree. A LOCAL relation (r19, was localCheckpoint) pins each
+      // round to exactly one scan AND feeds the next round's centroid
+      // broadcast from driver rows instead of executor blocks — k×d
+      // rounded doubles, identical values either way
+      cents = localizeQuantizer(assigned
         .select(col("cell").as("group"), posexplode(col("cv")))
         .select(col("group"), col("pos").as("i"), col("col").cast("double").as("x"))
-        .groupBy("group", "i").agg(round(avg("x"), roundTo).as("c"))
-        // materialize the k×d centroid table NOW (same defect class as
-        // the PageRank edge cache): left lazy, the rounds compose into
-        // one nested plan whose depth grows with iters and whose final
-        // evaluation re-enters every round's corpus scan as one deep
-        // tree — eager checkpoint pins each round to exactly one scan
-        // and keeps the plan flat, at the cost of k×d executor-side
-        // rows per round
-        .localCheckpoint(eager = true)
+        .groupBy("group", "i").agg(round(avg("x"), roundTo).as("c")))
     }
     cents
   }
@@ -653,15 +677,23 @@ object Similarity {
       m: Int, subDim: Int, iters: Int, roundTo: Int = 6): DataFrame = {
     requireIntegralId(corpus, idCol, "opqPqLloydRefine")
     require(iters >= 1, "iters must be >= 1")
+    // the permutation is ROUND-INVARIANT: resolve it to its positional
+    // literal ONCE. Resolving inside the loop re-executed the whole
+    // permutation training plan (a corpus scan + variance aggregate +
+    // ranking) every round — iters× redundant corpus work for a d-row
+    // table that never changes between rounds.
+    val srcs = permSources(perm, m, subDim)
     var cb = seed
     (1 to iters).foreach { _ =>
       // rotated residual subvectors rebuilt lazily per round from the
       // corpus scan (the lloydRefine cost contract: one scan per round,
       // nothing corpus-sized materializes); the k×subDim round output
-      // checkpoints eagerly so rounds never compose into one deep plan
-      cb = opqPqLloydRound(
-        opqRotatedSubvecs(corpus, centroids, perm, idCol, vecCol, m, subDim),
-        cb, roundTo).localCheckpoint(eager = true)
+      // lands in a LOCAL relation (r19, was localCheckpoint) so rounds
+      // never compose into one deep plan and the next round's codebook
+      // broadcast builds from driver rows
+      cb = localizeQuantizer(opqPqLloydRound(
+        rotatedSubvecsOf(corpus, centroids, srcs, idCol, vecCol, m, subDim),
+        cb, roundTo))
     }
     cb
   }
@@ -669,8 +701,15 @@ object Similarity {
   /** Rotated residual subvectors (id, sub, sv) — the training rows of
     * the per-subspace codebook refinement. */
   private[graft] def opqRotatedSubvecs(corpus: DataFrame, centroids: DataFrame,
-      perm: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
-    val srcs = permSources(perm, m, subDim)
+      perm: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame =
+    rotatedSubvecsOf(corpus, centroids, permSources(perm, m, subDim),
+      idCol, vecCol, m, subDim)
+
+  /** [[opqRotatedSubvecs]] over an ALREADY-RESOLVED positional
+    * permutation — the loop-internal form, so iterative trainers pay
+    * the permutation plan once, not once per round. */
+  private def rotatedSubvecsOf(corpus: DataFrame, centroids: DataFrame,
+      srcs: Seq[Int], idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
     val keyed = corpus.withColumn("__rid", col(idCol).cast("long"))
     residualVecs(keyed, centroids, "__rid", vecCol)
       .withColumn("rv", applyPerm(col("rv"), srcs))

@@ -195,17 +195,32 @@ object Storage {
     */
   private[engine] def appendSizeEstimate(spark: SparkSession,
       batch: org.apache.spark.sql.DataFrame): BigInt = {
+    def cachedSize(lr: org.apache.spark.sql.execution.LogicalRDD): Option[BigInt] =
+      spark.sparkContext.getRDDStorageInfo
+        .find(_.id == lr.rdd.id)
+        // fully cached only: a partially-evicted RDD's block sizes
+        // would under-report and could mis-route a big batch to the
+        // coordinator (the row cap still backstops that, but don't
+        // lean on it)
+        .filter(i => i.isCached && i.numCachedPartitions >= lr.rdd.getNumPartitions)
+        .map(i => BigInt(math.max(1L, i.memSize + i.diskSize)))
     val plan = batch.queryExecution.optimizedPlan
     val materialized = plan match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        spark.sparkContext.getRDDStorageInfo
-          .find(_.id == lr.rdd.id)
-          // fully cached only: a partially-evicted RDD's block sizes
-          // would under-report and could mis-route a big batch to the
-          // coordinator (the row cap still backstops that, but don't
-          // lean on it)
-          .filter(i => i.isCached && i.numCachedPartitions >= lr.rdd.getNumPartitions)
-          .map(i => BigInt(math.max(1L, i.memSize + i.diskSize)))
+      case lr: org.apache.spark.sql.execution.LogicalRDD => cachedSize(lr)
+      // a column-pruning/renaming projection layered over the
+      // checkpointed batch (a plausible refactor of the streaming
+      // insert path) must not fall back to the garbage default — the
+      // cached size stays an OVER-estimate when the projection only
+      // narrows or renames (attribute-only exprs; anything computed
+      // falls through to the Catalyst estimate)
+      case org.apache.spark.sql.catalyst.plans.logical.Project(exprs,
+          lr: org.apache.spark.sql.execution.LogicalRDD)
+          if exprs.forall {
+            case _: org.apache.spark.sql.catalyst.expressions.Attribute => true
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]
+            case _ => false
+          } => cachedSize(lr)
       case _ => None
     }
     materialized.getOrElse(plan.stats.sizeInBytes)

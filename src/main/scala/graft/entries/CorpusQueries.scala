@@ -429,10 +429,10 @@ object CorpusQueries {
     // 100-TB tier of q59 (probes 2 of 5 cells instead of scanning all).
     "q81_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("nv")),
         "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
       Similarity.ivfTopKWithCentroids(
         corpus = e,
         queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
@@ -450,7 +450,8 @@ object CorpusQueries {
     // compression's approximation behavior is itself under the gate.
     "q110_ann_pq" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cb = Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+      val cb = Similarity.localizeQuantizer(
+        Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16))
       Similarity.pqTopK(
         corpus = e,
         queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
@@ -469,10 +470,11 @@ object CorpusQueries {
     "q111_ann_ivfpq" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val cb = Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val cb = Similarity.localizeQuantizer(
+        Similarity.pqCodebooks(e, "label", "embedding", m = 4, subDim = 16))
       Similarity.ivfPqTopK(
         corpus = e,
         queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
@@ -493,11 +495,11 @@ object CorpusQueries {
     "q174_ann_residual_ivfpq" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val cb = Similarity.residualPqCodebooks(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val cb = Similarity.localizeQuantizer(Similarity.residualPqCodebooks(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
       Similarity.residualIvfPqTopK(
         corpus = e,
         queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
@@ -519,13 +521,13 @@ object CorpusQueries {
     "q178_ann_opq_residual_ivfpq" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       Similarity.opqResidualIvfPqTopK(
         corpus = e,
         queries = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
@@ -550,13 +552,13 @@ object CorpusQueries {
     "q180_ann_rerank" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding"))
       val shortlist = Similarity.opqResidualIvfPqTopK(
@@ -582,13 +584,13 @@ object CorpusQueries {
     "q181_ann_opq_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       graft.util.Scratch.withDir("opqindex") { idx =>
         Similarity.opqIvfPqPersist(e, cents, perm, cb,
           idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
@@ -620,13 +622,13 @@ object CorpusQueries {
       val base = e.filter(col("vec_id") % 2 === 0)
       val delta = e.filter(col("vec_id") % 2 === 1)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         base.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(base, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(base, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        base, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        base, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       graft.util.Scratch.withDir("opqappend") { idx =>
         Similarity.opqIvfPqPersist(base, cents, perm, cb,
           idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
@@ -654,13 +656,13 @@ object CorpusQueries {
       val base = e.filter(col("vec_id") % 2 === 0)
       val delta = e.filter(col("vec_id") % 2 === 1)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         base.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(base, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(base, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        base, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        base, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       graft.util.Scratch.withDir("opqcompact") { idx =>
         Similarity.opqIvfPqPersist(base, cents, perm, cb,
           idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
@@ -692,13 +694,13 @@ object CorpusQueries {
       import org.apache.spark.sql.streaming.Trigger
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       graft.util.Scratch.withDir("annservidx") { idx =>
         Similarity.opqIvfPqPersist(e, cents, perm, cb,
           idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
@@ -749,13 +751,13 @@ object CorpusQueries {
     "q184_ann_index_stats" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       graft.util.Scratch.withDir("opqstats") { idx =>
         Similarity.opqIvfPqPersist(e, cents, perm, cb,
           idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
@@ -787,10 +789,10 @@ object CorpusQueries {
         e.select(col("label"), nv.as("nv")), "label", "nv")
         .select(col("group"), col("i"), round(col("c"), 6).as("c"))
       val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       graft.util.Scratch.withDir("opqlloyd") { idx =>
         Similarity.opqIvfPqPersist(e, cents, perm, cb,
           idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx)
@@ -825,10 +827,10 @@ object CorpusQueries {
         e.select(col("label"), nv.as("nv")), "label", "nv")
         .select(col("group"), col("i"), round(col("c"), 6).as("c"))
       val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb0 = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
         m = 4, subDim = 16, iters = PqTrainIters)
       graft.util.Scratch.withDir("opqtrained") { idx =>
@@ -855,13 +857,13 @@ object CorpusQueries {
     "q187_ann_rerank_hi" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding"))
       val shortlist = Similarity.opqResidualIvfPqTopK(
@@ -885,13 +887,13 @@ object CorpusQueries {
     "q194_ann_persisted_config_rerank" -> ((s, dir) => {
       val e = emb(s, dir)
       val nv = graft.functions.VectorFunctions.l2Normalize(col("embedding"))
-      val cents = Similarity.centroids(
+      val cents = Similarity.localizeQuantizer(Similarity.centroids(
         e.select(col("label"), nv.as("nv")), "label", "nv")
-        .select(col("group"), col("i"), round(col("c"), 6).as("c"))
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+        .select(col("group"), col("i"), round(col("c"), 6).as("c")))
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       graft.util.Scratch.withDir("opqcfgserve") { idx =>
         Similarity.opqIvfPqPersist(e, cents, perm, cb,
           idCol = "vec_id", vecCol = "embedding", m = 4, subDim = 16, path = idx,
@@ -939,10 +941,10 @@ object CorpusQueries {
         e.select(col("label"), nv.as("nv")), "label", "nv")
         .select(col("group"), col("i"), round(col("c"), 6).as("c"))
       val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb0 = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
         m = 4, subDim = 16, iters = PqTrainIters)
       graft.util.Scratch.withDir("opqflagship") { idx =>
@@ -979,8 +981,8 @@ object CorpusQueries {
       val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
       val perm = Similarity.opqSwapRefine(e, cents, "vec_id", "embedding",
         m = 4, subDim = 16, iters = SwapTrainIters)
-      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+      val cb0 = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
         m = 4, subDim = 16, iters = PqTrainIters)
       Similarity.opqResidualIvfPqTopK(
@@ -1017,10 +1019,10 @@ object CorpusQueries {
         .select(col("group"), col("pos").as("i"),
           round(col("col").cast("double"), 6).as("c"))
       val cents = Similarity.lloydRefine(e, seed, "vec_id", "embedding", iters = 3)
-      val perm = Similarity.opqPermutation(e, cents, "vec_id", "embedding",
-        m = 4, subDim = 16)
-      val cb0 = Similarity.opqResidualPqCodebooks(e, cents, perm, "vec_id", "embedding",
-        m = 4, subDim = 16, signBits = 6)
+      val perm = Similarity.localizeQuantizer(Similarity.opqPermutation(
+        e, cents, "vec_id", "embedding", m = 4, subDim = 16))
+      val cb0 = Similarity.localizeQuantizer(Similarity.opqResidualPqCodebooks(
+        e, cents, perm, "vec_id", "embedding", m = 4, subDim = 16, signBits = 6))
       val cb = Similarity.opqPqLloydRefine(e, cents, perm, cb0, "vec_id", "embedding",
         m = 4, subDim = 16, iters = PqTrainIters)
       graft.util.Scratch.withDir("opqprodcells") { idx =>

@@ -557,6 +557,44 @@ class StorageSpec extends SparkSpec {
         assert(db.length == 101)
       } finally spark.conf.unset("graft.storage.localAppendMaxRows")
     }
+    it("a checkpointed streaming-shaped batch routes to the WAL — even under a pruning projection") {
+      // the streaming foreachBatch shape: a localCheckpoint'ed batch
+      // whose lineage has no stats. Catalyst reports the garbage
+      // defaultSizeInBytes for it; appendSizeEstimate must read the
+      // true materialized size from the block manager (r18 fix) — and
+      // keep doing so when a column-pruning/renaming Project is layered
+      // over the checkpoint (the r19 ADVICE regression: a bare-
+      // LogicalRDD-only match silently re-opens the 32-file-per-batch
+      // distributed-write path on any insert-path refactor)
+      import spark.implicits._
+      def mkBatch() = spark.createDataset((0 until 50).map(i =>
+          Point(t("2024-01-01T00:00:00Z").plusSeconds(i.toLong), "m",
+            Map("a" -> s"x$i"), Map("v" -> i.toDouble))))
+        .toDF().drop(Point.SeqCol).localCheckpoint(true)
+      val bare = mkBatch()
+      val est = graft.engine.Storage.appendSizeEstimate(spark, bare)
+      assert(est < BigInt(1L << 20), s"bare checkpointed batch estimate $est")
+      // pruning + rename over the checkpoint: still the cached size
+      val projected = mkBatch().select(col(Point.TimeCol),
+        col(Point.MeasurementCol).as("m2"), col(Point.TagsCol), col(Point.FieldsCol))
+      val estP = graft.engine.Storage.appendSizeEstimate(spark, projected)
+      assert(estP < BigInt(1L << 20), s"projected checkpointed batch estimate $estP")
+      // a COMPUTED projection cannot borrow the cached size — it must
+      // fall through to Catalyst (over-estimate direction: distributed)
+      val computed = mkBatch().select(col(Point.TimeCol),
+        concat(col(Point.MeasurementCol), lit("x")).as(Point.MeasurementCol),
+        col(Point.TagsCol), col(Point.FieldsCol))
+      assert(graft.engine.Storage.appendSizeEstimate(spark, computed) >= BigInt(1L << 20))
+      // and end to end: the streaming-shaped batch lands as ONE local
+      // WAL file, no distributed writer
+      val dir = Files.createTempDirectory("graftwalstream").toString
+      val db = GraftDB.atPath(spark, dir)
+      db.insertDF(mkBatch())
+      val names = Files.list(java.nio.file.Paths.get(dir, "delta")).toArray.map(_.toString)
+      assert(names.count(_.endsWith("-local.snappy.parquet")) == 1,
+        s"streaming-shaped batch missed the WAL path: ${names.toSeq}")
+    }
+
     it("local and distributed delta files coexist under one scan and one compaction") {
       val dir = Files.createTempDirectory("graftwalmix").toString
       val db = GraftDB.atPath(spark, dir)
